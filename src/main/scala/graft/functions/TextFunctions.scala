@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions (SURVEY §2.9 L5-L7): tokenization,
+  * n-grams, counting, quality signals, language-ID heuristic, PII masking,
+  * document fingerprinting. All pure column expressions (codegen-friendly,
+  * no UDFs) — per-row cost only, no shuffle, safe at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (lower-cased, empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word count = token count. */
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric non-space characters (a cheap proxy for subword
+    * tokenizer counts; the regex is portable to the DuckDB oracle). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Character n-grams of the whole string, as an array. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
+
+  /** Token n-grams: join each window of n consecutive tokens with a space. */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(ts) - n), i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
+  /** Distinct token-shingle set (for Jaccard / MinHash). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(tokenNgrams(text, n))
+
+  /** Jaccard similarity of two string arrays (set semantics), exact
+    * integer cardinalities → deterministic double ratio. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a); val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    val uni = size(array_union(ad, bd)).cast("double")
+    when(uni === 0, lit(0.0d)).otherwise(inter / uni)
+  }
+
+  /** Punctuation ratio: basic-punct chars / total chars (same char class
+    * spelled identically in the DuckDB oracle). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0d)).otherwise(
+      (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** Mean token length (0 for empty docs). */
+  def meanWordLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0d)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(ts).cast("double"))
+  }
+
+  /** Stopword-hit ratio against a fixed list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(ts) === 0, lit(0.0d)).otherwise(
+      size(filter(ts, t => array_contains(sw, t))).cast("double")
+        / size(ts).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation noise and a sane mean word length. Weights are fixed,
+    * arithmetic is deterministic (integer counts → double ops in a fixed
+    * expression tree). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 400.0d, lit(1.0d))
+    val punctPenalty = lit(1.0d) - least(punctRatio(text) * 5.0d, lit(1.0d))
+    val mwl = meanWordLen(text)
+    val wordScore = when(mwl >= 3.0d && mwl <= 10.0d, lit(1.0d)).otherwise(lit(0.5d))
+    round(lenScore * 0.5d + punctPenalty * 0.3d + wordScore * 0.2d, 6)
+  }
+
+  /** Per-language stopword lists for the langId heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"))
+
+  /** Language-ID heuristic: argmax of stopword hits per language, 'und'
+    * when nothing matches. Deterministic tie-break: list order above. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val hits = langStopwords.map { case (lang, sws) =>
+      val sw = array(sws.map(lit): _*)
+      lang -> size(filter(ts, t => array_contains(sw, t)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, h)) =>
+      acc.when(h === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** PII masking (L7): emails then digit-runs-of-7+ (phone-ish). */
+  def maskPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9][0-9 ()+-]{5,}[0-9]", "<PHONE>")
+  }
+
+  /** Polynomial rolling-hash fingerprint over the token stream:
+    * h = fold(h * 31 + tokenLen31) mod 2^31-1 — cheap, deterministic,
+    * portable (uses token lengths + first-char codes, not engine hash()). */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(7L),
+      (acc, t) => (acc * 31L + length(t).cast("long") * 131L + ascii(t)) % 2147483647L)
+}

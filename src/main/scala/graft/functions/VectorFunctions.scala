@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns (SURVEY §2.9 L3/L4),
+  * built entirely from Spark higher-order functions (`zip_with`,
+  * `aggregate`, `transform`) so everything stays inside Catalyst/codegen —
+  * no UDF boundary, no serialization per row.
+  *
+  * Scale notes: all functions are per-row scalar expressions — they
+  * parallelize trivially and never shuffle. The quantized variants exist
+  * for the DuckDB-oracle determinism contract: float summation order is
+  * engine-defined, so oracle-checked queries quantize to a fixed integer
+  * grid first (exact integer arithmetic is order-independent), while the
+  * float path is covered by unit tests.
+  */
+object VectorFunctions {
+
+  /** Sum of a double-array via ordered left fold (deterministic within
+    * Spark; cross-engine determinism needs the quantized variant). */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0d), (acc, x) => acc + x)
+
+  /** Dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(fsum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Quantize a float vector to a BIGINT grid: round(x * scale).
+    * float→double is exact and x*scale stays exact in double for
+    * |x|<~100 and scale≤1e6, so both Spark and DuckDB round the same
+    * exact value — integer results match bit-for-bit. */
+  def quantize(a: Column, scale: Long = 1000000L): Column =
+    transform(a, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(aq: Column, bq: Column): Column =
+    aggregate(zip_with(aq, bq, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared-norm of a quantized vector. */
+  def normSqQ(aq: Column): Column =
+    aggregate(transform(aq, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine over the integer grid: dotQ / sqrt(normSqQ*normSqQ) — the
+    * only float ops are two exact long→double conversions, one multiply,
+    * one sqrt and one divide on identical inputs → cross-engine
+    * deterministic. */
+  def cosineQ(aq: Column, bq: Column): Column =
+    dotQ(aq, bq).cast("double") /
+      sqrt(normSqQ(aq).cast("double") * normSqQ(bq).cast("double"))
+
+  /** SimHash-style signature for a vector: sign bits against
+    * deterministic pseudo-random hyperplanes, packed into a BIGINT.
+    * Hyperplane component (j,d) = fractional hash of (j,d) centered at 0;
+    * pure integer arithmetic so any engine reproduces it. */
+  def hyperplaneSig(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      // component_d = ((j*2654435761 + d*40503) mod 8191) - 4095  (int grid)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+          x.cast("double") *
+            (((lit(j.toLong) * 2654435761L + d.cast("long") * 40503L) % 8191L) - 4095L).cast("double")),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines (SURVEY §2.9 L1/L2):
+  * exact content hash, MinHash-LSH near-dup, SimHash near-dup, n-gram
+  * Jaccard verification. All stages are keyed and partitionable — the
+  * 100 TB shapes are:
+  *
+  *  - exact: one shuffle on the 256-bit content hash (uniform keys, no
+  *    skew), map-side nothing; identical to a distributed GROUP BY.
+  *  - MinHash-LSH: per-row signature (narrow) → explode to `bands` rows
+  *    → shuffle on (band, bandHash) → pairs only within buckets. The
+  *    crossJoin-per-bucket is bounded by bucket size; no global O(n²).
+  *  - SimHash: per-row 64-bit signature → self-join on signature
+  *    prefix-buckets, verify Hamming distance within bucket.
+  *
+  * MinHash here is arithmetic (`(a*h + b) mod p` over a portable string
+  * hash), not `ml.feature.MinHashLSH`, so signatures are reproducible
+  * across engines and the planted-near-dup property tests are stable.
+  */
+object Dedup {
+
+  /** L1 — exact dedup: keep the smallest `idCol` per sha256(text). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    df.withColumn("__h", sha2(col(textCol), 256))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__h", "__rn")
+  }
+
+  /** Portable 31-bit string hash (same formula as TextFunctions
+    * .fingerprint but over shingle text chars): fold h = h*31 + code. */
+  private def strHash(s: Column): Column =
+    aggregate(transform(TF.charNgrams(s, 1), c => ascii(c).cast("long")),
+      lit(7L), (acc, c) => (acc * 31L + c) % 2147483647L)
+
+  /** MinHash signature: for shingle set S, sig_i = min over s in S of
+    * ((a_i * hash(s) + b_i) mod p), with fixed seeds per row i. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val p = 2147483647L
+    val hashes = transform(shingles, s => strHash(s))
+    array((0 until numHashes).map { i =>
+      val a = 1L + 2L * ((1103515245L * i + 12345L) % 1000000L) // odd
+      val b = (69069L * i + 1234567L) % p
+      array_min(transform(hashes, h => (h * a + b) % p))
+    }: _*)
+  }
+
+  /** L2 — MinHash-LSH candidate pairs: band the signature, bucket-join,
+    * emit candidate (idA < idB) pairs with their verified shingle-Jaccard.
+    * @param bands number of bands; rows per band = numHashes/bands. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df
+      .withColumn("__shingles", TF.shingleSet(col(textCol), shingleN))
+      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+    val banded = withSig.select(
+      col(idCol), col("__shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("__sig"), b * rows + lit(1), lit(rows)))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bandsig")
+    val l = banded.select(col(idCol).alias("id_a"), col("__shingles").alias("sh_a"),
+      col("__band"), col("__bandsig"))
+    val r = banded.select(col(idCol).alias("id_b"), col("__shingles").alias("sh_b"),
+      col("__band"), col("__bandsig"))
+    l.join(r, Seq("__band", "__bandsig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), TF.jaccard(col("sh_a"), col("sh_b")).alias("jaccard"))
+      .distinct()
+  }
+
+  /** L2 applied — near-dedup: drop every doc that is the larger id of a
+    * candidate pair above the Jaccard threshold. */
+  def nearDedupMinhash(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val dupIds = minhashCandidates(df, textCol, idCol)
+      .where(col("jaccard") >= threshold)
+      .select(col("id_b").alias(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash 32-bit signature over token 1-grams: per bit, sum +1/-1
+    * weighted by whether the token hash has that bit set; sign → bit. */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val hashes = transform(TF.tokens(text), t => strHash(t))
+    (0 until bits).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two packed BIGINT signatures. */
+  def hamming(a: Column, b: Column, bits: Int = 32): Column =
+    (0 until bits).map { i =>
+      (shiftright(a.bitwiseXOR(b), i) % 2).cast("int")
+    }.reduce(_ + _)
+
+  /** SimHash near-dup pairs: bucket on the low 8 bits (at scale: multiple
+    * rotated bucketings to bound recall loss), verify Hamming ≤ maxDist. */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val withSig = df.withColumn("__sig", simhash(col(textCol)))
+      .withColumn("__bucket", col("__sig") % 256)
+    val l = withSig.select(col(idCol).alias("id_a"), col("__sig").alias("sig_a"), col("__bucket"))
+    val r = withSig.select(col(idCol).alias("id_b"), col("__sig").alias("sig_b"), col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).alias("hamming_dist"))
+      .where(col("hamming_dist") <= maxDist)
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH buckets: vectors
+    * sharing a signature bucket are compared exactly; no global O(n²). */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+      nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val withB = df.withColumn("__bucket", VF.hyperplaneSig(col(vecCol), nPlanes))
+    val l = withB.select(col(idCol).alias("id_a"), col(vecCol).alias("v_a"), col("__bucket"))
+    val r = withB.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), VF.cosine(col("v_a"), col("v_b")).alias("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

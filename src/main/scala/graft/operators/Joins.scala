@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY §2.3). The reference's Connect stack never joins
+  * (per-record SMTs only); joins enter via the north-star query surface.
+  * Everything here is expressed on the DataFrame API so Catalyst plans the
+  * physical strategy (broadcast vs shuffled-hash vs sort-merge), with
+  * explicit `broadcast()` where the dimension side is known-small.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dims (region/nation/supplier/part at TPC-H shape) stay broadcast-able
+  *    far beyond sf0.1; fact-fact joins shuffle on the join key and rely on
+  *    AQE for skew splitting.
+  *  - the as-of join avoids the O(n·m) naive expansion by a union+window
+  *    pass: one shuffle on the partition key, one sort — the same shape a
+  *    dedicated as-of physical operator would produce.
+  */
+object Joins {
+
+  /** J1 — broadcast hash join: explicitly ship the small side. */
+  def broadcastJoin(fact: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), on)
+
+  /** J2 — shuffle (sort-merge / shuffled-hash) equi join. */
+  def equiJoin(l: DataFrame, r: DataFrame, on: Seq[String], how: String = "inner"): DataFrame =
+    l.join(r, on, how)
+
+  /** J7 — range/interval join: equality on `on` plus a band predicate.
+    * Planned as BroadcastNestedLoop unless one side is broadcast; callers
+    * should band the range at scale (see AsOf below for the banded form). */
+  def rangeJoin(l: DataFrame, r: DataFrame, cond: Column, how: String = "inner"): DataFrame =
+    l.join(r, cond, how)
+
+  /** J8 — as-of join: for each left row, the latest right row with
+    * rightTs <= leftTs (matching DuckDB `ASOF JOIN` semantics: strict on
+    * nothing, ties take the equal timestamp), optionally key-partitioned.
+    *
+    * Implementation: union both sides tagged, window-sort by (key, ts,
+    * side-order) and carry the last non-null right payload forward. One
+    * shuffle + one sort — linear, no row-pair expansion, skew-safe under
+    * AQE. Right rows at the same ts as a left row sort BEFORE it so the
+    * equal timestamp is visible (<= semantics).
+    *
+    * @param valueCols right-side payload columns to attach.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+      rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    // tag: right=0 sorts before left=1 at equal ts → inclusive (<=) match
+    val rTagged = right.select(
+      (col(key).alias(key) +:
+        col(rightTs).alias("__ts") +:
+        lit(0).alias("__side") +:
+        valueCols.map(c => col(c).alias(s"__v_$c"))) ++
+        lCols.filterNot(c => c == key).map(c => lit(null).cast(left.schema(c).dataType).alias(c)): _*)
+    val lTagged = left.select(
+      (col(key) +:
+        col(leftTs).alias("__ts") +:
+        lit(1).alias("__side") +:
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).alias(s"__v_$c"))) ++
+        lCols.filterNot(c => c == key).map(col): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rTagged.unionByName(lTagged)
+      .select((col(key) +: col("__ts") +: col("__side") +:
+        lCols.filterNot(_ == key).map(col)) ++
+        valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).alias(c)): _*)
+    filled.where(col("__side") === 1)
+      .select(lCols.map(col) ++ valueCols.map(col): _*)
+  }
+}

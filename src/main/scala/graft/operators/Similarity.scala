@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY §2.9 L3/L4):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * approximate variant as the scale path.
+  *
+  * 100 TB shapes:
+  *  - brute force: `queries` is small (user-supplied) → broadcast it;
+  *    the corpus streams through map-side scoring and a per-query top-k
+  *    (window over query_id — shuffle keyed by query, tiny rows).
+  *    Never materializes the full cross product to disk: score+filter
+  *    happen in one whole-stage-codegen'd pass over the corpus.
+  *  - ANN: corpus pre-bucketed by hyperplane signature (narrow, one
+  *    pass); a query probes only its own bucket → per-bucket scan.
+  *    Multi-probe (flip one bit) bounds recall loss; recall/latency is
+  *    tuned by nPlanes.
+  */
+object Similarity {
+
+  /** L4 — exact brute-force cosine top-k for each query vector. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qId), col(cId), VF.cosine(col(qVec), col(cVec)).alias("cos_sim"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** ANN: bucket corpus by hyperplane signature; probe the query's own
+    * bucket plus all 1-bit-flip neighbors (multi-probe) and top-k within. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 6,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val bucketed = corpus.withColumn("__bucket", VF.hyperplaneSig(col(cVec), nPlanes))
+    val probes = queries
+      .withColumn("__sig", VF.hyperplaneSig(col(qVec), nPlanes))
+      .select(col(qId), col(qVec),
+        explode(array_distinct(array(
+          col("__sig") +: (0 until nPlanes).map(b => col("__sig").bitwiseXOR(lit(1L << b))): _*)))
+          .alias("__bucket"))
+    val scored = bucketed.join(broadcast(probes), Seq("__bucket"))
+      .select(col(qId), col(cId), VF.cosine(col(qVec), col(cVec)).alias("cos_sim"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
+    scored.groupBy(col(qId), col(cId)).agg(first(col("cos_sim")).alias("cos_sim"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference stack's per-record transform catalog (Single Message
+  * Transforms), re-expressed as composable DataFrame transforms
+  * (SURVEY §2.2 P1-P14). The Connect framework the reference installs
+  * (reference `Dockerfile:4`) applies these one record at a time inside a
+  * connector task; here each is a declarative column expression, so
+  * Catalyst can fuse whole chains into a single whole-stage-codegen'd
+  * project/filter over the scan — per-record interpretation becomes
+  * vectorized batch execution for free.
+  *
+  * All functions are `DataFrame => DataFrame` (or `Column` helpers) and
+  * compose with `df.transform(...)`.
+  */
+object Smt {
+
+  /** P1 — project: choose columns. */
+  def project(cols: String*)(df: DataFrame): DataFrame = df.select(cols.map(col): _*)
+
+  /** P2 — Filter SMT with predicate. Tombstone test = value IS NULL. */
+  def filterRecords(pred: Column)(df: DataFrame): DataFrame = df.where(pred)
+  def isTombstone(valueCol: String): Column = col(valueCol).isNull
+  def topicNameMatches(topicCol: String, regex: String): Column = col(topicCol).rlike(regex)
+
+  /** P3 — Cast: cast named fields to target types. */
+  def castFields(casts: (String, DataType)*)(df: DataFrame): DataFrame =
+    casts.foldLeft(df) { case (d, (f, t)) => d.withColumn(f, col(f).cast(t)) }
+
+  /** P4 — ExtractField: pull one field out of a struct column. */
+  def extractField(structCol: String, field: String, as: String)(df: DataFrame): DataFrame =
+    df.withColumn(as, col(structCol).getField(field))
+
+  /** P5 — Flatten: recursively flatten struct columns with a delimiter,
+    * like the Connect `Flatten` SMT. Non-struct columns pass through. */
+  def flatten(delimiter: String = "_")(df: DataFrame): DataFrame = {
+    def walk(st: StructType, path: Seq[String]): Seq[Column] =
+      st.fields.flatMap { f =>
+        val p = path :+ f.name
+        f.dataType match {
+          case inner: StructType => walk(inner, p)
+          case _ => Seq(col(p.mkString(".")).alias(p.mkString(delimiter)))
+        }
+      }.toSeq
+    df.select(walk(df.schema, Nil): _*)
+  }
+
+  /** P6 — HoistField: wrap the listed columns into a single struct field. */
+  def hoistField(fieldName: String, cols: String*)(df: DataFrame): DataFrame = {
+    val hoisted = struct(cols.map(col): _*).alias(fieldName)
+    val rest = df.columns.filterNot(cols.contains).map(col)
+    df.select(rest :+ hoisted: _*)
+  }
+
+  /** P7 — InsertField: add a static or metadata-derived field. */
+  def insertField(name: String, value: Column)(df: DataFrame): DataFrame =
+    df.withColumn(name, value)
+
+  /** P8 — MaskField: null out, or replace with a fixed literal. */
+  def maskFields(replacement: Option[Column], fields: String*)(df: DataFrame): DataFrame =
+    fields.foldLeft(df) { (d, f) =>
+      d.withColumn(f, replacement.getOrElse(lit(null)).cast(d.schema(f).dataType))
+    }
+
+  /** P9 — ReplaceField: rename / drop / allowlist. */
+  def renameFields(renames: (String, String)*)(df: DataFrame): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+  def dropFields(fields: String*)(df: DataFrame): DataFrame = df.drop(fields: _*)
+  def allowlistFields(fields: String*)(df: DataFrame): DataFrame = df.select(fields.map(col): _*)
+
+  /** P10 — RegexRouter: rewrite a topic/route column by regex. */
+  def regexRoute(topicCol: String, regex: String, replacement: String)(df: DataFrame): DataFrame =
+    df.withColumn(topicCol, regexp_replace(col(topicCol), regex, replacement))
+
+  /** P11 — TimestampRouter: derive route from record timestamp,
+    * `topicFormat` with `$topic`/`$timestamp` placeholders like the SMT. */
+  def timestampRoute(topicCol: String, tsCol: String, fmt: String, as: String)(df: DataFrame): DataFrame =
+    df.withColumn(as, concat(col(topicCol), lit("-"), date_format(col(tsCol), fmt)))
+
+  /** P12 — TimestampConverter: unix seconds / formatted string / Timestamp. */
+  def unixToTimestamp(c: Column): Column = to_timestamp(from_unixtime(c))
+  def timestampToUnix(c: Column): Column = unix_timestamp(c)
+  def timestampToString(c: Column, fmt: String): Column = date_format(c, fmt)
+  def stringToTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+
+  /** P13 — ValueToKey: copy fields from the value into a struct key. */
+  def valueToKey(keyName: String, fields: String*)(df: DataFrame): DataFrame =
+    df.withColumn(keyName, struct(fields.map(col): _*))
+
+  /** P14 — header ops over `headers: array<struct<key:string,value:...>>`
+    * (the Kafka source's header schema). */
+  def insertHeader(headersCol: String, key: String, value: Column)(df: DataFrame): DataFrame =
+    df.withColumn(headersCol,
+      array_append(coalesce(col(headersCol), array()),
+        struct(lit(key).alias("key"), value.alias("value"))))
+  def dropHeaders(headersCol: String, keys: String*)(df: DataFrame): DataFrame = {
+    val keyArr = array(keys.map(lit): _*)
+    df.withColumn(headersCol,
+      filter(col(headersCol), h => !array_contains(keyArr, h.getField("key"))))
+  }
+  def headerFrom(headersCol: String, key: String, as: String)(df: DataFrame): DataFrame =
+    df.withColumn(as,
+      element_at(filter(col(headersCol), h => h.getField("key") === key), 1).getField("value"))
+}

@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro value serde (SURVEY §2.1 S6/S7): the reference wires
+  * `AvroConverter` for record keys/values against a Schema Registry
+  * (reference `main.sh:72-75`). The offline harness has no registry, so
+  * schemas are explicit per call (Avro JSON schema string), and the serde
+  * itself is built on the public core Avro library (the
+  * `spark-avro` module is not on this classpath).
+  *
+  * Round-trip contract (property-tested): `deserialize(serialize(df)) ==
+  * df` for struct schemas of primitives, arrays, maps and nested structs.
+  *
+  * Scale: serde runs per-partition (mapPartitions) with
+  * per-partition-reused Avro writer/reader instances — the per-record
+  * cost is one encode, no reflection, no driver involvement.
+  */
+object AvroSerde {
+
+  /** Derive an Avro record schema (JSON) from a Spark StructType. */
+  def avroSchemaFor(st: StructType, name: String = "record0"): String = {
+    def field(dt: DataType): String = dt match {
+      case IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case BooleanType => "\"boolean\""
+      case StringType => "\"string\""
+      case BinaryType => "\"bytes\""
+      case ArrayType(et, _) => s"""{"type":"array","items":${field(et)}}"""
+      case MapType(StringType, vt, _) => s"""{"type":"map","values":${field(vt)}}"""
+      case inner: StructType => recordSchema(inner, name + "_n")
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+    def recordSchema(s: StructType, n: String): String = {
+      val fields = s.fields.map(f =>
+        s"""{"name":"${f.name}","type":["null",${field(f.dataType)}],"default":null}""")
+        .mkString(",")
+      s"""{"type":"record","name":"$n","fields":[$fields]}"""
+    }
+    recordSchema(st, name)
+  }
+
+  private def toAvro(v: Any, schema: Schema): Any = v match {
+    case null => null
+    case r: Row =>
+      val s = nonNull(schema)
+      val rec = new GenericData.Record(s)
+      s.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+        rec.put(f.name(), toAvro(r.get(i), f.schema()))
+      }
+      rec
+    case seq: scala.collection.Seq[_] =>
+      seq.map(e => toAvro(e, nonNull(schema).getElementType)).asJava
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) =>
+        k.toString -> toAvro(mv, nonNull(schema).getValueType)
+      }.asJava
+    case s: String => s
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case other => other
+  }
+
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (r: GenericRecord, st: StructType) =>
+      Row.fromSeq(st.fields.map(f => fromAvro(r.get(f.name), f.dataType)).toSeq)
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      l.asScala.map(e => fromAvro(e, et)).toSeq
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, mv) => k.toString -> fromAvro(mv, vt) }.toMap
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (other, _) => other
+  }
+
+  /** S7 — serialize the given struct columns of each row to Avro binary,
+    * appended as `valueCol`. */
+  def serialize(df: DataFrame, cols: Seq[String], valueCol: String = "avro_value"): DataFrame = {
+    val inner = StructType(cols.map(c => df.schema(c)))
+    val schemaJson = avroSchemaFor(inner)
+    val idxs = cols.map(df.schema.fieldIndex)
+    val outSchema = df.schema.add(StructField(valueCol, BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      rows.map { r =>
+        val sub = Row.fromSeq(idxs.map(r.get))
+        val rec = toAvro(sub, schema).asInstanceOf[GenericRecord]
+        val bos = new ByteArrayOutputStream()
+        val e = EncoderFactory.get().binaryEncoder(bos, null)
+        writer.write(rec, e); e.flush()
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** S6 — deserialize an Avro binary column into a struct column
+    * `structCol` with the given Spark schema. */
+  def deserialize(df: DataFrame, valueCol: String, structSchema: StructType,
+      structCol: String = "value_struct"): DataFrame = {
+    val schemaJson = avroSchemaFor(structSchema)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val outSchema = df.schema.add(StructField(structCol, structSchema))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](vIdx)
+        val parsed =
+          if (bytes == null) null
+          else {
+            val d = DecoderFactory.get().binaryDecoder(bytes, null)
+            fromAvro(reader.read(null, d), structSchema).asInstanceOf[Row]
+          }
+        Row.fromSeq(r.toSeq :+ parsed)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka record-envelope modeling (SURVEY §2.1 S5). The reference wires a
+  * Connect worker to SSL brokers (bootstrap at `main.sh:38-39`, SSL certs
+  * `main.sh:26-33`, per-client SSL fan-out `main.sh:49-58`). The Spark
+  * equivalent is `spark.readStream.format("kafka")` with `kafka.ssl.*`
+  * options; the connector jar is not on this offline classpath, so this
+  * module provides (a) the exact option-map builder a cluster deployment
+  * would pass to the Kafka source, and (b) a batch/streaming stand-in
+  * that presents any keyed, timestamped table in the Kafka source's fixed
+  * envelope schema so every downstream operator (SMTs, serde, CDC) is
+  * exercised against the real shape.
+  */
+object KafkaEnvelope {
+
+  /** The Kafka source's fixed output schema. */
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType), StructField("value", BinaryType)))))))
+
+  /** Option map for a real `format("kafka")` reader, mirroring the
+    * reference's worker env: bootstrap (`main.sh:38-39`), TLS trust/key
+    * material (`main.sh:41-47`), subscribe list. */
+  def sourceOptions(bootstrap: String, topics: Seq[String],
+      sslTruststore: Option[String] = None, sslKeystore: Option[String] = None,
+      sslKeyPassword: Option[String] = None,
+      startingOffsets: String = "earliest"): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> startingOffsets) ++
+      sslTruststore.map(p => Map(
+        "kafka.security.protocol" -> "SSL",
+        "kafka.ssl.truststore.location" -> p)).getOrElse(Map.empty) ++
+      sslKeystore.map(p => Map("kafka.ssl.keystore.location" -> p)).getOrElse(Map.empty) ++
+      sslKeyPassword.map(p => Map("kafka.ssl.key.password" -> p)).getOrElse(Map.empty)
+
+  /** Batch stand-in: wrap a table as Kafka records — key = keyCol as
+    * bytes, value = JSON of all columns as bytes, offset = monotonic per
+    * partition. Downstream code cannot tell this from a real topic scan. */
+  def wrap(df: DataFrame, keyCol: String, tsCol: String, topic: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0)).orderBy(col(tsCol), col(keyCol))
+    df.select(
+      col(keyCol).cast(StringType).cast(BinaryType).alias("key"),
+      to_json(struct(df.columns.map(col): _*)).cast(BinaryType).alias("value"),
+      lit(topic).alias("topic"),
+      spark_partition_id().alias("partition"),
+      (row_number().over(w) - 1).cast(LongType).alias("offset"),
+      col(tsCol).cast(TimestampType).alias("timestamp"),
+      lit(0).alias("timestampType"),
+      array(struct(lit("origin").alias("key"),
+        lit(topic).cast(BinaryType).alias("value"))).alias("headers"))
+  }
+
+  /** Decode the JSON value payload back to columns (S8 schemaless-JSON
+    * path, reference `main.sh:78-81`). */
+  def unwrapJson(df: DataFrame, valueSchema: StructType): DataFrame =
+    df.withColumn("v", from_json(col("value").cast(StringType), valueSchema))
+      .select((df.columns.map(col) :+ col("v.*")): _*)
+      .drop("v")
+}

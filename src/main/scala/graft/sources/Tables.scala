@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the harness parquet tables (TESTDATA.md / FIXTURES.md).
+  *
+  * In the reference stack the table edge is a JDBC source feeding Kafka
+  * topics (reference `Dockerfile:36-40`, Confluent JDBC source modes
+  * bulk/incrementing/timestamp); in the offline harness Parquet stands in
+  * for the RDBMS. The incremental-read modes (SURVEY §2.1 S2/S3) are
+  * expressed as predicates so Catalyst pushes them into the scan
+  * (`PushedFilters` on the parquet reader) — exactly what the JDBC source
+  * does by appending a WHERE clause at the database.
+  *
+  * Scale note: each loader is a plain scan — at 100 TB these become
+  * partitioned-directory scans and the pushed predicates become partition
+  * pruning; nothing here collects to the driver.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** S2 — incrementing-mode source: only rows with id beyond the stored
+    * offset. The predicate is pushed into the scan (JDBC: `WHERE id > ?`;
+    * parquet: row-group min/max skip). */
+  def incrementingScan(df: DataFrame, idCol: String, lastOffset: Long): DataFrame =
+    df.where(df.col(idCol) > lastOffset)
+
+  /** S3 — timestamp+incrementing mode: `(ts > lastTs) OR (ts = lastTs AND
+    * id > lastId)` — the exact resume predicate the Confluent JDBC source
+    * uses so no row is skipped or re-read across polls. */
+  def timestampIncrementingScan(df: DataFrame, tsCol: String, idCol: String,
+      lastTs: java.sql.Timestamp, lastId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val ts = df.col(tsCol); val id = df.col(idCol)
+    df.where(ts > lit(lastTs) || (ts === lit(lastTs) && id > lastId))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/** T10 — declarative reconcile of a desired query set, the Spark analogue
+  * of the reference's only real algorithm: upsert every connector named in
+  * `CONNECTOR_NAMES` and prune unmanaged ones via the Connect REST API
+  * (reference `main.sh:146-196`: PUT per name at `main.sh:155-165`, list
+  * at `main.sh:117-128`, delete-non-desired at `main.sh:190-195`).
+  *
+  * Here the "connector registry" is a map of named `DataStreamWriter`s and
+  * the "worker state" is `spark.streams.active`: reconcile starts every
+  * desired query not yet running and stops every running query not in the
+  * desired set. Idempotent — calling it repeatedly converges, like the
+  * reference's reconcile-on-boot loop.
+  */
+object Reconcile {
+
+  /** Bring the set of active streaming queries in line with `desired`
+    * (name → un-started writer). Returns (started, stopped) query names. */
+  def apply(spark: SparkSession,
+      desired: Map[String, DataStreamWriter[Row]]): (Seq[String], Seq[String]) = {
+    val active = spark.streams.active.map(q => q.name -> q).toMap
+    val toStart = desired.keySet.diff(active.keySet).toSeq.sorted
+    val toStop = active.keySet.diff(desired.keySet).toSeq.sorted
+    toStop.foreach { n => active(n).stop() }
+    toStart.foreach { n => desired(n).queryName(n).start() }
+    (toStart, toStop)
+  }
+
+  /** List running managed queries, like `GET /connectors`
+    * (reference `main.sh:117-128`). */
+  def list(spark: SparkSession): Seq[String] =
+    spark.streams.active.map(_.name).filter(_ != null).toSeq.sorted
+
+  /** Stop one query with bounded retry, like the reference's
+    * `delete_connector` 8×2s loop (`main.sh:130-141`). */
+  def stop(spark: SparkSession, name: String, retries: Int = 8): Boolean = {
+    (0 until retries).foreach { _ =>
+      spark.streams.active.find(_.name == name) match {
+        case Some(q) =>
+          try { q.stop(); return true } catch { case _: Throwable => Thread.sleep(100) }
+        case None => return true
+      }
+    }
+    spark.streams.active.forall(_.name != name)
+  }
+}
