@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Fast local iteration: compile (sbt, incremental) then run graft.Verify
+# directly with java (no sbt JVM startup on the run side).
+set -euo pipefail
+cd /root/repo
+SF_DIR="${1:-/root/testdata/sf0.01}"
+OUT_DIR="${2:-/tmp/verify_out}"
+rm -rf "$OUT_DIR"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+ADD_OPENS=(
+  --add-opens=java.base/java.lang=ALL-UNNAMED
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED
+  --add-opens=java.base/java.io=ALL-UNNAMED
+  --add-opens=java.base/java.net=ALL-UNNAMED
+  --add-opens=java.base/java.nio=ALL-UNNAMED
+  --add-opens=java.base/java.util=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
+)
+exec java "${ADD_OPENS[@]}" \
+  -Xmx8g \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" graft.Verify "$SF_DIR" "$OUT_DIR"

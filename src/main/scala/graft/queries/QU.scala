@@ -33,5 +33,7 @@ object QU {
   def revenue(price: Column, discount: Column): Column =
     sum(dec(price) * (lit(1) - dec(discount))).cast("double")
 
-  def micros(c: Column): Column = unix_micros(c)
+  /** Epoch micros; parquet NTZ timestamps cast through TIMESTAMP first
+    * (identity wall-clock under the UTC session tz both engines use). */
+  def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
 }
