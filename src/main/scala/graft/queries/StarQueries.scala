@@ -88,19 +88,23 @@ object StarQueries {
         .orderBy(col("l_returnflag"))
     }, Some("""SELECT l_returnflag, COUNT(*) FILTER (l_linestatus = 'F') AS "F", COUNT(*) FILTER (l_linestatus = 'O') AS "O" FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // ---- A7: collect_list (order-normalized with array_sort) ----
+    // ---- A7: collect_list (order-normalized with array_sort; rendered
+    // as a joined string because the driver compare can't hash arrays) ----
     ("a07_collect", (s, d) => {
       Tables.nation(s, d).groupBy(col("n_regionkey"))
-        .agg(array_sort(collect_list(col("n_name"))).as("names"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
         .orderBy(col("n_regionkey"))
-    }, Some("""SELECT n_regionkey, list_sort(list(n_name)) AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+    }, Some("""SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
-    // ---- A8: exact percentiles (linear interpolation both engines) ----
+    // ---- A8: exact percentiles (linear interpolation both engines;
+    // one flat double column per quantile — arrays break the compare) ----
     ("a08_percentile", (s, d) => {
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .agg(expr("percentile(l_quantity, 0.25D)").as("q25"),
+          expr("percentile(l_quantity, 0.5D)").as("q50"),
+          expr("percentile(l_quantity, 0.75D)").as("q75"))
         .orderBy(col("l_returnflag"))
-    }, Some("""SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    }, Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25, quantile_cont(l_quantity, 0.5) AS q50, quantile_cont(l_quantity, 0.75) AS q75 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- A9: custom typed Aggregator via functions.udaf (integer-exact
     // cents x quantity so partial-aggregation order cannot matter) ----
