@@ -1,7 +1,193 @@
 package graft.queries
 
-/** SMT catalog (SURVEY §2.2 P1-P14) + scalar-function pack (§2.7) queries.
-  * Filled in query batch 2. */
+import graft.operators.Smt
+import graft.sources.{AvroSerde, KafkaEnvelope, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle-checked queries for the SMT catalog (SURVEY §2.2 P1-P14) plus
+  * the serde edges they ride on (S5 envelope stand-in, S6/S7 Avro, S8
+  * schemaless JSON). Every query routes `events` through
+  * `KafkaEnvelope.wrap` → JSON unwrap, so the per-record transforms are
+  * exercised against the real Kafka record shape, exactly like a Connect
+  * SMT chain between converter and sink (reference `Dockerfile:4`,
+  * `main.sh:72-81`).
+  *
+  * Envelope fields whose values depend on Spark's internal hash
+  * (partition, offset) never appear in oracle-compared output columns —
+  * their invariants are checked by `s05_envelope` instead.
+  */
 object SmtQueries {
-  val defs: Seq[(String, QU.Q, Option[String])] = Seq()
+  import QU._
+
+  /** Payload schema of the wrapped `events` row (FIXTURES.md). */
+  private val payloadSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** events → Kafka envelope → structured payload (the converter step). */
+  private def unwrapped(s: SparkSession, d: String): DataFrame =
+    KafkaEnvelope.unwrapJson(
+      KafkaEnvelope.wrap(Tables.events(s, d), "user_id", "ts", "events"),
+      payloadSchema)
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- P1: project ----
+    ("p01_project", (s, d) => {
+      unwrapped(s, d)
+        .transform(Smt.project("event_id", "event_type"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, event_type FROM events ORDER BY event_id""")),
+
+    // ---- P2: Filter SMT with predicate ----
+    ("p02_filter", (s, d) => {
+      unwrapped(s, d)
+        .transform(Smt.filterRecords(col("event_type") === "click" && col("value") > 100.0))
+        .select(col("event_id"), col("value"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, value FROM events WHERE event_type = 'click' AND value > 100.0 ORDER BY event_id""")),
+
+    // ---- P3: Cast (decimal round-trip is exact; int cast is identical
+    // in both engines for in-range longs) ----
+    ("p03_cast", (s, d) => {
+      unwrapped(s, d)
+        .transform(Smt.castFields("value" -> DecimalType(18, 2), "user_id" -> StringType))
+        .transform(Smt.castFields("value" -> DoubleType))
+        .select(col("event_id"), col("value"), col("user_id"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value, CAST(user_id AS VARCHAR) AS user_id FROM events ORDER BY event_id""")),
+
+    // ---- P4 + P13: ValueToKey then ExtractField ----
+    ("p04_extract_key", (s, d) => {
+      unwrapped(s, d)
+        .transform(Smt.valueToKey("rec_key", "user_id", "event_type"))
+        .transform(Smt.extractField("rec_key", "user_id", "uid"))
+        .select(col("event_id"), col("uid"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, user_id AS uid FROM events ORDER BY event_id""")),
+
+    // ---- P5 + P6: HoistField into a struct, then Flatten back out ----
+    ("p05_flatten_hoist", (s, d) => {
+      unwrapped(s, d)
+        .transform(Smt.hoistField("nested", "event_type", "value"))
+        .transform(Smt.flatten("_"))
+        .select(col("event_id"), col("nested_event_type"), col("nested_value"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, event_type AS nested_event_type, value AS nested_value FROM events ORDER BY event_id""")),
+
+    // ---- P7: InsertField (static + envelope metadata) ----
+    ("p07_insert", (s, d) => {
+      unwrapped(s, d)
+        .transform(Smt.insertField("src", lit("graft")))
+        .select(col("event_id"), col("src"), col("topic"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, 'graft' AS src, 'events' AS topic FROM events ORDER BY event_id""")),
+
+    // ---- P8: MaskField (null out one field, fixed literal another) ----
+    ("p08_mask", (s, d) => {
+      unwrapped(s, d)
+        .transform(Smt.maskFields(None, "user_id"))
+        .transform(Smt.maskFields(Some(lit("***")), "props"))
+        .select(col("event_id"), col("user_id"), col("props"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, CAST(NULL AS BIGINT) AS user_id, '***' AS props FROM events ORDER BY event_id""")),
+
+    // ---- P9: ReplaceField — rename, drop, allowlist ----
+    ("p09_replace", (s, d) => {
+      unwrapped(s, d)
+        .transform(Smt.renameFields("value" -> "amount"))
+        .transform(Smt.dropFields("props"))
+        .transform(Smt.allowlistFields("event_id", "amount", "event_type"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, value AS amount, event_type FROM events ORDER BY event_id""")),
+
+    // ---- P10: RegexRouter with a capture group ----
+    ("p10_route_regex", (s, d) => {
+      unwrapped(s, d)
+        .transform(Smt.insertField("route", concat(col("topic"), lit("-"), col("event_type"))))
+        .transform(Smt.regexRoute("route", "^events-(click|view)$", "web-$1"))
+        .groupBy(col("route")).agg(count(lit(1)).as("n"))
+        .orderBy(col("route"))
+    }, Some("""SELECT regexp_replace('events-' || event_type, '^events-(click|view)$', 'web-\1') AS route, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY route""")),
+
+    // ---- P11: TimestampRouter (route suffix from record timestamp) ----
+    ("p11_route_ts", (s, d) => {
+      KafkaEnvelope.wrap(Tables.events(s, d), "user_id", "ts", "events")
+        .transform(Smt.timestampRoute("topic", "timestamp", "yyyy-MM-dd", "route"))
+        .groupBy(col("route")).agg(count(lit(1)).as("n"))
+        .orderBy(col("route"))
+    }, Some("""SELECT 'events-' || strftime(ts, '%Y-%m-%d') AS route, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY route""")),
+
+    // ---- P12: TimestampConverter — ts→unix, unix→ts, ts→string ----
+    ("p12_ts_convert", (s, d) => {
+      KafkaEnvelope.wrap(Tables.events(s, d), "user_id", "ts", "events")
+        .transform(Smt.insertField("unix_s", Smt.timestampToUnix(col("timestamp"))))
+        .transform(Smt.insertField("ts_rt_us", micros(Smt.unixToTimestamp(col("unix_s")))))
+        .transform(Smt.insertField("ts_str", Smt.timestampToString(col("timestamp"), "yyyy-MM-dd HH")))
+        .select(col("key").cast(StringType).cast(LongType).as("user_id"),
+          col("unix_s"), col("ts_rt_us"), col("ts_str"))
+        .groupBy(col("user_id")).agg(sum(col("unix_s")).as("sum_unix"),
+          sum(col("ts_rt_us")).as("sum_rt_us"), countDistinct(col("ts_str")).as("n_hours"))
+        .orderBy(col("user_id"))
+    }, Some("""SELECT user_id, SUM(epoch_us(ts) // 1000000) AS sum_unix, SUM((epoch_us(ts) // 1000000) * 1000000) AS sum_rt_us, COUNT(DISTINCT strftime(ts, '%Y-%m-%d %H')) AS n_hours FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- P14: header ops — insert, extract back, drop ----
+    ("p14_headers", (s, d) => {
+      unwrapped(s, d)
+        .transform(Smt.insertHeader("headers", "route", col("topic").cast(BinaryType)))
+        .transform(Smt.headerFrom("headers", "route", "route_hdr"))
+        .transform(Smt.dropHeaders("headers", "origin"))
+        .select(col("event_id"), col("route_hdr").cast(StringType).as("route"),
+          size(col("headers")).as("n_headers"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, 'events' AS route, 1 AS n_headers FROM events ORDER BY event_id""")),
+
+    // ---- S5: envelope invariants (partition/offset are hash-dependent,
+    // so assert their structure, not their values): offsets are dense
+    // 0..n-1 within each partition and every key maps to exactly one
+    // partition — the Kafka contract the stand-in must honor. ----
+    ("s05_envelope", (s, d) => {
+      val env = KafkaEnvelope.wrap(Tables.events(s, d), "user_id", "ts", "events")
+      val perPart = env.groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"), max(col("offset")).as("max_off"),
+          countDistinct(col("offset")).as("n_off"))
+        .agg(sum(col("n")).as("n_rows"),
+          min(col("max_off") === col("n") - 1 && col("n_off") === col("n")).as("offsets_dense"))
+      val keyPart = env.select(col("key").cast(StringType).as("k"), col("partition"))
+        .groupBy(col("k")).agg(countDistinct(col("partition")).as("np"))
+        .agg(max(col("np")).as("max_parts_per_key"))
+      perPart.crossJoin(keyPart)
+    }, Some("""SELECT COUNT(*) AS n_rows, true AS offsets_dense, 1 AS max_parts_per_key FROM events""")),
+
+    // ---- S6/S7: Avro serialize→deserialize round-trip on a nested
+    // struct (sibling structs exercise the schema-name derivation) ----
+    ("s06_avro_roundtrip", (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          struct(col("user_id"), col("props")).as("who"),
+          struct(col("value").as("v2")).as("extra"))
+      val ser = AvroSerde.serialize(ev, Seq("event_id", "event_type", "value", "who", "extra"))
+      val de = AvroSerde.deserialize(ser, "avro_value",
+        ev.schema, "rt")
+      de.select(col("rt.event_id").as("event_id"), col("rt.event_type").as("event_type"),
+          col("rt.value").as("value"), col("rt.who.user_id").as("user_id"),
+          col("rt.who.props").as("props"), col("rt.extra.v2").as("v2"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, event_type, value, user_id, props, value AS v2 FROM events ORDER BY event_id""")),
+
+    // ---- S8: schemaless JSON value decode (the Connect JsonConverter
+    // path) — unwrap carries every payload field through the envelope ----
+    ("s08_json_roundtrip", (s, d) => {
+      unwrapped(s, d)
+        .select(col("event_id"), micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events ORDER BY event_id"""))
+  )
 }

@@ -28,9 +28,14 @@ import scala.jdk.CollectionConverters._
   */
 object AvroSerde {
 
-  /** Derive an Avro record schema (JSON) from a Spark StructType. */
+  /** Derive an Avro record schema (JSON) from a Spark StructType. Nested
+    * record names are derived from the full field path (`name_fieldA_...`)
+    * so sibling struct fields can never collide in Avro's global record
+    * namespace; field names are JSON-escaped. */
   def avroSchemaFor(st: StructType, name: String = "record0"): String = {
-    def field(dt: DataType): String = dt match {
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    def field(dt: DataType, path: String): String = dt match {
       case IntegerType => "\"int\""
       case LongType => "\"long\""
       case FloatType => "\"float\""
@@ -38,15 +43,16 @@ object AvroSerde {
       case BooleanType => "\"boolean\""
       case StringType => "\"string\""
       case BinaryType => "\"bytes\""
-      case ArrayType(et, _) => s"""{"type":"array","items":${field(et)}}"""
-      case MapType(StringType, vt, _) => s"""{"type":"map","values":${field(vt)}}"""
-      case inner: StructType => recordSchema(inner, name + "_n")
+      case ArrayType(et, _) => s"""{"type":"array","items":${field(et, path + "_item")}}"""
+      case MapType(StringType, vt, _) => s"""{"type":"map","values":${field(vt, path + "_value")}}"""
+      case inner: StructType => recordSchema(inner, path)
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }
     def recordSchema(s: StructType, n: String): String = {
-      val fields = s.fields.map(f =>
-        s"""{"name":"${f.name}","type":["null",${field(f.dataType)}],"default":null}""")
-        .mkString(",")
+      val fields = s.fields.map { f =>
+        val safe = f.name.replaceAll("[^A-Za-z0-9_]", "_")
+        s"""{"name":"${esc(f.name)}","type":["null",${field(f.dataType, n + "_" + safe)}],"default":null}"""
+      }.mkString(",")
       s"""{"type":"record","name":"$n","fields":[$fields]}"""
     }
     recordSchema(st, name)

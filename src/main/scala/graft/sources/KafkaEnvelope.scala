@@ -47,16 +47,23 @@ object KafkaEnvelope {
       sslKeyPassword.map(p => Map("kafka.ssl.key.password" -> p)).getOrElse(Map.empty)
 
   /** Batch stand-in: wrap a table as Kafka records — key = keyCol as
-    * bytes, value = JSON of all columns as bytes, offset = monotonic per
-    * partition. Downstream code cannot tell this from a real topic scan. */
-  def wrap(df: DataFrame, keyCol: String, tsCol: String, topic: String): DataFrame = {
+    * bytes, value = JSON of all columns as bytes. Partition = hash of the
+    * key modulo `numPartitions` (the Kafka default partitioner's shape:
+    * same key → same partition, records spread across partitions), offset
+    * = per-partition monotonic position in (ts, key) order. The window
+    * partitions by the derived partition column — N-way parallel, never
+    * a single-partition shuffle — so the envelope semantics survive any
+    * data size. Downstream code cannot tell this from a real topic scan. */
+  def wrap(df: DataFrame, keyCol: String, tsCol: String, topic: String,
+      numPartitions: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(lit(0)).orderBy(col(tsCol), col(keyCol))
+    val part = pmod(hash(col(keyCol)), lit(numPartitions))
+    val w = Window.partitionBy(part).orderBy(col(tsCol), col(keyCol))
     df.select(
       col(keyCol).cast(StringType).cast(BinaryType).alias("key"),
-      to_json(struct(df.columns.map(col): _*)).cast(BinaryType).alias("value"),
+      to_json(struct(df.columns.map(col): _*), jsonOpts).cast(BinaryType).alias("value"),
       lit(topic).alias("topic"),
-      spark_partition_id().alias("partition"),
+      part.cast(IntegerType).alias("partition"),
       (row_number().over(w) - 1).cast(LongType).alias("offset"),
       col(tsCol).cast(TimestampType).alias("timestamp"),
       lit(0).alias("timestampType"),
@@ -64,10 +71,19 @@ object KafkaEnvelope {
         lit(topic).cast(BinaryType).alias("value"))).alias("headers"))
   }
 
+  /** Microsecond-precision timestamp JSON format: the default `to_json`
+    * pattern keeps only millis, which would silently truncate the µs
+    * event timestamps on the wrap/unwrap round-trip. */
+  private val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
   /** Decode the JSON value payload back to columns (S8 schemaless-JSON
-    * path, reference `main.sh:78-81`). */
-  def unwrapJson(df: DataFrame, valueSchema: StructType): DataFrame =
-    df.withColumn("v", from_json(col("value").cast(StringType), valueSchema))
-      .select((df.columns.map(col) :+ col("v.*")): _*)
-      .drop("v")
+    * path, reference `main.sh:78-81`). The consumed binary `value` column
+    * is dropped — like a Connect converter replacing bytes with the
+    * structured record — so payload field names (e.g. `value`) can't
+    * collide with the envelope's. */
+  def unwrapJson(df: DataFrame, valueSchema: StructType, valueCol: String = "value"): DataFrame = {
+    val rest = df.columns.filterNot(_ == valueCol)
+    df.withColumn("__v", from_json(col(valueCol).cast(StringType), valueSchema, jsonOpts))
+      .select(rest.map(col) :+ col("__v.*"): _*)
+  }
 }

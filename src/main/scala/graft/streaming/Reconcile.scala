@@ -36,15 +36,21 @@ object Reconcile {
     spark.streams.active.map(_.name).filter(_ != null).toSeq.sorted
 
   /** Stop one query with bounded retry, like the reference's
-    * `delete_connector` 8×2s loop (`main.sh:130-141`). */
+    * `delete_connector` 8×2s loop (`main.sh:130-141`). No non-local
+    * returns (they surface as NonLocalReturnControl inside try/catch)
+    * and only NonFatal errors trigger a retry. */
   def stop(spark: SparkSession, name: String, retries: Int = 8): Boolean = {
-    (0 until retries).foreach { _ =>
+    var done = false
+    var attempt = 0
+    while (!done && attempt < retries) {
       spark.streams.active.find(_.name == name) match {
         case Some(q) =>
-          try { q.stop(); return true } catch { case _: Throwable => Thread.sleep(100) }
-        case None => return true
+          try { q.stop(); done = true }
+          catch { case scala.util.control.NonFatal(_) => Thread.sleep(100) }
+        case None => done = true
       }
+      attempt += 1
     }
-    spark.streams.active.forall(_.name != name)
+    done || spark.streams.active.forall(_.name != name)
   }
 }

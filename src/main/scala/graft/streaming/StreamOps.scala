@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
+import org.apache.hadoop.fs.Path
 
 /** Structured-Streaming operators replicating the Connect runtime
   * semantics (SURVEY §2.8 T1-T9). The reference's Connect worker is an
@@ -36,23 +37,74 @@ object StreamOps {
   /** T5 — streaming dedup on keys (with watermark bound when streaming). */
   def dedup(df: DataFrame, keys: Seq[String]): DataFrame = df.dropDuplicates(keys)
 
-  /** T8/T9 — CDC-apply sink: per micro-batch, fold changes into the
-    * parquet state dir idempotently (batchId-keyed overwrite = the
-    * at-least-once + idempotent-write contract of the Debezium sink,
-    * reference `Dockerfile:28-31`). */
+  /** T8/T9 — CDC-apply sink: per micro-batch, fold changes into a
+    * versioned parquet state store idempotently — the at-least-once +
+    * idempotent-write contract of the Debezium sink (reference
+    * `Dockerfile:28-31`).
+    *
+    * State layout: `stateDir/batch-<id>/` immutable snapshots plus a
+    * `stateDir/_LATEST` pointer file holding the current batch id. Each
+    * micro-batch reads the pointed-at snapshot, applies the changes,
+    * writes a NEW snapshot dir, then flips the pointer via write-tmp +
+    * atomic rename. A crash at any step leaves the old pointer → old
+    * snapshot intact; a replayed batch whose id is already recorded in
+    * the pointer is skipped (idempotence). Missing state is only
+    * inferred from the pointer file genuinely not existing — any other
+    * read failure propagates instead of silently truncating state. */
   def cdcSink(changes: DataFrame, stateDir: String, keys: Seq[String],
       ord: Seq[Column], isTombstone: Column, checkpoint: String): DataStreamWriter[Row] =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val state =
-          try spark.read.parquet(stateDir)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], batch.schema) }
-        CdcApply(state, batch, keys, ord, isTombstone)
-          .write.mode("overwrite").parquet(s"$stateDir.next")
-        // atomic-ish swap: rewrite state from the new snapshot
-        spark.read.parquet(s"$stateDir.next").write.mode("overwrite").parquet(stateDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, stateDir, keys, ord, isTombstone): Unit
       }
+
+  /** One CDC micro-batch against the versioned state store (also the
+    * batch path the tests drive directly). Returns false if the batch
+    * was already applied (replay skipped). */
+  def applyBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      keys: Seq[String], ord: Seq[Column], isTombstone: Column): Boolean = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(hconf)
+    val pointer = new Path(root, "_LATEST")
+    val current: Option[Long] =
+      if (fs.exists(pointer)) {
+        val in = fs.open(pointer)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        Some(txt.toLong)
+      } else None
+    if (current.contains(batchId)) return false // replayed batch: no-op
+    val state = current match {
+      case Some(id) => spark.read.parquet(new Path(root, s"batch-$id").toString)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], batch.schema)
+    }
+    val snap = new Path(root, s"batch-$batchId")
+    CdcApply(state, batch, keys, ord, isTombstone)
+      .write.mode("overwrite").parquet(snap.toString)
+    // flip the pointer: tmp write + rename (atomic on HDFS/local posix)
+    val tmp = new Path(root, s"_LATEST.tmp-$batchId")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(pointer)) fs.delete(pointer, false)
+    fs.rename(tmp, pointer)
+    true
+  }
+
+  /** Read the current CDC state (empty frame with `schema` if none). */
+  def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pointer = new Path(root, "_LATEST")
+    if (!fs.exists(pointer))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val in = fs.open(pointer)
+      val id = try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
+      spark.read.parquet(new Path(root, s"batch-$id").toString)
+    }
+  }
 }
