@@ -103,18 +103,31 @@ object Dedup {
       (shiftright(a.bitwiseXOR(b), i) % 2).cast("int")
     }.reduce(_ + _)
 
-  /** SimHash near-dup pairs: bucket on the low 8 bits (at scale: multiple
-    * rotated bucketings to bound recall loss), verify Hamming ≤ maxDist. */
+  /** SimHash near-dup pairs via rotated bucketings: the 32-bit signature
+    * is split into `nBands` bit-bands; two signatures within Hamming
+    * distance `maxDist < nBands` must agree exactly on at least one band
+    * (pigeonhole), so candidates are the union of per-band bucket joins —
+    * recall 1.0 for the configured distance, and each band's buckets are
+    * 2^(32/nBands)-way (≈256k for 4 bands), keeping per-bucket self-join
+    * cost bounded at scale instead of the naive low-8-bit bucketing. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val withSig = df.withColumn("__sig", simhash(col(textCol)))
-      .withColumn("__bucket", col("__sig") % 256)
-    val l = withSig.select(col(idCol).alias("id_a"), col("__sig").alias("sig_a"), col("__bucket"))
-    val r = withSig.select(col(idCol).alias("id_b"), col("__sig").alias("sig_b"), col("__bucket"))
-    l.join(r, Seq("__bucket"))
+      maxDist: Int = 3, nBands: Int = 4, bits: Int = 32): DataFrame = {
+    require(maxDist < nBands, "pigeonhole guarantee needs maxDist < nBands")
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1L
+    val withSig = df.withColumn("__sig", simhash(col(textCol), bits))
+    val banded = withSig.select(col(idCol), col("__sig"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    val l = banded.select(col(idCol).alias("id_a"), col("__sig").alias("sig_a"),
+      col("__band"), col("__bucket"))
+    val r = banded.select(col(idCol).alias("id_b"), col("__sig").alias("sig_b"),
+      col("__band"), col("__bucket"))
+    l.join(r, Seq("__band", "__bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hamming(col("sig_a"), col("sig_b")).alias("hamming_dist"))
+        hamming(col("sig_a"), col("sig_b"), bits).alias("hamming_dist"))
       .where(col("hamming_dist") <= maxDist)
       .distinct()
   }

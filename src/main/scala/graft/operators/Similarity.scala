@@ -32,6 +32,19 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** L4 (oracle-deterministic variant) — brute-force top-k over the
+    * integer-quantized grid: exact cross-engine-reproducible scores
+    * (see VectorFunctions.cosineQ), same broadcast + window shape. */
+  def bruteForceTopKQ(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qId), col(cId),
+        VF.cosineQ(VF.quantize(col(qVec)), VF.quantize(col(cVec))).alias("cos_sim"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** ANN: bucket corpus by hyperplane signature; probe the query's own
     * bucket plus all 1-bit-flip neighbors (multi-probe) and top-k within. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 6,

@@ -1,7 +1,180 @@
 package graft.queries
 
-/** LLM-data-pipeline operators (SURVEY §2.9 L1-L8) over documents /
-  * embeddings. Filled in query batch 3. */
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the LLM-data-pipeline operators (SURVEY
+  * §2.9 L1-L8) over `documents` / `embeddings`.
+  *
+  * The sf0.01 `documents` fixture has all-distinct texts, so the dedup
+  * queries first synthesize duplicates deterministically (exact copies /
+  * one-token-appended near-copies with offset ids) — the oracle SQL
+  * applies the identical construction, so the dedup logic itself is what
+  * gets compared.
+  *
+  * Float policy: oracle-compared similarity scores go through the
+  * integer-quantization grid (VectorFunctions.quantize/cosineQ) so Spark
+  * and DuckDB agree bit-for-bit; the float path is unit-tested instead.
+  */
 object LlmQueries {
-  val defs: Seq[(String, QU.Q, Option[String])] = Seq()
+  import QU._
+
+  /** documents ∪ exact copies of every 5th doc (ids offset by 100000). */
+  private def withExactDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (one token appended) of every 7th doc. */
+  private def withNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zzextra")).as("text")))
+  }
+
+  private val QSCALE = 1000000L
+  /** DuckDB side of `VF.quantize` ∘ cast-to-double. */
+  private def qSql(v: String): String =
+    s"list_transform($v, x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))"
+  /** DuckDB side of `VF.cosineQ`. */
+  private def cosQSql(a: String, b: String): String =
+    s"CAST(list_dot_product(${qSql(a)}, ${qSql(b)}) AS DOUBLE) / sqrt(CAST(list_dot_product(${qSql(a)}, ${qSql(a)}) AS DOUBLE) * CAST(list_dot_product(${qSql(b)}, ${qSql(b)}) AS DOUBLE))"
+
+  private val tokensSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- L1: exact dedup — smallest doc_id survives per sha256(text) ----
+    ("l01_exact_dedup", (s, d) => {
+      Dedup.exact(withExactDups(s, d), "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some("""WITH aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0) SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn FROM aug) WHERE rn = 1 ORDER BY doc_id""")),
+
+    // ---- L2: MinHash-LSH near-dup candidates (engine-specific banding;
+    // rows-only — recall is property-tested against planted pairs) ----
+    ("l02_minhash_near_dedup", (s, d) => {
+      Dedup.nearDedupMinhash(withNearDups(s, d), "text", "doc_id", threshold = 0.8)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, None),
+
+    // ---- L2b: SimHash candidates via rotated band bucketing ----
+    ("l02b_simhash_candidates", (s, d) => {
+      Dedup.simhashCandidates(withNearDups(s, d), "text", "doc_id", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming_dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, None),
+
+    // ---- L2c: embedding-cosine near-dup pairs (planted exact copies) ----
+    ("l02c_embedding_near_dups", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val aug = emb.unionByName(emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDups(aug, "embedding", "vec_id", nPlanes = 8, threshold = 0.95)
+        .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
+    }, None),
+
+    // ---- L3: pairwise cosine on the quantized grid (adjacent-id pairs) ----
+    ("l03_cosine_pairs", (s, d) => {
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), VF.quantize(col("embedding"), QSCALE).as("qv"))
+      q.as("a").join(q.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          VF.cosineQ(col("a.qv"), col("b.qv")).as("cos_sim"))
+        .orderBy(col("id_a"))
+    }, Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosQSql("a.embedding", "b.embedding")} AS cos_sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""")),
+
+    // ---- L4: brute-force top-k similarity search (quantized scores) ----
+    ("l04_topk_search", (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopKQ(queries, emb, k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""SELECT q_id, vec_id, rank FROM (SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosQSql("q.q_vec", "e.embedding")} DESC, e.vec_id) rank FROM (SELECT vec_id q_id, embedding q_vec FROM embeddings WHERE vec_id < 5) q, embeddings e) WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // ---- L4b: ANN top-k via hyperplane-LSH buckets (approximate by
+    // design → rows-only; recall vs brute force is unit-tested) ----
+    ("l04b_ann_topk", (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.annTopK(queries, emb, k = 10, nPlanes = 6)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }, None),
+
+    // ---- L5: text stats — counts, punctuation ratio, mean word length ----
+    ("l05_text_stats", (s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        length(col("text")).as("n_chars2"),
+        TF.wordCount(col("text")).as("n_words"),
+        TF.punctRatio(col("text")).as("punct_ratio"),
+        TF.meanWordLen(col("text")).as("mean_wlen"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""WITH t AS (SELECT doc_id, text, $tokensSql ts FROM documents) SELECT doc_id, len(text) n_chars2, len(ts) n_words, CASE WHEN len(text)=0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(text) END punct_ratio, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mean_wlen FROM t ORDER BY doc_id""")),
+
+    // ---- L5b: language-ID heuristic (argmax stopword hits) ----
+    ("l05b_langid", (s, d) => {
+      Tables.documents(s, d)
+        .select(TF.langId(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("pred_lang"))
+    }, Some {
+      val hits = TF.langStopwords.map { case (lang, sws) =>
+        val list = sws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(ts, x -> list_contains($list, x))) h_$lang"
+      }.mkString(", ")
+      val langs = TF.langStopwords.map(_._1)
+      val best = langs.map("h_" + _).mkString("greatest(", ",", ")")
+      val cases = langs.dropRight(1).map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $tokensSql ts FROM documents), h AS (SELECT doc_id, $hits FROM t) SELECT CASE WHEN $best = 0 THEN 'und' $cases ELSE '${langs.last}' END pred_lang, COUNT(*) n FROM h GROUP BY 1 ORDER BY pred_lang"""
+    }),
+
+    // ---- L5c: composite quality score + portable fingerprint ----
+    ("l05c_quality", (s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.fingerprint(col("text")).as("fp"),
+        TF.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""WITH t AS (SELECT doc_id, text, $tokensSql ts FROM documents), m AS (SELECT doc_id, text, ts, CASE WHEN len(text)=0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(text) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t) SELECT doc_id, round(least(CAST(len(text) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) quality, list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(ts, x -> CAST(len(x) AS BIGINT) * 131 + ascii(x))), (acc, v) -> (acc * 31 + v) % 2147483647) fp, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) n_bpeish FROM m ORDER BY doc_id""")),
+
+    // ---- L6: token n-grams (distinct trigram count per doc) ----
+    ("l06_ngrams", (s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TF.wordCount(col("text")).as("n_tokens"),
+        size(TF.shingleSet(col("text"), 3)).as("n_distinct_trigrams"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""WITH t AS (SELECT doc_id, $tokensSql ts FROM documents) SELECT doc_id, len(ts) n_tokens, CASE WHEN len(ts) < 3 THEN 0 ELSE len(list_distinct(list_transform(generate_series(1, len(ts)-2), i -> array_to_string(ts[i:i+2], ' ')))) END n_distinct_trigrams FROM t ORDER BY doc_id""")),
+
+    // ---- L7: PII masking over deterministically injected emails/phones ----
+    ("l07_mask_pii", (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"), lit(" contact user"),
+          col("doc_id"), lit("@example.com or +1 (555) 0100-"), col("doc_id")).as("text"))
+        .select(col("doc_id"), TF.maskPii(col("text")).as("masked"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com or +1 (555) 0100-' || doc_id AS text FROM documents) SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9][0-9 ()+-]{5,}[0-9]', '<PHONE>', 'g') masked FROM aug ORDER BY doc_id""")),
+
+    // ---- L8: multimodal envelope — payload byte length, feature dim,
+    // frame-sample fan-out (decode is a documented stub; the Spark-side
+    // schema/partitioning/fan-out plumbing is what's verified) ----
+    ("l08_multimodal", (s, d) => {
+      val env = Multimodal.toEnvelope(Tables.documents(s, d), "text", "image", "raw")
+      val feats = Multimodal.extractFeatures(env, dim = 8)
+      Multimodal.frameSample(feats, nFrames = 4, stride = 2)
+        .groupBy(col("doc_id"))
+        .agg(first(col("meta.byte_len")).as("byte_len"),
+          first(size(col("features"))).as("n_features"),
+          count(lit(1)).as("n_frames"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len, 8 AS n_features, CAST(4 AS BIGINT) AS n_frames FROM documents ORDER BY doc_id"""))
+  )
 }
