@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** Registry assembled from the per-family query packs. */
   private val packs: Seq[(String, QU.Q, Option[String])] =
-    StarQueries.defs ++ SmtQueries.defs ++ EventQueries.defs ++ LlmQueries.defs
+    StarQueries.defs ++ SmtQueries.defs ++ EventQueries.defs ++
+      LlmQueries.defs ++ ScalarQueries.defs
 
   require(packs.map(_._1).distinct.size == packs.size, "duplicate query names")
 
