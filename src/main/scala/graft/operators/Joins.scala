@@ -34,6 +34,29 @@ object Joins {
   def rangeJoin(l: DataFrame, r: DataFrame, cond: Column, how: String = "inner"): DataFrame =
     l.join(r, cond, how)
 
+  /** J9 — stream-static enrichment join: the streaming side keeps its
+    * watermark/trigger semantics, the static side is re-planned per
+    * micro-batch (and broadcast when small) — the Spark idiom replacing
+    * "sink joins source-of-truth" in Connect pipelines. */
+  def streamStaticJoin(stream: DataFrame, static: DataFrame, on: Seq[String],
+      broadcastStatic: Boolean = true): DataFrame =
+    stream.join(if (broadcastStatic) broadcast(static) else static, on)
+
+  /** J10 — stream-stream equi join with event-time bounds: both sides
+    * watermarked, right timestamps constrained to
+    * [leftTs - lookBehind, leftTs + lookAhead] so the state store can
+    * evict rows once the watermark passes — bounded state at any scale.
+    * Column names must be disjoint apart from `key`. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, watermarkDelay: String,
+      lookBehind: String, lookAhead: String, how: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs - interval $lookBehind" +
+        s" AND r.$rightTs <= l.$leftTs + interval $lookAhead"), how)
+  }
+
   /** J8 — as-of join: for each left row, the latest right row with
     * rightTs <= leftTs (matching DuckDB `ASOF JOIN` semantics: strict on
     * nothing, ties take the equal timestamp), optionally key-partitioned.

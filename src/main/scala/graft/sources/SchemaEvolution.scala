@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S12 — schema evolution (SURVEY §2.1). The reference's Debezium JDBC
+  * sink runs `schema.evolution=basic` (installed at reference
+  * `Dockerfile:28-31`): new record fields become new target-table columns,
+  * existing columns are never dropped, and old rows read NULL for columns
+  * they predate. The registry side (reference `main.sh:72-75`) allows
+  * compatible drift between record batches.
+  *
+  * Spark mapping: Parquet `mergeSchema=true` on read unions column sets
+  * across files, and `alignTo`/`evolve` give the sink-side column
+  * reconciliation for `foreachBatch` writers (see StreamOps /
+  * FileSink). All metadata-only — no data shuffle, scale-free.
+  */
+object SchemaEvolution {
+
+  /** Read a directory whose parquet files have drifted schemas; the
+    * result schema is the union of all file schemas (missing columns
+    * read as NULL) — registry-compatible drift, Spark-side. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Union of two schemas: `base` columns first (their types win on
+    * name collision — 'basic' evolution never retypes), then columns
+    * only `incoming` has. */
+  def merged(base: StructType, incoming: StructType): StructType = {
+    val names = base.fieldNames.toSet
+    StructType(base.fields ++ incoming.fields.filterNot(f => names(f.name)))
+  }
+
+  /** Project `df` onto `target`: missing columns become typed NULLs,
+    * column order normalized. The sink-side half of basic evolution. */
+  def alignTo(df: DataFrame, target: StructType): DataFrame =
+    df.select(target.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).alias(f.name)
+      else lit(null).cast(f.dataType).alias(f.name)
+    }.toIndexedSeq: _*)
+
+  /** Evolve both sides to the merged schema — what the Debezium sink
+    * does before an upsert batch whose records carry new fields. */
+  def evolve(state: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    val target = merged(state.schema, batch.schema)
+    (alignTo(state, target), alignTo(batch, target))
+  }
+}

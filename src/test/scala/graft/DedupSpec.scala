@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** L1/L2/L4 properties the oracle queries can't check: LSH recall on
+  * planted near-duplicates, dedup idempotence, ANN-vs-exact overlap,
+  * approx-distinct error bound (the a04 claim). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+
+  test("L1: exact dedup removes planted copies and is idempotent") {
+    val copies = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val aug = docs.unionByName(copies)
+    val once = Dedup.exact(aug, "text", "doc_id")
+    assert(once.count() === docs.count()) // all copies gone, originals kept
+    assert(Dedup.exact(once, "text", "doc_id").count() === once.count())
+  }
+
+  test("L2: minhash-LSH candidates find every planted near-duplicate") {
+    val planted = docs.where($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 200000).as("doc_id"), concat($"text", lit(" zzextra")).as("text"))
+    val aug = docs.unionByName(planted)
+    val cands = Dedup.minhashCandidates(aug, "text", "doc_id")
+      .where($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = planted.select(($"doc_id" - 200000).as("a"), $"doc_id".as("b"))
+      .as[(Long, Long)].collect().toSet
+    val missed = expected.diff(cands)
+    // 16 hashes / 4 bands on ~0.97 jaccard: recall should be total here
+    assert(missed.isEmpty, s"LSH missed ${missed.size} planted pairs")
+  }
+
+  test("L2b: simhash banded candidates include all planted near-dups within maxDist") {
+    val planted = docs.where($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 200000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
+    val aug = docs.unionByName(planted)
+    val sigs = aug.select($"doc_id", Dedup.simhash($"text").as("sig"))
+    val pairsWithin = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") + 200000 === col("b.doc_id"))
+      .select(col("a.doc_id"), Dedup.hamming(col("a.sig"), col("b.sig")).as("hd"))
+      .where($"hd" <= 3).as[(Long, Int)].collect().toMap
+    val cands = Dedup.simhashCandidates(aug, "text", "doc_id", maxDist = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // pigeonhole: every pair with hamming<=3 must be bucketed in >=1 band
+    pairsWithin.keys.foreach { id =>
+      assert(cands.contains((id, id + 200000)),
+        s"banded simhash missed pair ($id, ${id + 200000})")
+    }
+  }
+
+  test("L4b: ANN top-k overlaps exact top-k (recall@10)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(queries, emb, 10, nPlanes = 6)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, f"ANN recall@10 $recall%.2f below floor")
+    // every query still gets k results (buckets + multiprobe non-empty)
+    assert(ann.groupBy(_._1).forall(_._2.size == 10))
+  }
+
+  test("A4 claim: approx_count_distinct within rsd bound of exact") {
+    val o = Tables.orders(spark, sf0001)
+    val exact = o.agg(countDistinct($"o_custkey")).as[Long].head()
+    val approx = o.agg(approx_count_distinct($"o_custkey", 0.01)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{VectorFunctions => VF}
+import graft.operators.Smt
+import graft.sources.KafkaEnvelope
+import org.apache.spark.sql.functions._
+
+/** SMT algebra + envelope + vector-function properties (SURVEY §2.2,
+  * §2.9 L3): the invariants that make the composable transforms safe to
+  * chain, and the float/quantized cosine agreement. */
+class SmtAlgebraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+
+  test("P5/P6: flatten ∘ hoist restores the flat column set") {
+    val out = df.transform(Smt.hoistField("nested", "name", "v"))
+      .transform(Smt.flatten("_"))
+    assert(out.columns.toSet === Set("id", "nested_name", "nested_v"))
+    assert(out.select("nested_v").as[Double].collect().sorted === Array(10.0, 20.0))
+  }
+
+  test("P9: rename ∘ rename composes; allowlist ∘ drop consistent") {
+    val out = df.transform(Smt.renameFields("v" -> "x"))
+      .transform(Smt.renameFields("x" -> "y"))
+    assert(out.columns.contains("y") && !out.columns.contains("v"))
+    val a = df.transform(Smt.dropFields("v")).columns.toSet
+    val b = df.transform(Smt.allowlistFields("id", "name")).columns.toSet
+    assert(a === b)
+  }
+
+  test("P14: insertHeader then headerFrom reads the value back; dropHeaders removes it") {
+    val withH = Seq((1L, "x")).toDF("id", "s")
+      .withColumn("headers", array())
+      .transform(Smt.insertHeader("headers", "route", lit("r1").cast("binary")))
+    val read = withH.transform(Smt.headerFrom("headers", "route", "out"))
+      .select(col("out").cast("string")).as[String].head()
+    assert(read === "r1")
+    val dropped = withH.transform(Smt.dropHeaders("headers", "route"))
+      .select(size(col("headers"))).as[Int].head()
+    assert(dropped === 0)
+  }
+
+  test("S5: wrap spreads keys across partitions and keeps key→partition stable") {
+    val data = (0 until 1000).map(i => (i.toLong % 50, java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:${i % 60}%02d:00"), s"v$i")).toDF("k", "ts", "v")
+    val env = KafkaEnvelope.wrap(data, "k", "ts", "t", numPartitions = 8)
+    val parts = env.select($"partition").distinct().as[Int].collect()
+    assert(parts.length > 1, "all rows in one partition — scale bug")
+    val perKey = env.select($"key".cast("string"), $"partition").distinct()
+      .groupBy("key").count().agg(max("count")).as[Long].head()
+    assert(perKey === 1L, "a key mapped to >1 partition")
+  }
+
+  test("L3: cosineQ agrees with float cosine to quantization tolerance; symmetric") {
+    val vecs = Seq(
+      (1L, Seq(0.1f, -0.2f, 0.3f)), (2L, Seq(0.25f, 0.05f, -0.4f)))
+      .toDF("id", "v")
+    val pair = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(VF.cosine(col("a.v"), col("b.v")).as("c"),
+        VF.cosineQ(VF.quantize(col("a.v")), VF.quantize(col("b.v"))).as("cq"),
+        VF.cosine(col("b.v"), col("a.v")).as("c_rev"))
+      .collect()
+    pair.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-4)
+      assert(r.getDouble(0) === r.getDouble(2)) // symmetry
+    }
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import graft.operators.{CdcApply, Joins}
+import graft.sources.TestSources
+import graft.streaming.{FileSink, Reconcile, Stateful, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Streaming semantics (SURVEY §2.8 T1-T10, §2.3 J9/J10) driven through
+  * real MemoryStream micro-batches — the behaviors the batch-equivalent
+  * oracle queries can't see: watermark late-drop, cross-batch state,
+  * replay idempotence, stream joins, reconcile lifecycle. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("T1/T6: watermark drops late rows in append mode") {
+    val ms = TestSources.memory[(Timestamp, Long)]
+    val agg = StreamOps.windowedAgg(
+      StreamOps.withWatermark(ms.toDF.toDF("ts", "v"), "ts", "10 minutes"),
+      "ts", "10 minutes", "10 minutes", Seq.empty, Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("t1_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: rows up to 01:00 → watermark advances to 00:50
+    ms.addData((ts("2024-01-01 00:05:00"), 1L), (ts("2024-01-01 01:00:00"), 2L))
+    q.processAllAvailable()
+    // batch 2: a row at 00:07 is behind the watermark → dropped;
+    // a row at 01:05 keeps the stream moving and closes earlier windows
+    ms.addData((ts("2024-01-01 00:07:00"), 3L), (ts("2024-01-01 01:05:00"), 4L))
+    q.processAllAvailable()
+    // push watermark far ahead so every window emits
+    ms.addData((ts("2024-01-01 03:00:00"), 5L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t1_out")
+      .select(col("window.start").cast("string").as("w"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("2024-01-01 00:00:00") === 1L) // late 00:07 row NOT counted
+    assert(out("2024-01-01 01:00:00") === 2L) // 01:00 + 01:05
+  }
+
+  test("T2: streaming tumbling agg equals the batch computation") {
+    val rows = Seq(
+      (ts("2024-01-01 00:01:00"), 1L), (ts("2024-01-01 00:04:00"), 2L),
+      (ts("2024-01-01 00:06:00"), 3L), (ts("2024-01-01 00:11:00"), 4L))
+    val ms = TestSources.memory[(Timestamp, Long)]
+    val agg = StreamOps.windowedAgg(ms.toDF.toDF("ts", "v"), "ts",
+      "5 minutes", "5 minutes", Seq.empty, Seq(count(lit(1)).as("n"), sum($"v").as("s")))
+    val q = agg.writeStream.format("memory").queryName("t2_out")
+      .outputMode(OutputMode.Complete).start()
+    ms.addData(rows.take(2): _*); q.processAllAvailable()
+    ms.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t2_out")
+      .select(col("window.start").cast("string"), $"n", $"s").collect().toSet
+    val batch = StreamOps.windowedAgg(rows.toDF("ts", "v"), "ts",
+      "5 minutes", "5 minutes", Seq.empty, Seq(count(lit(1)).as("n"), sum($"v").as("s")))
+      .select(col("window.start").cast("string"), $"n", $"s").collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("T5: dropDuplicates holds across micro-batches") {
+    val ms = TestSources.memory[(Long, String)]
+    val q = StreamOps.dedup(ms.toDF.toDF("k", "v"), Seq("k"))
+      .writeStream.format("memory").queryName("t5_out")
+      .outputMode(OutputMode.Append).start()
+    ms.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+    q.processAllAvailable()
+    ms.addData((1L, "a-dup-next-batch"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("t5_out").select("k").as[Long].collect().sorted
+    assert(keys === Array(1L, 2L, 3L))
+  }
+
+  test("T7: flatMapGroupsWithState running aggregate accumulates across batches") {
+    val ms = TestSources.memory[(Long, Double)]
+    val q = Stateful.runningPerKey(ms.toDS())
+      .writeStream.format("memory").queryName("t7_out")
+      .outputMode(OutputMode.Update).start()
+    ms.addData((1L, 1.0), (1L, 2.0), (2L, 10.0)); q.processAllAvailable()
+    ms.addData((1L, 3.0)); q.processAllAvailable()
+    q.stop()
+    // last update per key wins
+    val last = spark.table("t7_out").groupBy($"key")
+      .agg(max(struct($"n", $"total")).as("m"))
+      .select($"key", $"m.n", $"m.total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(last === Set((1L, 3L, 6.0), (2L, 1L, 10.0)))
+  }
+
+  test("T8/T9: cdcSink applies upserts+tombstones; replayed batch is a no-op") {
+    val ms = TestSources.memory[(Long, String, Long, Boolean)]
+    val df = ms.toDF.toDF("id", "v", "seq", "tomb")
+    val dir = tmpDir("cdc")
+    val q = StreamOps.cdcSink(df, s"$dir/state", Seq("id"), Seq($"seq"),
+      $"tomb", s"$dir/ckpt").start()
+    ms.addData((1L, "a", 1L, false), (2L, "b", 1L, false)); q.processAllAvailable()
+    ms.addData((1L, "a2", 2L, false), (2L, null, 2L, true), (3L, "c", 2L, false))
+    q.processAllAvailable()
+    q.stop()
+    val state = StreamOps.readState(spark, s"$dir/state", df.schema)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(state === Set((1L, "a2"), (3L, "c")))
+    // replay an already-applied batchId with stale data → skipped
+    val stale = Seq((1L, "STALE", 1L, false)).toDF("id", "v", "seq", "tomb")
+    assert(!StreamOps.applyBatch(stale, 1L, s"$dir/state", Seq("id"), Seq($"seq"), $"tomb"))
+    val after = StreamOps.readState(spark, s"$dir/state", df.schema)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(after === state)
+  }
+
+  test("J9: stream-static join enriches each micro-batch") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val ms = TestSources.memory[(Long, Double)]
+    val q = Joins.streamStaticJoin(ms.toDF.toDF("k", "v"), dim, Seq("k"))
+      .writeStream.format("memory").queryName("j9_out")
+      .outputMode(OutputMode.Append).start()
+    ms.addData((1L, 5.0), (2L, 6.0), (99L, 7.0)); q.processAllAvailable()
+    q.stop()
+    val out = spark.table("j9_out").select("k", "tier")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "gold"), (2L, "silver"))) // inner join drops 99
+  }
+
+  test("J10: stream-stream join matches only within the event-time bound") {
+    val clicks = TestSources.memory[(Long, Timestamp)]
+    val buys = TestSources.memory[(Long, Timestamp)]
+    val joined = Joins.streamStreamJoin(
+      clicks.toDF.toDF("k", "click_ts"), buys.toDF.toDF("k", "buy_ts"),
+      "k", "click_ts", "buy_ts", "10 minutes", "0 minutes", "30 minutes")
+    val q = joined.select($"l.k", $"click_ts", $"buy_ts")
+      .writeStream.format("memory").queryName("j10_out")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+    buys.addData((1L, ts("2024-01-01 00:10:00")), // within 30 min → match
+      (2L, ts("2024-01-01 02:00:00")))            // outside bound → no match
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("j10_out").select("k").as[Long].collect().toSet
+    assert(out === Set(1L))
+  }
+
+  test("T10: reconcile starts missing queries, stops unmanaged, stop() returns true") {
+    val msA = TestSources.memory[Long]
+    val msB = TestSources.memory[Long]
+    msA.addData(1L); msB.addData(1L)
+    def writer(ms: MemoryStream[Long], name: String) =
+      ms.toDF.writeStream.format("memory").queryName(name).outputMode(OutputMode.Append)
+    val (started1, stopped1) = Reconcile(spark,
+      Map("recA" -> writer(msA, "recA"), "recB" -> writer(msB, "recB")))
+    assert(started1 === Seq("recA", "recB") && stopped1.isEmpty)
+    assert(Reconcile.list(spark).count(Set("recA", "recB")) === 2)
+    // shrink desired set → recB pruned, like deleting an unmanaged connector
+    val (started2, stopped2) = Reconcile(spark, Map("recA" ->
+      writer(msA, "recA")))
+    assert(started2.isEmpty && stopped2 === Seq("recB"))
+    // regression: stop() must report success, not be eaten by the catch
+    assert(Reconcile.stop(spark, "recA"))
+    assert(!Reconcile.list(spark).contains("recA"))
+  }
+
+  test("S13: file sink lands streaming rows as parquet files") {
+    val ms = TestSources.memory[(Long, String)]
+    val dir = tmpDir("fsink")
+    ms.addData((1L, "x"), (2L, "y"))
+    val q = FileSink.writer(ms.toDF.toDF("id", "s"), "parquet",
+      s"$dir/out", s"$dir/ckpt", trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = spark.read.parquet(s"$dir/out").as[(Long, String)].collect().toSet
+    assert(back === Set((1L, "x"), (2L, "y")))
+  }
+}
