@@ -29,14 +29,21 @@ object TextFunctions {
       transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
 
   /** Token n-grams: join each window of n consecutive tokens with a space. */
-  def tokenNgrams(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def tokenNgrams(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
+
+  /** n-grams over an already-tokenized array column — callers that need
+    * the token list anyway should materialize it once and use this form
+    * (the lambda below re-evaluates its array argument per element, so
+    * passing a raw `tokens(text)` expression costs O(tokens²)). */
+  def ngramsOfTokens(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(ts) - n), i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-  }
 
   /** Distinct token-shingle set (for Jaccard / MinHash). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(tokenNgrams(text, n))
+
+  /** Shingle set over a materialized token array (the scale path). */
+  def shingleSetOfTokens(ts: Column, n: Int): Column = array_distinct(ngramsOfTokens(ts, n))
 
   /** Jaccard similarity of two string arrays (set semantics), exact
     * integer cardinalities → deterministic double ratio. */

@@ -33,11 +33,13 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
-  /** Portable 31-bit string hash (same formula as TextFunctions
-    * .fingerprint but over shingle text chars): fold h = h*31 + code. */
+  /** 31-bit string hash via the codegen'd xxhash64 kernel (a per-char
+    * fold in higher-order functions costs ~1000× more — measured 86 s vs
+    * <1 s for 5k docs' signatures). Deterministic within Spark, which is
+    * all the rows-only LSH entries and property tests need; masked to
+    * 31 bits so the `(h*a + b) mod p` family below never overflows. */
   private def strHash(s: Column): Column =
-    aggregate(transform(TF.charNgrams(s, 1), c => ascii(c).cast("long")),
-      lit(7L), (acc, c) => (acc * 31L + c) % 2147483647L)
+    xxhash64(s).bitwiseAND(lit(0x7fffffffL))
 
   /** MinHash signature: for shingle set S, sig_i = min over s in S of
     * ((a_i * hash(s) + b_i) mod p), with fixed seeds per row i. */
@@ -58,7 +60,9 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     val withSig = df
-      .withColumn("__shingles", TF.shingleSet(col(textCol), shingleN))
+      .withColumn("__toks", TF.tokens(col(textCol)))
+      .withColumn("__shingles", TF.shingleSetOfTokens(col("__toks"), shingleN))
+      .drop("__toks")
       .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
     val banded = withSig.select(
       col(idCol), col("__shingles"),
@@ -87,21 +91,27 @@ object Dedup {
   }
 
   /** SimHash 32-bit signature over token 1-grams: per bit, sum +1/-1
-    * weighted by whether the token hash has that bit set; sign → bit. */
+    * weighted by whether the token hash has that bit set; sign → bit.
+    * Single-pass fold carrying all bit-votes in one array accumulator —
+    * 32 separate per-bit aggregates would re-walk the token list 32×
+    * (and projection collapse can multiply that across a self-join). */
   def simhash(text: Column, bits: Int = 32): Column = {
-    val hashes = transform(TF.tokens(text), t => strHash(t))
-    (0 until bits).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
-      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    require(bits <= 63, "packed signature must fit a BIGINT")
+    val mask = if (bits == 63) Long.MaxValue else (1L << bits) - 1L
+    val hashes = transform(TF.tokens(text), t => xxhash64(t).bitwiseAND(lit(mask)))
+    val powers = array((0 until bits).map(b => lit(1L << b)): _*)
+    val votes = aggregate(hashes,
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, powers,
+        (v, p) => v + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, powers, (v, p) => when(v >= 0, p).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
-  /** Hamming distance between two packed BIGINT signatures. */
+  /** Hamming distance between two packed BIGINT signatures (popcount of
+    * XOR — one codegen'd kernel, not a 32-term shift chain). */
   def hamming(a: Column, b: Column, bits: Int = 32): Column =
-    (0 until bits).map { i =>
-      (shiftright(a.bitwiseXOR(b), i) % 2).cast("int")
-    }.reduce(_ + _)
+    bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs via rotated bucketings: the 32-bit signature
     * is split into `nBands` bit-bands; two signatures within Hamming

@@ -1,0 +1,30 @@
+package graft.tools
+
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+object PerfProbe {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    time("count docs")(docs.count())
+    // signature alone, materialized via noop write
+    time("simhash sig only")(
+      docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")).write.format("noop").mode("overwrite").save())
+    time("simhash candidates full")(println("pairs=" + Dedup.simhashCandidates(docs, "text", "doc_id").count()))
+    time("minhash sig only")(
+      docs.select(col("doc_id"), Dedup.minhashSignature(graft.functions.TextFunctions.shingleSet(col("text"), 3), 16).as("sig")).write.format("noop").mode("overwrite").save())
+    time("minhash candidates full")(println("pairs=" + Dedup.minhashCandidates(docs, "text", "doc_id").count()))
+    spark.stop()
+  }
+}
