@@ -284,6 +284,39 @@ object StarQueries {
         .orderBy(col("event_id"))
     }, Some("""SELECT event_id, user_id, event_type FROM events WHERE event_id > 9000 ORDER BY event_id""")),
 
+    // ---- S4: query-mode source — user SQL evaluated by the engine,
+    // exactly what the Confluent source's `query=` config pushes to the
+    // database (dispatched via ConnectorConfig.sourceScan) ----
+    ("s04_query_source", (s, d) => {
+      graft.sources.ConnectorConfig.sourceScan(s, d,
+        graft.sources.ConnectorConfig.Config("q-src", Map(
+          "query" -> "SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'")))
+        .orderBy(col("o_custkey"), col("o_totalprice"))
+    }, Some("""SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' ORDER BY o_custkey, o_totalprice""")),
+
+    // ---- §2.6: sortWithinPartitions — per-partition order invariant
+    // (adjacent-inversion count must be zero in every partition; global
+    // values are partitioning-independent so the oracle is constant) ----
+    ("o06_sort_within_partitions", (s, d) => {
+      import s.implicits._
+      val sorted = Tables.orders(s, d)
+        .repartition(col("o_custkey"))
+        .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
+      val stats = sorted.select(col("o_custkey"), col("o_orderkey"))
+        .mapPartitions { rows =>
+          var n = 0L; var inversions = 0L
+          var prev: (Long, Long) = null
+          rows.foreach { r =>
+            val cur = (r.getLong(0), r.getLong(1))
+            if (prev != null && Ordering[(Long, Long)].lt(cur, prev)) inversions += 1
+            prev = cur; n += 1
+          }
+          Iterator((n, inversions))
+        }
+      stats.toDF("n", "inv")
+        .agg(sum(col("n")).as("n_rows"), sum(col("inv")).as("inversions"))
+    }, Some("""SELECT COUNT(*) AS n_rows, 0 AS inversions FROM orders""")),
+
     // ---- S3: timestamp+incrementing resume predicate ----
     ("s03_ts_incrementing", (s, d) => {
       val ev = Tables.events(s, d)

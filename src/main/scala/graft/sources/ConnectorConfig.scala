@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's connector-submission contract (SURVEY §3 E2): the
+  * operator injects `CONNECTOR_NAMES="A B C"` plus one flat-JSON env var
+  * `CONNECTOR_<NAME>` per connector (reference `main.sh:6-7`,
+  * `main.sh:148-159`; `README.md:24-25`), and the reconcile loop upserts
+  * that desired set. This module parses the same contract into typed
+  * configs and dispatches the JDBC-source modes (S1-S4) onto the
+  * engine's scan builders — so a user can hand the engine the exact env
+  * block they run against the reference today.
+  *
+  * The reference parses connector lists with `tr`/`grep` (`main.sh:113-115`,
+  * noted fragile in SURVEY §2.11); here it's a real parser: quoted keys
+  * and values, escaped quotes, numbers/booleans stringified — flat
+  * objects only, which is all Connect configs are.
+  */
+object ConnectorConfig {
+
+  final case class Config(name: String, settings: Map[String, String]) {
+    def apply(key: String): Option[String] = settings.get(key)
+  }
+
+  /** Parse a flat JSON object ({"k": "v", "n": 3, "b": true}) into a
+    * string map. Throws IllegalArgumentException on malformed input —
+    * the reference logs-and-continues (`main.sh:164`); we fail loudly. */
+  def parseFlatJson(json: String): Map[String, String] = {
+    var i = 0
+    val s = json
+    def err(msg: String) = throw new IllegalArgumentException(s"$msg at $i in: $json")
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = { ws(); if (i >= s.length || s(i) != c) err(s"expected '$c'"); i += 1 }
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          sb.append(s(i + 1) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case other => other
+          }); i += 2
+        } else { sb.append(s(i)); i += 1 }
+      }
+      expect('"'); sb.toString
+    }
+    def scalar(): String = {
+      ws()
+      if (i < s.length && s(i) == '"') str()
+      else {
+        val start = i
+        while (i < s.length && !",}".contains(s(i)) && !s(i).isWhitespace) i += 1
+        if (i == start) err("expected value")
+        s.substring(start, i)
+      }
+    }
+    expect('{'); ws()
+    if (i < s.length && s(i) == '}') return Map.empty
+    val out = Map.newBuilder[String, String]
+    var done = false
+    while (!done) {
+      val k = str(); expect(':'); out += (k -> scalar()); ws()
+      if (i < s.length && s(i) == ',') { i += 1; ws() }
+      else { expect('}'); done = true }
+    }
+    out.result()
+  }
+
+  /** Parse the full env contract: names from `CONNECTOR_NAMES`
+    * (space-separated, reference `main.sh:149`), each config from
+    * `CONNECTOR_<NAME>` (bash-indirection analogue, `main.sh:150-151`).
+    * Names without a config var are skipped, like the reference's
+    * `[WARN] missing` path (`main.sh:152-153`). */
+  def fromEnv(env: Map[String, String]): Seq[Config] =
+    env.getOrElse("CONNECTOR_NAMES", "").split("\\s+").filter(_.nonEmpty).toSeq
+      .flatMap { name =>
+        env.get(s"CONNECTOR_$name").map(j => Config(name, parseFlatJson(j)))
+      }
+
+  /** Dispatch a JDBC-source-style config onto the engine's scan builders
+    * (S1-S4): `mode=bulk|incrementing|timestamp+incrementing`, or
+    * `query=` for user SQL (parquet tables stand in for the RDBMS,
+    * TESTDATA.md). Offsets come from the caller (Connect keeps them in
+    * the offsets topic; the engine keeps them in its checkpoint). */
+  def sourceScan(spark: SparkSession, sfDir: String, config: Config,
+      lastId: Long = -1L, lastTs: java.sql.Timestamp = new java.sql.Timestamp(0)): DataFrame = {
+    config("query") match {
+      case Some(sql) => Tables.queryScan(spark, sfDir, sql)
+      case None =>
+        val table = config("table.whitelist").orElse(config("table")).getOrElse(
+          throw new IllegalArgumentException(s"${config.name}: no table configured"))
+        val df = Tables.loadNormalized(spark, sfDir, table)
+        config("mode").getOrElse("bulk") match {
+          case "bulk" => df
+          case "incrementing" =>
+            Tables.incrementingScan(df, config("incrementing.column.name").get, lastId)
+          case "timestamp+incrementing" =>
+            Tables.timestampIncrementingScan(df,
+              config("timestamp.column.name").get,
+              config("incrementing.column.name").get, lastTs, lastId)
+          case other => throw new IllegalArgumentException(s"unknown mode $other")
+        }
+    }
+  }
+}

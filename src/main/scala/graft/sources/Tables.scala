@@ -23,6 +23,11 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Load with per-table normalization applied (currently: the events
+    * ns→µs timestamp conversion) — use when the table name is dynamic. */
+  def loadNormalized(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir) else load(spark, sfDir, name)
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -46,6 +51,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** S4 — query-mode source (the Confluent source's `query=` config):
+    * user SQL evaluated over the registered tables — in JDBC the database
+    * runs it; here Catalyst does, with the same pushdown/pruning. */
+  def queryScan(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
+    all.foreach { t =>
+      val p = new java.io.File(s"$sfDir/$t.parquet")
+      if (p.exists()) loadNormalized(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(sql)
+  }
 
   /** S2 — incrementing-mode source: only rows with id beyond the stored
     * offset. The predicate is pushed into the scan (JDBC: `WHERE id > ?`;

@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.ConnectorConfig
+import java.sql.Timestamp
+
+/** The reference's env-var connector contract (FIXTURES.md connector
+  * fixtures; reference `main.sh:6-7`, `148-159`): parse CONNECTOR_NAMES +
+  * flat-JSON configs, dispatch source modes onto the scan builders. */
+class ConnectorConfigSpec extends SparkSpec {
+
+  private val env = Map(
+    "CONNECTOR_NAMES" -> "SRC SINK MISSING",
+    "CONNECTOR_SRC" -> """{ "connector.class": "io.confluent.connect.jdbc.JdbcSourceConnector",
+      "mode": "timestamp+incrementing", "timestamp.column.name": "ts",
+      "incrementing.column.name": "event_id", "topic.prefix": "db.",
+      "table": "events", "tasks.max": 4, "validate": true }""",
+    "CONNECTOR_SINK" -> """{ "connector.class": "io.debezium.connector.jdbc.JdbcSinkConnector",
+      "insert.mode": "upsert", "primary.key.mode": "record_key",
+      "delete.enabled": "true" }""")
+
+  test("fromEnv parses names + flat JSON; missing config skipped like the reference") {
+    val cfgs = ConnectorConfig.fromEnv(env)
+    assert(cfgs.map(_.name) === Seq("SRC", "SINK"))
+    val src = cfgs.head
+    assert(src("mode").contains("timestamp+incrementing"))
+    assert(src("tasks.max").contains("4"))       // number stringified
+    assert(src("validate").contains("true"))     // boolean stringified
+  }
+
+  test("parseFlatJson handles escapes and rejects malformed input") {
+    assert(ConnectorConfig.parseFlatJson("""{"a": "x\"y", "b": "p\\q"}""")
+      === Map("a" -> "x\"y", "b" -> "p\\q"))
+    assert(ConnectorConfig.parseFlatJson("{}") === Map.empty)
+    intercept[IllegalArgumentException](ConnectorConfig.parseFlatJson("""{"a" "b"}"""))
+    intercept[IllegalArgumentException](ConnectorConfig.parseFlatJson("""not json"""))
+  }
+
+  test("sourceScan dispatches timestamp+incrementing mode with resume offsets") {
+    val cfg = ConnectorConfig.fromEnv(env).head
+    val df = ConnectorConfig.sourceScan(spark, sf0001, cfg,
+      lastId = 100L, lastTs = Timestamp.valueOf("2024-01-10 00:00:00"))
+    val manual = graft.sources.Tables.timestampIncrementingScan(
+      graft.sources.Tables.events(spark, sf0001), "ts", "event_id",
+      Timestamp.valueOf("2024-01-10 00:00:00"), 100L)
+    assert(df.count() === manual.count())
+    assert(df.count() > 0)
+  }
+
+  test("sourceScan query mode runs user SQL over the registered tables") {
+    val cfg = ConnectorConfig.Config("q", Map(
+      "query" -> "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'"))
+    val n = ConnectorConfig.sourceScan(spark, sf0001, cfg).collect().head.getLong(0)
+    assert(n > 0)
+  }
+}
