@@ -45,6 +45,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization: `nLists` corpus
+    * vectors with the smallest ids act as deterministic coarse centroids
+    * (id-order sampling — no iterative k-means, so the index is
+    * reproducible and builds in one pass); every corpus vector is
+    * assigned to its nearest centroid, and a query scans only the
+    * `nProbe` centroid lists closest to it.
+    *
+    * 100 TB shape: centroids broadcast (nLists ≪ corpus); assignment is
+    * one map-side pass; the probe join shuffles on list id only. Recall
+    * improves with nProbe at linear cost — the classic IVF trade-off. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.Column
+    // Collect the nLists centroid vectors (bounded, driver-side by
+    // design — same footprint as broadcasting them) into one literal
+    // array<struct<list, cent>> so assignment is a pure projection.
+    val centRows = corpus.orderBy(col(cId)).limit(nLists)
+      .select(col(cId).cast("long"), col(cVec)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cents = typedLit(centRows.toSeq)
+    // per-vector scored lists: array<struct<list, sim>>
+    def scored(vec: Column): Column =
+      transform(cents, c => struct(c.getField("_1").alias("list"),
+        VF.cosine(vec, c.getField("_2")).alias("sim")))
+    // nearest list = running-max fold (no shuffle, no window)
+    def nearestList(vec: Column): Column =
+      aggregate(scored(vec),
+        struct(lit(-1L).alias("list"), lit(-2.0d).alias("sim")),
+        (acc, x) => when(x.getField("sim") > acc.getField("sim"), x).otherwise(acc))
+        .getField("list")
+    // nProbe nearest lists = sort the scored array desc, slice
+    def probeLists(vec: Column): Column =
+      transform(slice(array_sort(scored(vec),
+        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+          .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
+        1, nProbe), c => c.getField("list"))
+    val assigned = corpus.select(col(cId), col(cVec),
+      nearestList(col(cVec)).alias("__list"))
+    val probes = queries.select(col(qId), col(qVec),
+      explode(probeLists(col(qVec))).alias("__list"))
+    val wTop = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
+    assigned.join(broadcast(probes), Seq("__list"))
+      .select(col(qId), col(cId), VF.cosine(col(qVec), col(cVec)).alias("cos_sim"))
+      .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
+  }
+
   /** ANN: bucket corpus by hyperplane signature; probe the query's own
     * bucket plus all 1-bit-flip neighbors (multi-probe) and top-k within. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 6,

@@ -110,6 +110,17 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }, None),
 
+    // ---- L4c: IVF ANN top-k (coarse-quantizer lists, nProbe probing;
+    // approximate by design → rows-only; recall is unit-tested) ----
+    ("l04c_ivf_topk", (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(queries, emb, k = 10, nLists = 16, nProbe = 4)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }, None),
+
     // ---- L5: text stats — counts, punctuation ratio, mean word length ----
     ("l05_text_stats", (s, d) => {
       Tables.documents(s, d).select(col("doc_id"),

@@ -67,6 +67,19 @@ class DedupSpec extends SparkSpec {
     assert(ann.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("L4c: IVF top-k overlaps exact top-k and returns k per query") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, 10, nLists = 16, nProbe = 4)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, f"IVF recall@10 $recall%.2f below floor")
+    assert(ivf.groupBy(_._1).forall(_._2.size == 10))
+  }
+
   test("A4 claim: approx_count_distinct within rsd bound of exact") {
     val o = Tables.orders(spark, sf0001)
     val exact = o.agg(countDistinct($"o_custkey")).as[Long].head()
