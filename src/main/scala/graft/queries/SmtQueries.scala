@@ -166,20 +166,22 @@ object SmtQueries {
     }, Some("""SELECT COUNT(*) AS n_rows, true AS offsets_dense, 1 AS max_parts_per_key FROM events""")),
 
     // ---- S6/S7: Avro serialize→deserialize round-trip on a nested
-    // struct (sibling structs exercise the schema-name derivation) ----
+    // struct (sibling structs exercise the schema-name derivation;
+    // ts exercises the timestamp-micros logical type) ----
     ("s06_avro_roundtrip", (s, d) => {
       val ev = Tables.events(s, d)
-        .select(col("event_id"), col("event_type"), col("value"),
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"),
           struct(col("user_id"), col("props")).as("who"),
           struct(col("value").as("v2")).as("extra"))
-      val ser = AvroSerde.serialize(ev, Seq("event_id", "event_type", "value", "who", "extra"))
+      val ser = AvroSerde.serialize(ev, Seq("event_id", "event_type", "value", "ts", "who", "extra"))
       val de = AvroSerde.deserialize(ser, "avro_value",
         ev.schema, "rt")
       de.select(col("rt.event_id").as("event_id"), col("rt.event_type").as("event_type"),
-          col("rt.value").as("value"), col("rt.who.user_id").as("user_id"),
+          col("rt.value").as("value"), micros(col("rt.ts")).as("ts_us"),
+          col("rt.who.user_id").as("user_id"),
           col("rt.who.props").as("props"), col("rt.extra.v2").as("v2"))
         .orderBy(col("event_id"))
-    }, Some("""SELECT event_id, event_type, value, user_id, props, value AS v2 FROM events ORDER BY event_id""")),
+    }, Some("""SELECT event_id, event_type, value, epoch_us(ts) AS ts_us, user_id, props, value AS v2 FROM events ORDER BY event_id""")),
 
     // ---- S8: schemaless JSON value decode (the Connect JsonConverter
     // path) — unwrap carries every payload field through the envelope ----

@@ -43,6 +43,11 @@ object AvroSerde {
       case BooleanType => "\"boolean\""
       case StringType => "\"string\""
       case BinaryType => "\"bytes\""
+      // Connect's logical types (the JDBC connectors' SQL type mapping):
+      case TimestampType => """{"type":"long","logicalType":"timestamp-micros"}"""
+      case DateType => """{"type":"int","logicalType":"date"}"""
+      case d: DecimalType =>
+        s"""{"type":"bytes","logicalType":"decimal","precision":${d.precision},"scale":${d.scale}}"""
       case ArrayType(et, _) => s"""{"type":"array","items":${field(et, path + "_item")}}"""
       case MapType(StringType, vt, _) => s"""{"type":"map","values":${field(vt, path + "_value")}}"""
       case inner: StructType => recordSchema(inner, path)
@@ -75,6 +80,12 @@ object AvroSerde {
       }.asJava
     case s: String => s
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    // logical types → their Avro physical carriers
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L // epoch micros
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.math.BigDecimal => java.nio.ByteBuffer.wrap(d.unscaledValue.toByteArray)
+    case d: scala.math.BigDecimal => java.nio.ByteBuffer.wrap(d.underlying.unscaledValue.toByteArray)
     case other => other
   }
 
@@ -94,6 +105,18 @@ object AvroSerde {
     case (u: org.apache.avro.util.Utf8, StringType) => u.toString
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    // logical-type carriers → Spark external types
+    case (us: java.lang.Long, TimestampType) =>
+      val secs = Math.floorDiv(us, 1000000L)
+      val microOfSec = Math.floorMod(us, 1000000L)
+      val t = new java.sql.Timestamp(secs * 1000L)
+      t.setNanos(microOfSec.toInt * 1000) // setNanos replaces ALL sub-second
+      t
+    case (days: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+    case (b: java.nio.ByteBuffer, d: DecimalType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+      new java.math.BigDecimal(new java.math.BigInteger(arr), d.scale)
     case (other, _) => other
   }
 

@@ -38,6 +38,31 @@ class AvroSerdeSpec extends SparkSpec {
     assert(parsed.getFields.size === 2)
   }
 
+  test("round-trips Connect logical types: timestamp-micros, date, decimal") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      StructField("d", DateType),
+      StructField("amount", DecimalType(18, 2))))
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 10:20:30.123456")
+    val rows = Seq(
+      Row(1L, ts, java.sql.Date.valueOf("2024-03-05"), BigDecimal("12345.67").bigDecimal),
+      Row(2L, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => r: Row)), schema)
+    val rt = AvroSerde.deserialize(
+      AvroSerde.serialize(df, df.columns.toSeq), "avro_value", schema, "rt")
+    val back = rt.select($"rt.id", $"rt.ts", $"rt.d", $"rt.amount").collect()
+    val r1 = back.find(_.getLong(0) == 1L).get
+    assert(r1.getTimestamp(1) === ts) // µs precision survives
+    assert(r1.getDate(2).toString === "2024-03-05")
+    assert(r1.getDecimal(3) === BigDecimal("12345.67").bigDecimal)
+    val r2 = back.find(_.getLong(0) == 2L).get
+    assert(r2.isNullAt(1) && r2.isNullAt(2) && r2.isNullAt(3))
+  }
+
   test("property: seeded random primitive rows survive the round-trip") {
     val rnd = new scala.util.Random(42)
     val data = (0 until 200).map { i =>

@@ -62,6 +62,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("T4: streaming session windows merge events within the gap") {
+    val ms = TestSources.memory[(Long, Timestamp)]
+    val agg = StreamOps.sessionAgg(
+      StreamOps.withWatermark(ms.toDF.toDF("user", "ts"), "ts", "1 minute"),
+      "ts", "10 minutes", Seq(col("user")), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("t4_out")
+      .outputMode(OutputMode.Complete).start()
+    // user 1: two events 5 min apart (one session) + one 30 min later
+    // (second session); user 2: single event
+    ms.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:05:00")),
+      (2L, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    ms.addData((1L, ts("2024-01-01 00:40:00")))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("t4_out")
+      .select(col("user"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(sessions === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
   test("T5: dropDuplicates holds across micro-batches") {
     val ms = TestSources.memory[(Long, String)]
     val q = StreamOps.dedup(ms.toDF.toDF("k", "v"), Seq("k"))
