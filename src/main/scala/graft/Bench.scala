@@ -15,7 +15,9 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // noop write materializes EVERY output column — a count() would let
+      // Catalyst prune the projected expressions and time only the scan.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case scala.util.control.NonFatal(e) =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }

@@ -157,11 +157,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some(s"""WITH t AS (SELECT doc_id, text, $tokensSql ts FROM documents), m AS (SELECT doc_id, text, ts, CASE WHEN len(text)=0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(text) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t) SELECT doc_id, round(least(CAST(len(text) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) quality, list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(ts, x -> CAST(len(x) AS BIGINT) * 131 + ascii(x))), (acc, v) -> (acc * 31 + v) % 2147483647) fp, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) n_bpeish FROM m ORDER BY doc_id""")),
 
-    // ---- L6: token n-grams (distinct trigram count per doc) ----
+    // ---- L6: token n-grams (distinct trigram count per doc; tokens
+    // materialized first — see TextFunctions.ngramsOfTokens scale note) ----
     ("l06_ngrams", (s, d) => {
-      Tables.documents(s, d).select(col("doc_id"),
-        TF.wordCount(col("text")).as("n_tokens"),
-        size(TF.shingleSet(col("text"), 3)).as("n_distinct_trigrams"))
+      Tables.documents(s, d)
+        .withColumn("__toks", TF.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("__toks")).as("n_tokens"),
+          size(TF.shingleSetOfTokens(col("__toks"), 3)).as("n_distinct_trigrams"))
         .orderBy(col("doc_id"))
     }, Some(s"""WITH t AS (SELECT doc_id, $tokensSql ts FROM documents) SELECT doc_id, len(ts) n_tokens, CASE WHEN len(ts) < 3 THEN 0 ELSE len(list_distinct(list_transform(generate_series(1, len(ts)-2), i -> array_to_string(ts[i:i+2], ' ')))) END n_distinct_trigrams FROM t ORDER BY doc_id""")),
 

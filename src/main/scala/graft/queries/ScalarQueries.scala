@@ -98,6 +98,14 @@ object ScalarQueries {
         .orderBy(col("p_partkey"))
     }, Some("""WITH t AS (SELECT p_partkey, map_from_entries(list_transform(string_split(p_name, ' '), w -> {'k': w, 'v': len(w)})) m, string_split(p_name, ' ') ws FROM part) SELECT p_partkey, len(map_keys(m)) AS n_keys, array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted, map_extract(m, ws[1])[1] AS v_first, CAST(list_sum(map_values(m)) AS INTEGER) AS vals_sum FROM t ORDER BY p_partkey""")),
 
+    // ---- generator family: posexplode as the UDTF surface (§2.10) ----
+    ("f08_explode", (s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .withColumnRenamed("col", "word")
+        .orderBy(col("p_partkey"), col("pos"))
+    }, Some("""WITH t AS (SELECT p_partkey, string_split(p_name, ' ') ws FROM part), e AS (SELECT p_partkey, unnest(list_transform(ws, (w, i) -> {'pos': i - 1, 'word': w})) u FROM t) SELECT p_partkey, u.pos AS pos, u.word AS word FROM e ORDER BY p_partkey, pos""")),
+
     // ---- JSON family (the events.props column, SURVEY §2.7) ----
     ("f07_json", (s, d) => {
       Tables.events(s, d).select(col("event_id"),

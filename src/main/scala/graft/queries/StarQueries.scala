@@ -80,6 +80,13 @@ object StarQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }, Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // ---- A5b: cube (all grouping-set combinations) ----
+    ("a05b_cube", (s, d) => {
+      Tables.lineitem(s, d).cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }, Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     // ---- A6: pivot (conditional aggregation in the oracle) ----
     ("a06_pivot", (s, d) => {
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
@@ -147,6 +154,17 @@ object StarQueries {
         count(lit(1)).over(w).as("n_so_far"))
         .orderBy(col("o_orderkey"))
     }, Some("""SELECT o_orderkey, o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend, COUNT(*) OVER w AS n_so_far FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY o_orderkey""")),
+
+    // ---- W5: distribution analytics (percent_rank/cume_dist/nth_value) ----
+    ("w05_analytic", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""SELECT o_orderkey, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd, nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey""")),
 
     // ---- W4: top-k per group ----
     ("w04_topk_per_group", (s, d) => {
