@@ -94,4 +94,35 @@ object Joins {
     filled.where(col("__side") === 1)
       .select(lCols.map(col) ++ valueCols.map(col): _*)
   }
+
+  /** As-of join, narrow-sort variant: the union+window pass carries only
+    * (key, ts, side, leftId, right payload) — for a wide left table this
+    * keeps the sort rows small, then one equi-join on `leftId` re-attaches
+    * the left payload (leftId must be unique per left row, e.g. an event
+    * id). Same semantics as [[asofJoin]]; prefer this when the left side
+    * has many/wide columns, the plain form when it's already narrow. */
+  def asofJoinNarrow(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftId: String,
+      valueCols: Seq[String]): DataFrame = {
+    val rTagged = right.select(
+      col(key) +:
+        col(rightTs).alias("__ts") +:
+        lit(0).alias("__side") +:
+        lit(null).cast(left.schema(leftId).dataType).alias("__lid") +:
+        valueCols.map(c => col(c).alias(s"__v_$c")): _*)
+    val lTagged = left.select(
+      col(key) +:
+        col(leftTs).alias("__ts") +:
+        lit(1).alias("__side") +:
+        col(leftId).alias("__lid") +:
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).alias(s"__v_$c")): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rTagged.unionByName(lTagged)
+      .select(col("__side") +: col("__lid") +:
+        valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).alias(c)): _*)
+      .where(col("__side") === 1)
+      .select(col("__lid") +: valueCols.map(col): _*)
+    left.join(matched, left(leftId) === matched("__lid"), "inner").drop("__lid")
+  }
 }

@@ -62,6 +62,17 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize stub: truncate the payload to `targetBytes` and update the
+    * metadata — the byte-level shape of an image downscale (real codec
+    * absent from this container; the schema and per-row transform are
+    * the production plumbing). */
+  def resize(df: DataFrame, targetBytes: Int): DataFrame =
+    df.withColumn("payload", substring(col("payload"), 1, targetBytes))
+      .withColumn("meta", struct(
+        col("meta.modality").alias("modality"),
+        length(col("payload")).cast(LongType).alias("byte_len"),
+        col("meta.format").alias("format")))
+
   /** Frame-sample stub: emit every `stride`-th "frame" index with a
     * per-frame fingerprint — the 1→N explode shape of video sampling. */
   def frameSample(df: DataFrame, nFrames: Int, stride: Int): DataFrame =

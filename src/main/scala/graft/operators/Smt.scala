@@ -25,6 +25,8 @@ object Smt {
   def filterRecords(pred: Column)(df: DataFrame): DataFrame = df.where(pred)
   def isTombstone(valueCol: String): Column = col(valueCol).isNull
   def topicNameMatches(topicCol: String, regex: String): Column = col(topicCol).rlike(regex)
+  def hasHeaderKey(headersCol: String, key: String): Column =
+    exists(col(headersCol), h => h.getField("key") === key)
 
   /** P3 — Cast: cast named fields to target types. */
   def castFields(casts: (String, DataType)*)(df: DataFrame): DataFrame =

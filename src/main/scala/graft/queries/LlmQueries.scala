@@ -182,13 +182,14 @@ object LlmQueries {
     // schema/partitioning/fan-out plumbing is what's verified) ----
     ("l08_multimodal", (s, d) => {
       val env = Multimodal.toEnvelope(Tables.documents(s, d), "text", "image", "raw")
-      val feats = Multimodal.extractFeatures(env, dim = 8)
+      val resized = Multimodal.resize(env, targetBytes = 100)
+      val feats = Multimodal.extractFeatures(resized, dim = 8)
       Multimodal.frameSample(feats, nFrames = 4, stride = 2)
         .groupBy(col("doc_id"))
         .agg(first(col("meta.byte_len")).as("byte_len"),
           first(size(col("features"))).as("n_features"),
           count(lit(1)).as("n_frames"))
         .orderBy(col("doc_id"))
-    }, Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len, 8 AS n_features, CAST(4 AS BIGINT) AS n_frames FROM documents ORDER BY doc_id"""))
+    }, Some("""SELECT doc_id, LEAST(octet_length(encode(text)), 100) AS byte_len, 8 AS n_features, CAST(4 AS BIGINT) AS n_frames FROM documents ORDER BY doc_id"""))
   )
 }

@@ -48,7 +48,8 @@ object SmtQueries {
     // ---- P2: Filter SMT with predicate ----
     ("p02_filter", (s, d) => {
       unwrapped(s, d)
-        .transform(Smt.filterRecords(col("event_type") === "click" && col("value") > 100.0))
+        .transform(Smt.filterRecords(Smt.hasHeaderKey("headers", "origin") &&
+          col("event_type") === "click" && col("value") > 100.0))
         .select(col("event_id"), col("value"))
         .orderBy(col("event_id"))
     }, Some("""SELECT event_id, value FROM events WHERE event_type = 'click' AND value > 100.0 ORDER BY event_id""")),

@@ -295,6 +295,22 @@ object StarQueries {
         .orderBy(col("event_id"))
     }, Some("""WITH clicks AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'), purch AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value AS value, p.value AS p_value, epoch_us(p.ts) AS p_ts_us FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts ORDER BY c.event_id""")),
 
+    // ---- J8b: as-of join, narrow-sort variant (same semantics, sort
+    // carries only key/ts/id/payload; left payload re-attached by id) ----
+    ("j08b_asof_narrow", (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("p_value"),
+          col("ts").as("p_ts"))
+      Joins.asofJoinNarrow(clicks, purchases, "user_id", "ts", "ts", "event_id",
+        Seq("p_value", "p_ts"))
+        .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts_us"),
+          col("value"), col("p_value"), micros(col("p_ts")).as("p_ts_us"))
+        .orderBy(col("event_id"))
+    }, Some("""WITH clicks AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'), purch AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value AS value, p.value AS p_value, epoch_us(p.ts) AS p_ts_us FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts ORDER BY c.event_id""")),
+
     // ---- S2: incrementing-mode scan (predicate pushed to parquet) ----
     ("s02_incrementing", (s, d) => {
       Tables.incrementingScan(Tables.events(s, d), "event_id", 9000L)

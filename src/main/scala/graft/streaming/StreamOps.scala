@@ -37,6 +37,14 @@ object StreamOps {
   /** T5 — streaming dedup on keys (with watermark bound when streaming). */
   def dedup(df: DataFrame, keys: Seq[String]): DataFrame = df.dropDuplicates(keys)
 
+  /** T5b — dedup with bounded state: duplicates are only tracked while
+    * inside the watermark window, so state is evicted as event time
+    * advances — the form that survives unbounded streams. Falls back to
+    * plain dropDuplicates on batch frames (no watermark to bound). */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (df.isStreaming) df.dropDuplicatesWithinWatermark(keys)
+    else df.dropDuplicates(keys)
+
   /** T8/T9 — CDC-apply sink: per micro-batch, fold changes into a
     * versioned parquet state store idempotently — the at-least-once +
     * idempotent-write contract of the Debezium sink (reference

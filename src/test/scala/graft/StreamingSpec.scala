@@ -97,6 +97,22 @@ class StreamingSpec extends SparkSpec {
     assert(keys === Array(1L, 2L, 3L))
   }
 
+  test("T5b: dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    val ms = TestSources.memory[(Long, Timestamp)]
+    val df = StreamOps.withWatermark(ms.toDF.toDF("k", "ts"), "ts", "10 minutes")
+    val q = StreamOps.dedupWithinWatermark(df, Seq("k"))
+      .writeStream.format("memory").queryName("t5b_out")
+      .outputMode(OutputMode.Append).start()
+    ms.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:01:00")),
+      (2L, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    ms.addData((1L, ts("2024-01-01 00:02:00"))) // dup within watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("t5b_out").select("k").as[Long].collect().sorted
+    assert(keys === Array(1L, 2L))
+  }
+
   test("T7: flatMapGroupsWithState running aggregate accumulates across batches") {
     val ms = TestSources.memory[(Long, Double)]
     val q = Stateful.runningPerKey(ms.toDS())
