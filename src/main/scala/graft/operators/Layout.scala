@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB join paths (SURVEY §4,
+  * "Partitioning & shuffle"):
+  *
+  *  - **Bucketing**: persist both join sides bucketed on the join key →
+  *    Catalyst plans the join with zero Exchange (each bucket pair joins
+  *    in place). This is the steady-state layout for a fact table that
+  *    is joined on the same key every day.
+  *  - **Salting**: when one key dominates (hot key), spread it over
+  *    `salts` sub-keys on the fact side and replicate the dim side per
+  *    salt — turns one straggler partition into `salts` even ones.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed managed table (sorted within buckets for
+    * merge-friendly reads). Join two tables bucketed with the same
+    * (cols, numBuckets) and the plan has no shuffle on either side. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join of two same-bucketed tables by name — shuffle-free when
+    * both were written with identical bucketing. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      on: Seq[String], how: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), on, how)
+
+  /** Skew-safe equi-join: fact rows get a deterministic salt in
+    * [0, salts), the (small) dim side is replicated once per salt, and
+    * the join key becomes (key, salt) — a hot key's rows land in `salts`
+    * partitions instead of one. Result equals a plain equi-join. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, how: String = "inner"): DataFrame = {
+    require(salts > 0)
+    // salt derived from the full fact row's partition-local randomness
+    // substitute: hash of monotonically varying column set — use all
+    // fact columns so equal keys still spread
+    val salted = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+    val replicated = dim.crossJoin(
+      dim.sparkSession.range(salts).select(col("id").cast("int").alias("__salt")))
+    salted.join(replicated, Seq(key, "__salt"), how).drop("__salt")
+  }
+}

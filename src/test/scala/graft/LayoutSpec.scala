@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Layout
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Physical-layout contracts: bucketed joins must plan with no Exchange
+  * on either side; salted joins must be result-identical to plain
+  * equi-joins while spreading each key over `salts` partitions. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with zero shuffle") {
+    val orders = Tables.orders(spark, sf0001).select($"o_custkey", $"o_totalprice")
+    val cust = Tables.customer(spark, sf0001)
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    Layout.writeBucketed(orders, "t_orders_bucketed", Seq("o_custkey"), 8)
+    Layout.writeBucketed(cust, "t_cust_bucketed", Seq("o_custkey"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // forbid broadcast so the join must rely on the bucket layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Layout.bucketedJoin(spark, "t_orders_bucketed", "t_cust_bucketed",
+        Seq("o_custkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(j.count() === orders.join(cust, Seq("o_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS t_cust_bucketed")
+    }
+  }
+
+  test("salted join equals the plain equi-join") {
+    val fact = Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val dim = Tables.customer(spark, sf0001)
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    val plain = fact.join(dim, Seq("o_custkey"))
+      .select($"o_orderkey", $"c_mktsegment").as[(Long, String)].collect().toSet
+    val salted = Layout.saltedJoin(fact, dim, "o_custkey", salts = 7)
+      .select($"o_orderkey", $"c_mktsegment").as[(Long, String)].collect().toSet
+    assert(salted === plain)
+  }
+}
