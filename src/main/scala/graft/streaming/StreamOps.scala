@@ -83,14 +83,21 @@ object StreamOps {
         val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
         Some(txt.toLong)
       } else None
+    // Structured Streaming replays at most the last uncommitted batch per
+    // checkpoint, so comparing against the latest applied id is the full
+    // idempotence contract (older ids can't legally reappear).
     if (current.contains(batchId)) return false // replayed batch: no-op
     val state = current match {
       case Some(id) => spark.read.parquet(new Path(root, s"batch-$id").toString)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], batch.schema)
     }
+    // Debezium-sink parity: `schema.evolution=basic` — a batch carrying
+    // new fields widens the state schema (typed NULL backfill), existing
+    // columns are never dropped or retyped.
+    val (stateEv, batchEv) = graft.sources.SchemaEvolution.evolve(state, batch)
     val snap = new Path(root, s"batch-$batchId")
-    CdcApply(state, batch, keys, ord, isTombstone)
+    CdcApply(stateEv, batchEv, keys, ord, isTombstone)
       .write.mode("overwrite").parquet(snap.toString)
     // flip the pointer: tmp write + rename (atomic on HDFS/local posix)
     val tmp = new Path(root, s"_LATEST.tmp-$batchId")

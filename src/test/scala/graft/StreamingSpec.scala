@@ -150,6 +150,20 @@ class StreamingSpec extends SparkSpec {
     assert(after === state)
   }
 
+  test("T8+S12: CDC state schema evolves when a batch carries new fields") {
+    val dir = tmpDir("cdcevo")
+    import org.apache.spark.sql.functions.col
+    val b1 = Seq((1L, "a", 1L, false)).toDF("id", "v", "seq", "tomb")
+    assert(StreamOps.applyBatch(b1, 0L, s"$dir/state", Seq("id"), Seq(col("seq")), col("tomb")))
+    // batch 1 carries a NEW column `score` → state widens, old row reads NULL
+    val b2 = Seq((2L, "b", 2L, false, 9.5)).toDF("id", "v", "seq", "tomb", "score")
+    assert(StreamOps.applyBatch(b2, 1L, s"$dir/state", Seq("id"), Seq(col("seq")), col("tomb")))
+    val state = StreamOps.readState(spark, s"$dir/state", b2.schema)
+    assert(state.columns.toSeq === Seq("id", "v", "seq", "tomb", "score"))
+    val byId = state.select("id", "score").as[(Long, Option[Double])].collect().toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(9.5))
+  }
+
   test("J9: stream-static join enriches each micro-batch") {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
     val ms = TestSources.memory[(Long, Double)]

@@ -33,6 +33,11 @@ object CdcDrive {
       Seq("id"), Seq(col("seq")), col("tomb")))
     println("STATE AFTER REPLAY (must be unchanged):")
     StreamOps.readState(spark, dir + "/state", df.schema).orderBy("id").show()
+    // schema drift: next batch carries a NEW column -> state widens
+    val evolved = Seq((9L, "z", 3L, false, 9.5)).toDF("id", "v", "seq", "tomb", "score")
+    StreamOps.applyBatch(evolved, 2L, dir + "/state", Seq("id"), Seq(col("seq")), col("tomb"))
+    println("STATE AFTER SCHEMA-EVOLVING BATCH (old rows read NULL score):")
+    StreamOps.readState(spark, dir + "/state", evolved.schema).orderBy("id").show()
     spark.stop()
   }
 }
