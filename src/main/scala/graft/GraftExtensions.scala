@@ -1,0 +1,24 @@
+package graft
+
+import graft.functions.CosineF32
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extensions installed via `SparkSessionExtensions` — the
+  * documented injection point for native functions/rules (enable with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`; GraftSession does this
+  * by default). Currently: the codegen'd `cosine_f32` expression, usable
+  * from SQL text and via `expr("cosine_f32(a, b)")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_f32"),
+      new ExpressionInfo(classOf[CosineF32].getName, "cosine_f32"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_f32 takes exactly 2 arguments")
+        CosineF32(children.head, children(1))
+      }))
+  }
+}

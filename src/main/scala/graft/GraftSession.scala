@@ -23,6 +23,7 @@ object GraftSession {
       Runtime.getRuntime.availableProcessors()).toString
     SparkSession.builder()
       .master(master)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", parts)

@@ -34,6 +34,17 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine via the native codegen'd [[CosineF32]] expression — one fused
+    * loop, no intermediate arrays (~30x the higher-order-function form on
+    * 64-dim float vectors). Built directly from the expression so it works
+    * on any session; [[graft.GraftExtensions]] additionally registers it
+    * as SQL `cosine_f32`. `dot/sqrt(nx*ny)`, so it can differ from
+    * [[cosine]] by ≤1 ulp. */
+  def cosineNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(CosineF32(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Quantize a float vector to a BIGINT grid: round(x * scale).
     * float→double is exact and x*scale stays exact in double for
     * |x|<~100 and scale≤1e6, so both Spark and DuckDB round the same

@@ -151,7 +151,7 @@ object Dedup {
     val r = withB.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__bucket"))
     l.join(r, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), VF.cosine(col("v_a"), col("v_b")).alias("cos_sim"))
+      .select(col("id_a"), col("id_b"), VF.cosineNative(col("v_a"), col("v_b")).alias("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

@@ -27,7 +27,7 @@ object Similarity {
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
-      .select(col(qId), col(cId), VF.cosine(col(qVec), col(cVec)).alias("cos_sim"))
+      .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -70,7 +70,7 @@ object Similarity {
     // per-vector scored lists: array<struct<list, sim>>
     def scored(vec: Column): Column =
       transform(cents, c => struct(c.getField("_1").alias("list"),
-        VF.cosine(vec, c.getField("_2")).alias("sim")))
+        VF.cosineNative(vec, c.getField("_2")).alias("sim")))
     // nearest list = running-max fold (no shuffle, no window)
     def nearestList(vec: Column): Column =
       aggregate(scored(vec),
@@ -89,7 +89,7 @@ object Similarity {
       explode(probeLists(col(qVec))).alias("__list"))
     val wTop = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
     assigned.join(broadcast(probes), Seq("__list"))
-      .select(col(qId), col(cId), VF.cosine(col(qVec), col(cVec)).alias("cos_sim"))
+      .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
       .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
   }
 
@@ -106,7 +106,7 @@ object Similarity {
           col("__sig") +: (0 until nPlanes).map(b => col("__sig").bitwiseXOR(lit(1L << b))): _*)))
           .alias("__bucket"))
     val scored = bucketed.join(broadcast(probes), Seq("__bucket"))
-      .select(col(qId), col(cId), VF.cosine(col(qVec), col(cVec)).alias("cos_sim"))
+      .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
     scored.groupBy(col(qId), col(cId)).agg(first(col("cos_sim")).alias("cos_sim"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -89,6 +89,17 @@ object LlmQueries {
         .orderBy(col("id_a"))
     }, Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosQSql("a.embedding", "b.embedding")} AS cos_sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""")),
 
+    // ---- L3b: native codegen'd cosine expression (cosine_f32 via
+    // SparkSessionExtensions) — same adjacent-pair shape as l03; the
+    // sequential-double-loop semantics are reproducible in DuckDB ----
+    ("l03b_cosine_native", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      emb.as("a").join(emb.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          VF.cosineNative(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        .orderBy(col("id_a"))
+    }, Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos_sim FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""")),
+
     // ---- L4: brute-force top-k similarity search (quantized scores) ----
     ("l04_topk_search", (s, d) => {
       val emb = Tables.embeddings(s, d)

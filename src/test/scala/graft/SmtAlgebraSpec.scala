@@ -52,6 +52,24 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(perKey === 1L, "a key mapped to >1 partition")
   }
 
+  test("L3: native cosine_f32 matches the HOF cosine and works from SQL text") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val both = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(VF.cosine(col("a.embedding"), col("b.embedding")).as("hof"),
+        VF.cosineNative(col("a.embedding"), col("b.embedding")).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    // SQL-text path through the SparkSessionExtensions registration
+    vecs.createOrReplaceTempView("emb_native_test")
+    val viaSql = spark.sql(
+      """SELECT cosine_f32(a.embedding, b.embedding) c
+        |FROM emb_native_test a JOIN emb_native_test b ON b.vec_id = a.vec_id + 1""".stripMargin)
+      .collect()
+    assert(viaSql.nonEmpty && viaSql.forall(r => !r.isNullAt(0)))
+  }
+
   test("L3: cosineQ agrees with float cosine to quantization tolerance; symmetric") {
     val vecs = Seq(
       (1L, Seq(0.1f, -0.2f, 0.3f)), (2L, Seq(0.25f, 0.05f, -0.4f)))

@@ -11,9 +11,7 @@ object PerfProbe {
     println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
   def main(args: Array[String]): Unit = {
-    val spark: SparkSession = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark: SparkSession = graft.GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
@@ -25,6 +23,16 @@ object PerfProbe {
     time("minhash sig only")(
       docs.select(col("doc_id"), Dedup.minhashSignature(graft.functions.TextFunctions.shingleSet(col("text"), 3), 16).as("sig")).write.format("noop").mode("overwrite").save())
     time("minhash candidates full")(println("pairs=" + Dedup.minhashCandidates(docs, "text", "doc_id").count()))
+    // native vs HOF cosine on an all-pairs scoring workload
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    import graft.functions.{VectorFunctions => VF}
+    val pairs = emb.as("a").crossJoin(emb.limit(500).as("b"))
+    time("cosine HOF 1M pairs")(
+      pairs.select(VF.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+        .write.format("noop").mode("overwrite").save())
+    time("cosine native 1M pairs")(
+      pairs.select(VF.cosineNative(col("a.embedding"), col("b.embedding")).as("c"))
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
