@@ -6,8 +6,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for training-data pipelines (SURVEY §2.9 L1/L2):
-  * exact content hash, MinHash-LSH near-dup, SimHash near-dup, n-gram
-  * Jaccard verification. All stages are keyed and partitionable — the
+  * exact content hash, MinHash-LSH near-dup (Broder's min-wise hashing
+  * with banded LSH), SimHash near-dup (Charikar's random-projection
+  * fingerprints), n-gram Jaccard verification. All stages are keyed and partitionable — the
   * 100 TB shapes are:
   *
   *  - exact: one shuffle on the 256-bit content hash (uniform keys, no

@@ -16,7 +16,10 @@ import org.apache.hadoop.fs.Path
   *
   * Every helper takes/returns DataFrames so it works identically on a
   * batch frame (for the DuckDB-oracle batch equivalents) and on a
-  * streaming frame (exercised with MemoryStream in the test suite).
+  * streaming frame (exercised with MemoryStream in the test suite) —
+  * the batch/streaming unification described in "Structured Streaming:
+  * A Declarative API for Real-Time Applications in Apache Spark"
+  * (SIGMOD 2018; PAPERS.md corpus).
   */
 object StreamOps {
 
