@@ -55,7 +55,7 @@ object KafkaEnvelope {
     * a single-partition shuffle — so the envelope semantics survive any
     * data size. Downstream code cannot tell this from a real topic scan. */
   def wrap(df: DataFrame, keyCol: String, tsCol: String, topic: String,
-      numPartitions: Int = 8): DataFrame = {
+      numPartitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val part = pmod(hash(col(keyCol)), lit(numPartitions))
     val w = Window.partitionBy(part).orderBy(col(tsCol), col(keyCol))

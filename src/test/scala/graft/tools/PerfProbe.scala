@@ -23,6 +23,19 @@ object PerfProbe {
     time("minhash sig only")(
       docs.select(col("doc_id"), Dedup.minhashSignature(graft.functions.TextFunctions.shingleSet(col("text"), 3), 16).as("sig")).write.format("noop").mode("overwrite").save())
     time("minhash candidates full")(println("pairs=" + Dedup.minhashCandidates(docs, "text", "doc_id").count()))
+    // envelope stage breakdown
+    import graft.sources.{KafkaEnvelope, Tables}
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, d)
+    time("events scan only")(ev.write.format("noop").mode("overwrite").save())
+    val env = KafkaEnvelope.wrap(ev, "user_id", "ts", "events")
+    time("wrap only")(env.write.format("noop").mode("overwrite").save())
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    time("wrap+unwrap")(KafkaEnvelope.unwrapJson(env, payloadSchema)
+      .write.format("noop").mode("overwrite").save())
     // native vs HOF cosine on an all-pairs scoring workload
     val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     import graft.functions.{VectorFunctions => VF}
