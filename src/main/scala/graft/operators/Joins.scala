@@ -98,9 +98,11 @@ object Joins {
   /** As-of join, narrow-sort variant: the union+window pass carries only
     * (key, ts, side, leftId, right payload) — for a wide left table this
     * keeps the sort rows small, then one equi-join on `leftId` re-attaches
-    * the left payload (leftId must be unique per left row, e.g. an event
-    * id). Same semantics as [[asofJoin]]; prefer this when the left side
-    * has many/wide columns, the plain form when it's already narrow. */
+    * the left payload. `leftId` MUST be unique and non-null per left row
+    * (e.g. an event id): the re-attach is a left join, so a null id keeps
+    * its row but reads null as-of values instead of a window match —
+    * that's the one divergence from [[asofJoin]]. Prefer this form when
+    * the left side is wide, the plain form when it's already narrow. */
   def asofJoinNarrow(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, leftId: String,
       valueCols: Seq[String]): DataFrame = {
@@ -123,6 +125,6 @@ object Joins {
         valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).alias(c)): _*)
       .where(col("__side") === 1)
       .select(col("__lid") +: valueCols.map(col): _*)
-    left.join(matched, left(leftId) === matched("__lid"), "inner").drop("__lid")
+    left.join(matched, left(leftId) === matched("__lid"), "left").drop("__lid")
   }
 }

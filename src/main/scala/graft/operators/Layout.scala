@@ -40,6 +40,9 @@ object Layout {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int, how: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full outer would emit each unmatched dim row once per salt
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(how),
+      s"saltedJoin supports fact-preserving join types only, got $how")
     // salt derived from the full fact row's partition-local randomness
     // substitute: hash of monotonically varying column set — use all
     // fact columns so equal keys still spread

@@ -36,10 +36,18 @@ object ConnectorConfig {
       val sb = new StringBuilder
       while (i < s.length && s(i) != '"') {
         if (s(i) == '\\' && i + 1 < s.length) {
-          sb.append(s(i + 1) match {
-            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-            case other => other
-          }); i += 2
+          s(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'u' =>
+              if (i + 6 > s.length) err("truncated \\u escape")
+              val hex = s.substring(i + 2, i + 6)
+              if (!hex.forall(c => Character.digit(c, 16) >= 0)) err(s"bad \\u escape $hex")
+              sb.append(Integer.parseInt(hex, 16).toChar); i += 6
+            case '"' | '\\' | '/' => sb.append(s(i + 1)); i += 2
+            case other => err(s"unknown escape \\$other")
+          }
         } else { sb.append(s(i)); i += 1 }
       }
       expect('"'); sb.toString
@@ -90,15 +98,18 @@ object ConnectorConfig {
         val table = config("table.whitelist").orElse(config("table")).getOrElse(
           throw new IllegalArgumentException(s"${config.name}: no table configured"))
         val df = Tables.loadNormalized(spark, sfDir, table)
+        def req(key: String): String = config(key).getOrElse(
+          throw new IllegalArgumentException(s"${config.name}: missing $key"))
         config("mode").getOrElse("bulk") match {
           case "bulk" => df
           case "incrementing" =>
-            Tables.incrementingScan(df, config("incrementing.column.name").get, lastId)
+            Tables.incrementingScan(df, req("incrementing.column.name"), lastId)
           case "timestamp+incrementing" =>
             Tables.timestampIncrementingScan(df,
-              config("timestamp.column.name").get,
-              config("incrementing.column.name").get, lastTs, lastId)
-          case other => throw new IllegalArgumentException(s"unknown mode $other")
+              req("timestamp.column.name"), req("incrementing.column.name"),
+              lastTs, lastId)
+          case other => throw new IllegalArgumentException(
+            s"${config.name}: unknown mode $other")
         }
     }
   }

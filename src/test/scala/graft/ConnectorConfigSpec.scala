@@ -30,9 +30,21 @@ class ConnectorConfigSpec extends SparkSpec {
   test("parseFlatJson handles escapes and rejects malformed input") {
     assert(ConnectorConfig.parseFlatJson("""{"a": "x\"y", "b": "p\\q"}""")
       === Map("a" -> "x\"y", "b" -> "p\\q"))
+    // \uXXXX decodes (backslash written escaped so scalac doesn't pre-process)
+    assert(ConnectorConfig.parseFlatJson("{\"p\": \"p\\u0041ss\\u00e9\"}")
+      === Map("p" -> "pAss\u00e9"))
     assert(ConnectorConfig.parseFlatJson("{}") === Map.empty)
     intercept[IllegalArgumentException](ConnectorConfig.parseFlatJson("""{"a" "b"}"""))
     intercept[IllegalArgumentException](ConnectorConfig.parseFlatJson("""not json"""))
+    intercept[IllegalArgumentException](ConnectorConfig.parseFlatJson("{\"a\": \"\\uZZZZ\"}"))
+    intercept[IllegalArgumentException](ConnectorConfig.parseFlatJson("{\"a\": \"\\x\"}"))
+  }
+
+  test("sourceScan errors name the connector and the missing key") {
+    val cfg = ConnectorConfig.Config("c1", Map("table" -> "events", "mode" -> "incrementing"))
+    val e = intercept[IllegalArgumentException](
+      ConnectorConfig.sourceScan(spark, sf0001, cfg))
+    assert(e.getMessage.contains("c1") && e.getMessage.contains("incrementing.column.name"))
   }
 
   test("sourceScan dispatches timestamp+incrementing mode with resume offsets") {

@@ -43,5 +43,8 @@ class LayoutSpec extends SparkSpec {
     val salted = Layout.saltedJoin(fact, dim, "o_custkey", salts = 7)
       .select($"o_orderkey", $"c_mktsegment").as[(Long, String)].collect().toSet
     assert(salted === plain)
+    // dim-duplicating join types are rejected up front
+    intercept[IllegalArgumentException](
+      Layout.saltedJoin(fact, dim, "o_custkey", salts = 7, how = "full"))
   }
 }

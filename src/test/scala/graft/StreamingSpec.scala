@@ -148,6 +148,12 @@ class StreamingSpec extends SparkSpec {
     val after = StreamOps.readState(spark, s"$dir/state", df.schema)
       .select("id", "v").as[(Long, String)].collect().toSet
     assert(after === state)
+    // snapshot GC: only the current and previous batch dirs survive
+    val dirs = new java.io.File(s"$dir/state").listFiles
+      .map(_.getName).filter(_.startsWith("batch-")).sorted
+    assert(dirs.length <= 2, s"superseded snapshots not GC'd: ${dirs.mkString(",")}")
+    // pointer always exists after a flip (no delete-then-rename window)
+    assert(new java.io.File(s"$dir/state/_LATEST").exists)
   }
 
   test("T8+S12: CDC state schema evolves when a batch carries new fields") {
