@@ -129,6 +129,24 @@ class StreamingSpec extends SparkSpec {
     assert(last === Set((1L, 3L, 6.0), (2L, 1L, 10.0)))
   }
 
+  test("T7b: firstSeenOnly suppresses keys already seen in earlier batches") {
+    val ms = TestSources.memory[(Long, String)]
+    val q = Stateful.firstSeenOnly(ms.toDS())
+      .writeStream.format("memory").queryName("t7b_out")
+      .outputMode(OutputMode.Update).start()
+    ms.addData((1L, "first"), (2L, "first")); q.processAllAvailable()
+    ms.addData((1L, "AGAIN"), (3L, "first")); q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t7b_out").as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "first"), (2L, "first"), (3L, "first")))
+  }
+
+  test("S15: rate source is a streaming frame with the documented schema") {
+    val df = TestSources.rate(spark, rowsPerSecond = 5)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq === Seq("timestamp", "value"))
+  }
+
   test("T8/T9: cdcSink applies upserts+tombstones; replayed batch is a no-op") {
     val ms = TestSources.memory[(Long, String, Long, Boolean)]
     val df = ms.toDF.toDF("id", "v", "seq", "tomb")
