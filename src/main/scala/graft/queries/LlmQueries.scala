@@ -70,6 +70,38 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }, None),
 
+    // ---- L2d: MinHash recall contract — every planted near-dup pair
+    // must surface as a candidate with verified jaccard ≥ 0.8; the
+    // banding arithmetic is engine-side, but "zero planted pairs missed"
+    // is an exact oracle-checkable statement ----
+    ("l02d_minhash_planted_recall", (s, d) => {
+      val aug = withNearDups(s, d)
+      val cands = Dedup.minhashCandidates(aug, "text", "doc_id")
+        .where(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val planted = Tables.documents(s, d).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 200000).as("id_b"))
+      planted.join(cands, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
+
+    // ---- L2e: SimHash pigeonhole contract — every planted pair whose
+    // signatures are within maxDist=3 must appear in the banded
+    // candidates (guaranteed by construction: 4 bands, maxDist < bands) ----
+    ("l02e_simhash_guarantee", (s, d) => {
+      val aug = withNearDups(s, d)
+      val sigs = aug.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      val withinDist = sigs.as("a").join(sigs.as("b"),
+          col("a.doc_id") + 200000 === col("b.doc_id"))
+        .where(Dedup.hamming(col("a.sig"), col("b.sig")) <= 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val cands = Dedup.simhashCandidates(aug, "text", "doc_id", maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+      withinDist.join(cands, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("missed_within_dist"))
+    }, Some("""SELECT 0 AS missed_within_dist""")),
+
     // ---- L2c: embedding-cosine near-dup pairs (planted exact copies) ----
     ("l02c_embedding_near_dups", (s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
