@@ -37,8 +37,11 @@ object CdcApply {
   def apply(state: DataFrame, changes: DataFrame, keys: Seq[String],
       ord: Seq[Column], isTombstone: Column): DataFrame = {
     val lastChange = latestPerKey(changes, keys, ord)
-    val deletes = lastChange.where(isTombstone)
-    val upserts = lastChange.where(!isTombstone)
+    // NULL predicate = not a tombstone (a bare where(!p) would drop the
+    // row from BOTH branches and silently keep the stale state row)
+    val tomb = coalesce(isTombstone, lit(false))
+    val deletes = lastChange.where(tomb)
+    val upserts = lastChange.where(!tomb)
     val kept = applyTombstones(
       applyTombstones(state, upserts, keys), deletes, keys)
     kept.unionByName(upserts.select(state.columns.map(col): _*))

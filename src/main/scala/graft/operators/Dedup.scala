@@ -25,12 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** L1 — exact dedup: keep the smallest `idCol` per sha256(text). */
+  /** L1 — exact dedup: keep the smallest `idCol` per sha256(text).
+    * NULL texts are not duplicates of each other — they all pass through
+    * (window partitioning would otherwise group every NULL together and
+    * silently drop all but one). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
     df.withColumn("__h", sha2(col(textCol), 256))
       .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
+      .where(col("__rn") === 1 || col(textCol).isNull)
       .drop("__h", "__rn")
   }
 
@@ -109,10 +112,13 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Hamming distance between two packed BIGINT signatures (popcount of
-    * XOR — one codegen'd kernel, not a 32-term shift chain). */
-  def hamming(a: Column, b: Column, bits: Int = 32): Column =
-    bit_count(a.bitwiseXOR(b))
+  /** Hamming distance between two packed BIGINT signatures, windowed to
+    * the low `bits` (popcount of masked XOR — one codegen'd kernel, not
+    * a 32-term shift chain). */
+  def hamming(a: Column, b: Column, bits: Int = 32): Column = {
+    val mask = if (bits >= 63) Long.MaxValue else (1L << bits) - 1L
+    bit_count(a.bitwiseXOR(b).bitwiseAND(lit(mask)))
+  }
 
   /** SimHash near-dup pairs via rotated bucketings: the 32-bit signature
     * is split into `nBands` bit-bands; two signatures within Hamming

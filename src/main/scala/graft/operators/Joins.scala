@@ -72,27 +72,34 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTs: String,
       rightTs: String, valueCols: Seq[String]): DataFrame = {
     val lCols = left.columns
-    // tag: right=0 sorts before left=1 at equal ts → inclusive (<=) match
+    val rightStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
+    // The whole right payload travels as ONE struct so the carried-forward
+    // values always come from a single right row — per-column last() would
+    // stitch values from different rows when payload columns are NULL.
+    // tag: right=0 sorts before left=1 at equal ts → inclusive (<=) match;
+    // equal-ts right rows tie-break on the payload struct for determinism.
     val rTagged = right.select(
       (col(key).alias(key) +:
         col(rightTs).alias("__ts") +:
         lit(0).alias("__side") +:
-        valueCols.map(c => col(c).alias(s"__v_$c"))) ++
-        lCols.filterNot(c => c == key).map(c => lit(null).cast(left.schema(c).dataType).alias(c)): _*)
+        struct(valueCols.map(col): _*).alias("__v") +:
+        lCols.filterNot(c => c == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).alias(c))): _*)
     val lTagged = left.select(
       (col(key) +:
         col(leftTs).alias("__ts") +:
         lit(1).alias("__side") +:
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).alias(s"__v_$c"))) ++
-        lCols.filterNot(c => c == key).map(col): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+        lit(null).cast(rightStructType).alias("__v") +:
+        lCols.filterNot(c => c == key).map(col)): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rTagged.unionByName(lTagged)
-      .select((col(key) +: col("__ts") +: col("__side") +:
-        lCols.filterNot(_ == key).map(col)) ++
-        valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).alias(c)): _*)
+      .select((col(key) +: col("__side") +:
+        lCols.filterNot(_ == key).map(col)) :+
+        last(col("__v"), ignoreNulls = true).over(w).alias("__v"): _*)
     filled.where(col("__side") === 1)
-      .select(lCols.map(col) ++ valueCols.map(col): _*)
+      .select(lCols.map(col) ++ valueCols.map(c => col(s"__v.$c").alias(c)): _*)
   }
 
   /** As-of join, narrow-sort variant: the union+window pass carries only
@@ -106,25 +113,27 @@ object Joins {
   def asofJoinNarrow(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, leftId: String,
       valueCols: Seq[String]): DataFrame = {
+    val rightStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
     val rTagged = right.select(
-      col(key) +:
-        col(rightTs).alias("__ts") +:
-        lit(0).alias("__side") +:
-        lit(null).cast(left.schema(leftId).dataType).alias("__lid") +:
-        valueCols.map(c => col(c).alias(s"__v_$c")): _*)
+      col(key),
+      col(rightTs).alias("__ts"),
+      lit(0).alias("__side"),
+      lit(null).cast(left.schema(leftId).dataType).alias("__lid"),
+      struct(valueCols.map(col): _*).alias("__v"))
     val lTagged = left.select(
-      col(key) +:
-        col(leftTs).alias("__ts") +:
-        lit(1).alias("__side") +:
-        col(leftId).alias("__lid") +:
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).alias(s"__v_$c")): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      col(key),
+      col(leftTs).alias("__ts"),
+      lit(1).alias("__side"),
+      col(leftId).alias("__lid"),
+      lit(null).cast(rightStructType).alias("__v"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = rTagged.unionByName(lTagged)
-      .select(col("__side") +: col("__lid") +:
-        valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).alias(c)): _*)
+      .select(col("__side"), col("__lid"),
+        last(col("__v"), ignoreNulls = true).over(w).alias("__v"))
       .where(col("__side") === 1)
-      .select(col("__lid") +: valueCols.map(col): _*)
+      .select(col("__lid") +: valueCols.map(c => col(s"__v.$c").alias(c)): _*)
     left.join(matched, left(leftId) === matched("__lid"), "left").drop("__lid")
   }
 }

@@ -43,11 +43,10 @@ object Layout {
     // right/full outer would emit each unmatched dim row once per salt
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(how),
       s"saltedJoin supports fact-preserving join types only, got $how")
-    // salt derived from the full fact row's partition-local randomness
-    // substitute: hash of monotonically varying column set — use all
-    // fact columns so equal keys still spread
+    // salt = hash(key, per-row id): spreads even byte-identical hot-key
+    // rows, and never touches other columns (hash() rejects MapType)
     val salted = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
     val replicated = dim.crossJoin(
       dim.sparkSession.range(salts).select(col("id").cast("int").alias("__salt")))
     salted.join(replicated, Seq(key, "__salt"), how).drop("__salt")

@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
   * approximate variant as the scale path.
   *
+  * Zero-norm/empty embeddings score NaN and are excluded from every
+  * top-k (Spark sorts NaN above all doubles — unfiltered, one broken
+  * vector would rank #1 for every query).
+  *
   * 100 TB shapes:
   *  - brute force: `queries` is small (user-supplied) → broadcast it;
   *    the corpus streams through map-side scoring and a per-query top-k
@@ -29,7 +33,8 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.where(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** L4 (oracle-deterministic variant) — brute-force top-k over the
@@ -42,7 +47,8 @@ object Similarity {
       .select(col(qId), col(cId),
         VF.cosineQ(VF.quantize(col(qVec)), VF.quantize(col(cVec))).alias("cos_sim"))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.where(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** ANN via IVF (inverted-file) coarse quantization: `nLists` corpus
@@ -90,6 +96,7 @@ object Similarity {
     val wTop = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
     assigned.join(broadcast(probes), Seq("__list"))
       .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
+      .where(!isnan(col("cos_sim")))
       .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
   }
 
@@ -108,7 +115,8 @@ object Similarity {
     val scored = bucketed.join(broadcast(probes), Seq("__bucket"))
       .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
-    scored.groupBy(col(qId), col(cId)).agg(first(col("cos_sim")).alias("cos_sim"))
+    scored.where(!isnan(col("cos_sim")))
+      .groupBy(col(qId), col(cId)).agg(first(col("cos_sim")).alias("cos_sim"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }

@@ -54,9 +54,19 @@ object AvroSerde {
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }
     def recordSchema(s: StructType, n: String): String = {
+      // Avro field names must match [A-Za-z_][A-Za-z0-9_]* — sanitize
+      // (dashes/dots/spaces are common Connect column names). Data
+      // mapping is positional on both serde paths, so the rename is
+      // invisible to the round-trip.
+      val seen = scala.collection.mutable.Map.empty[String, Int]
       val fields = s.fields.map { f =>
-        val safe = f.name.replaceAll("[^A-Za-z0-9_]", "_")
-        s"""{"name":"${esc(f.name)}","type":["null",${field(f.dataType, n + "_" + safe)}],"default":null}"""
+        val cleaned = f.name.replaceAll("[^A-Za-z0-9_]", "_")
+        val base = if (cleaned.isEmpty || cleaned.head.isDigit) "_" + cleaned else cleaned
+        // distinct source names may sanitize identically ("a-b", "a.b");
+        // suffix duplicates so the Avro schema stays valid
+        val idx = seen.getOrElse(base, 0); seen(base) = idx + 1
+        val safe = if (idx == 0) base else s"${base}_$idx"
+        s"""{"name":"${esc(safe)}","type":["null",${field(f.dataType, n + "_" + safe)}],"default":null}"""
       }.mkString(",")
       s"""{"type":"record","name":"$n","fields":[$fields]}"""
     }
@@ -97,7 +107,11 @@ object AvroSerde {
   private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (r: GenericRecord, st: StructType) =>
-      Row.fromSeq(st.fields.map(f => fromAvro(r.get(f.name), f.dataType)).toSeq)
+      // positional, not by name — the Avro schema may carry sanitized
+      // field names that differ from the Spark ones
+      Row.fromSeq(st.fields.zipWithIndex.map { case (f, i) =>
+        fromAvro(r.get(i), f.dataType)
+      }.toSeq)
     case (l: java.util.List[_], ArrayType(et, _)) =>
       l.asScala.map(e => fromAvro(e, et)).toSeq
     case (m: java.util.Map[_, _], MapType(_, vt, _)) =>

@@ -79,10 +79,14 @@ object KafkaEnvelope {
   /** Decode the JSON value payload back to columns (S8 schemaless-JSON
     * path, reference `main.sh:78-81`). The consumed binary `value` column
     * is dropped — like a Connect converter replacing bytes with the
-    * structured record — so payload field names (e.g. `value`) can't
-    * collide with the envelope's. */
+    * structured record — and any other envelope column shadowed by a
+    * payload field name (e.g. a payload `timestamp`) is dropped too:
+    * record fields win over transport metadata, and keeping both would
+    * make every later reference ambiguous. */
   def unwrapJson(df: DataFrame, valueSchema: StructType, valueCol: String = "value"): DataFrame = {
-    val rest = df.columns.filterNot(_ == valueCol)
+    val payloadNames = valueSchema.fieldNames.map(_.toLowerCase).toSet
+    val rest = df.columns.filterNot(c =>
+      c == valueCol || payloadNames(c.toLowerCase))
     df.withColumn("__v", from_json(col(valueCol).cast(StringType), valueSchema, jsonOpts))
       .select(rest.map(col) :+ col("__v.*"): _*)
   }

@@ -26,19 +26,27 @@ object SchemaEvolution {
 
   /** Union of two schemas: `base` columns first (their types win on
     * name collision — 'basic' evolution never retypes), then columns
-    * only `incoming` has. */
+    * only `incoming` has. Name matching is case-insensitive, mirroring
+    * Spark's default resolution — a case-only variant is the same
+    * column, not a new one (two would make every reference ambiguous). */
   def merged(base: StructType, incoming: StructType): StructType = {
-    val names = base.fieldNames.toSet
-    StructType(base.fields ++ incoming.fields.filterNot(f => names(f.name)))
+    val names = base.fieldNames.map(_.toLowerCase).toSet
+    StructType(base.fields ++
+      incoming.fields.filterNot(f => names(f.name.toLowerCase)))
   }
 
   /** Project `df` onto `target`: missing columns become typed NULLs,
-    * column order normalized. The sink-side half of basic evolution. */
-  def alignTo(df: DataFrame, target: StructType): DataFrame =
+    * column order normalized (case-insensitive name matching, like
+    * Spark resolution). The sink-side half of basic evolution. */
+  def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
     df.select(target.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).alias(f.name)
-      else lit(null).cast(f.dataType).alias(f.name)
+      byLower.get(f.name.toLowerCase) match {
+        case Some(src) => col(src).cast(f.dataType).alias(f.name)
+        case None => lit(null).cast(f.dataType).alias(f.name)
+      }
     }.toIndexedSeq: _*)
+  }
 
   /** Evolve both sides to the merged schema — what the Debezium sink
     * does before an upsert batch whose records carry new fields. */

@@ -22,7 +22,9 @@ object Reconcile {
     * (name → un-started writer). Returns (started, stopped) query names. */
   def apply(spark: SparkSession,
       desired: Map[String, DataStreamWriter[Row]]): (Seq[String], Seq[String]) = {
-    val active = spark.streams.active.map(q => q.name -> q).toMap
+    // unnamed queries (name == null) are ad-hoc user streams — never
+    // managed, never pruned (and they'd NPE the name sort below)
+    val active = spark.streams.active.filter(_.name != null).map(q => q.name -> q).toMap
     val toStart = desired.keySet.diff(active.keySet).toSeq.sorted
     val toStop = active.keySet.diff(desired.keySet).toSeq.sorted
     toStop.foreach { n => active(n).stop() }

@@ -63,6 +63,14 @@ class AvroSerdeSpec extends SparkSpec {
     assert(r2.isNullAt(1) && r2.isNullAt(2) && r2.isNullAt(3))
   }
 
+  test("round-trips non-identifier column names (dash/dot/leading digit)") {
+    val df = Seq((1L, "a", 2.5)).toDF("user-id", "the.name", "1st_score")
+    val rt = AvroSerde.deserialize(
+      AvroSerde.serialize(df, df.columns.toSeq), "avro_value", df.schema, "rt")
+    val back = rt.select($"rt.`user-id`", $"rt.`the.name`", $"rt.`1st_score`")
+    assert(back.collect().toSeq === df.collect().toSeq)
+  }
+
   test("property: seeded random primitive rows survive the round-trip") {
     val rnd = new scala.util.Random(42)
     val data = (0 until 200).map { i =>

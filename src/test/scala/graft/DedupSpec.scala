@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("L1: NULL texts all pass through exact dedup (not merged as duplicates)") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, null), (4L, null), (5L, null))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 3L, 4L, 5L)) // one of the dups, ALL the nulls
+  }
+
+  test("L4: a zero-norm embedding never outranks real neighbors (NaN filtered)") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .unionByName(Seq((999999L, Seq.empty[Float], 0))
+        .toDF("vec_id", "embedding", "label"))
+    val queries = emb.where($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val top = Similarity.bruteForceTopK(queries, emb, 5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!top.contains(999999L))
+  }
+
   test("A4 claim: approx_count_distinct within rsd bound of exact") {
     val o = Tables.orders(spark, sf0001)
     val exact = o.agg(countDistinct($"o_custkey")).as[Long].head()

@@ -219,6 +219,33 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(1L))
   }
 
+  test("T8: a NULL tombstone predicate counts as an upsert, not a dropped change") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("cdcnull")
+    val b1 = Seq((1L, "old", 1L, "keep")).toDF("id", "v", "seq", "kind")
+    StreamOps.applyBatch(b1, 0L, s"$dir/state", Seq("id"), Seq(col("seq")),
+      col("kind") === "del")
+    // latest change for key 1 has kind=NULL → must still upsert
+    val b2 = Seq((1L, "new", 2L, null.asInstanceOf[String])).toDF("id", "v", "seq", "kind")
+    StreamOps.applyBatch(b2, 1L, s"$dir/state", Seq("id"), Seq(col("seq")),
+      col("kind") === "del")
+    val v = StreamOps.readState(spark, s"$dir/state", b1.schema)
+      .select("v").as[String].collect()
+    assert(v.toSeq === Seq("new"))
+  }
+
+  test("T10: reconcile ignores unnamed ad-hoc queries instead of NPE/pruning them") {
+    val adhoc = TestSources.memory[Long]
+    adhoc.addData(1L)
+    // no .queryName(...) → StreamingQuery.name returns null
+    val unnamed = adhoc.toDF.writeStream.format("console").outputMode(OutputMode.Append).start()
+    try {
+      val (started, stopped) = Reconcile(spark, Map.empty)
+      assert(started.isEmpty && stopped.isEmpty) // unnamed stream untouched
+      assert(unnamed.isActive)
+    } finally unnamed.stop()
+  }
+
   test("T10: reconcile starts missing queries, stops unmanaged, stop() returns true") {
     val msA = TestSources.memory[Long]
     val msB = TestSources.memory[Long]
