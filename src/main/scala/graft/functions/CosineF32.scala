@@ -33,13 +33,28 @@ case class CosineF32(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_f32"
 
+  // Parquet/Arrow list elements are nullable by default, so the real
+  // embedding columns arrive as containsNull=true even when no element
+  // is ever null. A null element nulls the whole result (SQL semantics)
+  // instead of getFloat() silently reading garbage; the per-element null
+  // check is only emitted/taken when the input type admits nulls, so the
+  // containsNull=false path stays the original tight loop.
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
+    val checkNulls = elementsNullable
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -57,15 +72,21 @@ case class CosineF32(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullCheck = if (elementsNullable)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $xi = (double) $x.getFloat($i);
          |  double $yi = (double) $y.getFloat($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+         |}
        """.stripMargin
     })
 

@@ -114,9 +114,11 @@ object Dedup {
 
   /** Hamming distance between two packed BIGINT signatures, windowed to
     * the low `bits` (popcount of masked XOR — one codegen'd kernel, not
-    * a 32-term shift chain). */
+    * a 32-term shift chain). Same `bits <= 63` contract as [[simhash]]:
+    * a silent Long.MaxValue mask at bits=64 would drop sign-bit diffs. */
   def hamming(a: Column, b: Column, bits: Int = 32): Column = {
-    val mask = if (bits >= 63) Long.MaxValue else (1L << bits) - 1L
+    require(bits <= 63, "packed signature must fit a BIGINT")
+    val mask = if (bits == 63) Long.MaxValue else (1L << bits) - 1L
     bit_count(a.bitwiseXOR(b).bitwiseAND(lit(mask)))
   }
 

@@ -67,7 +67,12 @@ object Joins {
     * AQE. Right rows at the same ts as a left row sort BEFORE it so the
     * equal timestamp is visible (<= semantics).
     *
-    * @param valueCols right-side payload columns to attach.
+    * @param valueCols right-side payload columns to attach. Must all be
+    *   orderable types (no MapType): the payload struct participates in
+    *   the window ORDER BY as the deterministic tie-break for equal-ts
+    *   right rows, and Spark rejects un-orderable sort keys at analysis.
+    *   With a MapType payload, project the map to sorted entries first
+    *   (or drop it from valueCols and re-attach by id afterwards).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTs: String,
       rightTs: String, valueCols: Seq[String]): DataFrame = {

@@ -136,7 +136,10 @@ object SmtQueries {
         .groupBy(col("user_id")).agg(sum(col("unix_s")).as("sum_unix"),
           sum(col("ts_rt_us")).as("sum_rt_us"), countDistinct(col("ts_str")).as("n_hours"))
         .orderBy(col("user_id"))
-    }, Some("""SELECT user_id, SUM(epoch_us(ts) // 1000000) AS sum_unix, SUM((epoch_us(ts) // 1000000) * 1000000) AS sum_rt_us, COUNT(DISTINCT strftime(ts, '%Y-%m-%d %H')) AS n_hours FROM events GROUP BY user_id ORDER BY user_id""")),
+    // NOTE: DuckDB SUM(BIGINT) returns HUGEINT, which the driver's pandas
+    // compare renders as float64 while Spark emits exact int64 — equal
+    // values, different hashes. CAST both sums back to BIGINT (SURVEY §5).
+    }, Some("""SELECT user_id, CAST(SUM(epoch_us(ts) // 1000000) AS BIGINT) AS sum_unix, CAST(SUM((epoch_us(ts) // 1000000) * 1000000) AS BIGINT) AS sum_rt_us, COUNT(DISTINCT strftime(ts, '%Y-%m-%d %H')) AS n_hours FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // ---- P14: header ops — insert, extract back, drop ----
     ("p14_headers", (s, d) => {

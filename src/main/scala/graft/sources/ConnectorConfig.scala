@@ -35,11 +35,14 @@ object ConnectorConfig {
       expect('"')
       val sb = new StringBuilder
       while (i < s.length && s(i) != '"') {
-        if (s(i) == '\\' && i + 1 < s.length) {
+        if (s(i) == '\\' && i + 1 >= s.length) err("trailing unpaired backslash")
+        else if (s(i) == '\\') {
           s(i + 1) match {
             case 'n' => sb.append('\n'); i += 2
             case 't' => sb.append('\t'); i += 2
             case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
             case 'u' =>
               if (i + 6 > s.length) err("truncated \\u escape")
               val hex = s.substring(i + 2, i + 6)
