@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+
+/** One (score, id) candidate flowing through [[Aggregators.topK]]. */
+final case class Scored(sim: Double, id: Long)
 
 /** Custom typed aggregation surface (SURVEY §2.4 A9): an
   * `Aggregator[IN,BUF,OUT]` registered via `functions.udaf`, the idiomatic
@@ -28,4 +32,35 @@ object Aggregators {
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
+
+  /** Bounded top-k combiner (SURVEY §2.9 L4): keeps the k best
+    * (sim desc, id asc) candidates, never more than 2k in the buffer.
+    * Used via `udaf` + `groupBy(qId)`, Spark's partial aggregation turns
+    * it into a distributed two-stage top-k: each input partition reduces
+    * to a ≤k-element buffer map-side, and only those buffers cross the
+    * exchange — no task ever holds a whole corpus's scores, which is what
+    * makes brute-force search survive a 100× corpus. `finish` returns the
+    * candidates best-first, so `posexplode` position = rank-1.
+    *
+    * NaN scores must be filtered by the caller (NaN has no order); ties
+    * break on the smaller id, so results are deterministic regardless of
+    * partitioning. */
+  def topK(k: Int): Aggregator[Scored, Seq[Scored], Seq[Scored]] = {
+    require(k >= 1, "topK needs k >= 1")
+    new Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+      private def better(a: Scored, b: Scored): Boolean =
+        a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+      private def trim(s: Seq[Scored]): Seq[Scored] = s.sortWith(better).take(k)
+      override def zero: Seq[Scored] = Vector.empty
+      override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = {
+        val nb = b :+ a
+        // compact every k appends → O(log k) amortized per row
+        if (nb.length >= 2 * k) trim(nb) else nb
+      }
+      override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
+      override def finish(b: Seq[Scored]): Seq[Scored] = trim(b)
+      override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+      override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+    }
+  }
 }

@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.functions.{VectorFunctions => VF}
-import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (SURVEY §2.9 L3/L4):
@@ -15,10 +14,13 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shapes:
   *  - brute force: `queries` is small (user-supplied) → broadcast it;
-  *    the corpus streams through map-side scoring and a per-query top-k
-  *    (window over query_id — shuffle keyed by query, tiny rows).
-  *    Never materializes the full cross product to disk: score+filter
-  *    happen in one whole-stage-codegen'd pass over the corpus.
+  *    the corpus streams through map-side scoring in one whole-stage-
+  *    codegen'd pass, then a two-stage top-k: the bounded
+  *    [[Aggregators.topK]] combiner reduces every input partition to a
+  *    ≤k-element buffer map-side, so the per-query shuffle carries
+  *    k × partitions rows, never the scored corpus. (A plain
+  *    `row_number() OVER (PARTITION BY q_id)` would funnel every score
+  *    for a query into one task — the straggler that kills 100×.)
   *  - ANN: corpus pre-bucketed by hyperplane signature (narrow, one
   *    pass); a query probes only its own bucket → per-bucket scan.
   *    Multi-probe (flip one bit) bounds recall loss; recall/latency is
@@ -26,29 +28,43 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Two-stage top-k over a scored frame with columns (qId, cId,
+    * cos_sim): map-side bounded-heap partial aggregation per qId, one
+    * k×partitions-row shuffle, final merge, explode best-first →
+    * rank = position+1. Same (cos_sim desc, cId asc) order and output
+    * columns as the window form it replaces. `cId` must be integral
+    * (carried as long through the combiner, cast back on output). */
+  private def topKStage(scored: DataFrame, k: Int,
+      qId: String, cId: String): DataFrame = {
+    val cIdType = scored.schema(cId).dataType
+    val tk = udaf(Aggregators.topK(k))
+    scored.where(!isnan(col("cos_sim")))
+      .groupBy(col(qId))
+      .agg(tk(col("cos_sim"), col(cId).cast("long")).alias("__top"))
+      .select(col(qId), posexplode(col("__top")))
+      .select(col(qId), col("col.id").cast(cIdType).alias(cId),
+        col("col.sim").alias("cos_sim"), (col("pos") + 1).alias("rank"))
+  }
+
   /** L4 — exact brute-force cosine top-k for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
-    scored.where(!isnan(col("cos_sim")))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKStage(scored, k, qId, cId)
   }
 
   /** L4 (oracle-deterministic variant) — brute-force top-k over the
     * integer-quantized grid: exact cross-engine-reproducible scores
-    * (see VectorFunctions.cosineQ), same broadcast + window shape. */
+    * (see VectorFunctions.cosineQ), same broadcast + two-stage shape. */
   def bruteForceTopKQ(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(qId), col(cId),
         VF.cosineQ(VF.quantize(col(qVec)), VF.quantize(col(cVec))).alias("cos_sim"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
-    scored.where(!isnan(col("cos_sim")))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKStage(scored, k, qId, cId)
   }
 
   /** ANN via IVF (inverted-file) coarse quantization: `nLists` corpus
@@ -93,11 +109,11 @@ object Similarity {
       nearestList(col(cVec)).alias("__list"))
     val probes = queries.select(col(qId), col(qVec),
       explode(probeLists(col(qVec))).alias("__list"))
-    val wTop = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
-    assigned.join(broadcast(probes), Seq("__list"))
+    // each corpus vector lives in exactly one list and probe lists are
+    // distinct, so no (q, c) duplicates — two-stage top-k directly
+    val probed = assigned.join(broadcast(probes), Seq("__list"))
       .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
-      .where(!isnan(col("cos_sim")))
-      .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
+    topKStage(probed, k, qId, cId)
   }
 
   /** ANN: bucket corpus by hyperplane signature; probe the query's own
@@ -114,9 +130,11 @@ object Similarity {
           .alias("__bucket"))
     val scored = bucketed.join(broadcast(probes), Seq("__bucket"))
       .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
-    scored.where(!isnan(col("cos_sim")))
+    // multi-probe can surface the same (q, c) pair from several buckets
+    // (identical score each time) — dedup before the bounded top-k or a
+    // duplicate could occupy two of the k slots
+    val deduped = scored.where(!isnan(col("cos_sim")))
       .groupBy(col(qId), col(cId)).agg(first(col("cos_sim")).alias("cos_sim"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKStage(deduped, k, qId, cId)
   }
 }

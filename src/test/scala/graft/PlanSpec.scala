@@ -50,6 +50,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"queries side not broadcast:\n$plan")
   }
 
+  test("l04 top-k shuffles only bounded partial buffers (two-stage, no per-query window)") {
+    val df = run("l04_topk_search")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the scored corpus must be reduced map-side by the bounded topK
+    // combiner (partial ObjectHashAggregate before the exchange, final
+    // after) — a window over q_id would funnel every score for a query
+    // into a single task at scale
+    assert(!plan.contains("Window"), s"per-query window survived the rewrite:\n$plan")
+    val firstAgg = plan.indexOf("ObjectHashAggregate")
+    assert(firstAgg >= 0 && plan.indexOf("ObjectHashAggregate", firstAgg + 1) > firstAgg,
+      s"no partial+final topK aggregate pair:\n$plan")
+  }
+
   test("j01 dim join is a broadcast hash join, not a shuffle join") {
     val df = run("j01_broadcast")
     df.collect()
