@@ -57,31 +57,60 @@ object Dedup {
     }: _*)
   }
 
+  /** Bucket keys holding more than `cap` rows — the LSH skew guard's
+    * sideline set. Degenerate content (empty docs, boilerplate) piles
+    * thousands of rows into one bucket and makes its self-join quadratic
+    * in a single task; candidates from such buckets are near-useless
+    * (everything matches everything), so they are excluded from pair
+    * generation. The hot set is tiny by definition → broadcast anti-join,
+    * no extra shuffle of the banded frame. */
+  private def dropOversizedBuckets(banded: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).alias("__bn")).where(col("__bn") > cap)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** L2 — MinHash-LSH candidate pairs: band the signature, bucket-join,
     * emit candidate (idA < idB) pairs with their verified shingle-Jaccard.
-    * @param bands number of bands; rows per band = numHashes/bands. */
+    *
+    * Scale shape: the banded self-join carries ONLY (id, band, bandsig) —
+    * shingle sets are re-attached by id after pair generation, so the
+    * band shuffle moves ids, not 2×bands copies of every shingle array.
+    * Buckets larger than `maxBucket` are sidelined (see
+    * [[dropOversizedBuckets]]): a degenerate bucket would otherwise go
+    * quadratic in one task. Recall for genuinely-near documents is
+    * unaffected at sane caps — only content so common it collides
+    * `maxBucket`+ times per band is skipped, and exact dedup (L1) is the
+    * right tool for that content anyway.
+    *
+    * @param bands number of bands; rows per band = numHashes/bands.
+    * @param maxBucket per-(band, bandsig) bucket-size cap. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 128): DataFrame = {
     val rows = numHashes / bands
-    val withSig = df
-      .withColumn("__toks", TF.tokens(col(textCol)))
-      .withColumn("__shingles", TF.shingleSetOfTokens(col("__toks"), shingleN))
-      .drop("__toks")
+    val shingled = df.select(col(idCol),
+      TF.shingleSetOfTokens(TF.tokens(col(textCol)), shingleN).alias("__shingles"))
+    val banded = shingled
       .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
-    val banded = withSig.select(
-      col(idCol), col("__shingles"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("__sig"), b * rows + lit(1), lit(rows)))))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("__sig"), b * rows + lit(1), lit(rows)))))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bandsig")
-    val l = banded.select(col(idCol).alias("id_a"), col("__shingles").alias("sh_a"),
-      col("__band"), col("__bandsig"))
-    val r = banded.select(col(idCol).alias("id_b"), col("__shingles").alias("sh_b"),
-      col("__band"), col("__bandsig"))
-    l.join(r, Seq("__band", "__bandsig"))
+    val bounded = dropOversizedBuckets(banded, Seq("__band", "__bandsig"), maxBucket)
+    val l = bounded.select(col(idCol).alias("id_a"), col("__band"), col("__bandsig"))
+    val r = bounded.select(col(idCol).alias("id_b"), col("__band"), col("__bandsig"))
+    val pairs = l.join(r, Seq("__band", "__bandsig"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), TF.jaccard(col("sh_a"), col("sh_b")).alias("jaccard"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    pairs
+      .join(shingled.select(col(idCol).alias("id_a"), col("__shingles").alias("sh_a")), Seq("id_a"))
+      .join(shingled.select(col(idCol).alias("id_b"), col("__shingles").alias("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), TF.jaccard(col("sh_a"), col("sh_b")).alias("jaccard"))
   }
 
   /** L2 applied — near-dedup: drop every doc that is the larger id of a
@@ -130,7 +159,8 @@ object Dedup {
     * 2^(32/nBands)-way (≈256k for 4 bands), keeping per-bucket self-join
     * cost bounded at scale instead of the naive low-8-bit bucketing. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3, nBands: Int = 4, bits: Int = 32): DataFrame = {
+      maxDist: Int = 3, nBands: Int = 4, bits: Int = 32,
+      maxBucket: Int = 1024): DataFrame = {
     require(maxDist < nBands, "pigeonhole guarantee needs maxDist < nBands")
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1L
@@ -139,9 +169,14 @@ object Dedup {
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
-    val l = banded.select(col(idCol).alias("id_a"), col("__sig").alias("sig_a"),
+    // 2^(bits/nBands)-way buckets bound typical sizes, but an empty-text /
+    // boilerplate hot bucket is still quadratic in one task — sideline it.
+    // (The signature is one long; carrying it through the shuffle is
+    // cheap, unlike MinHash's shingle arrays.)
+    val bounded = dropOversizedBuckets(banded, Seq("__band", "__bucket"), maxBucket)
+    val l = bounded.select(col(idCol).alias("id_a"), col("__sig").alias("sig_a"),
       col("__band"), col("__bucket"))
-    val r = banded.select(col(idCol).alias("id_b"), col("__sig").alias("sig_b"),
+    val r = bounded.select(col(idCol).alias("id_b"), col("__sig").alias("sig_b"),
       col("__band"), col("__bucket"))
     l.join(r, Seq("__band", "__bucket"))
       .where(col("id_a") < col("id_b"))
@@ -152,12 +187,16 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs via hyperplane-LSH buckets: vectors
-    * sharing a signature bucket are compared exactly; no global O(n²). */
+    * sharing a signature bucket are compared exactly; no global O(n²).
+    * Oversized buckets (e.g. a mass of zero/constant vectors all landing
+    * on the same signature) are sidelined like the text-LSH variants. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+      nPlanes: Int = 8, threshold: Double = 0.95,
+      maxBucket: Int = 4096): DataFrame = {
     val withB = df.withColumn("__bucket", VF.hyperplaneSig(col(vecCol), nPlanes))
-    val l = withB.select(col(idCol).alias("id_a"), col(vecCol).alias("v_a"), col("__bucket"))
-    val r = withB.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__bucket"))
+    val bounded = dropOversizedBuckets(withB, Seq("__bucket"), maxBucket)
+    val l = bounded.select(col(idCol).alias("id_a"), col(vecCol).alias("v_a"), col("__bucket"))
+    val r = bounded.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__bucket"))
     l.join(r, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), VF.cosineNative(col("v_a"), col("v_b")).alias("cos_sim"))

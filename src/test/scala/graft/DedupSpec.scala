@@ -80,6 +80,28 @@ class DedupSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("L2: a planted hot bucket (1k identical docs) is sidelined, planted near-dups still found") {
+    // 1000 byte-identical boilerplate docs share every band signature —
+    // uncapped, their bucket self-join is ~500k pairs in ONE task. With
+    // the cap they contribute nothing, while a genuine near-dup pair in
+    // normal content must still surface.
+    val boiler = spark.range(0, 1000)
+      .select($"id".as("doc_id"), lit("click here to unsubscribe from this mailing list").as("text"))
+    val base = Seq(
+      (2000L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2001L, "the quick brown fox jumps over the lazy dog again and again today zzextra"),
+      (3000L, "completely unrelated text about distributed query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val aug = boiler.unionByName(base)
+    val mh = Dedup.minhashCandidates(aug, "text", "doc_id", maxBucket = 100)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((2000L, 2001L)), "capped minhash lost the genuine near-dup pair")
+    assert(!mh.exists(p => p._1 < 1000 && p._2 < 1000), "hot-bucket pairs not sidelined")
+    val sh = Dedup.simhashCandidates(aug, "text", "doc_id", maxDist = 3, maxBucket = 100)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!sh.exists(p => p._1 < 1000 && p._2 < 1000), "simhash hot-bucket pairs not sidelined")
+  }
+
   test("L1: NULL texts all pass through exact dedup (not merged as duplicates)") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, null), (4L, null), (5L, null))
       .toDF("doc_id", "text")
