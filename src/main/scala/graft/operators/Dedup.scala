@@ -160,14 +160,24 @@ object Dedup {
     * cost bounded at scale instead of the naive low-8-bit bucketing. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3, nBands: Int = 4, bits: Int = 32,
+      maxBucket: Int = 1024): DataFrame =
+    simhashCandidatesOfSigs(
+      df.select(col(idCol), simhash(col(textCol), bits).alias("__sig")),
+      idCol, "__sig", maxDist, nBands, bits, maxBucket)
+
+  /** [[simhashCandidates]] over precomputed signatures — callers that
+    * already hold a (id, sig) frame (e.g. a recall contract comparing
+    * banded candidates against pairwise Hamming over the same
+    * signatures) reuse it instead of re-hashing every document. */
+  def simhashCandidatesOfSigs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int = 3, nBands: Int = 4, bits: Int = 32,
       maxBucket: Int = 1024): DataFrame = {
     require(maxDist < nBands, "pigeonhole guarantee needs maxDist < nBands")
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1L
-    val withSig = df.withColumn("__sig", simhash(col(textCol), bits))
-    val banded = withSig.select(col(idCol), col("__sig"),
+    val banded = sigs.select(col(idCol), col(sigCol).alias("__sig"),
       posexplode(array((0 until nBands).map(b =>
-        shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+        shiftright(col(sigCol), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
     // 2^(bits/nBands)-way buckets bound typical sizes, but an empty-text /
     // boilerplate hot bucket is still quadratic in one task — sideline it.

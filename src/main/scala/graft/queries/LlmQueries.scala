@@ -91,12 +91,15 @@ object LlmQueries {
     // candidates (guaranteed by construction: 4 bands, maxDist < bands) ----
     ("l02e_simhash_guarantee", (s, d) => {
       val aug = withNearDups(s, d)
-      val sigs = aug.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      // one signature pass feeds both the contract side and the banded
+      // candidates; cached because the frame appears in three plan
+      // branches (a-side, b-side, banding) and is tiny (id, long)
+      val sigs = aug.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")).cache()
       val withinDist = sigs.as("a").join(sigs.as("b"),
           col("a.doc_id") + 200000 === col("b.doc_id"))
         .where(Dedup.hamming(col("a.sig"), col("b.sig")) <= 3)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val cands = Dedup.simhashCandidates(aug, "text", "doc_id", maxDist = 3)
+      val cands = Dedup.simhashCandidatesOfSigs(sigs, "doc_id", "sig", maxDist = 3)
         .select(col("id_a"), col("id_b"))
       withinDist.join(cands, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("missed_within_dist"))
