@@ -187,6 +187,20 @@ object SmtQueries {
         .orderBy(col("event_id"))
     }, Some("""SELECT event_id, event_type, value, epoch_us(ts) AS ts_us, user_id, props, value AS v2 FROM events ORDER BY event_id""")),
 
+    // ---- S6b: Confluent wire-format framing — the registry converter's
+    // [0x00][schema id][avro] header (reference main.sh:72-75) survives a
+    // produce/consume round-trip; header validated + stripped on decode ----
+    ("s06b_avro_framed", (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      val ser = AvroSerde.serializeFramed(ev, ev.columns.toSeq, schemaId = 1001)
+      val de = AvroSerde.deserializeFramed(ser, "avro_value", ev.schema, "rt",
+        expectedSchemaId = Some(1001))
+      de.select(col("rt.event_id").as("event_id"), col("rt.event_type").as("event_type"),
+          col("rt.value").as("value"), micros(col("rt.ts")).as("ts_us"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events ORDER BY event_id""")),
+
     // ---- S8: schemaless JSON value decode (the Connect JsonConverter
     // path) — unwrap carries every payload field through the envelope ----
     ("s08_json_roundtrip", (s, d) => {

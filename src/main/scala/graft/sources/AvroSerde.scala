@@ -159,7 +159,12 @@ object AvroSerde {
   /** S6 — deserialize an Avro binary column into a struct column
     * `structCol` with the given Spark schema. */
   def deserialize(df: DataFrame, valueCol: String, structSchema: StructType,
-      structCol: String = "value_struct"): DataFrame = {
+      structCol: String = "value_struct"): DataFrame =
+    deserializeWith(df, valueCol, structSchema, structCol)(identity)
+
+  private def deserializeWith(df: DataFrame, valueCol: String,
+      structSchema: StructType, structCol: String)(
+      prep: Array[Byte] => Array[Byte]): DataFrame = {
     val schemaJson = avroSchemaFor(structSchema)
     val vIdx = df.schema.fieldIndex(valueCol)
     val outSchema = df.schema.add(StructField(structCol, structSchema))
@@ -172,11 +177,64 @@ object AvroSerde {
         val parsed =
           if (bytes == null) null
           else {
-            val d = DecoderFactory.get().binaryDecoder(bytes, null)
+            val d = DecoderFactory.get().binaryDecoder(prep(bytes), null)
             fromAvro(reader.read(null, d), structSchema).asInstanceOf[Row]
           }
         Row.fromSeq(r.toSeq :+ parsed)
       }
     }(enc)
   }
+
+  // ---- Confluent Schema-Registry wire-format framing ----
+  // Every registry-encoded topic the reference produces/consumes carries
+  // `[magic 0x00][4-byte big-endian schema id][avro binary]` (the
+  // AvroConverter wiring, reference `main.sh:72-75`). The framing is a
+  // pure byte function; the registry lookup itself is out of scope in the
+  // offline harness (schema ids are caller-assigned, like the explicit
+  // schemas elsewhere in this module).
+
+  /** The 5-byte wire-format header for a schema id. */
+  def wireHeader(schemaId: Int): Array[Byte] = Array(
+    0x00.toByte,
+    (schemaId >>> 24).toByte, (schemaId >>> 16).toByte,
+    (schemaId >>> 8).toByte, schemaId.toByte)
+
+  /** Strip and validate the wire-format header; returns the Avro payload.
+    * Rejects bytes that don't start with the magic byte (e.g. bare Avro)
+    * with a clear error, like Connect's "Unknown magic byte". */
+  def unframeBytes(bytes: Array[Byte], expectedSchemaId: Option[Int] = None): Array[Byte] = {
+    if (bytes.length < 5 || bytes(0) != 0x00)
+      throw new IllegalArgumentException(
+        s"not Confluent wire format: expected [0x00][4-byte schema id][avro], got " +
+          (if (bytes.isEmpty) "empty bytes"
+           else f"first byte 0x${bytes(0)}%02x of ${bytes.length} bytes"))
+    val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    expectedSchemaId.foreach { e =>
+      if (id != e) throw new IllegalArgumentException(
+        s"wire-format schema id $id does not match expected $e")
+    }
+    java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
+  }
+
+  /** Schema id carried in a framed value (header validation included). */
+  def schemaIdOf(bytes: Array[Byte]): Int = {
+    unframeBytes(bytes); ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+  }
+
+  /** S7 with registry framing: [[serialize]] then prepend the wire-format
+    * header — what `AvroConverter.fromConnectData` puts on the topic. */
+  def serializeFramed(df: DataFrame, cols: Seq[String], schemaId: Int,
+      valueCol: String = "avro_value"): DataFrame =
+    serialize(df, cols, valueCol)
+      .withColumn(valueCol, concat(lit(wireHeader(schemaId)), col(valueCol)))
+
+  /** S6 with registry framing: validate + strip the header, then decode.
+    * Bare (unframed) Avro fails loudly, not as silently-garbled rows. */
+  def deserializeFramed(df: DataFrame, valueCol: String, structSchema: StructType,
+      structCol: String = "value_struct",
+      expectedSchemaId: Option[Int] = None): DataFrame =
+    deserializeWith(df, valueCol, structSchema, structCol)(
+      unframeBytes(_, expectedSchemaId))
 }

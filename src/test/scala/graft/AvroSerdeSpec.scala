@@ -71,6 +71,45 @@ class AvroSerdeSpec extends SparkSpec {
     assert(back.collect().toSeq === df.collect().toSeq)
   }
 
+  test("wire framing: header round-trips any schema id, payload preserved (property)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val id = rnd.nextInt()
+      val payload = Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)
+      val framed = AvroSerde.wireHeader(id) ++ payload
+      assert(AvroSerde.schemaIdOf(framed) === id)
+      assert(AvroSerde.unframeBytes(framed).toSeq === payload.toSeq)
+      assert(AvroSerde.unframeBytes(framed, Some(id)).toSeq === payload.toSeq)
+    }
+  }
+
+  test("wire framing: framed serialize/deserialize round-trips; id mismatch and bare avro fail loudly") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val framed = AvroSerde.serializeFramed(df, df.columns.toSeq, schemaId = 42)
+    // every framed value starts with the 5-byte header carrying id 42
+    framed.select($"avro_value").collect().foreach { r =>
+      assert(AvroSerde.schemaIdOf(r.getAs[Array[Byte]](0)) === 42)
+    }
+    val rt = AvroSerde.deserializeFramed(framed, "avro_value", df.schema, "rt",
+      expectedSchemaId = Some(42))
+    assert(rt.select($"rt.id", $"rt.s").collect().toSet === df.collect().toSet)
+    def causeChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    // wrong expected id → clear error
+    val wrongId = intercept[Exception] {
+      AvroSerde.deserializeFramed(framed, "avro_value", df.schema, "rt",
+        expectedSchemaId = Some(7)).collect()
+    }
+    assert(causeChain(wrongId).contains("schema id"), causeChain(wrongId))
+    // bare (unframed) avro → "not Confluent wire format", not garbled rows
+    val bare = AvroSerde.serialize(df, df.columns.toSeq)
+    val noMagic = intercept[Exception] {
+      AvroSerde.deserializeFramed(bare, "avro_value", df.schema, "rt").collect()
+    }
+    assert(causeChain(noMagic).contains("wire format"), causeChain(noMagic))
+  }
+
   test("property: seeded random primitive rows survive the round-trip") {
     val rnd = new scala.util.Random(42)
     val data = (0 until 200).map { i =>
