@@ -201,6 +201,20 @@ object SmtQueries {
         .orderBy(col("event_id"))
     }, Some("""SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events ORDER BY event_id""")),
 
+    // ---- S7b: Avro-framed record KEYS (the reference's key converter,
+    // main.sh:72): key = framed Avro struct of the key columns; decode
+    // recovers the exact key fields for every record ----
+    ("s07b_avro_key", (s, d) => {
+      val env = KafkaEnvelope.wrapAvroKey(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", "events", keySchemaId = 1)
+      val keySchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      KafkaEnvelope.unwrapAvroKey(env, keySchema, "k", expectedSchemaId = Some(1))
+        .groupBy(col("k.user_id").as("user_id"), col("k.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("event_type"))
+    }, Some("""SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
+
     // ---- S8: schemaless JSON value decode (the Connect JsonConverter
     // path) — unwrap carries every payload field through the envelope ----
     ("s08_json_roundtrip", (s, d) => {

@@ -71,6 +71,38 @@ object KafkaEnvelope {
         lit(topic).cast(BinaryType).alias("value"))).alias("headers"))
   }
 
+  /** [[wrap]] with a registry-framed Avro key: the reference Avro-encodes
+    * record KEYS as well as values (`CONNECT_KEY_CONVERTER`,
+    * `main.sh:72`), so a key is a framed Avro struct of the key columns,
+    * not stringified bytes. Partitioning/offsets keep [[wrap]]'s contract:
+    * same key → same partition, dense per-partition offsets in
+    * (ts, key...) order. Decode with [[unwrapAvroKey]]. */
+  def wrapAvroKey(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      topic: String, numPartitions: Int = 32, keySchemaId: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "wrapAvroKey needs at least one key column")
+    val enc = AvroSerde.serializeFramed(df, keyCols, keySchemaId, "__key_avro")
+    val part = pmod(hash(keyCols.map(col): _*), lit(numPartitions))
+    val w = Window.partitionBy(part).orderBy((col(tsCol) +: keyCols.map(col)): _*)
+    enc.select(
+      col("__key_avro").alias("key"),
+      to_json(struct(df.columns.map(col): _*), jsonOpts).cast(BinaryType).alias("value"),
+      lit(topic).alias("topic"),
+      part.cast(IntegerType).alias("partition"),
+      (row_number().over(w) - 1).cast(LongType).alias("offset"),
+      col(tsCol).cast(TimestampType).alias("timestamp"),
+      lit(0).alias("timestampType"),
+      array(struct(lit("origin").alias("key"),
+        lit(topic).cast(BinaryType).alias("value"))).alias("headers"))
+  }
+
+  /** Decode a framed-Avro key column back into a struct column — the
+    * key-converter consume path. */
+  def unwrapAvroKey(env: DataFrame, keySchema: StructType,
+      structCol: String = "key_struct",
+      expectedSchemaId: Option[Int] = None): DataFrame =
+    AvroSerde.deserializeFramed(env, "key", keySchema, structCol, expectedSchemaId)
+
   /** Microsecond-precision timestamp JSON format: the default `to_json`
     * pattern keeps only millis, which would silently truncate the µs
     * event timestamps on the wrap/unwrap round-trip. */

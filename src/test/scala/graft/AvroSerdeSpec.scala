@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.AvroSerde
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{countDistinct, max}
 import org.apache.spark.sql.types._
 /** S6/S7 round-trip contract: deserialize(serialize(df)) == df for
   * primitives, arrays, maps, nested structs — including SIBLING nested
@@ -108,6 +109,28 @@ class AvroSerdeSpec extends SparkSpec {
       AvroSerde.deserializeFramed(bare, "avro_value", df.schema, "rt").collect()
     }
     assert(causeChain(noMagic).contains("wire format"), causeChain(noMagic))
+  }
+
+  test("avro key envelope: random keys round-trip exactly, same key → one partition") {
+    import graft.sources.KafkaEnvelope
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 300).map { i =>
+      (rnd.nextLong(), rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000000)))
+    }
+    val df = data.toDF("uid", "etype", "ts")
+    val env = KafkaEnvelope.wrapAvroKey(df, Seq("uid", "etype"), "ts", "t", keySchemaId = 9)
+    val keySchema = StructType(Seq(
+      StructField("uid", LongType), StructField("etype", StringType)))
+    val back = KafkaEnvelope.unwrapAvroKey(env, keySchema, "k", Some(9))
+      .select($"k.uid", $"k.etype").as[(Long, String)].collect().toSet
+    assert(back === data.map(t => (t._1, t._2)).toSet)
+    // Kafka partitioner contract: a key never spans partitions
+    val maxParts = KafkaEnvelope.unwrapAvroKey(env, keySchema, "k")
+      .groupBy($"k.uid", $"k.etype")
+      .agg(countDistinct($"partition").as("np"))
+      .agg(max($"np")).as[Long].head()
+    assert(maxParts === 1L)
   }
 
   test("property: seeded random primitive rows survive the round-trip") {
