@@ -215,6 +215,31 @@ object SmtQueries {
         .orderBy(col("user_id"), col("event_type"))
     }, Some("""SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
 
+    // ---- S16: errors.tolerance=all — clean side: planted malformed
+    // props rows (every 100th event) are quarantined, the rest parse
+    // and match DuckDB row-for-row ----
+    ("s16_tolerant_clean", (s, d) => {
+      val ev = Tables.events(s, d).withColumn("props",
+        when(col("event_id") % 100 === 0, lit("""{"k": """)).otherwise(col("props")))
+      val parsed = graft.sources.ErrorTolerance.tolerantJson(
+        ev, "props", StructType.fromDDL("k INT"), "p")
+      graft.sources.ErrorTolerance.clean(parsed, "p")
+        .select(col("event_id"), col("p.k").as("k"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events WHERE event_id % 100 <> 0 ORDER BY event_id""")),
+
+    // ---- S16b: errors.tolerance=all — DLQ side: exactly the planted
+    // rows, carrying their raw payload for replay ----
+    ("s16b_tolerant_quarantine", (s, d) => {
+      val ev = Tables.events(s, d).withColumn("props",
+        when(col("event_id") % 100 === 0, lit("""{"k": """)).otherwise(col("props")))
+      val parsed = graft.sources.ErrorTolerance.tolerantJson(
+        ev, "props", StructType.fromDDL("k INT"), "p")
+      graft.sources.ErrorTolerance.quarantine(parsed, "p")
+        .select(col("event_id"), col("raw"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, '{"k": ' AS raw FROM events WHERE event_id % 100 = 0 ORDER BY event_id""")),
+
     // ---- S8: schemaless JSON value decode (the Connect JsonConverter
     // path) — unwrap carries every payload field through the envelope ----
     ("s08_json_roundtrip", (s, d) => {

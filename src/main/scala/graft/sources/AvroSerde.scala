@@ -237,4 +237,38 @@ object AvroSerde {
       expectedSchemaId: Option[Int] = None): DataFrame =
     deserializeWith(df, valueCol, structSchema, structCol)(
       unframeBytes(_, expectedSchemaId))
+
+  /** S6 with error tolerance (`errors.tolerance=all` analogue, see
+    * [[ErrorTolerance]]): a value that fails framing or Avro decode
+    * yields a null struct plus the error in `errorCol` instead of
+    * failing the task — split downstream with `errorCol IS NULL` for
+    * the clean/DLQ sides. NULL inputs stay null-struct, null-error
+    * (tombstones are not errors). */
+  def deserializeTolerant(df: DataFrame, valueCol: String, structSchema: StructType,
+      structCol: String = "value_struct", errorCol: String = "_decode_error",
+      framed: Boolean = false, expectedSchemaId: Option[Int] = None): DataFrame = {
+    val schemaJson = avroSchemaFor(structSchema)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val outSchema = df.schema.add(StructField(structCol, structSchema))
+      .add(StructField(errorCol, StringType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](vIdx)
+        val (parsed, err): (Row, String) =
+          if (bytes == null) (null, null)
+          else try {
+            val payload = if (framed) unframeBytes(bytes, expectedSchemaId) else bytes
+            val d = DecoderFactory.get().binaryDecoder(payload, null)
+            (fromAvro(reader.read(null, d), structSchema).asInstanceOf[Row], null)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              (null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        Row.fromSeq(r.toSeq :+ parsed :+ err)
+      }
+    }(enc)
+  }
 }

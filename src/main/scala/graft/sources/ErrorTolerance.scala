@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Connect's `errors.tolerance=all` + dead-letter-queue analogue
+  * (framework capability of the reference's base image, `Dockerfile:4`;
+  * SURVEY §1.2 maps it to permissive parsing with a corrupt-record
+  * column). A malformed value must neither kill the job (FAILFAST) nor
+  * silently become NULL — it lands in a quarantine frame carrying the
+  * raw payload, so the pipeline keeps flowing and the bad records stay
+  * auditable/replayable.
+  *
+  * Scale: permissive `from_json` is a per-row projection (no shuffle,
+  * stays in codegen); the clean/quarantine split is two filters over the
+  * same parsed frame, which a single-pass sink (foreachBatch writing
+  * main + DLQ) shares one scan for.
+  */
+object ErrorTolerance {
+
+  /** Parse a JSON string/binary column permissively: the result struct
+    * `structCol` gains `corruptCol` (STRING), null for clean rows and
+    * holding the raw text for malformed ones. NULL inputs stay NULL —
+    * a tombstone is not an error (Connect's RecordIsTombstone is a
+    * separate predicate, SURVEY §2.2 P2). */
+  def tolerantJson(df: DataFrame, valueCol: String, schema: StructType,
+      structCol: String = "parsed",
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already has a $corruptCol field")
+    val full = schema.add(StructField(corruptCol, StringType))
+    df.withColumn(structCol, from_json(col(valueCol).cast(StringType), full,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
+  }
+
+  /** True for rows [[tolerantJson]] marked corrupt. */
+  def isCorrupt(structCol: String,
+      corruptCol: String = "_corrupt_record"): Column =
+    col(s"$structCol.$corruptCol").isNotNull
+
+  /** The clean side: parsed fields replace the struct, corrupt marker
+    * dropped. NULL-input rows (tombstones) pass through with null
+    * payload fields. */
+  def clean(parsed: DataFrame, structCol: String = "parsed",
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    parsed.where(!coalesce(isCorrupt(structCol, corruptCol), lit(false)))
+      .withColumn(structCol, col(structCol).dropFields(corruptCol))
+
+  /** The DLQ side: every corrupt row with its raw payload under
+    * `rawCol`, all envelope/context columns preserved for replay. */
+  def quarantine(parsed: DataFrame, structCol: String = "parsed",
+      corruptCol: String = "_corrupt_record",
+      rawCol: String = "raw"): DataFrame =
+    parsed.where(coalesce(isCorrupt(structCol, corruptCol), lit(false)))
+      .withColumn(rawCol, col(s"$structCol.$corruptCol"))
+      .drop(structCol)
+}

@@ -133,6 +133,24 @@ class AvroSerdeSpec extends SparkSpec {
     assert(maxParts === 1L)
   }
 
+  test("tolerant decode: corrupt avro values land in the error column, clean rows decode, tombstones pass") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val framed = AvroSerde.serializeFramed(df, df.columns.toSeq, schemaId = 5)
+    // corrupt row 2's bytes (not wire format), null row 3's value (tombstone)
+    import org.apache.spark.sql.functions.{col, expr, when}
+    val mangled = framed.withColumn("avro_value",
+      when(col("id") === 2L, expr("CAST('garbage' AS BINARY)"))
+        .when(col("id") === 3L, expr("CAST(NULL AS BINARY)"))
+        .otherwise(col("avro_value")))
+    val out = AvroSerde.deserializeTolerant(mangled, "avro_value", df.schema, "rt",
+      framed = true, expectedSchemaId = Some(5))
+    val rows = out.select($"id", $"rt.s", $"_decode_error").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(rows(1L) === ((Some("a"), None)))           // clean
+    assert(rows(2L)._1.isEmpty && rows(2L)._2.exists(_.contains("wire format"))) // quarantined
+    assert(rows(3L) === ((None, None)))                // tombstone: no error
+  }
+
   test("property: seeded random primitive rows survive the round-trip") {
     val rnd = new scala.util.Random(42)
     val data = (0 until 200).map { i =>
