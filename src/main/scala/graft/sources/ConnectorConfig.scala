@@ -116,4 +116,29 @@ object ConnectorConfig {
         }
     }
   }
+
+  /** [[sourceScan]] with durable resume state: the incremental modes
+    * read/advance their offsets through [[IncrementalSource]] (the
+    * offsets-topic analogue, reference `main.sh:63`) instead of
+    * caller-supplied watermarks — poll, deliver, `commit()`. Bulk/query
+    * modes return the full scan with a no-op commit. */
+  def pollSource(spark: SparkSession, sfDir: String, config: Config,
+      stateDir: String): IncrementalSource.Poll = {
+    def req(key: String): String = config(key).getOrElse(
+      throw new IllegalArgumentException(s"${config.name}: missing $key"))
+    def table = config("table.whitelist").orElse(config("table")).getOrElse(
+      throw new IllegalArgumentException(s"${config.name}: no table configured"))
+    config("mode").getOrElse("bulk") match {
+      case "incrementing" =>
+        IncrementalSource.pollIncrementing(
+          Tables.loadNormalized(spark, sfDir, table),
+          req("incrementing.column.name"), stateDir)
+      case "timestamp+incrementing" =>
+        IncrementalSource.pollTimestampIncrementing(
+          Tables.loadNormalized(spark, sfDir, table),
+          req("timestamp.column.name"), req("incrementing.column.name"), stateDir)
+      case _ =>
+        IncrementalSource.Poll(sourceScan(spark, sfDir, config), () => ())
+    }
+  }
 }

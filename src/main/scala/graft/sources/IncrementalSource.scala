@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resumable incremental source modes (SURVEY §2.1 S2/S3). Connect keeps
+  * each source task's offsets in a compacted Kafka topic (reference
+  * `main.sh:63`) so a restarted task resumes exactly where the last
+  * committed poll ended; the engine mirrors that with a durable offset
+  * file per source, written with the same tmp-write + atomic-rename
+  * pointer flip as the CDC state store
+  * ([[graft.streaming.StreamOps.applyBatch]]).
+  *
+  * Delivery contract is Connect's: **at-least-once**. [[Poll.commit]]
+  * advances the offset only when the caller says the batch was
+  * delivered — a crash between poll and commit re-reads the same rows
+  * on the next poll, never skips them. Offsets are tiny (one (ts, id)
+  * pair), so durability costs one small file write per poll, not a
+  * shuffle.
+  *
+  * Scale: the resume predicate is pushed into the scan
+  * (`id > lastId` / `(ts, id) > (lastTs, lastId)` — parquet row-group
+  * skipping, or the WHERE clause a real JDBC source appends), and the
+  * committed offset is a single bounded `max` aggregate.
+  */
+object IncrementalSource {
+
+  /** A polled batch plus the handle that durably commits its offset.
+    * `commit()` is a no-op on an empty batch (offset unchanged). */
+  final case class Poll(batch: DataFrame, commit: () => Unit)
+
+  // ---- offset persistence (the offsets-topic analogue) ----
+
+  private def pointer(root: Path) = new Path(root, "_SOURCE_OFFSET")
+
+  /** Stored (tsMicros, id) offset, if any poll ever committed. */
+  def readOffset(spark: SparkSession, stateDir: String): Option[(Long, Long)] = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = pointer(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      val parts = txt.split(",")
+      require(parts.length == 2, s"malformed source offset '$txt' at $p")
+      Some((parts(0).toLong, parts(1).toLong))
+    }
+  }
+
+  /** Durably record the offset: tmp write + atomic overwrite-rename, so
+    * a crash mid-commit leaves the previous offset intact (re-poll, not
+    * data loss). */
+  def writeOffset(spark: SparkSession, stateDir: String,
+      tsMicros: Long, id: Long): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(hconf)
+    fs.mkdirs(root)
+    val tmp = new Path(root, s"_SOURCE_OFFSET.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$tsMicros,$id".getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hconf)
+    fc.rename(tmp, pointer(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // ---- S2: incrementing mode ----
+
+  /** One `mode=incrementing` poll over the current table state: rows
+    * with `idCol` strictly beyond the committed offset. */
+  def pollIncrementing(df: DataFrame, idCol: String, stateDir: String): Poll = {
+    val spark = df.sparkSession
+    val lastId = readOffset(spark, stateDir).map(_._2).getOrElse(Long.MinValue)
+    val batch = Tables.incrementingScan(df, idCol, lastId)
+    Poll(batch, () => {
+      val mx = batch.agg(max(col(idCol)).cast("long")).collect()(0)
+      if (!mx.isNullAt(0)) writeOffset(spark, stateDir, 0L, mx.getLong(0))
+    })
+  }
+
+  // ---- S3: timestamp+incrementing mode ----
+
+  /** One `mode=timestamp+incrementing` poll: rows with
+    * `(ts, id) > (lastTs, lastId)` lexicographically — the exact resume
+    * predicate the Confluent JDBC source uses so equal-timestamp rows
+    * are neither skipped nor re-read. */
+  def pollTimestampIncrementing(df: DataFrame, tsCol: String, idCol: String,
+      stateDir: String): Poll = {
+    val spark = df.sparkSession
+    val (lastUs, lastId) = readOffset(spark, stateDir).getOrElse((Long.MinValue, Long.MinValue))
+    val lastTs = new java.sql.Timestamp(Math.floorDiv(lastUs, 1000000L) * 1000L)
+    lastTs.setNanos((Math.floorMod(lastUs, 1000000L) * 1000L).toInt)
+    val batch =
+      if (lastUs == Long.MinValue) df // initial poll: everything
+      else Tables.timestampIncrementingScan(df, tsCol, idCol, lastTs, lastId)
+    Poll(batch, () => {
+      // committed offset = lexicographic max (ts, id) of the batch
+      val mx = batch
+        .agg(max(struct(col(tsCol).alias("ts"), col(idCol).cast("long").alias("id"))))
+        .collect()(0)
+      if (!mx.isNullAt(0)) {
+        val r = mx.getStruct(0)
+        val t = r.getTimestamp(0)
+        val us = Math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L)
+        writeOffset(spark, stateDir, us, r.getLong(1))
+      }
+    })
+  }
+}

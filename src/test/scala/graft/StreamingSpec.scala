@@ -275,4 +275,52 @@ class StreamingSpec extends SparkSpec {
     val back = spark.read.parquet(s"$dir/out").as[(Long, String)].collect().toSet
     assert(back === Set((1L, "x"), (2L, "y")))
   }
+
+  test("S2 resumable: polls over a growing table are disjoint and exhaustive across a restart") {
+    import graft.sources.IncrementalSource
+    val dir = tmpDir("incsrc")
+    val data = s"$dir/table"
+    val state = s"$dir/offsets"
+    (1L to 10L).map(i => (i, s"row$i")).toDF("id", "s").write.mode("append").parquet(data)
+    // poll 1: everything; rows re-read until committed (at-least-once)
+    val p1 = IncrementalSource.pollIncrementing(spark.read.parquet(data), "id", state)
+    assert(p1.batch.count() === 10L)
+    val p1again = IncrementalSource.pollIncrementing(spark.read.parquet(data), "id", state)
+    assert(p1again.batch.count() === 10L) // uncommitted → same rows again
+    p1.commit()
+    // table grows; "restart": nothing carried over but the state dir
+    (11L to 15L).map(i => (i, s"row$i")).toDF("id", "s").write.mode("append").parquet(data)
+    val p2 = IncrementalSource.pollIncrementing(spark.read.parquet(data), "id", state)
+    val got2 = p2.batch.select($"id").as[Long].collect().toSet
+    assert(got2 === (11L to 15L).toSet) // disjoint from poll 1, exhaustive
+    p2.commit()
+    // empty poll: no new rows, commit is a no-op, offset survives
+    val p3 = IncrementalSource.pollIncrementing(spark.read.parquet(data), "id", state)
+    assert(p3.batch.isEmpty); p3.commit()
+    assert(IncrementalSource.readOffset(spark, state) === Some((0L, 15L)))
+  }
+
+  test("S3 resumable: timestamp+incrementing resumes mid-timestamp on the id tie-break") {
+    import graft.sources.IncrementalSource
+    val dir = tmpDir("tssrc")
+    val data = s"$dir/table"
+    val state = s"$dir/offsets"
+    val t1 = ts("2024-01-01 00:00:01"); val t2 = ts("2024-01-01 00:00:02")
+    Seq((t1, 1L), (t1, 2L), (t2, 3L)).toDF("ts", "id")
+      .write.mode("append").parquet(data)
+    val p1 = IncrementalSource.pollTimestampIncrementing(
+      spark.read.parquet(data), "ts", "id", state)
+    assert(p1.batch.count() === 3L); p1.commit()
+    // new rows: same timestamp t2 with higher id (tie-break must include
+    // it), plus a later timestamp
+    Seq((t2, 4L), (ts("2024-01-01 00:00:03"), 5L)).toDF("ts", "id")
+      .write.mode("append").parquet(data)
+    val p2 = IncrementalSource.pollTimestampIncrementing(
+      spark.read.parquet(data), "ts", "id", state)
+    assert(p2.batch.select($"id").as[Long].collect().toSet === Set(4L, 5L))
+    p2.commit()
+    val p3 = IncrementalSource.pollTimestampIncrementing(
+      spark.read.parquet(data), "ts", "id", state)
+    assert(p3.batch.isEmpty)
+  }
 }
