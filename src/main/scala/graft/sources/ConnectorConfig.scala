@@ -141,4 +141,50 @@ object ConnectorConfig {
         IncrementalSource.Poll(sourceScan(spark, sfDir, config), () => ())
     }
   }
+
+  /** The production migration seam for S1-S4: build the option map a
+    * real `spark.read.format("jdbc")` needs from the same Connect config
+    * the reference deploys (Confluent JDBC source keys, installed at
+    * `Dockerfile:36-40`). Parquet stands in for the RDBMS in the offline
+    * harness; on a cluster the swap is
+    * `spark.read.format("jdbc").options(jdbcOptions(cfg)).load()`.
+    *
+    * Key mapping: `connection.url/user/password` → url/user/password,
+    * `query` → query (wins over tables, like [[sourceScan]]),
+    * `table.whitelist`/`table` → dbtable, `batch.max.rows` → fetchsize.
+    * Parallel scan (the tasks.max analogue — one bounded range query per
+    * partition instead of a single giant read): `partition.column` (or
+    * the incrementing column as its natural default) +
+    * `partition.lower.bound`/`partition.upper.bound` + `tasks.max` →
+    * partitionColumn/lowerBound/upperBound/numPartitions. Spark requires
+    * the four together, so a partial spec fails loudly here rather than
+    * at the driver. */
+  def jdbcOptions(config: Config): Map[String, String] = {
+    val url = config("connection.url").getOrElse(throw new IllegalArgumentException(
+      s"${config.name}: missing connection.url"))
+    val source = config("query") match {
+      case Some(q) => Map("query" -> q)
+      case None =>
+        val t = config("table.whitelist").orElse(config("table")).getOrElse(
+          throw new IllegalArgumentException(s"${config.name}: no table or query configured"))
+        Map("dbtable" -> t)
+    }
+    val partCol = config("partition.column").orElse(config("incrementing.column.name"))
+    val lo = config("partition.lower.bound")
+    val hi = config("partition.upper.bound")
+    val partition = (partCol, lo, hi) match {
+      case (Some(c), Some(l), Some(h)) => Map(
+        "partitionColumn" -> c, "lowerBound" -> l, "upperBound" -> h,
+        "numPartitions" -> config("tasks.max").getOrElse("8"))
+      case (_, None, None) => Map.empty[String, String] // unpartitioned read
+      case _ => throw new IllegalArgumentException(
+        s"${config.name}: partitioned jdbc read needs partition column AND both bounds " +
+          s"(got column=$partCol, lower=$lo, upper=$hi)")
+    }
+    Map("url" -> url) ++ source ++ partition ++
+      config("connection.user").map("user" -> _) ++
+      config("connection.password").map("password" -> _) ++
+      config("connection.driver").map("driver" -> _) ++
+      config("batch.max.rows").map("fetchsize" -> _)
+  }
 }

@@ -64,4 +64,55 @@ class ConnectorConfigSpec extends SparkSpec {
     val n = ConnectorConfig.sourceScan(spark, sf0001, cfg).collect().head.getLong(0)
     assert(n > 0)
   }
+
+  test("jdbcOptions maps the Connect source config onto spark.read.jdbc options") {
+    val cfg = ConnectorConfig.Config("src", Map(
+      "connection.url" -> "jdbc:postgresql://db:5432/app",
+      "connection.user" -> "svc", "connection.password" -> "pw",
+      "table.whitelist" -> "events",
+      "incrementing.column.name" -> "event_id",
+      "partition.lower.bound" -> "0", "partition.upper.bound" -> "1000000",
+      "tasks.max" -> "4", "batch.max.rows" -> "5000"))
+    val opts = ConnectorConfig.jdbcOptions(cfg)
+    assert(opts("url") === "jdbc:postgresql://db:5432/app")
+    assert(opts("dbtable") === "events")
+    assert(opts("user") === "svc" && opts("password") === "pw")
+    assert(opts("fetchsize") === "5000")
+    // tasks.max parallelism → partitioned range scan
+    assert(opts("partitionColumn") === "event_id")
+    assert(opts("lowerBound") === "0" && opts("upperBound") === "1000000")
+    assert(opts("numPartitions") === "4")
+  }
+
+  test("jdbcOptions: query wins over table; partial partition spec and missing url fail loudly") {
+    val q = ConnectorConfig.Config("q", Map(
+      "connection.url" -> "jdbc:h2:mem:x", "table" -> "ignored",
+      "query" -> "SELECT 1 AS one"))
+    val opts = ConnectorConfig.jdbcOptions(q)
+    assert(opts("query") === "SELECT 1 AS one" && !opts.contains("dbtable"))
+    assert(!opts.contains("partitionColumn")) // unpartitioned: no bounds given
+    val partial = ConnectorConfig.Config("p", Map(
+      "connection.url" -> "jdbc:h2:mem:x", "table" -> "t",
+      "partition.column" -> "id", "partition.lower.bound" -> "0"))
+    val e = intercept[IllegalArgumentException](ConnectorConfig.jdbcOptions(partial))
+    assert(e.getMessage.contains("both bounds"))
+    val noUrl = ConnectorConfig.Config("n", Map("table" -> "t"))
+    val e2 = intercept[IllegalArgumentException](ConnectorConfig.jdbcOptions(noUrl))
+    assert(e2.getMessage.contains("connection.url"))
+  }
+
+  test("pollSource dispatches config modes onto the resumable offset-backed polls") {
+    import graft.sources.IncrementalSource
+    val state = tmpDir("cfgpoll")
+    val cfg = ConnectorConfig.Config("src", Map(
+      "mode" -> "incrementing", "table" -> "events",
+      "incrementing.column.name" -> "event_id"))
+    val p1 = ConnectorConfig.pollSource(spark, sf0001, cfg, state)
+    val n = p1.batch.count(); assert(n > 0); p1.commit()
+    val p2 = ConnectorConfig.pollSource(spark, sf0001, cfg, state)
+    assert(p2.batch.isEmpty) // nothing new since the committed offset
+    // bulk mode: full scan, no state advanced
+    val bulk = ConnectorConfig.Config("b", Map("table" -> "events"))
+    assert(ConnectorConfig.pollSource(spark, sf0001, bulk, state).batch.count() === n)
+  }
 }
