@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // median-of-N per query (default 3): single-run numbers at this scale
+    // carry co-tenant noise well past the ±8% run variance — medians make
+    // per-query regressions attributable to code, not to the neighbor.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = GraftSession.local(cpus)
     // Warm the JVM/codegen/parquet-footer paths before timing anything —
     // otherwise ~3-4 s of one-time cost lands on whichever query sorts
@@ -14,14 +18,28 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write materializes EVERY output column — a count() would let
-      // Catalyst prune the projected expressions and time only the scan.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case scala.util.control.NonFatal(e) =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val times = (0 until reps).flatMap { _ =>
+        if (errors.contains(name)) None
+        else {
+          // each rep starts cold: a cache left by a previous rep (or
+          // query) would turn rep 2+ into a cache read, not a measurement
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          // noop write materializes EVERY output column — a count() would
+          // let Catalyst prune projected expressions and time only the scan
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case scala.util.control.NonFatal(e) =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            None
+          }
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val median =
+        if (times.isEmpty) 0.0
+        else times.sorted.apply((times.size - 1) / 2)
+      name -> median
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -32,7 +50,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
