@@ -57,19 +57,21 @@ object Dedup {
     }: _*)
   }
 
-  /** Bucket keys holding more than `cap` rows — the LSH skew guard's
-    * sideline set. Degenerate content (empty docs, boilerplate) piles
+  /** Drop rows in bucket keys holding more than `cap` rows — the LSH
+    * skew guard. Degenerate content (empty docs, boilerplate) piles
     * thousands of rows into one bucket and makes its self-join quadratic
     * in a single task; candidates from such buckets are near-useless
     * (everything matches everything), so they are excluded from pair
-    * generation. The hot set is tiny by definition → broadcast anti-join,
-    * no extra shuffle of the banded frame. */
+    * generation. Implemented as a count-over-window on the SAME keys the
+    * candidate join shuffles on: the window's exchange satisfies the
+    * join's partitioning requirement, so the guard adds a sort, not a
+    * second aggregation branch that would recompute the (expensive)
+    * signature frame once more per consumer. */
   private def dropOversizedBuckets(banded: DataFrame, keys: Seq[String],
       cap: Int): DataFrame = {
-    val hot = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).alias("__bn")).where(col("__bn") > cap)
-      .select(keys.map(col): _*)
-    banded.join(broadcast(hot), keys, "left_anti")
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("__bn", count(lit(1)).over(w))
+      .where(col("__bn") <= cap).drop("__bn")
   }
 
   /** L2 — MinHash-LSH candidate pairs: band the signature, bucket-join,
@@ -91,9 +93,9 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       maxBucket: Int = 128): DataFrame = {
     val rows = numHashes / bands
-    val shingled = df.select(col(idCol),
-      TF.shingleSetOfTokens(TF.tokens(col(textCol)), shingleN).alias("__shingles"))
-    val banded = shingled
+    val banded = df
+      .withColumn("__toks", TF.tokens(col(textCol)))
+      .withColumn("__shingles", TF.shingleSetOfTokens(col("__toks"), shingleN))
       .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -101,25 +103,49 @@ object Dedup {
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bandsig")
     val bounded = dropOversizedBuckets(banded, Seq("__band", "__bandsig"), maxBucket)
-    val l = bounded.select(col(idCol).alias("id_a"), col("__band"), col("__bandsig"))
-    val r = bounded.select(col(idCol).alias("id_b"), col("__band"), col("__bandsig"))
-    val pairs = l.join(r, Seq("__band", "__bandsig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // aliased SELF-join: both sides are the same plan, so the bucket-key
+    // exchange is computed once and reused (ReusedExchange) — the
+    // signature pass runs once, not once per side
+    val pairs = bounded.as("a").join(bounded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bandsig") === col("b.__bandsig"))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"))
       .distinct()
+    // verify on the candidate pairs only: re-attach shingle sets by id
+    // AFTER pair generation, so the banded shuffle above moved ids only.
+    // The shingle arrays are real attributes below this join — a caller's
+    // `jaccard >= t` filter that Catalyst pushes into the join condition
+    // then references attributes (O(set) per pair); shingling the pair's
+    // raw texts here instead would inline the token pipeline into that
+    // pushed predicate, O(tokens²) per pair (measured 3×). Tokens
+    // materialize before shingling for the same reason
+    // (TextFunctions.ngramsOfTokens scale note).
+    val shingled = df
+      .withColumn("__toks", TF.tokens(col(textCol)))
+      .select(col(idCol), TF.shingleSetOfTokens(col("__toks"), shingleN).alias("__sh"))
     pairs
-      .join(shingled.select(col(idCol).alias("id_a"), col("__shingles").alias("sh_a")), Seq("id_a"))
-      .join(shingled.select(col(idCol).alias("id_b"), col("__shingles").alias("sh_b")), Seq("id_b"))
+      .join(shingled.select(col(idCol).alias("id_a"), col("__sh").alias("sh_a")), Seq("id_a"))
+      .join(shingled.select(col(idCol).alias("id_b"), col("__sh").alias("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), TF.jaccard(col("sh_a"), col("sh_b")).alias("jaccard"))
   }
 
   /** L2 applied — near-dedup: drop every doc that is the larger id of a
-    * candidate pair above the Jaccard threshold. */
+    * candidate pair above the Jaccard threshold.
+    *
+    * `dupIds` is persisted: it is tiny (duplicate ids only), and without
+    * the materialization barrier the optimizer (a) pushes the anti-join
+    * through a union-shaped `df` and duplicates the whole LSH pipeline
+    * once per branch, and (b) inlines the jaccard threshold into a join
+    * condition with the token pipeline un-materialized — both measured
+    * multi-× regressions. Storage is evicted with the session (or
+    * `spark.catalog.clearCache()`). */
   def nearDedupMinhash(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8): DataFrame = {
     val dupIds = minhashCandidates(df, textCol, idCol)
       .where(col("jaccard") >= threshold)
       .select(col("id_b").alias(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
@@ -184,14 +210,12 @@ object Dedup {
     // (The signature is one long; carrying it through the shuffle is
     // cheap, unlike MinHash's shingle arrays.)
     val bounded = dropOversizedBuckets(banded, Seq("__band", "__bucket"), maxBucket)
-    val l = bounded.select(col(idCol).alias("id_a"), col("__sig").alias("sig_a"),
-      col("__band"), col("__bucket"))
-    val r = bounded.select(col(idCol).alias("id_b"), col("__sig").alias("sig_b"),
-      col("__band"), col("__bucket"))
-    l.join(r, Seq("__band", "__bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming(col("sig_a"), col("sig_b"), bits).alias("hamming_dist"))
+    // aliased self-join → one shared exchange (see minhashCandidates)
+    bounded.as("a").join(bounded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket"))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"),
+        hamming(col("a.__sig"), col("b.__sig"), bits).alias("hamming_dist"))
       .where(col("hamming_dist") <= maxDist)
       .distinct()
   }
@@ -203,13 +227,14 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       nPlanes: Int = 8, threshold: Double = 0.95,
       maxBucket: Int = 4096): DataFrame = {
-    val withB = df.withColumn("__bucket", VF.hyperplaneSig(col(vecCol), nPlanes))
+    val withB = df.select(col(idCol), col(vecCol),
+      VF.hyperplaneSig(col(vecCol), nPlanes).alias("__bucket"))
     val bounded = dropOversizedBuckets(withB, Seq("__bucket"), maxBucket)
-    val l = bounded.select(col(idCol).alias("id_a"), col(vecCol).alias("v_a"), col("__bucket"))
-    val r = bounded.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__bucket"))
-    l.join(r, Seq("__bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), VF.cosineNative(col("v_a"), col("v_b")).alias("cos_sim"))
+    // aliased self-join → one shared exchange (see minhashCandidates)
+    bounded.as("a").join(bounded.as("b"), col("a.__bucket") === col("b.__bucket"))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"),
+        VF.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")).alias("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }
