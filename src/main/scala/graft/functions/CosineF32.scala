@@ -39,10 +39,11 @@ case class CosineF32(left: Expression, right: Expression)
   // instead of getFloat() silently reading garbage; the per-element null
   // check is only emitted/taken when the input type admits nulls, so the
   // containsNull=false path stays the original tight loop.
-  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, cn) => cn
-    case _ => true
-  })
+  @transient private lazy val elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
   override def nullable: Boolean =
     left.nullable || right.nullable || elementsNullable
 

@@ -85,7 +85,8 @@ object Dedup {
     * quadratic in one task. Recall for genuinely-near documents is
     * unaffected at sane caps — only content so common it collides
     * `maxBucket`+ times per band is skipped, and exact dedup (L1) is the
-    * right tool for that content anyway.
+    * right tool for that content anyway. Pass `maxBucket = Int.MaxValue`
+    * when verifying recall guarantees (the l02d contract does).
     *
     * @param bands number of bands; rows per band = numHashes/bands.
     * @param maxBucket per-(band, bandsig) bucket-size cap. */
@@ -183,7 +184,12 @@ object Dedup {
     * (pigeonhole), so candidates are the union of per-band bucket joins —
     * recall 1.0 for the configured distance, and each band's buckets are
     * 2^(32/nBands)-way (≈256k for 4 bands), keeping per-bucket self-join
-    * cost bounded at scale instead of the naive low-8-bit bucketing. */
+    * cost bounded at scale instead of the naive low-8-bit bucketing.
+    *
+    * NOTE: the `maxBucket` skew cap deliberately trades the pigeonhole
+    * guarantee inside degenerate buckets — a pair whose every shared
+    * band is oversized is dropped. Pass `maxBucket = Int.MaxValue` when
+    * verifying recall (the l02e contract does). */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3, nBands: Int = 4, bits: Int = 32,
       maxBucket: Int = 1024): DataFrame =

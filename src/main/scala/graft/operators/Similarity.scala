@@ -38,7 +38,11 @@ object Similarity {
       qId: String, cId: String): DataFrame = {
     val cIdType = scored.schema(cId).dataType
     val tk = udaf(Aggregators.topK(k))
-    scored.where(!isnan(col("cos_sim")))
+    // NULL scores (null embedding / null array element under cosine's
+    // SQL semantics) must be dropped like NaN: the combiner's
+    // non-nullable Double input would otherwise throw at encode time —
+    // the old window form only *misranked* such rows, this would crash
+    scored.where(col("cos_sim").isNotNull && !isnan(col("cos_sim")))
       .groupBy(col(qId))
       .agg(tk(col("cos_sim"), col(cId).cast("long")).alias("__top"))
       .select(col(qId), posexplode(col("__top")))

@@ -76,7 +76,11 @@ object LlmQueries {
     // is an exact oracle-checkable statement ----
     ("l02d_minhash_planted_recall", (s, d) => {
       val aug = withNearDups(s, d)
-      val cands = Dedup.minhashCandidates(aug, "text", "doc_id")
+      // maxBucket=MaxValue: this query exists to verify banding recall,
+      // and the skew cap deliberately trades recall in degenerate
+      // buckets — capping here would make the 0-missed oracle unsound
+      val cands = Dedup.minhashCandidates(aug, "text", "doc_id",
+          maxBucket = Int.MaxValue)
         .where(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"))
       val planted = Tables.documents(s, d).where(col("doc_id") % 7 === 0)
@@ -99,7 +103,10 @@ object LlmQueries {
           col("a.doc_id") + 200000 === col("b.doc_id"))
         .where(Dedup.hamming(col("a.sig"), col("b.sig")) <= 3)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val cands = Dedup.simhashCandidatesOfSigs(sigs, "doc_id", "sig", maxDist = 3)
+      // uncapped for the same reason as l02d: the pigeonhole guarantee
+      // only holds without the skew cap
+      val cands = Dedup.simhashCandidatesOfSigs(sigs, "doc_id", "sig",
+          maxDist = 3, maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"))
       withinDist.join(cands, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("missed_within_dist"))

@@ -162,25 +162,40 @@ object AvroSerde {
       structCol: String = "value_struct"): DataFrame =
     deserializeWith(df, valueCol, structSchema, structCol)(identity)
 
+  /** The single decode loop behind every deserialize variant. `tolerant`
+    * selects how a failed decode surfaces: thrown (strict) or as a
+    * (null struct, error message) pair with an extra string column —
+    * one pipeline, so decode fixes reach both paths. */
   private def deserializeWith(df: DataFrame, valueCol: String,
-      structSchema: StructType, structCol: String)(
+      structSchema: StructType, structCol: String,
+      tolerant: Option[String] = None)(
       prep: Array[Byte] => Array[Byte]): DataFrame = {
     val schemaJson = avroSchemaFor(structSchema)
     val vIdx = df.schema.fieldIndex(valueCol)
-    val outSchema = df.schema.add(StructField(structCol, structSchema))
+    val base = df.schema.add(StructField(structCol, structSchema))
+    val outSchema = tolerant.fold(base)(e => base.add(StructField(e, StringType)))
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
+      def decode(bytes: Array[Byte]): Row = {
+        val d = DecoderFactory.get().binaryDecoder(prep(bytes), null)
+        fromAvro(reader.read(null, d), structSchema).asInstanceOf[Row]
+      }
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](vIdx)
-        val parsed =
-          if (bytes == null) null
-          else {
-            val d = DecoderFactory.get().binaryDecoder(prep(bytes), null)
-            fromAvro(reader.read(null, d), structSchema).asInstanceOf[Row]
-          }
-        Row.fromSeq(r.toSeq :+ parsed)
+        tolerant match {
+          case None =>
+            Row.fromSeq(r.toSeq :+ (if (bytes == null) null else decode(bytes)))
+          case Some(_) =>
+            val (parsed, err): (Row, String) =
+              if (bytes == null) (null, null)
+              else try (decode(bytes), null) catch {
+                case scala.util.control.NonFatal(e) =>
+                  (null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+              }
+            Row.fromSeq(r.toSeq :+ parsed :+ err)
+        }
       }
     }(enc)
   }
@@ -199,10 +214,11 @@ object AvroSerde {
     (schemaId >>> 24).toByte, (schemaId >>> 16).toByte,
     (schemaId >>> 8).toByte, schemaId.toByte)
 
-  /** Strip and validate the wire-format header; returns the Avro payload.
-    * Rejects bytes that don't start with the magic byte (e.g. bare Avro)
-    * with a clear error, like Connect's "Unknown magic byte". */
-  def unframeBytes(bytes: Array[Byte], expectedSchemaId: Option[Int] = None): Array[Byte] = {
+  /** Validate the header, return (schema id, Avro payload). Rejects
+    * bytes that don't start with the magic byte (e.g. bare Avro) with a
+    * clear error, like Connect's "Unknown magic byte". */
+  private def decodeFrame(bytes: Array[Byte],
+      expectedSchemaId: Option[Int]): (Int, Array[Byte]) = {
     if (bytes.length < 5 || bytes(0) != 0x00)
       throw new IllegalArgumentException(
         s"not Confluent wire format: expected [0x00][4-byte schema id][avro], got " +
@@ -214,14 +230,15 @@ object AvroSerde {
       if (id != e) throw new IllegalArgumentException(
         s"wire-format schema id $id does not match expected $e")
     }
-    java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
+    (id, java.util.Arrays.copyOfRange(bytes, 5, bytes.length))
   }
 
+  /** Strip and validate the wire-format header; returns the Avro payload. */
+  def unframeBytes(bytes: Array[Byte], expectedSchemaId: Option[Int] = None): Array[Byte] =
+    decodeFrame(bytes, expectedSchemaId)._2
+
   /** Schema id carried in a framed value (header validation included). */
-  def schemaIdOf(bytes: Array[Byte]): Int = {
-    unframeBytes(bytes); ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
-      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
-  }
+  def schemaIdOf(bytes: Array[Byte]): Int = decodeFrame(bytes, None)._1
 
   /** S7 with registry framing: [[serialize]] then prepend the wire-format
     * header — what `AvroConverter.fromConnectData` puts on the topic. */
@@ -246,29 +263,7 @@ object AvroSerde {
     * (tombstones are not errors). */
   def deserializeTolerant(df: DataFrame, valueCol: String, structSchema: StructType,
       structCol: String = "value_struct", errorCol: String = "_decode_error",
-      framed: Boolean = false, expectedSchemaId: Option[Int] = None): DataFrame = {
-    val schemaJson = avroSchemaFor(structSchema)
-    val vIdx = df.schema.fieldIndex(valueCol)
-    val outSchema = df.schema.add(StructField(structCol, structSchema))
-      .add(StructField(errorCol, StringType))
-    val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      val schema = new Schema.Parser().parse(schemaJson)
-      val reader = new GenericDatumReader[GenericRecord](schema)
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](vIdx)
-        val (parsed, err): (Row, String) =
-          if (bytes == null) (null, null)
-          else try {
-            val payload = if (framed) unframeBytes(bytes, expectedSchemaId) else bytes
-            val d = DecoderFactory.get().binaryDecoder(payload, null)
-            (fromAvro(reader.read(null, d), structSchema).asInstanceOf[Row], null)
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              (null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
-          }
-        Row.fromSeq(r.toSeq :+ parsed :+ err)
-      }
-    }(enc)
-  }
+      framed: Boolean = false, expectedSchemaId: Option[Int] = None): DataFrame =
+    deserializeWith(df, valueCol, structSchema, structCol, tolerant = Some(errorCol))(
+      bytes => if (framed) unframeBytes(bytes, expectedSchemaId) else bytes)
 }

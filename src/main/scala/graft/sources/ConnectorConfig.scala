@@ -172,15 +172,26 @@ object ConnectorConfig {
     val partCol = config("partition.column").orElse(config("incrementing.column.name"))
     val lo = config("partition.lower.bound")
     val hi = config("partition.upper.bound")
-    val partition = (partCol, lo, hi) match {
-      case (Some(c), Some(l), Some(h)) => Map(
-        "partitionColumn" -> c, "lowerBound" -> l, "upperBound" -> h,
-        "numPartitions" -> config("tasks.max").getOrElse("8"))
-      case (_, None, None) => Map.empty[String, String] // unpartitioned read
-      case _ => throw new IllegalArgumentException(
-        s"${config.name}: partitioned jdbc read needs partition column AND both bounds " +
-          s"(got column=$partCol, lower=$lo, upper=$hi)")
-    }
+    // Spark's JDBC source rejects `query` + `partitionColumn` together —
+    // fail here (explicit request) or ignore the implicit incrementing-
+    // column default (ordinary incremental config) instead of at load()
+    val partition =
+      if (config("query").isDefined) {
+        if (config("partition.column").isDefined || lo.isDefined || hi.isDefined)
+          throw new IllegalArgumentException(
+            s"${config.name}: query mode cannot use a partitioned read " +
+              "(Spark rejects query+partitionColumn); drop the partition.* keys " +
+              "or use dbtable with a subquery")
+        Map.empty[String, String]
+      } else (partCol, lo, hi) match {
+        case (Some(c), Some(l), Some(h)) => Map(
+          "partitionColumn" -> c, "lowerBound" -> l, "upperBound" -> h,
+          "numPartitions" -> config("tasks.max").getOrElse("8"))
+        case (_, None, None) => Map.empty[String, String] // unpartitioned read
+        case _ => throw new IllegalArgumentException(
+          s"${config.name}: partitioned jdbc read needs partition column AND both bounds " +
+            s"(got column=$partCol, lower=$lo, upper=$hi)")
+      }
     Map("url" -> url) ++ source ++ partition ++
       config("connection.user").map("user" -> _) ++
       config("connection.password").map("password" -> _) ++

@@ -67,44 +67,57 @@ object IncrementalSource {
 
   // ---- S2: incrementing mode ----
 
-  /** One `mode=incrementing` poll over the current table state: rows
-    * with `idCol` strictly beyond the committed offset. */
+  /** One `mode=incrementing` poll: the batch upper bound is PINNED at
+    * poll time (one bounded max aggregate against the source), so the
+    * batch is the closed interval `lastId < id <= pinnedMax` and
+    * `commit()` records the pinned bound. Deriving the bound lazily at
+    * commit time would re-scan the source and fold in rows that arrived
+    * AFTER delivery — silently skipping them forever. Rows beyond the
+    * pin land in the next poll. */
   def pollIncrementing(df: DataFrame, idCol: String, stateDir: String): Poll = {
     val spark = df.sparkSession
     val lastId = readOffset(spark, stateDir).map(_._2).getOrElse(Long.MinValue)
-    val batch = Tables.incrementingScan(df, idCol, lastId)
-    Poll(batch, () => {
-      val mx = batch.agg(max(col(idCol)).cast("long")).collect()(0)
-      if (!mx.isNullAt(0)) writeOffset(spark, stateDir, 0L, mx.getLong(0))
-    })
+    val mx = df.where(col(idCol) > lastId)
+      .agg(max(col(idCol)).cast("long")).collect()(0)
+    if (mx.isNullAt(0)) Poll(df.where(lit(false)), () => ()) // nothing new
+    else {
+      val pinned = mx.getLong(0)
+      val batch = df.where(col(idCol) > lastId && col(idCol) <= pinned)
+      Poll(batch, () => writeOffset(spark, stateDir, 0L, pinned))
+    }
   }
 
   // ---- S3: timestamp+incrementing mode ----
 
   /** One `mode=timestamp+incrementing` poll: rows with
-    * `(ts, id) > (lastTs, lastId)` lexicographically — the exact resume
-    * predicate the Confluent JDBC source uses so equal-timestamp rows
-    * are neither skipped nor re-read. */
+    * `(lastTs, lastId) < (ts, id) <= pinned` lexicographically — the
+    * Confluent resume predicate (equal-timestamp rows are neither
+    * skipped nor re-read) with the upper bound pinned at poll time like
+    * [[pollIncrementing]]. Rows written later with a timestamp at or
+    * below the pin are missed, as in the Connect source — timestamp mode
+    * assumes source timestamps are monotonic per the resume contract. */
   def pollTimestampIncrementing(df: DataFrame, tsCol: String, idCol: String,
       stateDir: String): Poll = {
     val spark = df.sparkSession
     val (lastUs, lastId) = readOffset(spark, stateDir).getOrElse((Long.MinValue, Long.MinValue))
     val lastTs = new java.sql.Timestamp(Math.floorDiv(lastUs, 1000000L) * 1000L)
     lastTs.setNanos((Math.floorMod(lastUs, 1000000L) * 1000L).toInt)
-    val batch =
+    val beyond =
       if (lastUs == Long.MinValue) df // initial poll: everything
       else Tables.timestampIncrementingScan(df, tsCol, idCol, lastTs, lastId)
-    Poll(batch, () => {
-      // committed offset = lexicographic max (ts, id) of the batch
-      val mx = batch
-        .agg(max(struct(col(tsCol).alias("ts"), col(idCol).cast("long").alias("id"))))
-        .collect()(0)
-      if (!mx.isNullAt(0)) {
-        val r = mx.getStruct(0)
-        val t = r.getTimestamp(0)
-        val us = Math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L)
-        writeOffset(spark, stateDir, us, r.getLong(1))
-      }
-    })
+    val mx = beyond
+      .agg(max(struct(col(tsCol).alias("ts"), col(idCol).cast("long").alias("id"))))
+      .collect()(0)
+    if (mx.isNullAt(0)) Poll(df.where(lit(false)), () => ())
+    else {
+      val r = mx.getStruct(0)
+      val pinTs = r.getTimestamp(0)
+      val pinId = r.getLong(1)
+      val pinUs = Math.floorDiv(pinTs.getTime, 1000L) * 1000000L + (pinTs.getNanos / 1000L)
+      val ts = col(tsCol); val id = col(idCol)
+      val batch = beyond.where(
+        ts < lit(pinTs) || (ts === lit(pinTs) && id <= pinId))
+      Poll(batch, () => writeOffset(spark, stateDir, pinUs, pinId))
+    }
   }
 }

@@ -55,13 +55,26 @@ object KafkaEnvelope {
     * a single-partition shuffle — so the envelope semantics survive any
     * data size. Downstream code cannot tell this from a real topic scan. */
   def wrap(df: DataFrame, keyCol: String, tsCol: String, topic: String,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 32): DataFrame =
+    envelope(df, df,
+      keyBytes = col(keyCol).cast(StringType).cast(BinaryType),
+      partKeys = Seq(col(keyCol)), tsCol = tsCol, topic = topic,
+      numPartitions = numPartitions)
+
+  /** The shared envelope projection: one definition of the Kafka record
+    * shape (value JSON, partition, dense offsets, headers) so the
+    * string-key and Avro-key wrap paths can never drift apart.
+    * `payload` carries the original columns for the JSON value;
+    * `keyed` may carry extra derived columns (e.g. encoded key bytes). */
+  private def envelope(keyed: DataFrame, payload: DataFrame, keyBytes: org.apache.spark.sql.Column,
+      partKeys: Seq[org.apache.spark.sql.Column], tsCol: String, topic: String,
+      numPartitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val part = pmod(hash(col(keyCol)), lit(numPartitions))
-    val w = Window.partitionBy(part).orderBy(col(tsCol), col(keyCol))
-    df.select(
-      col(keyCol).cast(StringType).cast(BinaryType).alias("key"),
-      to_json(struct(df.columns.map(col): _*), jsonOpts).cast(BinaryType).alias("value"),
+    val part = pmod(hash(partKeys: _*), lit(numPartitions))
+    val w = Window.partitionBy(part).orderBy(col(tsCol) +: partKeys: _*)
+    keyed.select(
+      keyBytes.alias("key"),
+      to_json(struct(payload.columns.map(col): _*), jsonOpts).cast(BinaryType).alias("value"),
       lit(topic).alias("topic"),
       part.cast(IntegerType).alias("partition"),
       (row_number().over(w) - 1).cast(LongType).alias("offset"),
@@ -79,21 +92,12 @@ object KafkaEnvelope {
     * (ts, key...) order. Decode with [[unwrapAvroKey]]. */
   def wrapAvroKey(df: DataFrame, keyCols: Seq[String], tsCol: String,
       topic: String, numPartitions: Int = 32, keySchemaId: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(keyCols.nonEmpty, "wrapAvroKey needs at least one key column")
     val enc = AvroSerde.serializeFramed(df, keyCols, keySchemaId, "__key_avro")
-    val part = pmod(hash(keyCols.map(col): _*), lit(numPartitions))
-    val w = Window.partitionBy(part).orderBy((col(tsCol) +: keyCols.map(col)): _*)
-    enc.select(
-      col("__key_avro").alias("key"),
-      to_json(struct(df.columns.map(col): _*), jsonOpts).cast(BinaryType).alias("value"),
-      lit(topic).alias("topic"),
-      part.cast(IntegerType).alias("partition"),
-      (row_number().over(w) - 1).cast(LongType).alias("offset"),
-      col(tsCol).cast(TimestampType).alias("timestamp"),
-      lit(0).alias("timestampType"),
-      array(struct(lit("origin").alias("key"),
-        lit(topic).cast(BinaryType).alias("value"))).alias("headers"))
+    envelope(enc, df,
+      keyBytes = col("__key_avro"),
+      partKeys = keyCols.map(col), tsCol = tsCol, topic = topic,
+      numPartitions = numPartitions)
   }
 
   /** Decode a framed-Avro key column back into a struct column — the

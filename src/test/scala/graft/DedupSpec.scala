@@ -120,6 +120,23 @@ class DedupSpec extends SparkSpec {
     assert(!top.contains(999999L))
   }
 
+  test("L4: NULL scores (null embedding / null array element) are dropped, not a crash") {
+    val base = Tables.embeddings(spark, sf0001)
+    val nullEmb = Seq((999998L, null.asInstanceOf[Seq[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+    // a genuine null ELEMENT (parquet lists are containsNull=true); put
+    // it at index 0 so the common-prefix cosine loop actually reads it
+    val nullElem = base.limit(1).select(lit(999999L).as("vec_id"),
+      concat(array(lit(null).cast("float")), slice($"embedding", 2, 1000)).as("embedding"),
+      lit(0).as("label"))
+    val emb = base.unionByName(nullEmb).unionByName(nullElem)
+    val queries = emb.where($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val top = Similarity.bruteForceTopK(queries, emb, 5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!top.contains(999998L) && !top.contains(999999L))
+  }
+
   test("A4 claim: approx_count_distinct within rsd bound of exact") {
     val o = Tables.orders(spark, sf0001)
     val exact = o.agg(countDistinct($"o_custkey")).as[Long].head()
