@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineF32
+import graft.functions.{CosineF32, CosineQ64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_f32 takes exactly 2 arguments")
         CosineF32(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_q64"),
+      new ExpressionInfo(classOf[CosineQ64].getName, "cosine_q64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_q64 takes exactly 2 arguments")
+        CosineQ64(children.head, children(1))
       }))
   }
 }

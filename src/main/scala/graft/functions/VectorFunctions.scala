@@ -63,8 +63,18 @@ object VectorFunctions {
   /** Cosine over the integer grid: dotQ / sqrt(normSqQ*normSqQ) — the
     * only float ops are two exact long→double conversions, one multiply,
     * one sqrt and one divide on identical inputs → cross-engine
-    * deterministic. */
-  def cosineQ(aq: Column, bq: Column): Column =
+    * deterministic. Backed by the native [[CosineQ64]] kernel (one fused
+    * integer loop, bit-identical to the HOF fold — parity is
+    * property-tested); the HOF form below is kept as the reference
+    * semantics. */
+  def cosineQ(aq: Column, bq: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(CosineQ64(ColumnBridge.expression(aq), ColumnBridge.expression(bq)))
+  }
+
+  /** Reference HOF implementation of [[cosineQ]] (zip_with+aggregate):
+    * used by the native-vs-HOF parity test, not by hot paths. */
+  def cosineQHof(aq: Column, bq: Column): Column =
     dotQ(aq, bq).cast("double") /
       sqrt(normSqQ(aq).cast("double") * normSqQ(bq).cast("double"))
 

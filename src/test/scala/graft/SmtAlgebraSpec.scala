@@ -70,6 +70,27 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(viaSql.nonEmpty && viaSql.forall(r => !r.isNullAt(0)))
   }
 
+  test("L3: native cosine_q64 is bit-identical to the HOF fold (incl. mismatch/null → NULL)") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001).limit(100)
+      .select(col("vec_id"), VF.quantize(col("embedding")).as("q"))
+    val both = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(VF.cosineQHof(col("a.q"), col("b.q")).as("hof"),
+        VF.cosineQ(col("a.q"), col("b.q")).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}")) // exact, not tolerance
+    // length mismatch and null element both yield NULL like the HOF form
+    val odd = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(VF.cosineQ(col("a"), col("b")).as("c"),
+        VF.cosineQHof(col("a"), col("b")).as("ch")).collect().head
+    assert(odd.isNullAt(0) && odd.isNullAt(1))
+    val withNull = Seq(1).toDF("x")
+      .select(VF.cosineQ(array(lit(1L), lit(null).cast("long")),
+        array(lit(1L), lit(2L))).as("c")).collect().head
+    assert(withNull.isNullAt(0))
+  }
+
   test("L3: cosineQ agrees with float cosine to quantization tolerance; symmetric") {
     val vecs = Seq(
       (1L, Seq(0.1f, -0.2f, 0.3f)), (2L, Seq(0.25f, 0.05f, -0.4f)))
