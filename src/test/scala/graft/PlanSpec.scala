@@ -71,6 +71,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
   }
 
+  test("LSH self-join computes the banded frame once at shuffle scale (ReusedExchange)") {
+    // locally AQE broadcasts the small side; at corpus scale the bucket
+    // join is a shuffle join, where the whole point of the aliased
+    // self-join is that BOTH sides read one exchange — signatures are
+    // computed once. Pin that by planning at shuffle scale.
+    val conf = spark.conf
+    val oldB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldA = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = graft.sources.Tables.documents(spark, sf0001)
+      val simPlan = graft.operators.Dedup
+        .simhashCandidates(docs, "text", "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(simPlan.contains("ReusedExchange"),
+        s"simhash self-join sides don't share an exchange:\n$simPlan")
+      val mhPlan = graft.operators.Dedup
+        .minhashCandidates(docs, "text", "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(mhPlan.contains("ReusedExchange"),
+        s"minhash self-join sides don't share an exchange:\n$mhPlan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+      conf.set("spark.sql.adaptive.enabled", oldA)
+    }
+  }
+
   test("a01 group-by runs partial (map-side) aggregation before the exchange") {
     val plan = run("a01_groupby").queryExecution.executedPlan.toString
     val firstAgg = plan.indexOf("HashAggregate")
