@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** T7 — arbitrary stateful processing (SURVEY §2.8). The Connect runtime
   * keeps per-task state (source offsets) in a compacted topic (reference
@@ -33,6 +34,32 @@ object Stateful {
           state.update((n, s))
           Iterator(KeyAgg(key, n, s))
       }
+
+  /** T7, modern form — the same running per-key aggregate on Spark 4's
+    * `transformWithState`: named typed state handles (ValueState with
+    * optional TTL), timers, and state-schema evolution — the successor
+    * API to flatMapGroupsWithState. Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`). */
+  class RunningAggProcessor extends StatefulProcessor[Long, (Long, Double), KeyAgg] {
+    @transient private var agg: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg", stateEnc, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[KeyAgg] = {
+      val (n0, s0) = if (agg.exists()) agg.get() else (0L, 0.0)
+      var n = n0; var s = s0
+      rows.foreach { case (_, v) => n += 1; s += v }
+      agg.update((n, s))
+      Iterator(KeyAgg(key, n, s))
+    }
+  }
+
+  /** [[runningPerKey]] expressed on transformWithState (streaming only —
+    * the new API has no batch degeneration path). */
+  def runningPerKeyTws(ds: Dataset[(Long, Double)]): Dataset[KeyAgg] =
+    ds.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new RunningAggProcessor,
+        TimeMode.None(), OutputMode.Update(), keyAggEnc)
 
   /** Cross-batch exactly-once-per-key dedup: emit a key's row only the
     * first time the key is ever seen (state = seen marker). */

@@ -129,6 +129,33 @@ class StreamingSpec extends SparkSpec {
     assert(last === Set((1L, 3L, 6.0), (2L, 1L, 10.0)))
   }
 
+  test("T7c: transformWithState running aggregate matches flatMapGroupsWithState across batches") {
+    // the new API requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = TestSources.memory[(Long, Double)]
+      val q = Stateful.runningPerKeyTws(ms.toDS())
+        .writeStream.format("memory").queryName("t7c_out")
+        .outputMode(OutputMode.Update).start()
+      ms.addData((1L, 1.0), (1L, 2.0), (2L, 10.0)); q.processAllAvailable()
+      ms.addData((1L, 3.0)); q.processAllAvailable()
+      q.stop()
+      val last = spark.table("t7c_out").groupBy($"key")
+        .agg(max(struct($"n", $"total")).as("m"))
+        .select($"key", $"m.n", $"m.total")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(last === Set((1L, 3L, 6.0), (2L, 1L, 10.0))) // same as T7
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("T7b: firstSeenOnly suppresses keys already seen in earlier batches") {
     val ms = TestSources.memory[(Long, String)]
     val q = Stateful.firstSeenOnly(ms.toDS())
