@@ -221,6 +221,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some(s"""WITH t AS (SELECT doc_id, $tokensSql ts FROM documents) SELECT doc_id, len(ts) n_tokens, CASE WHEN len(ts) < 3 THEN 0 ELSE len(list_distinct(list_transform(generate_series(1, len(ts)-2), i -> array_to_string(ts[i:i+2], ' ')))) END n_distinct_trigrams FROM t ORDER BY doc_id""")),
 
+    // ---- L6b: character trigrams (the other n-gram axis — used for
+    // language-id features and fuzzy matching) ----
+    ("l06b_char_ngrams", (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(array_distinct(TF.charNgrams(col("text"), 3))).as("n_distinct_char3"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id, len(list_distinct(list_transform(generate_series(1, len(text)-2), i -> substr(text, i, 3)))) AS n_distinct_char3 FROM documents ORDER BY doc_id""")),
+
     // ---- L7: PII masking over deterministically injected emails/phones ----
     ("l07_mask_pii", (s, d) => {
       Tables.documents(s, d)
