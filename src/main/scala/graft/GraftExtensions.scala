@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * documented injection point for native functions/rules (enable with
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`; GraftSession does this
-  * by default). Currently: the codegen'd `cosine_f32` expression, usable
-  * from SQL text and via `expr("cosine_f32(a, b)")`. */
+  * by default). Currently: the codegen'd `cosine_f32` (float arrays) and
+  * `cosine_q64` (integer-quantized arrays) expressions, usable from SQL
+  * text and via `expr("cosine_f32(a, b)")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -35,15 +35,24 @@ case class CosineQ64(left: Expression, right: Expression)
   override def prettyName: String = "cosine_q64"
   override def nullable: Boolean = true
 
+  // same containsNull elision as CosineF32: the per-element null branch
+  // is only emitted/taken when the input type admits null elements
+  @transient private lazy val elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
+    val checkNulls = elementsNullable
     var dot = 0L; var nx = 0L; var ny = 0L
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getLong(i)
       val yi = y.getLong(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -61,13 +70,16 @@ case class CosineQ64(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullCheck = if (elementsNullable)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $x.numElements();
          |if ($y.numElements() != $n) { ${ev.isNull} = true; }
          |long $dot = 0L; long $nx = 0L; long $ny = 0L;
          |if (!${ev.isNull}) {
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $nullCheck
          |    long $xi = $x.getLong($i);
          |    long $yi = $y.getLong($i);
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;

@@ -78,8 +78,11 @@ class SmtAlgebraSpec extends SparkSpec {
         VF.cosineQ(col("a.q"), col("b.q")).as("native"))
       .collect()
     assert(both.nonEmpty)
-    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
-      s"${r.getDouble(0)} != ${r.getDouble(1)}")) // exact, not tolerance
+    // bit-exact, not tolerance (doubleToLongBits so NaN == NaN holds)
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}"))
     // length mismatch and null element both yield NULL like the HOF form
     val odd = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
       .select(VF.cosineQ(col("a"), col("b")).as("c"),
