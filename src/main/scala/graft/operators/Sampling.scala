@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset splitting and sampling for training pipelines (SURVEY §2.9
+  * north star): train/validation splits and down-sampling over ~100 TB
+  * corpora.
+  *
+  * The primary split is HASH-based, not random: `randomSplit` re-deals
+  * rows on every run and every repartition, while a hash of a stable id
+  * gives a split that is (a) reproducible across runs and engines,
+  * (b) stable under data growth — a document keeps its split forever, so
+  * an eval set never leaks into training when the corpus is re-ingested —
+  * and (c) a pure per-row projection: no shuffle, no state, safe at any
+  * scale. The multiplicative hash is spelled in portable integer
+  * arithmetic so the DuckDB oracle reproduces it exactly.
+  */
+object Sampling {
+
+  /** Portable bucket in [0, buckets) from a stable integer id
+    * (Knuth multiplicative hashing on the 2^31 ring — exact in Long,
+    * reproducible in any engine with 64-bit integer arithmetic). The id
+    * is reduced mod 2^31-1 BEFORE the multiply so the product stays
+    * inside Long for any id magnitude (ANSI mode would otherwise error
+    * on overflow for ids ≥ ~2^32). */
+  def hashBucket(idCol: String, buckets: Int = 100): org.apache.spark.sql.Column = {
+    val p = 2147483647L
+    pmod((pmod(col(idCol), lit(p)) * 2654435761L + 104729L) % p, lit(buckets.toLong))
+  }
+
+  /** Deterministic train/eval split: rows whose bucket < `trainPct` are
+    * train, the rest eval. Tagged, not dropped, so one scan feeds both
+    * sides. */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int,
+      buckets: Int = 100): DataFrame = {
+    require(trainPct >= 0 && trainPct <= buckets, "trainPct out of range")
+    df.withColumn("split",
+      when(hashBucket(idCol, buckets) < trainPct, lit("train")).otherwise(lit("eval")))
+  }
+
+  /** Deterministic fractional down-sample: keep ids hashing below the
+    * cutoff. Same row set on every run/engine — a sampled corpus can be
+    * re-derived instead of stored. */
+  def hashSample(df: DataFrame, idCol: String, keepPct: Int,
+      buckets: Int = 100): DataFrame =
+    df.where(hashBucket(idCol, buckets) < keepPct)
+
+  /** Seeded uniform random sample (Spark-deterministic for a fixed seed,
+    * partitioning and engine — use [[hashSample]] when cross-run
+    * stability matters). */
+  def randomSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Stratified sample: per-stratum keep fractions (e.g. down-weight a
+    * dominant language), seeded. Map must cover every stratum value or
+    * uncovered rows are dropped (Spark `sampleBy` semantics). */
+  def stratifiedSample[T](df: DataFrame, stratumCol: String,
+      fractions: Map[T, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+}

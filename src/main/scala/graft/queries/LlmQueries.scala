@@ -239,6 +239,24 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com or +1 (555) 0100-' || doc_id AS text FROM documents) SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9][0-9 ()+-]{5,}[0-9]', '<PHONE>', 'g') masked FROM aug ORDER BY doc_id""")),
 
+    // ---- L9: deterministic train/eval split — portable multiplicative
+    // hash on the stable id, so the split is reproducible across runs,
+    // engines and data growth (an eval doc never drifts into train) ----
+    ("l09_hash_split", (s, d) => {
+      graft.operators.Sampling.hashSplit(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", trainPct = 80)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("sum_id"))
+        .orderBy(col("split"))
+    }, Some("""WITH s AS (SELECT doc_id, CASE WHEN ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 % 100 < 80 THEN 'train' ELSE 'eval' END split FROM documents) SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id FROM s GROUP BY split ORDER BY split""")),
+
+    // ---- L9b: deterministic fractional down-sample (same hash ring) ----
+    ("l09b_hash_sample", (s, d) => {
+      graft.operators.Sampling.hashSample(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", keepPct = 10)
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id FROM documents WHERE ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 % 100 < 10 ORDER BY doc_id""")),
+
     // ---- L8: multimodal envelope — payload byte length, feature dim,
     // frame-sample fan-out (decode is a documented stub; the Spark-side
     // schema/partitioning/fan-out plumbing is what's verified) ----

@@ -137,6 +137,31 @@ class DedupSpec extends SparkSpec {
     assert(!top.contains(999998L) && !top.contains(999999L))
   }
 
+  test("L9: hash split is stable under repartitioning; strata keep their fractions") {
+    import graft.operators.Sampling
+    val docs10 = docs.repartition(10)
+    val docs3 = docs.repartition(3)
+    def trainSet(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSplit(df, "doc_id", 80).where($"split" === "train")
+        .select($"doc_id").as[Long].collect().toSet
+    // partitioning must not change ANY row's split (randomSplit fails this)
+    assert(trainSet(docs10) === trainSet(docs3))
+    // train + eval partition the corpus
+    val split = Sampling.hashSplit(docs, "doc_id", 80)
+    assert(split.count() === docs.count())
+    assert(split.where($"split" === "train").count() +
+      split.where($"split" === "eval").count() === docs.count())
+    // stratified sampleBy respects per-stratum fractions (seeded)
+    val strat = Sampling.stratifiedSample(
+      docs.withColumn("stratum", ($"doc_id" % 2 === 0).cast("string")),
+      "stratum", Map("true" -> 0.5, "false" -> 0.1), seed = 42L)
+    val n = docs.count().toDouble
+    val kept = strat.groupBy($"stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("true") / (n / 2) - 0.5) < 0.15, kept.toString)
+    assert(math.abs(kept("false") / (n / 2) - 0.1) < 0.1, kept.toString)
+  }
+
   test("A4 claim: approx_count_distinct within rsd bound of exact") {
     val o = Tables.orders(spark, sf0001)
     val exact = o.agg(countDistinct($"o_custkey")).as[Long].head()
