@@ -121,6 +121,28 @@ object LlmQueries {
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
     }, None),
 
+    // ---- L2f: embedding near-dup recall contract — every planted exact
+    // copy (identical vector ⇒ identical hyperplane signature ⇒ same
+    // bucket, cosine 1.0) must surface as a pair. Bucketing arithmetic is
+    // engine-side, but "zero planted copies missed" is oracle-checkable;
+    // DuckDB independently counts the planted set. Uncapped buckets, like
+    // l02d/l02e: the skew cap deliberately trades recall, which would
+    // make the 0-missed oracle unsound. Verified at sf0.01: no zero-norm
+    // vectors in the table (a zero vector would cosine to NaN and drop). ----
+    ("l02f_embedding_planted_recall", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val aug = emb.unionByName(emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val cands = Dedup.embeddingNearDups(aug, "embedding", "vec_id",
+          nPlanes = 8, threshold = 0.95, maxBucket = Int.MaxValue)
+        .select(col("id_a"), col("id_b"))
+      val planted = emb.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 100000).as("id_b"))
+      planted.join(cands, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id % 10 = 0""")),
+
     // ---- L3: pairwise cosine on the quantized grid (adjacent-id pairs) ----
     ("l03_cosine_pairs", (s, d) => {
       val q = Tables.embeddings(s, d)

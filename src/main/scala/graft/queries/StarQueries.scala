@@ -73,6 +73,25 @@ object StarQueries {
         .orderBy(col("o_orderstatus"))
     }, None),
 
+    // ---- A4 contract: the HLL estimate must land within a generous
+    // error band of the exact distinct count. The sketch itself is
+    // engine-specific (rows-only above), but "exact count" and "estimate
+    // within bound" are oracle-checkable: DuckDB recomputes the exact
+    // side independently and the boolean pins the estimate. HLL register
+    // merges are commutative maxes, so the estimate is deterministic
+    // under any partitioning — safe to hash-compare. rsd=0.01; bound is
+    // 5% + 10 absolute, far outside observed error yet far inside
+    // usefulness. ----
+    ("a04b_approx_distinct_bound", (s, d) => {
+      Tables.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(col("o_orderstatus"), col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust"))
+            <= col("exact_cust") * 0.05 + 10).as("within_bound"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_cust, true AS within_bound FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- A5: rollup ----
     ("a05_rollup", (s, d) => {
       Tables.lineitem(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
