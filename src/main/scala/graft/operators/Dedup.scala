@@ -46,10 +46,29 @@ object Dedup {
     xxhash64(s).bitwiseAND(lit(0x7fffffffL))
 
   /** MinHash signature: for shingle set S, sig_i = min over s in S of
-    * ((a_i * hash(s) + b_i) mod p), with fixed seeds per row i. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    * ((a_i * hash(s) + b_i) mod p), with fixed seeds per row i.
+    *
+    * Scale note: the `hashes` subtree is INLINED `numHashes` times in the
+    * array below, and Spark's subexpression elimination skips
+    * lambda-containing trees — so this single-Column form re-hashes every
+    * shingle `numHashes`×. Callers that can afford a project boundary
+    * should materialize [[shingleHashes]] as its own column and call
+    * [[minhashSignatureOfHashes]] (CollapseProject keeps a non-cheap
+    * alias referenced many times in its own project, so the hash pass
+    * then runs once per row). [[minhashCandidates]] does. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    minhashSignatureOfHashes(shingleHashes(shingles), numHashes)
+
+  /** 31-bit hash array of a shingle set — materialize this once per row,
+    * then feed [[minhashSignatureOfHashes]]. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => strHash(s))
+
+  /** [[minhashSignature]] over a precomputed [[shingleHashes]] array:
+    * only the cheap `(a*h+b) mod p` long arithmetic runs per hash
+    * function. Identical values to the one-shot form by construction. */
+  def minhashSignatureOfHashes(hashes: Column, numHashes: Int): Column = {
     val p = 2147483647L
-    val hashes = transform(shingles, s => strHash(s))
     array((0 until numHashes).map { i =>
       val a = 1L + 2L * ((1103515245L * i + 12345L) % 1000000L) // odd
       val b = (69069L * i + 1234567L) % p
@@ -97,7 +116,10 @@ object Dedup {
     val banded = df
       .withColumn("__toks", TF.tokens(col(textCol)))
       .withColumn("__shingles", TF.shingleSetOfTokens(col("__toks"), shingleN))
-      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+      // hash array in its own project: the signature's 16 array_min
+      // branches then read an attribute instead of re-hashing 16×
+      .withColumn("__hashes", shingleHashes(col("__shingles")))
+      .withColumn("__sig", minhashSignatureOfHashes(col("__hashes"), numHashes))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("__sig"), b * rows + lit(1), lit(rows)))))

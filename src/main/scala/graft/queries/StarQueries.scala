@@ -82,10 +82,17 @@ object StarQueries {
     // under any partitioning — safe to hash-compare. rsd=0.01; bound is
     // 5% + 10 absolute, far outside observed error yet far inside
     // usefulness. ----
+    // Plan shape: dedup (status, custkey) first, then count + sketch the
+    // already-distinct pairs — the HLL sketch is duplicate-insensitive,
+    // so the estimate is identical, and the plan avoids the Expand that
+    // `countDistinct` alongside another aggregate forces (measured 3-4×
+    // slower; Expand also doubles the shuffled rows, which is the wrong
+    // slope at 100 TB).
     ("a04b_approx_distinct_bound", (s, d) => {
-      Tables.orders(s, d).groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
-          countDistinct(col("o_custkey")).as("exact_cust"))
+      Tables.orders(s, d).select(col("o_orderstatus"), col("o_custkey")).distinct()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("exact_cust"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))
         .select(col("o_orderstatus"), col("exact_cust"),
           (abs(col("approx_cust") - col("exact_cust"))
             <= col("exact_cust") * 0.05 + 10).as("within_bound"))
