@@ -1,17 +1,18 @@
 package graft
 
-import graft.functions.{CosineF32, CosineQ64}
+import graft.functions.{CharNgrams, CosineF32, CosineQ64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Engine extensions installed via `SparkSessionExtensions` — the
   * documented injection point for native functions/rules (enable with
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`; GraftSession does this
-  * by default). Currently: the codegen'd `cosine_f32` (float arrays) and
-  * `cosine_q64` (integer-quantized arrays) expressions, usable from SQL
-  * text and via `expr("cosine_f32(a, b)")`. */
+  * by default). Currently: the codegen'd `cosine_f32` (float arrays),
+  * `cosine_q64` (integer-quantized arrays) and `char_ngrams` (single-pass
+  * string n-grams) expressions, usable from SQL text and via
+  * `expr("cosine_f32(a, b)")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -27,6 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_q64 takes exactly 2 arguments")
         CosineQ64(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "char_ngrams takes exactly 2 arguments")
+        children(1) match {
+          case Literal(n: Int, _) => CharNgrams(children.head, n)
+          case other => throw new IllegalArgumentException(
+            s"char_ngrams(text, n): n must be an integer literal, got $other")
+        }
       }))
   }
 }

@@ -23,8 +23,17 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
 
-  /** Character n-grams of the whole string, as an array. */
-  def charNgrams(text: Column, n: Int): Column =
+  /** Character n-grams of the whole string, as an array — the native
+    * single-pass [[CharNgrams]] kernel (the built-in `substr`-per-position
+    * form is O(len²); see the expression's scaladoc). */
+  def charNgrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
+  }
+
+  /** Built-in-only form of [[charNgrams]] — kept as the semantic
+    * reference for the native kernel's parity property test. */
+  def charNgramsHof(text: Column, n: Int): Column =
     when(length(text) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
 

@@ -94,6 +94,37 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("L6b: native char_ngrams matches the substr form (unicode, edges) and works from SQL") {
+    import graft.functions.{TextFunctions => TF}
+    // seeded generator over a unicode-heavy alphabet: ASCII, 2-byte (é),
+    // 3-byte (好), 4-byte (surrogate-pair emoji) chars plus empties
+    val rng = new scala.util.Random(42)
+    // code-point strings, not chars: indexing a String would split the
+    // emoji surrogate pairs into invalid lone surrogates
+    val alphabet = IndexedSeq("a", "b", "c", " ", "é", "好", "你", "🎉", "🚀", "x")
+    val docs = (0 until 200).map { i =>
+      val len = rng.nextInt(12)
+      (i.toLong, (0 until len).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString)
+    } :+ ((200L, "")) :+ ((201L, "ab")) :+ ((202L, null))
+    val df = docs.toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = df.select(
+        TF.charNgrams(col("text"), n).as("native"),
+        TF.charNgramsHof(col("text"), n).as("hof")).collect()
+      both.foreach { r =>
+        assert(r.isNullAt(0) === r.isNullAt(1))
+        if (!r.isNullAt(0))
+          assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n")
+      }
+    }
+    // SQL-text path through the SparkSessionExtensions registration
+    df.createOrReplaceTempView("char_ngrams_test")
+    val viaSql = spark.sql(
+      "SELECT size(char_ngrams(text, 3)) s FROM char_ngrams_test WHERE text IS NOT NULL")
+      .collect()
+    assert(viaSql.nonEmpty && viaSql.forall(r => !r.isNullAt(0)))
+  }
+
   test("L3: cosineQ agrees with float cosine to quantization tolerance; symmetric") {
     val vecs = Seq(
       (1L, Seq(0.1f, -0.2f, 0.3f)), (2L, Seq(0.25f, 0.05f, -0.4f)))

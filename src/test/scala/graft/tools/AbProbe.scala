@@ -57,6 +57,17 @@ object AbProbe {
           .agg(count(lit(1)).as("exact_cust"),
             approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))))
     }
+    // -- charNgrams: substr-per-position (O(len^2) char scans) vs
+    //    materialized char array + slice (O(len)) --
+    println("[probe] split semantics: " + docs.select(split(lit("abc"), "")).head())
+    for (rep <- 1 to 3) {
+      time(s"char3 substr rep$rep")(
+        noop(docs.select(col("doc_id"),
+          size(array_distinct(TF.charNgramsHof(col("text"), 3))).as("n"))))
+      time(s"char3 native rep$rep")(
+        noop(docs.select(col("doc_id"),
+          size(array_distinct(TF.charNgrams(col("text"), 3))).as("n"))))
+    }
     spark.stop()
   }
 }
