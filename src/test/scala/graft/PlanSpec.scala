@@ -106,6 +106,31 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no partial+final aggregate pair:\n$plan")
   }
 
+  test("a04b sketches distinct pairs without an Expand (no doubled shuffle rows)") {
+    val df = run("a04b_approx_distinct_bound")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // countDistinct alongside another aggregate forces Expand (2x the
+    // shuffled rows); the dedup-first formulation must never regress to it
+    assert(!plan.contains("Expand"), s"a04b regressed to an Expand plan:\n$plan")
+  }
+
+  test("l02 minhash hashes each shingle set once (hash array in its own project)") {
+    val df = run("l02_minhash_near_dedup")
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the 16 signature branches must read the materialized hash-array
+    // attribute, not 16 inlined copies of the xxhash64 pass (subexpression
+    // elimination skips lambda-containing trees, so inlining = 16x rehash)
+    // the optimized LOGICAL plan duplicates the banded subtree across
+    // self-join sides / union branches (physical ReusedExchange collapses
+    // them later), so each copy contributes one xxhash64 — observed 8
+    // copies here. The regression this guards against is 16 per copy
+    // (>= 64 total), so < 16 cleanly discriminates.
+    val hashCount = "xxhash64".r.findAllIn(plan).size
+    assert(hashCount < 16,
+      s"shingle hash pass inlined $hashCount times in the optimized plan:\n${plan.take(4000)}")
+  }
+
   test("star queries stay inside whole-stage codegen (no interpreted hot path)") {
     Seq("a01_groupby", "j02_equi", "w01_rank").foreach { q =>
       val df = run(q)
