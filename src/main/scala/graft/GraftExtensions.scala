@@ -3,7 +3,7 @@ package graft
 import graft.functions.{CharNgrams, CosineF32, CosineQ64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Engine extensions installed via `SparkSessionExtensions` — the
   * documented injection point for native functions/rules (enable with
@@ -34,11 +34,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "char_ngrams takes exactly 2 arguments")
-        children(1) match {
-          case Literal(n: Int, _) => CharNgrams(children.head, n)
+        // accept any foldable integral n (1+2, CAST(3 AS INT), 3L...):
+        // the builder runs before constant folding, so a bare-Literal
+        // match would reject constants that fold one rule later
+        val nExpr = children(1)
+        val n = if (nExpr.foldable) nExpr.eval() match {
+          case i: Int => i
+          case l: Long if l.isValidInt => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
           case other => throw new IllegalArgumentException(
-            s"char_ngrams(text, n): n must be an integer literal, got $other")
-        }
+            s"char_ngrams(text, n): n must be an integer constant, got $other")
+        } else throw new IllegalArgumentException(
+          s"char_ngrams(text, n): n must be a constant, got $nExpr")
+        CharNgrams(children.head, n)
       }))
   }
 }

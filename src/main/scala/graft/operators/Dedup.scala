@@ -263,6 +263,10 @@ object Dedup {
       .where(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"),
         VF.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")).alias("cos_sim"))
-      .where(col("cos_sim") >= threshold)
+      // NaN guard, not just the threshold: a zero-norm vector scores NaN
+      // against every bucket-mate, and Spark orders NaN GREATER than any
+      // double — `cos_sim >= t` alone would emit every such pair as a
+      // "near-duplicate" (same NaN-ordering trap as the top-k scorer)
+      .where(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
 }

@@ -128,7 +128,8 @@ object LlmQueries {
     // DuckDB independently counts the planted set. Uncapped buckets, like
     // l02d/l02e: the skew cap deliberately trades recall, which would
     // make the 0-missed oracle unsound. Verified at sf0.01: no zero-norm
-    // vectors in the table (a zero vector would cosine to NaN and drop). ----
+    // vectors in the table (a zero vector scores NaN, which the operator's
+    // NaN guard excludes from pairs — its planted copy would be missed). ----
     ("l02f_embedding_planted_recall", (s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val aug = emb.unionByName(emb.where(col("vec_id") % 10 === 0)

@@ -89,7 +89,11 @@ object StarQueries {
     // slower; Expand also doubles the shuffled rows, which is the wrong
     // slope at 100 TB).
     ("a04b_approx_distinct_bound", (s, d) => {
-      Tables.orders(s, d).select(col("o_orderstatus"), col("o_custkey")).distinct()
+      // isNotNull pins COUNT(DISTINCT) NULL semantics: the oracle's
+      // COUNT(DISTINCT o_custkey) excludes NULLs, while distinct() over
+      // the pair would count a NULL custkey as one extra value
+      Tables.orders(s, d).select(col("o_orderstatus"), col("o_custkey"))
+        .where(col("o_custkey").isNotNull).distinct()
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("exact_cust"),
           approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))

@@ -137,6 +137,22 @@ class DedupSpec extends SparkSpec {
     assert(!top.contains(999998L) && !top.contains(999999L))
   }
 
+  test("L2c: zero-norm vectors never surface as near-dup pairs (NaN guard)") {
+    // Spark orders NaN greater than any double, so `cos_sim >= t` alone
+    // would emit every zero-vector bucket-mate pair; the operator's
+    // isnan guard must exclude them while identical unit vectors pair up
+    val df = Seq(
+      (1L, Seq.fill(4)(0.0f)), (2L, Seq.fill(4)(0.0f)),
+      (3L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (4L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDups(df, "vec", "id",
+      nPlanes = 4, threshold = 0.9, maxBucket = Int.MaxValue)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 4L)), s"identical unit vectors must pair: $pairs")
+    assert(!pairs.exists(p => p._1 <= 2L || p._2 <= 2L),
+      s"zero-norm vectors surfaced as near-dups: $pairs")
+  }
+
   test("L9: hash split is stable under repartitioning; strata keep their fractions") {
     import graft.operators.Sampling
     val docs10 = docs.repartition(10)
