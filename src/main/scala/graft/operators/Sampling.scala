@@ -24,10 +24,27 @@ object Sampling {
     * is reduced mod 2^31-1 BEFORE the multiply so the product stays
     * inside Long for any id magnitude (ANSI mode would otherwise error
     * on overflow for ids ≥ ~2^32). */
-  def hashBucket(idCol: String, buckets: Int = 100): org.apache.spark.sql.Column = {
+  def hashBucket(idCol: String, buckets: Int = 100): org.apache.spark.sql.Column =
+    pmod(shuffleKey(idCol), lit(buckets.toLong))
+
+  /** The full ring position (before bucketing) — a portable per-row
+    * shuffle key: ordering by it is a deterministic corpus shuffle,
+    * reproducible across runs, engines and partitionings (unlike
+    * `rand(seed)`, which re-deals whenever the partitioning changes). */
+  def shuffleKey(idCol: String): org.apache.spark.sql.Column = {
     val p = 2147483647L
-    pmod((pmod(col(idCol), lit(p)) * 2654435761L + 104729L) % p, lit(buckets.toLong))
+    pmod(pmod(col(idCol), lit(p)) * 2654435761L + 104729L, lit(p))
   }
+
+  /** Deterministic corpus shuffle: total order by the portable key, id
+    * as tie-break (ids sharing a ring position stay deterministic).
+    * Spark executes a global sort as a range-partitioned exchange —
+    * every partition sorts independently, no single-task funnel — and a
+    * `limit(k)` on top becomes TakeOrderedAndProject (per-partition
+    * top-k, then a k-row merge). */
+  def deterministicShuffle(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("shuffle_key", shuffleKey(idCol))
+      .orderBy(col("shuffle_key"), col(idCol))
 
   /** Deterministic train/eval split: rows whose bucket < `trainPct` are
     * train, the rest eval. Tagged, not dropped, so one scan feeds both

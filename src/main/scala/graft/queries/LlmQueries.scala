@@ -280,6 +280,68 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""SELECT doc_id FROM documents WHERE ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 % 100 < 10 ORDER BY doc_id""")),
 
+    // ---- L9c: deterministic corpus shuffle — total order by the
+    // portable ring key (rand(seed) re-deals on any repartition; this
+    // order is reproducible across runs and engines). limit→
+    // TakeOrderedAndProject: per-partition top-k, k-row merge ----
+    ("l09c_det_shuffle", (s, d) => {
+      graft.operators.Sampling.deterministicShuffle(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id")
+        .limit(100)
+    }, Some("""SELECT doc_id, ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 AS shuffle_key FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""")),
+
+    // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
+    // aggregation map-side; ties broken on token so the LIMIT cut is a
+    // total order in both engines ----
+    ("l10_vocab_topk", (s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(50)
+    }, Some(s"""WITH t AS (SELECT $tokensSql ts FROM documents), u AS (SELECT unnest(ts) token FROM t) SELECT token, COUNT(*) AS freq FROM u GROUP BY token ORDER BY freq DESC, token LIMIT 50""")),
+
+    // ---- L11: train/eval contamination check — an eval doc is
+    // contaminated when any of its token 5-grams appears in any train
+    // doc (the standard n-gram decontamination test). The split is the
+    // portable hash ring, so DuckDB reproduces membership exactly.
+    // Scale shape: explode → distinct-gram semi-join, all shuffles on
+    // the uniform gram key; partial aggs map-side; no per-doc funnel ----
+    ("l11_contamination", (s, d) => {
+      val n = 5
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val split = graft.operators.Sampling.hashSplit(docs, "doc_id", trainPct = 80)
+      val grams = split
+        .withColumn("__toks", TF.tokens(col("text")))
+        .where(size(col("__toks")) >= n)
+        .select(col("doc_id"), col("split"),
+          explode(array_distinct(TF.ngramsOfTokens(col("__toks"), n))).as("gram"))
+      val trainGrams = grams.where(col("split") === "train")
+        .select(col("gram")).distinct()
+      val contaminated = grams.where(col("split") === "eval")
+        .join(trainGrams, Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct()
+      split.where(col("split") === "eval").agg(count(lit(1)).as("n_eval"))
+        .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
+    }, Some("""WITH s AS (SELECT doc_id, text, CASE WHEN ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 % 100 < 80 THEN 'train' ELSE 'eval' END split FROM documents), t AS (SELECT doc_id, split, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) ts FROM s), g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(generate_series(1, len(ts)-4), i -> array_to_string(ts[i:i+4], ' ')))) gram FROM t WHERE len(ts) >= 5), tr AS (SELECT DISTINCT gram FROM g WHERE split='train'), ev AS (SELECT DISTINCT doc_id FROM g WHERE split='eval' AND gram IN (SELECT gram FROM tr)) SELECT (SELECT COUNT(*) FROM s WHERE split='eval') AS n_eval, (SELECT COUNT(*) FROM ev) AS n_contaminated""")),
+
+    // ---- L12: repetition quality signal (Gopher-style) — fraction of
+    // a doc's tokens covered by its most frequent bigram. One explode,
+    // two partial-agg groupBys on (doc_id, ...) — per-doc work stays
+    // distributed; the single final division is one IEEE op, identical
+    // in both engines ----
+    ("l12_repetition", (s, d) => {
+      Tables.documents(s, d)
+        .withColumn("__toks", TF.tokens(col("text")))
+        .where(size(col("__toks")) >= 2)
+        .select(col("doc_id"), size(col("__toks")).as("n"),
+          explode(TF.ngramsOfTokens(col("__toks"), 2)).as("bigram"))
+        .groupBy(col("doc_id"), col("n"), col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("top_c"))
+        .select(col("doc_id"),
+          ((lit(2) * col("top_c")).cast("double") / col("n")).as("top_bigram_share"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) ts FROM documents), b AS (SELECT doc_id, len(ts) n, unnest(list_transform(generate_series(1, len(ts)-1), i -> array_to_string(ts[i:i+1], ' '))) bigram FROM t WHERE len(ts) >= 2), c AS (SELECT doc_id, n, bigram, COUNT(*) c FROM b GROUP BY 1,2,3), m AS (SELECT doc_id, n, MAX(c) top_c FROM c GROUP BY 1,2) SELECT doc_id, CAST(2*top_c AS DOUBLE)/n AS top_bigram_share FROM m ORDER BY doc_id""")),
+
     // ---- L8: multimodal envelope — payload byte length, feature dim,
     // frame-sample fan-out (decode is a documented stub; the Spark-side
     // schema/partitioning/fan-out plumbing is what's verified) ----
