@@ -310,9 +310,12 @@ object LlmQueries {
       val n = 5
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val split = graft.operators.Sampling.hashSplit(docs, "doc_id", trainPct = 80)
+      // no size(__toks) guard: ngramsOfTokens yields [] for short docs
+      // and explode drops empty arrays — an explicit `where` would get
+      // pushed below the __toks projection and re-inline the tokenizer
+      // into the filter (each doc tokenized twice; .explain-verified)
       val grams = split
         .withColumn("__toks", TF.tokens(col("text")))
-        .where(size(col("__toks")) >= n)
         .select(col("doc_id"), col("split"),
           explode(array_distinct(TF.ngramsOfTokens(col("__toks"), n))).as("gram"))
       val trainGrams = grams.where(col("split") === "train")
@@ -330,9 +333,11 @@ object LlmQueries {
     // distributed; the single final division is one IEEE op, identical
     // in both engines ----
     ("l12_repetition", (s, d) => {
+      // short docs (<2 tokens) drop via explode-of-empty — an explicit
+      // size guard would be pushed below the __toks projection and
+      // re-inline the tokenizer into the filter (see l11)
       Tables.documents(s, d)
         .withColumn("__toks", TF.tokens(col("text")))
-        .where(size(col("__toks")) >= 2)
         .select(col("doc_id"), size(col("__toks")).as("n"),
           explode(TF.ngramsOfTokens(col("__toks"), 2)).as("bigram"))
         .groupBy(col("doc_id"), col("n"), col("bigram")).agg(count(lit(1)).as("c"))

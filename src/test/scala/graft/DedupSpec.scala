@@ -153,6 +153,19 @@ class DedupSpec extends SparkSpec {
       s"zero-norm vectors surfaced as near-dups: $pairs")
   }
 
+  test("L9c: deterministic shuffle order is invariant under input partitioning") {
+    import graft.operators.Sampling
+    val ids = docs.select($"doc_id")
+    val a = Sampling.deterministicShuffle(ids, "doc_id")
+      .select($"doc_id").as[Long].collect()
+    val b = Sampling.deterministicShuffle(ids.repartition(7), "doc_id")
+      .select($"doc_id").as[Long].collect()
+    assert(a.length > 0 && a.sameElements(b),
+      "shuffle order changed with input partitioning")
+    // and it is a real shuffle: not the natural id order
+    assert(!a.sameElements(a.sorted), "shuffle key left ids in natural order")
+  }
+
   test("L9: hash split is stable under repartitioning; strata keep their fractions") {
     import graft.operators.Sampling
     val docs10 = docs.repartition(10)
