@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis scalar functions (SURVEY §2.9 L5-L7): tokenization,
@@ -131,7 +131,72 @@ object TextFunctions {
   /** Polynomial rolling-hash fingerprint over the token stream:
     * h = fold(h * 31 + tokenLen31) mod 2^31-1 — cheap, deterministic,
     * portable (uses token lengths + first-char codes, not engine hash()). */
-  def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(7L),
+  def fingerprint(text: Column): Column = fingerprintOfTokens(tokens(text))
+
+  /** [[fingerprint]] over a materialized token array. */
+  def fingerprintOfTokens(ts: Column): Column =
+    aggregate(ts, lit(7L),
       (acc, t) => (acc * 31L + length(t).cast("long") * 131L + ascii(t)) % 2147483647L)
+
+  /** [[meanWordLen]] over a materialized token array. */
+  def meanWordLenOfTokens(ts: Column): Column =
+    when(size(ts) === 0, lit(0.0d)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(ts).cast("double"))
+
+  // ---- DataFrame-level variants ----
+  // The scalar forms above are convenient, but a single Column expression
+  // re-inlines its token pipeline into every consumer (subexpression
+  // elimination skips lambda-containing trees): langId expands to ~35
+  // tokenizer copies per row, qualityScore to ~7 (.explain-counted).
+  // These variants materialize the intermediates as real columns —
+  // multi-referenced non-cheap aliases survive CollapseProject — so the
+  // tokenizer and each per-language filter run once per row. Use them
+  // whenever the input is a DataFrame; the scalar forms remain for
+  // one-shot contexts.
+
+  /** n_words / punct_ratio / mean_wlen columns, tokenizing once. */
+  def withTextStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_words", size(col("__toks")))
+      .withColumn("punct_ratio", punctRatio(col(textCol)))
+      .withColumn("mean_wlen", meanWordLenOfTokens(col("__toks")))
+      .drop("__toks")
+
+  /** [[langId]] as a column `out`, with tokens, per-language hit counts
+    * and the argmax materialized once each (the scalar form re-evaluates
+    * every hit filter inside each `when` branch AND inside the inlined
+    * `greatest`). Same deterministic tie-break: list order. */
+  def withLangId(df: DataFrame, textCol: String,
+      out: String = "pred_lang"): DataFrame = {
+    val hitCols = langStopwords.map { case (lang, _) => s"__hits_$lang" }
+    val withHits = langStopwords.foldLeft(
+        df.withColumn("__toks", tokens(col(textCol)))) {
+      case (d, (lang, sws)) =>
+        val sw = array(sws.map(lit): _*)
+        d.withColumn(s"__hits_$lang",
+          size(filter(col("__toks"), t => array_contains(sw, t))))
+    }.withColumn("__best", hitCols.map(col).reduce(greatest(_, _)))
+    val pred = langStopwords.foldLeft(when(col("__best") === 0, lit("und"))) {
+      case (acc, (lang, _)) =>
+        acc.when(col(s"__hits_$lang") === col("__best"), lit(lang))
+    }.otherwise(lit("und"))
+    withHits.withColumn(out, pred)
+      .drop("__toks" +: "__best" +: hitCols: _*)
+  }
+
+  /** [[qualityScore]] + [[fingerprint]] as columns, tokenizing once. */
+  def withQuality(df: DataFrame, textCol: String,
+      qualityOut: String = "quality", fpOut: String = "fp"): DataFrame = {
+    val d = df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__mwl", meanWordLenOfTokens(col("__toks")))
+    val lenScore = least(length(col(textCol)).cast("double") / 400.0d, lit(1.0d))
+    val punctPenalty = lit(1.0d) - least(punctRatio(col(textCol)) * 5.0d, lit(1.0d))
+    val wordScore = when(col("__mwl") >= 3.0d && col("__mwl") <= 10.0d,
+      lit(1.0d)).otherwise(lit(0.5d))
+    d.withColumn(qualityOut,
+        round(lenScore * 0.5d + punctPenalty * 0.3d + wordScore * 0.2d, 6))
+      .withColumn(fpOut, fingerprintOfTokens(col("__toks")))
+      .drop("__toks", "__mwl")
+  }
 }

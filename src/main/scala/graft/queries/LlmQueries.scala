@@ -199,18 +199,20 @@ object LlmQueries {
 
     // ---- L5: text stats — counts, punctuation ratio, mean word length ----
     ("l05_text_stats", (s, d) => {
-      Tables.documents(s, d).select(col("doc_id"),
-        length(col("text")).as("n_chars2"),
-        TF.wordCount(col("text")).as("n_words"),
-        TF.punctRatio(col("text")).as("punct_ratio"),
-        TF.meanWordLen(col("text")).as("mean_wlen"))
+      // DataFrame-level form: one tokenizer pass per row (the scalar
+      // column forms re-inline the token pipeline into each consumer)
+      TF.withTextStats(Tables.documents(s, d), "text")
+        .select(col("doc_id"), length(col("text")).as("n_chars2"),
+          col("n_words"), col("punct_ratio"), col("mean_wlen"))
         .orderBy(col("doc_id"))
     }, Some(s"""WITH t AS (SELECT doc_id, text, $tokensSql ts FROM documents) SELECT doc_id, len(text) n_chars2, len(ts) n_words, CASE WHEN len(text)=0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(text) END punct_ratio, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mean_wlen FROM t ORDER BY doc_id""")),
 
     // ---- L5b: language-ID heuristic (argmax stopword hits) ----
     ("l05b_langid", (s, d) => {
-      Tables.documents(s, d)
-        .select(TF.langId(col("text")).as("pred_lang"))
+      // DataFrame-level form: tokens, per-language hits and the argmax
+      // materialize once per row (the scalar langId expands to ~35
+      // tokenizer copies — .explain-counted)
+      TF.withLangId(Tables.documents(s, d), "text")
         .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("pred_lang"))
     }, Some {
@@ -226,10 +228,9 @@ object LlmQueries {
 
     // ---- L5c: composite quality score + portable fingerprint ----
     ("l05c_quality", (s, d) => {
-      Tables.documents(s, d).select(col("doc_id"),
-        TF.qualityScore(col("text")).as("quality"),
-        TF.fingerprint(col("text")).as("fp"),
-        TF.bpeishTokenCount(col("text")).as("n_bpeish"))
+      TF.withQuality(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("quality"), col("fp"),
+          TF.bpeishTokenCount(col("text")).as("n_bpeish"))
         .orderBy(col("doc_id"))
     }, Some(s"""WITH t AS (SELECT doc_id, text, $tokensSql ts FROM documents), m AS (SELECT doc_id, text, ts, CASE WHEN len(text)=0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(text) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t) SELECT doc_id, round(least(CAST(len(text) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) quality, list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(ts, x -> CAST(len(x) AS BIGINT) * 131 + ascii(x))), (acc, v) -> (acc * 31 + v) % 2147483647) fp, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) n_bpeish FROM m ORDER BY doc_id""")),
 

@@ -59,6 +59,20 @@ object AbProbe {
           .agg(count(lit(1)).as("exact_cust"),
             approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))))
     }
+    // -- langId: scalar column (tokenizer re-inlined ~35x) vs the
+    //    DataFrame-level form (tokens/hits/argmax materialized once) --
+    for (rep <- 1 to 3) {
+      time(s"langid scalar   rep$rep")(
+        noop(docs.select(col("doc_id"), TF.langId(col("text")).as("pred_lang"))))
+      time(s"langid df-level rep$rep")(
+        noop(TF.withLangId(docs, "text").select(col("doc_id"), col("pred_lang"))))
+      time(s"quality scalar   rep$rep")(
+        noop(docs.select(col("doc_id"), TF.qualityScore(col("text")).as("q"),
+          TF.fingerprint(col("text")).as("fp"))))
+      time(s"quality df-level rep$rep")(
+        noop(TF.withQuality(docs, "text").select(col("doc_id"), col("quality"), col("fp"))))
+    }
+
     // -- charNgrams: substr-per-position (O(len^2) char scans) vs
     //    materialized char array + slice (O(len)) --
     println("[probe] split semantics: " + docs.select(split(lit("abc"), "")).head())
