@@ -247,6 +247,29 @@ object SmtQueries {
         .select(col("event_id"), micros(col("ts")).as("ts_us"), col("user_id"),
           col("event_type"), col("value"), col("props"))
         .orderBy(col("event_id"))
-    }, Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events ORDER BY event_id"""))
+    }, Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events ORDER BY event_id""")),
+
+    // ---- S8b: schema-carrying JSON roundtrip (JsonConverter
+    // schemas.enable=true — `{"schema":{...},"payload":{...}}` with the
+    // Connect Timestamp logical type, epoch-MILLIS by definition, hence
+    // the ts_ms comparison). schema_ok pins that the embedded schema
+    // name survived the wire ----
+    ("s08b_json_schema_roundtrip", (s, d) => {
+      import graft.sources.JsonSchemaSerde
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val ev = Tables.events(s, d).select(cols.map(col): _*)
+      val enc = JsonSchemaSerde.serialize(ev, cols, "events.Value", "wire")
+        .select(col("wire"))
+      val dec = JsonSchemaSerde.deserialize(enc, "wire",
+        StructType(cols.map(c => ev.schema(c))), "p", "schema_name")
+      dec.select(col("p.event_id").as("event_id"),
+          unix_millis(col("p.ts")).as("ts_ms"),
+          col("p.user_id").as("user_id"),
+          col("p.event_type").as("event_type"),
+          col("p.value").as("value"),
+          col("p.props").as("props"),
+          (col("schema_name") === "events.Value").as("schema_ok"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props, true AS schema_ok FROM events ORDER BY event_id"""))
   )
 }

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka Connect JsonConverter `schemas.enable=true` wire format
+  * (SURVEY §2.1 S8 — the schema-carrying sibling of the schemaless JSON
+  * path): every value is `{"schema": {...}, "payload": {...}}`, where
+  * `schema` is the Connect schema object (type names `int8..int64`,
+  * `float32/64`, `boolean`, `string`, `bytes`; timestamps as the
+  * `org.apache.kafka.connect.data.Timestamp` logical type over int64
+  * epoch-MILLIS). The reference's converter config
+  * (`CONNECT_*_CONVERTER` + `*_SCHEMAS_ENABLE`, main.sh:72-77) emits
+  * exactly this envelope when schemas are on.
+  *
+  * Scale shape: the schema half is one CONSTANT string literal per
+  * DataFrame (computed driver-side from the StructType), so serialize is
+  * a `concat` + one `to_json` per row — no per-row schema work.
+  * Deserialize materializes the parsed payload struct ONCE per row
+  * (`__wire` column) before field extraction: building the result struct
+  * from `from_json(...)` directly would re-inline the parse into every
+  * field (subexpression elimination skips nothing here — from_json per
+  * field is N full parses).
+  *
+  * Connect's Timestamp logical type is millisecond-precision by
+  * definition, so sub-millis is truncated on the wire — faithful to the
+  * real converter, and the reason the roundtrip query compares epoch
+  * millis.
+  */
+object JsonSchemaSerde {
+
+  /** The Connect schema JSON for a StructType — deterministic field
+    * order (schema order), driver-side constant. */
+  def connectSchemaJson(schema: StructType, name: String): String = {
+    val fields = schema.fields.map { f =>
+      val (t, logical) = f.dataType match {
+        case ByteType => ("int8", None)
+        case ShortType => ("int16", None)
+        case IntegerType => ("int32", None)
+        case LongType => ("int64", None)
+        case FloatType => ("float32", None)
+        case DoubleType => ("float64", None)
+        case BooleanType => ("boolean", None)
+        case StringType => ("string", None)
+        case BinaryType => ("bytes", None)
+        case TimestampType => ("int64", Some("org.apache.kafka.connect.data.Timestamp"))
+        case other => throw new IllegalArgumentException(
+          s"unsupported type for a Connect JSON schema: $other (field ${f.name})")
+      }
+      val logicalJson = logical.map(n => s""","name":"$n","version":1""").getOrElse("")
+      s"""{"type":"$t","optional":${f.nullable}$logicalJson,"field":"${f.name}"}"""
+    }.mkString("[", ",", "]")
+    s"""{"type":"struct","fields":$fields,"optional":false,"name":"$name"}"""
+  }
+
+  /** Encode `cols` as a schema-carrying JSON value column `out`
+    * (binary, like a topic scan would yield). Timestamps go to int64
+    * epoch millis per the Connect logical type. */
+  def serialize(df: DataFrame, cols: Seq[String], name: String,
+      out: String = "value"): DataFrame = {
+    val schema = StructType(cols.map(c => df.schema(c)))
+    val schemaJson = connectSchemaJson(schema, name)
+    val payloadCols = cols.map { c =>
+      df.schema(c).dataType match {
+        case TimestampType => unix_millis(col(c)).alias(c)
+        case _ => col(c)
+      }
+    }
+    df.withColumn(out,
+      concat(lit("""{"schema":"""), lit(schemaJson), lit(""","payload":"""),
+        to_json(struct(payloadCols: _*)), lit("}")).cast(BinaryType))
+  }
+
+  /** Decode a schema-carrying JSON value back into a struct column
+    * `structOut` typed by `schema` (epoch-millis int64 → timestamp for
+    * TimestampType fields). Also emits `schemaNameOut` (the embedded
+    * schema's name, NULL when the envelope carries none) so callers can
+    * route/quarantine mismatched producers instead of mis-parsing them. */
+  def deserialize(df: DataFrame, valueCol: String, schema: StructType,
+      structOut: String = "payload",
+      schemaNameOut: String = "schema_name"): DataFrame = {
+    val wire = StructType(schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType => f.copy(dataType = LongType)
+        case _ => f
+      }
+    })
+    val asStr = col(valueCol).cast(StringType)
+    df.withColumn("__wire", from_json(get_json_object(asStr, "$.payload"), wire))
+      .withColumn(schemaNameOut, get_json_object(asStr, "$.schema.name"))
+      .withColumn(structOut, struct(schema.fields.map { f =>
+        (f.dataType match {
+          case TimestampType => timestamp_millis(col(s"__wire.${f.name}"))
+          case _ => col(s"__wire.${f.name}")
+        }).alias(f.name)
+      }: _*))
+      .drop("__wire")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.JsonSchemaSerde
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Connect JsonConverter schemas.enable=true wire format (SURVEY §2.1
+  * S8b): schema object shape, roundtrip fidelity incl. NULLs, embedded
+  * schema-name routing, and the millisecond truncation the Connect
+  * Timestamp logical type mandates. */
+class JsonSerdeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType), StructField("ok", BooleanType),
+    StructField("at", TimestampType)))
+
+  private def sample = Seq(
+    (1L, "a", 1.5, true, "2024-01-01 00:00:01.234567"),
+    (2L, null.asInstanceOf[String], 2.5, false, "2024-06-15 12:30:00.999999"),
+    (3L, "c", 3.5, true, null.asInstanceOf[String])
+  ).toDF("id", "name", "score", "ok", "at_s")
+    .withColumn("at", to_timestamp($"at_s")).drop("at_s")
+
+  test("S8b: schema JSON carries Connect type names and the Timestamp logical type") {
+    val sj = JsonSchemaSerde.connectSchemaJson(schema, "t.Value")
+    assert(sj.contains(""""type":"struct""""))
+    assert(sj.contains(""""type":"int64","optional":true,"field":"id""""))
+    assert(sj.contains(""""name":"org.apache.kafka.connect.data.Timestamp","version":1"""))
+    assert(sj.contains(""""name":"t.Value""""))
+  }
+
+  test("S8b: roundtrip preserves values and NULLs; timestamps truncate to millis") {
+    val enc = JsonSchemaSerde.serialize(sample, schema.fieldNames.toSeq, "t.Value", "wire")
+    val dec = JsonSchemaSerde.deserialize(enc.select($"wire"), "wire", schema, "p")
+    val rows = dec.select($"p.id", $"p.name", $"p.score", $"p.ok",
+        unix_millis($"p.at").as("at_ms"), $"schema_name")
+      .orderBy($"id").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getLong(0) === 1L && rows(0).getString(1) === "a")
+    assert(rows(1).isNullAt(1), "NULL string must survive the wire")
+    assert(rows(2).isNullAt(4), "NULL timestamp must survive the wire")
+    // .234567 -> 234 ms on the wire (Connect Timestamp is millis)
+    assert(rows(0).getLong(4) % 1000 === 234L)
+    assert(rows.forall(_.getString(5) === "t.Value"))
+  }
+
+  test("S8b: a schemaless value yields NULL schema_name (router/quarantine hook)") {
+    val bare = Seq("""{"id": 9}""").toDF("wire")
+      .select($"wire".cast(BinaryType).as("wire"))
+    val dec = JsonSchemaSerde.deserialize(bare, "wire",
+      StructType(Seq(StructField("id", LongType))), "p")
+    val r = dec.select($"p.id", $"schema_name").collect().head
+    // no "$.payload" in a bare object -> payload fields NULL, name NULL
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("S8b: unsupported field types are rejected at build time") {
+    intercept[IllegalArgumentException] {
+      JsonSchemaSerde.connectSchemaJson(
+        StructType(Seq(StructField("m", MapType(StringType, LongType)))), "x")
+    }
+  }
+}
