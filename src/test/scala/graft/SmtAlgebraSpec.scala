@@ -117,12 +117,15 @@ class SmtAlgebraSpec extends SparkSpec {
           assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n")
       }
     }
-    // SQL-text path through the SparkSessionExtensions registration
+    // SQL-text path through the SparkSessionExtensions registration;
+    // n as a foldable expression (not a bare literal) must also resolve
     df.createOrReplaceTempView("char_ngrams_test")
     val viaSql = spark.sql(
-      "SELECT size(char_ngrams(text, 3)) s FROM char_ngrams_test WHERE text IS NOT NULL")
+      "SELECT size(char_ngrams(text, 3)) s, size(char_ngrams(text, 1+2)) s2 " +
+        "FROM char_ngrams_test WHERE text IS NOT NULL")
       .collect()
     assert(viaSql.nonEmpty && viaSql.forall(r => !r.isNullAt(0)))
+    assert(viaSql.forall(r => r.getInt(0) === r.getInt(1)))
   }
 
   test("L3: cosineQ agrees with float cosine to quantization tolerance; symmetric") {

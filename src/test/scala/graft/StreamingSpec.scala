@@ -292,6 +292,31 @@ class StreamingSpec extends SparkSpec {
     assert(!Reconcile.list(spark).contains("recA"))
   }
 
+  test("L5 streaming: text-quality signals over a stream equal the batch result") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "der hund und die katze sind nicht da"),
+      (3L, ""), (4L, "x"))
+    val ms = TestSources.memory[(Long, String)]
+    val streamed = TF.withLangId(
+      TF.withQuality(ms.toDF.toDF("id", "text"), "text"), "text")
+      .select($"id", $"quality", $"fp", $"pred_lang")
+    val q = streamed.writeStream.format("memory").queryName("l5_stream_out")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(docs.take(2): _*); q.processAllAvailable()
+    ms.addData(docs.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("l5_stream_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3))).toSet
+    val batch = TF.withLangId(
+      TF.withQuality(docs.toDF("id", "text"), "text"), "text")
+      .select($"id", $"quality", $"fp", $"pred_lang").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3))).toSet
+    assert(stream === batch && stream.size === 4)
+    assert(stream.exists(_._4 == "en") && stream.exists(_._4 == "de"))
+  }
+
   test("S13: file sink lands streaming rows as parquet files") {
     val ms = TestSources.memory[(Long, String)]
     val dir = tmpDir("fsink")
