@@ -76,7 +76,12 @@ object JsonSchemaSerde {
     * `structOut` typed by `schema` (epoch-millis int64 → timestamp for
     * TimestampType fields). Also emits `schemaNameOut` (the embedded
     * schema's name, NULL when the envelope carries none) so callers can
-    * route/quarantine mismatched producers instead of mis-parsing them. */
+    * route/quarantine mismatched producers instead of mis-parsing them.
+    *
+    * One `from_json` over a nested envelope schema reads both halves in a
+    * single parse (`get_json_object($.payload)` + `from_json` +
+    * `get_json_object($.schema.name)` would parse the full value three
+    * times per row). */
   def deserialize(df: DataFrame, valueCol: String, schema: StructType,
       structOut: String = "payload",
       schemaNameOut: String = "schema_name"): DataFrame = {
@@ -86,13 +91,17 @@ object JsonSchemaSerde {
         case _ => f
       }
     })
-    val asStr = col(valueCol).cast(StringType)
-    df.withColumn("__wire", from_json(get_json_object(asStr, "$.payload"), wire))
-      .withColumn(schemaNameOut, get_json_object(asStr, "$.schema.name"))
+    val envelope = StructType(Seq(
+      StructField("schema",
+        StructType(Seq(StructField("name", StringType, nullable = true))),
+        nullable = true),
+      StructField("payload", wire, nullable = true)))
+    df.withColumn("__wire", from_json(col(valueCol).cast(StringType), envelope))
+      .withColumn(schemaNameOut, col("__wire.schema.name"))
       .withColumn(structOut, struct(schema.fields.map { f =>
         (f.dataType match {
-          case TimestampType => timestamp_millis(col(s"__wire.${f.name}"))
-          case _ => col(s"__wire.${f.name}")
+          case TimestampType => timestamp_millis(col(s"__wire.payload.${f.name}"))
+          case _ => col(s"__wire.payload.${f.name}")
         }).alias(f.name)
       }: _*))
       .drop("__wire")
