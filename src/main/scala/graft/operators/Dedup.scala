@@ -172,6 +172,30 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** L2 applied, transitive — cluster-resolved near-dedup. One-hop pair
+    * dropping ([[nearDedupMinhash]]) keeps the smaller id of every pair,
+    * which is already correct for star-shaped duplication, but chains
+    * A≈B≈C where A and C are NOT themselves within the threshold still
+    * collapse to one representative only if the pair graph is resolved
+    * transitively. This variant runs candidate pairs through
+    * [[Graph.connectedComponents]] and keeps each cluster's minimum id.
+    *
+    * Returns (id, cluster) for EVERY row of `df` — isolated docs map to
+    * themselves — so callers can either filter `id === cluster` for the
+    * survivors or join back for a full dedup map (the shape a 100 TB
+    * pipeline wants: the map is reusable across downstream tables). */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    // no persist needed: connectedComponents localCheckpoints its edge
+    // input up front, so the LSH pipeline runs exactly once
+    val pairs = minhashCandidates(df, textCol, idCol)
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    Graph.connectedComponents(pairs, "id_a", "id_b",
+        nodes = Some(df.select(col(idCol))))
+      .select(col("id").alias(idCol), col("component").alias("cluster"))
+  }
+
   /** SimHash 32-bit signature over token 1-grams: per bit, sum +1/-1
     * weighted by whether the token hash has that bit set; sign → bit.
     * Single-pass fold carrying all bit-votes in one array accumulator —

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the cluster-
+  * resolution stage of near-duplicate removal (candidate pairs from
+  * MinHash/SimHash banding or exact-Jaccard join → duplicate CLUSTERS,
+  * so a chain A≈B≈C collapses to one representative even when A and C
+  * are not themselves similar). The reference stack has no graph stage;
+  * this is part of the LLM-pipeline surface (SURVEY §2.9).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+  * and Beyond", ACM SoCC 2014, public). Each round is a groupBy-min plus
+  * an equi-join on node id:
+  *
+  *   large-star(u): point every neighbor v > u at m = min(Γ(u) ∪ {u})
+  *   small-star(u): point every neighbor v ≤ u (and u) at m = min(Γ(u))
+  *
+  * Scale shape, chosen for 100 TB corpora:
+  *   - No per-node neighbor list is ever materialized (`collect_list`
+  *     over a hot node — a boilerplate document duplicated millions of
+  *     times — would put one cluster in one task). A groupBy MIN and a
+  *     shuffle join both stream.
+  *   - Rounds are O(log²  n) worst-case, and near-dup graphs (stars and
+  *     short chains of copies) converge in 2-3 rounds.
+  *   - Each round `localCheckpoint`s the edge frame: iterative plans
+  *     otherwise double the lineage each round and the optimizer
+  *     re-derives the whole pipeline per iteration. (On a cluster,
+  *     a reliable `checkpoint` to HDFS trades re-compute risk for
+  *     durability; local mode has no checkpoint dir by default.)
+  *
+  * Convergence test is exact, not heuristic: after small-star all edges
+  * point child → parent with child > parent, so the edge set is a
+  * forest of depth-1 stars iff no parent also appears as a child. Once
+  * disconnected from the rest, a star is a whole component and its root
+  * is the component minimum.
+  */
+object Graph {
+
+  /** Connected components of the undirected graph given by `edges`.
+    *
+    * @param edges  one row per edge; self-loops and duplicates are fine
+    * @param nodes  optional one-column frame of all node ids — isolated
+    *               nodes (no edge) appear in the result with themselves
+    *               as component; without it the result covers only ids
+    *               present in `edges`
+    * @return (`id`, `component`) — component = smallest node id reachable
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: Option[DataFrame] = None, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    var e = edges
+      .select(col(srcCol).alias("a"), col(dstCol).alias("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      // star-forest fixpoint: no parent (b) is also a child (a)
+      converged = e.select(col("b")).distinct()
+        .join(e.select(col("a")).distinct(), col("b") === col("a"), "left_semi")
+        .isEmpty
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    val roots = e.select(col("b").alias("id"), col("b").alias("component"))
+    val members = e.select(col("a").alias("id"), col("b").alias("component"))
+    val fromEdges = roots.unionByName(members).distinct()
+    nodes match {
+      case None => fromEdges
+      case Some(n) =>
+        val ids = n.select(col(n.columns.head).alias("id"))
+        val isolated = ids.join(fromEdges, Seq("id"), "left_anti")
+          .select(col("id"), col("id").alias("component"))
+        fromEdges.unionByName(isolated)
+    }
+  }
+
+  /** Emit (v, m) for every neighbor v > u, where m = min(Γ(u) ∪ {u}).
+    * Self-loops (v == m) are dropped; connectivity is preserved because
+    * v stays linked to m which stays linked (through u's other edges)
+    * to the rest of u's neighborhood. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bi = e.unionByName(e.select(col("b").alias("a"), col("a").alias("b")))
+    val mins = bi.groupBy(col("a")).agg(min(col("b")).alias("__mn"))
+      .select(col("a"), least(col("__mn"), col("a")).alias("__m"))
+    bi.join(mins, Seq("a"))
+      .where(col("b") > col("a") && col("b") =!= col("__m"))
+      .select(col("b").alias("a"), col("__m").alias("b"))
+      .distinct()
+  }
+
+  /** Direct every edge large → small, then emit (v, m) for every small
+    * neighbor v of u plus (u, m), m = min(Γ⁻(u)). After this pass every
+    * edge points child → parent with child > parent. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("a"), col("b")).alias("a"),
+      least(col("a"), col("b")).alias("b"))
+    val mins = dir.groupBy(col("a")).agg(min(col("b")).alias("__m"))
+    val repointed = dir.join(mins, Seq("a"))
+      .where(col("b") =!= col("__m"))
+      .select(col("b").alias("a"), col("__m").alias("b"))
+    val own = mins.select(col("a"), col("__m").alias("b"))
+    repointed.unionByName(own).distinct()
+  }
+
+  /** Per-component sizes — the usual post-CC summary (cluster-size
+    * histogram drives dedup-policy decisions). */
+  def componentSizes(cc: DataFrame): DataFrame =
+    cc.groupBy(col("component")).agg(count(lit(1)).alias("n_members"))
+}

@@ -348,6 +348,26 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) ts FROM documents), b AS (SELECT doc_id, len(ts) n, unnest(list_transform(generate_series(1, len(ts)-1), i -> array_to_string(ts[i:i+1], ' '))) bigram FROM t WHERE len(ts) >= 2), c AS (SELECT doc_id, n, bigram, COUNT(*) c FROM b GROUP BY 1,2,3), m AS (SELECT doc_id, n, MAX(c) top_c FROM c GROUP BY 1,2) SELECT doc_id, CAST(2*top_c AS DOUBLE)/n AS top_bigram_share FROM m ORDER BY doc_id""")),
 
+    // ---- L13: connected components — the cluster-resolution stage of
+    // near-dedup (candidate pairs → duplicate clusters, so chains A≈B≈C
+    // collapse to one representative even when A and C are not
+    // themselves similar). Edges are built deterministically (two copy
+    // generations at offset ids: doc → doc+100k for every 5th doc,
+    // doc+100k → doc+200k for every 10th) so the oracle reproduces the
+    // graph exactly and a recursive CTE checks the transitive closure.
+    // Spark side is alternating large-star/small-star (SoCC'14) —
+    // groupBy-min + equi-join rounds, no per-node neighbor lists. ----
+    ("l13_connected_components", (s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val e1 = ids.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+      val e2 = ids.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("a"), (col("doc_id") + 200000).as("b"))
+      graft.operators.Graph.connectedComponents(
+          e1.unionByName(e2), "a", "b", nodes = Some(ids))
+        .orderBy(col("id"))
+    }, Some("""WITH RECURSIVE e0 AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM documents WHERE doc_id % 5 = 0 UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM documents WHERE doc_id % 10 = 0), e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), walk(id, comp) AS (SELECT DISTINCT a, a FROM e UNION SELECT e.b, w.comp FROM walk w JOIN e ON e.a = w.id), fromedges AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id), isolated AS (SELECT doc_id AS id, doc_id AS component FROM documents WHERE doc_id NOT IN (SELECT id FROM fromedges)) SELECT id, component FROM fromedges UNION ALL SELECT id, component FROM isolated ORDER BY id""")),
+
     // ---- L8: multimodal envelope — payload byte length, feature dim,
     // frame-sample fan-out (decode is a documented stub; the Spark-side
     // schema/partitioning/fan-out plumbing is what's verified) ----
