@@ -33,9 +33,14 @@ import org.apache.spark.sql.functions._
   *
   * Convergence test is exact, not heuristic: after small-star all edges
   * point child → parent with child > parent, so the edge set is a
-  * forest of depth-1 stars iff no parent also appears as a child. Once
-  * disconnected from the rest, a star is a whole component and its root
-  * is the component minimum.
+  * forest of depth-1 stars iff no parent also appears as a child AND
+  * every child has exactly one parent. (The first condition alone is
+  * NOT sufficient: on the path 1–10–5–20–2 one round yields
+  * {(5,1),(10,1),(5,2),(20,2)} — parents {1,2} and children {5,10,20}
+  * are disjoint, yet 5 still bridges two would-be components and the
+  * next round must merge them.) A star forest is a fixpoint of both
+  * rounds, and the rounds preserve connectivity, so at the fixpoint
+  * each star is a whole component and its root the component minimum.
   */
 object Graph {
 
@@ -61,9 +66,15 @@ object Graph {
     var iter = 0
     while (!converged && iter < maxIter) {
       e = smallStar(largeStar(e)).localCheckpoint()
-      // star-forest fixpoint: no parent (b) is also a child (a)
-      converged = e.select(col("b")).distinct()
-        .join(e.select(col("a")).distinct(), col("b") === col("a"), "left_semi")
+      // star-forest fixpoint, both conditions (see scaladoc): every node
+      // is EITHER a root (parent only) or a child with exactly ONE
+      // parent. One aggregation over the role-tagged endpoints — same
+      // shuffle cost as the previous (insufficient) semi-join test.
+      val roles = e.select(col("a").alias("n"), lit(1L).alias("c"), lit(0L).alias("p"))
+        .unionByName(e.select(col("b").alias("n"), lit(0L).alias("c"), lit(1L).alias("p")))
+      converged = roles.groupBy(col("n"))
+        .agg(sum(col("c")).alias("nc"), sum(col("p")).alias("np"))
+        .where(col("nc") > 1 || (col("nc") >= 1 && col("np") >= 1))
         .isEmpty
       iter += 1
     }
@@ -83,15 +94,15 @@ object Graph {
   }
 
   /** Emit (v, m) for every neighbor v > u, where m = min(Γ(u) ∪ {u}).
-    * Self-loops (v == m) are dropped; connectivity is preserved because
-    * v stays linked to m which stays linked (through u's other edges)
-    * to the rest of u's neighborhood. */
+    * No self-loop is possible: m ≤ u < v. Connectivity is preserved
+    * because v stays linked to m which stays linked (through u's other
+    * edges) to the rest of u's neighborhood. */
   private def largeStar(e: DataFrame): DataFrame = {
     val bi = e.unionByName(e.select(col("b").alias("a"), col("a").alias("b")))
     val mins = bi.groupBy(col("a")).agg(min(col("b")).alias("__mn"))
       .select(col("a"), least(col("__mn"), col("a")).alias("__m"))
     bi.join(mins, Seq("a"))
-      .where(col("b") > col("a") && col("b") =!= col("__m"))
+      .where(col("b") > col("a"))
       .select(col("b").alias("a"), col("__m").alias("b"))
       .distinct()
   }

@@ -16,8 +16,13 @@ class GraphSpec extends SparkSpec {
   private def cc(edges: Seq[(Long, Long)], nodes: Option[Seq[Long]] = None) = {
     val e = edges.toDF("src", "dst")
     val n = nodes.map(_.toDF("id"))
-    Graph.connectedComponents(e, "src", "dst", n)
-      .as[(Long, Long)].collect().toMap
+    val rows = Graph.connectedComponents(e, "src", "dst", n)
+      .as[(Long, Long)].collect()
+    // one row per id — a premature-convergence bug emits the same id
+    // with conflicting components, which .toMap would silently collapse
+    assert(rows.map(_._1).distinct.length === rows.length,
+      s"duplicate ids in CC output: ${rows.groupBy(_._1).filter(_._2.length > 1)}")
+    rows.toMap
   }
 
   /** Reference union-find over the same edge list. */
@@ -67,6 +72,16 @@ class GraphSpec extends SparkSpec {
       assert(cc(edges, Some(nodes)) === ufComponents(edges, nodes),
         s"trial $trial diverged from union-find")
     }
+  }
+
+  test("CC: non-monotone path is not split by premature convergence") {
+    // Path 1–10–5–20–2: after one large-star/small-star round the edge
+    // set is {(5,1),(10,1),(5,2),(20,2)} — parents and children are
+    // disjoint (the old, insufficient convergence test passed here), but
+    // child 5 still has TWO parents bridging the halves. The star-forest
+    // test must force another round that merges everything into 1.
+    val got = cc(Seq((1L, 10L), (5L, 10L), (5L, 20L), (2L, 20L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L, 20L -> 1L))
   }
 
   test("CC: long path (worst case for round count) converges") {
