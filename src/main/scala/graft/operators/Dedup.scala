@@ -185,10 +185,10 @@ object Dedup {
     * survivors or join back for a full dedup map (the shape a 100 TB
     * pipeline wants: the map is reusable across downstream tables). */
   def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 128): DataFrame = {
     // no persist needed: connectedComponents localCheckpoints its edge
     // input up front, so the LSH pipeline runs exactly once
-    val pairs = minhashCandidates(df, textCol, idCol)
+    val pairs = minhashCandidates(df, textCol, idCol, maxBucket = maxBucket)
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
     Graph.connectedComponents(pairs, "id_a", "id_b",

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the assembly stage of a training-data pipeline
+  * (after dedup/filter/split): documents are laid end-to-end in a
+  * deterministic order and cut into fixed-length token windows
+  * ("concat-and-chunk"), so every training sequence is full and the
+  * token budget is spent on content, not padding. The reference stack
+  * has no assembly stage; this is part of the LLM-pipeline surface
+  * (SURVEY §2.9).
+  *
+  * Scale shape, chosen for 100 TB corpora:
+  *   - Packing is per-SHARD: docs are ring-hashed into `shards`
+  *     independent streams and each stream is packed by one window
+  *     cumulative sum. A single global concatenation order would be one
+  *     window partition = one task holding the whole corpus; shards make
+  *     it embarrassingly parallel, and sequence ids are namespaced by
+  *     shard so the result is still globally unique.
+  *   - The order within a shard is the portable deterministic shuffle
+  *     (ring key, id tie-break — [[Sampling.shuffleKey]]), NOT
+  *     `rand()`: the same corpus packs into byte-identical sequences on
+  *     every run, engine and partitioning, which makes training runs
+  *     reproducible and lets a checkpointed run resume mid-epoch.
+  *   - A document whose tokens straddle a boundary belongs to the
+  *     sequence where it STARTS (start-offset assignment). The split
+  *     itself happens downstream at tokenization; what the engine owns
+  *     is the deterministic (shard, seq, offset) layout.
+  */
+object Packing {
+
+  /** Assign every row a (shard, seq_in_shard, start_in_seq) packing
+    * coordinate from its token count.
+    *
+    * @param nTokCol token count column (precomputed — counting is the
+    *                tokenizer's job, see TextFunctions.tokens)
+    * @param seqLen  tokens per packed training sequence
+    * @param shards  independent packing streams; sequences per shard
+    *                differ by at most one doc's tokens / seqLen */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+      seqLen: Int, shards: Int = 256): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val shard = pmod(Sampling.shuffleKey(idCol), lit(shards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(Sampling.shuffleKey(idCol), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("__end", sum(col(nTokCol)).over(w))
+      .withColumn("__start", col("__end") - col(nTokCol))
+      // integral `div`, not floor(a/b): the double detour is only exact
+      // below 2^53 cumulative tokens per shard
+      .withColumn("seq_in_shard", expr(s"__start div $seqLen"))
+      .withColumn("start_in_seq", col("__start") % seqLen)
+      .drop("__end", "__start")
+  }
+
+  /** Per-sequence summary — the sanity frame a pipeline materializes
+    * next to the packed corpus (docs per sequence, fill level). */
+  def sequenceStats(packed: DataFrame, nTokCol: String): DataFrame =
+    packed.groupBy(col("shard"), col("seq_in_shard"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col(nTokCol)).alias("n_tokens"))
+}

@@ -368,6 +368,41 @@ object LlmQueries {
         .orderBy(col("id"))
     }, Some("""WITH RECURSIVE e0 AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM documents WHERE doc_id % 5 = 0 UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM documents WHERE doc_id % 10 = 0), e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), walk(id, comp) AS (SELECT DISTINCT a, a FROM e UNION SELECT e.b, w.comp FROM walk w JOIN e ON e.a = w.id), fromedges AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id), isolated AS (SELECT doc_id AS id, doc_id AS component FROM documents WHERE doc_id NOT IN (SELECT id FROM fromedges)) SELECT id, component FROM fromedges UNION ALL SELECT id, component FROM isolated ORDER BY id""")),
 
+    // ---- L13b: cluster-dedup recall contract — every planted near-dup
+    // pair must land in the SAME cluster after candidate pairs are
+    // resolved transitively through connected components. The cluster
+    // labels are engine-side, but "zero planted pairs split" is an exact
+    // oracle-checkable statement (same pattern as l02d/l02f). Uncapped
+    // buckets for the same reason as l02d: the skew cap deliberately
+    // trades recall, which would make the 0-split oracle unsound. ----
+    ("l13b_cluster_recall", (s, d) => {
+      val aug = withNearDups(s, d)
+      val clusters = Dedup.nearDupClusters(aug, "text", "doc_id",
+        threshold = 0.8, maxBucket = Int.MaxValue)
+      val planted = Tables.documents(s, d).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 200000).as("id_b"))
+      val ca = clusters.select(col("doc_id").as("id_a"), col("cluster").as("c_a"))
+      val cb = clusters.select(col("doc_id").as("id_b"), col("cluster").as("c_b"))
+      planted.join(ca, Seq("id_a")).join(cb, Seq("id_b"))
+        .agg(sum(when(col("c_a") =!= col("c_b"), 1L).otherwise(0L)).as("split_pairs"),
+          count(lit(1)).as("n_planted"))
+    }, Some("""SELECT CAST(0 AS BIGINT) AS split_pairs, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
+
+    // ---- L14: sequence packing (concat-and-chunk) — documents laid
+    // end-to-end in the portable shuffle order, cut into fixed
+    // `seqLen`-token windows, packed independently per ring shard (no
+    // global single-partition window — see Packing scaladoc). Output is
+    // the per-sequence fill summary; the oracle reproduces the ring
+    // arithmetic and the windowed cumulative sum exactly. ----
+    ("l14_pack_sequences", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(TF.tokens(col("text"))).as("n_tok"))
+      val packed = graft.operators.Packing.packSequences(
+        docs, "doc_id", "n_tok", seqLen = 256, shards = 8)
+      graft.operators.Packing.sequenceStats(packed, "n_tok")
+        .orderBy(col("shard"), col("seq_in_shard"))
+    }, Some(s"""WITH t AS (SELECT doc_id, len($tokensSql) AS n_tok, ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 AS key FROM documents), s AS (SELECT doc_id, n_tok, key, key % 8 AS shard FROM t), w AS (SELECT shard, doc_id, n_tok, SUM(n_tok) OVER (PARTITION BY shard ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s) SELECT shard, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_in_shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM w GROUP BY 1, 2 ORDER BY shard, seq_in_shard""")),
+
     // ---- L8: multimodal envelope — payload byte length, feature dim,
     // frame-sample fan-out (decode is a documented stub; the Spark-side
     // schema/partitioning/fan-out plumbing is what's verified) ----
