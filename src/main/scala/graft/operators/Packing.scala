@@ -42,10 +42,16 @@ object Packing {
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
       seqLen: Int, shards: Int = 256): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val shard = pmod(Sampling.shuffleKey(idCol), lit(shards.toLong))
+    require(shards > 0, "shards must be positive") // pmod(_, 0) is NULL
+    // one ring-hash surface: hashBucket = pmod(shuffleKey, shards), the
+    // same arithmetic every other bucketed operator (and oracle) uses
     val w = Window.partitionBy(col("shard"))
       .orderBy(Sampling.shuffleKey(idCol), col(idCol))
-    df.withColumn("shard", shard)
+      // explicit ROWS frame: the default RANGE frame sums over ORDER-BY
+      // peers, so duplicate ids would each absorb the other's tokens and
+      // leave a hole in the layout; ROWS matches the oracle's spelling
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", Sampling.hashBucket(idCol, shards))
       .withColumn("__end", sum(col(nTokCol)).over(w))
       .withColumn("__start", col("__end") - col(nTokCol))
       // integral `div`, not floor(a/b): the double detour is only exact

@@ -40,6 +40,19 @@ class PackingSpec extends SparkSpec {
     assert(expected.values.map(_._1).toSet === Set(0L, 1L)) // a straddle happened
   }
 
+  test("duplicate ids pack into disjoint contiguous spans (ROWS frame)") {
+    // the default RANGE frame would make ORDER-BY-peer rows absorb each
+    // other's tokens (__end identical for all peers), overlapping spans
+    // and leaving a hole; the explicit ROWS frame gives each row its own
+    // slot — which peer gets which slot is arbitrary, but the multiset
+    // of (seq, start) coordinates is fixed
+    val docs = Seq((5L, 10), (5L, 10), (5L, 10)).toDF("id", "n_tok")
+    val got = Packing.packSequences(docs, "id", "n_tok", seqLen = 25, shards = 1)
+      .select($"seq_in_shard", $"start_in_seq")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((0L, 0L), (0L, 10L), (0L, 20L)))
+  }
+
   test("every doc appears exactly once and token totals are preserved") {
     val docs = (1L to 500L).map(i => (i, (i % 23).toInt)).toDF("id", "n_tok")
     val packed = Packing.packSequences(docs, "id", "n_tok", seqLen = 128, shards = 8)
