@@ -37,6 +37,30 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
+  /** L1 incremental — drop rows of `newDf` whose text already exists in
+    * `history` (the continuous-ingest form of [[exact]]: each arriving
+    * batch is deduped against the corpus accumulated so far, not within
+    * itself — compose with [[exact]] for both).
+    *
+    * Scale shape: the comparison is a left-anti join on the 256-bit
+    * content hash, with only the hash column projected off the history
+    * side — at 100 TB the history scan reads one column, and the join
+    * shuffles (hash, nothing) pairs, never documents. Spark's runtime
+    * bloom-filter injection (`spark.sql.optimizer.runtime.bloomFilter.*`,
+    * on by default) further prunes the big side's shuffle map-side when
+    * the new batch is small — the declarative join is the right surface
+    * for the optimizer to see that. */
+  def exactIncremental(newDf: DataFrame, history: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val seen = history.select(sha2(col(textCol), 256).alias("__h")).distinct()
+    // NULL text is never a duplicate of anything (same contract as
+    // [[exact]]) — and a NULL join key would not match anyway; keep the
+    // pass-through explicit
+    newDf.withColumn("__h", sha2(col(textCol), 256))
+      .join(seen, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** 31-bit string hash via the codegen'd xxhash64 kernel (a per-char
     * fold in higher-order functions costs ~1000× more — measured 86 s vs
     * <1 s for 5k docs' signatures). Deterministic within Spark, which is

@@ -56,6 +56,22 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, Some("""WITH aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0) SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn FROM aug) WHERE rn = 1 ORDER BY doc_id""")),
 
+    // ---- L1b: incremental dedup — a "new batch" (every 3rd doc: exact
+    // copies for even multiples, genuinely-new texts for odd) deduped
+    // against the existing corpus. Only the fresh texts survive. The
+    // oracle uses NOT EXISTS (NOT IN is NULL-poisonous) and isolates the
+    // source columns in a subquery — DuckDB lateral aliases would
+    // otherwise bind `doc_id` in the CASE to the shifted alias. ----
+    ("l01b_incremental_dedup", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val newBatch = docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          when(col("doc_id") % 6 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" fresh"))).as("text"))
+      Dedup.exactIncremental(newBatch, docs, "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some("""WITH nb AS (SELECT src + 300000 AS doc_id, CASE WHEN src % 6 = 0 THEN t ELSE t || ' fresh' END AS text FROM (SELECT doc_id AS src, text AS t FROM documents WHERE doc_id % 3 = 0)) SELECT doc_id FROM nb WHERE NOT EXISTS (SELECT 1 FROM documents dd WHERE dd.text = nb.text) ORDER BY doc_id""")),
+
     // ---- L2: MinHash-LSH near-dup candidates (engine-specific banding;
     // rows-only — recall is property-tested against planted pairs) ----
     ("l02_minhash_near_dedup", (s, d) => {

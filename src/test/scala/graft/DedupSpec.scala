@@ -109,6 +109,16 @@ class DedupSpec extends SparkSpec {
     assert(out === Array(1L, 3L, 4L, 5L)) // one of the dups, ALL the nulls
   }
 
+  test("L1b: incremental dedup drops seen texts, keeps fresh and NULL ones") {
+    val hist = Seq((1L, "aa"), (2L, "bb"), (3L, null)).toDF("doc_id", "text")
+    val nb = Seq((10L, "aa"), (11L, "cc"), (12L, null)).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(nb, hist, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    // "aa" was seen → dropped; "cc" is fresh; NULL is never a duplicate
+    // of anything (including history's NULL) — same contract as exact()
+    assert(out === Array(11L, 12L))
+  }
+
   test("L4: a zero-norm embedding never outranks real neighbors (NaN filtered)") {
     val emb = Tables.embeddings(spark, sf0001)
       .unionByName(Seq((999999L, Seq.empty[Float], 0))

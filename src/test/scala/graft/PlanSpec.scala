@@ -136,6 +136,26 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"— hash pass no longer materialized once per copy:\n${plan.take(4000)}")
   }
 
+  test("l14 packing windows per shard — never a single global partition") {
+    val df = run("l14_pack_sequences")
+    val plan = df.queryExecution.executedPlan.toString
+    // the cumsum window must be partitioned by the ring shard; a global
+    // window (empty partition spec) is one task holding the whole corpus
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"packing window not partitioned by shard:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"packing exchange not hash-partitioned on shard:\n$plan")
+  }
+
+  test("l01b incremental dedup prunes the history scan to the text column") {
+    val df = run("l01b_incremental_dedup")
+    val plan = df.queryExecution.executedPlan.toString
+    // the history side exists only to say "this text was seen" — its
+    // parquet scan must read one column, not the document payload row
+    assert(plan.contains("ReadSchema: struct<text:string>"),
+      s"history scan not pruned to text-only:\n$plan")
+  }
+
   test("star queries stay inside whole-stage codegen (no interpreted hot path)") {
     Seq("a01_groupby", "j02_equi", "w01_rank").foreach { q =>
       val df = run(q)
