@@ -18,12 +18,23 @@ final case class Scored(sim: Double, id: Long)
 object Aggregators {
 
   /** Weighted mean of a price (given in exact cents) weighted by an
-    * integer quantity: finish = (Σ cents·qty / 100) / Σ qty. */
-  val weightedMean: Aggregator[(Long, Long), (Long, Long), Double] =
-    new Aggregator[(Long, Long), (Long, Long), Double] {
+    * integer quantity: finish = (Σ cents·qty / 100) / Σ qty.
+    *
+    * Inputs are Options, not primitives: a primitive tuple encoder
+    * throws "Null value appeared in non-nullable field" the moment a
+    * nullable column reaches the udaf (the fixture tables have no NULLs,
+    * so the oracle gate can't see that crash). A row missing EITHER
+    * operand is skipped whole — it contributes to neither the numerator
+    * nor the denominator (stricter than a naive SUM(p*q)/SUM(q), where a
+    * (NULL, q) row would still inflate the denominator). */
+  val weightedMean: Aggregator[(Option[Long], Option[Long]), (Long, Long), Double] =
+    new Aggregator[(Option[Long], Option[Long]), (Long, Long), Double] {
       override def zero: (Long, Long) = (0L, 0L)
-      override def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) =
-        (b._1 + a._1 * a._2, b._2 + a._2)
+      override def reduce(b: (Long, Long), a: (Option[Long], Option[Long])): (Long, Long) =
+        (a._1, a._2) match {
+          case (Some(cents), Some(qty)) => (b._1 + cents * qty, b._2 + qty)
+          case _ => b
+        }
       override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
         (x._1 + y._1, x._2 + y._2)
       override def finish(b: (Long, Long)): Double =

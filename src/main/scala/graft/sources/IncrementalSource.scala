@@ -56,13 +56,9 @@ object IncrementalSource {
       tsMicros: Long, id: Long): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(stateDir)
-    val fs = root.getFileSystem(hconf)
-    fs.mkdirs(root)
-    val tmp = new Path(root, s"_SOURCE_OFFSET.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"$tsMicros,$id".getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hconf)
-    fc.rename(tmp, pointer(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    root.getFileSystem(hconf).mkdirs(root)
+    AtomicPointer.write(hconf, new Path(root, "_SOURCE_OFFSET.tmp"),
+      pointer(root), s"$tsMicros,$id")
   }
 
   // ---- S2: incrementing mode ----
@@ -77,7 +73,10 @@ object IncrementalSource {
   def pollIncrementing(df: DataFrame, idCol: String, stateDir: String): Poll = {
     val spark = df.sparkSession
     val lastId = readOffset(spark, stateDir).map(_._2).getOrElse(Long.MinValue)
-    val mx = df.where(col(idCol) > lastId)
+    // NULL-id rows are never captured, matching the Connect JDBC source
+    // (the incrementing column must be non-nullable there) — made
+    // explicit here rather than left to three-valued `>` semantics
+    val mx = df.where(col(idCol).isNotNull && col(idCol) > lastId)
       .agg(max(col(idCol)).cast("long")).collect()(0)
     if (mx.isNullAt(0)) Poll(df.where(lit(false)), () => ()) // nothing new
     else {
@@ -95,16 +94,23 @@ object IncrementalSource {
     * skipped nor re-read) with the upper bound pinned at poll time like
     * [[pollIncrementing]]. Rows written later with a timestamp at or
     * below the pin are missed, as in the Connect source — timestamp mode
-    * assumes source timestamps are monotonic per the resume contract. */
+    * assumes source timestamps are monotonic per the resume contract.
+    * Rows with a NULL timestamp or id are never captured (Connect
+    * requires non-nullable mode columns); without the explicit filter a
+    * table whose NEW rows all carry NULL timestamps would make
+    * `max(struct(ts, id))` return a non-null struct with a null ts field
+    * (struct ordering sorts the null field lowest, so the struct itself
+    * survives) and the pin dereference would NPE. */
   def pollTimestampIncrementing(df: DataFrame, tsCol: String, idCol: String,
       stateDir: String): Poll = {
     val spark = df.sparkSession
     val (lastUs, lastId) = readOffset(spark, stateDir).getOrElse((Long.MinValue, Long.MinValue))
     val lastTs = new java.sql.Timestamp(Math.floorDiv(lastUs, 1000000L) * 1000L)
     lastTs.setNanos((Math.floorMod(lastUs, 1000000L) * 1000L).toInt)
+    val keyed = df.where(col(tsCol).isNotNull && col(idCol).isNotNull)
     val beyond =
-      if (lastUs == Long.MinValue) df // initial poll: everything
-      else Tables.timestampIncrementingScan(df, tsCol, idCol, lastTs, lastId)
+      if (lastUs == Long.MinValue) keyed // initial poll: everything keyed
+      else Tables.timestampIncrementingScan(keyed, tsCol, idCol, lastTs, lastId)
     val mx = beyond
       .agg(max(struct(col(tsCol).alias("ts"), col(idCol).cast("long").alias("id"))))
       .collect()(0)

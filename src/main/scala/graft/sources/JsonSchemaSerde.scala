@@ -30,6 +30,17 @@ import org.apache.spark.sql.types._
   */
 object JsonSchemaSerde {
 
+  /** JSON string-escape for the hand-built schema half (the payload half
+    * goes through `to_json`, which escapes on its own) — a field or
+    * schema name containing a quote/backslash/control char must not
+    * corrupt the envelope. */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** The Connect schema JSON for a StructType — deterministic field
     * order (schema order), driver-side constant. */
   def connectSchemaJson(schema: StructType, name: String): String = {
@@ -48,10 +59,10 @@ object JsonSchemaSerde {
         case other => throw new IllegalArgumentException(
           s"unsupported type for a Connect JSON schema: $other (field ${f.name})")
       }
-      val logicalJson = logical.map(n => s""","name":"$n","version":1""").getOrElse("")
-      s"""{"type":"$t","optional":${f.nullable}$logicalJson,"field":"${f.name}"}"""
+      val logicalJson = logical.map(n => s""","name":"${esc(n)}","version":1""").getOrElse("")
+      s"""{"type":"$t","optional":${f.nullable}$logicalJson,"field":"${esc(f.name)}"}"""
     }.mkString("[", ",", "]")
-    s"""{"type":"struct","fields":$fields,"optional":false,"name":"$name"}"""
+    s"""{"type":"struct","fields":$fields,"optional":false,"name":"${esc(name)}"}"""
   }
 
   /** Encode `cols` as a schema-carrying JSON value column `out`
@@ -61,15 +72,23 @@ object JsonSchemaSerde {
       out: String = "value"): DataFrame = {
     val schema = StructType(cols.map(c => df.schema(c)))
     val schemaJson = connectSchemaJson(schema, name)
+    // backtick-quote the lookup: a raw col("user.id") parses as a nested
+    // path and fails analysis even though the flat column exists
+    def qcol(c: String) = col(s"`${c.replace("`", "``")}`")
     val payloadCols = cols.map { c =>
       df.schema(c).dataType match {
-        case TimestampType => unix_millis(col(c)).alias(c)
-        case _ => col(c)
+        case TimestampType => unix_millis(qcol(c)).alias(c)
+        case _ => qcol(c)
       }
     }
     df.withColumn(out,
       concat(lit("""{"schema":"""), lit(schemaJson), lit(""","payload":"""),
-        to_json(struct(payloadCols: _*)), lit("}")).cast(BinaryType))
+        // explicit nulls: Connect's JsonConverter writes every declared
+        // field, NULL included; Spark's to_json default would omit them
+        // (roundtrip-invisible, but wire-format parity matters to
+        // external consumers and byte-level comparisons)
+        to_json(struct(payloadCols: _*), Map("ignoreNullFields" -> "false")),
+        lit("}")).cast(BinaryType))
   }
 
   /** Decode a schema-carrying JSON value back into a struct column
@@ -96,14 +115,21 @@ object JsonSchemaSerde {
         StructType(Seq(StructField("name", StringType, nullable = true))),
         nullable = true),
       StructField("payload", wire, nullable = true)))
-    df.withColumn("__wire", from_json(col(valueCol).cast(StringType), envelope))
-      .withColumn(schemaNameOut, col("__wire.schema.name"))
+    // uniquified temp column: a fixed "__wire" would clobber (and then
+    // drop) a caller's column of that name
+    val tmp = Iterator.from(0).map(i => s"__wire$i")
+      .find(n => !df.columns.contains(n)).get
+    // getField, not a dotted path string: a field named "user.id" is
+    // legal in the schema but a dotted col() path fails analysis
+    val payload = col(tmp).getField("payload")
+    df.withColumn(tmp, from_json(col(valueCol).cast(StringType), envelope))
+      .withColumn(schemaNameOut, col(tmp).getField("schema").getField("name"))
       .withColumn(structOut, struct(schema.fields.map { f =>
         (f.dataType match {
-          case TimestampType => timestamp_millis(col(s"__wire.payload.${f.name}"))
-          case _ => col(s"__wire.payload.${f.name}")
+          case TimestampType => timestamp_millis(payload.getField(f.name))
+          case _ => payload.getField(f.name)
         }).alias(f.name)
       }: _*))
-      .drop("__wire")
+      .drop(tmp)
   }
 }

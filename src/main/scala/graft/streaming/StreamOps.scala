@@ -102,14 +102,9 @@ object StreamOps {
     val snap = new Path(root, s"batch-$batchId")
     CdcApply(stateEv, batchEv, keys, ord, isTombstone)
       .write.mode("overwrite").parquet(snap.toString)
-    // flip the pointer: tmp write + atomic overwrite-rename. A plain
-    // delete-then-rename would leave a window where NO pointer exists —
-    // a crash there silently resets state to empty on restart.
-    val tmp = new Path(root, s"_LATEST.tmp-$batchId")
-    val out = fs.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hconf)
-    fc.rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // flip the pointer (shared crash-safe idiom — see AtomicPointer)
+    graft.sources.AtomicPointer.write(hconf,
+      new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
     // GC: superseded snapshots (anything but the previous and current)
     // would otherwise accumulate one full state copy per micro-batch.
     val keep = Set(s"batch-$batchId") ++ current.map(id => s"batch-$id")

@@ -56,6 +56,44 @@ class JsonSerdeSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("S8b: NULL fields appear explicitly on the wire (Connect parity)") {
+    val enc = JsonSchemaSerde.serialize(sample, schema.fieldNames.toSeq, "t.Value", "wire")
+    val wires = enc.select($"wire".cast(StringType)).as[String].collect()
+    // Connect's JsonConverter writes every declared field, NULL included;
+    // Spark's to_json default omits them — pin the explicit form
+    assert(wires.exists(_.contains(""""name":null""")), s"missing explicit null:\n${wires.mkString("\n")}")
+    assert(wires.exists(_.contains(""""at":null""")))
+  }
+
+  test("S8b: quote/backslash field and schema names survive the envelope") {
+    val odd = StructType(Seq(StructField("""a"b""", LongType),
+      StructField("""c\d""", StringType)))
+    val df = Seq((7L, "x")).toDF("""a"b""", """c\d""")
+    val enc = JsonSchemaSerde.serialize(df, odd.fieldNames.toSeq, """q"t""", "wire")
+    val dec = JsonSchemaSerde.deserialize(enc.select($"wire"), "wire", odd, "p")
+    val r = dec.select(col("p").getField("""a"b"""),
+      col("p").getField("""c\d"""), $"schema_name").collect().head
+    assert(r.getLong(0) === 7L && r.getString(1) === "x")
+    assert(r.getString(2) === """q"t""")
+  }
+
+  test("S8b: a pre-existing __wire0 column is not clobbered by deserialize") {
+    val enc = JsonSchemaSerde.serialize(sample, schema.fieldNames.toSeq, "t.Value", "wire")
+      .withColumn("__wire0", lit("keep-me"))
+    val dec = JsonSchemaSerde.deserialize(enc, "wire", schema, "p")
+    assert(dec.columns.contains("__wire0"))
+    assert(dec.select($"__wire0").distinct().as[String].collect() === Array("keep-me"))
+    assert(dec.select($"p.id").orderBy($"p.id").as[Long].collect() === Array(1L, 2L, 3L))
+  }
+
+  test("S8b: dotted field names resolve as literal fields, not paths") {
+    val dotted = StructType(Seq(StructField("user.id", LongType)))
+    val df = Seq(Tuple1(42L)).toDF("user.id")
+    val enc = JsonSchemaSerde.serialize(df, Seq("user.id"), "t", "wire")
+    val dec = JsonSchemaSerde.deserialize(enc.select($"wire"), "wire", dotted, "p")
+    assert(dec.select(col("p").getField("user.id")).as[Long].collect() === Array(42L))
+  }
+
   test("S8b: unsupported field types are rejected at build time") {
     intercept[IllegalArgumentException] {
       JsonSchemaSerde.connectSchemaJson(

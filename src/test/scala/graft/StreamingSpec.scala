@@ -375,4 +375,32 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(data), "ts", "id", state)
     assert(p3.batch.isEmpty)
   }
+
+  test("S3: NULL-keyed rows are excluded explicitly, never an NPE") {
+    import graft.sources.IncrementalSource
+    val dir = tmpDir("tsnull")
+    val data = s"$dir/table"
+    val state = s"$dir/offsets"
+    // initial poll over a table whose rows ALL have NULL ts: max(struct)
+    // would return struct(null, id) (struct ordering keeps it non-null)
+    // and the pin dereference would NPE without the key filter
+    Seq((None: Option[java.sql.Timestamp], 1L), (None, 2L))
+      .toDF("ts", "id").write.mode("append").parquet(data)
+    val p0 = IncrementalSource.pollTimestampIncrementing(
+      spark.read.parquet(data), "ts", "id", state)
+    assert(p0.batch.isEmpty); p0.commit() // no offset written
+    assert(IncrementalSource.readOffset(spark, state) === None)
+    // mixed: NULL-keyed rows skipped (Connect parity: mode columns are
+    // non-nullable there), keyed rows delivered and committed
+    val t = ts("2024-01-01 00:00:01")
+    Seq((Some(t), 3L), (None, 4L)).toDF("ts", "id")
+      .write.mode("append").parquet(data)
+    val p1 = IncrementalSource.pollTimestampIncrementing(
+      spark.read.parquet(data), "ts", "id", state)
+    assert(p1.batch.select($"id").as[Long].collect().toSet === Set(3L))
+    p1.commit()
+    val p2 = IncrementalSource.pollTimestampIncrementing(
+      spark.read.parquet(data), "ts", "id", state)
+    assert(p2.batch.isEmpty)
+  }
 }
