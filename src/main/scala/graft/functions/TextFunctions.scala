@@ -18,10 +18,13 @@ object TextFunctions {
   def wordCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
-    * non-alphanumeric non-space characters (a cheap proxy for subword
-    * tokenizer counts; the regex is portable to the DuckDB oracle). */
+    * non-alphanumeric non-whitespace characters (a cheap proxy for
+    * subword tokenizer counts; the regex is portable to the DuckDB
+    * oracle). `\s`, not the literal space: real corpora are multi-line,
+    * and counting every newline/tab as a token would systematically
+    * inflate any length filtering or packing built on this. */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Character n-grams of the whole string, as an array — the native
     * single-pass [[CharNgrams]] kernel (the built-in `substr`-per-position
@@ -71,12 +74,7 @@ object TextFunctions {
         / length(text).cast("double"))
 
   /** Mean token length (0 for empty docs). */
-  def meanWordLen(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, lit(0.0d)).otherwise(
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double")
-        / size(ts).cast("double"))
-  }
+  def meanWordLen(text: Column): Column = meanWordLenOfTokens(tokens(text))
 
   /** Stopword-hit ratio against a fixed list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
@@ -91,10 +89,16 @@ object TextFunctions {
     * punctuation noise and a sane mean word length. Weights are fixed,
     * arithmetic is deterministic (integer counts → double ops in a fixed
     * expression tree). */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityExpr(text, meanWordLen(text))
+
+  /** The one spelling of the quality arithmetic — both the scalar form
+    * above and [[withQuality]] feed it their own mean-word-length column,
+    * so a weight tweak can never desync the two (or the DuckDB oracle
+    * that mirrors them). */
+  private def qualityExpr(text: Column, mwl: Column): Column = {
     val lenScore = least(length(text).cast("double") / 400.0d, lit(1.0d))
     val punctPenalty = lit(1.0d) - least(punctRatio(text) * 5.0d, lit(1.0d))
-    val mwl = meanWordLen(text)
     val wordScore = when(mwl >= 3.0d && mwl <= 10.0d, lit(1.0d)).otherwise(lit(0.5d))
     round(lenScore * 0.5d + punctPenalty * 0.3d + wordScore * 0.2d, 6)
   }
@@ -154,6 +158,11 @@ object TextFunctions {
   // tokenizer and each per-language filter run once per row. Use them
   // whenever the input is a DataFrame; the scalar forms remain for
   // one-shot contexts.
+  //
+  // Reserved names: the temps `__toks`, `__mwl`, `__best`, `__hits_<lang>`
+  // are overwritten and dropped — input columns with those names do not
+  // survive, and the declared output columns (n_words, punct_ratio, ...)
+  // replace any same-named input column (withColumn semantics).
 
   /** n_words / punct_ratio / mean_wlen columns, tokenizing once. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame =
@@ -187,16 +196,10 @@ object TextFunctions {
 
   /** [[qualityScore]] + [[fingerprint]] as columns, tokenizing once. */
   def withQuality(df: DataFrame, textCol: String,
-      qualityOut: String = "quality", fpOut: String = "fp"): DataFrame = {
-    val d = df.withColumn("__toks", tokens(col(textCol)))
+      qualityOut: String = "quality", fpOut: String = "fp"): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
       .withColumn("__mwl", meanWordLenOfTokens(col("__toks")))
-    val lenScore = least(length(col(textCol)).cast("double") / 400.0d, lit(1.0d))
-    val punctPenalty = lit(1.0d) - least(punctRatio(col(textCol)) * 5.0d, lit(1.0d))
-    val wordScore = when(col("__mwl") >= 3.0d && col("__mwl") <= 10.0d,
-      lit(1.0d)).otherwise(lit(0.5d))
-    d.withColumn(qualityOut,
-        round(lenScore * 0.5d + punctPenalty * 0.3d + wordScore * 0.2d, 6))
+      .withColumn(qualityOut, qualityExpr(col(textCol), col("__mwl")))
       .withColumn(fpOut, fingerprintOfTokens(col("__toks")))
       .drop("__toks", "__mwl")
-  }
 }

@@ -30,7 +30,15 @@ object Sampling {
   /** The full ring position (before bucketing) — a portable per-row
     * shuffle key: ordering by it is a deterministic corpus shuffle,
     * reproducible across runs, engines and partitionings (unlike
-    * `rand(seed)`, which re-deals whenever the partitioning changes). */
+    * `rand(seed)`, which re-deals whenever the partitioning changes).
+    *
+    * `pmod`, not `%`: Spark's `%` (like most engines') is
+    * sign-preserving, so a negative id would produce a negative "bucket"
+    * and silently diverge from any engine spelling it differently. The
+    * portable SQL equivalent is
+    * `((id % p + p) % p * 2654435761 + 104729) % p` with p = 2147483647
+    * (inner term non-negative ⇒ the outer `%` needs no correction) —
+    * the oracle queries spell exactly that. */
   def shuffleKey(idCol: String): org.apache.spark.sql.Column = {
     val p = 2147483647L
     pmod(pmod(col(idCol), lit(p)) * 2654435761L + 104729L, lit(p))
@@ -60,8 +68,13 @@ object Sampling {
     * cutoff. Same row set on every run/engine — a sampled corpus can be
     * re-derived instead of stored. */
   def hashSample(df: DataFrame, idCol: String, keepPct: Int,
-      buckets: Int = 100): DataFrame =
+      buckets: Int = 100): DataFrame = {
+    // same guard as hashSplit: keepPct > buckets would silently keep the
+    // WHOLE corpus (every bucket < keepPct) — a no-op "down-sample" that
+    // processes 100 TB instead of erroring at the call site
+    require(keepPct >= 0 && keepPct <= buckets, "keepPct out of range")
     df.where(hashBucket(idCol, buckets) < keepPct)
+  }
 
   /** Seeded uniform random sample (Spark-deterministic for a fixed seed,
     * partitioning and engine — use [[hashSample]] when cross-run

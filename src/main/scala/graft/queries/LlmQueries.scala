@@ -239,7 +239,10 @@ object LlmQueries {
       val langs = TF.langStopwords.map(_._1)
       val best = langs.map("h_" + _).mkString("greatest(", ",", ")")
       val cases = langs.dropRight(1).map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
-      s"""WITH t AS (SELECT doc_id, $tokensSql ts FROM documents), h AS (SELECT doc_id, $hits FROM t) SELECT CASE WHEN $best = 0 THEN 'und' $cases ELSE '${langs.last}' END pred_lang, COUNT(*) n FROM h GROUP BY 1 ORDER BY pred_lang"""
+      // IS NULL first: a NULL text yields NULL hit counts and a NULL
+      // best, which must classify 'und' (as Spark does via `otherwise`),
+      // not fall through every NULL comparison into the ELSE language
+      s"""WITH t AS (SELECT doc_id, $tokensSql ts FROM documents), h AS (SELECT doc_id, $hits FROM t) SELECT CASE WHEN $best IS NULL OR $best = 0 THEN 'und' $cases ELSE '${langs.last}' END pred_lang, COUNT(*) n FROM h GROUP BY 1 ORDER BY pred_lang"""
     }),
 
     // ---- L5c: composite quality score + portable fingerprint ----
@@ -248,7 +251,7 @@ object LlmQueries {
         .select(col("doc_id"), col("quality"), col("fp"),
           TF.bpeishTokenCount(col("text")).as("n_bpeish"))
         .orderBy(col("doc_id"))
-    }, Some(s"""WITH t AS (SELECT doc_id, text, $tokensSql ts FROM documents), m AS (SELECT doc_id, text, ts, CASE WHEN len(text)=0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(text) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t) SELECT doc_id, round(least(CAST(len(text) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) quality, list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(ts, x -> CAST(len(x) AS BIGINT) * 131 + ascii(x))), (acc, v) -> (acc * 31 + v) % 2147483647) fp, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) n_bpeish FROM m ORDER BY doc_id""")),
+    }, Some(s"""WITH t AS (SELECT doc_id, text, $tokensSql ts FROM documents), m AS (SELECT doc_id, text, ts, CASE WHEN len(text)=0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(text) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t) SELECT doc_id, round(least(CAST(len(text) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) quality, list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(ts, x -> CAST(len(x) AS BIGINT) * 131 + ascii(x))), (acc, v) -> (acc * 31 + v) % 2147483647) fp, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) n_bpeish FROM m ORDER BY doc_id""")),
 
     // ---- L6: token n-grams (distinct trigram count per doc; tokens
     // materialized first — see TextFunctions.ngramsOfTokens scale note) ----
@@ -288,14 +291,14 @@ object LlmQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("sum_id"))
         .orderBy(col("split"))
-    }, Some("""WITH s AS (SELECT doc_id, CASE WHEN ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 % 100 < 80 THEN 'train' ELSE 'eval' END split FROM documents) SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id FROM s GROUP BY split ORDER BY split""")),
+    }, Some("""WITH s AS (SELECT doc_id, CASE WHEN ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 100 < 80 THEN 'train' ELSE 'eval' END split FROM documents) SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id FROM s GROUP BY split ORDER BY split""")),
 
     // ---- L9b: deterministic fractional down-sample (same hash ring) ----
     ("l09b_hash_sample", (s, d) => {
       graft.operators.Sampling.hashSample(
           Tables.documents(s, d).select(col("doc_id")), "doc_id", keepPct = 10)
         .orderBy(col("doc_id"))
-    }, Some("""SELECT doc_id FROM documents WHERE ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 % 100 < 10 ORDER BY doc_id""")),
+    }, Some("""SELECT doc_id FROM documents WHERE ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 100 < 10 ORDER BY doc_id""")),
 
     // ---- L9c: deterministic corpus shuffle — total order by the
     // portable ring key (rand(seed) re-deals on any repartition; this
@@ -305,7 +308,7 @@ object LlmQueries {
       graft.operators.Sampling.deterministicShuffle(
           Tables.documents(s, d).select(col("doc_id")), "doc_id")
         .limit(100)
-    }, Some("""SELECT doc_id, ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 AS shuffle_key FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""")),
+    }, Some("""SELECT doc_id, ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 AS shuffle_key FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""")),
 
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
@@ -342,7 +345,7 @@ object LlmQueries {
         .select(col("doc_id")).distinct()
       split.where(col("split") === "eval").agg(count(lit(1)).as("n_eval"))
         .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
-    }, Some("""WITH s AS (SELECT doc_id, text, CASE WHEN ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 % 100 < 80 THEN 'train' ELSE 'eval' END split FROM documents), t AS (SELECT doc_id, split, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) ts FROM s), g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(generate_series(1, len(ts)-4), i -> array_to_string(ts[i:i+4], ' ')))) gram FROM t WHERE len(ts) >= 5), tr AS (SELECT DISTINCT gram FROM g WHERE split='train'), ev AS (SELECT DISTINCT doc_id FROM g WHERE split='eval' AND gram IN (SELECT gram FROM tr)) SELECT (SELECT COUNT(*) FROM s WHERE split='eval') AS n_eval, (SELECT COUNT(*) FROM ev) AS n_contaminated""")),
+    }, Some("""WITH s AS (SELECT doc_id, text, CASE WHEN ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 100 < 80 THEN 'train' ELSE 'eval' END split FROM documents), t AS (SELECT doc_id, split, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) ts FROM s), g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(generate_series(1, len(ts)-4), i -> array_to_string(ts[i:i+4], ' ')))) gram FROM t WHERE len(ts) >= 5), tr AS (SELECT DISTINCT gram FROM g WHERE split='train'), ev AS (SELECT DISTINCT doc_id FROM g WHERE split='eval' AND gram IN (SELECT gram FROM tr)) SELECT (SELECT COUNT(*) FROM s WHERE split='eval') AS n_eval, (SELECT COUNT(*) FROM ev) AS n_contaminated""")),
 
     // ---- L12: repetition quality signal (Gopher-style) — fraction of
     // a doc's tokens covered by its most frequent bigram. One explode,
@@ -417,7 +420,7 @@ object LlmQueries {
         docs, "doc_id", "n_tok", seqLen = 256, shards = 8)
       graft.operators.Packing.sequenceStats(packed, "n_tok")
         .orderBy(col("shard"), col("seq_in_shard"))
-    }, Some(s"""WITH t AS (SELECT doc_id, len($tokensSql) AS n_tok, ((doc_id % 2147483647) * 2654435761 + 104729) % 2147483647 AS key FROM documents), s AS (SELECT doc_id, n_tok, key, key % 8 AS shard FROM t), w AS (SELECT shard, doc_id, n_tok, SUM(n_tok) OVER (PARTITION BY shard ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s) SELECT shard, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_in_shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM w GROUP BY 1, 2 ORDER BY shard, seq_in_shard""")),
+    }, Some(s"""WITH t AS (SELECT doc_id, len($tokensSql) AS n_tok, ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 AS key FROM documents), s AS (SELECT doc_id, n_tok, key, key % 8 AS shard FROM t), w AS (SELECT shard, doc_id, n_tok, SUM(n_tok) OVER (PARTITION BY shard ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s) SELECT shard, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_in_shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM w GROUP BY 1, 2 ORDER BY shard, seq_in_shard""")),
 
     // ---- L8: multimodal envelope — payload byte length, feature dim,
     // frame-sample fan-out (decode is a documented stub; the Spark-side

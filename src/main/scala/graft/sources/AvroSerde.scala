@@ -33,9 +33,15 @@ object AvroSerde {
     * so sibling struct fields can never collide in Avro's global record
     * namespace; field names are JSON-escaped. */
   def avroSchemaFor(st: StructType, name: String = "record0"): String = {
+    // Avro record names share one global namespace per schema — derive
+    // nested names from a counter, not the field path (two paths can
+    // collide once sanitized, e.g. top-level "a_b" vs struct a.field b).
+    // Decode is positional, so names only need to be unique, not pretty.
+    var recSeq = 0
+    def nextRecordName(): String = { recSeq += 1; s"${name}_r$recSeq" }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
-    def field(dt: DataType, path: String): String = dt match {
+    def field(dt: DataType): String = dt match {
       case IntegerType => "\"int\""
       case LongType => "\"long\""
       case FloatType => "\"float\""
@@ -48,9 +54,12 @@ object AvroSerde {
       case DateType => """{"type":"int","logicalType":"date"}"""
       case d: DecimalType =>
         s"""{"type":"bytes","logicalType":"decimal","precision":${d.precision},"scale":${d.scale}}"""
-      case ArrayType(et, _) => s"""{"type":"array","items":${field(et, path + "_item")}}"""
-      case MapType(StringType, vt, _) => s"""{"type":"map","values":${field(vt, path + "_value")}}"""
-      case inner: StructType => recordSchema(inner, path)
+      // element/value types are nullable unions: Spark arrays/maps carry
+      // containsNull/valueContainsNull=true by default, and a bare item
+      // schema would NPE inside the datum writer on the first null element
+      case ArrayType(et, _) => s"""{"type":"array","items":["null",${field(et)}]}"""
+      case MapType(StringType, vt, _) => s"""{"type":"map","values":["null",${field(vt)}]}"""
+      case inner: StructType => recordSchema(inner, nextRecordName())
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }
     def recordSchema(s: StructType, n: String): String = {
@@ -58,15 +67,17 @@ object AvroSerde {
       // (dashes/dots/spaces are common Connect column names). Data
       // mapping is positional on both serde paths, so the rename is
       // invisible to the round-trip.
-      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val assigned = scala.collection.mutable.Set.empty[String]
       val fields = s.fields.map { f =>
         val cleaned = f.name.replaceAll("[^A-Za-z0-9_]", "_")
         val base = if (cleaned.isEmpty || cleaned.head.isDigit) "_" + cleaned else cleaned
-        // distinct source names may sanitize identically ("a-b", "a.b");
-        // suffix duplicates so the Avro schema stays valid
-        val idx = seen.getOrElse(base, 0); seen(base) = idx + 1
-        val safe = if (idx == 0) base else s"${base}_$idx"
-        s"""{"name":"${esc(safe)}","type":["null",${field(f.dataType, n + "_" + safe)}],"default":null}"""
+        // distinct source names may sanitize identically ("a-b", "a.b"),
+        // and a suffixed name can itself collide with a later literal
+        // ("a_b_1") — probe until free against everything assigned so far
+        var safe = base; var i = 0
+        while (assigned.contains(safe)) { i += 1; safe = s"${base}_$i" }
+        assigned += safe
+        s"""{"name":"${esc(safe)}","type":["null",${field(f.dataType)}],"default":null}"""
       }.mkString(",")
       s"""{"type":"record","name":"$n","fields":[$fields]}"""
     }
@@ -90,10 +101,15 @@ object AvroSerde {
       }.asJava
     case s: String => s
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-    // logical types → their Avro physical carriers
+    // logical types → their Avro physical carriers (both external
+    // families: java.sql.* and, when datetime.java8API is enabled,
+    // java.time.*)
     case t: java.sql.Timestamp =>
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L // epoch micros
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
     case d: java.math.BigDecimal => java.nio.ByteBuffer.wrap(d.unscaledValue.toByteArray)
     case d: scala.math.BigDecimal => java.nio.ByteBuffer.wrap(d.underlying.unscaledValue.toByteArray)
     case other => other
@@ -104,28 +120,36 @@ object AvroSerde {
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
     else s
 
-  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+  /** `java8`: construct java.time external types when the session runs
+    * with `spark.sql.datetime.java8API.enabled` — the RowEncoder then
+    * expects Instant/LocalDate and would reject java.sql.Timestamp. */
+  private def fromAvro(v: Any, dt: DataType, java8: Boolean): Any = (v, dt) match {
     case (null, _) => null
     case (r: GenericRecord, st: StructType) =>
       // positional, not by name — the Avro schema may carry sanitized
       // field names that differ from the Spark ones
       Row.fromSeq(st.fields.zipWithIndex.map { case (f, i) =>
-        fromAvro(r.get(i), f.dataType)
+        fromAvro(r.get(i), f.dataType, java8)
       }.toSeq)
     case (l: java.util.List[_], ArrayType(et, _)) =>
-      l.asScala.map(e => fromAvro(e, et)).toSeq
+      l.asScala.map(e => fromAvro(e, et, java8)).toSeq
     case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
-      m.asScala.map { case (k, mv) => k.toString -> fromAvro(mv, vt) }.toMap
+      m.asScala.map { case (k, mv) => k.toString -> fromAvro(mv, vt, java8) }.toMap
     case (u: org.apache.avro.util.Utf8, StringType) => u.toString
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     // logical-type carriers → Spark external types
+    case (us: java.lang.Long, TimestampType) if java8 =>
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
     case (us: java.lang.Long, TimestampType) =>
       val secs = Math.floorDiv(us, 1000000L)
       val microOfSec = Math.floorMod(us, 1000000L)
       val t = new java.sql.Timestamp(secs * 1000L)
       t.setNanos(microOfSec.toInt * 1000) // setNanos replaces ALL sub-second
       t
+    case (days: java.lang.Integer, DateType) if java8 =>
+      java.time.LocalDate.ofEpochDay(days.toLong)
     case (days: java.lang.Integer, DateType) =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
     case (b: java.nio.ByteBuffer, d: DecimalType) =>
@@ -145,12 +169,17 @@ object AvroSerde {
     df.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
       val writer = new GenericDatumWriter[GenericRecord](schema)
+      // per-partition reuse (the documented Avro pattern): one output
+      // buffer reset per record, the encoder re-pointed at it — not a
+      // fresh buffered encoder allocation per row on the hot path
+      val bos = new ByteArrayOutputStream()
+      var benc: org.apache.avro.io.BinaryEncoder = null
       rows.map { r =>
         val sub = Row.fromSeq(idxs.map(r.get))
         val rec = toAvro(sub, schema).asInstanceOf[GenericRecord]
-        val bos = new ByteArrayOutputStream()
-        val e = EncoderFactory.get().binaryEncoder(bos, null)
-        writer.write(rec, e); e.flush()
+        bos.reset()
+        benc = EncoderFactory.get().binaryEncoder(bos, benc)
+        writer.write(rec, benc); benc.flush()
         Row.fromSeq(r.toSeq :+ bos.toByteArray)
       }
     }(enc)
@@ -175,12 +204,15 @@ object AvroSerde {
     val base = df.schema.add(StructField(structCol, structSchema))
     val outSchema = tolerant.fold(base)(e => base.add(StructField(e, StringType)))
     val enc = RowEncoder.encoderFor(outSchema)
+    val java8 = df.sparkSession.conf
+      .get("spark.sql.datetime.java8API.enabled", "false").toBoolean
     df.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
+      var bdec: org.apache.avro.io.BinaryDecoder = null // per-partition reuse
       def decode(bytes: Array[Byte]): Row = {
-        val d = DecoderFactory.get().binaryDecoder(prep(bytes), null)
-        fromAvro(reader.read(null, d), structSchema).asInstanceOf[Row]
+        bdec = DecoderFactory.get().binaryDecoder(prep(bytes), bdec)
+        fromAvro(reader.read(null, bdec), structSchema, java8).asInstanceOf[Row]
       }
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](vIdx)

@@ -2,7 +2,7 @@ package graft
 
 import graft.sources.AvroSerde
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{countDistinct, max}
+import org.apache.spark.sql.functions.{col, countDistinct, max}
 import org.apache.spark.sql.types._
 /** S6/S7 round-trip contract: deserialize(serialize(df)) == df for
   * primitives, arrays, maps, nested structs — including SIBLING nested
@@ -35,6 +35,45 @@ class AvroSerdeSpec extends SparkSpec {
       StructField("a", StructType(Seq(StructField("x", LongType)))),
       StructField("b", StructType(Seq(StructField("y", StringType))))))
     // must parse — two sibling records with colliding names would throw
+    val parsed = new org.apache.avro.Schema.Parser().parse(AvroSerde.avroSchemaFor(st))
+    assert(parsed.getFields.size === 2)
+  }
+
+  test("round-trips NULL array elements and NULL map values") {
+    // Spark collections default to containsNull/valueContainsNull=true;
+    // a bare (non-union) item schema NPEs inside the datum writer on the
+    // first null element
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, null, 3L), Map("a" -> "x", "b" -> null)),
+      (2L, Seq[java.lang.Long](null), Map.empty[String, String])
+    ).toDF("id", "arr", "m")
+    val rt = AvroSerde.deserialize(
+      AvroSerde.serialize(df, df.columns.toSeq), "avro_value", df.schema, "rt")
+    assert(rt.select($"rt.id", $"rt.arr", $"rt.m").collect().toSet
+      === df.collect().toSet)
+  }
+
+  test("colliding sanitized names and suffix-vs-literal clashes stay unique") {
+    // "a.b" and "a-b" both sanitize to a_b; the literal "a_b_1" collides
+    // with the first dedup suffix — every probe must land on a free name
+    val df = Seq((1L, 2L, 3L)).toDF("a.b", "a-b", "a_b_1")
+    val parsed = new org.apache.avro.Schema.Parser().parse(
+      AvroSerde.avroSchemaFor(StructType(df.schema.fields)))
+    assert(parsed.getFields.size === 3)
+    val rt = AvroSerde.deserialize(
+      AvroSerde.serialize(df, df.columns.toSeq), "avro_value",
+      StructType(df.schema.fields), "rt")
+    assert(rt.select(col("rt").getField("a.b"), col("rt").getField("a-b"),
+      col("rt").getField("a_b_1")).collect().toSeq === Seq(Row(1L, 2L, 3L)))
+  }
+
+  test("a flat a_b column and a nested a.b struct path cannot collide in record names") {
+    // path-derived record names used to merge "record0_a_b" from both —
+    // counter-derived names make the schema parse and round-trip
+    val st = StructType(Seq(
+      StructField("a_b", StructType(Seq(StructField("x", LongType)))),
+      StructField("a", StructType(Seq(
+        StructField("b", StructType(Seq(StructField("y", LongType)))))))))
     val parsed = new org.apache.avro.Schema.Parser().parse(AvroSerde.avroSchemaFor(st))
     assert(parsed.getFields.size === 2)
   }
