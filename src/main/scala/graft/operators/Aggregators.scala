@@ -7,6 +7,16 @@ import org.apache.spark.sql.expressions.Aggregator
 /** One (score, id) candidate flowing through [[Aggregators.topK]]. */
 final case class Scored(sim: Double, id: Long)
 
+/** Nullable input shell for [[Aggregators.topK]]: scores/ids arrive
+  * straight off a scored projection, where NULL (null embedding, null
+  * array element, null id) and NaN (zero-norm vector) are data, not
+  * bugs. Option fields let the encoder accept them so `reduce` can skip
+  * the row — a primitive input tuple would throw at encode time, and a
+  * pre-aggregation `where` on the scored alias gets SUBSTITUTED into
+  * the join condition by filter pushdown, re-evaluating the cosine
+  * kernel 2-3× per candidate pair (plan-verified). */
+final case class ScoredIn(sim: Option[Double], id: Option[Long])
+
 /** Custom typed aggregation surface (SURVEY §2.4 A9): an
   * `Aggregator[IN,BUF,OUT]` registered via `functions.udaf`, the idiomatic
   * Spark form for user aggregates (map-side partial `reduce` + `merge`
@@ -53,20 +63,24 @@ object Aggregators {
     * makes brute-force search survive a 100× corpus. `finish` returns the
     * candidates best-first, so `posexplode` position = rank-1.
     *
-    * NaN scores must be filtered by the caller (NaN has no order); ties
-    * break on the smaller id, so results are deterministic regardless of
+    * NULL and NaN candidates are skipped INSIDE `reduce` (see
+    * [[ScoredIn]] — doing it here instead of a caller `where` keeps the
+    * scoring expression single-copy in the plan); ties break on the
+    * smaller id, so results are deterministic regardless of
     * partitioning. */
-  def topK(k: Int): Aggregator[Scored, Seq[Scored], Seq[Scored]] = {
+  def topK(k: Int): Aggregator[ScoredIn, Seq[Scored], Seq[Scored]] = {
     require(k >= 1, "topK needs k >= 1")
-    new Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    new Aggregator[ScoredIn, Seq[Scored], Seq[Scored]] {
       private def better(a: Scored, b: Scored): Boolean =
         a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
       private def trim(s: Seq[Scored]): Seq[Scored] = s.sortWith(better).take(k)
       override def zero: Seq[Scored] = Vector.empty
-      override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = {
-        val nb = b :+ a
-        // compact every k appends → O(log k) amortized per row
-        if (nb.length >= 2 * k) trim(nb) else nb
+      override def reduce(b: Seq[Scored], a: ScoredIn): Seq[Scored] = (a.sim, a.id) match {
+        case (Some(s), Some(i)) if !s.isNaN =>
+          val nb = b :+ Scored(s, i)
+          // compact every k appends → O(log k) amortized per row
+          if (nb.length >= 2 * k) trim(nb) else nb
+        case _ => b // NULL score/id or NaN: not a candidate
       }
       override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
       override def finish(b: Seq[Scored]): Seq[Scored] = trim(b)

@@ -38,11 +38,12 @@ object Similarity {
       qId: String, cId: String): DataFrame = {
     val cIdType = scored.schema(cId).dataType
     val tk = udaf(Aggregators.topK(k))
-    // NULL scores (null embedding / null array element under cosine's
-    // SQL semantics) must be dropped like NaN: the combiner's
-    // non-nullable Double input would otherwise throw at encode time —
-    // the old window form only *misranked* such rows, this would crash
-    scored.where(col("cos_sim").isNotNull && !isnan(col("cos_sim")))
+    // no pre-aggregation `where` on cos_sim: NULL/NaN scores and NULL
+    // ids are skipped inside the combiner's reduce (ScoredIn) — a
+    // filter on the scored alias gets substituted into the join
+    // condition by pushdown and re-evaluates the cosine kernel 2-3×
+    // per candidate pair, the dominant cost of the whole scan
+    scored
       .groupBy(col(qId))
       .agg(tk(col("cos_sim"), col(cId).cast("long")).alias("__top"))
       .select(col(qId), posexplode(col("__top")))
@@ -65,9 +66,15 @@ object Similarity {
   def bruteForceTopKQ(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .select(col(qId), col(cId),
-        VF.cosineQ(VF.quantize(col(qVec)), VF.quantize(col(cVec))).alias("cos_sim"))
+    // quantize BELOW the join, once per row — inside the post-join
+    // projection each corpus vector would be re-quantized once per
+    // query and each query vector once per corpus row (the O(dim) HOF
+    // transform rivals the cosine kernel itself). Projects on the join
+    // inputs cannot be collapsed through the join, so these stick.
+    val cq = corpus.select(col(cId), VF.quantize(col(cVec)).alias("__cq"))
+    val qq = queries.select(col(qId), VF.quantize(col(qVec)).alias("__qq"))
+    val scored = cq.crossJoin(broadcast(qq))
+      .select(col(qId), col(cId), VF.cosineQ(col("__qq"), col("__cq")).alias("cos_sim"))
     topKStage(scored, k, qId, cId)
   }
 
@@ -89,7 +96,13 @@ object Similarity {
     // Collect the nLists centroid vectors (bounded, driver-side by
     // design — same footprint as broadcasting them) into one literal
     // array<struct<list, cent>> so assignment is a pure projection.
-    val centRows = corpus.orderBy(col(cId)).limit(nLists)
+    // Zero-norm/null vectors are excluded from the sample: such a
+    // centroid scores NaN against EVERY vector, and NaN wins Spark's
+    // `>` — one broken centroid would capture the whole corpus and
+    // degrade IVF to a per-query full scan.
+    val centRows = corpus
+      .where(col(cVec).isNotNull && !isnan(VF.cosineNative(col(cVec), col(cVec))))
+      .orderBy(col(cId)).limit(nLists)
       .select(col(cId).cast("long"), col(cVec)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     val cents = typedLit(centRows.toSeq)
@@ -97,11 +110,16 @@ object Similarity {
     def scored(vec: Column): Column =
       transform(cents, c => struct(c.getField("_1").alias("list"),
         VF.cosineNative(vec, c.getField("_2")).alias("sim")))
-    // nearest list = running-max fold (no shuffle, no window)
+    // nearest list = running-max fold (no shuffle, no window). NaN sims
+    // (zero-norm CORPUS vector — centroids are already filtered) never
+    // win the fold: `NaN > x` is true under Spark ordering, so without
+    // the guard a broken vector would take the first list and, worse, a
+    // NaN-scoring centroid would absorb everything.
     def nearestList(vec: Column): Column =
       aggregate(scored(vec),
         struct(lit(-1L).alias("list"), lit(-2.0d).alias("sim")),
-        (acc, x) => when(x.getField("sim") > acc.getField("sim"), x).otherwise(acc))
+        (acc, x) => when(!isnan(x.getField("sim")) &&
+          x.getField("sim") > acc.getField("sim"), x).otherwise(acc))
         .getField("list")
     // nProbe nearest lists = sort the scored array desc, slice
     def probeLists(vec: Column): Column =
@@ -136,8 +154,10 @@ object Similarity {
       .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
     // multi-probe can surface the same (q, c) pair from several buckets
     // (identical score each time) — dedup before the bounded top-k or a
-    // duplicate could occupy two of the k slots
-    val deduped = scored.where(!isnan(col("cos_sim")))
+    // duplicate could occupy two of the k slots. No NaN where-filter:
+    // pushdown would clone the cosine into the join condition; NaN pairs
+    // ride through the dedup and are skipped inside the combiner.
+    val deduped = scored
       .groupBy(col(qId), col(cId)).agg(first(col("cos_sim")).alias("cos_sim"))
     topKStage(deduped, k, qId, cId)
   }

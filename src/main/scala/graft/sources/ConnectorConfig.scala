@@ -65,8 +65,13 @@ object ConnectorConfig {
         s.substring(start, i)
       }
     }
+    def endOfInput(): Unit = {
+      ws()
+      if (i < s.length) err("trailing characters after object " +
+        "(nested objects are not valid Connect configs — flat only)")
+    }
     expect('{'); ws()
-    if (i < s.length && s(i) == '}') return Map.empty
+    if (i < s.length && s(i) == '}') { i += 1; endOfInput(); return Map.empty }
     val out = Map.newBuilder[String, String]
     var done = false
     while (!done) {
@@ -74,6 +79,11 @@ object ConnectorConfig {
       if (i < s.length && s(i) == ',') { i += 1; ws() }
       else { expect('}'); done = true }
     }
+    // without this, a nested value ({"a":{"x":1}}) or concatenated/
+    // truncated env var parses "successfully" into a mangled map: scalar()
+    // stops at the inner '}', the loop consumes it as the closer, and the
+    // real closing brace plus anything after goes unexamined
+    endOfInput()
     out.result()
   }
 
@@ -88,6 +98,23 @@ object ConnectorConfig {
         env.get(s"CONNECTOR_$name").map(j => Config(name, parseFlatJson(j)))
       }
 
+  /** The configured table, validated single: Confluent's
+    * `table.whitelist` is a comma-separated LIST (one source task per
+    * table there); this engine maps one config to one scan, so a
+    * multi-table list fails loudly with the split-your-config remedy
+    * instead of producing a "events,orders.parquet" path or an invalid
+    * dbtable. */
+  private def singleTable(config: Config): String = {
+    val t = config("table.whitelist").orElse(config("table")).getOrElse(
+      throw new IllegalArgumentException(s"${config.name}: no table configured"))
+    if (t.contains(','))
+      throw new IllegalArgumentException(
+        s"${config.name}: table.whitelist lists multiple tables ('$t'); " +
+          "this engine maps one connector config to one scan — submit one " +
+          "config per table (Connect runs one source task per table too)")
+    t.trim
+  }
+
   /** Dispatch a JDBC-source-style config onto the engine's scan builders
     * (S1-S4): `mode=bulk|incrementing|timestamp+incrementing`, or
     * `query=` for user SQL (parquet tables stand in for the RDBMS,
@@ -95,27 +122,32 @@ object ConnectorConfig {
     * the offsets topic; the engine keeps them in its checkpoint). */
   def sourceScan(spark: SparkSession, sfDir: String, config: Config,
       lastId: Long = -1L, lastTs: java.sql.Timestamp = new java.sql.Timestamp(0)): DataFrame = {
-    config("query") match {
-      case Some(sql) => Tables.queryScan(spark, sfDir, sql)
-      case None =>
-        val table = config("table.whitelist").orElse(config("table")).getOrElse(
-          throw new IllegalArgumentException(s"${config.name}: no table configured"))
-        val df = Tables.loadNormalized(spark, sfDir, table)
-        def req(key: String): String = config(key).getOrElse(
-          throw new IllegalArgumentException(s"${config.name}: missing $key"))
-        config("mode").getOrElse("bulk") match {
-          case "bulk" => df
-          case "incrementing" =>
-            Tables.incrementingScan(df, req("incrementing.column.name"), lastId)
-          case "timestamp+incrementing" =>
-            Tables.timestampIncrementingScan(df,
-              req("timestamp.column.name"), req("incrementing.column.name"),
-              lastTs, lastId)
-          case other => throw new IllegalArgumentException(
-            s"${config.name}: unknown mode $other")
-        }
+    // query provides the BASE frame (wins over tables); mode then applies
+    // on top — Confluent's query+incrementing config appends the resume
+    // WHERE to the user SQL, it does not ignore the mode
+    val df = baseFrame(spark, sfDir, config)
+    def req(key: String): String = config(key).getOrElse(
+      throw new IllegalArgumentException(s"${config.name}: missing $key"))
+    config("mode").getOrElse("bulk") match {
+      case "bulk" => df
+      case "incrementing" =>
+        Tables.incrementingScan(df, req("incrementing.column.name"), lastId)
+      case "timestamp+incrementing" =>
+        Tables.timestampIncrementingScan(df,
+          req("timestamp.column.name"), req("incrementing.column.name"),
+          lastTs, lastId)
+      case other => throw new IllegalArgumentException(
+        s"${config.name}: unknown mode $other")
     }
   }
+
+  /** The frame a config's mode operates over: the user query if present
+    * (Confluent precedence), else the configured single table. */
+  private def baseFrame(spark: SparkSession, sfDir: String, config: Config): DataFrame =
+    config("query") match {
+      case Some(sql) => Tables.queryScan(spark, sfDir, sql)
+      case None => Tables.loadNormalized(spark, sfDir, singleTable(config))
+    }
 
   /** [[sourceScan]] with durable resume state: the incremental modes
     * read/advance their offsets through [[IncrementalSource]] (the
@@ -126,16 +158,18 @@ object ConnectorConfig {
       stateDir: String): IncrementalSource.Poll = {
     def req(key: String): String = config(key).getOrElse(
       throw new IllegalArgumentException(s"${config.name}: missing $key"))
-    def table = config("table.whitelist").orElse(config("table")).getOrElse(
-      throw new IllegalArgumentException(s"${config.name}: no table configured"))
+    // same precedence as sourceScan: query (when present) is the base
+    // frame the incremental poll filters — a query+incrementing config
+    // (standard Confluent shape, no table key at all) must poll the
+    // query, not throw "no table configured"
     config("mode").getOrElse("bulk") match {
       case "incrementing" =>
         IncrementalSource.pollIncrementing(
-          Tables.loadNormalized(spark, sfDir, table),
+          baseFrame(spark, sfDir, config),
           req("incrementing.column.name"), stateDir)
       case "timestamp+incrementing" =>
         IncrementalSource.pollTimestampIncrementing(
-          Tables.loadNormalized(spark, sfDir, table),
+          baseFrame(spark, sfDir, config),
           req("timestamp.column.name"), req("incrementing.column.name"), stateDir)
       case _ =>
         IncrementalSource.Poll(sourceScan(spark, sfDir, config), () => ())
@@ -164,10 +198,7 @@ object ConnectorConfig {
       s"${config.name}: missing connection.url"))
     val source = config("query") match {
       case Some(q) => Map("query" -> q)
-      case None =>
-        val t = config("table.whitelist").orElse(config("table")).getOrElse(
-          throw new IllegalArgumentException(s"${config.name}: no table or query configured"))
-        Map("dbtable" -> t)
+      case None => Map("dbtable" -> singleTable(config))
     }
     val partCol = config("partition.column").orElse(config("incrementing.column.name"))
     val lo = config("partition.lower.bound")
@@ -187,7 +218,13 @@ object ConnectorConfig {
         case (Some(c), Some(l), Some(h)) => Map(
           "partitionColumn" -> c, "lowerBound" -> l, "upperBound" -> h,
           "numPartitions" -> config("tasks.max").getOrElse("8"))
-        case (_, None, None) => Map.empty[String, String] // unpartitioned read
+        // no bounds: fine when the column was only the implicit
+        // incrementing-column default, but an EXPLICIT partition.column
+        // with no bounds is a requested-parallel-read that would silently
+        // become one giant unpartitioned scan — fail like the other
+        // partial specs
+        case (_, None, None) if config("partition.column").isEmpty =>
+          Map.empty[String, String] // unpartitioned read
         case _ => throw new IllegalArgumentException(
           s"${config.name}: partitioned jdbc read needs partition column AND both bounds " +
             s"(got column=$partCol, lower=$lo, upper=$hi)")

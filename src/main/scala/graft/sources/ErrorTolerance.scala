@@ -30,8 +30,22 @@ object ErrorTolerance {
     require(!schema.fieldNames.contains(corruptCol),
       s"schema already has a $corruptCol field")
     val full = schema.add(StructField(corruptCol, StringType))
-    df.withColumn(structCol, from_json(col(valueCol).cast(StringType), full,
-      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
+    val raw = col(valueCol).cast(StringType)
+    val parsed = from_json(raw, full,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
+    // blank non-null input is corrupt, not clean: from_json SKIPS empty/
+    // whitespace-only strings — it returns a NULL struct with no corrupt
+    // marker (verified on this Spark build), which would smuggle an
+    // unparseable record through as an all-null clean row — exactly the
+    // silent-NULL outcome this module exists to prevent. The quarantine
+    // struct is built explicitly (withField on a null struct is null).
+    // NULL input stays a clean tombstone.
+    val blankCorrupt = struct(
+      schema.fields.map(f => lit(null).cast(f.dataType).alias(f.name))
+        :+ raw.alias(corruptCol): _*)
+    df.withColumn(structCol,
+      when(raw.isNotNull && trim(raw) === "", blankCorrupt)
+        .otherwise(parsed))
   }
 
   /** True for rows [[tolerantJson]] marked corrupt. */

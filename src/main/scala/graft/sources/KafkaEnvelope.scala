@@ -31,20 +31,33 @@ object KafkaEnvelope {
 
   /** Option map for a real `format("kafka")` reader, mirroring the
     * reference's worker env: bootstrap (`main.sh:38-39`), TLS trust/key
-    * material (`main.sh:41-47`), subscribe list. */
+    * material (`main.sh:41-47`), subscribe list.
+    *
+    * `security.protocol=SSL` is set when ANY ssl material is supplied —
+    * a keystore-only caller (JVM default truststore) would otherwise
+    * speak PLAINTEXT to an SSL broker and hang. Store passwords are
+    * separate parameters from the key password: JKS/PKCS12 stores
+    * require their own, and the reference env carries all three
+    * (`main.sh:41-47`). */
   def sourceOptions(bootstrap: String, topics: Seq[String],
       sslTruststore: Option[String] = None, sslKeystore: Option[String] = None,
       sslKeyPassword: Option[String] = None,
-      startingOffsets: String = "earliest"): Map[String, String] =
+      sslTruststorePassword: Option[String] = None,
+      sslKeystorePassword: Option[String] = None,
+      startingOffsets: String = "earliest"): Map[String, String] = {
+    val sslBits = Map.empty[String, String] ++
+      sslTruststore.map("kafka.ssl.truststore.location" -> _) ++
+      sslTruststorePassword.map("kafka.ssl.truststore.password" -> _) ++
+      sslKeystore.map("kafka.ssl.keystore.location" -> _) ++
+      sslKeystorePassword.map("kafka.ssl.keystore.password" -> _) ++
+      sslKeyPassword.map("kafka.ssl.key.password" -> _)
     Map(
       "kafka.bootstrap.servers" -> bootstrap,
       "subscribe" -> topics.mkString(","),
       "startingOffsets" -> startingOffsets) ++
-      sslTruststore.map(p => Map(
-        "kafka.security.protocol" -> "SSL",
-        "kafka.ssl.truststore.location" -> p)).getOrElse(Map.empty) ++
-      sslKeystore.map(p => Map("kafka.ssl.keystore.location" -> p)).getOrElse(Map.empty) ++
-      sslKeyPassword.map(p => Map("kafka.ssl.key.password" -> p)).getOrElse(Map.empty)
+      (if (sslBits.nonEmpty) sslBits + ("kafka.security.protocol" -> "SSL")
+       else Map.empty[String, String])
+  }
 
   /** Batch stand-in: wrap a table as Kafka records — key = keyCol as
     * bytes, value = JSON of all columns as bytes. Partition = hash of the

@@ -101,6 +101,75 @@ class ConnectorConfigSpec extends SparkSpec {
     assert(e2.getMessage.contains("connection.url"))
   }
 
+  test("parseFlatJson rejects nested objects and trailing garbage (flat-only contract)") {
+    // scalar() used to stop at the inner '}' and silently return a
+    // mangled map for both of these
+    intercept[IllegalArgumentException](
+      ConnectorConfig.parseFlatJson("""{"a": {"x": 1}}"""))
+    intercept[IllegalArgumentException](
+      ConnectorConfig.parseFlatJson("""{"a": "b"}garbage"""))
+    intercept[IllegalArgumentException](ConnectorConfig.parseFlatJson("""{}{"a":"b"}"""))
+  }
+
+  test("multi-table whitelist fails loudly everywhere (one config = one scan)") {
+    val cfg = ConnectorConfig.Config("m", Map(
+      "connection.url" -> "jdbc:h2:mem:x", "table.whitelist" -> "events,orders"))
+    val e1 = intercept[IllegalArgumentException](
+      ConnectorConfig.sourceScan(spark, sf0001, cfg))
+    assert(e1.getMessage.contains("one config per table"))
+    val e2 = intercept[IllegalArgumentException](ConnectorConfig.jdbcOptions(cfg))
+    assert(e2.getMessage.contains("one config per table"))
+  }
+
+  test("query + incrementing polls the query frame (Confluent query-mode incremental)") {
+    val state = tmpDir("qpoll")
+    // the standard Confluent shape: query-mode incremental has NO table key
+    val cfg = ConnectorConfig.Config("qi", Map(
+      "mode" -> "incrementing",
+      "query" -> "SELECT event_id, value FROM events WHERE event_type = 'click'",
+      "incrementing.column.name" -> "event_id"))
+    val p1 = ConnectorConfig.pollSource(spark, sf0001, cfg, state)
+    val n = p1.batch.count(); assert(n > 0); p1.commit()
+    val p2 = ConnectorConfig.pollSource(spark, sf0001, cfg, state)
+    assert(p2.batch.isEmpty)
+    // sourceScan applies the mode over the query too
+    val scanned = ConnectorConfig.sourceScan(spark, sf0001, cfg, lastId = Long.MaxValue)
+    assert(scanned.isEmpty)
+  }
+
+  test("explicit partition.column without bounds fails instead of silently unpartitioned") {
+    val cfg = ConnectorConfig.Config("p", Map(
+      "connection.url" -> "jdbc:h2:mem:x", "table" -> "t",
+      "partition.column" -> "id", "tasks.max" -> "16"))
+    val e = intercept[IllegalArgumentException](ConnectorConfig.jdbcOptions(cfg))
+    assert(e.getMessage.contains("both bounds"))
+    // the implicit incrementing-column default without bounds stays fine
+    val implicitCol = ConnectorConfig.Config("i", Map(
+      "connection.url" -> "jdbc:h2:mem:x", "table" -> "t",
+      "incrementing.column.name" -> "id"))
+    assert(!ConnectorConfig.jdbcOptions(implicitCol).contains("partitionColumn"))
+  }
+
+  test("kafka sourceOptions: any ssl material forces SSL protocol; store passwords carried") {
+    import graft.sources.KafkaEnvelope
+    // keystore-only (JVM default truststore) must still speak SSL
+    val ks = KafkaEnvelope.sourceOptions("b:9092", Seq("t"),
+      sslKeystore = Some("/ks.p12"), sslKeystorePassword = Some("kp"),
+      sslKeyPassword = Some("pk"))
+    assert(ks("kafka.security.protocol") === "SSL")
+    assert(ks("kafka.ssl.keystore.location") === "/ks.p12")
+    assert(ks("kafka.ssl.keystore.password") === "kp")
+    assert(ks("kafka.ssl.key.password") === "pk")
+    val ts = KafkaEnvelope.sourceOptions("b:9092", Seq("t"),
+      sslTruststore = Some("/ts.jks"), sslTruststorePassword = Some("tp"))
+    assert(ts("kafka.security.protocol") === "SSL")
+    assert(ts("kafka.ssl.truststore.password") === "tp")
+    // no ssl material → plaintext, no ssl keys at all
+    val plain = KafkaEnvelope.sourceOptions("b:9092", Seq("t"))
+    assert(!plain.contains("kafka.security.protocol"))
+    assert(!plain.keys.exists(_.contains("ssl")))
+  }
+
   test("pollSource dispatches config modes onto the resumable offset-backed polls") {
     import graft.sources.IncrementalSource
     val state = tmpDir("cfgpoll")

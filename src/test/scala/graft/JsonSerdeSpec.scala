@@ -94,6 +94,28 @@ class JsonSerdeSpec extends SparkSpec {
     assert(dec.select(col("p").getField("user.id")).as[Long].collect() === Array(42L))
   }
 
+  test("errors.tolerance: blank non-null values are quarantined, not all-null clean rows") {
+    import graft.sources.ErrorTolerance
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val df = Seq(
+      ("""{"k": 1}""", "clean"),
+      ("", "blank"), ("   ", "whitespace"),
+      ("{broken", "corrupt"),
+      (null.asInstanceOf[String], "tombstone")
+    ).toDF("value", "tag")
+    val parsed = ErrorTolerance.tolerantJson(df, "value", schema)
+    val cleanTags = ErrorTolerance.clean(parsed).select($"tag").as[String].collect().toSet
+    val dlqTags = ErrorTolerance.quarantine(parsed).select($"tag").as[String].collect().toSet
+    // from_json skips blank strings without setting the corrupt marker —
+    // they must land in the DLQ, not pass as all-null "clean" rows
+    assert(cleanTags === Set("clean", "tombstone"))
+    assert(dlqTags === Set("blank", "whitespace", "corrupt"))
+    // the DLQ keeps the raw payload for replay
+    val raws = ErrorTolerance.quarantine(parsed)
+      .select($"tag", $"raw").as[(String, String)].collect().toMap
+    assert(raws("corrupt") === "{broken" && raws("blank") === "")
+  }
+
   test("S8b: unsupported field types are rejected at build time") {
     intercept[IllegalArgumentException] {
       JsonSchemaSerde.connectSchemaJson(

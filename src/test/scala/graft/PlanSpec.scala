@@ -136,6 +136,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"— hash pass no longer materialized once per copy:\n${plan.take(4000)}")
   }
 
+  test("l04 scoring kernel appears once in the plan (no filter substituted into the join)") {
+    val df = run("l04_topk_search")
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the old pre-aggregation NaN/null where-clause was substituted into
+    // the join condition by pushdown, re-evaluating the cosine kernel
+    // 2-3x per candidate pair; candidates are now skipped inside the
+    // topK combiner instead, so the plan must carry no isnan at all and
+    // exactly one cosine per scored pair
+    assert(!plan.contains("isnan"), s"NaN filter back in the plan:\n${plan.take(3000)}")
+    val kernels = "cosine_q64".r.findAllIn(plan).size
+    assert(kernels === 1, s"expected 1 cosine_q64, found $kernels:\n${plan.take(3000)}")
+  }
+
   test("l14 packing windows per shard — never a single global partition") {
     val df = run("l14_pack_sequences")
     val plan = df.queryExecution.executedPlan.toString
