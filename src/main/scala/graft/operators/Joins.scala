@@ -52,9 +52,16 @@ object Joins {
       lookBehind: String, lookAhead: String, how: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
-    l.join(r, expr(
+    val joined = l.join(r, expr(
       s"l.$key = r.$key AND r.$rightTs >= l.$leftTs - interval $lookBehind" +
         s" AND r.$rightTs <= l.$leftTs + interval $lookAhead"), how)
+    // one key column out, not two ambiguous ones (an unqualified
+    // col(key) downstream would throw AMBIGUOUS_REFERENCE): equal in
+    // every matched row, coalesce keeps it populated for either outer
+    // side's unmatched rows
+    joined.select(coalesce(col(s"l.$key"), col(s"r.$key")).alias(key) +:
+      (left.columns.filterNot(_ == key).map(c => col(s"l.$c")) ++
+        right.columns.filterNot(_ == key).map(c => col(s"r.$c"))): _*)
   }
 
   /** J8 — as-of join: for each left row, the latest right row with
@@ -79,12 +86,20 @@ object Joins {
     val lCols = left.columns
     val rightStructType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => right.schema(c)))
+    // NULL-keyed / NULL-ts RIGHT rows can never be an as-of match
+    // (`c.key = p.key AND c.ts >= p.ts` is never true on NULL in the SQL
+    // form) — but the window would happily match them: NULLs group into
+    // a real partition and sort FIRST, so an unfiltered null-ts row
+    // becomes the carried payload for every left row above it. Filter
+    // them out; NULL-keyed/ts LEFT rows then read NULL payload naturally
+    // (their partition holds no right rows / nothing sorts before them).
+    val rClean = right.where(col(key).isNotNull && col(rightTs).isNotNull)
     // The whole right payload travels as ONE struct so the carried-forward
     // values always come from a single right row — per-column last() would
     // stitch values from different rows when payload columns are NULL.
     // tag: right=0 sorts before left=1 at equal ts → inclusive (<=) match;
     // equal-ts right rows tie-break on the payload struct for determinism.
-    val rTagged = right.select(
+    val rTagged = rClean.select(
       (col(key).alias(key) +:
         col(rightTs).alias("__ts") +:
         lit(0).alias("__side") +:
@@ -120,7 +135,8 @@ object Joins {
       valueCols: Seq[String]): DataFrame = {
     val rightStructType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => right.schema(c)))
-    val rTagged = right.select(
+    // same NULL-key/ts right-row exclusion as asofJoin (see there)
+    val rTagged = right.where(col(key).isNotNull && col(rightTs).isNotNull).select(
       col(key),
       col(rightTs).alias("__ts"),
       lit(0).alias("__side"),

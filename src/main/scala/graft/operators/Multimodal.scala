@@ -75,9 +75,15 @@ object Multimodal {
 
   /** Frame-sample stub: emit every `stride`-th "frame" index with a
     * per-frame fingerprint — the 1→N explode shape of video sampling. */
-  def frameSample(df: DataFrame, nFrames: Int, stride: Int): DataFrame =
+  def frameSample(df: DataFrame, nFrames: Int, stride: Int): DataFrame = {
+    // sequence(0, (n-1)*stride, stride) throws at RUNTIME on the first
+    // row for nFrames=0 (stop below start) or stride=0 (zero step) —
+    // fail at the call site instead
+    require(nFrames >= 1, "frameSample needs nFrames >= 1")
+    require(stride >= 1, "frameSample needs stride >= 1")
     df.withColumn("frame_idx",
         explode(sequence(lit(0), lit((nFrames - 1) * stride), lit(stride))))
       .withColumn("frame_fp",
         abs(hash(col("payload"), col("frame_idx")).cast(LongType)))
+  }
 }

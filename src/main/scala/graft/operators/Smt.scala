@@ -18,8 +18,14 @@ import org.apache.spark.sql.types._
   */
 object Smt {
 
+  /** Column lookup by LITERAL name: `col("a.b")` parses as a nested
+    * path, so every SMT that takes user-supplied column names routes
+    * through backtick quoting — Connect column names carry dots
+    * routinely. */
+  private def qcol(name: String): Column = col(s"`${name.replace("`", "``")}`")
+
   /** P1 — project: choose columns. */
-  def project(cols: String*)(df: DataFrame): DataFrame = df.select(cols.map(col): _*)
+  def project(cols: String*)(df: DataFrame): DataFrame = df.select(cols.map(qcol): _*)
 
   /** P2 — Filter SMT with predicate. Tombstone test = value IS NULL. */
   def filterRecords(pred: Column)(df: DataFrame): DataFrame = df.where(pred)
@@ -30,31 +36,38 @@ object Smt {
 
   /** P3 — Cast: cast named fields to target types. */
   def castFields(casts: (String, DataType)*)(df: DataFrame): DataFrame =
-    casts.foldLeft(df) { case (d, (f, t)) => d.withColumn(f, col(f).cast(t)) }
+    casts.foldLeft(df) { case (d, (f, t)) => d.withColumn(f, qcol(f).cast(t)) }
 
   /** P4 — ExtractField: pull one field out of a struct column. */
   def extractField(structCol: String, field: String, as: String)(df: DataFrame): DataFrame =
-    df.withColumn(as, col(structCol).getField(field))
+    df.withColumn(as, qcol(structCol).getField(field))
 
   /** P5 — Flatten: recursively flatten struct columns with a delimiter,
-    * like the Connect `Flatten` SMT. Non-struct columns pass through. */
+    * like the Connect `Flatten` SMT. Non-struct columns pass through.
+    * Columns are addressed by getField chains from the root, never by a
+    * dotted path string — a literal column named "a.b" would otherwise
+    * resolve to (or shadow) the nested field a.b. */
   def flatten(delimiter: String = "_")(df: DataFrame): DataFrame = {
-    def walk(st: StructType, path: Seq[String]): Seq[Column] =
-      st.fields.flatMap { f =>
-        val p = path :+ f.name
-        f.dataType match {
-          case inner: StructType => walk(inner, p)
-          case _ => Seq(col(p.mkString(".")).alias(p.mkString(delimiter)))
-        }
-      }.toSeq
-    df.select(walk(df.schema, Nil): _*)
+    def walk(c: Column, dt: DataType, path: Seq[String]): Seq[Column] = dt match {
+      case inner: StructType => inner.fields.toSeq.flatMap(f =>
+        walk(c.getField(f.name), f.dataType, path :+ f.name))
+      case _ => Seq(c.alias(path.mkString(delimiter)))
+    }
+    df.select(df.schema.fields.toSeq.flatMap(f =>
+      walk(df(s"`${f.name.replace("`", "``")}`"), f.dataType, Seq(f.name))): _*)
   }
 
-  /** P6 — HoistField: wrap the listed columns into a single struct field. */
+  /** P6 — HoistField: wrap the listed columns into a single struct field.
+    * Fails loudly when `fieldName` collides with a column that is NOT
+    * being hoisted — silently emitting two same-named columns would
+    * poison every downstream reference as ambiguous. */
   def hoistField(fieldName: String, cols: String*)(df: DataFrame): DataFrame = {
-    val hoisted = struct(cols.map(col): _*).alias(fieldName)
-    val rest = df.columns.filterNot(cols.contains).map(col)
-    df.select(rest :+ hoisted: _*)
+    val rest = df.columns.filterNot(cols.contains)
+    require(!rest.contains(fieldName),
+      s"hoistField: output field '$fieldName' collides with an existing " +
+        "column not being hoisted — rename one or include it in the hoist")
+    val hoisted = struct(cols.map(qcol): _*).alias(fieldName)
+    df.select(rest.map(qcol) :+ hoisted: _*)
   }
 
   /** P7 — InsertField: add a static or metadata-derived field. */
@@ -71,7 +84,7 @@ object Smt {
   def renameFields(renames: (String, String)*)(df: DataFrame): DataFrame =
     renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
   def dropFields(fields: String*)(df: DataFrame): DataFrame = df.drop(fields: _*)
-  def allowlistFields(fields: String*)(df: DataFrame): DataFrame = df.select(fields.map(col): _*)
+  def allowlistFields(fields: String*)(df: DataFrame): DataFrame = project(fields: _*)(df)
 
   /** P10 — RegexRouter: rewrite a topic/route column by regex. */
   def regexRoute(topicCol: String, regex: String, replacement: String)(df: DataFrame): DataFrame =
@@ -82,15 +95,20 @@ object Smt {
   def timestampRoute(topicCol: String, tsCol: String, fmt: String, as: String)(df: DataFrame): DataFrame =
     df.withColumn(as, concat(col(topicCol), lit("-"), date_format(col(tsCol), fmt)))
 
-  /** P12 — TimestampConverter: unix seconds / formatted string / Timestamp. */
-  def unixToTimestamp(c: Column): Column = to_timestamp(from_unixtime(c))
+  /** P12 — TimestampConverter: unix seconds / formatted string / Timestamp.
+    * `timestamp_seconds`, never to_timestamp(from_unixtime(_)): the
+    * string round-trip goes through session-local wall-clock time, which
+    * collapses the repeated hour of a DST fall-back under any non-UTC
+    * session timezone (two instants, one string) — and costs two
+    * conversions instead of none. */
+  def unixToTimestamp(c: Column): Column = timestamp_seconds(c)
   def timestampToUnix(c: Column): Column = unix_timestamp(c)
   def timestampToString(c: Column, fmt: String): Column = date_format(c, fmt)
   def stringToTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
 
   /** P13 — ValueToKey: copy fields from the value into a struct key. */
   def valueToKey(keyName: String, fields: String*)(df: DataFrame): DataFrame =
-    df.withColumn(keyName, struct(fields.map(col): _*))
+    df.withColumn(keyName, struct(fields.map(qcol): _*))
 
   /** P14 — header ops over `headers: array<struct<key:string,value:...>>`
     * (the Kafka source's header schema). */

@@ -31,8 +31,15 @@ object SchemaEvolution {
     * column, not a new one (two would make every reference ambiguous). */
   def merged(base: StructType, incoming: StructType): StructType = {
     val names = base.fieldNames.map(_.toLowerCase).toSet
-    StructType(base.fields ++
-      incoming.fields.filterNot(f => names(f.name.toLowerCase)))
+    val fresh = incoming.fields.filterNot(f => names(f.name.toLowerCase))
+    // case-variant NEW fields must also collapse among themselves:
+    // {Score, score} arriving together would otherwise both append and
+    // poison every downstream reference as ambiguous
+    val caseDups = fresh.groupBy(_.name.toLowerCase).filter(_._2.length > 1)
+    require(caseDups.isEmpty,
+      s"incoming batch carries case-colliding new fields: " +
+        caseDups.values.map(_.map(_.name).mkString("/")).mkString(", "))
+    StructType(base.fields ++ fresh)
   }
 
   /** Project `df` onto `target`: missing columns become typed NULLs,
@@ -42,7 +49,19 @@ object SchemaEvolution {
     val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
     df.select(target.fields.map { f =>
       byLower.get(f.name.toLowerCase) match {
-        case Some(src) => col(src).cast(f.dataType).alias(f.name)
+        case Some(src) =>
+          val from = df.schema(src).dataType
+          // only loss-free widening: a lenient cast of incompatible
+          // drift (int column arriving as strings) yields NULL under
+          // the session's non-ANSI config — the batch would silently
+          // upsert NULLs over real values. Debezium 'basic' evolution
+          // REJECTS incompatible retypes; so do we.
+          if (!org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, f.dataType))
+            throw new IllegalArgumentException(
+              s"incompatible type drift on '${f.name}': $from cannot evolve to " +
+                s"${f.dataType} (basic evolution never retypes; fix the producer " +
+                "or migrate the state schema explicitly)")
+          col(src).cast(f.dataType).alias(f.name)
         case None => lit(null).cast(f.dataType).alias(f.name)
       }
     }.toIndexedSeq: _*)

@@ -32,4 +32,29 @@ class SchemaEvolutionSpec extends SparkSpec {
     val (_, n2) = SchemaEvolution.evolve(s2, narrow)
     assert(n2.columns.toSeq === Seq("id", "s", "score"))
   }
+
+  test("incompatible type drift fails instead of silently nulling data") {
+    // int state column arriving as strings: a lenient cast would upsert
+    // NULLs over real values with no error (non-ANSI session)
+    val state = Seq((1L, 10)).toDF("id", "v")
+    val drifted = Seq((1L, "abc")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      SchemaEvolution.evolve(state, drifted))
+    assert(e.getMessage.contains("incompatible type drift on 'v'"))
+    // loss-free widening still evolves: int batch into long state
+    val wide = Seq((1L, 5)).toDF("id", "v")
+      .select($"id", $"v".cast("int").as("v"))
+    val longState = Seq((1L, 10L)).toDF("id", "v")
+    val (_, b) = SchemaEvolution.evolve(longState, wide)
+    assert(b.schema("v").dataType === LongType)
+  }
+
+  test("case-colliding new fields in one batch are rejected, not both appended") {
+    val base = StructType(Seq(StructField("id", LongType)))
+    val incoming = StructType(Seq(
+      StructField("Score", DoubleType), StructField("score", DoubleType)))
+    val e = intercept[IllegalArgumentException](
+      SchemaEvolution.merged(base, incoming))
+    assert(e.getMessage.contains("case-colliding"))
+  }
 }

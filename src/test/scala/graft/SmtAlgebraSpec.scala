@@ -20,6 +20,46 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(out.select("nested_v").as[Double].collect().sorted === Array(10.0, 20.0))
   }
 
+  test("P5: flatten treats a literal dotted column as a column, not a path") {
+    // a column literally named "a.b" next to a struct a{b} — the dotted
+    // col() path form would resolve both to the struct's field
+    val tricky = Seq((7L, 1L, 9L)).toDF("a.b", "x", "y")
+      .transform(Smt.hoistField("a", "x", "y"))
+    val out = tricky.transform(Smt.flatten("_"))
+    assert(out.columns.toSet === Set("a.b", "a_x", "a_y"))
+    assert(out.select(col("`a.b`")).as[Long].head() === 7L)
+    assert(out.select($"a_x").as[Long].head() === 1L)
+  }
+
+  test("P6: hoistField fails loudly on a name collision with a kept column") {
+    val e = intercept[IllegalArgumentException](
+      df.transform(Smt.hoistField("name", "v"))) // "name" stays un-hoisted
+    assert(e.getMessage.contains("collides"))
+  }
+
+  test("P12: unixToTimestamp is the exact epoch mapping (no wall-clock round-trip)") {
+    val out = Seq(0L, 1667725200L).toDF("s")
+      .select(unix_timestamp(Smt.unixToTimestamp($"s")).as("rt"))
+      .as[Long].collect()
+    assert(out === Array(0L, 1667725200L))
+  }
+
+  test("J8: NULL-keyed / NULL-ts right rows never become an as-of match") {
+    import java.sql.Timestamp
+    val t = (s: String) => Timestamp.valueOf(s)
+    val left = Seq((1L, t("2024-01-01 10:00:00"), "L1"),
+      (2L, t("2024-01-01 10:00:00"), "L2")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (Some(1L), Option(t("2024-01-01 09:00:00")), 100.0), // real match for k=1
+      (Some(1L), None, 666.0),                             // NULL ts: never matches
+      (None, Option(t("2024-01-01 09:00:00")), 777.0)      // NULL key: never matches
+    ).toDF("k", "ts", "p")
+    val out = graft.operators.Joins.asofJoin(left, right, "k", "ts", "ts", Seq("p"))
+      .select($"tag", $"p").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("L1") === Some(100.0)) // not 666 (null-ts row sorts first unfiltered)
+    assert(out("L2") === None)        // no right rows for k=2 → NULL payload
+  }
+
   test("P9: rename ∘ rename composes; allowlist ∘ drop consistent") {
     val out = df.transform(Smt.renameFields("v" -> "x"))
       .transform(Smt.renameFields("x" -> "y"))

@@ -234,7 +234,7 @@ class StreamingSpec extends SparkSpec {
     val joined = Joins.streamStreamJoin(
       clicks.toDF.toDF("k", "click_ts"), buys.toDF.toDF("k", "buy_ts"),
       "k", "click_ts", "buy_ts", "10 minutes", "0 minutes", "30 minutes")
-    val q = joined.select($"l.k", $"click_ts", $"buy_ts")
+    val q = joined.select($"k", $"click_ts", $"buy_ts") // single unambiguous key out
       .writeStream.format("memory").queryName("j10_out")
       .outputMode(OutputMode.Append).start()
     clicks.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))

@@ -38,7 +38,7 @@ object StreamingDrive {
     val j = Joins.streamStreamJoin(clicks.toDF.toDF("k", "click_ts"),
       buys.toDF.toDF("k", "buy_ts"), "k", "click_ts", "buy_ts",
       "10 minutes", "0 minutes", "30 minutes")
-    val q10 = j.select(col("l.k"), col("click_ts"), col("buy_ts"))
+    val q10 = j.select(col("k"), col("click_ts"), col("buy_ts"))
       .writeStream.format("memory").queryName("drive_j10")
       .outputMode(OutputMode.Append).start()
     clicks.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
