@@ -15,8 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * The higher-order-function form (`VectorFunctions.cosine`) allocates a
   * zipped array and evaluates three separate folds; this expression is
   * the hot-path replacement for brute-force scoring over large corpora.
-  * Arrays are expected element-non-null (embedding columns); when
-  * lengths differ the common prefix is scored.
+  * Arrays are expected element-non-null (embedding columns); a length
+  * mismatch (corrupt/truncated embedding) yields NULL — the same
+  * semantics as the HOF form (zip_with null-pads) and [[CosineQ64]].
+  * Scoring the common prefix instead would let a plausible-looking
+  * partial score slip into top-k results.
   *
   * Semantics: double accumulation in index order, `dot / sqrt(nx * ny)`.
   */
@@ -50,7 +53,8 @@ case class CosineF32(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     val checkNulls = elementsNullable
@@ -77,13 +81,16 @@ case class CosineF32(left: Expression, right: Expression)
         s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
       else ""
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) { ${ev.isNull} = true; }
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $xi = (double) $x.getFloat($i);
+         |    double $yi = (double) $y.getFloat($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);

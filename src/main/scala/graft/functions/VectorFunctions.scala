@@ -81,17 +81,38 @@ object VectorFunctions {
   /** SimHash-style signature for a vector: sign bits against
     * deterministic pseudo-random hyperplanes, packed into a BIGINT.
     * Hyperplane component (j,d) = fractional hash of (j,d) centered at 0;
-    * pure integer arithmetic so any engine reproduces it. */
+    * pure integer arithmetic so any engine reproduces it.
+    *
+    * Single-pass fold carrying ALL plane accumulators in one array —
+    * nPlanes separate aggregates would re-traverse the vector (and
+    * re-materialize its index sequence) once per plane, the same
+    * N-per-bit anti-pattern Dedup.simhash was rewritten away from
+    * (measured ~20× there). Per-plane summation order is unchanged
+    * (element order), so signatures are bit-identical to the old form.
+    *
+    * NULL/empty vectors yield NULL, not the valid signature 0 — they
+    * must drop out of LSH bucket joins, not pile into bucket 0 with
+    * genuinely all-negative-projection vectors. */
   def hyperplaneSig(vec: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { j =>
-      // component_d = ((j*2654435761 + d*40503) mod 8191) - 4095  (int grid)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
-          x.cast("double") *
-            (((lit(j.toLong) * 2654435761L + d.cast("long") * 40503L) % 8191L) - 4095L).cast("double")),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    // ≤63: bit j packs as 1L << j and 64+ would silently alias mod 64
+    // (and the additive pack would then corrupt colliding bits)
+    require(nPlanes >= 1 && nPlanes <= 63, "hyperplaneSig needs 1 <= nPlanes <= 63")
+    val planeIdx = array((0 until nPlanes).map(j => lit(j.toLong)): _*)
+    val powers = array((0 until nPlanes).map(j => lit(1L << j)): _*)
+    // accumulator = struct(element index d, per-plane running sums)
+    val folded = aggregate(vec,
+      struct(lit(0L).alias("d"), array_repeat(lit(0.0d), nPlanes).alias("acc")),
+      (st, x) => struct(
+        (st.getField("d") + 1L).alias("d"),
+        zip_with(st.getField("acc"), planeIdx, (a, j) =>
+          // component_d = ((j*2654435761 + d*40503) mod 8191) - 4095
+          a + x.cast("double") *
+            (((j * 2654435761L + st.getField("d") * 40503L) % 8191L) - 4095L).cast("double"))
+          .alias("acc")))
+    val packed = aggregate(
+      zip_with(folded.getField("acc"), powers,
+        (proj, p) => when(proj >= 0, p).otherwise(0L)),
+      lit(0L), (acc, b) => acc + b)
+    when(vec.isNull || size(vec) === 0, lit(null).cast("long")).otherwise(packed)
   }
 }

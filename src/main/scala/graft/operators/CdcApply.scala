@@ -27,9 +27,16 @@ object CdcApply {
   }
 
   /** S11 — tombstone delete: drop state rows whose key appears in the
-    * tombstone set (records with null value). */
-  def applyTombstones(state: DataFrame, tombstones: DataFrame, keys: Seq[String]): DataFrame =
-    state.join(tombstones.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    * tombstone set (records with null value). NULL-SAFE key match
+    * (`<=>`): [[latestPerKey]]'s window treats a NULL key as one key,
+    * so the join must too — plain equality never matches NULL, and a
+    * NULL-keyed state row could then neither be replaced nor deleted
+    * (one duplicate accumulating per batch). */
+  def applyTombstones(state: DataFrame, tombstones: DataFrame, keys: Seq[String]): DataFrame = {
+    val tset = tombstones.select(keys.map(col): _*).distinct()
+    val cond = keys.map(k => state(k) <=> tset(k)).reduce(_ && _)
+    state.join(tset, cond, "left_anti")
+  }
 
   /** Full CDC apply: fold a change batch into `state` — upsert latest
     * non-tombstone per key, then delete tombstoned keys. `isTombstone`
@@ -40,10 +47,12 @@ object CdcApply {
     // NULL predicate = not a tombstone (a bare where(!p) would drop the
     // row from BOTH branches and silently keep the stale state row)
     val tomb = coalesce(isTombstone, lit(false))
-    val deletes = lastChange.where(tomb)
     val upserts = lastChange.where(!tomb)
-    val kept = applyTombstones(
-      applyTombstones(state, upserts, keys), deletes, keys)
+    // ONE anti-join: upserts and deletes partition lastChange, and a
+    // state row is kept iff its key saw no change of either kind — two
+    // chained anti-joins (one per branch) would pay an extra shuffle
+    // every micro-batch for the same result
+    val kept = applyTombstones(state, lastChange, keys)
     kept.unionByName(upserts.select(state.columns.map(col): _*))
   }
 }

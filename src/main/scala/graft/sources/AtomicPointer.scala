@@ -26,4 +26,18 @@ object AtomicPointer {
     val fc = FileContext.getFileContext(dest.toUri, hconf)
     fc.rename(tmp, dest, Options.Rename.OVERWRITE)
   }
+
+  /** The matching read: trimmed UTF-8 content, None when the pointer
+    * does not exist yet. Centralized for the same reason as [[write]] —
+    * a read-side fix (charset pinning, retry-on-transient, corrupt
+    * handling) must land at every pointer site at once. */
+  def read(hconf: Configuration, p: Path): Option[String] = {
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
 }

@@ -37,15 +37,11 @@ object IncrementalSource {
   /** Stored (tsMicros, id) offset, if any poll ever committed. */
   def readOffset(spark: SparkSession, stateDir: String): Option[(Long, Long)] = {
     val root = new Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = pointer(root)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    AtomicPointer.read(spark.sparkContext.hadoopConfiguration, p).map { txt =>
       val parts = txt.split(",")
       require(parts.length == 2, s"malformed source offset '$txt' at $p")
-      Some((parts(0).toLong, parts(1).toLong))
+      (parts(0).toLong, parts(1).toLong)
     }
   }
 

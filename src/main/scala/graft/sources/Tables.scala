@@ -54,11 +54,20 @@ object Tables {
 
   /** S4 — query-mode source (the Confluent source's `query=` config):
     * user SQL evaluated over the registered tables — in JDBC the database
-    * runs it; here Catalyst does, with the same pushdown/pruning. */
+    * runs it; here Catalyst does, with the same pushdown/pruning.
+    *
+    * Only tables the SQL actually references are registered (word-bound
+    * match): registering all ten would clobber same-named user temp
+    * views as a side effect and pay ~10 parquet footer reads per call.
+    * Existence probes go through the Hadoop filesystem of `sfDir` —
+    * java.io.File would silently see nothing on hdfs://-s3a:// paths. */
   def queryScan(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
-    all.foreach { t =>
-      val p = new java.io.File(s"$sfDir/$t.parquet")
-      if (p.exists()) loadNormalized(spark, sfDir, t).createOrReplaceTempView(t)
+    val root = new org.apache.hadoop.fs.Path(sfDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lower = sql.toLowerCase
+    all.filter(t => s"\\b$t\\b".r.findFirstIn(lower).isDefined).foreach { t =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, s"$t.parquet")))
+        loadNormalized(spark, sfDir, t).createOrReplaceTempView(t)
     }
     spark.sql(sql)
   }

@@ -81,11 +81,7 @@ object StreamOps {
     val fs = root.getFileSystem(hconf)
     val pointer = new Path(root, "_LATEST")
     val current: Option[Long] =
-      if (fs.exists(pointer)) {
-        val in = fs.open(pointer)
-        val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-        Some(txt.toLong)
-      } else None
+      graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
     // Structured Streaming replays at most the last uncommitted batch per
     // checkpoint, so comparing against the latest applied id is the full
     // idempotence contract (older ids can't legally reappear).
@@ -119,14 +115,15 @@ object StreamOps {
   def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val root = new Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pointer = new Path(root, "_LATEST")
-    if (!fs.exists(pointer))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else {
-      val in = fs.open(pointer)
-      val id = try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
-      spark.read.parquet(new Path(root, s"batch-$id").toString)
+    // NOTE: the returned frame is LAZY over a snapshot directory that
+    // applyBatch's GC retains only while it is the current or previous
+    // snapshot — materialize (collect/write) promptly; holding the frame
+    // across 2+ further micro-batches can hit a deleted snapshot.
+    graft.sources.AtomicPointer.read(
+        spark.sparkContext.hadoopConfiguration, new Path(root, "_LATEST")) match {
+      case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(id) =>
+        spark.read.parquet(new Path(root, s"batch-${id.toLong}").toString)
     }
   }
 }
