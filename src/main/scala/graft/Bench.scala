@@ -8,6 +8,9 @@ object Bench {
     // carry co-tenant noise well past the ±8% run variance — medians make
     // per-query regressions attributable to code, not to the neighbor.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // reps=0 would silently report every query as 0.0 s — a "miracle
+    // speedup" instead of a misconfiguration
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val spark = GraftSession.local(cpus)
     // Warm the JVM/codegen/parquet-footer paths before timing anything —
     // otherwise ~3-4 s of one-time cost lands on whichever query sorts
@@ -38,19 +41,26 @@ object Bench {
       }
       val median =
         if (times.isEmpty) 0.0
-        else times.sorted.apply((times.size - 1) / 2)
+        else {
+          val s = times.sorted
+          // true median for even rep counts: the lower-middle pick would
+          // bias even-N runs toward their faster half, hiding regressions
+          // when compared against an odd-N baseline
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
       name -> median
     }
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
+    // every string goes through the shared escaper — an unescaped quote
+    // in a query name or SPARK_GRAFT_SF_DIR would corrupt the one JSON
+    // line the driver parses (error values already were escaped; names
+    // and sf were not)
     val qs = results.collect { case (k, v) if !errors.contains(k) =>
-      s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-      .mkString("{", ",", "}")
+      JsonText.quote(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      s"${JsonText.quote(k)}:${JsonText.quote(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.quote(sfDir)},"reps":$reps}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

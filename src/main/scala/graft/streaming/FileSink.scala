@@ -8,9 +8,13 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * files on a remote host; the dataflow half is "stream → rolling files
   * in a directory", which Structured Streaming's file sink provides with
   * exactly-once semantics via the sink's own transaction log. The
-  * transfer leg (SFTP) is deployment, not dataflow — a directory mount
-  * or post-hoc sync carries the files out, exactly like the connector's
-  * staging directory.
+  * transfer leg (SFTP) is deployment, not dataflow — but note the
+  * exactly-once contract lives in the `_spark_metadata` sink log, NOT
+  * the directory listing: a failed/retried micro-batch can leave
+  * orphaned part files that only the log excludes. A transfer leg must
+  * therefore ship the files named in `_spark_metadata` (or read the
+  * directory back through Spark, which consults the log) — a naive
+  * directory rsync would duplicate the orphans.
   *
   * Scale: the file sink writes one file per partition per micro-batch —
   * pair with `partitionBy` on a date/route column so downstream scans

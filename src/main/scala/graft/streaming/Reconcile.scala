@@ -19,7 +19,13 @@ import org.apache.spark.sql.Row
 object Reconcile {
 
   /** Bring the set of active streaming queries in line with `desired`
-    * (name → un-started writer). Returns (started, stopped) query names. */
+    * (name → un-started writer). Returns the (started, stopped) query
+    * names that actually succeeded. One failing query must not abort
+    * the rest — the reference's loop logs-and-continues per connector
+    * (`main.sh:164`), and a thrown stop() would otherwise leave the
+    * remaining stops undone and nothing started; failures go through
+    * the bounded-retry [[stop]] or are reported on stderr and retried
+    * by the next reconcile tick (the loop is idempotent). */
   def apply(spark: SparkSession,
       desired: Map[String, DataStreamWriter[Row]]): (Seq[String], Seq[String]) = {
     // unnamed queries (name == null) are ad-hoc user streams — never
@@ -27,9 +33,14 @@ object Reconcile {
     val active = spark.streams.active.filter(_.name != null).map(q => q.name -> q).toMap
     val toStart = desired.keySet.diff(active.keySet).toSeq.sorted
     val toStop = active.keySet.diff(desired.keySet).toSeq.sorted
-    toStop.foreach { n => active(n).stop() }
-    toStart.foreach { n => desired(n).queryName(n).start() }
-    (toStart, toStop)
+    val stopped = toStop.filter(n => stop(spark, n))
+    val started = toStart.filter { n =>
+      try { desired(n).queryName(n).start(); true }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[reconcile] start $n failed: ${e.getMessage}"); false
+      }
+    }
+    (started, stopped)
   }
 
   /** List running managed queries, like `GET /connectors`
