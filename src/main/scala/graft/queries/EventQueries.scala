@@ -71,6 +71,6 @@ object EventQueries {
         col("event_type") === "signup")
         .select(col("user_id"), col("event_id"), micros(col("ts")).as("ts_us"), col("value"))
         .orderBy(col("user_id"))
-    }, Some("""WITH st AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1), lc AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events WHERE ts >= TIMESTAMP '2024-01-20') WHERE rn = 1) SELECT user_id, event_id, epoch_us(ts) ts_us, value FROM st WHERE user_id NOT IN (SELECT user_id FROM lc) UNION ALL SELECT user_id, event_id, epoch_us(ts) ts_us, value FROM lc WHERE event_type <> 'signup' ORDER BY user_id"""))
+    }, Some("""WITH st AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1), lc AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events WHERE ts >= TIMESTAMP '2024-01-20') WHERE rn = 1) SELECT user_id, event_id, epoch_us(ts) ts_us, value FROM st WHERE NOT EXISTS (SELECT 1 FROM lc WHERE lc.user_id IS NOT DISTINCT FROM st.user_id) UNION ALL SELECT user_id, event_id, epoch_us(ts) ts_us, value FROM lc WHERE event_type <> 'signup' ORDER BY user_id"""))
   )
 }

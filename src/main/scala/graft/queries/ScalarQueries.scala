@@ -85,10 +85,16 @@ object ScalarQueries {
         .orderBy(col("p_partkey"))
     }, Some("""WITH t AS (SELECT p_partkey, string_split(p_name, ' ') ws FROM part) SELECT p_partkey, len(ws) AS n_words, array_to_string(list_sort(ws), '-') AS joined, len(list_distinct(ws)) AS n_distinct, array_to_string(ws[1:1], '') AS first1, CAST(list_sum(list_transform(ws, w -> len(w))) AS INTEGER) AS total_len, list_contains(ws, 'red') AS has_red, array_to_string(list_transform(list_zip(ws, list_transform(ws, w -> len(w))), p -> p[1] || ':' || p[2]), ',') AS zipped FROM t ORDER BY p_partkey""")),
 
-    // ---- map family ----
+    // ---- map family. The map is built over DISTINCT words: a repeated
+    // word in p_name would otherwise throw DUPLICATED_MAP_KEY in Spark
+    // (default mapKeyDedupPolicy=EXCEPTION) and error in DuckDB too — a
+    // harness crash, not a compared value. Only the entry list is
+    // deduped (every map consumer here is entry-order-insensitive, so
+    // DuckDB's unspecified list_distinct order cannot leak); `ws` stays
+    // the raw split because first1/v_first read positional words ----
     ("f06_maps", (s, d) => {
       val ws = split(col("p_name"), " ")
-      val m = map_from_entries(transform(ws,
+      val m = map_from_entries(transform(array_distinct(ws),
         w => struct(w.as("key"), length(w).as("value"))))
       Tables.part(s, d).select(col("p_partkey"),
         size(map_keys(m)).as("n_keys"),
@@ -96,7 +102,7 @@ object ScalarQueries {
         element_at(m, element_at(ws, 1)).as("v_first"),
         aggregate(map_values(m), lit(0), (acc, v) => acc + v).as("vals_sum"))
         .orderBy(col("p_partkey"))
-    }, Some("""WITH t AS (SELECT p_partkey, map_from_entries(list_transform(string_split(p_name, ' '), w -> {'k': w, 'v': len(w)})) m, string_split(p_name, ' ') ws FROM part) SELECT p_partkey, len(map_keys(m)) AS n_keys, array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted, map_extract(m, ws[1])[1] AS v_first, CAST(list_sum(map_values(m)) AS INTEGER) AS vals_sum FROM t ORDER BY p_partkey""")),
+    }, Some("""WITH t AS (SELECT p_partkey, map_from_entries(list_transform(list_distinct(string_split(p_name, ' ')), w -> {'k': w, 'v': len(w)})) m, string_split(p_name, ' ') ws FROM part) SELECT p_partkey, len(map_keys(m)) AS n_keys, array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted, map_extract(m, ws[1])[1] AS v_first, CAST(list_sum(map_values(m)) AS INTEGER) AS vals_sum FROM t ORDER BY p_partkey""")),
 
     // ---- generator family: posexplode as the UDTF surface (§2.10) ----
     ("f08_explode", (s, d) => {

@@ -21,6 +21,29 @@ object StarQueries {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** j08/j08b shared inputs. Purchases are PRE-DEDUPED to the max value
+    * per (user_id, ts): Spark's asofJoin breaks equal-ts ties on the
+    * payload struct deterministically, but DuckDB's ASOF JOIN tie-break
+    * among equal-timestamp right rows is unspecified — without the
+    * dedup the oracle would be nondeterministically flaky the moment
+    * the fixture carries such a tie (it currently doesn't). */
+  private def asofParts(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+      .select(col("user_id"), col("ts"), col("p_value"), col("ts").as("p_ts"))
+    (clicks, purchases)
+  }
+  private def asofOut(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("event_id"), col("user_id"), micros(col("ts")).as("ts_us"),
+        col("value"), col("p_value"), micros(col("p_ts")).as("p_ts_us"))
+      .orderBy(col("event_id"))
+  private val asofOracle =
+    """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'), purch AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value AS value, p.value AS p_value, epoch_us(p.ts) AS p_ts_us FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts ORDER BY c.event_id"""
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- flagship: S14 scan + P1-P3 + J1/J2 + A1 + total order ----
@@ -89,13 +112,14 @@ object StarQueries {
     // slower; Expand also doubles the shuffled rows, which is the wrong
     // slope at 100 TB).
     ("a04b_approx_distinct_bound", (s, d) => {
-      // isNotNull pins COUNT(DISTINCT) NULL semantics: the oracle's
-      // COUNT(DISTINCT o_custkey) excludes NULLs, while distinct() over
-      // the pair would count a NULL custkey as one extra value
+      // count(col), not count(*) over a NULL-filtered frame: both forms
+      // exclude NULL custkeys (COUNT(DISTINCT) parity), but a pre-filter
+      // would also DROP a status group whose custkeys are all NULL,
+      // while the oracle's GROUP BY keeps it with exact_cust = 0
       Tables.orders(s, d).select(col("o_orderstatus"), col("o_custkey"))
-        .where(col("o_custkey").isNotNull).distinct()
+        .distinct()
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("exact_cust"),
+        .agg(count(col("o_custkey")).as("exact_cust"),
           approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))
         .select(col("o_orderstatus"), col("exact_cust"),
           (abs(col("approx_cust") - col("exact_cust"))
@@ -117,11 +141,15 @@ object StarQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }, Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
-    // ---- A6: pivot (conditional aggregation in the oracle) ----
+    // ---- A6: pivot (conditional aggregation in the oracle). na.fill:
+    // a (returnflag, linestatus) combo absent from the data pivots to
+    // NULL in Spark but 0 under the oracle's COUNT(*) FILTER — current
+    // fixtures carry all combos, TPC-H-faithful data would not ----
     ("a06_pivot", (s, d) => {
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O"))
         .orderBy(col("l_returnflag"))
     }, Some("""SELECT l_returnflag, COUNT(*) FILTER (l_linestatus = 'F') AS "F", COUNT(*) FILTER (l_linestatus = 'O') AS "O" FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -311,35 +339,23 @@ object StarQueries {
     }, Some("""SELECT band, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders JOIN (VALUES (0.0, 100000.0, 'b0_low'), (100000.0, 200000.0, 'b1_mid'), (200000.0, 300000.0, 'b2_high'), (300000.0, 1000000000.0, 'b3_top')) AS b(lo, hi, band) ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band ORDER BY band""")),
 
     // ---- J8: as-of join (latest purchase at-or-before each click),
-    // vs DuckDB's native ASOF LEFT JOIN ----
+    // vs DuckDB's native ASOF LEFT JOIN. Shared prep/projection/oracle
+    // with j08b — the pair exists to assert the two operator variants
+    // agree, so their inputs must be literally the same code ----
     ("j08_asof", (s, d) => {
-      val ev = Tables.events(s, d)
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("value").as("p_value"),
-          col("ts").as("p_ts"))
+      val (clicks, purchases) = asofParts(s, d)
       Joins.asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("p_value", "p_ts"))
-        .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts_us"),
-          col("value"), col("p_value"), micros(col("p_ts")).as("p_ts_us"))
-        .orderBy(col("event_id"))
-    }, Some("""WITH clicks AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'), purch AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value AS value, p.value AS p_value, epoch_us(p.ts) AS p_ts_us FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts ORDER BY c.event_id""")),
+        .transform(asofOut)
+    }, Some(asofOracle)),
 
     // ---- J8b: as-of join, narrow-sort variant (same semantics, sort
     // carries only key/ts/id/payload; left payload re-attached by id) ----
     ("j08b_asof_narrow", (s, d) => {
-      val ev = Tables.events(s, d)
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("value").as("p_value"),
-          col("ts").as("p_ts"))
+      val (clicks, purchases) = asofParts(s, d)
       Joins.asofJoinNarrow(clicks, purchases, "user_id", "ts", "ts", "event_id",
         Seq("p_value", "p_ts"))
-        .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts_us"),
-          col("value"), col("p_value"), micros(col("p_ts")).as("p_ts_us"))
-        .orderBy(col("event_id"))
-    }, Some("""WITH clicks AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'), purch AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value AS value, p.value AS p_value, epoch_us(p.ts) AS p_ts_us FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts ORDER BY c.event_id""")),
+        .transform(asofOut)
+    }, Some(asofOracle)),
 
     // ---- S2: incrementing-mode scan (predicate pushed to parquet) ----
     ("s02_incrementing", (s, d) => {
@@ -381,11 +397,13 @@ object StarQueries {
         .agg(sum(col("n")).as("n_rows"), sum(col("inv")).as("inversions"))
     }, Some("""SELECT COUNT(*) AS n_rows, 0 AS inversions FROM orders""")),
 
-    // ---- S3: timestamp+incrementing resume predicate ----
+    // ---- S3: timestamp+incrementing resume predicate — through the
+    // ACTUAL operator (Tables.timestampIncrementingScan), not a
+    // re-spelled predicate: a `>=` slip in the operator must turn this
+    // row red, which a hand-rolled copy of the predicate would miss ----
     ("s03_ts_incrementing", (s, d) => {
-      val ev = Tables.events(s, d)
-      ev.where(col("ts") > ts("2024-01-10 00:00:00") ||
-          (col("ts") === ts("2024-01-10 00:00:00") && col("event_id") > 100L))
+      Tables.timestampIncrementingScan(Tables.events(s, d), "ts", "event_id",
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 100L)
         .select(col("event_id"), micros(col("ts")).as("ts_us"))
         .orderBy(col("event_id"))
     }, Some("""SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00' OR (ts = TIMESTAMP '2024-01-10 00:00:00' AND event_id > 100) ORDER BY event_id"""))
