@@ -76,6 +76,33 @@ object Sampling {
     df.where(hashBucket(idCol, buckets) < keepPct)
   }
 
+  /** Token-budget subset — the data-mixing step: within each group
+    * (language, source, quality bucket), lay documents in the portable
+    * shuffle order and keep the prefix whose running token total stays
+    * within `budget`. Deterministic and stable: the kept set is a pure
+    * function of the data, so a mixing recipe ("2B tokens of code, 500M
+    * of forum text") can be re-derived instead of stored, and re-runs
+    * pick the exact same documents.
+    *
+    * Scale shape: one window per group partition (groups are coarse —
+    * languages/sources — so partitions are large but the window is a
+    * single streaming cumsum; for very hot groups pre-shard like
+    * [[graft.operators.Packing.packSequences]] and give each shard
+    * budget/nShards). The running sum is monotone, so `cum <= budget`
+    * is true exactly on a prefix. Explicit ROWS frame: the default
+    * RANGE frame would make order-key peers absorb each other's tokens. */
+  def tokenBudget(df: DataFrame, idCol: String, nTokCol: String,
+      groupCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(shuffleKey(idCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(nTokCol)).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Seeded uniform random sample (Spark-deterministic for a fixed seed,
     * partitioning and engine — use [[hashSample]] when cross-run
     * stability matters). */

@@ -422,6 +422,19 @@ object LlmQueries {
         .orderBy(col("shard"), col("seq_in_shard"))
     }, Some(s"""WITH t AS (SELECT doc_id, len($tokensSql) AS n_tok, ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 AS key FROM documents), s AS (SELECT doc_id, n_tok, key, key % 8 AS shard FROM t), w AS (SELECT shard, doc_id, n_tok, SUM(n_tok) OVER (PARTITION BY shard ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s) SELECT shard, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_in_shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM w GROUP BY 1, 2 ORDER BY shard, seq_in_shard""")),
 
+    // ---- L15: token-budget mixing — keep each language's deterministic
+    // prefix up to a 2000-token budget (the "N tokens per source" step
+    // of a mixing recipe). The running sum is monotone, so the filter
+    // selects an exact prefix per group; the oracle reproduces the ring
+    // order and windowed cumsum. ----
+    ("l15_token_budget", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.operators.Sampling.tokenBudget(docs, "doc_id", "n_tok", "lang", budget = 2000)
+        .orderBy(col("doc_id"))
+    }, Some(s"""WITH t AS (SELECT doc_id, lang, len($tokensSql) AS n_tok, ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 AS key FROM documents), w AS (SELECT doc_id, lang, n_tok, SUM(n_tok) OVER (PARTITION BY lang ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok FROM w WHERE cum <= 2000 ORDER BY doc_id""")),
+
     // ---- L8: multimodal envelope — payload byte length, feature dim,
     // frame-sample fan-out (decode is a documented stub; the Spark-side
     // schema/partitioning/fan-out plumbing is what's verified) ----

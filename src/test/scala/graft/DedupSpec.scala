@@ -109,6 +109,30 @@ class DedupSpec extends SparkSpec {
     assert(out === Array(1L, 3L, 4L, 5L)) // one of the dups, ALL the nulls
   }
 
+  test("L15: token budget keeps an exact per-group prefix, monotone in budget") {
+    import graft.operators.Sampling
+    val docs = (1L to 200L).map(i => (i, s"g${i % 3}", (i % 17 + 1))).toDF("id", "g", "n")
+    def kept(budget: Long, df: org.apache.spark.sql.DataFrame = docs) =
+      Sampling.tokenBudget(df, "id", "n", "g", budget)
+        .select($"id").as[Long].collect().toSet
+    val k100 = kept(100); val k500 = kept(500)
+    assert(k100.subsetOf(k500), "larger budget must be a superset")
+    assert(kept(0) === Set.empty)
+    // partitioning-invariant (pure function of the data)
+    assert(k500 === kept(500, docs.repartition(7)))
+    // exact prefix: kept ids are the first ones in ring order per group
+    // and the next doc in ring order would blow the budget
+    val P = 2147483647L
+    def ring(id: Long) = (((id % P) * 2654435761L) + 104729L) % P
+    for (g <- Seq("g0", "g1", "g2")) {
+      val inGroup = (1L to 200L).filter(i => s"g${i % 3}" == g)
+        .sortBy(i => (ring(i), i))
+      val toks = inGroup.map(i => (i % 17 + 1)).scanLeft(0L)(_ + _).tail
+      val expected = inGroup.zip(toks).takeWhile(_._2 <= 500).map(_._1).toSet
+      assert(k500.intersect(inGroup.toSet) === expected, s"group $g not an exact prefix")
+    }
+  }
+
   test("L1b: incremental dedup drops seen texts, keeps fresh and NULL ones") {
     val hist = Seq((1L, "aa"), (2L, "bb"), (3L, null)).toDF("doc_id", "text")
     val nb = Seq((10L, "aa"), (11L, "cc"), (12L, null)).toDF("doc_id", "text")
