@@ -5,13 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2,
-      s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2,
+      s"usage: graft.Verify <sfDir> <outDir> [queryName ...] (got ${args.length} args)")
+    val sfDir = args(0); val outDir = args(1)
+    // optional name filter: dump only the named queries (dev iteration);
+    // the driver passes two args and gets the full registry as before
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    selected.foreach { case (name, fn) =>
       // NonFatal only: an OOM/StackOverflow must abort the run — logging
       // it and continuing in a corrupted JVM would hand the driver
       // untrustworthy parquet for every later query

@@ -47,8 +47,13 @@ case class CosineF32(left: Expression, right: Expression)
       case ArrayType(_, cn) => cn
       case _ => true
     })
-  override def nullable: Boolean =
-    left.nullable || right.nullable || elementsNullable
+  // Unconditionally nullable: a length mismatch yields NULL even when
+  // both inputs (and their elements) are non-nullable, so deriving
+  // nullability from the children would let the optimizer elide null
+  // checks around a value that CAN be null — and doGenCode would emit
+  // `false = true;` (uncompilable) for the mismatch branch when
+  // ev.isNull is the literal `false`. Same contract as [[CosineQ64]].
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

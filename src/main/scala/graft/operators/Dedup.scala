@@ -180,19 +180,25 @@ object Dedup {
   /** L2 applied — near-dedup: drop every doc that is the larger id of a
     * candidate pair above the Jaccard threshold.
     *
-    * `dupIds` is persisted: it is tiny (duplicate ids only), and without
-    * the materialization barrier the optimizer (a) pushes the anti-join
-    * through a union-shaped `df` and duplicates the whole LSH pipeline
-    * once per branch, and (b) inlines the jaccard threshold into a join
-    * condition with the token pipeline un-materialized — both measured
-    * multi-× regressions. Storage is evicted with the session (or
-    * `spark.catalog.clearCache()`). */
+    * `dupIds` is eagerly localCheckpoint'ed: it is tiny (duplicate ids
+    * only), and without the materialization barrier the optimizer
+    * (a) pushes the anti-join through a union-shaped `df` and duplicates
+    * the whole LSH pipeline once per branch, and (b) inlines the jaccard
+    * threshold into a join condition with the token pipeline
+    * un-materialized — both measured multi-× regressions. Unlike the
+    * previous `persist` (which parked an entry in the cache manager until
+    * session end — one leaked plan per invocation in a long-lived
+    * pipeline), checkpoint blocks are released by the ContextCleaner as
+    * soon as the returned frame is unreachable. Trade-off: local
+    * checkpoint blocks don't survive executor loss — on a cluster with
+    * dynamic allocation, re-invoke on failure (the operator is
+    * deterministic) or swap for reliable `checkpoint`. */
   def nearDedupMinhash(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8): DataFrame = {
     val dupIds = minhashCandidates(df, textCol, idCol)
       .where(col("jaccard") >= threshold)
       .select(col("id_b").alias(idCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
@@ -226,7 +232,9 @@ object Dedup {
     * 32 separate per-bit aggregates would re-walk the token list 32×
     * (and projection collapse can multiply that across a self-join). */
   def simhash(text: Column, bits: Int = 32): Column = {
-    require(bits <= 63, "packed signature must fit a BIGINT")
+    // bits <= 0 would make the mask 0 — every signature identical, every
+    // bucket-mate a "duplicate" — fail at the call site instead
+    require(bits >= 1 && bits <= 63, "bits must be in [1, 63] (packed BIGINT)")
     val mask = if (bits == 63) Long.MaxValue else (1L << bits) - 1L
     val hashes = transform(TF.tokens(text), t => xxhash64(t).bitwiseAND(lit(mask)))
     val powers = array((0 until bits).map(b => lit(1L << b)): _*)
@@ -243,7 +251,9 @@ object Dedup {
     * a 32-term shift chain). Same `bits <= 63` contract as [[simhash]]:
     * a silent Long.MaxValue mask at bits=64 would drop sign-bit diffs. */
   def hamming(a: Column, b: Column, bits: Int = 32): Column = {
-    require(bits <= 63, "packed signature must fit a BIGINT")
+    // same [1, 63] window as simhash: bits <= 0 masks everything away and
+    // reports distance 0 for ANY pair
+    require(bits >= 1 && bits <= 63, "bits must be in [1, 63] (packed BIGINT)")
     val mask = if (bits == 63) Long.MaxValue else (1L << bits) - 1L
     bit_count(a.bitwiseXOR(b).bitwiseAND(lit(mask)))
   }

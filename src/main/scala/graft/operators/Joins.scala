@@ -50,18 +50,22 @@ object Joins {
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, watermarkDelay: String,
       lookBehind: String, lookAhead: String, how: String = "inner"): DataFrame = {
+    // backtick-quote every column reference: an unquoted dotted payload
+    // name (e.g. "a.b") would mis-resolve as a nested field path — same
+    // hardening as Smt.qcol / JsonSchemaSerde
+    def bq(c: String): String = s"`${c.replace("`", "``")}`"
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
     val joined = l.join(r, expr(
-      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs - interval $lookBehind" +
-        s" AND r.$rightTs <= l.$leftTs + interval $lookAhead"), how)
+      s"l.${bq(key)} = r.${bq(key)} AND r.${bq(rightTs)} >= l.${bq(leftTs)} - interval $lookBehind" +
+        s" AND r.${bq(rightTs)} <= l.${bq(leftTs)} + interval $lookAhead"), how)
     // one key column out, not two ambiguous ones (an unqualified
     // col(key) downstream would throw AMBIGUOUS_REFERENCE): equal in
     // every matched row, coalesce keeps it populated for either outer
     // side's unmatched rows
-    joined.select(coalesce(col(s"l.$key"), col(s"r.$key")).alias(key) +:
-      (left.columns.filterNot(_ == key).map(c => col(s"l.$c")) ++
-        right.columns.filterNot(_ == key).map(c => col(s"r.$c"))): _*)
+    joined.select(coalesce(col(s"l.${bq(key)}"), col(s"r.${bq(key)}")).alias(key) +:
+      (left.columns.filterNot(_ == key).map(c => col(s"l.${bq(c)}")) ++
+        right.columns.filterNot(_ == key).map(c => col(s"r.${bq(c)}"))): _*)
   }
 
   /** J8 — as-of join: for each left row, the latest right row with

@@ -270,6 +270,40 @@ object SmtQueries {
           col("p.props").as("props"),
           (col("schema_name") === "events.Value").as("schema_ok"))
         .orderBy(col("event_id"))
-    }, Some("""SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props, true AS schema_ok FROM events ORDER BY event_id"""))
+    }, Some("""SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props, true AS schema_ok FROM events ORDER BY event_id""")),
+
+    // ---- S9/S10/S11/S17: the LIVE JDBC round-trip — the reference's
+    // core dataflow against a real database (embedded Derby, in-JVM).
+    // Seed the table from parquet, apply a Debezium-style change batch
+    // (upserts: +1000 on every 10th account, inserts: every 17th key
+    // re-keyed +1e6; tombstones: every 100th key deleted), then read the
+    // final table back through spark.read.format("jdbc") with the
+    // partitioned range scan built by ConnectorConfig.jdbcOptions from
+    // the Connect config contract (partition.column + bounds + tasks.max
+    // → 4 parallel bounded-range queries). The oracle reproduces the
+    // final table state from parquet alone. ----
+    ("s09_jdbc_live", (s, d) => {
+      import graft.sources.{ConnectorConfig, JdbcBridge}
+      val url = "jdbc:derby:memory:graft_s09;create=true"
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      JdbcBridge.overwrite(base, url, "customer_t")
+      val changes = base.where(col("c_custkey") % 10 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .unionByName(base.where(col("c_custkey") % 17 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      JdbcBridge.upsert(changes, url, "customer_t", Seq("c_custkey"))
+      JdbcBridge.deleteKeys(base.where(col("c_custkey") % 100 === 0),
+        url, "customer_t", Seq("c_custkey"))
+      val cfg = ConnectorConfig.Config("s09", Map(
+        "connection.url" -> url,
+        "connection.driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+        "table" -> "customer_t",
+        "partition.column" -> "c_custkey",
+        "partition.lower.bound" -> "1",
+        "partition.upper.bound" -> "2000000",
+        "tasks.max" -> "4"))
+      JdbcBridge.read(s, cfg).orderBy(col("c_custkey"))
+    }, Some("""WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer), final AS (SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal FROM base WHERE c_custkey % 100 <> 0 UNION ALL SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal FROM base WHERE c_custkey % 17 = 0) SELECT * FROM final ORDER BY c_custkey"""))
   )
 }

@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Types}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The live JDBC leg (SURVEY §2.1 S1/S9/S10/S11/S17): the reference is,
+  * above all, a JDBC-connector deployment — Confluent JDBC source reading
+  * an RDBMS into topics (reference `Dockerfile:36-40`) and Debezium JDBC
+  * sink writing topics back as insert/upsert/delete (reference
+  * `Dockerfile:28-31`). This module drives Spark's real JDBC source/sink
+  * against an actual database over `java.sql` — in the sandbox that is
+  * embedded Apache Derby (it ships with Spark for the Hive metastore;
+  * `jdbc:derby:memory:` keeps it in-JVM), but nothing here is
+  * Derby-specific beyond ANSI SQL.
+  *
+  *  - '''source''' ([[read]]): `spark.read.format("jdbc")` over the option
+  *    map built by [[ConnectorConfig.jdbcOptions]] from the Connect config
+  *    contract. With `partition.column` + bounds + `tasks.max` the scan is
+  *    a partitioned range read — N bounded-range queries running in
+  *    parallel, the Spark analogue of Connect's `tasks.max` source
+  *    parallelism, and the shape that matters at 100 TB: one giant
+  *    unpartitioned SELECT funnels the whole table through one task.
+  *  - '''sink insert''' ([[insertInto]]): Connect `insert.mode=insert`.
+  *  - '''sink upsert''' ([[upsert]]): Debezium `insert.mode=upsert` with
+  *    `primary.key.mode=record_key` — batched UPDATE, then INSERT for the
+  *    keys the update missed. Callers reduce the batch to latest-per-key
+  *    first ([[graft.operators.CdcApply.latestPerKey]]); keys are then
+  *    globally unique so parallel partitions never collide.
+  *  - '''tombstone delete''' ([[deleteKeys]]): Debezium
+  *    `delete.enabled=true` — a null-value record deletes its key's row.
+  *
+  * All sink writes run per-partition with one connection and batched
+  * prepared statements — no driver-side funnel, no per-row connection.
+  */
+object JdbcBridge {
+
+  // Derby writes derby.log into derby.system.home (default: cwd) on engine
+  // boot — point it at tmp before any connection so the repo stays clean.
+  if (System.getProperty("derby.system.home") == null)
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+
+  /** S1/S17 — the Connect source config driven through Spark's real JDBC
+    * reader. Partitioned when the config carries partition bounds. */
+  def read(spark: SparkSession, config: ConnectorConfig.Config): DataFrame =
+    spark.read.format("jdbc").options(ConnectorConfig.jdbcOptions(config)).load()
+
+  /** Create-or-replace `table` from `df` (Spark DDL + append — the test
+    * fixture seeding step, not a Connect mode). */
+  def overwrite(df: DataFrame, url: String, table: String): Unit =
+    df.write.format("jdbc").option("url", url).option("dbtable", table)
+      .mode("overwrite").save()
+
+  /** S9 — `insert.mode=insert`: plain append. */
+  def insertInto(df: DataFrame, url: String, table: String): Unit =
+    df.write.format("jdbc").option("url", url).option("dbtable", table)
+      .mode("append").save()
+
+  /** Quoted SQL identifier (lowercase Spark-written columns stay
+    * case-exact against Derby's unquoted-uppercase folding). */
+  private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+
+  private def sqlTypeOf(dt: DataType): Int = dt match {
+    case IntegerType => Types.INTEGER
+    case LongType => Types.BIGINT
+    case DoubleType => Types.DOUBLE
+    case FloatType => Types.REAL
+    case StringType => Types.VARCHAR
+    case BooleanType => Types.BOOLEAN
+    case TimestampType => Types.TIMESTAMP
+    case DateType => Types.DATE
+    case _: DecimalType => Types.DECIMAL
+    case BinaryType => Types.VARBINARY
+    case ShortType => Types.SMALLINT
+    case ByteType => Types.TINYINT
+    case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
+  }
+
+  private def bind(ps: PreparedStatement, idx: Int, v: Any, sqlType: Int): Unit = v match {
+    case null => ps.setNull(idx, sqlType)
+    case x: Long => ps.setLong(idx, x)
+    case x: Int => ps.setInt(idx, x)
+    case x: Double => ps.setDouble(idx, x)
+    case x: Float => ps.setFloat(idx, x)
+    case x: String => ps.setString(idx, x)
+    case x: Boolean => ps.setBoolean(idx, x)
+    case x: java.sql.Timestamp => ps.setTimestamp(idx, x)
+    case x: java.sql.Date => ps.setDate(idx, x)
+    case x: java.math.BigDecimal => ps.setBigDecimal(idx, x)
+    case x: scala.math.BigDecimal => ps.setBigDecimal(idx, x.underlying)
+    case x: Array[Byte] => ps.setBytes(idx, x)
+    case x: Short => ps.setShort(idx, x)
+    case x: Byte => ps.setByte(idx, x)
+    case other => ps.setObject(idx, other)
+  }
+
+  private def withConnection[T](url: String)(f: Connection => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** S10 — upsert `df` into `table` by `keyCols`: batched UPDATE of the
+    * non-key columns, then INSERT of the rows whose update matched
+    * nothing. The two-statement form is dialect-portable (MERGE/ON
+    * CONFLICT syntax varies); correctness needs each key to appear once
+    * in `df` — reduce with `CdcApply.latestPerKey` first. */
+  def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      batchSize: Int = 256): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains), s"bad keys $keyCols for $cols")
+    val valCols = cols.filterNot(keyCols.contains)
+    require(valCols.nonEmpty, "upsert needs at least one non-key column")
+    val updateSql = s"UPDATE $table SET ${valCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
+      s"WHERE ${keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+    val insertSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val types = schema.fields.map(f => sqlTypeOf(f.dataType))
+    val idxOf = cols.zipWithIndex.toMap
+    val updOrder = (valCols ++ keyCols).map(idxOf)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) withConnection(url) { conn =>
+        val upd = conn.prepareStatement(updateSql)
+        val ins = conn.prepareStatement(insertSql)
+        try {
+          val buf = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+          def flush(): Unit = if (buf.nonEmpty) {
+            buf.foreach { r =>
+              updOrder.zipWithIndex.foreach { case (ci, pi) =>
+                bind(upd, pi + 1, r.get(ci), types(ci))
+              }
+              upd.addBatch()
+            }
+            val counts = upd.executeBatch()
+            val missed = buf.indices.filter(i => counts(i) == 0)
+            if (missed.nonEmpty) {
+              missed.foreach { i =>
+                val r = buf(i)
+                cols.indices.foreach(ci => bind(ins, ci + 1, r.get(ci), types(ci)))
+                ins.addBatch()
+              }
+              ins.executeBatch()
+            }
+            buf.clear()
+          }
+          rows.foreach { r => buf += r; if (buf.size >= batchSize) flush() }
+          flush()
+        } finally { upd.close(); ins.close() }
+      }
+    }
+  }
+
+  /** S11 — tombstone delete: each row of `df` (key columns only, or a
+    * wider frame projected here) deletes its key's row. */
+  def deleteKeys(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      batchSize: Int = 256): Unit = {
+    val keyed = df.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+    val types = keyed.schema.fields.map(f => sqlTypeOf(f.dataType))
+    val deleteSql = s"DELETE FROM $table WHERE ${keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+    keyed.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) withConnection(url) { conn =>
+        val del = conn.prepareStatement(deleteSql)
+        try {
+          var n = 0
+          rows.foreach { r =>
+            types.indices.foreach(i => bind(del, i + 1, r.get(i), types(i)))
+            del.addBatch(); n += 1
+            if (n >= batchSize) { del.executeBatch(); n = 0 }
+          }
+          if (n > 0) { del.executeBatch(); () }
+        } finally del.close()
+      }
+    }
+  }
+
+  /** The full Debezium-sink batch apply (S10+S11 composed, the
+    * `foreachBatch` body for a streaming CDC sink): reduce the batch to
+    * the latest record per key, upsert the non-tombstones, delete the
+    * tombstoned keys. `isTombstone` marks delete records (Connect: value
+    * IS NULL); evaluated on the LATEST record per key, so a key that is
+    * updated then tombstoned within one batch is deleted, and one that is
+    * tombstoned then re-inserted survives — replay-idempotent, matching
+    * [[graft.operators.CdcApply.apply]] batch semantics. */
+  def applyCdcBatch(batch: DataFrame, url: String, table: String,
+      keyCols: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      isTombstone: org.apache.spark.sql.Column,
+      tableCols: Option[Seq[String]] = None): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val last = graft.operators.CdcApply.latestPerKey(batch, keyCols, ord)
+      .localCheckpoint(eager = true) // one reduction feeds both branches
+    val tomb = coalesce(isTombstone, lit(false))
+    // the change batch usually carries ordering/tombstone metadata the
+    // table doesn't have — tableCols is the projection actually written
+    val proj = tableCols.getOrElse(batch.columns.toSeq)
+    require(keyCols.forall(proj.contains), s"tableCols $proj must include keys $keyCols")
+    upsert(last.where(!tomb).select(proj.map(col): _*), url, table, keyCols)
+    deleteKeys(last.where(tomb), url, table, keyCols)
+  }
+}

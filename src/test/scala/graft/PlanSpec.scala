@@ -115,8 +115,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.contains("Expand"), s"a04b regressed to an Expand plan:\n$plan")
   }
 
+  test("l02 applied near-dedup runs the LSH pipeline once (checkpoint barrier)") {
+    // nearDedupMinhash materializes dupIds via localCheckpoint, so the
+    // anti-join plan must reference the checkpointed RDD — NOT re-inline
+    // the LSH pipeline per union branch (the measured multi-x regression
+    // the barrier exists to prevent)
+    val plan = run("l02_minhash_near_dedup").queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"), s"checkpoint barrier gone:\n${plan.take(3000)}")
+    assert(!plan.contains("xxhash64"),
+      s"LSH pipeline re-inlined past the checkpoint barrier:\n${plan.take(3000)}")
+  }
+
   test("l02 minhash hashes each shingle set once (hash array in its own project)") {
-    val df = run("l02_minhash_near_dedup")
+    // probe the un-checkpointed operator directly: the 16 signature
+    // branches must read the materialized hash-array attribute
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = graft.operators.Dedup.minhashCandidates(docs, "text", "doc_id")
     val plan = df.queryExecution.optimizedPlan.toString
     // the 16 signature branches must read the materialized hash-array
     // attribute, not 16 inlined copies of the xxhash64 pass (subexpression
