@@ -201,6 +201,38 @@ object SmtQueries {
         .orderBy(col("event_id"))
     }, Some("""SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events ORDER BY event_id""")),
 
+    // ---- S6c: schema EVOLUTION — a topic mid-migration carries v1 and
+    // v2 frames interleaved; one registry-style pass resolves each record
+    // by its frame id against the one v3 reader: v1 (even ids) wrote
+    // (event_id, user_id AS INT, event_type, props) — props is dropped by
+    // the reader, user_id promotes int→long; v2 (odd ids) added value;
+    // the reader's tag field was never written → defaults null. The
+    // standard Avro resolution behaviors of the registry converters the
+    // reference wires (main.sh:72-75). ----
+    ("s06c_avro_evolution", (s, d) => {
+      val ev = Tables.events(s, d)
+      val v1 = ev.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id").cast(IntegerType), col("event_type"),
+          col("props"))
+      val v2 = ev.where(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val wire = AvroSerde.serializeFramed(v1, v1.columns.toSeq, schemaId = 1)
+        .select(col("avro_value"))
+        .unionByName(AvroSerde.serializeFramed(v2, v2.columns.toSeq, schemaId = 2)
+          .select(col("avro_value")))
+      val readerStruct = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("tag", StringType)))
+      AvroSerde.deserializeRegistry(wire, "avro_value",
+          Map(1 -> AvroSerde.avroSchemaFor(v1.schema), 2 -> AvroSerde.avroSchemaFor(v2.schema)),
+          readerStruct, "rt")
+        .select(col("rt.event_id").as("event_id"), col("rt.user_id").as("user_id"),
+          col("rt.event_type").as("event_type"), col("rt.value").as("value"),
+          col("rt.tag").as("tag"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, user_id, event_type, CASE WHEN event_id % 2 <> 0 THEN value END AS value, CAST(NULL AS VARCHAR) AS tag FROM events ORDER BY event_id""")),
+
     // ---- S7b: Avro-framed record KEYS (the reference's key converter,
     // main.sh:72): key = framed Avro struct of the key columns; decode
     // recovers the exact key fields for every record ----

@@ -232,6 +232,96 @@ object AvroSerde {
     }(enc)
   }
 
+  // ---- Writer/reader schema RESOLUTION (schema evolution) ----
+  // The registry-backed converters' core runtime behavior (reference
+  // main.sh:72-75): data written with schema v1 is decoded against reader
+  // schema v2 using standard Avro resolution — fields matched by NAME
+  // (not position), added reader fields filled from their defaults,
+  // dropped writer fields skipped, numeric types promoted (int→long,
+  // float→double). SURVEY §1.1: "the engine must tolerate schema drift".
+
+  /** The single resolved-decode loop: per-record writer schema selected
+    * by `writerKeyOf` (fixed key for single-writer variants, the wire
+    * frame's schema id for the registry variant), resolved against the
+    * reader schema derived from `structSchema`. Readers are built once
+    * per (partition, writer id) and reused — resolution cost is
+    * per-schema, not per-record. */
+  private def deserializeResolvedWith(df: DataFrame, valueCol: String,
+      structSchema: StructType, structCol: String,
+      writers: Map[Int, String], tolerant: Option[String])(
+      writerKeyOf: Array[Byte] => (Int, Array[Byte])): DataFrame = {
+    val readerJson = avroSchemaFor(structSchema)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val base = df.schema.add(StructField(structCol, structSchema))
+    val outSchema = tolerant.fold(base)(e => base.add(StructField(e, StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val java8 = df.sparkSession.conf
+      .get("spark.sql.datetime.java8API.enabled", "false").toBoolean
+    df.mapPartitions { rows =>
+      val readerSchema = new Schema.Parser().parse(readerJson)
+      val readerById = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      def readerFor(id: Int): GenericDatumReader[GenericRecord] =
+        readerById.getOrElseUpdate(id, {
+          val wj = writers.getOrElse(id, throw new IllegalArgumentException(
+            s"no writer schema registered for schema id $id (have ${writers.keys.toSeq.sorted.mkString(",")})"))
+          new GenericDatumReader[GenericRecord](new Schema.Parser().parse(wj), readerSchema)
+        })
+      var bdec: org.apache.avro.io.BinaryDecoder = null // per-partition reuse
+      def decode(bytes: Array[Byte]): Row = {
+        val (id, payload) = writerKeyOf(bytes)
+        bdec = DecoderFactory.get().binaryDecoder(payload, bdec)
+        fromAvro(readerFor(id).read(null, bdec), structSchema, java8).asInstanceOf[Row]
+      }
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](vIdx)
+        tolerant match {
+          case None =>
+            Row.fromSeq(r.toSeq :+ (if (bytes == null) null else decode(bytes)))
+          case Some(_) =>
+            val (parsed, err): (Row, String) =
+              if (bytes == null) (null, null)
+              else try (decode(bytes), null) catch {
+                case scala.util.control.NonFatal(e) =>
+                  (null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+              }
+            Row.fromSeq(r.toSeq :+ parsed :+ err)
+        }
+      }
+    }(enc)
+  }
+
+  /** S6 evolved — decode data written with `writerSchemaJson` using the
+    * reader schema derived from `structSchema`: added fields default
+    * (null), dropped writer fields are skipped, int→long / float→double
+    * promote. Incompatible writer data throws at read; use
+    * [[deserializeResolvedTolerant]] to quarantine instead. */
+  def deserializeResolved(df: DataFrame, valueCol: String, writerSchemaJson: String,
+      structSchema: StructType, structCol: String = "value_struct"): DataFrame =
+    deserializeResolvedWith(df, valueCol, structSchema, structCol,
+      Map(0 -> writerSchemaJson), tolerant = None)(b => (0, b))
+
+  /** [[deserializeResolved]] with `errors.tolerance=all` semantics: a
+    * record the writer→reader resolution cannot decode yields a null
+    * struct + the error in `errorCol` (DLQ split downstream). */
+  def deserializeResolvedTolerant(df: DataFrame, valueCol: String,
+      writerSchemaJson: String, structSchema: StructType,
+      structCol: String = "value_struct", errorCol: String = "_decode_error"): DataFrame =
+    deserializeResolvedWith(df, valueCol, structSchema, structCol,
+      Map(0 -> writerSchemaJson), tolerant = Some(errorCol))(b => (0, b))
+
+  /** The full registry-consumer behavior: wire-framed values whose
+    * writer schema is selected PER RECORD by the frame's schema id from
+    * `writersById` (the offline registry — caller-provided, like schema
+    * ids everywhere in this module), each resolved against the one
+    * reader schema. A topic carrying a mix of v1- and v2-encoded records
+    * (the normal state mid-migration) decodes in one pass. Unknown ids
+    * fail loudly, like a registry miss. */
+  def deserializeRegistry(df: DataFrame, valueCol: String,
+      writersById: Map[Int, String], structSchema: StructType,
+      structCol: String = "value_struct"): DataFrame =
+    deserializeResolvedWith(df, valueCol, structSchema, structCol,
+      writersById, tolerant = None)(decodeFrame(_, None))
+
   // ---- Confluent Schema-Registry wire-format framing ----
   // Every registry-encoded topic the reference produces/consumes carries
   // `[magic 0x00][4-byte big-endian schema id][avro binary]` (the

@@ -201,4 +201,79 @@ class AvroSerdeSpec extends SparkSpec {
       AvroSerde.serialize(df, df.columns.toSeq), "avro_value", df.schema, "rt")
     assert(rt.select($"rt.id", $"rt.s", $"rt.d").collect().toSet === df.collect().toSet)
   }
+
+  // ---- writer/reader schema RESOLUTION (the registry-compat behaviors) ----
+
+  test("resolution: v2 reader decodes v1 data — added field defaults, dropped field skipped") {
+    // v1 writer: (id, name, legacy) — v2 reader: (id, name, score) where
+    // score is new (defaults null) and legacy was dropped (skipped)
+    val v1 = Seq((1L, "a", "old1"), (2L, "b", "old2")).toDF("id", "name", "legacy")
+    val ser = AvroSerde.serialize(v1, v1.columns.toSeq)
+    val writerJson = AvroSerde.avroSchemaFor(v1.schema)
+    val readerStruct = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val out = AvroSerde.deserializeResolved(
+      ser.select($"avro_value"), "avro_value", writerJson, readerStruct, "rt")
+    val rows = out.select($"rt.id", $"rt.name", $"rt.score").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(rows === Set((1L, "a", None), (2L, "b", None)))
+  }
+
+  test("resolution: fields match by NAME across reordering, int->long and float->double promote") {
+    val v1 = Seq((7, "x", 1.5f), (8, "y", -2.25f)).toDF("n", "s", "f")
+    val ser = AvroSerde.serialize(v1, v1.columns.toSeq)
+    val writerJson = AvroSerde.avroSchemaFor(v1.schema)
+    // reader reorders (s first) and widens n: int->long, f: float->double
+    val readerStruct = StructType(Seq(
+      StructField("s", StringType), StructField("n", LongType),
+      StructField("f", DoubleType)))
+    val out = AvroSerde.deserializeResolved(
+      ser.select($"avro_value"), "avro_value", writerJson, readerStruct, "rt")
+    val rows = out.select($"rt.s", $"rt.n", $"rt.f").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set(("x", 7L, 1.5), ("y", 8L, -2.25)))
+  }
+
+  test("resolution: genuinely incompatible writer data is quarantined on the tolerant path") {
+    // writer field s is a string; reader demands a long with NO default —
+    // resolution fails per-record, tolerant path must quarantine, strict throw
+    val v1 = Seq((1L, "not-a-number")).toDF("id", "s")
+    val ser = AvroSerde.serialize(v1, v1.columns.toSeq).select($"avro_value")
+    val writerJson = AvroSerde.avroSchemaFor(v1.schema)
+    val readerStruct = StructType(Seq(
+      StructField("id", LongType), StructField("s", LongType)))
+    val tol = AvroSerde.deserializeResolvedTolerant(
+      ser, "avro_value", writerJson, readerStruct, "rt")
+    val r = tol.select($"rt", $"_decode_error").collect().head
+    assert(r.isNullAt(0) && r.getString(1) != null)
+    intercept[org.apache.spark.SparkException] {
+      AvroSerde.deserializeResolved(ser, "avro_value", writerJson, readerStruct, "rt")
+        .collect()
+    }
+  }
+
+  test("registry decode: mixed v1/v2 frames on one topic resolve per-record by schema id") {
+    val v1 = Seq((1L, "a"), (3L, "c")).toDF("id", "name")
+    val v2 = Seq((2L, "b", 9.5), (4L, "d", -1.0)).toDF("id", "name", "score")
+    val wire = AvroSerde.serializeFramed(v1, v1.columns.toSeq, schemaId = 11)
+      .select($"avro_value")
+      .unionByName(AvroSerde.serializeFramed(v2, v2.columns.toSeq, schemaId = 12)
+        .select($"avro_value"))
+    val readerStruct = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val out = AvroSerde.deserializeRegistry(wire, "avro_value",
+      Map(11 -> AvroSerde.avroSchemaFor(v1.schema), 12 -> AvroSerde.avroSchemaFor(v2.schema)),
+      readerStruct, "rt")
+    val rows = out.select($"rt.id", $"rt.name", $"rt.score").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(rows === Set((1L, "a", None), (3L, "c", None),
+      (2L, "b", Some(9.5)), (4L, "d", Some(-1.0))))
+    // registry miss (unknown id) fails loudly
+    intercept[org.apache.spark.SparkException] {
+      AvroSerde.deserializeRegistry(wire, "avro_value",
+        Map(11 -> AvroSerde.avroSchemaFor(v1.schema)), readerStruct, "rt").collect()
+    }
+  }
 }
