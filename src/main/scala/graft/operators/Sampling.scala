@@ -103,6 +103,34 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** [[tokenBudget]] for HOT groups — the 100 TB straggler fix: one
+    * window per group makes the dominant group (English at ~half of a web
+    * corpus) a single sorted partition. Here each group is pre-sharded by
+    * the portable ring hash into `nShards` independent windows, each
+    * keeping a prefix under `budget / nShards` — same shape as
+    * [[Packing.packSequences]]' per-shard windows. Total kept tokens stay
+    * ≤ budget; the trade is bounded underfill (up to ~nShards × the
+    * max document's tokens, plus the integer-division remainder) in
+    * exchange for nShards-way parallelism on the hottest group. Fully
+    * deterministic: shard assignment and within-shard order are both pure
+    * functions of the id, so the kept set is reproducible cross-engine
+    * (the `l15b` oracle replays it in SQL). */
+  def tokenBudgetSharded(df: DataFrame, idCol: String, nTokCol: String,
+      groupCol: String, budget: Long, nShards: Int): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(nShards >= 1, "nShards must be >= 1")
+    val perShard = budget / nShards
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__shard"))
+      .orderBy(shuffleKey(idCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__shard", pmod(shuffleKey(idCol), lit(nShards.toLong)))
+      .withColumn("__cum", sum(col(nTokCol)).over(w))
+      .where(col("__cum") <= perShard)
+      .drop("__shard", "__cum")
+  }
+
   /** Seeded uniform random sample (Spark-deterministic for a fixed seed,
     * partitioning and engine — use [[hashSample]] when cross-run
     * stability matters). */

@@ -435,6 +435,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some(s"""WITH t AS (SELECT doc_id, lang, len($tokensSql) AS n_tok, ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 AS key FROM documents), w AS (SELECT doc_id, lang, n_tok, SUM(n_tok) OVER (PARTITION BY lang ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok FROM w WHERE cum <= 2000 ORDER BY doc_id""")),
 
+    // ---- L15b: SHARDED token budget — the hot-group scale path: each
+    // (lang, ring-shard) runs its own prefix window under budget/nShards,
+    // so the dominant language packs across 4 parallel windows instead of
+    // one straggler partition. Same portable arithmetic, replayed in SQL. ----
+    ("l15b_token_budget_sharded", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.operators.Sampling.tokenBudgetSharded(docs, "doc_id", "n_tok", "lang",
+          budget = 2000, nShards = 4)
+        .orderBy(col("doc_id"))
+    }, Some(s"""WITH t AS (SELECT doc_id, lang, len($tokensSql) AS n_tok, ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 AS key FROM documents), w AS (SELECT doc_id, lang, n_tok, SUM(n_tok) OVER (PARTITION BY lang, key % 4 ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok FROM w WHERE cum <= 500 ORDER BY doc_id""")),
+
     // ---- L8: multimodal envelope — payload byte length, feature dim,
     // frame-sample fan-out (decode is a documented stub; the Spark-side
     // schema/partitioning/fan-out plumbing is what's verified) ----
@@ -448,6 +461,26 @@ object LlmQueries {
           first(size(col("features"))).as("n_features"),
           count(lit(1)).as("n_frames"))
         .orderBy(col("doc_id"))
-    }, Some("""SELECT doc_id, LEAST(octet_length(encode(text)), 100) AS byte_len, 8 AS n_features, CAST(4 AS BIGINT) AS n_frames FROM documents ORDER BY doc_id"""))
+    }, Some("""SELECT doc_id, LEAST(octet_length(encode(text)), 100) AS byte_len, 8 AS n_features, CAST(4 AS BIGINT) AS n_frames FROM documents ORDER BY doc_id""")),
+
+    // ---- L8b: HONEST image decode — per row a real 4x3 binary PPM is
+    // generated from doc_id (pixel j = (doc_id*7+j) % 251), then decoded
+    // by the from-scratch P6 parser; the per-channel means in the output
+    // are CONTENT-derived (header fields + raster statistics), and DuckDB
+    // independently recomputes them from the seed arithmetic alone — a
+    // changed payload would change the features and fail the hash. ----
+    ("l08b_ppm_decode", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticPpm(docs, "doc_id", width = 4, height = 3), dim = 8)
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).as("fmt"),
+          element_at(col("features"), 2).as("width"),
+          element_at(col("features"), 3).as("height"),
+          element_at(col("features"), 5).as("mean_r"),
+          element_at(col("features"), 6).as("mean_g"),
+          element_at(col("features"), 7).as("mean_b"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT d.doc_id, CAST(1 AS REAL) AS fmt, CAST(4 AS REAL) AS width, CAST(3 AS REAL) AS height, CAST(SUM(CASE WHEN g.j % 3 = 0 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_r, CAST(SUM(CASE WHEN g.j % 3 = 1 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_g, CAST(SUM(CASE WHEN g.j % 3 = 2 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_b FROM documents d, generate_series(0, 35) g(j) GROUP BY d.doc_id ORDER BY d.doc_id"""))
   )
 }

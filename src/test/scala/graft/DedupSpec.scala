@@ -133,6 +133,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("L15b: sharded token budget packs a single hot group across N independent windows") {
+    import graft.operators.Sampling
+    // ONE group (the hot-language shape), 400 docs
+    val docs = (1L to 400L).map(i => (i, "en", (i % 13 + 1))).toDF("id", "g", "n")
+    val out = Sampling.tokenBudgetSharded(docs, "id", "n", "g", budget = 800, nShards = 4)
+    val keptIds = out.select($"id").as[Long].collect().toSet
+    val P = 2147483647L
+    def ring(id: Long) = (((id % P) * 2654435761L) + 104729L) % P
+    def shard(id: Long) = ring(id) % 4
+    // per shard: exact prefix in ring order under budget/nShards = 200
+    val byShard = (1L to 400L).groupBy(shard)
+    assert(byShard.size == 4, "fixture must populate all 4 shards")
+    for ((sh, ids) <- byShard) {
+      val ordered = ids.sortBy(i => (ring(i), i))
+      val cum = ordered.map(i => (i % 13 + 1).toLong).scanLeft(0L)(_ + _).tail
+      val expected = ordered.zip(cum).takeWhile(_._2 <= 200).map(_._1).toSet
+      assert(keptIds.intersect(ids.toSet) === expected, s"shard $sh not an exact prefix")
+      assert(expected.nonEmpty, s"shard $sh contributed nothing — not parallel packing")
+    }
+    // global budget respected
+    val total = out.agg(org.apache.spark.sql.functions.sum($"n")).as[Long].collect().head
+    assert(total <= 800)
+    // deterministic under repartitioning
+    val again = Sampling.tokenBudgetSharded(docs.repartition(7), "id", "n", "g",
+      budget = 800, nShards = 4).select($"id").as[Long].collect().toSet
+    assert(again === keptIds)
+  }
+
   test("L1b: incremental dedup drops seen texts, keeps fresh and NULL ones") {
     val hist = Seq((1L, "aa"), (2L, "bb"), (3L, null)).toDF("doc_id", "text")
     val nb = Seq((10L, "aa"), (11L, "cc"), (12L, null)).toDF("doc_id", "text")
