@@ -112,9 +112,13 @@ object LlmQueries {
     ("l02e_simhash_guarantee", (s, d) => {
       val aug = withNearDups(s, d)
       // one signature pass feeds both the contract side and the banded
-      // candidates; cached because the frame appears in three plan
-      // branches (a-side, b-side, banding) and is tiny (id, long)
-      val sigs = aug.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")).cache()
+      // candidates; the frame appears in three plan branches (a-side,
+      // b-side, banding) and is tiny (id, long) — localCheckpoint, not
+      // cache: same materialize-once barrier, but the blocks are released
+      // by the ContextCleaner when the result frame goes unreachable
+      // instead of parking in the cache manager until session end
+      val sigs = aug.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+        .localCheckpoint(eager = true)
       val withinDist = sigs.as("a").join(sigs.as("b"),
           col("a.doc_id") + 200000 === col("b.doc_id"))
         .where(Dedup.hamming(col("a.sig"), col("b.sig")) <= 3)

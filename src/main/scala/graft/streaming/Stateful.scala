@@ -61,6 +61,34 @@ object Stateful {
       .transformWithState(new RunningAggProcessor,
         TimeMode.None(), OutputMode.Update(), keyAggEnc)
 
+  /** [[RunningAggProcessor]] with a state TTL — the bounded-state form
+    * for unbounded key spaces (session-scoped per-user aggregates over a
+    * 100 TB event stream): a key idle past `ttlMillis` has its state
+    * evicted by the store, so the next sighting restarts from zero and
+    * total state size tracks the ACTIVE key set, not the all-time one.
+    * TTL requires processing-time mode. */
+  class RunningAggProcessorTtl(ttlMillis: Long)
+      extends StatefulProcessor[Long, (Long, Double), KeyAgg] {
+    @transient private var agg: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg", stateEnc,
+        TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[KeyAgg] = {
+      val (n0, s0) = if (agg.exists()) agg.get() else (0L, 0.0)
+      var n = n0; var s = s0
+      rows.foreach { case (_, v) => n += 1; s += v }
+      agg.update((n, s))
+      Iterator(KeyAgg(key, n, s))
+    }
+  }
+
+  /** [[runningPerKeyTws]] with per-key state TTL. */
+  def runningPerKeyTtl(ds: Dataset[(Long, Double)], ttlMillis: Long): Dataset[KeyAgg] =
+    ds.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new RunningAggProcessorTtl(ttlMillis),
+        TimeMode.ProcessingTime(), OutputMode.Update(), keyAggEnc)
+
   /** Cross-batch exactly-once-per-key dedup: emit a key's row only the
     * first time the key is ever seen (state = seen marker). */
   def firstSeenOnly[V](ds: Dataset[(Long, V)])(implicit ev: Encoder[(Long, V)]): Dataset[(Long, V)] =

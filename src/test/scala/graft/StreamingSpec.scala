@@ -156,6 +156,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T7d: transformWithState TTL actually evicts idle state (bounded-state claim)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = TestSources.memory[(Long, Double)]
+      // explicit trigger interval: in ProcessingTime mode the engine
+      // re-triggers continuously to evaluate timers/TTL; with the default
+      // 0 ms trigger that is a busy-loop of empty micro-batches (each
+      // paying a full RocksDB checkpoint), and the test never quiesces
+      val q = Stateful.runningPerKeyTtl(ms.toDS(), ttlMillis = 15000)
+        .writeStream.format("memory").queryName("t7d_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .outputMode(OutputMode.Update).start()
+      try {
+        // processAllAvailable is unusable here: in ProcessingTime mode the
+        // engine re-runs batches for timer/TTL evaluation, so `noNewData`
+        // is never signaled — poll the sink for the expected row instead
+        def rows(): Set[(Long, Double)] = spark.table("t7d_out")
+          .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+        def await(want: (Long, Double)): Unit = {
+          val t0 = System.currentTimeMillis
+          while (!rows().contains(want) && System.currentTimeMillis - t0 < 60000)
+            Thread.sleep(100)
+          assert(rows().contains(want), s"timed out waiting for $want in ${rows()}")
+        }
+        ms.addData((1L, 1.0)); await((1L, 1.0))
+        ms.addData((1L, 2.0)); await((2L, 3.0)) // within TTL: accumulates
+        Thread.sleep(20000) // let the TTL lapse (wide margin: co-tenant scheduling jitter)
+        ms.addData((1L, 5.0))
+        await((1L, 5.0)) // state evicted: n restarts at 1
+        assert(!rows().contains((3L, 8.0)), s"state survived past its TTL: ${rows()}")
+      } finally q.stop()
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("T7b: firstSeenOnly suppresses keys already seen in earlier batches") {
     val ms = TestSources.memory[(Long, String)]
     val q = Stateful.firstSeenOnly(ms.toDS())
