@@ -79,6 +79,20 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, None),
 
+    // ---- L2g: exact token-trigram Jaccard — the non-approximate member
+    // of the dedup family (what MinHash estimates): set Jaccard over
+    // distinct token 3-grams for each planted (original, near-copy) pair,
+    // value-checked against DuckDB recomputing the same sets. ----
+    ("l02g_ngram_jaccard", (s, d) => {
+      val sh = withNearDups(s, d)
+        .withColumn("__toks", TF.tokens(col("text")))
+        .select(col("doc_id"), TF.shingleSetOfTokens(col("__toks"), 3).as("sh"))
+      sh.as("a").join(sh.as("b"), col("a.doc_id") + 200000 === col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          TF.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        .orderBy(col("id_a"))
+    }, Some(s"""WITH t AS (SELECT doc_id, $tokensSql ts FROM documents WHERE doc_id % 7 = 0), p AS (SELECT doc_id, ts AS ta, list_append(ts, 'zzextra') AS tb FROM t), g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ta)-2, 0)), i -> array_to_string(ta[i:i+2], ' '))) sa, list_distinct(list_transform(generate_series(1, greatest(len(tb)-2, 0)), i -> array_to_string(tb[i:i+2], ' '))) sb FROM p) SELECT doc_id AS id_a, doc_id + 200000 AS id_b, CASE WHEN len(list_distinct(sa || sb)) = 0 THEN 0.0 ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(sa || sb)) END AS jaccard FROM g ORDER BY id_a""")),
+
     // ---- L2b: SimHash candidates via rotated band bucketing ----
     ("l02b_simhash_candidates", (s, d) => {
       Dedup.simhashCandidates(withNearDups(s, d), "text", "doc_id", maxDist = 3)

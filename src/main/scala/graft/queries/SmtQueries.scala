@@ -319,7 +319,7 @@ object SmtQueries {
       val url = "jdbc:derby:memory:graft_s09;create=true"
       val base = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
-      JdbcBridge.overwrite(base, url, "customer_t")
+      JdbcBridge.overwrite(base, url, "customer_t", keyCols = Seq("c_custkey"))
       val changes = base.where(col("c_custkey") % 10 === 0)
           .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
         .unionByName(base.where(col("c_custkey") % 17 === 0)

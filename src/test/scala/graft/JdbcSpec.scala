@@ -26,7 +26,7 @@ class JdbcSpec extends SparkSpec {
 
   private def seed(url: String, table: String): Unit = {
     val df = (1L to 100L).map(i => (i, s"name_$i", i * 1.5)).toDF("id", "name", "val")
-    JdbcBridge.overwrite(df, url, table)
+    JdbcBridge.overwrite(df, url, table, keyCols = Seq("id"))
   }
 
   test("S1/S17: partitioned jdbc read returns the table across N range scans") {
