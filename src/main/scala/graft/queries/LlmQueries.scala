@@ -84,10 +84,18 @@ object LlmQueries {
     // distinct token 3-grams for each planted (original, near-copy) pair,
     // value-checked against DuckDB recomputing the same sets. ----
     ("l02g_ngram_jaccard", (s, d) => {
-      val sh = withNearDups(s, d)
+      // only the planted pairs participate — filter BEFORE shingling so
+      // 6/7 of the corpus never pays tokenize+shingle (at 100 TB, exact
+      // Jaccard is always a candidate-pair refinement, never a full-scan)
+      val docs = Tables.documents(s, d).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+      def shingles(df: DataFrame) = df
         .withColumn("__toks", TF.tokens(col("text")))
         .select(col("doc_id"), TF.shingleSetOfTokens(col("__toks"), 3).as("sh"))
-      sh.as("a").join(sh.as("b"), col("a.doc_id") + 200000 === col("b.doc_id"))
+      val a = shingles(docs)
+      val b = shingles(docs.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zzextra")).as("text")))
+      a.as("a").join(b.as("b"), col("a.doc_id") + 200000 === col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           TF.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
         .orderBy(col("id_a"))
