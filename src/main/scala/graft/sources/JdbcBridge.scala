@@ -70,14 +70,14 @@ object JdbcBridge {
     * at 15k rows — the sink was O(batch x table)); a Debezium sink
     * target always has one (`primary.key.mode=record_key`). */
   def createTable(url: String, table: String, schema: StructType,
-      keyCols: Seq[String]): Unit = {
+      keyCols: Seq[String], creds: Map[String, String] = Map.empty): Unit = {
     require(keyCols.forall(schema.fieldNames.contains), s"keys $keyCols not in schema")
     val cols = schema.fields.map { f =>
       s"${q(f.name)} ${ddlTypeOf(f.dataType)}" +
         (if (keyCols.contains(f.name)) " NOT NULL" else "")
     }.mkString(", ")
     val pk = if (keyCols.isEmpty) "" else s", PRIMARY KEY (${keyCols.map(q).mkString(", ")})"
-    withConnection(url) { conn =>
+    withConnection(url, creds) { conn =>
       val st = conn.createStatement()
       try {
         try st.executeUpdate(s"DROP TABLE $table")
@@ -105,6 +105,13 @@ object JdbcBridge {
   def insertInto(df: DataFrame, url: String, table: String): Unit =
     df.write.format("jdbc").option("url", url).option("dbtable", table)
       .mode("append").save()
+
+  /** user/password for the manual (sink-side) connections, from the
+    * same Connect config keys `jdbcOptions` maps for the Spark reader —
+    * one config drives BOTH directions of the dataflow. */
+  def sinkCreds(config: ConnectorConfig.Config): Map[String, String] =
+    (config("connection.user").map("user" -> _) ++
+      config("connection.password").map("password" -> _)).toMap
 
   /** Quoted SQL identifier (lowercase Spark-written columns stay
     * case-exact against Derby's unquoted-uppercase folding). */
@@ -148,8 +155,11 @@ object JdbcBridge {
     * commit every batched statement individually (measured ~3x on the
     * s09 round-trip); commit once after the partition's work, roll back
     * on failure so a retried task never double-applies half a batch. */
-  private def withConnection[T](url: String)(f: Connection => T): T = {
-    val conn = DriverManager.getConnection(url)
+  private def withConnection[T](url: String, creds: Map[String, String] = Map.empty)(
+      f: Connection => T): T = {
+    val props = new java.util.Properties()
+    creds.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, props)
     conn.setAutoCommit(false)
     try { val r = f(conn); conn.commit(); r }
     catch { case t: Throwable =>
@@ -164,7 +174,7 @@ object JdbcBridge {
     * CONFLICT syntax varies); correctness needs each key to appear once
     * in `df` — reduce with `CdcApply.latestPerKey` first. */
   def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-      batchSize: Int = 256): Unit = {
+      batchSize: Int = 256, creds: Map[String, String] = Map.empty): Unit = {
     val schema = df.schema
     val cols = schema.fieldNames.toSeq
     require(keyCols.nonEmpty && keyCols.forall(cols.contains), s"bad keys $keyCols for $cols")
@@ -178,7 +188,7 @@ object JdbcBridge {
     val idxOf = cols.zipWithIndex.toMap
     val updOrder = (valCols ++ keyCols).map(idxOf)
     df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.hasNext) withConnection(url) { conn =>
+      if (rows.hasNext) withConnection(url, creds) { conn =>
         val upd = conn.prepareStatement(updateSql)
         val ins = conn.prepareStatement(insertSql)
         try {
@@ -212,12 +222,12 @@ object JdbcBridge {
   /** S11 — tombstone delete: each row of `df` (key columns only, or a
     * wider frame projected here) deletes its key's row. */
   def deleteKeys(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-      batchSize: Int = 256): Unit = {
+      batchSize: Int = 256, creds: Map[String, String] = Map.empty): Unit = {
     val keyed = df.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     val types = keyed.schema.fields.map(f => sqlTypeOf(f.dataType))
     val deleteSql = s"DELETE FROM $table WHERE ${keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")}"
     keyed.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.hasNext) withConnection(url) { conn =>
+      if (rows.hasNext) withConnection(url, creds) { conn =>
         val del = conn.prepareStatement(deleteSql)
         try {
           var n = 0

@@ -100,6 +100,24 @@ class JdbcSpec extends SparkSpec {
     assert(back.count() == 99) // 100 - id7 deleted (id8 survived)
   }
 
+  test("sink creds: connection.user/password flow from the Connect config to sink connections") {
+    val url = freshUrl("jdbc_creds")
+    seed(url, "t7")
+    val config = ConnectorConfig.Config("c", Map(
+      "connection.url" -> url, "table" -> "t7",
+      "connection.user" -> "app", "connection.password" -> "secret"))
+    assert(JdbcBridge.sinkCreds(config) === Map("user" -> "app", "password" -> "secret"))
+    // Derby without auth accepts any credentials — this drives the
+    // credentialed connection path end-to-end, not the auth handshake
+    JdbcBridge.upsert(Seq((5L, "cred_upd", 0.0)).toDF("id", "name", "val"),
+      url, "t7", Seq("id"), creds = JdbcBridge.sinkCreds(config))
+    JdbcBridge.deleteKeys(Seq(1L).toDF("id"), url, "t7", Seq("id"),
+      creds = JdbcBridge.sinkCreds(config))
+    val back = JdbcBridge.read(spark, cfg(url, "t7", partitioned = false))
+    assert(back.where($"id" === 5L).collect().head.getString(1) == "cred_upd")
+    assert(back.count() == 99)
+  }
+
   test("T8 live: streaming foreachBatch CDC sink into Derby") {
     val url = freshUrl("jdbc_stream")
     seed(url, "t6")

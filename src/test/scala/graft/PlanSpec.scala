@@ -174,6 +174,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"packing exchange not hash-partitioned on shard:\n$plan")
   }
 
+  test("l15b sharded token-budget window partitions by (group, shard) — no hot-group funnel") {
+    val plan = run("l15b_token_budget_sharded").queryExecution.executedPlan.toString
+    // the cumsum window must carry BOTH keys: group alone re-creates the
+    // dominant-language straggler this operator exists to fix
+    assert(plan.contains("windowspecdefinition(lang") && plan.contains("__shard"),
+      s"sharded budget window not partitioned by (lang, __shard):\n$plan")
+    assert(plan.contains("hashpartitioning(lang") && plan.contains("__shard"),
+      s"exchange not hash-partitioned on (lang, __shard):\n$plan")
+  }
+
   test("l01b incremental dedup prunes the history scan to the text column") {
     val df = run("l01b_incremental_dedup")
     val plan = df.queryExecution.executedPlan.toString
