@@ -52,8 +52,8 @@ object Joins {
       lookBehind: String, lookAhead: String, how: String = "inner"): DataFrame = {
     // backtick-quote every column reference: an unquoted dotted payload
     // name (e.g. "a.b") would mis-resolve as a nested field path — same
-    // hardening as Smt.qcol / JsonSchemaSerde
-    def bq(c: String): String = s"`${c.replace("`", "``")}`"
+    // hardening as Smt.qcol / JsonSchemaSerde (shared helper)
+    def bq(c: String): String = graft.SqlIdent.bq(c)
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
     val joined = l.join(r, expr(

@@ -81,7 +81,13 @@ object Multimodal {
     val w = int(); val h = int(); val mv = int()
     // 8-bit-per-sample only (maxval <= 255); the 16-bit variant is rare
     if (w <= 0 || h <= 0 || mv <= 0 || mv > 255 || i >= bytes.length) return None
-    i += 1 // exactly one whitespace byte separates maxval from raster
+    // exactly one whitespace byte separates maxval from the raster — a
+    // non-whitespace byte here is malformed, and skipping it blindly
+    // would mis-align the whole raster by one byte
+    bytes(i) match {
+      case ' ' | '\n' | '\r' | '\t' => i += 1
+      case _ => return None
+    }
     val need = w.toLong * h * 3
     if (need > Int.MaxValue || bytes.length - i < need) None
     else Some(PpmImage(w, h, mv, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
@@ -110,8 +116,10 @@ object Multimodal {
         fmt = u16(body); channels = u16(body + 2)
         rate = u32(body + 4).toInt; bps = u16(body + 14)
       } else if (id == "data") {
-        val end = math.min(body + sz, bytes.length.toLong).toInt
-        data = java.util.Arrays.copyOfRange(bytes, body, end)
+        // a declared size past EOF is a truncated file — reject rather
+        // than silently computing moments over half the audio
+        if (body + sz > bytes.length) return None
+        data = java.util.Arrays.copyOfRange(bytes, body, (body + sz).toInt)
       }
       i = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
       if (sz < 0 || sz > bytes.length) return None // corrupt size field

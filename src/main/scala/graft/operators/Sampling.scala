@@ -119,7 +119,12 @@ object Sampling {
       groupCol: String, budget: Long, nShards: Int): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(nShards >= 1, "nShards must be >= 1")
-    val perShard = budget / nShards
+    // distribute the integer-division remainder: shard i < budget%nShards
+    // gets one extra token, so per-shard budgets sum EXACTLY to `budget`
+    // and a budget smaller than nShards degrades gracefully (plain
+    // budget/nShards would floor to 0 and silently keep nothing)
+    val baseShare = budget / nShards
+    val remainder = budget % nShards
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol), col("__shard"))
       .orderBy(shuffleKey(idCol), col(idCol))
@@ -127,7 +132,8 @@ object Sampling {
         org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("__shard", pmod(shuffleKey(idCol), lit(nShards.toLong)))
       .withColumn("__cum", sum(col(nTokCol)).over(w))
-      .where(col("__cum") <= perShard)
+      .where(col("__cum") <= lit(baseShare) +
+        when(col("__shard") < remainder, 1L).otherwise(0L))
       .drop("__shard", "__cum")
   }
 

@@ -22,7 +22,7 @@ object Smt {
     * path, so every SMT that takes user-supplied column names routes
     * through backtick quoting — Connect column names carry dots
     * routinely. */
-  private def qcol(name: String): Column = col(s"`${name.replace("`", "``")}`")
+  private def qcol(name: String): Column = col(graft.SqlIdent.bq(name))
 
   /** P1 — project: choose columns. */
   def project(cols: String*)(df: DataFrame): DataFrame = df.select(cols.map(qcol): _*)

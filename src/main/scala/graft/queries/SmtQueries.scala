@@ -211,11 +211,17 @@ object SmtQueries {
     // reference wires (main.sh:72-75). ----
     ("s06c_avro_evolution", (s, d) => {
       val ev = Tables.events(s, d)
+      // user_id is bounded (% 2e9) BEFORE the int cast: with ANSI off an
+      // out-of-range id would silently wrap in the v1 writer and diverge
+      // from the oracle; the mod keeps the cast provably lossless for any
+      // fixture, and the oracle applies the same mod
       val v1 = ev.where(col("event_id") % 2 === 0)
-        .select(col("event_id"), col("user_id").cast(IntegerType), col("event_type"),
-          col("props"))
+        .select(col("event_id"),
+          (col("user_id") % 2000000000L).cast(IntegerType).as("user_id"),
+          col("event_type"), col("props"))
       val v2 = ev.where(col("event_id") % 2 =!= 0)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .select(col("event_id"), (col("user_id") % 2000000000L).as("user_id"),
+          col("event_type"), col("value"))
       val wire = AvroSerde.serializeFramed(v1, v1.columns.toSeq, schemaId = 1)
         .select(col("avro_value"))
         .unionByName(AvroSerde.serializeFramed(v2, v2.columns.toSeq, schemaId = 2)
@@ -231,7 +237,7 @@ object SmtQueries {
           col("rt.event_type").as("event_type"), col("rt.value").as("value"),
           col("rt.tag").as("tag"))
         .orderBy(col("event_id"))
-    }, Some("""SELECT event_id, user_id, event_type, CASE WHEN event_id % 2 <> 0 THEN value END AS value, CAST(NULL AS VARCHAR) AS tag FROM events ORDER BY event_id""")),
+    }, Some("""SELECT event_id, user_id % 2000000000 AS user_id, event_type, CASE WHEN event_id % 2 <> 0 THEN value END AS value, CAST(NULL AS VARCHAR) AS tag FROM events ORDER BY event_id""")),
 
     // ---- S7b: Avro-framed record KEYS (the reference's key converter,
     // main.sh:72): key = framed Avro struct of the key columns; decode
@@ -323,7 +329,7 @@ object SmtQueries {
       val changes = base.where(col("c_custkey") % 10 === 0)
           .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
         .unionByName(base.where(col("c_custkey") % 17 === 0)
-          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+          .withColumn("c_custkey", col("c_custkey") + 1000000000L))
       JdbcBridge.upsert(changes, url, "customer_t", Seq("c_custkey"))
       JdbcBridge.deleteKeys(base.where(col("c_custkey") % 100 === 0),
         url, "customer_t", Seq("c_custkey"))
@@ -333,9 +339,9 @@ object SmtQueries {
         "table" -> "customer_t",
         "partition.column" -> "c_custkey",
         "partition.lower.bound" -> "1",
-        "partition.upper.bound" -> "2000000",
+        "partition.upper.bound" -> "2000000000",
         "tasks.max" -> "4"))
       JdbcBridge.read(s, cfg).orderBy(col("c_custkey"))
-    }, Some("""WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer), final AS (SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal FROM base WHERE c_custkey % 100 <> 0 UNION ALL SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal FROM base WHERE c_custkey % 17 = 0) SELECT * FROM final ORDER BY c_custkey"""))
+    }, Some("""WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer), final AS (SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal FROM base WHERE c_custkey % 100 <> 0 UNION ALL SELECT c_custkey + 1000000000 AS c_custkey, c_name, c_nationkey, c_acctbal FROM base WHERE c_custkey % 17 = 0) SELECT * FROM final ORDER BY c_custkey"""))
   )
 }

@@ -33,6 +33,13 @@ import org.apache.spark.sql.types._
   *
   * All sink writes run per-partition with one connection and batched
   * prepared statements — no driver-side funnel, no per-row connection.
+  *
+  * `table` is a VERBATIM SQL identifier fragment everywhere — in this
+  * module's DML/DDL and in the `dbtable` option Spark embeds unquoted —
+  * so an unquoted name follows the database's case folding consistently
+  * across both paths. For reserved words or case-sensitive names, pass a
+  * pre-quoted name (e.g. `"\"order\""`) and it flows verbatim through
+  * every statement; quoting only here would diverge from Spark's SQL.
   */
 object JdbcBridge {
 
@@ -92,19 +99,20 @@ object JdbcBridge {
     * PRIMARY KEY (see [[createTable]]) and seeded via append; without,
     * Spark's plain overwrite writer is used. */
   def overwrite(df: DataFrame, url: String, table: String,
-      keyCols: Seq[String] = Nil): Unit =
+      keyCols: Seq[String] = Nil, creds: Map[String, String] = Map.empty): Unit =
     if (keyCols.isEmpty)
       df.write.format("jdbc").option("url", url).option("dbtable", table)
-        .mode("overwrite").save()
+        .options(creds).mode("overwrite").save()
     else {
-      createTable(url, table, df.schema, keyCols)
-      insertInto(df, url, table)
+      createTable(url, table, df.schema, keyCols, creds)
+      insertInto(df, url, table, creds)
     }
 
   /** S9 — `insert.mode=insert`: plain append. */
-  def insertInto(df: DataFrame, url: String, table: String): Unit =
+  def insertInto(df: DataFrame, url: String, table: String,
+      creds: Map[String, String] = Map.empty): Unit =
     df.write.format("jdbc").option("url", url).option("dbtable", table)
-      .mode("append").save()
+      .options(creds).mode("append").save()
 
   /** user/password for the manual (sink-side) connections, from the
     * same Connect config keys `jdbcOptions` maps for the Spark reader —
@@ -201,7 +209,22 @@ object JdbcBridge {
               upd.addBatch()
             }
             val counts = upd.executeBatch()
-            val missed = buf.indices.filter(i => counts(i) == 0)
+            // drivers may legally report SUCCESS_NO_INFO (-2) instead of
+            // row counts — treating it as "matched" would silently drop
+            // the INSERT path for new keys on such dialects. Derby
+            // returns real counts; for no-info drivers re-probe per row
+            // (re-running an absolute-value UPDATE is effect-idempotent,
+            // and its count tells us which keys need the INSERT).
+            val noInfo = counts.contains(java.sql.Statement.SUCCESS_NO_INFO)
+            val missed =
+              if (!noInfo) buf.indices.filter(i => counts(i) == 0)
+              else buf.indices.filter { i =>
+                val r = buf(i)
+                updOrder.zipWithIndex.foreach { case (ci, pi) =>
+                  bind(upd, pi + 1, r.get(ci), types(ci))
+                }
+                upd.executeUpdate() == 0
+              }
             if (missed.nonEmpty) {
               missed.foreach { i =>
                 val r = buf(i)
@@ -253,7 +276,8 @@ object JdbcBridge {
   def applyCdcBatch(batch: DataFrame, url: String, table: String,
       keyCols: Seq[String], ord: Seq[org.apache.spark.sql.Column],
       isTombstone: org.apache.spark.sql.Column,
-      tableCols: Option[Seq[String]] = None): Unit = {
+      tableCols: Option[Seq[String]] = None,
+      creds: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val last = graft.operators.CdcApply.latestPerKey(batch, keyCols, ord)
       .localCheckpoint(eager = true) // one reduction feeds both branches
@@ -262,7 +286,8 @@ object JdbcBridge {
     // table doesn't have — tableCols is the projection actually written
     val proj = tableCols.getOrElse(batch.columns.toSeq)
     require(keyCols.forall(proj.contains), s"tableCols $proj must include keys $keyCols")
-    upsert(last.where(!tomb).select(proj.map(col): _*), url, table, keyCols)
-    deleteKeys(last.where(tomb), url, table, keyCols)
+    upsert(last.where(!tomb).select(proj.map(col): _*), url, table, keyCols,
+      creds = creds)
+    deleteKeys(last.where(tomb), url, table, keyCols, creds = creds)
   }
 }

@@ -74,7 +74,7 @@ object JsonSchemaSerde {
     val schemaJson = connectSchemaJson(schema, name)
     // backtick-quote the lookup: a raw col("user.id") parses as a nested
     // path and fails analysis even though the flat column exists
-    def qcol(c: String) = col(s"`${c.replace("`", "``")}`")
+    def qcol(c: String) = col(graft.SqlIdent.bq(c))
     val payloadCols = cols.map { c =>
       df.schema(c).dataType match {
         case TimestampType => unix_millis(qcol(c)).alias(c)

@@ -159,6 +159,12 @@ class DedupSpec extends SparkSpec {
     val again = Sampling.tokenBudgetSharded(docs.repartition(7), "id", "n", "g",
       budget = 800, nShards = 4).select($"id").as[Long].collect().toSet
     assert(again === keptIds)
+    // budget < nShards degrades gracefully via remainder distribution
+    // (budget/nShards would floor to 0 and silently keep NOTHING):
+    // 3 of the 4 shards get budget 1, and with 1-token docs exactly 3 survive
+    val unit = (1L to 400L).map(i => (i, "en", 1)).toDF("id", "g", "n")
+    val small = Sampling.tokenBudgetSharded(unit, "id", "n", "g", budget = 3, nShards = 4)
+    assert(small.count() === 3)
   }
 
   test("L1b: incremental dedup drops seen texts, keeps fresh and NULL ones") {

@@ -27,6 +27,9 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePpm(ppm(2, 2, Array(1, 2, 3))).isEmpty)
     assert(Multimodal.decodePpm("P5\n1 1\n255\nxxx".getBytes).isEmpty)
     assert(Multimodal.decodePpm("P6\n1 1\n65535\nabc".getBytes).isEmpty)
+    // non-whitespace separator after maxval: malformed, NOT a one-byte
+    // raster misalignment
+    assert(Multimodal.decodePpm("P6\n1 1\n255Xabc".getBytes).isEmpty)
   }
 
   private def wav(channels: Int, rate: Int, samples: Array[Short],
@@ -53,6 +56,10 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(wav(1, 8000, samples, audioFormat = 3)).isEmpty) // float PCM
     assert(Multimodal.decodeWav(wav(1, 8000, samples, bps = 8)).isEmpty)
     assert(Multimodal.decodeWav("JUNKdata".getBytes).isEmpty)
+    // data chunk whose declared size runs past EOF = truncated file →
+    // rejected, not half-decoded
+    val whole = wav(1, 8000, samples)
+    assert(Multimodal.decodeWav(whole.dropRight(3)).isEmpty)
   }
 
   test("extractFeatures is content-derived: PPM stats match hand-computed, payload change changes features") {

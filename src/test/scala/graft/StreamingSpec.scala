@@ -167,7 +167,7 @@ class StreamingSpec extends SparkSpec {
       // re-triggers continuously to evaluate timers/TTL; with the default
       // 0 ms trigger that is a busy-loop of empty micro-batches (each
       // paying a full RocksDB checkpoint), and the test never quiesces
-      val q = Stateful.runningPerKeyTtl(ms.toDS(), ttlMillis = 15000)
+      val q = Stateful.runningPerKeyTtl(ms.toDS(), ttlMillis = 30000)
         .writeStream.format("memory").queryName("t7d_out")
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
         .outputMode(OutputMode.Update).start()
@@ -185,7 +185,7 @@ class StreamingSpec extends SparkSpec {
         }
         ms.addData((1L, 1.0)); await((1L, 1.0))
         ms.addData((1L, 2.0)); await((2L, 3.0)) // within TTL: accumulates
-        Thread.sleep(20000) // let the TTL lapse (wide margin: co-tenant scheduling jitter)
+        Thread.sleep(40000) // let the TTL lapse (wide margin: co-tenant scheduling jitter)
         ms.addData((1L, 5.0))
         await((1L, 5.0)) // state evicted: n restarts at 1
         assert(!rows().contains((3L, 8.0)), s"state survived past its TTL: ${rows()}")
