@@ -90,10 +90,25 @@ object Smt {
   def regexRoute(topicCol: String, regex: String, replacement: String)(df: DataFrame): DataFrame =
     df.withColumn(topicCol, regexp_replace(col(topicCol), regex, replacement))
 
-  /** P11 — TimestampRouter: derive route from record timestamp,
-    * `topicFormat` with `$topic`/`$timestamp` placeholders like the SMT. */
-  def timestampRoute(topicCol: String, tsCol: String, fmt: String, as: String)(df: DataFrame): DataFrame =
-    df.withColumn(as, concat(col(topicCol), lit("-"), date_format(col(tsCol), fmt)))
+  /** P11 — TimestampRouter: derive route from record timestamp.
+    * `topicFormat` carries Connect's `${topic}`/`${timestamp}`
+    * placeholders (default `${topic}-${timestamp}`, the SMT's default);
+    * `fmt` is the timestamp pattern (`timestamp.format`). */
+  def timestampRoute(topicCol: String, tsCol: String, fmt: String, as: String,
+      topicFormat: String = "${topic}-${timestamp}")(df: DataFrame): DataFrame = {
+    val token = "\\$\\{topic\\}|\\$\\{timestamp\\}".r
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var idx = 0
+    for (m <- token.findAllMatchIn(topicFormat)) {
+      if (m.start > idx) pieces += lit(topicFormat.substring(idx, m.start))
+      pieces += (if (m.matched == "${topic}") col(topicCol)
+                 else date_format(col(tsCol), fmt))
+      idx = m.end
+    }
+    if (idx < topicFormat.length) pieces += lit(topicFormat.substring(idx))
+    df.withColumn(as,
+      if (pieces.isEmpty) lit(topicFormat) else concat(pieces.toSeq: _*))
+  }
 
   /** P12 — TimestampConverter: unix seconds / formatted string / Timestamp.
     * `timestamp_seconds`, never to_timestamp(from_unixtime(_)): the

@@ -402,8 +402,14 @@ object StarQueries {
     // re-spelled predicate: a `>=` slip in the operator must turn this
     // row red, which a hand-rolled copy of the predicate would miss ----
     ("s03_ts_incrementing", (s, d) => {
+      // UTC-pinned construction: Timestamp.valueOf interprets the string
+      // in the JVM DEFAULT timezone, which would shift the resume point
+      // (and diverge from the naive-timestamp oracle) on a non-UTC host
+      val resumeTs = java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+          .toInstant(java.time.ZoneOffset.UTC))
       Tables.timestampIncrementingScan(Tables.events(s, d), "ts", "event_id",
-          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 100L)
+          resumeTs, 100L)
         .select(col("event_id"), micros(col("ts")).as("ts_us"))
         .orderBy(col("event_id"))
     }, Some("""SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00' OR (ts = TIMESTAMP '2024-01-10 00:00:00' AND event_id > 100) ORDER BY event_id"""))

@@ -43,8 +43,11 @@ object ErrorTolerance {
     val blankCorrupt = struct(
       schema.fields.map(f => lit(null).cast(f.dataType).alias(f.name))
         :+ raw.alias(corruptCol): _*)
+    // trim with an explicit charset: Spark's one-arg trim strips ONLY
+    // 0x20 spaces, so a "\t"/"\n"-only payload would dodge this guard
+    // and smuggle through as an all-null clean row
     df.withColumn(structCol,
-      when(raw.isNotNull && trim(raw) === "", blankCorrupt)
+      when(raw.isNotNull && trim(raw, " \t\r\n") === "", blankCorrupt)
         .otherwise(parsed))
   }
 

@@ -122,14 +122,20 @@ object JsonSchemaSerde {
     // getField, not a dotted path string: a field named "user.id" is
     // legal in the schema but a dotted col() path fails analysis
     val payload = col(tmp).getField("payload")
+    // a NULL wire value (Kafka tombstone) or unparseable envelope must
+    // yield a NULL struct, not a non-null struct of all-null fields — a
+    // consumer detecting tombstones via isNull (CdcApply / the JDBC CDC
+    // sink) would otherwise upsert all-NULLs over real data. Same
+    // contract as AvroSerde.deserialize (null bytes -> null struct).
     df.withColumn(tmp, from_json(col(valueCol).cast(StringType), envelope))
       .withColumn(schemaNameOut, col(tmp).getField("schema").getField("name"))
-      .withColumn(structOut, struct(schema.fields.map { f =>
-        (f.dataType match {
-          case TimestampType => timestamp_millis(payload.getField(f.name))
-          case _ => payload.getField(f.name)
-        }).alias(f.name)
-      }: _*))
+      .withColumn(structOut, when(payload.isNull, lit(null).cast(schema))
+        .otherwise(struct(schema.fields.map { f =>
+          (f.dataType match {
+            case TimestampType => timestamp_millis(payload.getField(f.name))
+            case _ => payload.getField(f.name)
+          }).alias(f.name)
+        }: _*)))
       .drop(tmp)
   }
 }

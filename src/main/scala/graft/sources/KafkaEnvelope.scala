@@ -136,7 +136,11 @@ object KafkaEnvelope {
     val payloadNames = valueSchema.fieldNames.map(_.toLowerCase).toSet
     val rest = df.columns.filterNot(c =>
       c == valueCol || payloadNames(c.toLowerCase))
-    df.withColumn("__v", from_json(col(valueCol).cast(StringType), valueSchema, jsonOpts))
-      .select(rest.map(col) :+ col("__v.*"): _*)
+    // uniquified temp column (same pattern as JsonSchemaSerde): a fixed
+    // "__v" would silently replace a caller's column of that name
+    val tmp = Iterator.from(0).map(i => s"__v$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(tmp, from_json(col(valueCol).cast(StringType), valueSchema, jsonOpts))
+      .select(rest.map(col) :+ col(s"$tmp.*"): _*)
   }
 }

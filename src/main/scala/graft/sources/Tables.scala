@@ -64,7 +64,13 @@ object Tables {
   def queryScan(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(sfDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // blank out string literals and line comments before matching: a
+    // table name inside '...%customer%' or a comment is NOT a reference,
+    // and registering it would clobber a same-named user temp view —
+    // the exact side effect selective registration exists to avoid
+    // (doubled '' quotes parse as two adjacent literals, still blanked)
     val lower = sql.toLowerCase
+      .replaceAll("'[^']*'", " ").replaceAll("--[^\n]*", " ")
     all.filter(t => s"\\b$t\\b".r.findFirstIn(lower).isDefined).foreach { t =>
       if (fs.exists(new org.apache.hadoop.fs.Path(root, s"$t.parquet")))
         loadNormalized(spark, sfDir, t).createOrReplaceTempView(t)

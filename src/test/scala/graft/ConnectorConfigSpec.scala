@@ -184,4 +184,17 @@ class ConnectorConfigSpec extends SparkSpec {
     val bulk = ConnectorConfig.Config("b", Map("table" -> "events"))
     assert(ConnectorConfig.pollSource(spark, sf0001, bulk, state).batch.count() === n)
   }
+
+  test("queryScan: a table name inside a string literal is not registered (no view clobber)") {
+    import graft.sources.Tables
+    spark.range(3).toDF("user_col").createOrReplaceTempView("customer")
+    try {
+      // 'customer' appears only inside the literal — the user's temp view
+      // must NOT be clobbered by a parquet registration
+      val out = Tables.queryScan(spark, sf0001,
+        "SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '%customer%'")
+      assert(out.columns === Array("o_orderkey"))
+      assert(spark.table("customer").columns === Array("user_col"))
+    } finally spark.catalog.dropTempView("customer")
+  }
 }

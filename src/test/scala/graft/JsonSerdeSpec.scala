@@ -99,7 +99,7 @@ class JsonSerdeSpec extends SparkSpec {
     val schema = StructType(Seq(StructField("k", LongType)))
     val df = Seq(
       ("""{"k": 1}""", "clean"),
-      ("", "blank"), ("   ", "whitespace"),
+      ("", "blank"), ("   ", "whitespace"), ("\t\n\r", "ctl_whitespace"),
       ("{broken", "corrupt"),
       (null.asInstanceOf[String], "tombstone")
     ).toDF("value", "tag")
@@ -109,11 +109,25 @@ class JsonSerdeSpec extends SparkSpec {
     // from_json skips blank strings without setting the corrupt marker —
     // they must land in the DLQ, not pass as all-null "clean" rows
     assert(cleanTags === Set("clean", "tombstone"))
-    assert(dlqTags === Set("blank", "whitespace", "corrupt"))
+    // tab/newline-only too: Spark's one-arg trim strips ONLY 0x20
+    // spaces, so these dodged the old guard and passed as "clean"
+    assert(dlqTags === Set("blank", "whitespace", "ctl_whitespace", "corrupt"))
     // the DLQ keeps the raw payload for replay
     val raws = ErrorTolerance.quarantine(parsed)
       .select($"tag", $"raw").as[(String, String)].collect().toMap
     assert(raws("corrupt") === "{broken" && raws("blank") === "")
+  }
+
+  test("S8b: a NULL wire value (tombstone) yields a NULL payload struct") {
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val df = Seq(Tuple1("""{"schema":{"name":"t"},"payload":{"id":1}}"""), Tuple1(null.asInstanceOf[String]))
+      .toDF("wire").select($"wire".cast(BinaryType).as("wire"))
+    val dec = JsonSchemaSerde.deserialize(df, "wire", schema, "p")
+    val rows = dec.select($"p").collect()
+    // a NON-null struct of all-null fields would make isNull-based
+    // tombstone detection upsert NULLs over real data in a CDC sink
+    assert(rows.count(_.isNullAt(0)) === 1, "tombstone must be a NULL struct")
+    assert(rows.count(!_.isNullAt(0)) === 1)
   }
 
   test("S8b: unsupported field types are rejected at build time") {

@@ -13,6 +13,27 @@ class SmtAlgebraSpec extends SparkSpec {
 
   private def df = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
 
+  test("S8: unwrapJson preserves a caller column named __v (temp-name uniquified)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val df = Seq(("""{"k": 7}""", "keep-me")).toDF("value", "__v")
+    val out = KafkaEnvelope.unwrapJson(df, schema)
+    assert(out.columns.toSet === Set("__v", "k"))
+    assert(out.select($"__v").as[String].collect() === Array("keep-me"))
+    assert(out.select($"k").as[Long].collect() === Array(7L))
+  }
+
+  test("P11: timestampRoute honors Connect ${topic}/${timestamp} placeholders") {
+    val df = Seq(("events", java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-05T00:00:00Z")))).toDF("topic", "ts")
+    val custom = df.transform(Smt.timestampRoute("topic", "ts", "yyyyMMdd", "route",
+      topicFormat = "archive-${timestamp}-x-${topic}"))
+    assert(custom.select($"route").as[String].collect() === Array("archive-20240305-x-events"))
+    // default format = Connect's ${topic}-${timestamp}
+    val dflt = df.transform(Smt.timestampRoute("topic", "ts", "yyyy-MM-dd", "route"))
+    assert(dflt.select($"route").as[String].collect() === Array("events-2024-03-05"))
+  }
+
   test("P5/P6: flatten ∘ hoist restores the flat column set") {
     val out = df.transform(Smt.hoistField("nested", "name", "v"))
       .transform(Smt.flatten("_"))
