@@ -64,9 +64,17 @@ object Bench {
     println(line)
     // the driver's stdout capture truncates long runs mid-JSON (the r4
     // judge could only parse 63/98 rows) — persist the complete per-query
-    // JSON to a file as well so every row stays comparable
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    // JSON to a file as well so every row stays comparable. Default under
+    // target/ (not the committed BENCH_FULL.json): an ad-hoc or
+    // degraded-environment run must not silently clobber the canonical
+    // record — promote to BENCH_FULL.json deliberately (the
+    // tools/record_baseline.py flow does).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/BENCH_FULL.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, line + "\n")
+    }
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }

@@ -26,15 +26,27 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** L1 — exact dedup: keep the smallest `idCol` per sha256(text).
-    * NULL texts are not duplicates of each other — they all pass through
-    * (window partitioning would otherwise group every NULL together and
-    * silently drop all but one). */
+    * NULL texts are not duplicates of each other — they all pass through,
+    * routed AROUND the window as a separate filter branch rather than
+    * through it. Routing them through (the previous shape, kept via
+    * `|| isNull` on the row_number) was result-identical but funneled
+    * every NULL row into the single NULL-hash window partition: at ~1%
+    * NULLs on a 100 TB corpus that is one straggler task holding ~1 TB.
+    * The NULL branch here is a narrow filter over the source (no
+    * shuffle); the non-NULL branch's `isNotNull` filter pushes to the
+    * scan, so NULL rows never enter the window exchange at all
+    * (pinned by DedupSpec). Cost: the source is scanned twice — cheap
+    * for a columnar scan, and strictly better than the straggler once
+    * NULLs are non-negligible. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
-    df.withColumn("__h", sha2(col(textCol), 256))
+    df.where(t.isNotNull)
+      .withColumn("__h", sha2(t, 256))
       .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 || col(textCol).isNull)
+      .where(col("__rn") === 1)
       .drop("__h", "__rn")
+      .unionByName(df.where(t.isNull))
   }
 
   /** L1 incremental — drop rows of `newDf` whose text already exists in

@@ -33,6 +33,28 @@ object Layout {
       on: Seq[String], how: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), on, how)
 
+  /** The per-row salt expression for [[saltedJoin]] — a pure function of
+    * the row's hashable columns, so the SAME row salts identically across
+    * task retries, speculative attempts and input repartitionings (the
+    * previous `monotonically_increasing_id()` salt was correct — any salt
+    * is — but changed assignment per attempt, making runs irreproducible).
+    * Map-typed columns are skipped (`hash()` rejects MapType); rows that
+    * are byte-identical on every hashable column share a salt, which is
+    * the one residual skew case — such rows are indistinguishable anyway,
+    * and exact dedup (L1) is the right tool for mass-identical data.
+    * Package-visible so LayoutSpec can pin the spread/determinism. */
+  private[graft] def saltExpr(fact: DataFrame, salts: Int): Column = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = fact.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(cols.nonEmpty, "saltedJoin needs at least one non-map column to salt on")
+    pmod(hash(cols: _*), lit(salts))
+  }
+
   /** Skew-safe equi-join: fact rows get a deterministic salt in
     * [0, salts), the (small) dim side is replicated once per salt, and
     * the join key becomes (key, salt) — a hot key's rows land in `salts`
@@ -43,10 +65,7 @@ object Layout {
     // right/full outer would emit each unmatched dim row once per salt
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(how),
       s"saltedJoin supports fact-preserving join types only, got $how")
-    // salt = hash(key, per-row id): spreads even byte-identical hot-key
-    // rows, and never touches other columns (hash() rejects MapType)
-    val salted = fact.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val salted = fact.withColumn("__salt", saltExpr(fact, salts))
     val replicated = dim.crossJoin(
       dim.sparkSession.range(salts).select(col("id").cast("int").alias("__salt")))
     salted.join(replicated, Seq(key, "__salt"), how).drop("__salt")

@@ -72,11 +72,17 @@ object Multimodal {
       }
     }
     def int(): Int = {
-      skipWs(); var v = 0; var any = false
+      skipWs(); var v = 0L; var any = false
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+        // stop accumulating once past the bound (a longer digit run can't
+        // come back under it) so a pathological run can't overflow Long
+        if (v <= 100000000L) v = v * 10 + (bytes(i) - '0')
+        i += 1; any = true
       }
-      if (any) v else -1
+      // a dimension past 1e8 can't be a real 8-bit PPM — reject instead
+      // of letting Int wrap to a small positive width/height that might
+      // coincide with the raster length and mis-parse
+      if (!any || v > 100000000L) -1 else v.toInt
     }
     val w = int(); val h = int(); val mv = int()
     // 8-bit-per-sample only (maxval <= 255); the 16-bit variant is rare

@@ -94,14 +94,23 @@ object Sampling {
   def tokenBudget(df: DataFrame, idCol: String, nTokCol: String,
       groupCol: String, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
+    // uniquified temp column (same pattern as JsonSchemaSerde): a fixed
+    // "__cum" would clobber (and then drop) a caller's column of that name
+    val cum = tempName(df, "__cum")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(shuffleKey(idCol), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__cum", sum(col(nTokCol)).over(w))
-      .where(col("__cum") <= budget)
-      .drop("__cum")
+    df.withColumn(cum, sum(col(nTokCol)).over(w))
+      .where(col(cum) <= budget)
+      .drop(cum)
   }
+
+  /** First name in `base`, `base0`, `base1`, … absent from `df.columns` —
+    * temp-column hygiene shared by the budget operators. */
+  private def tempName(df: DataFrame, base: String): String =
+    (Iterator(base) ++ Iterator.from(0).map(i => s"$base$i"))
+      .find(n => !df.columns.contains(n)).get
 
   /** [[tokenBudget]] for HOT groups — the 100 TB straggler fix: one
     * window per group makes the dominant group (English at ~half of a web
@@ -125,16 +134,20 @@ object Sampling {
     // budget/nShards would floor to 0 and silently keep nothing)
     val baseShare = budget / nShards
     val remainder = budget % nShards
+    // uniquified temp columns: fixed __shard/__cum would silently clobber
+    // same-named caller columns (KafkaEnvelope/JsonSchemaSerde pattern)
+    val shard = tempName(df, "__shard")
+    val cum = tempName(df, "__cum")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol), col("__shard"))
+      .partitionBy(col(groupCol), col(shard))
       .orderBy(shuffleKey(idCol), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__shard", pmod(shuffleKey(idCol), lit(nShards.toLong)))
-      .withColumn("__cum", sum(col(nTokCol)).over(w))
-      .where(col("__cum") <= lit(baseShare) +
-        when(col("__shard") < remainder, 1L).otherwise(0L))
-      .drop("__shard", "__cum")
+    df.withColumn(shard, pmod(shuffleKey(idCol), lit(nShards.toLong)))
+      .withColumn(cum, sum(col(nTokCol)).over(w))
+      .where(col(cum) <= lit(baseShare) +
+        when(col(shard) < remainder, 1L).otherwise(0L))
+      .drop(shard, cum)
   }
 
   /** Seeded uniform random sample (Spark-deterministic for a fixed seed,

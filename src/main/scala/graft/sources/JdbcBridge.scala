@@ -108,7 +108,14 @@ object JdbcBridge {
       insertInto(df, url, table, creds)
     }
 
-  /** S9 — `insert.mode=insert`: plain append. */
+  /** S9 — `insert.mode=insert`: plain append. NOT idempotent under task
+    * re-execution: a stage retry or speculative attempt that re-runs a
+    * partially-committed partition appends its rows again (the same
+    * at-least-once contract as Connect's insert mode against a DB
+    * without a unique key). Route exactly-once needs through [[upsert]] /
+    * [[applyCdcBatch]], whose per-key UPDATE-then-INSERT converges on
+    * retry, or the batchId-keyed idempotent foreachBatch sink
+    * (StreamOps). */
   def insertInto(df: DataFrame, url: String, table: String,
       creds: Map[String, String] = Map.empty): Unit =
     df.write.format("jdbc").option("url", url).option("dbtable", table)

@@ -64,18 +64,51 @@ object Tables {
   def queryScan(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(sfDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // blank out string literals and line comments before matching: a
-    // table name inside '...%customer%' or a comment is NOT a reference,
-    // and registering it would clobber a same-named user temp view —
-    // the exact side effect selective registration exists to avoid
-    // (doubled '' quotes parse as two adjacent literals, still blanked)
-    val lower = sql.toLowerCase
-      .replaceAll("'[^']*'", " ").replaceAll("--[^\n]*", " ")
+    // blank out string literals and comments before matching: a table
+    // name inside '...%customer%' or a comment is NOT a reference, and
+    // registering it would clobber a same-named user temp view — the
+    // exact side effect selective registration exists to avoid
+    val lower = stripLiteralsAndComments(sql).toLowerCase
     all.filter(t => s"\\b$t\\b".r.findFirstIn(lower).isDefined).foreach { t =>
       if (fs.exists(new org.apache.hadoop.fs.Path(root, s"$t.parquet")))
         loadNormalized(spark, sfDir, t).createOrReplaceTempView(t)
     }
     spark.sql(sql)
+  }
+
+  /** One left-to-right pass replacing string literals ('' escapes stay
+    * inside their literal), `--` line comments and block comments with
+    * spaces. Sequential regex passes (the previous shape) mis-nest the
+    * two syntaxes: an apostrophe inside a comment ("-- don't") opened a
+    * phantom literal that could swallow a real table reference up to the
+    * next quote, leaving its view unregistered. A single scanner decides
+    * each construct by whichever opens first. Quoted/backtick identifiers
+    * are left in place — `"customer"` IS a table reference. */
+  private[sources] def stripLiteralsAndComments(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {                       // string literal
+        sb.append(' '); i += 1
+        var open = true
+        while (i < n && open) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2 // '' escape
+            else { open = false; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1 // -- comment (keep \n)
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        i += 2                               // block comment
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+        sb.append(' ')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** S2 — incrementing-mode source: only rows with id beyond the stored

@@ -197,4 +197,25 @@ class ConnectorConfigSpec extends SparkSpec {
       assert(spark.table("customer").columns === Array("user_col"))
     } finally spark.catalog.dropTempView("customer")
   }
+
+  test("queryScan: an apostrophe inside a -- comment does not swallow a table reference") {
+    import graft.sources.Tables
+    // the old regex pipeline blanked literals BEFORE comments, so the
+    // apostrophe in "don't" opened a phantom literal that swallowed
+    // everything up to the quote in the WHERE clause — including the
+    // `orders` reference — leaving the view unregistered
+    val out = Tables.queryScan(spark, sf0001,
+      """SELECT o_orderkey -- don't prune this table
+        |FROM orders WHERE o_orderpriority <> 'x''y'""".stripMargin)
+    assert(out.count() > 0)
+    // and the scanner handles block comments + '' escapes in one pass:
+    // "customer" appears only in comments/literals → must NOT register
+    spark.range(3).toDF("user_col").createOrReplaceTempView("customer")
+    try {
+      val out2 = Tables.queryScan(spark, sf0001,
+        "SELECT o_orderkey FROM orders /* customer */ WHERE o_orderpriority <> 'it''s customer'")
+      assert(out2.count() > 0)
+      assert(spark.table("customer").columns === Array("user_col"))
+    } finally spark.catalog.dropTempView("customer")
+  }
 }

@@ -109,6 +109,29 @@ class DedupSpec extends SparkSpec {
     assert(out === Array(1L, 3L, 4L, 5L)) // one of the dups, ALL the nulls
   }
 
+  test("L1: NULL-text rows are routed AROUND the window exchange (no NULL mega-partition)") {
+    // a mostly-NULL corpus: routed through the window (the old shape),
+    // every NULL row lands in the single NULL-hash partition — one
+    // straggler task at scale. The window's input must be filtered to
+    // non-NULL texts BEFORE its exchange.
+    import org.apache.spark.sql.execution.window.WindowExec
+    // parquet-backed, not a local Seq: ConvertToLocalRelation would fold
+    // the isnotnull filter into the LocalTableScan and hide it from the
+    // plan assertion below (the production shape IS a file scan)
+    val path = tmpDir("nulldedup")
+    (1L to 100L).map(i => (i, if (i % 2 == 0) null else s"t${i % 5}"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+    val out = Dedup.exact(spark.read.parquet(path), "text", "doc_id")
+    out.collect()
+    val wins = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"no WindowExec in plan:\n${out.queryExecution.executedPlan}")
+    wins.foreach { w =>
+      assert(w.child.toString.contains("isnotnull(text"),
+        s"window input is not pre-filtered to non-NULL texts:\n${w.child}")
+    }
+  }
+
   test("L15: token budget keeps an exact per-group prefix, monotone in budget") {
     import graft.operators.Sampling
     val docs = (1L to 200L).map(i => (i, s"g${i % 3}", (i % 17 + 1))).toDF("id", "g", "n")
@@ -165,6 +188,19 @@ class DedupSpec extends SparkSpec {
     val unit = (1L to 400L).map(i => (i, "en", 1)).toDF("id", "g", "n")
     val small = Sampling.tokenBudgetSharded(unit, "id", "n", "g", budget = 3, nShards = 4)
     assert(small.count() === 3)
+  }
+
+  test("L15: budget operators keep caller columns named __shard/__cum intact") {
+    import graft.operators.Sampling
+    // fixed temp names would silently overwrite these and then drop them
+    val docs = (1L to 50L).map(i => (i, "en", 2, s"keep$i", s"also$i"))
+      .toDF("id", "g", "n", "__shard", "__cum")
+    val out = Sampling.tokenBudgetSharded(docs, "id", "n", "g", budget = 1000, nShards = 2)
+    assert(out.columns.toSeq === Seq("id", "g", "n", "__shard", "__cum"))
+    assert(out.select($"__shard").as[String].collect().forall(_.startsWith("keep")))
+    val out2 = Sampling.tokenBudget(docs, "id", "n", "g", 1000)
+    assert(out2.columns.toSeq === Seq("id", "g", "n", "__shard", "__cum"))
+    assert(out2.count() === 50)
   }
 
   test("L1b: incremental dedup drops seen texts, keeps fresh and NULL ones") {

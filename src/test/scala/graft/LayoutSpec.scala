@@ -47,4 +47,25 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Layout.saltedJoin(fact, dim, "o_custkey", salts = 7, how = "full"))
   }
+
+  test("salted join spreads a planted hot key over all salts, deterministically") {
+    // ONE key carries every fact row — the skew shape saltedJoin exists
+    // for. The salt is a pure function of the row, so (a) the hot key's
+    // rows must actually fan out across all `salts` sub-keys, and (b) the
+    // assignment must be identical across reruns and repartitionings
+    // (the old monotonically_increasing_id salt failed (b): a retried or
+    // differently-partitioned run re-dealt every salt).
+    val fact = spark.range(0, 512).select(lit(42L).as("k"), $"id".as("payload"))
+    val dim = Seq((42L, "hot")).toDF("k", "v")
+    val joined = Layout.saltedJoin(fact, dim, "k", salts = 8)
+      .select($"payload", $"v").as[(Long, String)].collect().toSet
+    assert(joined === (0L until 512L).map((_, "hot")).toSet)
+    def salts(df: org.apache.spark.sql.DataFrame) =
+      df.select($"payload", Layout.saltExpr(df, 8).as("s"))
+        .as[(Long, Int)].collect().toMap
+    val assign = salts(fact)
+    assert(assign.values.toSet.size === 8, "hot key's rows did not spread over all salts")
+    // deterministic under repartitioning (pure function of the row)
+    assert(salts(fact.repartition(7)) === assign)
+  }
 }

@@ -30,6 +30,11 @@ class MultimodalSpec extends SparkSpec {
     // non-whitespace separator after maxval: malformed, NOT a one-byte
     // raster misalignment
     assert(Multimodal.decodePpm("P6\n1 1\n255Xabc".getBytes).isEmpty)
+    // a digit run that would wrap Int (e.g. 2^32+3 ≡ 3) must be rejected,
+    // not mis-parsed as a small positive width whose raster length
+    // happens to line up
+    assert(Multimodal.decodePpm("P6\n4294967299 1\n255\nabcdefghi".getBytes).isEmpty)
+    assert(Multimodal.decodePpm(("P6\n" + "9" * 40 + " 1\n255\nabc").getBytes).isEmpty)
   }
 
   private def wav(channels: Int, rate: Int, samples: Array[Short],
