@@ -78,16 +78,26 @@ object Similarity {
     topKStage(scored, k, qId, cId)
   }
 
-  /** ANN via IVF (inverted-file) coarse quantization: `nLists` corpus
-    * vectors with the smallest ids act as deterministic coarse centroids
-    * (id-order sampling — no iterative k-means, so the index is
-    * reproducible and builds in one pass); every corpus vector is
-    * assigned to its nearest centroid, and a query scans only the
-    * `nProbe` centroid lists closest to it.
+  /** ANN via IVF (inverted-file) coarse quantization: `nLists`
+    * deterministic coarse centroids sampled hash-strided from the corpus
+    * — the minimum-id vector of each `pmod(shuffleKey(id), nLists)` ring
+    * bucket (no iterative k-means, so the index is reproducible and
+    * builds in one aggregation pass); every corpus vector is assigned to
+    * its nearest centroid, and a query scans only the `nProbe` centroid
+    * lists closest to it.
     *
-    * 100 TB shape: centroids broadcast (nLists ≪ corpus); assignment is
-    * one map-side pass; the probe join shuffles on list id only. Recall
-    * improves with nProbe at linear cost — the classic IVF trade-off. */
+    * Hash-strided, not smallest-id (the previous sample): low ids
+    * typically correlate with one ingest batch/domain, which made every
+    * centroid a near-neighbor of that domain and skewed the inverted
+    * lists badly for everything else. The ring hash de-correlates the
+    * pick from ingest order while staying a pure function of the ids —
+    * equally deterministic, recall pinned by the `l04d` planted contract.
+    *
+    * 100 TB shape: the pick is one partial-aggregating groupBy into
+    * nLists groups (each map task keeps ≤nLists (id, vec) candidates);
+    * centroids broadcast (nLists ≪ corpus); assignment is one map-side
+    * pass; the probe join shuffles on list id only. Recall improves with
+    * nProbe at linear cost — the classic IVF trade-off. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4,
       qId: String = "q_id", qVec: String = "q_vec",
@@ -102,9 +112,15 @@ object Similarity {
     // degrade IVF to a per-query full scan.
     val centRows = corpus
       .where(col(cVec).isNotNull && !isnan(VF.cosineNative(col(cVec), col(cVec))))
-      .orderBy(col(cId)).limit(nLists)
-      .select(col(cId).cast("long"), col(cVec)).collect()
+      .groupBy(pmod(Sampling.shuffleKey(cId), lit(nLists.toLong)).alias("__rb"))
+      .agg(min_by(struct(col(cId).cast("long").alias("id"), col(cVec).alias("vec")),
+        col(cId)).alias("__c"))
+      .select(col("__c.id"), col("__c.vec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      // id-sorted centroid array: the nearest-list fold and the probe
+      // sort both break ties by array position, so the array order must
+      // itself be a pure function of the data
+      .sortBy(_._1)
     val cents = typedLit(centRows.toSeq)
     // per-vector scored lists: array<struct<list, sim>>
     def scored(vec: Column): Column =

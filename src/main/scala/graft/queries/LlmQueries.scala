@@ -239,6 +239,28 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }, None),
 
+    // ---- L4d: IVF recall contract — plant an exact copy of each query
+    // vector in the corpus; an identical vector assigns to exactly the
+    // list the query probes first (same centroids, same tie-break: the
+    // nearest-list fold and the probe sort are both earliest-index-wins),
+    // and scores the maximal cosine — so every planted copy MUST appear
+    // in its query's IVF top-k. "Zero planted copies missed" is the
+    // oracle-checkable statement (the l02d/l02e/l02f pattern), closing
+    // the gap where l04c was the only ANN path without an oracle-green
+    // guarantee. DuckDB independently counts the planted set. ----
+    ("l04d_ivf_planted_recall", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val aug = emb.unionByName(queries
+        .select((col("q_id") + 500000).as("vec_id"), col("q_vec").as("embedding")))
+      val top = Similarity.ivfTopK(queries, aug, k = 10, nLists = 16, nProbe = 4)
+      val planted = queries.select(col("q_id"), (col("q_id") + 500000).as("vec_id"))
+      planted.join(top.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
+
     // ---- L5: text stats — counts, punctuation ratio, mean word length ----
     ("l05_text_stats", (s, d) => {
       // DataFrame-level form: one tokenizer pass per row (the scalar
