@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Streaming semantics (SURVEY §2.8 T1-T10, §2.3 J9/J10) driven through
   * real MemoryStream micro-batches — the behaviors the batch-equivalent
@@ -332,6 +333,52 @@ class StreamingSpec extends SparkSpec {
     // regression: stop() must report success, not be eaten by the catch
     assert(Reconcile.stop(spark, "recA"))
     assert(!Reconcile.list(spark).contains("recA"))
+  }
+
+  test("T10: reconcile under churn — desired set flips while data flows, no row dropped or duplicated") {
+    // the main.sh:146-196 semantics UNDER LOAD: a managed query is pruned
+    // while records are in flight, data keeps arriving while nothing
+    // runs, then the same connector is re-desired (same checkpoint).
+    // Exactly-once across the whole transition: every id lands exactly
+    // once in the batchId-keyed idempotent sink — the stop may abandon an
+    // uncommitted batch (replayed on restart under the SAME batchId, so
+    // the keyed write converges) and the offline window's rows replay
+    // from the committed offset instead of being dropped.
+    val ms = TestSources.memory[Long]
+    val ckpt = tmpDir("churnckpt")
+    val sink = new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+    def writer = ms.toDF.toDF("id").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        sink.put(batchId, batch.collect().map(_.getLong(0))): Unit
+      }
+    def managed = spark.streams.active.find(_.name == "churn")
+    // phase 1: desired = {churn} → started; first wave flows through
+    ms.addData(0L until 100L: _*)
+    val (s1, p1) = Reconcile(spark, Map("churn" -> writer))
+    assert(s1 === Seq("churn") && p1.isEmpty)
+    managed.get.processAllAvailable()
+    assert(sink.values.asScala.flatten.toSet === (0L until 100L).toSet)
+    // phase 2: second wave lands, then the connector is pruned mid-flow
+    // (no processAllAvailable — the stop races the in-flight batch)
+    ms.addData(100L until 150L: _*)
+    val (s2, p2) = Reconcile(spark, Map.empty)
+    assert(s2.isEmpty && p2 === Seq("churn"))
+    assert(managed.isEmpty)
+    // phase 3: data arrives while NOTHING is running
+    ms.addData(150L until 200L: _*)
+    // phase 4: re-desire the same connector, same checkpoint → resumes
+    // from the committed offset, replays anything uncommitted
+    val (s3, p3) = Reconcile(spark, Map("churn" -> writer))
+    assert(s3 === Seq("churn") && p3.isEmpty)
+    managed.get.processAllAvailable()
+    assert(Reconcile.stop(spark, "churn"))
+    val perBatch = sink.values.asScala.map(_.length.toLong).sum
+    val distinct = sink.values.asScala.flatten.toSet
+    assert(distinct === (0L until 200L).toSet,
+      s"dropped rows across the churn: ${(0L until 200L).toSet.diff(distinct)}")
+    assert(perBatch === 200L,
+      s"duplicated rows across the churn: $perBatch batch rows for 200 distinct ids")
   }
 
   test("L5 streaming: text-quality signals over a stream equal the batch result") {
