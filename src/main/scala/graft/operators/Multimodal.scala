@@ -99,6 +99,117 @@ object Multimodal {
     else Some(PpmImage(w, h, mv, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
   }
 
+  private[graft] final case class PngImage(
+      width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  private val PngSig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Honest PNG decoder, written from the public PNG specification
+    * (RFC 2083 / W3C PNG) on top of the JDK's zlib `Inflater`:
+    * 8-byte signature, length/type/data/CRC chunks (CRCs validated),
+    * IHDR → IDAT (concatenated, inflated) → IEND, then per-scanline
+    * unfiltering of all five standard filter types (None/Sub/Up/
+    * Average/Paeth). Supports the common straight cases — bit depth 8,
+    * color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no
+    * interlace. Returns None (never garbage) for palette/16-bit/Adam7
+    * or any malformed/truncated/CRC-broken input — those fall to the
+    * quarantined stub like every other unsupported format. */
+  private[graft] def decodePng(bytes: Array[Byte]): Option[PngImage] = {
+    if (bytes.length < 8 + 25) return None // sig + IHDR is the floor
+    var k = 0
+    while (k < 8) { if ((bytes(k) & 0xff) != PngSig(k)) return None; k += 1 }
+    def u32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+      ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    var i = 8
+    var w = -1; var h = -1; var channels = -1
+    var ihdrSeen = false; var iendSeen = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!iendSeen) {
+      if (i + 12 > bytes.length) return None // no room for an empty chunk
+      val len = u32(i)
+      if (len > bytes.length - i - 12) return None // truncated declared size
+      val body = i + 8
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, i + 4, 4 + len.toInt) // type + data
+      if (crc.getValue != u32(body + len.toInt)) return None // corrupt chunk
+      val typ = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          if (len != 13 || ihdrSeen) return None
+          val wl = u32(body); val hl = u32(body + 4)
+          // same 1e8 dimension bound as decodePpm: reject instead of wrap
+          if (wl <= 0 || hl <= 0 || wl > 100000000L || hl > 100000000L) return None
+          w = wl.toInt; h = hl.toInt
+          val bitDepth = bytes(body + 8) & 0xff
+          channels = (bytes(body + 9) & 0xff) match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case _ => return None // palette (3) needs PLTE handling
+          }
+          val compression = bytes(body + 10) & 0xff
+          val filterMethod = bytes(body + 11) & 0xff
+          val interlace = bytes(body + 12) & 0xff
+          if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace != 0)
+            return None
+          ihdrSeen = true
+        case "IDAT" =>
+          if (!ihdrSeen) return None // IDAT before IHDR is malformed
+          idat.write(bytes, body, len.toInt)
+        case "IEND" => iendSeen = true
+        case _ => () // ancillary chunks skipped (CRC already checked)
+      }
+      i = body + len.toInt + 4
+    }
+    if (!ihdrSeen) return None
+    val stride = w * channels    // filtered bytes per scanline (sans tag)
+    val need = (stride + 1).toLong * h
+    if (need > Int.MaxValue - 16) return None
+    // inflate the concatenated IDAT stream to exactly the raster size
+    val raw = new Array[Byte](need.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None // truncated
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter scanlines in place against the reconstructed neighbors
+    val px = new Array[Byte](stride * h)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xff
+        val a = if (x >= bpp) px(rowOut + x - bpp) & 0xff else 0            // left
+        val b = if (y > 0) px(rowOut - stride + x) & 0xff else 0            // up
+        val c = if (x >= bpp && y > 0) px(rowOut - stride + x - bpp) & 0xff else 0 // up-left
+        val recon = f match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None // filter tags 5+ are reserved
+        }
+        px(rowOut + x) = recon.toByte // mod-256 per spec
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(w, h, channels, px))
+  }
+
   private[graft] final case class WavAudio(
       channels: Int, sampleRate: Int, samples: Array[Short])
 
@@ -146,10 +257,13 @@ object Multimodal {
   /** Content-derived features. Layout (padded/truncated to `dim`):
     *  - PPM:  [1, width, height, maxval, meanR, meanG, meanB, meanAll]
     *  - WAV:  [2, channels, sampleRate, nSamples, mean, rms, min, max]
+    *  - PNG:  [3, width, height, channels, meanR, meanG, meanB, meanAll]
+    *    (gray images repeat the gray mean in all three slots; alpha is
+    *    excluded from every mean — it is coverage, not color)
     *  - else: decodeStub (format tag 0 territory — quarantined fake)
     * Sums accumulate exactly in Long; the final double divisions (and
     * sqrt) are single IEEE ops, so an external engine recomputing the
-    * same formula gets bit-identical REALs (the l08b oracle does). */
+    * same formula gets bit-identical REALs (the l08b/l08c oracles do). */
   private[graft] def contentFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val full: Array[Float] = decodePpm(payload).map { im =>
       val px = im.pixels
@@ -166,7 +280,24 @@ object Multimodal {
       Array(1f, im.width.toFloat, im.height.toFloat, im.maxVal.toFloat,
         (sr / npx).toFloat, (sg / npx).toFloat, (sb / npx).toFloat,
         ((sr + sg + sb) / (npx * 3)).toFloat)
-    }.orElse(decodeWav(payload).map { a =>
+    }.orElse(decodePng(payload).map { im =>
+      val px = im.pixels; val ch = im.channels
+      val colorCh = if (ch >= 3) 3 else 1 // alpha (if any) is the last channel
+      val sums = new Array[Long](3)
+      val npx = px.length / ch
+      var p = 0
+      while (p < npx) {
+        var c = 0
+        while (c < colorCh) { sums(c) += px(p * ch + c) & 0xff; c += 1 }
+        p += 1
+      }
+      val n = npx.toDouble
+      val mR = (sums(0) / n).toFloat
+      val mG = (if (colorCh == 3) sums(1) / n else sums(0) / n).toFloat
+      val mB = (if (colorCh == 3) sums(2) / n else sums(0) / n).toFloat
+      val mAll = ((sums(0) + sums(1) + sums(2)) / (n * colorCh)).toFloat
+      Array(3f, im.width.toFloat, im.height.toFloat, ch.toFloat, mR, mG, mB, mAll)
+    }).orElse(decodeWav(payload).map { a =>
       var sum = 0L; var sq = 0.0; var mn = Int.MaxValue; var mx = Int.MinValue
       a.samples.foreach { s0 =>
         val v = s0.toInt
@@ -225,6 +356,77 @@ object Multimodal {
           j += 1
         }
         Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Minimal PNG encoder for the synthetic fixtures and tests: 8-bit RGB
+    * (color type 2), every scanline filter-type 0, one zlib-deflated
+    * IDAT, CRC-correct chunks. The compressed byte stream is whatever
+    * the JDK's Deflater emits — decoded statistics, not encoded bytes,
+    * are what the oracles check. */
+  private[graft] def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "raster size mismatch")
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) { // filter byte 0 + raw scanline
+      System.arraycopy(rgb, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    encodePngRaw(width, height, raw)
+  }
+
+  /** [[encodePng]] over a PRE-FILTERED scanline stream (each row: filter
+    * tag + filtered bytes) — lets tests exercise every unfilter path. */
+  private[graft] def encodePngRaw(width: Int, height: Int, raw: Array[Byte]): Array[Byte] = {
+    require(raw.length == (width * 3 + 1) * height, "scanline stream size mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(out.write)
+    def be(v: Int): Array[Byte] = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be(data.length))
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be(crc.getValue.toInt))
+    }
+    chunk("IHDR", be(width) ++ be(height) ++ Array[Byte](8, 2, 0, 0, 0))
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) zipped.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", zipped.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic PNG test-pattern generator — the [[syntheticPpm]]
+    * pattern behind a real compressed container: per row a `width` ×
+    * `height` RGB PNG whose RASTER byte j is `(seed * 7 + j) % 251`, so
+    * the decoded statistics are recomputable from the seed alone (the
+    * `l08c_png_decode` oracle does) while the payload itself goes
+    * through a genuine deflate → inflate → unfilter round trip. */
+  def syntheticPng(df: DataFrame, seedCol: String, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, "syntheticPng needs positive dims")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val n = width * height * 3
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val rgb = new Array[Byte](n)
+        var j = 0
+        while (j < n) {
+          rgb(j) = (((seed * 7 + j) % 251 + 251) % 251).toByte
+          j += 1
+        }
+        Row.fromSeq(r.toSeq :+ encodePng(width, height, rgb))
       }
     }(enc)
   }

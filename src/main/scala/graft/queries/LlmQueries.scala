@@ -529,6 +529,30 @@ object LlmQueries {
           element_at(col("features"), 6).as("mean_g"),
           element_at(col("features"), 7).as("mean_b"))
         .orderBy(col("doc_id"))
-    }, Some("""SELECT d.doc_id, CAST(1 AS REAL) AS fmt, CAST(4 AS REAL) AS width, CAST(3 AS REAL) AS height, CAST(SUM(CASE WHEN g.j % 3 = 0 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_r, CAST(SUM(CASE WHEN g.j % 3 = 1 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_g, CAST(SUM(CASE WHEN g.j % 3 = 2 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_b FROM documents d, generate_series(0, 35) g(j) GROUP BY d.doc_id ORDER BY d.doc_id"""))
+    }, Some("""SELECT d.doc_id, CAST(1 AS REAL) AS fmt, CAST(4 AS REAL) AS width, CAST(3 AS REAL) AS height, CAST(SUM(CASE WHEN g.j % 3 = 0 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_r, CAST(SUM(CASE WHEN g.j % 3 = 1 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_g, CAST(SUM(CASE WHEN g.j % 3 = 2 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_b FROM documents d, generate_series(0, 35) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
+    // ---- L8c: HONEST compressed-image decode — the l08b pattern behind
+    // a real codec: per row a 4x3 RGB PNG (raster byte j = (doc_id*7+j)
+    // % 251) is ENCODED through the JDK Deflater, then decoded by the
+    // from-scratch PNG parser (chunk walk, CRC checks, zlib inflate,
+    // scanline unfilter). DuckDB recomputes the expected channel means
+    // from the seed arithmetic alone — so a wrong inflate, a misaligned
+    // scanline or a broken unfilter changes the features and fails the
+    // hash. The stub's domain shrinks to formats whose codecs genuinely
+    // aren't in the JDK (JPEG/MP3/video). ----
+    ("l08c_png_decode", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticPng(docs, "doc_id", width = 4, height = 3), dim = 8)
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).as("fmt"),
+          element_at(col("features"), 2).as("width"),
+          element_at(col("features"), 3).as("height"),
+          element_at(col("features"), 4).as("n_channels"),
+          element_at(col("features"), 5).as("mean_r"),
+          element_at(col("features"), 6).as("mean_g"),
+          element_at(col("features"), 7).as("mean_b"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT d.doc_id, CAST(3 AS REAL) AS fmt, CAST(4 AS REAL) AS width, CAST(3 AS REAL) AS height, CAST(3 AS REAL) AS n_channels, CAST(SUM(CASE WHEN g.j % 3 = 0 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_r, CAST(SUM(CASE WHEN g.j % 3 = 1 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_g, CAST(SUM(CASE WHEN g.j % 3 = 2 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_b FROM documents d, generate_series(0, 35) g(j) GROUP BY d.doc_id ORDER BY d.doc_id"""))
   )
 }

@@ -94,6 +94,87 @@ class MultimodalSpec extends SparkSpec {
     assert(f(6) == -200f && f(7) == 200f)
   }
 
+  test("decodePng: round-trips the from-scratch encoder; rejects CRC corruption, truncation, junk") {
+    val rgb = Array.tabulate(4 * 3 * 3)(j => ((j * 13 + 7) % 251).toByte)
+    val png = Multimodal.encodePng(4, 3, rgb)
+    val im = Multimodal.decodePng(png).get
+    assert(im.width == 4 && im.height == 3 && im.channels == 3)
+    assert(im.pixels.toSeq == rgb.toSeq)
+    // flip one bit inside the IHDR data → CRC check must reject
+    val bad = png.clone(); bad(18) = (bad(18) ^ 1).toByte
+    assert(Multimodal.decodePng(bad).isEmpty)
+    assert(Multimodal.decodePng(png.dropRight(5)).isEmpty)
+    assert(Multimodal.decodePng("not a png at all".getBytes).isEmpty)
+    // a PNG payload must not be mistaken for PPM/WAV (distinct magics)
+    assert(Multimodal.decodePpm(png).isEmpty && Multimodal.decodeWav(png).isEmpty)
+  }
+
+  test("decodePng: unfilters all five scanline filter types exactly") {
+    // forward-filter a known raster with one row per filter type, then
+    // the decoder must reconstruct the original bytes through each path
+    val w = 5; val h = 5; val stride = w * 3; val bpp = 3
+    val rgb = Array.tabulate(stride * h)(j => ((j * 37 + 11) % 256).toByte)
+    val filters = Array(4, 0, 1, 2, 3) // Paeth on row 0 (a=b=c=0 edge), then the rest
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      raw(y * (stride + 1)) = filters(y).toByte
+      for (x <- 0 until stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val a = if (x >= bpp) rgb(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) rgb((y - 1) * stride + x - bpp) & 0xff else 0
+        val filtered = filters(y) match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (stride + 1) + 1 + x) = filtered.toByte
+      }
+    }
+    val im = Multimodal.decodePng(Multimodal.encodePngRaw(w, h, raw)).get
+    assert(im.pixels.toSeq == rgb.toSeq, "unfilter did not invert the forward filters")
+  }
+
+  test("decodePng: agrees with the independent JDK ImageIO encoder") {
+    // ImageIO is a second, unrelated PNG implementation in the JDK — its
+    // output (including whatever row filters its heuristics choose) must
+    // decode to the exact raster we put in
+    val w = 23; val h = 17
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 11 + y * 3) % 256; val g = (x * x + 7 * y) % 256; val b = (x * 5 + y * 13) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val im = Multimodal.decodePng(baos.toByteArray).get
+    assert(im.width == w && im.height == h && im.channels == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y); val o = (y * w + x) * 3
+      assert((im.pixels(o) & 0xff) == ((argb >> 16) & 0xff) &&
+        (im.pixels(o + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+        (im.pixels(o + 2) & 0xff) == (argb & 0xff), s"pixel ($x,$y) mismatch")
+    }
+  }
+
+  test("extractFeatures on PNG: channel means match hand-computed values after the full round trip") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticPng(df, "id", width = 4, height = 3), dim = 8)
+      .select($"id", $"features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def mean(seed: Long, ch: Int): Float =
+      ((0 until 36).filter(_ % 3 == ch).map(j => (seed * 7 + j) % 251).sum / 12.0).toFloat
+    assert(feats(1L).take(4) == Seq(3f, 4f, 3f, 3f)) // fmt=png, w, h, channels
+    assert(feats(1L)(4) == mean(1L, 0) && feats(1L)(5) == mean(1L, 1) && feats(1L)(6) == mean(1L, 2))
+    assert(feats(1L) != feats(2L))
+    assert(feats(2L)(4) == mean(2L, 0))
+  }
+
   test("unknown formats fall back to the deterministic stub, same dim") {
     val df = Seq((1L, "not an image at all".getBytes)).toDF("id", "payload")
     val f1 = Multimodal.extractFeatures(df, dim = 8).select($"features").collect().head.getSeq[Float](0)
