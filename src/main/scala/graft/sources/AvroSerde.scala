@@ -248,7 +248,7 @@ object AvroSerde {
     * per-schema, not per-record. */
   private def deserializeResolvedWith(df: DataFrame, valueCol: String,
       structSchema: StructType, structCol: String,
-      writers: Map[Int, String], tolerant: Option[String])(
+      writers: SchemaProvider, tolerant: Option[String])(
       writerKeyOf: Array[Byte] => (Int, Array[Byte])): DataFrame = {
     val readerJson = avroSchemaFor(structSchema)
     val vIdx = df.schema.fieldIndex(valueCol)
@@ -261,11 +261,8 @@ object AvroSerde {
       val readerSchema = new Schema.Parser().parse(readerJson)
       val readerById = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
       def readerFor(id: Int): GenericDatumReader[GenericRecord] =
-        readerById.getOrElseUpdate(id, {
-          val wj = writers.getOrElse(id, throw new IllegalArgumentException(
-            s"no writer schema registered for schema id $id (have ${writers.keys.toSeq.sorted.mkString(",")})"))
-          new GenericDatumReader[GenericRecord](new Schema.Parser().parse(wj), readerSchema)
-        })
+        readerById.getOrElseUpdate(id, new GenericDatumReader[GenericRecord](
+          new Schema.Parser().parse(writers.schemaFor(id)), readerSchema))
       var bdec: org.apache.avro.io.BinaryDecoder = null // per-partition reuse
       def decode(bytes: Array[Byte]): Row = {
         val (id, payload) = writerKeyOf(bytes)
@@ -298,7 +295,7 @@ object AvroSerde {
   def deserializeResolved(df: DataFrame, valueCol: String, writerSchemaJson: String,
       structSchema: StructType, structCol: String = "value_struct"): DataFrame =
     deserializeResolvedWith(df, valueCol, structSchema, structCol,
-      Map(0 -> writerSchemaJson), tolerant = None)(b => (0, b))
+      SchemaProvider.ofMap(Map(0 -> writerSchemaJson)), tolerant = None)(b => (0, b))
 
   /** [[deserializeResolved]] with `errors.tolerance=all` semantics: a
     * record the writer→reader resolution cannot decode yields a null
@@ -307,7 +304,7 @@ object AvroSerde {
       writerSchemaJson: String, structSchema: StructType,
       structCol: String = "value_struct", errorCol: String = "_decode_error"): DataFrame =
     deserializeResolvedWith(df, valueCol, structSchema, structCol,
-      Map(0 -> writerSchemaJson), tolerant = Some(errorCol))(b => (0, b))
+      SchemaProvider.ofMap(Map(0 -> writerSchemaJson)), tolerant = Some(errorCol))(b => (0, b))
 
   /** The full registry-consumer behavior: wire-framed values whose
     * writer schema is selected PER RECORD by the frame's schema id from
@@ -319,8 +316,18 @@ object AvroSerde {
   def deserializeRegistry(df: DataFrame, valueCol: String,
       writersById: Map[Int, String], structSchema: StructType,
       structCol: String = "value_struct"): DataFrame =
+    deserializeRegistryWith(df, valueCol,
+      SchemaProvider.ofMap(writersById), structSchema, structCol)
+
+  /** [[deserializeRegistry]] behind the [[SchemaProvider]] seam: any
+    * id → schema lookup (a REST Schema-Registry client, a compatibility-
+    * gated wrapper via [[SchemaProvider.validated]], a test fake) drops
+    * in without touching the decode loop. */
+  def deserializeRegistryWith(df: DataFrame, valueCol: String,
+      provider: SchemaProvider, structSchema: StructType,
+      structCol: String = "value_struct"): DataFrame =
     deserializeResolvedWith(df, valueCol, structSchema, structCol,
-      writersById, tolerant = None)(decodeFrame(_, None))
+      provider, tolerant = None)(decodeFrame(_, None))
 
   // ---- Confluent Schema-Registry wire-format framing ----
   // Every registry-encoded topic the reference produces/consumes carries

@@ -276,4 +276,61 @@ class AvroSerdeSpec extends SparkSpec {
         Map(11 -> AvroSerde.avroSchemaFor(v1.schema)), readerStruct, "rt").collect()
     }
   }
+
+  test("SchemaProvider seam: a fake provider drops in; unknown ids keep the registry-miss contract") {
+    import graft.sources.SchemaProvider
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val wire = AvroSerde.serializeFramed(v1, v1.columns.toSeq, schemaId = 7)
+      .select($"avro_value")
+    val writerJson = AvroSerde.avroSchemaFor(v1.schema)
+    // a computing fake — the shape a REST client would have (serialized
+    // to executors, consulted per id, NOT a pre-known map)
+    val fake = new SchemaProvider {
+      def schemaFor(id: Int): String =
+        if (id == 7) writerJson
+        else throw new IllegalArgumentException(s"registry returned 404 for id $id")
+    }
+    val out = AvroSerde.deserializeRegistryWith(wire, "avro_value", fake, v1.schema, "rt")
+    assert(out.select($"rt.id", $"rt.name").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    // ids the provider can't resolve fail the decode loudly
+    val wrongId = AvroSerde.serializeFramed(v1, v1.columns.toSeq, schemaId = 8)
+      .select($"avro_value")
+    intercept[org.apache.spark.SparkException] {
+      AvroSerde.deserializeRegistryWith(wrongId, "avro_value", fake, v1.schema, "rt").collect()
+    }
+  }
+
+  test("SchemaProvider.validated: the compatibility gate rejects an unreadable writer schema") {
+    import graft.sources.SchemaProvider
+    val readerStruct = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val readerJson = AvroSerde.avroSchemaFor(readerStruct)
+    // compatible writer: same fields reordered + one dropped-by-reader field
+    val compatible = AvroSerde.avroSchemaFor(StructType(Seq(
+      StructField("name", StringType), StructField("id", LongType),
+      StructField("legacy", StringType))))
+    // incompatible writer: `name` is a long — no reader union branch can
+    // accept it (a MISSING writer field would be fine: every reader field
+    // defaults null; a TYPE clash is what the gate must catch)
+    val incompatible = AvroSerde.avroSchemaFor(StructType(Seq(
+      StructField("id", LongType), StructField("name", LongType))))
+    assert(SchemaProvider.compatibilityErrors(compatible, readerJson).isEmpty)
+    assert(SchemaProvider.compatibilityErrors(incompatible, readerJson).nonEmpty)
+    val gated = SchemaProvider.validated(
+      SchemaProvider.ofMap(Map(1 -> compatible, 2 -> incompatible)), readerJson)
+    assert(gated.schemaFor(1) == compatible)
+    val e = intercept[IllegalArgumentException](gated.schemaFor(2))
+    assert(e.getMessage.contains("not read-compatible"))
+    // and the gated provider works end-to-end through the decode loop
+    val v1 = Seq((5L, "e")).toDF("id", "name")
+    val wire = AvroSerde.serializeFramed(v1, v1.columns.toSeq, schemaId = 1)
+      .select($"avro_value")
+    val viaGate = AvroSerde.deserializeRegistryWith(wire, "avro_value",
+      SchemaProvider.validated(SchemaProvider.ofMap(
+        Map(1 -> AvroSerde.avroSchemaFor(v1.schema))), readerJson),
+      readerStruct, "rt")
+    assert(viaGate.select($"rt.id", $"rt.name").as[(Long, String)].collect().toSet ===
+      Set((5L, "e")))
+  }
 }
