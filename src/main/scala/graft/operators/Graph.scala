@@ -70,8 +70,9 @@ object Graph {
       // is EITHER a root (parent only) or a child with exactly ONE
       // parent. One aggregation over the role-tagged endpoints — same
       // shuffle cost as the previous (insufficient) semi-join test.
-      val roles = e.select(col("a").alias("n"), lit(1L).alias("c"), lit(0L).alias("p"))
-        .unionByName(e.select(col("b").alias("n"), lit(0L).alias("c"), lit(1L).alias("p")))
+      val roles = biEmit(e, Seq("n", "c", "p"))(
+        col("a").alias("n"), lit(1L).alias("c"), lit(0L).alias("p"))(
+        col("b").alias("n"), lit(0L).alias("c"), lit(1L).alias("p"))
       converged = roles.groupBy(col("n"))
         .agg(sum(col("c")).alias("nc"), sum(col("p")).alias("np"))
         .where(col("nc") > 1 || (col("nc") >= 1 && col("np") >= 1))
@@ -80,9 +81,9 @@ object Graph {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
 
-    val roots = e.select(col("b").alias("id"), col("b").alias("component"))
-    val members = e.select(col("a").alias("id"), col("b").alias("component"))
-    val fromEdges = roots.unionByName(members).distinct()
+    val fromEdges = biEmit(e, Seq("id", "component"))(
+      col("b").alias("id"), col("b").alias("component"))(
+      col("a").alias("id"), col("b").alias("component")).distinct()
     nodes match {
       case None => fromEdges
       case Some(n) =>
@@ -93,12 +94,27 @@ object Graph {
     }
   }
 
+  /** Two output rows per input row in ONE pass (explode over a 2-struct
+    * array), replacing the `df.select(...).unionByName(df.select(...))`
+    * shape everywhere in this file. Besides scanning once instead of
+    * twice, this dodges a Catalyst constraint-propagation crash: a union
+    * child that aliases one of its own input attributes into its output
+    * (`select(b AS a, a AS b)`) carries an alias-equality constraint
+    * referencing the NON-output attribute, and `Union.rewriteConstraints`
+    * throws `NoSuchElementException` the moment a downstream join or
+    * filter asks for constraints (hit by any union-shaped `edges`
+    * argument; reproduced in ScaleSpec's star-plus-chains graph). */
+  private def biEmit(df: DataFrame, names: Seq[String])(first: Column*)(second: Column*): DataFrame =
+    df.select(explode(array(struct(first: _*), struct(second: _*))).alias("__bi"))
+      .select(names.map(n => col(s"__bi.$n").alias(n)): _*)
+
   /** Emit (v, m) for every neighbor v > u, where m = min(Γ(u) ∪ {u}).
     * No self-loop is possible: m ≤ u < v. Connectivity is preserved
     * because v stays linked to m which stays linked (through u's other
     * edges) to the rest of u's neighborhood. */
   private def largeStar(e: DataFrame): DataFrame = {
-    val bi = e.unionByName(e.select(col("b").alias("a"), col("a").alias("b")))
+    val bi = biEmit(e, Seq("a", "b"))(col("a"), col("b"))(
+      col("b").alias("a"), col("a").alias("b"))
     val mins = bi.groupBy(col("a")).agg(min(col("b")).alias("__mn"))
       .select(col("a"), least(col("__mn"), col("a")).alias("__m"))
     bi.join(mins, Seq("a"))
@@ -109,16 +125,18 @@ object Graph {
 
   /** Direct every edge large → small, then emit (v, m) for every small
     * neighbor v of u plus (u, m), m = min(Γ⁻(u)). After this pass every
-    * edge points child → parent with child > parent. */
+    * edge points child → parent with child > parent. Emitting (u, m)
+    * per EDGE row then distinct-ing is set-identical to emitting it
+    * once per u (`mins` itself), so both outputs ride one explode. */
   private def smallStar(e: DataFrame): DataFrame = {
     val dir = e.select(greatest(col("a"), col("b")).alias("a"),
       least(col("a"), col("b")).alias("b"))
     val mins = dir.groupBy(col("a")).agg(min(col("b")).alias("__m"))
-    val repointed = dir.join(mins, Seq("a"))
-      .where(col("b") =!= col("__m"))
-      .select(col("b").alias("a"), col("__m").alias("b"))
-    val own = mins.select(col("a"), col("__m").alias("b"))
-    repointed.unionByName(own).distinct()
+    biEmit(dir.join(mins, Seq("a")), Seq("a", "b"))(
+        col("b").alias("a"), col("__m").alias("b"))(
+        col("a"), col("__m").alias("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
   }
 
   /** Per-component sizes — the usual post-CC summary (cluster-size

@@ -63,6 +63,24 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 9L -> 9L))
   }
 
+  test("CC: union-shaped edge frames don't trip Catalyst constraint rewriting (regression)") {
+    // a union whose second child aliases its own input attributes
+    // (`lit(0) AS a` next to `id AS b`) plants the alias-equality
+    // constraints that made Union.rewriteConstraints throw
+    // NoSuchElementException inside the star rounds' join before the
+    // internal unions became single-pass explodes — any caller unioning
+    // candidate-pair frames (minhash + simhash) hits this shape
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val star = spark.range(1, 101).select(lit(0L).as("a"), col("id").as("b"))
+    val chains = spark.range(200, 250).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val random = spark.range(200).select(
+      pmod(hash(col("id")), lit(300)).cast("long").as("a"),
+      pmod(hash(col("id"), lit(1)), lit(300)).cast("long").as("b"))
+    val edges = star.unionByName(chains).unionByName(random)
+    val comps = Graph.connectedComponents(edges, "a", "b")
+    assert(comps.where(col("component") === 0).count() >= 101) // the star resolved
+  }
+
   test("CC: random graphs match a union-find reference") {
     val rng = new scala.util.Random(42)
     for (trial <- 1 to 3) {

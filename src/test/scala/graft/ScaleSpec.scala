@@ -1,0 +1,281 @@
+package graft
+
+import graft.operators.{Dedup, Graph, Sampling, Similarity}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Empirical scale-stress for the LLM-pipeline family (the 100 TB
+  * claims, measured instead of argued): a deliberately SKEWED corpus
+  * ~12× the bench SF's documents table — a hot language carrying 60%
+  * of rows, a 10k-copy boilerplate cluster, ~1.5% NULL texts and 1%
+  * zero-norm vectors — driven through dedup / LSH / mixing / CC / ANN
+  * while a SparkListener records per-task record counts for every
+  * stage. The contract: no stage may concentrate more than `RATIO`×
+  * the median task's records into one task.
+  *
+  * Record counts, not wall time: task records are a pure function of
+  * the data and the plan, so the probe is deterministic on a noisy
+  * shared box, while still being the quantity that BECOMES wall time
+  * at 100 TB (a task reading 10× the median's records is the
+  * straggler, whatever the neighbors are doing). Durations are
+  * recorded and printed for context, not asserted.
+  *
+  * AQE partition coalescing is disabled inside this suite (and shuffle
+  * parallelism raised to 16): at test scale every partition is far
+  * below the 64 MB advisory size, so AQE folds them into one task and
+  * the probe would measure nothing — at 100 TB none of these stages
+  * would coalesce. Skew-join splitting (the part of AQE that matters
+  * for the contract) stays on.
+  *
+  * A probe that can't fail proves nothing, so a deliberately-unsharded
+  * control (plain tokenBudget over the hot language) asserts the
+  * listener DETECTS the one-partition straggler it exists to catch.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 60000      // documents (12× the sf0.1 table)
+  private val M = 50000      // embeddings
+  private val DIM = 32
+  private val RATIO = 3.5
+  private val FLOOR = 5000L  // ignore stages whose max task reads fewer records
+
+  // ---- skewed corpus ------------------------------------------------
+  // text: 30 words hash-drawn from an 800-word vocab (real shingle
+  // structure for MinHash); lang: "en" on 60% of rows, a 37-language
+  // tail on the rest; ids ≥ N-10000: byte-identical boilerplate (the
+  // mass-duplicate shape); id % 64 == 0: NULL text (~1.5%).
+  private lazy val docs: DataFrame = {
+    val vocab = array((0 until 800).map(i => lit(s"w$i")): _*)
+    val words = concat_ws(" ", transform(sequence(lit(0), lit(29)),
+      j => element_at(vocab, pmod(hash(col("doc_id"), j), lit(800)).cast("int") + 1)))
+    val df = spark.range(N).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) < 6, lit("en"))
+        .otherwise(concat(lit("l"), pmod(col("id"), lit(37)))).as("lang"),
+      (pmod(col("id"), lit(40)) + 1).cast("long").as("n_tok"))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(64)) === 0, lit(null).cast("string"))
+          .when(col("doc_id") >= N - 10000,
+            lit("click here to unsubscribe from this mailing list today"))
+          .otherwise(words))
+      .persist()
+    df.count() // materialize once; every case reads the same cache
+    df
+  }
+
+  // embeddings: 32-dim hash-derived vectors; id % 100 == 0 is a
+  // zero-norm vector (the NaN-scoring poison the guards must exclude)
+  private lazy val emb: DataFrame = {
+    val vec = transform(sequence(lit(0), lit(DIM - 1)),
+      j => when(pmod(col("vec_id"), lit(100)) === 0, lit(0.0f))
+        .otherwise(((pmod(hash(col("vec_id"), j), lit(2001)) - 1000) / 1000.0).cast("float")))
+    val df = spark.range(M).select(col("id").as("vec_id"))
+      .withColumn("embedding", vec).persist()
+    df.count()
+    df
+  }
+
+  // ---- per-task probe -----------------------------------------------
+  private class TaskSkewListener extends SparkListener {
+    // stageId -> (records, durationMs) per successful task
+    val byStage = mutable.Map.empty[Int, mutable.ArrayBuffer[(Long, Long)]]
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+      if (t.taskInfo != null && t.taskInfo.successful && t.taskMetrics != null) {
+        val recs = t.taskMetrics.inputMetrics.recordsRead +
+          t.taskMetrics.shuffleReadMetrics.recordsRead
+        byStage.getOrElseUpdate(t.stageId, mutable.ArrayBuffer.empty) +=
+          ((recs, t.taskInfo.duration))
+      }
+    }
+    def taskCount: Int = synchronized(byStage.valuesIterator.map(_.size).sum)
+    def snapshot: Map[Int, Seq[(Long, Long)]] =
+      synchronized(byStage.view.mapValues(_.toSeq).toMap)
+  }
+
+  /** Run `body` with a fresh listener; wait for the async listener bus
+    * to drain (task count stable) before returning the per-stage data. */
+  private def probe(body: => Unit): Map[Int, Seq[(Long, Long)]] = {
+    val l = new TaskSkewListener
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1; var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val n = l.taskCount
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    l.snapshot
+  }
+
+  private def stageStats(stages: Map[Int, Seq[(Long, Long)]]): Seq[(Int, Int, Long, Long, Long)] =
+    stages.toSeq.sortBy(_._1).map { case (sid, tasks) =>
+      val recs = tasks.map(_._1).sorted
+      (sid, tasks.size, recs.last, recs(recs.size / 2), tasks.map(_._2).max)
+    }
+
+  /** The balance contract: across stages with ≥4 tasks and a max task
+    * above FLOOR records, max ≤ RATIO × median. */
+  private def assertBalanced(op: String, stages: Map[Int, Seq[(Long, Long)]],
+      ratio: Double = RATIO): Unit = {
+    val rows = stageStats(stages)
+    info(s"$op: " + rows.map { case (sid, n, mx, md, ms) =>
+      s"stage $sid n=$n max=$mx med=$md ${ms}ms" }.mkString("; "))
+    val offenders = rows.collect {
+      case (sid, n, mx, md, _) if n >= 4 && mx >= FLOOR && mx.toDouble / math.max(md, 1) > ratio =>
+        s"$op stage $sid: max task $mx records vs median $md across $n tasks " +
+          f"(${mx.toDouble / math.max(md, 1)}%.1f× > $ratio×)"
+    }
+    assert(offenders.isEmpty, "straggler stages:\n" + offenders.mkString("\n"))
+  }
+
+  private def withScaleConf(body: => Unit): Unit = {
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val old = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  // ---- the cases ----------------------------------------------------
+
+  test("scale: exact dedup with 1.5% NULL texts and a 10k-copy cluster stays balanced") {
+    withScaleConf {
+      // expected survivors, derived from the data: one row per distinct
+      // non-NULL text (the 10k-copy cluster collapses to 1) + every NULL
+      val expected = docs.where($"text".isNotNull).select($"text").distinct().count() +
+        docs.where($"text".isNull).count()
+      var n = 0L
+      val stages = probe { n = Dedup.exact(docs, "text", "doc_id").count() }
+      assert(n === expected)
+      assertBalanced("exact-dedup", stages)
+    }
+  }
+
+  test("scale: capped MinHash LSH sidelines the boilerplate cluster, keeps planted recall, stays balanced") {
+    withScaleConf {
+      // plant near-dups in NORMAL content: copies of docs 1..799 (odd ids
+      // dodge the NULL stripe) with a one-token suffix → jaccard ≈ 0.966
+      val planted = docs.where($"doc_id" % 64 =!= 0 && $"doc_id" < 800 && $"doc_id" % 2 === 1)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"lang", $"n_tok",
+          concat($"text", lit(" zz")).as("text"))
+      val aug = docs.unionByName(planted)
+      var cands: Set[(Long, Long)] = Set.empty
+      val stages = probe {
+        cands = Dedup.minhashCandidates(aug, "text", "doc_id", maxBucket = 128)
+          .where($"jaccard" >= 0.8)
+          .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      }
+      val expected = planted.select(($"doc_id" - 1000000).as("a"), $"doc_id".as("b"))
+        .as[(Long, Long)].collect().toSet
+      val missed = expected.diff(cands)
+      // 16 hashes / 4 bands at jaccard ≈ 0.966: per-pair miss probability
+      // ~3e-4 — demand ≥ 99% recall over the 400 planted pairs (the
+      // UNCAPPED total-recall guarantee is l02d's oracle; this is the
+      // production-capped path at 12× scale)
+      assert(missed.size <= expected.size / 100,
+        s"capped LSH missed ${missed.size}/${expected.size} planted pairs")
+      // the 10k-copy cluster must NOT flood the pair stage: every band
+      // bucket it fills is over the cap, so no boilerplate×boilerplate
+      // pair survives (exact dedup is the right tool for those)
+      assert(!cands.exists(p => p._1 >= N - 10000 && p._1 < N && p._2 >= N - 10000 && p._2 < N),
+        "boilerplate cluster produced quadratic candidate pairs")
+      assertBalanced("minhash-lsh", stages)
+    }
+  }
+
+  test("scale: SimHash banded candidates on the same corpus stay balanced") {
+    withScaleConf {
+      val stages = probe {
+        Dedup.simhashCandidates(docs, "text", "doc_id", maxDist = 3, maxBucket = 1024)
+          .count()
+      }
+      assertBalanced("simhash", stages)
+    }
+  }
+
+  test("scale: probe sensitivity control — UNSHARDED token budget on the hot language IS a straggler") {
+    withScaleConf {
+      // one window partition per language ⇒ "en" (60% of the corpus) is
+      // one task. The probe MUST see it, or every green above is vacuous.
+      val stages = probe {
+        Sampling.tokenBudget(docs, "doc_id", "n_tok", "lang", budget = 1000000L).count()
+      }
+      val detected = stageStats(stages).exists { case (_, n, mx, md, _) =>
+        n >= 4 && mx >= FLOOR && mx.toDouble / math.max(md, 1) > RATIO
+      }
+      assert(detected, "probe failed to detect the planted hot-language straggler — " +
+        "the balance contract would be meaningless:\n" + stageStats(stages).mkString("\n"))
+    }
+  }
+
+  test("scale: SHARDED token budget flattens the hot language the control just exposed") {
+    withScaleConf {
+      // budget is PER GROUP (a mixing recipe caps each language)
+      var perGroup: Array[(String, Long)] = null
+      val stages = probe {
+        perGroup = Sampling.tokenBudgetSharded(docs, "doc_id", "n_tok", "lang",
+          budget = 200000L, nShards = 16)
+          .groupBy($"lang").agg(sum($"n_tok").as("kept"))
+          .as[(String, Long)].collect()
+      }
+      assert(perGroup.nonEmpty && perGroup.forall(_._2 <= 200000L),
+        s"a group exceeded its budget: ${perGroup.filter(_._2 > 200000L).mkString(",")}")
+      // the hot language actually hits its cap (~738k tokens available)
+      assert(perGroup.find(_._1 == "en").exists(_._2 > 150000L))
+      assertBalanced("token-budget-sharded", stages)
+    }
+  }
+
+  test("scale: connected components over a 10k-spoke star plus chains stays balanced per round") {
+    withScaleConf {
+      // the mass-duplicate cluster shape: one 10k-spoke star (hub 0),
+      // 5k chain links, 20k hash-random edges
+      val star = spark.range(1, 10001).select(lit(0L).as("a"), $"id".as("b"))
+      val chains = spark.range(20000, 25000).select($"id".as("a"), ($"id" + 1).as("b"))
+      val random = spark.range(20000).select(
+        pmod(hash($"id"), lit(30000)).cast("long").as("a"),
+        pmod(hash($"id", lit(1)), lit(30000)).cast("long").as("b"))
+      val edges = star.unionByName(chains).unionByName(random)
+      var comps: DataFrame = null
+      val stages = probe {
+        comps = Graph.connectedComponents(edges, "a", "b")
+        // hub component: all 10k spokes resolve to 0
+        assert(comps.where($"component" === 0).count() >= 10001)
+      }
+      assertBalanced("connected-components", stages)
+    }
+  }
+
+  test("scale: ANN + IVF top-k over 50k embeddings with 1% zero-norm vectors — k rows/query, no poison, bounded lists") {
+    withScaleConf {
+      val queries = emb.where($"vec_id".isin(1L, 7L, 13L, 19L, 101L, 1001L, 20011L, 49999L))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      var ann: Array[(Long, Long)] = null
+      var ivf: Array[(Long, Long)] = null
+      val stages = probe {
+        ann = Similarity.annTopK(queries, emb, k = 10, nPlanes = 6)
+          .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+        ivf = Similarity.ivfTopK(queries, emb, k = 10, nLists = 16, nProbe = 4)
+          .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      }
+      for ((res, nm) <- Seq((ann, "ann"), (ivf, "ivf"))) {
+        val byQ = res.groupBy(_._1)
+        assert(byQ.size === 8 && byQ.values.forall(_.length == 10), s"$nm: not k per query")
+        assert(!res.exists(_._2 % 100 == 0), s"$nm: a zero-norm vector surfaced in top-k")
+      }
+      // IVF lists are data-dependent (Voronoi cells of hash-picked
+      // centroids) — inherently uneven, so the generic contract gets a
+      // looser bound here; the catastrophic mode (one list absorbing the
+      // corpus via a NaN centroid) would blow far past it
+      assertBalanced("ann+ivf", stages, ratio = 6.0)
+    }
+  }
+}
