@@ -36,8 +36,12 @@ import scala.collection.mutable
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
-  private val N = 60000      // documents (12× the sf0.1 table)
-  private val M = 50000      // embeddings
+  // default 12× the sf0.1 documents table — big enough that every stage
+  // the contract checks clears FLOOR, small enough for every `sbt test`.
+  // Override for one-off heavier runs (the 50× evidence recorded in
+  // BASELINE.md ran with SPARK_GRAFT_SCALE_N=250000 / SCALE_M=200000).
+  private val N = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "60000").toInt
+  private val M = sys.env.getOrElse("SPARK_GRAFT_SCALE_M", "50000").toInt
   private val DIM = 32
   private val RATIO = 3.5
   private val FLOOR = 5000L  // ignore stages whose max task reads fewer records
