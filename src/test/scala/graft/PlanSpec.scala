@@ -184,6 +184,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"exchange not hash-partitioned on (lang, __shard):\n$plan")
   }
 
+  test("l04c/l04d IVF probe join broadcasts the probes (corpus shuffles on list id only)") {
+    // the probed join's small side is queries × nProbe rows — it must
+    // broadcast, or the whole assigned corpus shuffles per probe set
+    for (name <- Seq("l04c_ivf_topk", "l04d_ivf_planted_recall")) {
+      val df = run(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$name: probes not broadcast:\n$plan")
+    }
+  }
+
+  test("l08c PNG decode never shuffles payload bytes (one exchange, scalars only)") {
+    val df = run("l08c_png_decode")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // generate → decode → featurize are narrow mapPartitions; the ONLY
+    // exchange is the final sort over (doc_id, scalar features), which
+    // sits above the projection that dropped the payload — at 100 TB the
+    // image bytes must never ride a shuffle
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // exchanges in the final section only
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(finalSection).size
+    assert(exchanges == 1,
+      s"expected exactly the final sort exchange, got $exchanges:\n$finalSection")
+  }
+
   test("l01b incremental dedup prunes the history scan to the text column") {
     val df = run("l01b_incremental_dedup")
     val plan = df.queryExecution.executedPlan.toString

@@ -88,8 +88,15 @@ class ScaleSpec extends SparkSpec {
     val byStage = mutable.Map.empty[Int, mutable.ArrayBuffer[(Long, Long)]]
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
       if (t.taskInfo != null && t.taskInfo.successful && t.taskMetrics != null) {
-        val recs = t.taskMetrics.inputMetrics.recordsRead +
-          t.taskMetrics.shuffleReadMetrics.recordsRead
+        // read side (input + shuffle read) OR write side (shuffle write),
+        // whichever is larger: map stages over generated/range sources
+        // report no input records, but their shuffle WRITE records still
+        // expose pre-exchange skew — without the max the probe is blind
+        // to map-side imbalance on synthetic sources
+        val recs = math.max(
+          t.taskMetrics.inputMetrics.recordsRead +
+            t.taskMetrics.shuffleReadMetrics.recordsRead,
+          t.taskMetrics.shuffleWriteMetrics.recordsWritten)
         byStage.getOrElseUpdate(t.stageId, mutable.ArrayBuffer.empty) +=
           ((recs, t.taskInfo.duration))
       }
