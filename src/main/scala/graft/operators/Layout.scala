@@ -65,9 +65,13 @@ object Layout {
     // right/full outer would emit each unmatched dim row once per salt
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(how),
       s"saltedJoin supports fact-preserving join types only, got $how")
-    val salted = fact.withColumn("__salt", saltExpr(fact, salts))
+    // uniquified temp column: a fixed "__salt" would silently clobber
+    // (and then drop) a caller column of that name on either side
+    val salt = (Iterator("__salt") ++ Iterator.from(0).map(i => s"__salt$i"))
+      .find(n => !fact.columns.contains(n) && !dim.columns.contains(n)).get
+    val salted = fact.withColumn(salt, saltExpr(fact, salts))
     val replicated = dim.crossJoin(
-      dim.sparkSession.range(salts).select(col("id").cast("int").alias("__salt")))
-    salted.join(replicated, Seq(key, "__salt"), how).drop("__salt")
+      dim.sparkSession.range(salts).select(col("id").cast("int").alias(salt)))
+    salted.join(replicated, Seq(key, salt), how).drop(salt)
   }
 }

@@ -320,6 +320,9 @@ object Multimodal {
     * for compressed formats could init once per partition; output schema
     * is explicit for downstream pruning. */
   def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
+    // schema.add would produce a duplicate-named column, which downstream
+    // resolution reports confusingly late — fail at the call site
+    require(!df.columns.contains("features"), "input already has a 'features' column")
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
     val enc = RowEncoder.encoderFor(outSchema)
     val payloadIdx = df.schema.fieldIndex("payload")
@@ -340,6 +343,7 @@ object Multimodal {
     * and two different seeds provably produce different features. */
   def syntheticPpm(df: DataFrame, seedCol: String, width: Int, height: Int): DataFrame = {
     require(width >= 1 && height >= 1, "syntheticPpm needs positive dims")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
     val outSchema = df.schema.add(StructField("payload", BinaryType))
     val enc = RowEncoder.encoderFor(outSchema)
     val seedIdx = df.schema.fieldIndex(seedCol)
@@ -413,6 +417,7 @@ object Multimodal {
     * through a genuine deflate → inflate → unfilter round trip. */
   def syntheticPng(df: DataFrame, seedCol: String, width: Int, height: Int): DataFrame = {
     require(width >= 1 && height >= 1, "syntheticPng needs positive dims")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
     val outSchema = df.schema.add(StructField("payload", BinaryType))
     val enc = RowEncoder.encoderFor(outSchema)
     val seedIdx = df.schema.fieldIndex(seedCol)

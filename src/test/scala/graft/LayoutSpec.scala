@@ -67,5 +67,10 @@ class LayoutSpec extends SparkSpec {
     assert(assign.values.toSet.size === 8, "hot key's rows did not spread over all salts")
     // deterministic under repartitioning (pure function of the row)
     assert(salts(fact.repartition(7)) === assign)
+    // a caller column named __salt survives (temp name is uniquified)
+    val withSalt = fact.withColumn("__salt", lit("mine"))
+    val out = Layout.saltedJoin(withSalt, dim, "k", salts = 4)
+    assert(out.columns.count(_ == "__salt") === 1)
+    assert(out.select($"__salt").distinct().as[String].collect().toSeq === Seq("mine"))
   }
 }
