@@ -162,6 +162,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodePng: gray and RGBA color types via ImageIO; alpha excluded from feature means") {
+    import java.awt.image.BufferedImage
+    def viaImageIO(img: BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos)); baos.toByteArray
+    }
+    // 8-bit grayscale (color type 0, 1 channel)
+    val gray = new BufferedImage(6, 4, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 6) gray.getRaster.setSample(x, y, 0, (x * 40 + y * 11) % 256)
+    val g = Multimodal.decodePng(viaImageIO(gray)).get
+    assert(g.channels == 1 && g.width == 6 && g.height == 4)
+    for (y <- 0 until 4; x <- 0 until 6)
+      assert((g.pixels(y * 6 + x) & 0xff) == (x * 40 + y * 11) % 256)
+    // RGBA (color type 6, 4 channels) with a non-opaque alpha
+    val rgba = new BufferedImage(5, 3, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 3; x <- 0 until 5)
+      rgba.setRGB(x, y, ((x * 50 + y) % 256 << 24) | (10 << 16) | (20 << 8) | 30)
+    val a = Multimodal.decodePng(viaImageIO(rgba)).get
+    assert(a.channels == 4 && a.width == 5 && a.height == 3)
+    assert((0 until 15).forall { p =>
+      (a.pixels(p * 4) & 0xff) == 10 && (a.pixels(p * 4 + 1) & 0xff) == 20 &&
+        (a.pixels(p * 4 + 2) & 0xff) == 30
+    })
+    // feature means come from the COLOR channels only — constant (10,20,30)
+    // regardless of the varying alpha plane
+    val df = Seq((1L, viaImageIO(rgba))).toDF("id", "payload")
+    val f = Multimodal.extractFeatures(df, dim = 8)
+      .select($"features").collect().head.getSeq[Float](0)
+    assert(f(0) == 3f && f(3) == 4f) // png, 4 channels
+    assert(f(4) == 10f && f(5) == 20f && f(6) == 30f && f(7) == 20f)
+  }
+
   test("extractFeatures on PNG: channel means match hand-computed values after the full round trip") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
     val feats = Multimodal.extractFeatures(

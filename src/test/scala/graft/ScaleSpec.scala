@@ -245,6 +245,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: sequence packing shards the layout windows (no single-partition cumsum)") {
+    withScaleConf {
+      import graft.operators.Packing
+      var total = 0L; var seqs = 0L
+      val stages = probe {
+        // aggregate a WINDOW-DERIVED column too, or Catalyst prunes the
+        // whole layout window away and the probe measures a bare scan
+        val r = Packing.packSequences(docs.where($"text".isNotNull),
+            "doc_id", "n_tok", seqLen = 512, shards = 64)
+          .agg(sum($"n_tok"), countDistinct($"shard", $"seq_in_shard"))
+          .as[(Long, Long)].head()
+        total = r._1; seqs = r._2
+      }
+      // conservation: every surviving doc's tokens are laid out
+      assert(total === docs.where($"text".isNotNull)
+        .agg(sum($"n_tok")).as[Long].head())
+      assert(seqs >= total / 512, s"too few packed sequences: $seqs")
+      assertBalanced("pack-sequences", stages)
+    }
+  }
+
   test("scale: connected components over a 10k-spoke star plus chains stays balanced per round") {
     withScaleConf {
       // the mass-duplicate cluster shape: one 10k-spoke star (hub 0),
