@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   *    AQE for skew splitting.
   *  - the as-of join avoids the O(n·m) naive expansion by a union+window
   *    pass: one shuffle on the partition key, one sort — the same shape a
-  *    dedicated as-of physical operator would produce.
+  *    dedicated as-of physical operator would produce. AQE does NOT split
+  *    skewed WINDOW partitions (only joins), so a hot key is one task in
+  *    the per-key forms; [[asofJoinBucketed]] is the hot-key scale form.
   */
 object Joins {
 
@@ -124,6 +126,89 @@ object Joins {
         last(col("__v"), ignoreNulls = true).over(w).alias("__v"): _*)
     filled.where(col("__side") === 1)
       .select(lCols.map(col) ++ valueCols.map(c => col(s"__v.$c").alias(c)): _*)
+  }
+
+  /** As-of join, time-bucketed two-pass variant — the HOT-KEY scale form.
+    * [[asofJoin]] windows per key, so one key carrying a large share of
+    * both sides (a bot user, a default tenant) becomes a single sorted
+    * task however many executors exist. Here the window partitions by
+    * (key, time bucket) — per-task work is bounded by bucket population,
+    * not key population — and the cross-bucket carry is recovered with a
+    * classic two-pass parallel prefix: pass 1 summarizes each populated
+    * bucket to its LAST right payload (a groupBy, one row per (key,
+    * bucket)); pass 2 runs the carry window over that tiny summary frame
+    * (rows = populated buckets per key, not events per key) and joins
+    * the carry-in back by (key, bucket). A left row's match is its
+    * within-bucket window value when a right row precedes it in the same
+    * bucket, else the carry-in from strictly earlier buckets — exactly
+    * [[asofJoin]]'s semantics (equivalence is property-tested, and j08c
+    * shares j08's DuckDB ASOF oracle).
+    *
+    * Bucketing uses truncating integer division of `unix_micros` (exact
+    * for any timestamp; monotone, which is all correctness needs).
+    * Choose `bucketSeconds` so a hot key's densest bucket fits a task —
+    * at 100 TB that's the same dial as shuffle partition sizing. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+      rightTs: String, valueCols: Seq[String], bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val lCols = left.columns
+    val rightStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
+    val widthUs = bucketSeconds * 1000000L
+    // integral `div` (exact at any magnitude; the double detour of
+    // floor(a/b) loses precision past 2^53 µs) — truncation's only
+    // quirk is a double-width bucket straddling the 1970 epoch, which
+    // is harmless: correctness needs monotone, not uniform, buckets
+    // applies to the tagged frames' `__ts` column
+    def bucketOf: Column = expr(s"unix_micros(__ts) div $widthUs")
+    // same NULL-key/ts right-row exclusion as asofJoin (see there)
+    val rClean = right.where(col(key).isNotNull && col(rightTs).isNotNull)
+    val rTagged = rClean.select(
+      (col(key).alias(key) +:
+        col(rightTs).alias("__ts") +:
+        lit(0).alias("__side") +:
+        struct(valueCols.map(col): _*).alias("__v") +:
+        lCols.filterNot(c => c == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).alias(c))): _*)
+    val lTagged = left.select(
+      (col(key) +:
+        col(leftTs).alias("__ts") +:
+        lit(1).alias("__side") +:
+        lit(null).cast(rightStructType).alias("__v") +:
+        lCols.filterNot(c => c == key).map(col)): _*)
+    val tagged = rTagged.unionByName(lTagged).withColumn("__b", bucketOf)
+    // pass 0: within-bucket as-of (same ordering contract as asofJoin)
+    val w1 = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("__ts"), col("__side"), col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = tagged
+      .select((col(key) +: col("__b") +: col("__side") +:
+        lCols.filterNot(_ == key).map(col)) :+
+        last(col("__v"), ignoreNulls = true).over(w1).alias("__vin"): _*)
+      .where(col("__side") === 1)
+    // pass 1: last right payload per populated (key, bucket) — max_by on
+    // (ts, payload) matches w1's (ts, side, payload) order for right rows
+    val lastPerBucket = rClean.select(col(key),
+        col(rightTs).alias("__ts"),
+        struct(valueCols.map(col): _*).alias("__v"))
+      .withColumn("__b", bucketOf)
+      .groupBy(col(key), col("__b"))
+      .agg(max_by(col("__v"), struct(col("__ts"), col("__v"))).alias("__last"))
+    // pass 2: carry-in per bucket = last over STRICTLY earlier buckets,
+    // computed over every bucket either side populates (a left-only
+    // bucket still needs its carry-in)
+    val wPrev = Window.partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = tagged.select(col(key), col("__b")).distinct()
+      .join(lastPerBucket.select(col(key), col("__b"), col("__last")), Seq(key, "__b"), "left")
+      .select(col(key), col("__b"),
+        last(col("__last"), ignoreNulls = true).over(wPrev).alias("__prev"))
+    // STRUCT-level coalesce: the match is one right ROW — a present
+    // within-bucket row with a NULL payload FIELD must not leak the
+    // carried bucket's field through a per-column coalesce
+    filled.join(carry, Seq(key, "__b"), "left")
+      .withColumn("__m", coalesce(col("__vin"), col("__prev")))
+      .select(lCols.map(col) ++ valueCols.map(c => col(s"__m.$c").alias(c)): _*)
   }
 
   /** As-of join, narrow-sort variant: the union+window pass carries only

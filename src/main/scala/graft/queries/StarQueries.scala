@@ -357,6 +357,18 @@ object StarQueries {
         .transform(asofOut)
     }, Some(asofOracle)),
 
+    // ---- J8c: as-of join, time-bucketed two-pass variant — the hot-key
+    // scale form (per-task work bounded by bucket population, carry-in
+    // recovered via a per-bucket summary + prefix window). Same inputs,
+    // projection and DuckDB ASOF oracle as j08/j08b: the three variants
+    // must be result-identical ----
+    ("j08c_asof_bucketed", (s, d) => {
+      val (clicks, purchases) = asofParts(s, d)
+      Joins.asofJoinBucketed(clicks, purchases, "user_id", "ts", "ts",
+        Seq("p_value", "p_ts"), bucketSeconds = 86400L)
+        .transform(asofOut)
+    }, Some(asofOracle)),
+
     // ---- S2: incrementing-mode scan (predicate pushed to parquet) ----
     ("s02_incrementing", (s, d) => {
       Tables.incrementingScan(Tables.events(s, d), "event_id", 9000L)

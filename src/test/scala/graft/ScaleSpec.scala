@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Graph, Sampling, Similarity}
+import graft.operators.{Dedup, Graph, Joins, Sampling, Similarity}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -283,6 +283,48 @@ class ScaleSpec extends SparkSpec {
         assert(comps.where($"component" === 0).count() >= 10001)
       }
       assertBalanced("connected-components", stages)
+    }
+  }
+
+  test("scale: bucketed as-of flattens a hot key the per-key as-of funnels into one task") {
+    withScaleConf {
+      // ONE key carries 60% of both sides (the bot-user/default-tenant
+      // shape). Per-key as-of = one sorted task for that key; the
+      // bucketed two-pass must spread it across (key, bucket) windows.
+      import org.apache.spark.sql.functions.timestamp_micros
+      val hot = when(pmod($"id", lit(10)) < 6, 0L).otherwise(pmod($"id", lit(997)) + 1L)
+      val left = spark.range(40000).select(hot.as("k"),
+        timestamp_micros($"id" * 1000000L).as("ts"), $"id".as("lid")).persist()
+      val right = spark.range(20000).select(hot.as("k"),
+        timestamp_micros($"id" * 2000000L + 1L).as("ts"), ($"id" * 1.0).as("p")).persist()
+      left.count(); right.count()
+      // aggregate the MATCHED payload — a bare count() lets Catalyst
+      // prune the whole window pipeline and the probe measures nothing
+      def evalJoin(df: org.apache.spark.sql.DataFrame): (Long, Option[Double]) = {
+        val r = df.agg(count(lit(1)), sum($"p")).collect().head
+        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))
+      }
+      var res: (Long, Option[Double]) = null
+      val stages = probe {
+        res = evalJoin(Joins.asofJoinBucketed(left, right, "k", "ts", "ts", Seq("p"),
+          bucketSeconds = 600L))
+      }
+      assert(res._1 === 40000L) // left-preserving
+      assertBalanced("asof-bucketed", stages)
+      // and the plain per-key form on the same data IS the straggler
+      // (sensitivity control, like the token-budget pair) — and both
+      // variants agree on the matched-payload aggregate
+      var plainRes: (Long, Option[Double]) = null
+      val plain = probe {
+        plainRes = evalJoin(Joins.asofJoin(left, right, "k", "ts", "ts", Seq("p")))
+      }
+      assert(plainRes === res, "bucketed and per-key as-of diverged at scale")
+      val detected = stageStats(plain).exists { case (_, nt, mx, md, _) =>
+        nt >= 4 && mx >= FLOOR && mx.toDouble / math.max(md, 1) > RATIO
+      }
+      assert(detected, "probe failed to detect the hot-key as-of straggler:\n" +
+        stageStats(plain).mkString("\n"))
+      left.unpersist(); right.unpersist()
     }
   }
 

@@ -81,6 +81,36 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(out("L2") === None)        // no right rows for k=2 → NULL payload
   }
 
+  test("J8c: bucketed as-of equals the plain as-of on hot keys, bucket boundaries, empty buckets") {
+    import java.sql.Timestamp
+    // adversarial fixture: one HOT key with right rows clustered so some
+    // buckets are empty (the carry-in must skip them), left rows exactly
+    // ON bucket boundaries and AT right timestamps (<= semantics), a key
+    // with left rows before any right row, and NULL key/ts rows
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val t = (m: Long) => new Timestamp(base + m * 60000L)
+    val left = ((1 to 200).map(i => (Some(7L), Option(t(i * 7L)), i.toLong)) ++
+      Seq((Some(8L), Option(t(5L)), 900L),   // before any right row for k=8
+        (Some(7L), Option(t(0L)), 901L),     // at the very first instant
+        (None, Option(t(50L)), 902L),        // NULL key
+        (Some(7L), None, 903L)))             // NULL ts
+      .toDF("k", "ts", "lid")
+    val right = ((1 to 40).map(i => (Some(7L), Option(t(i * 29L)), i * 1.0)) ++
+      Seq((Some(8L), Option(t(100L)), 800.0),
+        (Some(7L), None, 666.0), (None, Option(t(1L)), 777.0)))
+      .toDF("k", "ts", "p")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lid", $"p").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val plain = norm(graft.operators.Joins.asofJoin(left, right, "k", "ts", "ts", Seq("p")))
+    // bucket width 10 min: right rows every 29 min leave empty buckets
+    for (bucketSeconds <- Seq(600L, 3600L, 1L)) {
+      val bucketed = norm(graft.operators.Joins.asofJoinBucketed(
+        left, right, "k", "ts", "ts", Seq("p"), bucketSeconds))
+      assert(bucketed === plain, s"divergence at bucketSeconds=$bucketSeconds")
+    }
+    assert(plain.size === 204 && plain(900L).isEmpty && plain(902L).isEmpty && plain(903L).isEmpty)
+  }
+
   test("P9: rename ∘ rename composes; allowlist ∘ drop consistent") {
     val out = df.transform(Smt.renameFields("v" -> "x"))
       .transform(Smt.renameFields("x" -> "y"))
