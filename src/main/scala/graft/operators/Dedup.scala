@@ -37,7 +37,16 @@ object Dedup {
     * scan, so NULL rows never enter the window exchange at all
     * (pinned by DedupSpec). Cost: the source is scanned twice — cheap
     * for a columnar scan, and strictly better than the straggler once
-    * NULLs are non-negligible. */
+    * NULLs are non-negligible.
+    *
+    * Determinism requirement: because the two branches re-evaluate `df`
+    * with complementary isNull/isNotNull filters, `df` must be
+    * deterministic — an upstream `rand()`/`sample`, or an uncached
+    * shuffle recomputed after executor loss, can make the scans disagree
+    * and rows drop from (or duplicate into) BOTH branches. Persist or
+    * `localCheckpoint()` such an input before calling (the single-scan
+    * shape this replaced did not have the requirement; the straggler fix
+    * is worth stating it). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol))

@@ -152,6 +152,18 @@ object Joins {
       rightTs: String, valueCols: Seq[String], bucketSeconds: Long = 86400L): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val lCols = left.columns
+    // uniquified temp names (Sampling.tempName pattern): the fixed names
+    // the first cut used corrupted silently on clash — withColumn("__b")
+    // REPLACES a caller's same-named left column, and the final
+    // select(lCols) then emits bucket ids as that column's data. (Plain
+    // asofJoin's select-with-alias shape fails loudly instead.)
+    val used = (lCols ++ right.columns).toSet
+    def tn(base: String): String =
+      (Iterator(base) ++ Iterator.from(0).map(i => s"$base$i"))
+        .find(n => !used.contains(n)).get
+    val cTs = tn("__ts"); val cSide = tn("__side"); val cV = tn("__v")
+    val cB = tn("__b"); val cVin = tn("__vin"); val cLast = tn("__last")
+    val cPrev = tn("__prev"); val cM = tn("__m")
     val rightStructType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => right.schema(c)))
     val widthUs = bucketSeconds * 1000000L
@@ -159,56 +171,56 @@ object Joins {
     // floor(a/b) loses precision past 2^53 µs) — truncation's only
     // quirk is a double-width bucket straddling the 1970 epoch, which
     // is harmless: correctness needs monotone, not uniform, buckets
-    // applies to the tagged frames' `__ts` column
-    def bucketOf: Column = expr(s"unix_micros(__ts) div $widthUs")
+    // applies to the tagged frames' ts temp column
+    def bucketOf: Column = expr(s"unix_micros(`$cTs`) div $widthUs")
     // same NULL-key/ts right-row exclusion as asofJoin (see there)
     val rClean = right.where(col(key).isNotNull && col(rightTs).isNotNull)
     val rTagged = rClean.select(
       (col(key).alias(key) +:
-        col(rightTs).alias("__ts") +:
-        lit(0).alias("__side") +:
-        struct(valueCols.map(col): _*).alias("__v") +:
+        col(rightTs).alias(cTs) +:
+        lit(0).alias(cSide) +:
+        struct(valueCols.map(col): _*).alias(cV) +:
         lCols.filterNot(c => c == key).map(c =>
           lit(null).cast(left.schema(c).dataType).alias(c))): _*)
     val lTagged = left.select(
       (col(key) +:
-        col(leftTs).alias("__ts") +:
-        lit(1).alias("__side") +:
-        lit(null).cast(rightStructType).alias("__v") +:
+        col(leftTs).alias(cTs) +:
+        lit(1).alias(cSide) +:
+        lit(null).cast(rightStructType).alias(cV) +:
         lCols.filterNot(c => c == key).map(col)): _*)
-    val tagged = rTagged.unionByName(lTagged).withColumn("__b", bucketOf)
+    val tagged = rTagged.unionByName(lTagged).withColumn(cB, bucketOf)
     // pass 0: within-bucket as-of (same ordering contract as asofJoin)
-    val w1 = Window.partitionBy(col(key), col("__b"))
-      .orderBy(col("__ts"), col("__side"), col("__v"))
+    val w1 = Window.partitionBy(col(key), col(cB))
+      .orderBy(col(cTs), col(cSide), col(cV))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = tagged
-      .select((col(key) +: col("__b") +: col("__side") +:
+      .select((col(key) +: col(cB) +: col(cSide) +:
         lCols.filterNot(_ == key).map(col)) :+
-        last(col("__v"), ignoreNulls = true).over(w1).alias("__vin"): _*)
-      .where(col("__side") === 1)
+        last(col(cV), ignoreNulls = true).over(w1).alias(cVin): _*)
+      .where(col(cSide) === 1)
     // pass 1: last right payload per populated (key, bucket) — max_by on
     // (ts, payload) matches w1's (ts, side, payload) order for right rows
     val lastPerBucket = rClean.select(col(key),
-        col(rightTs).alias("__ts"),
-        struct(valueCols.map(col): _*).alias("__v"))
-      .withColumn("__b", bucketOf)
-      .groupBy(col(key), col("__b"))
-      .agg(max_by(col("__v"), struct(col("__ts"), col("__v"))).alias("__last"))
+        col(rightTs).alias(cTs),
+        struct(valueCols.map(col): _*).alias(cV))
+      .withColumn(cB, bucketOf)
+      .groupBy(col(key), col(cB))
+      .agg(max_by(col(cV), struct(col(cTs), col(cV))).alias(cLast))
     // pass 2: carry-in per bucket = last over STRICTLY earlier buckets,
     // computed over every bucket either side populates (a left-only
     // bucket still needs its carry-in)
-    val wPrev = Window.partitionBy(col(key)).orderBy(col("__b"))
+    val wPrev = Window.partitionBy(col(key)).orderBy(col(cB))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = tagged.select(col(key), col("__b")).distinct()
-      .join(lastPerBucket.select(col(key), col("__b"), col("__last")), Seq(key, "__b"), "left")
-      .select(col(key), col("__b"),
-        last(col("__last"), ignoreNulls = true).over(wPrev).alias("__prev"))
+    val carry = tagged.select(col(key), col(cB)).distinct()
+      .join(lastPerBucket.select(col(key), col(cB), col(cLast)), Seq(key, cB), "left")
+      .select(col(key), col(cB),
+        last(col(cLast), ignoreNulls = true).over(wPrev).alias(cPrev))
     // STRUCT-level coalesce: the match is one right ROW — a present
     // within-bucket row with a NULL payload FIELD must not leak the
     // carried bucket's field through a per-column coalesce
-    filled.join(carry, Seq(key, "__b"), "left")
-      .withColumn("__m", coalesce(col("__vin"), col("__prev")))
-      .select(lCols.map(col) ++ valueCols.map(c => col(s"__m.$c").alias(c)): _*)
+    filled.join(carry, Seq(key, cB), "left")
+      .withColumn(cM, coalesce(col(cVin), col(cPrev)))
+      .select(lCols.map(col) ++ valueCols.map(c => col(s"`$cM`.`$c`").alias(c)): _*)
   }
 
   /** As-of join, narrow-sort variant: the union+window pass carries only

@@ -79,12 +79,12 @@ object Similarity {
   }
 
   /** ANN via IVF (inverted-file) coarse quantization: `nLists`
-    * deterministic coarse centroids sampled hash-strided from the corpus
-    * — the minimum-id vector of each `pmod(shuffleKey(id), nLists)` ring
-    * bucket (no iterative k-means, so the index is reproducible and
-    * builds in one aggregation pass); every corpus vector is assigned to
-    * its nearest centroid, and a query scans only the `nProbe` centroid
-    * lists closest to it.
+    * deterministic coarse centroids — sampled hash-strided from the
+    * corpus (the minimum-id vector of each `pmod(shuffleKey(id), nLists)`
+    * ring bucket), then refined by `lloydIters` deterministic Lloyd's
+    * iterations (assign → per-list mean → reassign); every corpus vector
+    * is assigned to its nearest centroid, and a query scans only the
+    * `nProbe` centroid lists closest to it.
     *
     * Hash-strided, not smallest-id (the previous sample): low ids
     * typically correlate with one ingest batch/domain, which made every
@@ -92,6 +92,19 @@ object Similarity {
     * lists badly for everything else. The ring hash de-correlates the
     * pick from ingest order while staying a pure function of the ids —
     * equally deterministic, recall pinned by the `l04d` planted contract.
+    * A ring bucket can be EMPTY on small/collision-heavy corpora (one
+    * centroid per populated bucket only) — the sample is topped back up
+    * to min(nLists, corpus) by id-order fill so the effective list count
+    * never silently drops below what the caller asked for.
+    *
+    * Lloyd's refinement is deterministic end-to-end: per-list means are
+    * computed over the QUANTIZED integer grid (long sums are exact and
+    * aggregation-order-independent, unlike float sums), so the refined
+    * centroids are a pure function of the data. Empty and degenerate
+    * (all-zero mean) lists keep their sampled centroid. Each iteration
+    * costs one assignment pass + one (list, dim)-grouped partial
+    * aggregation whose result is nLists × dim rows — bounded driver-side
+    * like the sample itself.
     *
     * 100 TB shape: the pick is one partial-aggregating groupBy into
     * nLists groups (each map task keeps ≤nLists (id, vec) candidates);
@@ -99,19 +112,37 @@ object Similarity {
     * pass; the probe join shuffles on list id only. Recall improves with
     * nProbe at linear cost — the classic IVF trade-off. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nLists: Int = 16, nProbe: Int = 4,
+      nLists: Int = 16, nProbe: Int = 4, lloydIters: Int = 1,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.Column
+    require(lloydIters >= 0, "lloydIters must be >= 0")
+    // Zero-norm/null vectors are excluded from the sample AND the mean:
+    // such a centroid scores NaN against EVERY vector, and NaN wins
+    // Spark's `>` — one broken centroid would capture the whole corpus
+    // and degrade IVF to a per-query full scan.
+    val validCorpus = corpus
+      .where(col(cVec).isNotNull && !isnan(VF.cosineNative(col(cVec), col(cVec))))
+    // per-vector scored lists against a given centroid literal:
+    // array<struct<list, sim>>
+    def scoredAgainst(cents: Column, vec: Column): Column =
+      transform(cents, c => struct(c.getField("_1").alias("list"),
+        VF.cosineNative(vec, c.getField("_2")).alias("sim")))
+    // nearest list = running-max fold (no shuffle, no window). NaN sims
+    // (zero-norm CORPUS vector — centroids are never degenerate) never
+    // win the fold: `NaN > x` is true under Spark ordering, so without
+    // the guard a broken vector would take the first list and, worse, a
+    // NaN-scoring centroid would absorb everything.
+    def nearestAgainst(cents: Column, vec: Column): Column =
+      aggregate(scoredAgainst(cents, vec),
+        struct(lit(-1L).alias("list"), lit(-2.0d).alias("sim")),
+        (acc, x) => when(!isnan(x.getField("sim")) &&
+          x.getField("sim") > acc.getField("sim"), x).otherwise(acc))
+        .getField("list")
     // Collect the nLists centroid vectors (bounded, driver-side by
     // design — same footprint as broadcasting them) into one literal
     // array<struct<list, cent>> so assignment is a pure projection.
-    // Zero-norm/null vectors are excluded from the sample: such a
-    // centroid scores NaN against EVERY vector, and NaN wins Spark's
-    // `>` — one broken centroid would capture the whole corpus and
-    // degrade IVF to a per-query full scan.
-    val centRows = corpus
-      .where(col(cVec).isNotNull && !isnan(VF.cosineNative(col(cVec), col(cVec))))
+    var centRows: Array[(Long, Seq[Float])] = validCorpus
       .groupBy(pmod(Sampling.shuffleKey(cId), lit(nLists.toLong)).alias("__rb"))
       .agg(min_by(struct(col(cId).cast("long").alias("id"), col(cVec).alias("vec")),
         col(cId)).alias("__c"))
@@ -121,25 +152,48 @@ object Similarity {
       // sort both break ties by array position, so the array order must
       // itself be a pure function of the data
       .sortBy(_._1)
+    if (centRows.length < nLists) {
+      // id-order top-up for unpopulated ring buckets (TakeOrderedAndProject
+      // — per-partition top-k then a k-row merge, never a global sort)
+      val have = centRows.map(_._1).toSet
+      val fill = validCorpus
+        .select(col(cId).cast("long").alias("id"), col(cVec).alias("vec"))
+        .where(!col("id").isin(have.toSeq: _*))
+        .orderBy(col("id")).limit(nLists - centRows.length)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      centRows = (centRows ++ fill).sortBy(_._1)
+    }
+    val qScale = 1000000L
+    for (_ <- 0 until lloydIters) {
+      val cents0 = typedLit(centRows.toSeq)
+      // per-(list, dimension) exact integer sums over the quantized grid;
+      // result is ≤ nLists × dim rows — bounded like the sample collect
+      val sums = validCorpus
+        .select(nearestAgainst(cents0, col(cVec)).alias("__list"),
+          posexplode(VF.quantize(col(cVec), qScale)))
+        .groupBy(col("__list"), col("pos"))
+        .agg(sum(col("col")).alias("s"), count(lit(1)).alias("n"))
+        .collect()
+      val byList = sums.groupBy(_.getLong(0))
+      centRows = centRows.map { case (id, vec) =>
+        byList.get(id) match {
+          case Some(rows) =>
+            val mean = new Array[Float](rows.map(_.getInt(1)).max + 1)
+            rows.foreach { r =>
+              mean(r.getInt(1)) =
+                (r.getLong(2).toDouble / r.getLong(3) / qScale).toFloat
+            }
+            if (mean.forall(_ == 0f)) (id, vec)  // degenerate: keep sample
+            else (id, mean.toSeq)
+          case None => (id, vec)                 // empty list: keep sample
+        }
+      }
+    }
     val cents = typedLit(centRows.toSeq)
-    // per-vector scored lists: array<struct<list, sim>>
-    def scored(vec: Column): Column =
-      transform(cents, c => struct(c.getField("_1").alias("list"),
-        VF.cosineNative(vec, c.getField("_2")).alias("sim")))
-    // nearest list = running-max fold (no shuffle, no window). NaN sims
-    // (zero-norm CORPUS vector — centroids are already filtered) never
-    // win the fold: `NaN > x` is true under Spark ordering, so without
-    // the guard a broken vector would take the first list and, worse, a
-    // NaN-scoring centroid would absorb everything.
-    def nearestList(vec: Column): Column =
-      aggregate(scored(vec),
-        struct(lit(-1L).alias("list"), lit(-2.0d).alias("sim")),
-        (acc, x) => when(!isnan(x.getField("sim")) &&
-          x.getField("sim") > acc.getField("sim"), x).otherwise(acc))
-        .getField("list")
+    def nearestList(vec: Column): Column = nearestAgainst(cents, vec)
     // nProbe nearest lists = sort the scored array desc, slice
     def probeLists(vec: Column): Column =
-      transform(slice(array_sort(scored(vec),
+      transform(slice(array_sort(scoredAgainst(cents, vec),
         (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
           .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
         1, nProbe), c => c.getField("list"))

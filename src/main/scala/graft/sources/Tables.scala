@@ -102,9 +102,17 @@ object Tables {
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         while (i < n && sql.charAt(i) != '\n') i += 1 // -- comment (keep \n)
       } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
-        i += 2                               // block comment
-        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
-        i = math.min(n, i + 2)
+        // block comment — Spark SQL accepts NESTED bracketed comments
+        // (`/* /* */ customer */`), so track depth: closing at the first
+        // `*/` would leave the tail in scanner output as a phantom
+        // table reference, the exact clobber this scanner prevents
+        i += 2
+        var depth = 1
+        while (i < n && depth > 0) {
+          if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') { depth += 1; i += 2 }
+          else if (i + 1 < n && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') { depth -= 1; i += 2 }
+          else i += 1
+        }
         sb.append(' ')
       } else { sb.append(c); i += 1 }
     }

@@ -218,4 +218,18 @@ class ConnectorConfigSpec extends SparkSpec {
       assert(spark.table("customer").columns === Array("user_col"))
     } finally spark.catalog.dropTempView("customer")
   }
+
+  test("queryScan: NESTED block comments strip fully (Spark SQL accepts them)") {
+    import graft.sources.Tables
+    // Spark parses `/* /* */ customer */` as one nested comment; a
+    // depth-blind scanner closes at the first `*/` and leaves `customer`
+    // visible — re-clobbering the user view the scanner exists to protect
+    spark.range(3).toDF("user_col").createOrReplaceTempView("customer")
+    try {
+      val out = Tables.queryScan(spark, sf0001,
+        "SELECT o_orderkey FROM orders /* outer /* inner */ customer */ WHERE o_orderkey > 0")
+      assert(out.count() > 0)
+      assert(spark.table("customer").columns === Array("user_col"))
+    } finally spark.catalog.dropTempView("customer")
+  }
 }

@@ -80,6 +80,50 @@ class DedupSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("L4c: one Lloyd's iteration does not hurt recall (and is deterministic)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(iters: Int): Double = {
+      val ivf = Similarity.ivfTopK(queries, emb, 10, nLists = 16, nProbe = 4,
+          lloydIters = iters)
+        .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+      ivf.intersect(exact).size.toDouble / exact.size
+    }
+    val r0 = recallAt(0); val r1 = recallAt(1)
+    info(f"IVF recall@10: sampled=$r0%.3f refined(1 Lloyd)=$r1%.3f")
+    assert(r1 >= r0, f"Lloyd's refinement degraded recall: $r0%.3f -> $r1%.3f")
+    // integer-grid means: the refined index is a pure function of the
+    // data, so a second run returns the identical result set
+    val again = Similarity.ivfTopK(queries, emb, 10, nLists = 16, nProbe = 4,
+        lloydIters = 1)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val first = Similarity.ivfTopK(queries, emb, 10, nLists = 16, nProbe = 4,
+        lloydIters = 1)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(again === first, "refined IVF result set not reproducible")
+  }
+
+  test("L4c: centroid count tops up to nLists on a sparse corpus (ring-bucket fill)") {
+    // 6 vectors, 16 requested lists: ring buckets can't all populate —
+    // the id-order fill must still index every vector and return exact
+    // top-k (every list has ≤1 vector, so probing nProbe=4 of 6 lists
+    // that include the query's own planted copy is guaranteed)
+    val six = (0 until 6).map(i =>
+        (i.toLong, Seq.tabulate(8)(d => if (d == i) 1f else 0.01f * (i + d))))
+      .toDF("vec_id", "embedding")
+    val queries = six.where($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val ivf = Similarity.ivfTopK(queries, six, 1, nLists = 16, nProbe = 16,
+        lloydIters = 0)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    // with nProbe = nLists every list is probed: top-1 must be the query itself
+    assert(ivf === Set((0L, 0L), (1L, 1L)),
+      s"sparse-corpus IVF top-1 wrong: $ivf")
+  }
+
   test("L2: a planted hot bucket (1k identical docs) is sidelined, planted near-dups still found") {
     // 1000 byte-identical boilerplate docs share every band signature —
     // uncapped, their bucket self-join is ~500k pairs in ONE task. With

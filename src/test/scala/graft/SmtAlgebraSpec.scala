@@ -111,6 +111,24 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(plain.size === 204 && plain(900L).isEmpty && plain(902L).isEmpty && plain(903L).isEmpty)
   }
 
+  test("J8c: caller columns named __b/__m/__vin survive the bucketed as-of (temp names uniquify)") {
+    import java.sql.Timestamp
+    // the first cut hardcoded its temp columns: withColumn("__b", ...)
+    // REPLACED a caller's __b and the final select emitted bucket ids as
+    // that column's data — silent corruption. Temp names now uniquify.
+    val t = (m: Long) => new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
+    val left = Seq((1L, t(10), "keepB", "keepM", "keepV"), (1L, t(90), "b2", "m2", "v2"))
+      .toDF("k", "ts", "__b", "__m", "__vin")
+    val right = Seq((1L, t(5), 10.0), (1L, t(60), 60.0)).toDF("k", "ts", "p")
+    val out = graft.operators.Joins.asofJoinBucketed(left, right, "k", "ts", "ts", Seq("p"), 600L)
+    assert(out.columns.toSeq === Seq("k", "ts", "__b", "__m", "__vin", "p"))
+    val rows = out.orderBy($"ts").collect()
+    assert(rows.map(_.getString(2)).toSeq === Seq("keepB", "b2"), "caller __b corrupted")
+    assert(rows.map(_.getString(3)).toSeq === Seq("keepM", "m2"), "caller __m corrupted")
+    assert(rows.map(_.getString(4)).toSeq === Seq("keepV", "v2"), "caller __vin corrupted")
+    assert(rows.map(_.getDouble(5)).toSeq === Seq(10.0, 60.0), "as-of payload wrong")
+  }
+
   test("P9: rename ∘ rename composes; allowlist ∘ drop consistent") {
     val out = df.transform(Smt.renameFields("v" -> "x"))
       .transform(Smt.renameFields("x" -> "y"))
