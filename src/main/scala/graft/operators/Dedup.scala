@@ -138,6 +138,39 @@ object Dedup {
       .where(col("__bn") <= cap).drop("__bn")
   }
 
+  /** Banded MinHash signature frame — (idCol, __band, __bandsig): one row
+    * per (document, band), where __bandsig is that band's slice of the
+    * MinHash signature. This is the unit both the batch self-join
+    * ([[minhashCandidates]]) and the incremental probe
+    * ([[minhashIncremental]]) bucket on; two documents sharing any
+    * (band, bandsig) are LSH candidates. Narrow: carries ids and fixed
+    * `bands`-element slices only, never shingle sets. */
+  def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    df
+      .withColumn("__toks", TF.tokens(col(textCol)))
+      .withColumn("__shingles", TF.shingleSetOfTokens(col("__toks"), shingleN))
+      // hash array in its own project: the signature's 16 array_min
+      // branches then read an attribute instead of re-hashing 16×
+      .withColumn("__hashes", shingleHashes(col("__shingles")))
+      .withColumn("__sig", minhashSignatureOfHashes(col("__hashes"), numHashes))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("__sig"), b * rows + lit(1), lit(rows)))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bandsig")
+  }
+
+  /** Shingle-set frame — (idCol, __sh): the verification side of the LSH
+    * family (candidate pairs re-attach these by id and compute exact
+    * Jaccard). Tokens materialize before shingling — see the scale note
+    * in [[minhashCandidates]]. */
+  private[graft] def shingleFrame(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3): DataFrame =
+    df.withColumn("__toks", TF.tokens(col(textCol)))
+      .select(col(idCol), TF.shingleSetOfTokens(col("__toks"), shingleN).alias("__sh"))
+
   /** L2 — MinHash-LSH candidate pairs: band the signature, bucket-join,
     * emit candidate (idA < idB) pairs with their verified shingle-Jaccard.
     *
@@ -157,19 +190,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       maxBucket: Int = 128): DataFrame = {
-    val rows = numHashes / bands
-    val banded = df
-      .withColumn("__toks", TF.tokens(col(textCol)))
-      .withColumn("__shingles", TF.shingleSetOfTokens(col("__toks"), shingleN))
-      // hash array in its own project: the signature's 16 array_min
-      // branches then read an attribute instead of re-hashing 16×
-      .withColumn("__hashes", shingleHashes(col("__shingles")))
-      .withColumn("__sig", minhashSignatureOfHashes(col("__hashes"), numHashes))
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("__sig"), b * rows + lit(1), lit(rows)))))
-      .withColumnRenamed("pos", "__band")
-      .withColumnRenamed("col", "__bandsig")
+    val banded = bandedSignatures(df, textCol, idCol, shingleN, numHashes, bands)
     val bounded = dropOversizedBuckets(banded, Seq("__band", "__bandsig"), maxBucket)
     // aliased SELF-join: both sides are the same plan, so the bucket-key
     // exchange is computed once and reused (ReusedExchange) — the
@@ -189,13 +210,121 @@ object Dedup {
     // pushed predicate, O(tokens²) per pair (measured 3×). Tokens
     // materialize before shingling for the same reason
     // (TextFunctions.ngramsOfTokens scale note).
-    val shingled = df
-      .withColumn("__toks", TF.tokens(col(textCol)))
-      .select(col(idCol), TF.shingleSetOfTokens(col("__toks"), shingleN).alias("__sh"))
+    val shingled = shingleFrame(df, textCol, idCol, shingleN)
     pairs
       .join(shingled.select(col(idCol).alias("id_a"), col("__sh").alias("sh_a")), Seq("id_a"))
       .join(shingled.select(col(idCol).alias("id_b"), col("__sh").alias("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), TF.jaccard(col("sh_a"), col("sh_b")).alias("jaccard"))
+  }
+
+  /** Persist a document set's LSH state as the INCREMENTAL near-dedup
+    * history: two bucketed tables,
+    *
+    *  - `table` — the banded signature frame, bucketed AND sorted on
+    *    exactly the probe join's keys `(__band, __bandsig)` — exactly,
+    *    because the planner's co-partition check
+    *    (`spark.sql.requireAllClusterKeysForCoPartition`, default on)
+    *    only elides the history-side exchange when the bucket spec
+    *    matches ALL the join's clustering keys in order;
+    *  - `table_sh` — the shingle-set frame, bucketed on `idCol`, so
+    *    Jaccard verification reads stored shingles instead of
+    *    re-tokenizing history text.
+    *
+    * The point at 100 TB: signatures and shingles for the accumulated
+    * corpus are computed ONCE, at ingest; each arriving batch probes the
+    * bucketed layout with ZERO exchange on the history side (pinned in
+    * PlanSpec). Storage is the classic trade — the `_sh` table is about
+    * the corpus' token volume.
+    *
+    * @param numBuckets bucket count for both tables — size so one bucket
+    *   of the banded table fits a task at the target corpus (same dial
+    *   as shuffle partitions; 100 TB wants thousands, tests use few). */
+  def writeBandHistory(df: DataFrame, textCol: String, idCol: String,
+      table: String, numBuckets: Int, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, mode: String = "overwrite"): Unit = {
+    val banded = bandedSignatures(df, textCol, idCol, shingleN, numHashes, bands)
+    Layout.writeBucketed(banded, table, Seq("__band", "__bandsig"), numBuckets, mode)
+    Layout.writeBucketed(shingleFrame(df, textCol, idCol, shingleN),
+      s"${table}_sh", Seq(idCol), numBuckets, mode)
+  }
+
+  /** Append a (deduped) batch to an existing band history — the write
+    * half of the ingest loop: probe ([[minhashIncremental]]), drop dups
+    * ([[nearDedupIncremental]]), append survivors. Spark appends to a
+    * bucketed table preserving the bucket spec, so the zero-exchange
+    * probe property survives accumulation. */
+  def appendBandHistory(df: DataFrame, textCol: String, idCol: String,
+      table: String, numBuckets: Int, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): Unit =
+    writeBandHistory(df, textCol, idCol, table, numBuckets, shingleN,
+      numHashes, bands, mode = "append")
+
+  /** L2 incremental — near-dup candidate pairs of a NEW batch against a
+    * PERSISTED band history ([[writeBandHistory]]): the continuous-ingest
+    * form of [[minhashCandidates]]. Every production dedup pipeline is
+    * incremental — the corpus accumulates, batches arrive, and
+    * re-signaturing 100 TB per batch is not an option.
+    *
+    * Scale shape: the batch (small) is signatured fresh and joined to the
+    * history's banded table on the bucket key — the history side reads
+    * its bucketed layout with NO exchange (only the batch side shuffles,
+    * or broadcasts when tiny); verification joins the stored `_sh`
+    * shingles by id, again exchange-free on the history side. Nothing in
+    * the plan scales with history size except the bucketed reads
+    * themselves, and those prune to the probed buckets' files at the
+    * scan.
+    *
+    * Candidates are exact band matches verified by shingle Jaccard —
+    * identical semantics to running [[minhashCandidates]] over
+    * history ∪ batch and keeping only cross-side pairs (property-tested
+    * in DedupSpec; the signature/banding parameters must match the ones
+    * the history was written with).
+    *
+    * @param maxBucket per-bucket cap applied to the BATCH side (the
+    *   history side was capped — or not — at write time; a probe-time
+    *   history cap would need a count window, i.e. the exchange this
+    *   operator exists to avoid). Degenerate batch content lands in
+    *   oversized buckets and is sidelined exactly as in
+    *   [[minhashCandidates]]; pass Int.MaxValue to verify recall. */
+  def minhashIncremental(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, historyTable: String, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 128): DataFrame = {
+    val hist = spark.table(historyTable)
+    val batch = bandedSignatures(newDf, textCol, idCol, shingleN, numHashes, bands)
+    val bounded = dropOversizedBuckets(batch, Seq("__band", "__bandsig"), maxBucket)
+    // key order (__band, __bandsig) must mirror the history's bucket
+    // spec — see writeBandHistory on the all-keys co-partition rule
+    val pairs = bounded.as("n").join(hist.as("h"),
+        col("n.__band") === col("h.__band") &&
+          col("n.__bandsig") === col("h.__bandsig"))
+      .select(col(s"n.$idCol").alias("id_new"), col(s"h.$idCol").alias("id_hist"))
+      .distinct()
+    val newSh = shingleFrame(newDf, textCol, idCol, shingleN)
+    val histSh = spark.table(s"${historyTable}_sh")
+    pairs
+      .join(newSh.select(col(idCol).alias("id_new"), col("__sh").alias("sh_n")), Seq("id_new"))
+      .join(histSh.select(col(idCol).alias("id_hist"), col("__sh").alias("sh_h")), Seq("id_hist"))
+      .select(col("id_new"), col("id_hist"),
+        TF.jaccard(col("sh_n"), col("sh_h")).alias("jaccard"))
+  }
+
+  /** L2 incremental, applied — drop every batch row near-duplicating the
+    * persisted history above `threshold` (compose with
+    * [[nearDedupMinhash]] for within-batch dups, then
+    * [[appendBandHistory]] the survivors — the full ingest loop, tested
+    * end-to-end in DedupSpec). Same localCheckpoint barrier rationale as
+    * [[nearDedupMinhash]]. */
+  def nearDedupIncremental(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, historyTable: String, textCol: String, idCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, maxBucket: Int = 128): DataFrame = {
+    val dupIds = minhashIncremental(spark, newDf, historyTable, textCol, idCol,
+        shingleN, numHashes, bands, maxBucket)
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new").alias(idCol)).distinct()
+      .localCheckpoint(eager = true)
+    newDf.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** L2 applied — near-dedup: drop every doc that is the larger id of a

@@ -79,6 +79,32 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, None),
 
+    // ---- L2h: INCREMENTAL near-dedup — a new batch's MinHash signatures
+    // probe a PERSISTED bucketed band history (written once, zero
+    // exchange on the history side of the probe — pinned in PlanSpec);
+    // the continuous-ingest shape every production dedup pipeline runs.
+    // Contract (the l02d pattern): history = the documents table, batch =
+    // a near-dup variant of every doc_id % 7 == 0 doc; every planted
+    // batch doc must pair with its history original at jaccard ≥ 0.8.
+    // DuckDB independently counts the planted set. Uncapped buckets, as
+    // in l02d: the skew cap deliberately trades recall. ----
+    ("l02h_incremental_near_dedup", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzextra")).as("text"))
+      Dedup.writeBandHistory(docs, "text", "doc_id", "l02h_hist", numBuckets = 8)
+      val cands = Dedup.minhashIncremental(s, batch, "l02h_hist", "text", "doc_id",
+          maxBucket = Int.MaxValue)
+        .where(col("jaccard") >= 0.8)
+        .select(col("id_new"), col("id_hist"))
+      val planted = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("id_new"), col("doc_id").as("id_hist"))
+      planted.join(cands, Seq("id_new", "id_hist"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
+
     // ---- L2g: exact token-trigram Jaccard — the non-approximate member
     // of the dedup family (what MinHash estimates): set Jaccard over
     // distinct token 3-grams for each planted (original, near-copy) pair,

@@ -146,6 +146,57 @@ class DedupSpec extends SparkSpec {
     assert(!sh.exists(p => p._1 < 1000 && p._2 < 1000), "simhash hot-bucket pairs not sidelined")
   }
 
+  test("L2h: incremental near-dedup — full ingest loop against a persisted band history") {
+    import graft.operators.Dedup
+    // six pairwise-unrelated documents (each ~16 tokens: trigram Jaccard
+    // across any two is far below 0.8; a 1-token suffix copy is ~0.93)
+    val sents = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank while birds sing",
+      "distributed query engines shuffle partitions across executors and prune columns at the columnar scan layer",
+      "a watermark bounds state growth in streaming joins so the store evicts rows once event time passes",
+      "bucketed tables join without exchanges because both sides already share the same hash partitioning on disk",
+      "minhash signatures approximate jaccard similarity by taking minima of permuted shingle hashes per band",
+      "sequence packing lays documents into fixed token windows per shard without any global cumulative sum")
+    val history = sents.take(4).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS t_incr_hist")
+    spark.sql("DROP TABLE IF EXISTS t_incr_hist_sh")
+    Dedup.writeBandHistory(history, "text", "doc_id", "t_incr_hist", numBuckets = 4)
+
+    // batch 1: a near-dup of history doc 3 plus a genuinely fresh doc
+    val batch1 = Seq((103L, sents(3) + " zzextra"), (200L, sents(4))).toDF("doc_id", "text")
+    val cands1 = Dedup.minhashIncremental(spark, batch1, "t_incr_hist", "text", "doc_id",
+        maxBucket = Int.MaxValue)
+      .select($"id_new", $"id_hist", $"jaccard").collect()
+    assert(cands1.exists(r => r.getLong(0) == 103L && r.getLong(1) == 3L && r.getDouble(2) >= 0.8),
+      s"planted near-dup (103, 3) not found: ${cands1.mkString(",")}")
+    assert(!cands1.exists(r => r.getLong(0) == 200L && r.getDouble(2) >= 0.8),
+      "fresh doc spuriously matched history")
+    val surv1 = Dedup.nearDedupIncremental(spark, batch1, "t_incr_hist", "text", "doc_id")
+    assert(surv1.select($"doc_id").as[Long].collect().toSet === Set(200L))
+
+    // append survivors; batch 2 must now dedup against them too
+    Dedup.appendBandHistory(surv1, "text", "doc_id", "t_incr_hist", numBuckets = 4)
+    val batch2 = Seq((300L, sents(4) + " zzextra"), (400L, sents(5))).toDF("doc_id", "text")
+    val surv2 = Dedup.nearDedupIncremental(spark, batch2, "t_incr_hist", "text", "doc_id")
+    assert(surv2.select($"doc_id").as[Long].collect().toSet === Set(400L),
+      "batch-2 near-dup of an APPENDED doc not dropped — append broke the loop")
+
+    // parity: incremental pairs == cross-side pairs of batch-mode LSH over
+    // (current history ∪ batch2), including the verified jaccard values
+    val curHist = history.unionByName(surv1)
+    val inc = Dedup.minhashIncremental(spark, batch2, "t_incr_hist", "text", "doc_id",
+        maxBucket = Int.MaxValue)
+      .select($"id_hist", $"id_new", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val batchMode = Dedup.minhashCandidates(curHist.unionByName(batch2), "text", "doc_id",
+        maxBucket = Int.MaxValue)
+      .where($"id_a" < 300L && $"id_b" >= 300L) // cross-side pairs only
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(inc === batchMode, s"incremental != batch-mode cross pairs: $inc vs $batchMode")
+    spark.sql("DROP TABLE IF EXISTS t_incr_hist")
+    spark.sql("DROP TABLE IF EXISTS t_incr_hist_sh")
+  }
+
   test("L1: NULL texts all pass through exact dedup (not merged as duplicates)") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, null), (4L, null), (5L, null))
       .toDF("doc_id", "text")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 
 /** Physical-plan discipline (the 100 TB contract): filters reach the
@@ -219,6 +220,54 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // parquet scan must read one column, not the document payload row
     assert(plan.contains("ReadSchema: struct<text:string>"),
       s"history scan not pruned to text-only:\n$plan")
+  }
+
+  test("l02h incremental probe: history sides of the band and verify joins have NO exchange") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // root-to-node path through a plain (non-AQE) physical tree
+    def pathTo(p: SparkPlan, pred: SparkPlan => Boolean): Option[List[SparkPlan]] =
+      if (pred(p)) Some(List(p))
+      else p.children.iterator.flatMap(c => pathTo(c, pred)).nextOption().map(p :: _)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    spark.sql("DROP TABLE IF EXISTS t_plan_hist")
+    spark.sql("DROP TABLE IF EXISTS t_plan_hist_sh")
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    val oldB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast (the 100 TB probe is a shuffle-side join; with a
+      // broadcast batch the pin would be vacuous) and AQE (plain tree walk)
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.writeBandHistory(docs, "text", "doc_id", "t_plan_hist", numBuckets = 4)
+      val batch = docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"), concat(col("text"), lit(" zz")).as("text"))
+      val pairs = Dedup.minhashIncremental(spark, batch, "t_plan_hist", "text", "doc_id")
+      val plan = pairs.queryExecution.executedPlan
+      for (table <- Seq("t_plan_hist", "t_plan_hist_sh")) {
+        val path = pathTo(plan,
+            p => p.children.isEmpty && p.toString.contains(s"default.$table["))
+          .getOrElse(fail(s"no scan of $table in plan:\n$plan"))
+        // segment strictly between the nearest ancestor JOIN and the scan:
+        // the history rows must flow into the join straight off the
+        // bucketed layout — sorts are fine, exchanges are the bug
+        val joinIdx = path.lastIndexWhere(_.nodeName.toLowerCase.contains("join"))
+        assert(joinIdx >= 0, s"no join above the $table scan:\n$plan")
+        val histSide = path.drop(joinIdx + 1)
+        assert(!histSide.exists(_.isInstanceOf[ShuffleExchangeLike]),
+          s"exchange on the history side above $table:\n${histSide.mkString("\n")}")
+      }
+      // and the probe still finds pairs through the bucketed layout
+      assert(pairs.where(col("jaccard") >= 0.8).count() > 0)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+      spark.sql("DROP TABLE IF EXISTS t_plan_hist")
+      spark.sql("DROP TABLE IF EXISTS t_plan_hist_sh")
+    }
   }
 
   test("star queries stay inside whole-stage codegen (no interpreted hot path)") {
