@@ -9,16 +9,17 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extract run per-partition so batches amortize codec setup.
   *
-  * Feature extraction is CONTENT-DERIVED for two honest container
-  * formats parsed here from scratch — binary PPM images (`P6`, the
-  * classic uncompressed RGB container) and 16-bit PCM WAV audio
-  * (RIFF/WAVE) — covering one image and one audio modality end-to-end:
-  * header fields and per-channel pixel/sample statistics come from real
-  * decoding, and a changed payload provably changes the features
-  * (oracle-checked in `l08b_ppm_decode`). Payloads in any OTHER format
-  * fall back to `decodeStub` (deterministic bytes-hash fake), clearly
-  * quarantined — swap it for a JNI/codec call in production for
-  * compressed formats (those codecs aren't in this container).
+  * Feature extraction is CONTENT-DERIVED for four honest formats parsed
+  * here from scratch — binary PPM images (`P6`), PNG (full chunk walk +
+  * inflate + unfilter), baseline JPEG ([[Jpeg]]: Huffman entropy decode,
+  * dequantize, IDCT, YCbCr) and 16-bit PCM WAV audio (RIFF/WAVE) —
+  * covering compressed/uncompressed image and audio modalities
+  * end-to-end: header fields and per-channel pixel/sample statistics
+  * come from real decoding, and a changed payload provably changes the
+  * features (oracle-checked in `l08b`/`l08c`/`l08d`). Payloads in any
+  * OTHER format (progressive JPEG, MP3, video codecs) fall back to
+  * `decodeStub` (deterministic bytes-hash fake), clearly quarantined —
+  * swap it for a JNI/codec call in production.
   *
   * Scale notes: payloads never pass through a shuffle here (narrow
   * mapPartitions); at 100 TB keep payloads in their own column family
@@ -260,10 +261,14 @@ object Multimodal {
     *  - PNG:  [3, width, height, channels, meanR, meanG, meanB, meanAll]
     *    (gray images repeat the gray mean in all three slots; alpha is
     *    excluded from every mean — it is coverage, not color)
+    *  - JPEG: [4, width, height, channels, meanR, meanG, meanB, meanAll]
+    *    (baseline sequential via [[Jpeg.decode]]; grayscale repeats the
+    *    gray mean like PNG)
     *  - else: decodeStub (format tag 0 territory — quarantined fake)
     * Sums accumulate exactly in Long; the final double divisions (and
     * sqrt) are single IEEE ops, so an external engine recomputing the
-    * same formula gets bit-identical REALs (the l08b/l08c oracles do). */
+    * same formula gets bit-identical REALs (the l08b/l08c/l08d oracles
+    * do). */
   private[graft] def contentFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val full: Array[Float] = decodePpm(payload).map { im =>
       val px = im.pixels
@@ -297,6 +302,22 @@ object Multimodal {
       val mB = (if (colorCh == 3) sums(2) / n else sums(0) / n).toFloat
       val mAll = ((sums(0) + sums(1) + sums(2)) / (n * colorCh)).toFloat
       Array(3f, im.width.toFloat, im.height.toFloat, ch.toFloat, mR, mG, mB, mAll)
+    }).orElse(Jpeg.decode(payload).map { im =>
+      val px = im.pixels; val ch = im.channels
+      val sums = new Array[Long](3)
+      val npx = px.length / ch
+      var p = 0
+      while (p < npx) {
+        var c = 0
+        while (c < ch) { sums(c) += px(p * ch + c) & 0xff; c += 1 }
+        p += 1
+      }
+      val n = npx.toDouble
+      val mR = (sums(0) / n).toFloat
+      val mG = (if (ch == 3) sums(1) / n else sums(0) / n).toFloat
+      val mB = (if (ch == 3) sums(2) / n else sums(0) / n).toFloat
+      val mAll = ((sums(0) + sums(1) + sums(2)) / (n * ch)).toFloat
+      Array(4f, im.width.toFloat, im.height.toFloat, ch.toFloat, mR, mG, mB, mAll)
     }).orElse(decodeWav(payload).map { a =>
       var sum = 0L; var sq = 0.0; var mn = Int.MaxValue; var mx = Int.MinValue
       a.samples.foreach { s0 =>
@@ -407,6 +428,45 @@ object Multimodal {
     chunk("IDAT", zipped.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Deterministic JPEG test-pattern generator — what makes a LOSSY codec
+    * oracle-checkable: per row a grayscale baseline JPEG (width/height
+    * multiples of 8) whose 8×8 block b is the CONSTANT value
+    * `(seed * 7 + b) % 251`, encoded with an all-ones quantization table.
+    * A constant block survives the DCT round trip exactly (only the DC
+    * coefficient is non-zero, integer-scaled by 8, quantization step 1),
+    * so the decoded raster equals the planted raster bit-for-bit and the
+    * decoded means are recomputable from the seed alone (the
+    * `l08d_jpeg_decode` oracle does) — while the payload still crosses a
+    * genuine entropy-coded baseline JPEG stream (Huffman decode, DC
+    * prediction, IDCT). Lossy content (non-constant blocks, Annex K
+    * tables) is covered by the ImageIO cross-check in MultimodalSpec. */
+  def syntheticJpeg(df: DataFrame, seedCol: String, width: Int, height: Int): DataFrame = {
+    require(width >= 8 && height >= 8 && width % 8 == 0 && height % 8 == 0,
+      "syntheticJpeg needs positive multiples of 8")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val blocksX = width / 8
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val gray = new Array[Byte](width * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val b = (y / 8) * blocksX + x / 8
+            gray(y * width + x) = (((seed * 7 + b) % 251 + 251) % 251).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+ Jpeg.encodeGray(width, height, gray, Jpeg.UnitQuant))
+      }
+    }(enc)
   }
 
   /** Deterministic PNG test-pattern generator — the [[syntheticPpm]]

@@ -579,6 +579,30 @@ object LlmQueries {
           element_at(col("features"), 6).as("mean_g"),
           element_at(col("features"), 7).as("mean_b"))
         .orderBy(col("doc_id"))
-    }, Some("""SELECT d.doc_id, CAST(3 AS REAL) AS fmt, CAST(4 AS REAL) AS width, CAST(3 AS REAL) AS height, CAST(3 AS REAL) AS n_channels, CAST(SUM(CASE WHEN g.j % 3 = 0 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_r, CAST(SUM(CASE WHEN g.j % 3 = 1 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_g, CAST(SUM(CASE WHEN g.j % 3 = 2 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_b FROM documents d, generate_series(0, 35) g(j) GROUP BY d.doc_id ORDER BY d.doc_id"""))
+    }, Some("""SELECT d.doc_id, CAST(3 AS REAL) AS fmt, CAST(4 AS REAL) AS width, CAST(3 AS REAL) AS height, CAST(3 AS REAL) AS n_channels, CAST(SUM(CASE WHEN g.j % 3 = 0 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_r, CAST(SUM(CASE WHEN g.j % 3 = 1 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_g, CAST(SUM(CASE WHEN g.j % 3 = 2 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_b FROM documents d, generate_series(0, 35) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
+    // ---- L8d: baseline JPEG decode — the compressed-codec leg of the
+    // multimodal family, entirely from-scratch (ITU T.81: Huffman entropy
+    // decode, dequantize, IDCT). Lossy codecs are made oracle-checkable
+    // by construction: per doc a 16×16 grayscale JPEG whose four 8×8
+    // blocks are CONSTANT values (seed*7 + b) % 251 under a unit quant
+    // table — constant blocks survive the DCT round trip exactly, so the
+    // decoded mean is (Σ_b v_b) / 4 recomputable from the seed alone.
+    // DuckDB replays that arithmetic; the lossy path (non-constant
+    // content, Annex K tables) is cross-checked against the JDK's
+    // independent decoder in MultimodalSpec with the documented ±2
+    // IDCT-rounding tolerance. ----
+    ("l08d_jpeg_decode", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticJpeg(docs, "doc_id", width = 16, height = 16), dim = 8)
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).as("fmt"),
+          element_at(col("features"), 2).as("width"),
+          element_at(col("features"), 3).as("height"),
+          element_at(col("features"), 4).as("n_channels"),
+          element_at(col("features"), 5).as("mean_gray"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT d.doc_id, CAST(4 AS REAL) AS fmt, CAST(16 AS REAL) AS width, CAST(16 AS REAL) AS height, CAST(1 AS REAL) AS n_channels, CAST(SUM((d.doc_id*7 + g.j) % 251) / 4.0 AS REAL) AS mean_gray FROM documents d, generate_series(0, 3) g(j) GROUP BY d.doc_id ORDER BY d.doc_id"""))
   )
 }

@@ -207,6 +207,101 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L)(4) == mean(2L, 0))
   }
 
+  test("decodeJpeg: EXACT round trip on block-constant gray with unit quant; ImageIO agrees exactly") {
+    import graft.operators.Jpeg
+    // constant 8x8 blocks + all-ones quant: only the DC coefficient
+    // survives, integer-scaled by 8 — the DCT round trip is exact
+    val vals = Array(10, 250, 128, 37)
+    val gray = new Array[Byte](16 * 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      gray(y * 16 + x) = vals((y / 8) * 2 + x / 8).toByte
+    val jpg = Jpeg.encodeGray(16, 16, gray, Jpeg.UnitQuant)
+    val im = Jpeg.decode(jpg).get
+    assert(im.width == 16 && im.height == 16 && im.channels == 1)
+    assert(im.pixels.toSeq == gray.toSeq, "unit-quant constant blocks must round-trip exactly")
+    // the JDK's independent decoder must agree bit-for-bit on DC-only data
+    val jimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(jimg != null, "ImageIO could not parse our baseline JPEG")
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(jimg.getRaster.getSample(x, y, 0) == (gray(y * 16 + x) & 0xff),
+        s"ImageIO disagrees at ($x,$y)")
+  }
+
+  test("decodeJpeg: lossy color 4:4:4 vs the independent JDK decoder within IDCT tolerance") {
+    import graft.operators.Jpeg
+    // non-multiple-of-8 dims exercise MCU padding + crop; Annex K tables
+    // exercise real quantization. The spec leaves IDCT rounding
+    // implementation-defined — two correct decoders may differ by a
+    // couple of levels per sample, hence the ±2 band (color conversion
+    // rounding included).
+    val w = 21; val h = 13
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = ((x * 11 + y * 3) % 256).toByte
+      rgb(o + 1) = ((x * 2 + 7 * y) % 256).toByte
+      rgb(o + 2) = ((x * 5 + y * 13) % 256).toByte
+    }
+    val jpg = Jpeg.encode(w, h, rgb)
+    val im = Jpeg.decode(jpg).get
+    assert(im.width == w && im.height == h && im.channels == 3)
+    val jimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(jimg != null && jimg.getWidth == w && jimg.getHeight == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = jimg.getRGB(x, y); val o = (y * w + x) * 3
+      val ours = Seq(im.pixels(o) & 0xff, im.pixels(o + 1) & 0xff, im.pixels(o + 2) & 0xff)
+      val theirs = Seq((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      maxDiff = math.max(maxDiff, ours.zip(theirs).map(p => math.abs(p._1 - p._2)).max)
+    }
+    assert(maxDiff <= 2, s"decoders diverge by $maxDiff (>2) — not IDCT rounding noise")
+  }
+
+  test("decodeJpeg: restart markers honored; truncation/progressive/junk rejected") {
+    import graft.operators.Jpeg
+    val gray = Array.tabulate(24 * 8)(j => ((j * 13 + 5) % 251).toByte)
+    // restart interval 1: an RST marker (and a DC-predictor reset) after
+    // every MCU — decode must consume them and still be exact under unit quant
+    val withRst = Jpeg.encodeGray(24, 8, {
+      val g = new Array[Byte](24 * 8)
+      for (y <- 0 until 8; x <- 0 until 24) g(y * 24 + x) = Array(40, 200, 90)(x / 8).toByte
+      g
+    }, Jpeg.UnitQuant, restartInterval = 1)
+    val im = Jpeg.decode(withRst).get
+    for (y <- 0 until 8; x <- 0 until 24)
+      assert((im.pixels(y * 24 + x) & 0xff) == Array(40, 200, 90)(x / 8),
+        s"restart-coded block wrong at ($x,$y)")
+    // truncated scan / truncated header / junk → None, never garbage
+    val whole = Jpeg.encodeGray(24, 8, gray)
+    assert(Jpeg.decode(whole).isDefined)
+    assert(Jpeg.decode(whole.dropRight(6)).isEmpty, "EOI missing must reject")
+    assert(Jpeg.decode(whole.take(20)).isEmpty)
+    assert(Jpeg.decode("definitely not a jpeg".getBytes).isEmpty)
+    // progressive (SOF2) must be declined, not mis-decoded: patch the
+    // SOF0 marker byte (FF C0 → FF C2)
+    val prog = whole.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decode(prog).isEmpty, "progressive frames must fall to the stub")
+    // and a JPEG payload is not mistaken for the other containers
+    assert(Multimodal.decodePng(whole).isEmpty && Multimodal.decodePpm(whole).isEmpty &&
+      Multimodal.decodeWav(whole).isEmpty)
+  }
+
+  test("extractFeatures on JPEG: tag 4, exact means through the synthetic generator") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticJpeg(df, "id", width = 16, height = 16), dim = 8)
+      .select($"id", $"features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def mean(seed: Long): Float =
+      ((0 until 4).map(b => (seed * 7 + b) % 251).sum / 4.0).toFloat
+    assert(feats(1L).take(4) == Seq(4f, 16f, 16f, 1f)) // fmt=jpeg, w, h, 1 channel
+    assert(feats(1L)(4) == mean(1L) && feats(1L)(7) == mean(1L))
+    assert(feats(2L)(4) == mean(2L))
+    assert(feats(1L) != feats(2L))
+  }
+
   test("unknown formats fall back to the deterministic stub, same dim") {
     val df = Seq((1L, "not an image at all".getBytes)).toDF("id", "payload")
     val f1 = Multimodal.extractFeatures(df, dim = 8).select($"features").collect().head.getSeq[Float](0)
