@@ -36,6 +36,55 @@ object SchemaProvider {
           s"(have ${writers.keys.toSeq.sorted.mkString(",")})"))
   }
 
+  /** REST-backed provider speaking the public Confluent Schema Registry
+    * wire shape: `GET {baseUrl}/schemas/ids/{id}` returning
+    * `{"schema": "<schema json>"}` (the endpoint the reference's
+    * `SCHEMA_REGISTRY_URL`, `main.sh:15`, points every converter at).
+    * HTTP 404 maps to the registry-miss `IllegalArgumentException`
+    * contract; any other non-200 (auth, proxy, 5xx) throws with the
+    * status spelled out — decode must fail loudly, not garble.
+    *
+    * Scale shape: the instance is Serializable (the client state is all
+    * rebuilt lazily executor-side) and keeps a per-JVM id → schema cache,
+    * so each executor hits the registry once per schema id — the same
+    * access pattern as Confluent's own CachedSchemaRegistryClient. Ids
+    * are immutable in a registry, so the cache never invalidates. */
+  def rest(baseUrl: String, timeoutMs: Int = 10000): SchemaProvider =
+    new RestSchemaProvider(baseUrl, timeoutMs)
+
+  private final class RestSchemaProvider(baseUrl: String, timeoutMs: Int)
+      extends SchemaProvider {
+    // transient: rebuilt empty on each executor after deserialization
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    def schemaFor(id: Int): String = {
+      val hit = cache.get(id)
+      if (hit != null) return hit
+      val url = java.net.URI.create(s"${baseUrl.stripSuffix("/")}/schemas/ids/$id").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestProperty("Accept",
+        "application/vnd.schemaregistry.v1+json, application/json")
+      try {
+        val status = conn.getResponseCode
+        if (status == 404) throw new IllegalArgumentException(
+          s"schema id $id not found in registry at $baseUrl (HTTP 404)")
+        if (status != 200) throw new RuntimeException(
+          s"registry $baseUrl returned HTTP $status for schema id $id")
+        val body = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // the response envelope is flat ({"schema": "..."}); the schema
+        // string itself is an escaped JSON document inside it
+        val schema = ConnectorConfig.parseFlatJson(body).getOrElse("schema",
+          throw new RuntimeException(
+            s"registry response for id $id has no 'schema' field: $body"))
+        cache.put(id, schema)
+        schema
+      } finally conn.disconnect()
+    }
+  }
+
   /** Wrap a provider with the registry's compatibility gate: every schema
     * it serves must be Avro read-compatible with `readerSchemaJson`
     * (build it with [[AvroSerde.avroSchemaFor]]), or the lookup throws

@@ -301,6 +301,86 @@ class AvroSerdeSpec extends SparkSpec {
     }
   }
 
+  test("SchemaProvider.rest: LIVE loopback registry — end-to-end decode, 404 contract, cache, gate") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sources.SchemaProvider
+    // a real HTTP server speaking the Confluent REST wire shape — the
+    // embedded-Derby pattern applied to the registry (the closest a
+    // zero-egress sandbox gets to SCHEMA_REGISTRY_URL)
+    val v1 = Seq((1L, "a"), (3L, "c")).toDF("id", "name")
+    val v2 = Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+    val s21 = AvroSerde.avroSchemaFor(v1.schema)
+    val s22 = AvroSerde.avroSchemaFor(v2.schema)
+    val s30 = AvroSerde.avroSchemaFor(StructType(Seq( // type-clash writer
+      StructField("id", LongType), StructField("name", LongType))))
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val hits = new java.util.concurrent.atomic.AtomicInteger
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        hits.incrementAndGet()
+        val id = x.getRequestURI.getPath.stripPrefix("/schemas/ids/").toInt
+        val schema = id match {
+          case 21 => Some(s21); case 22 => Some(s22); case 30 => Some(s30)
+          case _ => None
+        }
+        val (status, body) = schema match {
+          case Some(sch) => (200, s"""{"schema": "${esc(sch)}"}""")
+          case None => (404, """{"error_code": 40403, "message": "Schema not found"}""")
+        }
+        val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        x.getResponseHeaders.add("Content-Type", "application/vnd.schemaregistry.v1+json")
+        x.sendResponseHeaders(status, bytes.length)
+        x.getResponseBody.write(bytes)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val provider = SchemaProvider.rest(base)
+      // direct lookup resolves the schema the server serves
+      val parser = new org.apache.avro.Schema.Parser()
+      assert(parser.parse(provider.schemaFor(21)) ===
+        new org.apache.avro.Schema.Parser().parse(s21))
+      // immutable-id cache: repeat lookups never re-hit the registry
+      val before = hits.get()
+      provider.schemaFor(21); provider.schemaFor(21)
+      assert(hits.get() === before, "cached id re-hit the registry")
+      // 404 keeps the registry-miss IllegalArgumentException contract
+      val miss = intercept[IllegalArgumentException](provider.schemaFor(99))
+      assert(miss.getMessage.contains("404"))
+      // end-to-end: mixed v1/v2 frames decode through the LIVE provider
+      // (lookups run inside executor tasks — serialization included)
+      val wire = AvroSerde.serializeFramed(v1, v1.columns.toSeq, schemaId = 21)
+        .select($"avro_value")
+        .unionByName(AvroSerde.serializeFramed(v2, v2.columns.toSeq, schemaId = 22)
+          .select($"avro_value"))
+      val readerStruct = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("score", DoubleType)))
+      val out = AvroSerde.deserializeRegistryWith(wire, "avro_value",
+        SchemaProvider.rest(base), readerStruct, "rt")
+      val rows = out.select($"rt.id", $"rt.name", $"rt.score").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+      assert(rows === Set((1L, "a", None), (3L, "c", None), (2L, "b", Some(9.5))))
+      // an id the registry doesn't know fails the decode loudly
+      val unknown = AvroSerde.serializeFramed(v1, v1.columns.toSeq, schemaId = 23)
+        .select($"avro_value")
+      intercept[org.apache.spark.SparkException] {
+        AvroSerde.deserializeRegistryWith(unknown, "avro_value",
+          SchemaProvider.rest(base), readerStruct, "rt").collect()
+      }
+      // the compatibility gate composes over the live provider: id 30's
+      // writer types `name` as long — unreadable, rejected with reasons
+      val gated = SchemaProvider.validated(SchemaProvider.rest(base),
+        AvroSerde.avroSchemaFor(readerStruct))
+      val bad = intercept[IllegalArgumentException](gated.schemaFor(30))
+      assert(bad.getMessage.contains("not read-compatible"))
+      assert(gated.schemaFor(21) === provider.schemaFor(21))
+    } finally server.stop(0)
+  }
+
   test("SchemaProvider.validated: the compatibility gate rejects an unreadable writer schema") {
     import graft.sources.SchemaProvider
     val readerStruct = StructType(Seq(
