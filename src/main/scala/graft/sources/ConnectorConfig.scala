@@ -162,15 +162,25 @@ object ConnectorConfig {
     // frame the incremental poll filters — a query+incrementing config
     // (standard Confluent shape, no table key at all) must poll the
     // query, not throw "no table configured"
+    // the Confluent JDBC source's batch bound (its `batch.max.rows`,
+    // default unbounded here — the connector defaults to 100 because it
+    // streams rows through one task; a distributed scan has no such
+    // per-task pressure, so bounding is opt-in)
+    val maxRows = config("batch.max.rows").map { v =>
+      val n = v.toInt
+      if (n <= 0) throw new IllegalArgumentException(
+        s"${config.name}: batch.max.rows must be positive, got $v")
+      n
+    }.getOrElse(Int.MaxValue)
     config("mode").getOrElse("bulk") match {
       case "incrementing" =>
         IncrementalSource.pollIncrementing(
           baseFrame(spark, sfDir, config),
-          req("incrementing.column.name"), stateDir)
+          req("incrementing.column.name"), stateDir, maxRows)
       case "timestamp+incrementing" =>
         IncrementalSource.pollTimestampIncrementing(
           baseFrame(spark, sfDir, config),
-          req("timestamp.column.name"), req("incrementing.column.name"), stateDir)
+          req("timestamp.column.name"), req("incrementing.column.name"), stateDir, maxRows)
       case _ =>
         IncrementalSource.Poll(sourceScan(spark, sfDir, config), () => ())
     }

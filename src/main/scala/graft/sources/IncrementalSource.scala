@@ -65,14 +65,33 @@ object IncrementalSource {
     * `commit()` records the pinned bound. Deriving the bound lazily at
     * commit time would re-scan the source and fold in rows that arrived
     * AFTER delivery — silently skipping them forever. Rows beyond the
-    * pin land in the next poll. */
-  def pollIncrementing(df: DataFrame, idCol: String, stateDir: String): Poll = {
+    * pin land in the next poll.
+    *
+    * `maxRowsPerPoll` (the Confluent JDBC source's `batch.max.rows` /
+    * Kafka's `maxOffsetsPerTrigger` analogue) bounds one poll: the pin
+    * becomes the `maxRowsPerPoll`-th smallest new id instead of the
+    * global max, so a large backlog (first poll against a year of
+    * history, a source that burst while the pipeline was down) drains
+    * across several bounded polls instead of one giant batch that
+    * overwhelms the sink. `commit()` still advances only to the
+    * DELIVERED high-water mark — the remaining backlog is simply what
+    * the next poll sees. The bound is computed as a per-partition
+    * bottom-k + k-row merge (TakeOrderedAndProject), never a global
+    * sort. */
+  def pollIncrementing(df: DataFrame, idCol: String, stateDir: String,
+      maxRowsPerPoll: Int = Int.MaxValue): Poll = {
+    require(maxRowsPerPoll > 0, "maxRowsPerPoll must be positive")
     val spark = df.sparkSession
     val lastId = readOffset(spark, stateDir).map(_._2).getOrElse(Long.MinValue)
     // NULL-id rows are never captured, matching the Connect JDBC source
     // (the incrementing column must be non-nullable there) — made
     // explicit here rather than left to three-valued `>` semantics
-    val mx = df.where(col(idCol).isNotNull && col(idCol) > lastId)
+    val fresh = df.where(col(idCol).isNotNull && col(idCol) > lastId)
+    // unbounded: one max aggregate. Bounded: max over the k smallest new
+    // ids (limit(Int.MaxValue) would plan a driver-side global sort —
+    // keep the unbounded path a plain aggregate)
+    val mx = (if (maxRowsPerPoll == Int.MaxValue) fresh
+      else fresh.select(col(idCol)).orderBy(col(idCol)).limit(maxRowsPerPoll))
       .agg(max(col(idCol)).cast("long")).collect()(0)
     if (mx.isNullAt(0)) Poll(df.where(lit(false)), () => ()) // nothing new
     else {
@@ -96,9 +115,13 @@ object IncrementalSource {
     * table whose NEW rows all carry NULL timestamps would make
     * `max(struct(ts, id))` return a non-null struct with a null ts field
     * (struct ordering sorts the null field lowest, so the struct itself
-    * survives) and the pin dereference would NPE. */
+    * survives) and the pin dereference would NPE.
+    *
+    * `maxRowsPerPoll` bounds the poll exactly as in [[pollIncrementing]]
+    * (pin = the k-th smallest new (ts, id) pair, lexicographically). */
   def pollTimestampIncrementing(df: DataFrame, tsCol: String, idCol: String,
-      stateDir: String): Poll = {
+      stateDir: String, maxRowsPerPoll: Int = Int.MaxValue): Poll = {
+    require(maxRowsPerPoll > 0, "maxRowsPerPoll must be positive")
     val spark = df.sparkSession
     val (lastUs, lastId) = readOffset(spark, stateDir).getOrElse((Long.MinValue, Long.MinValue))
     val lastTs = new java.sql.Timestamp(Math.floorDiv(lastUs, 1000000L) * 1000L)
@@ -107,7 +130,9 @@ object IncrementalSource {
     val beyond =
       if (lastUs == Long.MinValue) keyed // initial poll: everything keyed
       else Tables.timestampIncrementingScan(keyed, tsCol, idCol, lastTs, lastId)
-    val mx = beyond
+    val mx = (if (maxRowsPerPoll == Int.MaxValue) beyond
+      else beyond.select(col(tsCol), col(idCol))
+        .orderBy(col(tsCol), col(idCol)).limit(maxRowsPerPoll))
       .agg(max(struct(col(tsCol).alias("ts"), col(idCol).cast("long").alias("id"))))
       .collect()(0)
     if (mx.isNullAt(0)) Poll(df.where(lit(false)), () => ())

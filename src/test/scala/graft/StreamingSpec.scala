@@ -441,6 +441,67 @@ class StreamingSpec extends SparkSpec {
     assert(IncrementalSource.readOffset(spark, state) === Some((0L, 15L)))
   }
 
+  test("S2 bounded polls: a backlog drains across N polls, exactly-once across a mid-drain restart") {
+    import graft.sources.{ConnectorConfig, IncrementalSource}
+    val dir = tmpDir("incbounded")
+    val data = s"$dir/table"
+    val state = s"$dir/offsets"
+    // a 23-row backlog against maxRowsPerPoll=10: 10 + 10 + 3
+    (1L to 23L).map(i => (i, s"row$i")).toDF("id", "s").write.mode("append").parquet(data)
+    def poll() = IncrementalSource.pollIncrementing(
+      spark.read.parquet(data), "id", state, maxRowsPerPoll = 10)
+    val p1 = poll()
+    assert(p1.batch.select($"id").as[Long].collect().toSet === (1L to 10L).toSet)
+    p1.commit()
+    // mid-drain "restart": an UNCOMMITTED poll is re-read in full (the
+    // at-least-once contract), never skipped past
+    val lost = poll()
+    assert(lost.batch.select($"id").as[Long].collect().toSet === (11L to 20L).toSet)
+    // lost.commit() never runs — crash here
+    val p2 = poll() // fresh process, same state dir
+    assert(p2.batch.select($"id").as[Long].collect().toSet === (11L to 20L).toSet,
+      "uncommitted bounded poll must be re-delivered after a restart")
+    p2.commit()
+    val p3 = poll() // remainder is smaller than the bound
+    assert(p3.batch.select($"id").as[Long].collect().toSet === (21L to 23L).toSet)
+    p3.commit()
+    val p4 = poll()
+    assert(p4.batch.isEmpty) // drained; offset at the true high-water mark
+    assert(IncrementalSource.readOffset(spark, state) === Some((0L, 23L)))
+    // the Connect config key dispatches the bound (and rejects nonsense)
+    val dir2 = tmpDir("incbounded2")
+    val cfg = ConnectorConfig.Config("b-src", Map("mode" -> "incrementing",
+      "table" -> "events", "incrementing.column.name" -> "event_id",
+      "batch.max.rows" -> "7"))
+    val c1 = ConnectorConfig.pollSource(spark, sf0001, cfg, s"$dir2/state")
+    assert(c1.batch.count() === 7L)
+    intercept[IllegalArgumentException] {
+      ConnectorConfig.pollSource(spark, sf0001, ConnectorConfig.Config("bad",
+        cfg.settings + ("batch.max.rows" -> "0")), s"$dir2/state")
+    }
+  }
+
+  test("S3 bounded polls: the (ts, id) pin honors the bound on the lexicographic order") {
+    import graft.sources.IncrementalSource
+    val dir = tmpDir("tsbounded")
+    val data = s"$dir/table"
+    val state = s"$dir/offsets"
+    val t1 = ts("2024-01-01 00:00:01"); val t2 = ts("2024-01-01 00:00:02")
+    // 4 rows at t1 (ids 1-4), 2 at t2 (ids 5-6): bound 3 must split the
+    // equal-timestamp run on the id tie-break, not skip or re-read
+    Seq((t1, 1L), (t1, 2L), (t1, 3L), (t1, 4L), (t2, 5L), (t2, 6L))
+      .toDF("ts", "id").write.mode("append").parquet(data)
+    def poll() = IncrementalSource.pollTimestampIncrementing(
+      spark.read.parquet(data), "ts", "id", state, maxRowsPerPoll = 3)
+    val p1 = poll()
+    assert(p1.batch.select($"id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    p1.commit()
+    val p2 = poll()
+    assert(p2.batch.select($"id").as[Long].collect().toSet === Set(4L, 5L, 6L))
+    p2.commit()
+    assert(poll().batch.isEmpty)
+  }
+
   test("S3 resumable: timestamp+incrementing resumes mid-timestamp on the id tie-break") {
     import graft.sources.IncrementalSource
     val dir = tmpDir("tssrc")
