@@ -328,6 +328,83 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: AQE skew-join split flattens a hot fact-fact join key (control: split disabled IS the straggler)") {
+    withScaleConf {
+      // ONE key carries 60% of the fact side — the skew shape the window
+      // operators up-stack had to solve by hand (sharding/bucketing).
+      // JOINS are the one place AQE fixes it at runtime; this case proves
+      // that claim is true ON THIS ENGINE'S CONFIG, not just in the docs,
+      // with thresholds tuned so the optimization fires at test scale
+      // (the hot partition is ~4 MB here, not 256 MB).
+      // 32 input partitions: a skewed reduce partition can only split at
+      // map-output-block granularity, so map-side parallelism bounds how
+      // finely AQE can split the hot key (4 map tasks would cap the split
+      // at 4 chunks of 30k records — still a straggler)
+      // hash payload, and aggregated BELOW the join so it survives column
+      // pruning: skew detection reads COMPRESSED map-output sizes, and a
+      // pruned-to-constant-key hot partition lz4-compresses to ~nothing —
+      // no threshold can see it (exactly what production rows, which
+      // carry real payloads, don't do)
+      val keyed = when(pmod($"id", lit(10)) < 6, 0L).otherwise(pmod($"id", lit(997)) + 1L)
+      val fact = spark.range(0, 200000, 1, 32)
+        .select(keyed.as("k"), hash($"id").cast("long").as("payload")).persist()
+      val dim = spark.range(0, 998).select($"id".as("k"), ($"id" * 2.0).as("w")).persist()
+      fact.count(); dim.count()
+      val tuned = Seq(
+        // forbid broadcast BOTH at plan time and at AQE re-plan time: the
+        // right side is small, and a runtime broadcast conversion would
+        // dodge the skew path this case exists to exercise (real
+        // fact-fact right sides aren't broadcastable)
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        // skew thresholds are over COMPRESSED map-output bytes — the
+        // 120k-row hot partition is a few hundred KB on the wire, so the
+        // production 256m threshold must scale down with the data
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k")
+      val old = (tuned.map(_._1) :+ "spark.sql.adaptive.skewJoin.enabled")
+        .map(k => k -> spark.conf.getOption(k))
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        def run(): (Long, Map[Int, Seq[(Long, Long)]]) = {
+          var n = 0L
+          val st = probe {
+            val r = fact.join(dim, Seq("k"))
+              .agg(count(lit(1)), sum($"payload")).collect().head
+            n = r.getLong(0)
+          }
+          (n, st)
+        }
+        // control: skew split OFF — the probe must see the one-task hot key
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val (n0, control) = run()
+        assert(n0 === 200000L)
+        info("skew-join control (split disabled): " + stageStats(control).map {
+          case (sid, n, mx, md, ms) => s"stage $sid n=$n max=$mx med=$md ${ms}ms" }.mkString("; "))
+        val detected = stageStats(control).exists { case (_, nt, mx, md, _) =>
+          nt >= 4 && mx >= FLOOR && mx.toDouble / math.max(md, 1) > RATIO
+        }
+        assert(detected, "probe failed to detect the hot-key join straggler with " +
+          "skew split disabled — the split evidence below would be vacuous:\n" +
+          stageStats(control).mkString("\n"))
+        // with AQE skew split ON: same result, post-split task balance
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        val (n1, split) = run()
+        assert(n1 === 200000L, "skew split changed the join result")
+        assertBalanced("skew-join-split", split)
+        // and the straggler is materially flattened, not just re-labeled
+        val mx0 = stageStats(control).map(_._3).max
+        val mx1 = stageStats(split).map(_._3).max
+        assert(mx1 * 2 <= mx0,
+          s"skew split did not flatten the hot task: max $mx0 -> $mx1 records")
+      } finally {
+        old.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+        fact.unpersist(); dim.unpersist()
+      }
+    }
+  }
+
   test("scale: ANN + IVF top-k over 50k embeddings with 1% zero-norm vectors — k rows/query, no poison, bounded lists") {
     withScaleConf {
       val queries = emb.where($"vec_id".isin(1L, 7L, 13L, 19L, 101L, 1001L, 20011L, 49999L))
