@@ -13,6 +13,11 @@ Test / fork := true
 // Suites share one SparkSession; some (LayoutSpec) toggle session confs
 // that others (PlanSpec) assert on — run sequentially.
 Test / parallelExecution := false
+// The 50x scale-evidence suite is on-demand only (several minutes):
+//   sbt "testOnly *ScaleSpec* -- -n Scale50x"
+// Task-scoped filter: the aggregate `test` task skips it, testOnly can
+// still select it (a -l exclude would veto the -n include).
+Test / test / testOptions += Tests.Filter(_ != "graft.ScaleSpec50x")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -248,6 +248,23 @@ object Dedup {
       s"${table}_sh", Seq(idCol), numBuckets, mode)
   }
 
+  /** Drop a band history: both tables AND their warehouse locations.
+    * The location delete matters across sessions — with a non-durable
+    * metastore (the default in-memory Derby) a new session's catalog has
+    * no entry for the old table, `mode=overwrite` therefore takes the
+    * CREATE path, and `saveAsTable` refuses with
+    * LOCATION_ALREADY_EXISTS over the surviving directory. Callers that
+    * rebuild a history from scratch (rather than [[appendBandHistory]])
+    * should drop first. */
+  def dropBandHistory(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    for (t <- Seq(table, s"${table}_sh")) {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   /** Append a (deduped) batch to an existing band history — the write
     * half of the ingest loop: probe ([[minhashIncremental]]), drop dups
     * ([[nearDedupIncremental]]), append survivors. Spark appends to a

@@ -93,6 +93,9 @@ object LlmQueries {
       val batch = docs.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" zzextra")).as("text"))
+      // rebuild from scratch each run: a PREVIOUS session's warehouse
+      // directory would otherwise fail the managed-table create
+      Dedup.dropBandHistory(s, "l02h_hist")
       Dedup.writeBandHistory(docs, "text", "doc_id", "l02h_hist", numBuckets = 8)
       val cands = Dedup.minhashIncremental(s, batch, "l02h_hist", "text", "doc_id",
           maxBucket = Int.MaxValue)

