@@ -18,14 +18,28 @@ object Layout {
 
   /** Write `df` as a bucketed managed table (sorted within buckets for
     * merge-friendly reads). Join two tables bucketed with the same
-    * (cols, numBuckets) and the plan has no shuffle on either side. */
+    * (cols, numBuckets) and the plan has no shuffle on either side.
+    *
+    * File-count note for 100 TB: Spark's bucketed write emits one file
+    * per (writing task × populated bucket) — no shuffle at write time,
+    * but a wide write fans out to tasks×buckets files. Set
+    * `onePassPerBucket` to pre-shuffle on the bucket columns so each
+    * bucket lands in exactly one file (costs one exchange at write
+    * time; buys single-file sorted buckets, so bucket-side reads skip
+    * the per-file merge sort). The zero-exchange JOIN property is the
+    * same either way. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int, mode: String = "overwrite"): Unit =
-    df.write.mode(mode)
+      numBuckets: Int, mode: String = "overwrite",
+      onePassPerBucket: Boolean = false): Unit = {
+    val laid =
+      if (onePassPerBucket) df.repartition(numBuckets, bucketCols.map(df.col): _*)
+      else df
+    laid.write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Equi-join of two same-bucketed tables by name — shuffle-free when
     * both were written with identical bucketing. */

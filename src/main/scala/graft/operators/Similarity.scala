@@ -121,8 +121,18 @@ object Similarity {
     // such a centroid scores NaN against EVERY vector, and NaN wins
     // Spark's `>` — one broken centroid would capture the whole corpus
     // and degrade IVF to a per-query full scan.
-    val validCorpus = corpus
+    val validCorpusRaw = corpus
       .where(col(cVec).isNotNull && !isnan(VF.cosineNative(col(cVec), col(cVec))))
+    // index build makes 1 (sample) + lloydIters (mean) passes over the
+    // (id, vec) projection — persist it for the build's duration when
+    // iterating (disk-spillable: at 100 TB the projection is a fraction
+    // of the table, and re-scanning parquet per pass costs more than the
+    // spill; released before the query-side probe plan is built)
+    val buildPasses = 1 + lloydIters
+    val validCorpus =
+      if (buildPasses > 1) validCorpusRaw.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else validCorpusRaw
     // per-vector scored lists against a given centroid literal:
     // array<struct<list, sim>>
     def scoredAgainst(cents: Column, vec: Column): Column =
@@ -189,6 +199,7 @@ object Similarity {
         }
       }
     }
+    if (buildPasses > 1) validCorpus.unpersist(blocking = false)
     val cents = typedLit(centRows.toSeq)
     def nearestList(vec: Column): Column = nearestAgainst(cents, vec)
     // nProbe nearest lists = sort the scored array desc, slice

@@ -73,4 +73,32 @@ class LayoutSpec extends SparkSpec {
     assert(out.columns.count(_ == "__salt") === 1)
     assert(out.select($"__salt").distinct().as[String].collect().toSeq === Seq("mine"))
   }
+
+  test("writeBucketed onePassPerBucket: each bucket lands in exactly one file, rows intact") {
+    // the repartition hash must equal the bucketing hash, or rows would
+    // scatter across bucket files (and reads would silently mis-bucket)
+    val orders = Tables.orders(spark, sf0001).select($"o_orderkey", $"o_custkey")
+    Layout.writeBucketed(orders, "t_onepass", Seq("o_custkey"), 4,
+      onePassPerBucket = true)
+    try {
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, "t_onepass")
+      val files = loc.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 4, s"expected 4 bucket files: ${files.map(_.getName).mkString(",")}")
+      assert(spark.table("t_onepass").count() === orders.count())
+      // still a valid zero-exchange join partner after the pre-shuffle
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        Layout.writeBucketed(orders, "t_onepass_b", Seq("o_custkey"), 4,
+          onePassPerBucket = true)
+        val j = Layout.bucketedJoin(spark, "t_onepass", "t_onepass_b", Seq("o_custkey"))
+        j.collect()
+        assert(!j.queryExecution.executedPlan.toString.contains("Exchange"))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_onepass_b")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS t_onepass")
+  }
 }
