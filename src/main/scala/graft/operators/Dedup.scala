@@ -257,13 +257,8 @@ object Dedup {
     * rebuild a history from scratch (rather than [[appendBandHistory]])
     * should drop first. */
   def dropBandHistory(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
-    for (t <- Seq(table, s"${table}_sh")) {
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val loc = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), t)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    for (t <- Seq(table, s"${table}_sh"))
+      Layout.dropTableAndLocation(spark, t)
 
   /** Append a (deduped) batch to an existing band history — the write
     * half of the ingest loop: probe ([[minhashIncremental]]), drop dups

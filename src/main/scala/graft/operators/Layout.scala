@@ -41,6 +41,20 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Drop a managed table AND its warehouse location. The location
+    * delete matters across sessions — with a non-durable metastore (the
+    * default in-memory Derby) a new session's catalog has no entry for
+    * the old table, `mode=overwrite` therefore takes the CREATE path,
+    * and `saveAsTable` refuses with LOCATION_ALREADY_EXISTS over the
+    * surviving directory. */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Equi-join of two same-bucketed tables by name — shuffle-free when
     * both were written with identical bucketing. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{VectorFunctions => VF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (SURVEY §2.9 L3/L4):
@@ -115,7 +115,52 @@ object Similarity {
       nLists: Int = 16, nProbe: Int = 4, lloydIters: Int = 1,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.Column
+    val centRows = buildCentroids(corpus, nLists, lloydIters, cId, cVec)
+    val cents = typedLit(centRows.toSeq)
+    val assigned = corpus.select(col(cId), col(cVec),
+      nearestAgainst(cents, col(cVec)).alias("__list"))
+    val probes = queries.select(col(qId), col(qVec),
+      explode(probeListsAgainst(cents, col(qVec), nProbe)).alias("__list"))
+    // each corpus vector lives in exactly one list and probe lists are
+    // distinct, so no (q, c) duplicates — two-stage top-k directly
+    val probed = assigned.join(broadcast(probes), Seq("__list"))
+      .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
+    topKStage(probed, k, qId, cId)
+  }
+
+  /** Per-vector scored lists against a centroid literal:
+    * array<struct<list, sim>>. */
+  private def scoredAgainst(cents: Column, vec: Column): Column =
+    transform(cents, c => struct(c.getField("_1").alias("list"),
+      VF.cosineNative(vec, c.getField("_2")).alias("sim")))
+
+  /** Nearest list = running-max fold (no shuffle, no window). NaN sims
+    * (zero-norm CORPUS vector — centroids are never degenerate) never
+    * win the fold: `NaN > x` is true under Spark ordering, so without
+    * the guard a broken vector would take the first list and, worse, a
+    * NaN-scoring centroid would absorb everything. */
+  private def nearestAgainst(cents: Column, vec: Column): Column =
+    aggregate(scoredAgainst(cents, vec),
+      struct(lit(-1L).alias("list"), lit(-2.0d).alias("sim")),
+      (acc, x) => when(!isnan(x.getField("sim")) &&
+        x.getField("sim") > acc.getField("sim"), x).otherwise(acc))
+      .getField("list")
+
+  /** nProbe nearest lists = sort the scored array desc, slice. Both this
+    * and [[nearestAgainst]] break ties earliest-array-index-first, which
+    * is what makes the planted-copy recall contracts (l04d/l04e) hold. */
+  private def probeListsAgainst(cents: Column, vec: Column, nProbe: Int): Column =
+    transform(slice(array_sort(scoredAgainst(cents, vec),
+      (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+        .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
+      1, nProbe), c => c.getField("list"))
+
+  /** The deterministic IVF coarse-quantizer build shared by [[ivfTopK]]
+    * (per-call) and [[writeIvfIndex]] (persisted): hash-strided ring
+    * sample, id-order top-up, `lloydIters` integer-grid Lloyd's
+    * refinements. Returns the id-sorted centroid rows. */
+  private def buildCentroids(corpus: DataFrame, nLists: Int, lloydIters: Int,
+      cId: String, cVec: String): Array[(Long, Seq[Float])] = {
     require(lloydIters >= 0, "lloydIters must be >= 0")
     // Zero-norm/null vectors are excluded from the sample AND the mean:
     // such a centroid scores NaN against EVERY vector, and NaN wins
@@ -127,28 +172,12 @@ object Similarity {
     // (id, vec) projection — persist it for the build's duration when
     // iterating (disk-spillable: at 100 TB the projection is a fraction
     // of the table, and re-scanning parquet per pass costs more than the
-    // spill; released before the query-side probe plan is built)
+    // spill; released before the caller's probe plan is built)
     val buildPasses = 1 + lloydIters
     val validCorpus =
       if (buildPasses > 1) validCorpusRaw.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else validCorpusRaw
-    // per-vector scored lists against a given centroid literal:
-    // array<struct<list, sim>>
-    def scoredAgainst(cents: Column, vec: Column): Column =
-      transform(cents, c => struct(c.getField("_1").alias("list"),
-        VF.cosineNative(vec, c.getField("_2")).alias("sim")))
-    // nearest list = running-max fold (no shuffle, no window). NaN sims
-    // (zero-norm CORPUS vector — centroids are never degenerate) never
-    // win the fold: `NaN > x` is true under Spark ordering, so without
-    // the guard a broken vector would take the first list and, worse, a
-    // NaN-scoring centroid would absorb everything.
-    def nearestAgainst(cents: Column, vec: Column): Column =
-      aggregate(scoredAgainst(cents, vec),
-        struct(lit(-1L).alias("list"), lit(-2.0d).alias("sim")),
-        (acc, x) => when(!isnan(x.getField("sim")) &&
-          x.getField("sim") > acc.getField("sim"), x).otherwise(acc))
-        .getField("list")
     // Collect the nLists centroid vectors (bounded, driver-side by
     // design — same footprint as broadcasting them) into one literal
     // array<struct<list, cent>> so assignment is a pure projection.
@@ -177,7 +206,9 @@ object Similarity {
     for (_ <- 0 until lloydIters) {
       val cents0 = typedLit(centRows.toSeq)
       // per-(list, dimension) exact integer sums over the quantized grid;
-      // result is ≤ nLists × dim rows — bounded like the sample collect
+      // result is <= nLists x dim rows — bounded like the sample collect.
+      // Long sums are exact and aggregation-order-independent (float sums
+      // are not), so the refined centroids are a pure function of the data
       val sums = validCorpus
         .select(nearestAgainst(cents0, col(cVec)).alias("__list"),
           posexplode(VF.quantize(col(cVec), qScale)))
@@ -200,21 +231,70 @@ object Similarity {
       }
     }
     if (buildPasses > 1) validCorpus.unpersist(blocking = false)
+    centRows
+  }
+
+  /** Persist an IVF index — the PRODUCTION shape: [[ivfTopK]] rebuilds
+    * its coarse quantizer on every call (the honest per-call bench
+    * cost), while a deployment builds the index once per corpus and
+    * amortizes it over every query batch. Two tables:
+    *
+    *  - `table_centroids` — (list, centroid), nLists rows (the
+    *    broadcast/driver side of every probe);
+    *  - `table` — the corpus assigned to lists, BUCKETED on `__list`,
+    *    so a probe (a) prunes the scan to the probed lists' bucket
+    *    files (`SelectedBucketsCount` — pinned in PlanSpec) and
+    *    (b) joins the broadcast probe frame with no corpus-side
+    *    exchange. At 100 TB this is the difference between scanning
+    *    nProbe/nLists of the corpus and scanning all of it.
+    *
+    * Deterministic: same corpus + params → byte-identical index. */
+  def writeIvfIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+      table: String, nLists: Int = 16, lloydIters: Int = 1,
+      numBuckets: Int = 16,
+      cId: String = "vec_id", cVec: String = "embedding"): Unit = {
+    val centRows = buildCentroids(corpus, nLists, lloydIters, cId, cVec)
+    import spark.implicits._
+    centRows.toSeq.toDF("list", "centroid")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
     val cents = typedLit(centRows.toSeq)
-    def nearestList(vec: Column): Column = nearestAgainst(cents, vec)
-    // nProbe nearest lists = sort the scored array desc, slice
-    def probeLists(vec: Column): Column =
-      transform(slice(array_sort(scoredAgainst(cents, vec),
-        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
-          .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
-        1, nProbe), c => c.getField("list"))
     val assigned = corpus.select(col(cId), col(cVec),
-      nearestList(col(cVec)).alias("__list"))
+      nearestAgainst(cents, col(cVec)).alias("__list"))
+    Layout.writeBucketed(assigned, table, Seq("__list"), numBuckets)
+  }
+
+  /** Drop a persisted IVF index (both tables AND their warehouse
+    * locations — see [[Layout.dropTableAndLocation]] for why the
+    * location matters across sessions). */
+  def dropIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    Layout.dropTableAndLocation(spark, table)
+    Layout.dropTableAndLocation(spark, s"${table}_centroids")
+  }
+
+  /** Probe a persisted IVF index ([[writeIvfIndex]]) — no build work at
+    * query time: centroids load from the (nLists-row) table, the probed
+    * list ids resolve driver-side (bounded by nLists), and the corpus
+    * scan prunes to the probed lists' bucket files before a broadcast
+    * join scores them. Identical results to [[ivfTopK]] with the same
+    * build parameters (parity-tested: same deterministic quantizer). */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      table: String, k: Int, nProbe: Int = 4,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val centRows = spark.table(s"${table}_centroids")
+      .select(col("list"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1) // same order as the build → same tie-breaks
+    val cents = typedLit(centRows.toSeq)
     val probes = queries.select(col(qId), col(qVec),
-      explode(probeLists(col(qVec))).alias("__list"))
-    // each corpus vector lives in exactly one list and probe lists are
-    // distinct, so no (q, c) duplicates — two-stage top-k directly
-    val probed = assigned.join(broadcast(probes), Seq("__list"))
+      explode(probeListsAgainst(cents, col(qVec), nProbe)).alias("__list"))
+    // probed list ids, driver-side: bounded by nLists, and the isin
+    // filter is what turns the bucketed layout into bucket PRUNING at
+    // the scan (a join alone prunes nothing)
+    val lists = probes.select(col("__list")).distinct().collect().map(_.getLong(0))
+    val pruned = spark.table(table).where(col("__list").isin(lists.toSeq: _*))
+    val probed = pruned.join(broadcast(probes), Seq("__list"))
       .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
     topKStage(probed, k, qId, cId)
   }

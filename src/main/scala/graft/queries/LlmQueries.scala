@@ -290,6 +290,28 @@ object LlmQueries {
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
     }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
 
+    // ---- L4e: PERSISTED IVF index — the production shape (ivfTopK
+    // rebuilds its quantizer per call; a deployment builds once and
+    // amortizes): centroids + list-bucketed corpus persisted by
+    // writeIvfIndex, probed by ivfTopKIndexed with the scan PRUNED to
+    // the probed lists' bucket files (PlanSpec pins SelectedBucketsCount).
+    // Same planted-copy guarantee as l04d — identical vector, identical
+    // deterministic quantizer, so every planted copy MUST surface. ----
+    ("l04e_ivf_indexed_recall", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val aug = emb.unionByName(queries
+        .select((col("q_id") + 500000).as("vec_id"), col("q_vec").as("embedding")))
+      Similarity.dropIvfIndex(s, "l04e_ivf") // cross-session idempotence
+      Similarity.writeIvfIndex(s, aug, "l04e_ivf", nLists = 16, lloydIters = 1)
+      val top = Similarity.ivfTopKIndexed(s, queries, "l04e_ivf", k = 10, nProbe = 4)
+      val planted = queries.select(col("q_id"), (col("q_id") + 500000).as("vec_id"))
+      planted.join(top.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
+
     // ---- L5: text stats — counts, punctuation ratio, mean word length ----
     ("l05_text_stats", (s, d) => {
       // DataFrame-level form: one tokenizer pass per row (the scalar

@@ -124,6 +124,47 @@ class DedupSpec extends SparkSpec {
       s"sparse-corpus IVF top-1 wrong: $ivf")
   }
 
+  test("L4e: persisted IVF index returns exactly the per-call ivfTopK results") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    Similarity.dropIvfIndex(spark, "t_ivf_parity")
+    Similarity.writeIvfIndex(spark, emb, "t_ivf_parity", nLists = 16, lloydIters = 1)
+    try {
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select($"q_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+      val indexed = norm(
+        Similarity.ivfTopKIndexed(spark, queries, "t_ivf_parity", k = 10, nProbe = 4))
+      val perCall = norm(
+        Similarity.ivfTopK(queries, emb, k = 10, nLists = 16, nProbe = 4, lloydIters = 1))
+      assert(indexed === perCall,
+        "persisted-index probe diverged from the per-call build (same deterministic quantizer)")
+      // and a second probe of the SAME index is identical (no build state)
+      assert(indexed === norm(
+        Similarity.ivfTopKIndexed(spark, queries, "t_ivf_parity", k = 10, nProbe = 4)))
+    } finally Similarity.dropIvfIndex(spark, "t_ivf_parity")
+  }
+
+  test("L4e: indexed probe prunes the corpus scan to the probed lists' bucket files") {
+    // one query, nProbe=4 of 16 lists — the scan must read at most 4 of
+    // the 16 bucket files (SelectedBucketsCount), not the whole corpus;
+    // at 100 TB this pruning IS the point of persisting the index
+    val emb = Tables.embeddings(spark, sf0001)
+    val oneQ = emb.where($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    Similarity.dropIvfIndex(spark, "t_ivf_prune")
+    Similarity.writeIvfIndex(spark, emb, "t_ivf_prune", nLists = 16, lloydIters = 0)
+    try {
+      val top = Similarity.ivfTopKIndexed(spark, oneQ, "t_ivf_prune", k = 5, nProbe = 4)
+      top.collect()
+      val plan = top.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in the indexed probe plan:\n$plan")
+      assert(m.get.group(1).toInt <= 4 && m.get.group(2).toInt == 16,
+        s"expected <=4 of 16 buckets selected, got: ${m.get.matched}")
+    } finally Similarity.dropIvfIndex(spark, "t_ivf_prune")
+  }
+
   test("L2: a planted hot bucket (1k identical docs) is sidelined, planted near-dups still found") {
     // 1000 byte-identical boilerplate docs share every band signature —
     // uncapped, their bucket self-join is ~500k pairs in ONE task. With
