@@ -82,6 +82,50 @@ object Dedup {
       .drop("__h")
   }
 
+  /** L1 incremental, broadcastable-batch form — same result as
+    * [[exactIncremental]] (batch rows whose text the history has not
+    * seen), but with the join flipped so the history side NEVER
+    * shuffles:
+    *
+    *  1. broadcast the batch's distinct content hashes and left-SEMI
+    *     filter the history against them — a map-side broadcast join,
+    *     so the (100 TB) history scan reads one column and emits at
+    *     most |batch| distinct surviving hashes, with zero exchange;
+    *  2. left-anti join the batch against those survivors — also
+    *     broadcast (the survivor set is ≤ the batch's key set by
+    *     construction).
+    *
+    * Restricting history to hashes that appear in the batch cannot
+    * change the anti-join: a history hash absent from the batch matches
+    * nothing. Net: ZERO shuffles end-to-end (pinned in PlanSpec), vs
+    * [[exactIncremental]]'s history-wide hash shuffle. Use THIS form
+    * whenever one batch's hash set fits a broadcast (the continuous-
+    * ingest common case: batches are minutes of data, history is
+    * everything); fall back to [[exactIncremental]] for backfills where
+    * the "batch" itself is corpus-sized.
+    *
+    * The survivor set is broadcast WITHOUT a distinct (a distinct is a
+    * shuffle — exactly what this form exists to avoid), so its size is
+    * one row per surviving history ROW, not per hash. That is the
+    * batch's key count whenever the history is itself exact-deduped —
+    * the invariant every ingest loop built on this family maintains
+    * ([[exact]] on day 0, survivors-only appends after). Deduplicate
+    * the history first (or use [[exactIncremental]]) if it can hold
+    * many copies of a text. */
+  def exactIncrementalProbe(newDf: DataFrame, history: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    // no distinct on either broadcast side: a distinct IS a shuffle.
+    // Duplicate keys pad the broadcast but do not change semi/anti
+    // semantics; within-batch dups are [[exact]]'s job (family contract)
+    val batchKeys = newDf.where(col(textCol).isNotNull)
+      .select(sha2(col(textCol), 256).alias("__h"))
+    val survivors = history.select(sha2(col(textCol), 256).alias("__h"))
+      .join(broadcast(batchKeys), Seq("__h"), "left_semi")
+    newDf.withColumn("__h", sha2(col(textCol), 256))
+      .join(broadcast(survivors), Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** 31-bit string hash via the codegen'd xxhash64 kernel (a per-char
     * fold in higher-order functions costs ~1000× more — measured 86 s vs
     * <1 s for 5k docs' signatures). Deterministic within Spark, which is

@@ -72,6 +72,22 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, Some("""WITH nb AS (SELECT src + 300000 AS doc_id, CASE WHEN src % 6 = 0 THEN t ELSE t || ' fresh' END AS text FROM (SELECT doc_id AS src, text AS t FROM documents WHERE doc_id % 3 = 0)) SELECT doc_id FROM nb WHERE NOT EXISTS (SELECT 1 FROM documents dd WHERE dd.text = nb.text) ORDER BY doc_id""")),
 
+    // ---- L1c: incremental dedup, broadcastable-batch form — the join
+    // FLIPPED so the (100 TB) history side never shuffles: broadcast the
+    // batch's hashes, semi-filter the history map-side, anti-join the
+    // batch against the bounded survivor set. ZERO shuffle exchanges in
+    // the whole plan (pinned in PlanSpec). Same batch/history split and
+    // oracle as l01b — the two forms must agree exactly. ----
+    ("l01c_incremental_probe", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val newBatch = docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          when(col("doc_id") % 6 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" fresh"))).as("text"))
+      Dedup.exactIncrementalProbe(newBatch, docs, "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some("""WITH nb AS (SELECT src + 300000 AS doc_id, CASE WHEN src % 6 = 0 THEN t ELSE t || ' fresh' END AS text FROM (SELECT doc_id AS src, text AS t FROM documents WHERE doc_id % 3 = 0)) SELECT doc_id FROM nb WHERE NOT EXISTS (SELECT 1 FROM documents dd WHERE dd.text = nb.text) ORDER BY doc_id""")),
+
     // ---- L2: MinHash-LSH near-dup candidates (engine-specific banding;
     // rows-only — recall is property-tested against planted pairs) ----
     ("l02_minhash_near_dedup", (s, d) => {

@@ -347,6 +347,25 @@ class DedupSpec extends SparkSpec {
     assert(out === Array(11L, 12L))
   }
 
+  test("L1c: broadcastable-batch probe form agrees exactly with the shuffle form") {
+    // same NULL contract on the toy frame...
+    val hist = Seq((1L, "aa"), (2L, "bb"), (3L, null)).toDF("doc_id", "text")
+    val nb = Seq((10L, "aa"), (11L, "cc"), (12L, null)).toDF("doc_id", "text")
+    assert(Dedup.exactIncrementalProbe(nb, hist, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted === Array(11L, 12L))
+    // ...and row-for-row parity with exactIncremental on a real corpus
+    // split (seen / fresh / NULL-text rows all present)
+    val batch = docs.where($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 300000).as("doc_id"),
+        when($"doc_id" % 6 === 0, $"text")
+          .otherwise(concat($"text", lit(" fresh"))).as("text"))
+    val probe = Dedup.exactIncrementalProbe(batch, docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    val shuffleForm = Dedup.exactIncremental(batch, docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(probe === shuffleForm)
+  }
+
   test("L4: a zero-norm embedding never outranks real neighbors (NaN filtered)") {
     val emb = Tables.embeddings(spark, sf0001)
       .unionByName(Seq((999999L, Seq.empty[Float], 0))

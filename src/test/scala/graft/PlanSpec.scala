@@ -268,6 +268,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("l01c broadcastable-batch incremental dedup: ZERO shuffle exchanges end-to-end") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val batch = docs.where(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    // the operator itself (no orderBy — a sort would range-shuffle):
+    // both joins must be broadcast, so the history side flows scan →
+    // join with no exchange anywhere in the plan. AQE off for a plain
+    // tree walk (the l02h pattern)
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Dedup.exactIncrementalProbe(batch, docs, "text", "doc_id")
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty,
+        s"expected zero shuffle exchanges, got ${shuffles.size}:\n$plan")
+      assert(plan.toString.contains("BroadcastExchange"),
+        s"probe joins not broadcast:\n$plan")
+    } finally conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("star queries stay inside whole-stage codegen (no interpreted hot path)") {
     Seq("a01_groupby", "j02_equi", "w01_rank").foreach { q =>
       val df = run(q)
