@@ -61,6 +61,72 @@ object Layout {
       on: Seq[String], how: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), on, how)
 
+  /** Morton (Z-order) interleave of per-column bit ranks: bit `i` of
+    * rank `j` lands at position `i * n + j`. The naive
+    * bits×cols OR-chain stays a single codegen'd expression — at 16 bits
+    * × 2 cols that is 32 shift/and/or terms per row, noise next to the
+    * parquet decode around it. */
+  private[graft] def zKey(ranks: Seq[Column], bits: Int): Column = {
+    val n = ranks.size
+    val terms = for {
+      i <- 0 until bits
+      (r, j) <- ranks.zipWithIndex
+    } yield shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` Z-ORDERED on `zCols` (numeric-castable columns): each
+    * column is ranked onto a 2^bits equi-width grid between its observed
+    * min/max, the ranks bit-interleave into a Morton key, and the data
+    * is range-partitioned + sorted by that key (then the key is
+    * dropped — it is a layout device, not data).
+    *
+    * Why this matters at 100 TB: a single-column sort gives parquet
+    * row-group/page stats that prune scans on THAT column only — a
+    * filter on any other column reads everything. Z-ordering clusters
+    * ALL `zCols` simultaneously, so each file/row-group covers a narrow
+    * range of every z column and min/max skipping engages for filters
+    * on any of them (measured in LayoutSpec: a second-column box filter
+    * decodes a fraction of the linear layout's rows). The grid is
+    * equi-width, so pruning (never correctness) degrades on heavily
+    * skewed columns — pre-transform such columns if it matters.
+    *
+    * NULLs rank NULL, z-sort first, and prune like any stats-backed
+    * value; rows are only reordered, never changed (oracle-pinned by
+    * `l16_zorder`). The min/max collect is one 2×|zCols|-scalar
+    * aggregate — bounded, like the IVF centroid pull. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int = 16, mode: String = "overwrite"): Unit = {
+    require(zCols.nonEmpty, "zCols must be non-empty")
+    require(numFiles > 0, "numFiles must be positive")
+    require(bits > 0 && zCols.size * bits <= 62,
+      s"need bits > 0 and |zCols| * bits <= 62, got ${zCols.size} x $bits")
+    val buckets = 1L << bits
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranks = zCols.zipWithIndex.map { case (c, j) =>
+      // all-NULL or constant column: every row ranks 0 (no information
+      // to cluster on); width_bucket would reject an empty range
+      if (stats.isNullAt(2 * j) || stats.getDouble(2 * j) == stats.getDouble(2 * j + 1))
+        when(col(c).isNull, lit(null).cast("long")).otherwise(lit(0L))
+      else {
+        val (mn, mx) = (stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
+        // width_bucket is 1-based and sends v == max to buckets+1 — clamp
+        // back and shift to a 0-based rank in [0, 2^bits)
+        (least(lit(buckets), width_bucket(col(c).cast("double"),
+          lit(mn), lit(mx), lit(buckets))) - 1).cast("long")
+      }
+    }
+    val zc = (Iterator("__z") ++ Iterator.from(0).map(i => s"__z$i"))
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, zKey(ranks, bits))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+      .write.mode(mode).parquet(path)
+  }
+
   /** The per-row salt expression for [[saltedJoin]] — a pure function of
     * the row's hashable columns, so the SAME row salts identically across
     * task retries, speculative attempts and input repartitionings (the

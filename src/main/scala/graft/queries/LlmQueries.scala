@@ -644,6 +644,26 @@ object LlmQueries {
           element_at(col("features"), 4).as("n_channels"),
           element_at(col("features"), 5).as("mean_gray"))
         .orderBy(col("doc_id"))
-    }, Some("""SELECT d.doc_id, CAST(4 AS REAL) AS fmt, CAST(16 AS REAL) AS width, CAST(16 AS REAL) AS height, CAST(1 AS REAL) AS n_channels, CAST(SUM((d.doc_id*7 + g.j) % 251) / 4.0 AS REAL) AS mean_gray FROM documents d, generate_series(0, 3) g(j) GROUP BY d.doc_id ORDER BY d.doc_id"""))
+    }, Some("""SELECT d.doc_id, CAST(4 AS REAL) AS fmt, CAST(16 AS REAL) AS width, CAST(16 AS REAL) AS height, CAST(1 AS REAL) AS n_channels, CAST(SUM((d.doc_id*7 + g.j) % 251) / 4.0 AS REAL) AS mean_gray FROM documents d, generate_series(0, 3) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
+    // ---- L16: Z-ordered layout — lineitem rewritten Morton-clustered on
+    // (l_partkey, l_suppkey), then a 2-d box filter over the clustered
+    // copy. The layout is a pure reorder, so the oracle is the same
+    // filter on the RAW table — any row the rewrite dropped, duplicated
+    // or mutated fails the hash. The pruning (the reorder's point — each
+    // file covers a narrow range of BOTH columns, so min/max stats skip
+    // on either) is measured in LayoutSpec against a linear sort. ----
+    ("l16_zorder", (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      val path = s.conf.get("spark.sql.warehouse.dir") + "/l16_zorder_data"
+      graft.operators.Layout.writeZOrdered(li, path,
+        Seq("l_partkey", "l_suppkey"), numFiles = 32)
+      s.read.parquet(path)
+        .where(col("l_partkey").between(20, 150) && col("l_suppkey").between(2, 5))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 2 AND 5 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity"""))
   )
 }

@@ -101,4 +101,55 @@ class LayoutSpec extends SparkSpec {
       }
     } finally spark.sql("DROP TABLE IF EXISTS t_onepass")
   }
+
+  test("writeZOrdered: second-column filter decodes a fraction of the linear layout's rows") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"l_quantity")
+    val zDir = tmpDir("zorder"); val linDir = tmpDir("linear")
+    // same file count, same sort machinery — the ONLY difference is the
+    // ordering key: l_partkey alone vs the (l_partkey, l_suppkey) Morton key
+    Layout.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), numFiles = 64)
+    li.repartitionByRange(64, $"l_partkey").sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linDir)
+
+    // decoded-row metric of the parquet scan under a filter NOT on the
+    // linear sort column; AQE off for a plain tree walk
+    def decodedRows(dir: String): Long = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = spark.read.parquet(dir).where($"l_suppkey" === 7)
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }.head
+        scan.metrics("numOutputRows").value
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val lin = decodedRows(linDir)
+    val z = decodedRows(zDir)
+    // linear layout: suppkey is unsorted within every file — stats prune
+    // nothing, every row decodes. Z-order: only files whose suppkey slab
+    // contains 7 decode (an 8x8-ish grid → about 1/8 of the corpus)
+    assert(lin === li.count(), s"linear layout unexpectedly pruned: $lin")
+    assert(z * 4 <= lin, s"z-order decoded $z of $lin rows — no real pruning")
+    // layout is a pure reorder: identical bag of rows either way (order
+    // by EVERY column — the synthetic lineitem has duplicate
+    // (l_orderkey, l_linenumber) pairs, so a partial key ties)
+    val key = li.columns.toSeq
+    assert(spark.read.parquet(zDir).orderBy(key.map(col): _*).collect()
+      === spark.read.parquet(linDir).orderBy(key.map(col): _*).collect())
+  }
+
+  test("writeZOrdered: NULL and constant z columns degrade to rank 0, rows intact") {
+    val df = Seq((1L, Some(3.0), 5.0), (2L, None, 5.0), (3L, Some(9.0), 5.0))
+      .toDF("id", "a", "c")
+    val dir = tmpDir("zdegenerate")
+    // 'c' is constant (empty width_bucket range) and 'a' has a NULL —
+    // neither may crash or drop rows
+    Layout.writeZOrdered(df, dir, Seq("a", "c"), numFiles = 2)
+    assert(spark.read.parquet(dir).orderBy("id").as[(Long, Option[Double], Double)]
+      .collect() === Array((1L, Some(3.0), 5.0), (2L, None, 5.0), (3L, Some(9.0), 5.0)))
+  }
 }
