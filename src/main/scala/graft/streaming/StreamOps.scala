@@ -111,6 +111,67 @@ object StreamOps {
     true
   }
 
+  /** Streaming leg of the L2h incremental near-dedup ingest loop: per
+    * micro-batch — exact dedup within the batch, MinHash near-dedup
+    * within the batch, near-dedup against the PERSISTED band history
+    * ([[graft.operators.Dedup.writeBandHistory]]), survivors written to
+    * `outDir/batch-<id>/` and appended to the history. The batch path
+    * [[nearDedupBatch]] is the unit the tests drive directly.
+    *
+    * Delivery contract (mirrors the Connect worker's at-least-once pump
+    * + idempotent sink): the survivor output is EXACTLY-ONCE — each
+    * batch dir is overwritten whole, and a fully-replayed batch (its id
+    * already in the `_LATEST` pointer) is skipped — while the history
+    * append is at-least-once with a dedup-safe failure mode: a crash
+    * between append and pointer flip can re-append one batch's rows,
+    * and duplicate history entries cannot change any future survivor
+    * set (candidate pairs are distinct on ids before scoring), they
+    * only cost storage until the next history rebuild. Versioning the
+    * history instead would mean rewriting the accumulated corpus every
+    * micro-batch — O(history) per batch is exactly what the bucketed
+    * append exists to avoid. */
+  def nearDedupSink(docs: DataFrame, historyTable: String, numBuckets: Int,
+      textCol: String, idCol: String, outDir: String, checkpoint: String,
+      threshold: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDedupBatch(batch, batchId, historyTable, numBuckets,
+          textCol, idCol, outDir, threshold): Unit
+      }
+
+  /** One near-dedup ingest micro-batch (see [[nearDedupSink]]). Returns
+    * false if the batch id is already recorded (full replay: no-op). */
+  def nearDedupBatch(batch: DataFrame, batchId: Long, historyTable: String,
+      numBuckets: Int, textCol: String, idCol: String, outDir: String,
+      threshold: Double = 0.8): Boolean = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(outDir)
+    val pointer = new Path(root, "_LATEST")
+    val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
+    if (current.contains(batchId)) return false // replayed batch: no-op
+    val within = Dedup.nearDedupMinhash(
+      Dedup.exact(batch, textCol, idCol), textCol, idCol, threshold)
+    val hasHistory = spark.catalog.tableExists(historyTable)
+    val survivors = (if (hasHistory)
+        Dedup.nearDedupIncremental(spark, within, historyTable, textCol, idCol, threshold)
+      else within)
+      // barrier: the output write and the history append must see the
+      // SAME survivor set, computed once (not two LSH pipeline runs)
+      .localCheckpoint(eager = true)
+    survivors.write.mode("overwrite")
+      .parquet(new Path(root, s"batch-$batchId").toString)
+    if (hasHistory)
+      Dedup.appendBandHistory(survivors, textCol, idCol, historyTable, numBuckets)
+    else
+      Dedup.writeBandHistory(survivors, textCol, idCol, historyTable, numBuckets)
+    graft.sources.AtomicPointer.write(hconf,
+      new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
+    true
+  }
+
   /** Read the current CDC state (empty frame with `schema` if none). */
   def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {

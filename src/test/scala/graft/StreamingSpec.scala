@@ -553,4 +553,52 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(data), "ts", "id", state)
     assert(p2.batch.isEmpty)
   }
+
+  test("L2h streaming leg: near-dedup ingest loop across micro-batches, replay-safe") {
+    import graft.operators.Dedup
+    def doc(n: Int): String = (0 until 20).map(w => s"tok${n}w$w").mkString(" ")
+    val hist = "t_stream_hist"
+    Dedup.dropBandHistory(spark, hist)
+    val out = tmpDir("neardedup_out"); val ckpt = tmpDir("neardedup_ckpt")
+    val ms = TestSources.memory[(Long, String)]
+    val q = StreamOps.nearDedupSink(ms.toDF.toDF("doc_id", "text"),
+      hist, numBuckets = 4, "text", "doc_id", out, ckpt).start()
+    try {
+      try {
+        // batch 0: doc 1, a near-dup of it (one extra token), fresh doc 3
+        ms.addData((1L, doc(1)), (2L, doc(1) + " zz"), (3L, doc(3)))
+        q.processAllAvailable()
+        // batch 1: doc 4 near-dups HISTORY doc 1; 5 fresh; 6 exact-dups 5
+        ms.addData((4L, doc(1) + " yy"), (5L, doc(5)), (6L, doc(5)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // survivor output: within-batch near-dup and exact dup dropped in
+      // their own batch, the cross-batch near-dup dropped against history
+      def batchIds(b: Int) = spark.read.parquet(s"$out/batch-$b")
+        .select($"doc_id").as[Long].collect().sorted
+      assert(batchIds(0) === Array(1L, 3L))
+      assert(batchIds(1) === Array(5L))
+      // the history accumulated exactly the survivors, once each — the
+      // banded table has one row per (id, band), so "once" = exactly 4
+      // band rows per id (a double-append would show 8)
+      def histIds() = spark.table(hist).select($"doc_id").distinct()
+        .as[Long].collect().sorted
+      def bandRows() = spark.table(hist).groupBy($"doc_id").count()
+        .select($"count").distinct().as[Long].collect().toSeq
+      assert(histIds() === Array(1L, 3L, 5L))
+      assert(bandRows() === Seq(4L))
+      // FULL replay of the last batch (its id is in the pointer): no-op —
+      // no double-append, output untouched
+      val replay = Seq((4L, doc(1) + " yy"), (5L, doc(5)), (6L, doc(5)))
+        .toDF("doc_id", "text")
+      assert(!StreamOps.nearDedupBatch(replay, 1L, hist, 4, "text", "doc_id", out))
+      assert(histIds() === Array(1L, 3L, 5L))
+      assert(bandRows() === Seq(4L))
+      // a later batch continues the loop against the accumulated history
+      val next = Seq((7L, doc(5) + " qq"), (8L, doc(8))).toDF("doc_id", "text")
+      assert(StreamOps.nearDedupBatch(next, 2L, hist, 4, "text", "doc_id", out))
+      assert(batchIds(2) === Array(8L))
+      assert(histIds() === Array(1L, 3L, 5L, 8L))
+    } finally Dedup.dropBandHistory(spark, hist)
+  }
 }
