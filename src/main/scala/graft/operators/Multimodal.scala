@@ -255,6 +255,76 @@ object Multimodal {
     }
   }
 
+  private[graft] final case class Y4mVideo(
+      width: Int, height: Int, colorspace: String, nFrames: Int,
+      raster: Array[Byte])
+
+  /** Honest YUV4MPEG2 (`.y4m`) decoder, written from the public
+    * mjpegtools stream spec — the uncompressed VIDEO member of the
+    * modality family (PPM is its image sibling, PCM-WAV its audio one):
+    * ASCII stream header `YUV4MPEG2 W<w> H<h> [F<n>:<d>] [C<cs>] ...\n`,
+    * then per frame an ASCII `FRAME[ <params>]\n` marker followed by raw
+    * planar YUV. Supported colorspaces: the C420 family (Y w×h plus two
+    * (w/2)×(h/2) chroma planes; even dims required — C420 is also the
+    * spec default when the tag is absent), C444 (three full planes) and
+    * Cmono (luma only). Returns None (never garbage) for a bad magic,
+    * unparsable/missing dimensions, unknown colorspace, mangled FRAME
+    * marker, zero frames, or a truncated final frame — those fall to
+    * the quarantined stub like every other unsupported format. */
+  private[graft] def decodeY4m(bytes: Array[Byte]): Option[Y4mVideo] = {
+    val magic = "YUV4MPEG2".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length <= magic.length) return None
+    var k = 0
+    while (k < magic.length) { if (bytes(k) != magic(k)) return None; k += 1 }
+    val hEnd = bytes.indexOf('\n'.toByte, magic.length)
+    if (hEnd < 0) return None
+    val header = new String(bytes, magic.length, hEnd - magic.length,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var cs = "420"
+    for (tok <- header.split(" ") if tok.nonEmpty) tok.charAt(0) match {
+      case 'W' | 'H' =>
+        val digits = tok.substring(1)
+        // same overflow discipline as the PPM parser: no real 8-bit
+        // raster has a 1e8 dimension — reject rather than wrap
+        if (digits.isEmpty || !digits.forall(_.isDigit) || digits.length > 8)
+          return None
+        if (tok.charAt(0) == 'W') w = digits.toInt else h = digits.toInt
+      case 'C' => cs = tok.substring(1)
+      case _ => // F/I/A/X tags don't affect the raster layout
+    }
+    if (w <= 0 || h <= 0) return None
+    val frameBytes: Long =
+      if (cs == "mono") w.toLong * h
+      else if (cs == "444") w.toLong * h * 3
+      else if (cs.startsWith("420")) {
+        if (w % 2 != 0 || h % 2 != 0) return None
+        w.toLong * h + 2L * (w / 2) * (h / 2)
+      } else return None // 422/411/alpha variants: quarantined stub
+    if (frameBytes > Int.MaxValue) return None
+    val marker = "FRAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val raster = new java.io.ByteArrayOutputStream()
+    var i = hEnd + 1
+    var n = 0
+    while (i < bytes.length) {
+      if (i + marker.length > bytes.length) return None
+      var m = 0
+      while (m < marker.length) {
+        if (bytes(i + m) != marker(m)) return None
+        m += 1
+      }
+      i += marker.length
+      val nl = bytes.indexOf('\n'.toByte, i)
+      // frame params must be '\n'-terminated and space-led (or absent)
+      if (nl < 0 || (nl != i && bytes(i) != ' ')) return None
+      i = nl + 1
+      if (i + frameBytes > bytes.length) return None // truncated frame
+      raster.write(bytes, i, frameBytes.toInt)
+      i += frameBytes.toInt
+      n += 1
+    }
+    if (n == 0) None else Some(Y4mVideo(w, h, cs, n, raster.toByteArray))
+  }
+
   /** Content-derived features. Layout (padded/truncated to `dim`):
     *  - PPM:  [1, width, height, maxval, meanR, meanG, meanB, meanAll]
     *  - WAV:  [2, channels, sampleRate, nSamples, mean, rms, min, max]
@@ -264,6 +334,9 @@ object Multimodal {
     *  - JPEG: [4, width, height, channels, meanR, meanG, meanB, meanAll]
     *    (baseline sequential via [[Jpeg.decode]]; grayscale repeats the
     *    gray mean like PNG)
+    *  - Y4M:  [5, width, height, nFrames, meanY, meanU, meanV, meanAll]
+    *    (uncompressed video via [[decodeY4m]]; mono repeats the luma
+    *    mean in the chroma slots like PNG gray)
     *  - else: decodeStub (format tag 0 territory — quarantined fake)
     * Sums accumulate exactly in Long; the final double divisions (and
     * sqrt) are single IEEE ops, so an external engine recomputing the
@@ -330,6 +403,31 @@ object Multimodal {
         (sum / n).toFloat, math.sqrt(sq / n).toFloat,
         (if (mn == Int.MaxValue) 0 else mn).toFloat,
         (if (mx == Int.MinValue) 0 else mx).toFloat)
+    }).orElse(decodeY4m(payload).map { v =>
+      val w = v.width; val h = v.height
+      val (ny, nc) = v.colorspace match {
+        case "mono" => (w * h, 0)
+        case "444" => (w * h, w * h)
+        case _ => (w * h, (w / 2) * (h / 2)) // 420 family
+      }
+      val frameBytes = ny + 2 * nc
+      var sy = 0L; var su = 0L; var sv = 0L
+      var f = 0
+      while (f < v.nFrames) {
+        val base = f * frameBytes
+        var j = 0
+        while (j < frameBytes) {
+          val b = v.raster(base + j) & 0xff
+          if (j < ny) sy += b else if (j < ny + nc) su += b else sv += b
+          j += 1
+        }
+        f += 1
+      }
+      val mY = (sy / (ny.toLong * v.nFrames).toDouble).toFloat
+      val mU = if (nc == 0) mY else (su / (nc.toLong * v.nFrames).toDouble).toFloat
+      val mV = if (nc == 0) mY else (sv / (nc.toLong * v.nFrames).toDouble).toFloat
+      val mAll = ((sy + su + sv) / (frameBytes.toLong * v.nFrames).toDouble).toFloat
+      Array(5f, w.toFloat, h.toFloat, v.nFrames.toFloat, mY, mU, mV, mAll)
     }).getOrElse(decodeStub(payload, dim))
     if (full.length == dim) full
     else java.util.Arrays.copyOf(full, dim) // pad 0f / truncate
@@ -492,6 +590,51 @@ object Multimodal {
           j += 1
         }
         Row.fromSeq(r.toSeq :+ encodePng(width, height, rgb))
+      }
+    }(enc)
+  }
+
+  /** Deterministic Y4M test-pattern generator — the [[syntheticPpm]]
+    * arithmetic extended over frames: per row a C420 `width` × `height`
+    * × `nFrames` YUV4MPEG2 stream whose RASTER byte j (counted across
+    * all frames' planes, headers excluded) is `(seed * 7 + j) % 251`, so
+    * the decoded per-plane means are recomputable from the seed alone
+    * (the `l08e_y4m_decode` oracle does) while the payload crosses the
+    * real stream parser (header tags, per-frame markers, plane
+    * geometry). */
+  def syntheticY4m(df: DataFrame, seedCol: String, width: Int, height: Int,
+      nFrames: Int): DataFrame = {
+    require(width >= 2 && height >= 2 && width % 2 == 0 && height % 2 == 0,
+      "syntheticY4m needs positive even dims (C420)")
+    require(nFrames >= 1, "syntheticY4m needs at least one frame")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val header = s"YUV4MPEG2 W$width H$height F25:1 C420\n".getBytes(ascii)
+    val marker = "FRAME\n".getBytes(ascii)
+    val frameBytes = width * height + 2 * (width / 2) * (height / 2)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val out = new Array[Byte](
+          header.length + nFrames * (marker.length + frameBytes))
+        System.arraycopy(header, 0, out, 0, header.length)
+        var o = header.length
+        var j = 0
+        var f = 0
+        while (f < nFrames) {
+          System.arraycopy(marker, 0, out, o, marker.length)
+          o += marker.length
+          var p = 0
+          while (p < frameBytes) {
+            out(o) = (((seed * 7 + j) % 251 + 251) % 251).toByte
+            o += 1; j += 1; p += 1
+          }
+          f += 1
+        }
+        Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)
   }

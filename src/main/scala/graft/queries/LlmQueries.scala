@@ -622,6 +622,32 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""SELECT d.doc_id, CAST(3 AS REAL) AS fmt, CAST(4 AS REAL) AS width, CAST(3 AS REAL) AS height, CAST(3 AS REAL) AS n_channels, CAST(SUM(CASE WHEN g.j % 3 = 0 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_r, CAST(SUM(CASE WHEN g.j % 3 = 1 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_g, CAST(SUM(CASE WHEN g.j % 3 = 2 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_b FROM documents d, generate_series(0, 35) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    // ---- L8e: Y4M video decode — the VIDEO member of the uncompressed
+    // modality family (PPM images, PCM-WAV audio): per row a real C420
+    // YUV4MPEG2 stream (4x4, 3 frames; raster byte j = (doc_id*7+j) %
+    // 251 across all frames' planes) is generated and decoded by the
+    // from-scratch stream parser (header tags, per-frame FRAME markers,
+    // 4:2:0 plane geometry). DuckDB recomputes the per-plane means from
+    // the seed arithmetic alone — a misparsed header, skipped marker or
+    // shifted plane boundary changes the features and fails the hash.
+    // The quarantined stub shrinks to genuinely compressed av formats
+    // (progressive JPEG / MP3 / coded video). ----
+    ("l08e_y4m_decode", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticY4m(docs, "doc_id", width = 4, height = 4, nFrames = 3),
+        dim = 8)
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).as("fmt"),
+          element_at(col("features"), 2).as("width"),
+          element_at(col("features"), 3).as("height"),
+          element_at(col("features"), 4).as("n_frames"),
+          element_at(col("features"), 5).as("mean_y"),
+          element_at(col("features"), 6).as("mean_u"),
+          element_at(col("features"), 7).as("mean_v"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT d.doc_id, CAST(5 AS REAL) AS fmt, CAST(4 AS REAL) AS width, CAST(4 AS REAL) AS height, CAST(3 AS REAL) AS n_frames, CAST(SUM(CASE WHEN g.j % 24 < 16 THEN (d.doc_id*7 + g.j) % 251 END) / 48.0 AS REAL) AS mean_y, CAST(SUM(CASE WHEN g.j % 24 >= 16 AND g.j % 24 < 20 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_u, CAST(SUM(CASE WHEN g.j % 24 >= 20 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_v FROM documents d, generate_series(0, 71) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
     // ---- L8d: baseline JPEG decode — the compressed-codec leg of the
     // multimodal family, entirely from-scratch (ITU T.81: Huffman entropy
     // decode, dequantize, IDCT). Lossy codecs are made oracle-checkable

@@ -142,6 +142,28 @@ class LayoutSpec extends SparkSpec {
       === spark.read.parquet(linDir).orderBy(key.map(col): _*).collect())
   }
 
+  test("compact: many small files collapse to the byte-target count, rows intact") {
+    val orders = Tables.orders(spark, sf0001).select($"o_orderkey", $"o_custkey")
+    val dir = tmpDir("compact") + "/data"
+    orders.repartition(64).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(files() === 64)
+    val before = orders.orderBy($"o_orderkey", $"o_custkey").collect()
+    // generous byte target → everything fits one file
+    val n = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n === 1 && files() === 1)
+    assert(spark.read.parquet(dir).orderBy($"o_orderkey", $"o_custkey").collect()
+      === before)
+    // idempotent: compacting a compacted dir keeps the single file
+    assert(Layout.compact(spark, dir, targetBytes = 1L << 30) === 1)
+    // and no swap debris left behind
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    assert(fs.listStatus(parent).map(_.getPath.getName).toSet === Set("data"))
+  }
+
   test("writeZOrdered: NULL and constant z columns degrade to rank 0, rows intact") {
     val df = Seq((1L, Some(3.0), 5.0), (2L, None, 5.0), (3L, Some(9.0), 5.0))
       .toDF("id", "a", "c")

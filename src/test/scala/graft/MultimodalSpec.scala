@@ -327,6 +327,72 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L) != feats(2L))
   }
 
+  test("decodeY4m: C420/C444/mono geometry, frame params, hand-computed means") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def bytes(s: String, raster: Array[Byte]*): Array[Byte] =
+      s.getBytes(ascii) ++ raster.flatten
+    // 2x2 C420: per frame Y=4 bytes, U=1, V=1. Two frames, one with a
+    // parameter-tagged FRAME marker (must be tolerated)
+    val f1 = Array[Byte](10, 20, 30, 40, 100, 120)
+    val f2 = Array[Byte](50, 60, 70, 80, 110, 130.toByte)
+    val v = Multimodal.decodeY4m(
+      bytes("YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n", f1) ++
+        bytes("FRAME Xtag\n", f2)).get
+    assert((v.width, v.height, v.colorspace, v.nFrames) === (2, 2, "420", 2))
+    assert(v.raster === f1 ++ f2)
+    // feature means: Y = (10+20+30+40+50+60+70+80)/8, U = (100+110)/2,
+    // V = (120+130)/2
+    val feats = Multimodal.contentFeatures(
+      bytes("YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n", f1) ++ bytes("FRAME\n", f2), 8)
+    assert(feats(0) === 5f && feats(1) === 2f && feats(2) === 2f && feats(3) === 2f)
+    assert(feats(4) === 45f && feats(5) === 105f && feats(6) === 125f)
+    // C tag absent → 420 is the spec default
+    assert(Multimodal.decodeY4m(bytes("YUV4MPEG2 W2 H2\nFRAME\n", f1)).isDefined)
+    // C444: three full planes; mono: luma only, chroma slots repeat luma
+    val v444 = Multimodal.decodeY4m(bytes("YUV4MPEG2 W2 H1 C444\nFRAME\n",
+      Array[Byte](1, 2, 3, 4, 5, 6))).get
+    assert(v444.colorspace === "444" && v444.raster.length === 6)
+    val monoFeats = Multimodal.contentFeatures(
+      bytes("YUV4MPEG2 W2 H2 Cmono\nFRAME\n", Array[Byte](8, 16, 24, 32)), 8)
+    assert(monoFeats(4) === 20f && monoFeats(5) === 20f && monoFeats(6) === 20f)
+  }
+
+  test("decodeY4m: malformed streams reject to None, never garbage") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def b(s: String, n: Int = 0): Array[Byte] = s.getBytes(ascii) ++ new Array[Byte](n)
+    assert(Multimodal.decodeY4m(b("YUV4MPEG3 W2 H2\nFRAME\n", 6)).isEmpty) // magic
+    assert(Multimodal.decodeY4m(b("YUV4MPEG2 W2\nFRAME\n", 6)).isEmpty) // no H
+    assert(Multimodal.decodeY4m(b("YUV4MPEG2 W2 Hx\nFRAME\n", 6)).isEmpty) // bad digits
+    assert(Multimodal.decodeY4m(b("YUV4MPEG2 W3 H2 C420\nFRAME\n", 9)).isEmpty) // odd dim
+    assert(Multimodal.decodeY4m(b("YUV4MPEG2 W2 H2 C422\nFRAME\n", 6)).isEmpty) // unsupported cs
+    assert(Multimodal.decodeY4m(b("YUV4MPEG2 W2 H2 C420\n")).isEmpty) // zero frames
+    assert(Multimodal.decodeY4m(b("YUV4MPEG2 W2 H2 C420\nFRAME\n", 5)).isEmpty) // truncated
+    assert(Multimodal.decodeY4m(b("YUV4MPEG2 W2 H2 C420\nFRAMEX\n", 6)).isEmpty) // mangled marker
+    assert(Multimodal.decodeY4m(b("YUV4MPEG2 W2 H2 C420")).isEmpty) // unterminated header
+    // trailing junk after the last complete frame = a mangled next marker
+    assert(Multimodal.decodeY4m(b("YUV4MPEG2 W2 H2 C420\nFRAME\n", 6) ++
+      "zz".getBytes(ascii)).isEmpty)
+  }
+
+  test("extractFeatures on Y4M: tag 5, exact means through the synthetic generator") {
+    val docs = Seq(3L, 9L).toDF("doc_id")
+    val out = Multimodal.extractFeatures(
+        Multimodal.syntheticY4m(docs, "doc_id", width = 4, height = 4, nFrames = 3),
+        dim = 8)
+      .select($"doc_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for (seed <- Seq(3L, 9L)) {
+      val f = out(seed)
+      // recompute from the seed arithmetic (what the l08e oracle does)
+      def m(lo: Int, hi: Int): Float = {
+        val js = for (fr <- 0 until 3; p <- lo until hi) yield fr * 24 + p
+        (js.map(j => (seed * 7 + j) % 251).sum / js.size.toDouble).toFloat
+      }
+      assert(f(0) === 5f && f(1) === 4f && f(2) === 4f && f(3) === 3f)
+      assert(f(4) === m(0, 16) && f(5) === m(16, 20) && f(6) === m(20, 24))
+    }
+  }
+
   test("unknown formats fall back to the deterministic stub, same dim") {
     val df = Seq((1L, "not an image at all".getBytes)).toDF("id", "payload")
     val f1 = Multimodal.extractFeatures(df, dim = 8).select($"features").collect().head.getSeq[Float](0)
