@@ -171,6 +171,28 @@ object StarQueries {
         .orderBy(col("l_returnflag"))
     }, Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25, quantile_cont(l_quantity, 0.5) AS q50, quantile_cont(l_quantity, 0.75) AS q75 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- A8b: approx-percentile error-bound contract (the a04b pattern
+    // for quantiles). At 100 TB the exact `percentile` materializes each
+    // group's full value multiset in one task — the approx sketch
+    // (Greenwald-Khanna, bounded size, map-side mergeable partials) is
+    // the form that survives; this query CERTIFIES its rank-error
+    // guarantee instead of exempting it from oracles: with accuracy
+    // 10000 the rank error is ≤0.01%, so the approx median must lie
+    // within the exact [p49, p51] band (checked in-engine); DuckDB
+    // independently recomputes the exact median and expects every
+    // within_bound true. ----
+    ("a08b_approx_percentile_bound", (s, d) => {
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5D)").as("exact_p50"),
+          expr("percentile(l_quantity, 0.49D)").as("__lo"),
+          expr("percentile(l_quantity, 0.51D)").as("__hi"),
+          expr("approx_percentile(l_quantity, 0.5D, 10000)").as("__approx"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (col("__approx") >= col("__lo") && col("__approx") <= col("__hi"))
+            .as("within_bound"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_p50, true AS within_bound FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- A9: custom typed Aggregator via functions.udaf (integer-exact
     // cents x quantity so partial-aggregation order cannot matter) ----
     ("a09_weighted_mean", (s, d) => {
