@@ -152,6 +152,37 @@ object SmtQueries {
         .orderBy(col("event_id"))
     }, Some("""SELECT event_id, 'events' AS route, 1 AS n_headers FROM events ORDER BY event_id""")),
 
+    // ---- P15: CONFIG-DRIVEN chain — the reference's actual user
+    // surface: a Connect properties block (flat JSON, the exact
+    // main.sh:148-159 submission shape) parsed by ConnectorConfig +
+    // SmtChain into the same composable transforms the p01-p14 queries
+    // hand-write. Route → insert → mask → cast → drop/rename, all from
+    // config, oracle-checked end to end. ----
+    ("p15_config_chain", (s, d) => {
+      val cfgJson = """{
+        "transforms": "route,tag,mask,cast,trim",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+        "transforms.route.regex": "(.*)",
+        "transforms.route.replacement": "$1-out",
+        "transforms.tag.type": "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.tag.static.field": "pipeline",
+        "transforms.tag.static.value": "v1",
+        "transforms.mask.type": "org.apache.kafka.connect.transforms.MaskField$Value",
+        "transforms.mask.fields": "props",
+        "transforms.cast.type": "org.apache.kafka.connect.transforms.Cast$Value",
+        "transforms.cast.spec": "user_id:string",
+        "transforms.trim.type": "org.apache.kafka.connect.transforms.ReplaceField$Value",
+        "transforms.trim.exclude": "ts",
+        "transforms.trim.renames": "value:amount"}"""
+      val cfg = graft.sources.ConnectorConfig.Config("p15",
+        graft.sources.ConnectorConfig.parseFlatJson(cfgJson))
+      unwrapped(s, d)
+        .transform(graft.operators.SmtChain.fromConfig(cfg))
+        .select(col("event_id"), col("topic"), col("pipeline"), col("props"),
+          col("user_id"), col("amount"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, 'events-out' AS topic, 'v1' AS pipeline, CAST(NULL AS VARCHAR) AS props, CAST(user_id AS VARCHAR) AS user_id, value AS amount FROM events ORDER BY event_id""")),
+
     // ---- S5: envelope invariants (partition/offset are hash-dependent,
     // so assert their structure, not their values): offsets are dense
     // 0..n-1 within each partition and every key maps to exactly one

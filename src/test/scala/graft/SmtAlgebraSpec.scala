@@ -237,6 +237,88 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(viaSql.forall(r => r.getInt(0) === r.getInt(1)))
   }
 
+  test("P15: config-parsed SMT chain equals the hand-composed chain") {
+    import graft.operators.SmtChain
+    import graft.sources.ConnectorConfig.Config
+    import org.apache.spark.sql.types._
+    val rec = Seq(
+      (1L, "events", "alice", "secret1", 10.0),
+      (2L, "clicks", "bob", "secret2", 20.0))
+      .toDF("id", "topic", "name", "token", "v")
+      .withColumn("headers", array(struct(lit("origin").as("key"), lit("t").as("value"))))
+    val cfg = Config("c1", Map(
+      "transforms" -> "route, mask, tag, cast, trim",
+      "transforms.route.type" -> "org.apache.kafka.connect.transforms.RegexRouter",
+      "transforms.route.regex" -> "(.*)s",
+      "transforms.route.replacement" -> "$1-out",
+      "transforms.mask.type" -> "org.apache.kafka.connect.transforms.MaskField$Value",
+      "transforms.mask.fields" -> "token",
+      "transforms.tag.type" -> "InsertField$Value",
+      "transforms.tag.static.field" -> "pipeline",
+      "transforms.tag.static.value" -> "v1",
+      "transforms.cast.type" -> "Cast$Value",
+      "transforms.cast.spec" -> "v:string",
+      "transforms.trim.type" -> "ReplaceField$Value",
+      "transforms.trim.exclude" -> "name",
+      "transforms.trim.renames" -> "v:amount"))
+    val out = SmtChain.fromConfig(cfg)(rec)
+    val hand = rec
+      .withColumn("topic", regexp_replace($"topic", "^(?:(.*)s)$", "$1-out"))
+      .transform(Smt.maskFields(None, "token"))
+      .transform(Smt.insertField("pipeline", lit("v1")))
+      .transform(Smt.castFields("v" -> StringType))
+      .transform(Smt.dropFields("name"))
+      .transform(Smt.renameFields("v" -> "amount"))
+    assert(out.schema === hand.schema)
+    assert(out.drop("headers").collect() === hand.drop("headers").collect())
+    // full-match router semantics: "events" matched → rewritten; any
+    // topic NOT fully matching passes through (Connect Matcher.matches)
+    assert(out.select($"topic").as[String].collect().sorted
+      === Array("click-out", "event-out"))
+  }
+
+  test("P15: Filter + predicate (+negate), HeaderFrom move, and config errors") {
+    import graft.operators.SmtChain
+    import graft.sources.ConnectorConfig.Config
+    val rec = Seq((1L, "events", "x"), (2L, "clicks", "y")).toDF("id", "topic", "name")
+      .withColumn("headers", array(struct(lit("h0").as("key"), lit("t").as("value"))))
+    def chain(kv: (String, String)*) = SmtChain.fromConfig(Config("c", kv.toMap))
+    // Filter drops records MATCHING the predicate; negate inverts
+    val drop = chain(
+      "transforms" -> "f", "transforms.f.type" -> "Filter",
+      "transforms.f.predicate" -> "p",
+      "predicates.p.type" -> "predicates.TopicNameMatches",
+      "predicates.p.pattern" -> "click.*")(rec)
+    assert(drop.select($"topic").as[String].collect() === Array("events"))
+    val keep = chain(
+      "transforms" -> "f", "transforms.f.type" -> "Filter",
+      "transforms.f.predicate" -> "p", "transforms.f.negate" -> "true",
+      "predicates.p.type" -> "predicates.TopicNameMatches",
+      "predicates.p.pattern" -> "click.*")(rec)
+    assert(keep.select($"topic").as[String].collect() === Array("clicks"))
+    // HeaderFrom move: field lands in headers and leaves the value
+    val moved = chain(
+      "transforms" -> "hf", "transforms.hf.type" -> "HeaderFrom$Value",
+      "transforms.hf.fields" -> "name", "transforms.hf.headers" -> "who",
+      "transforms.hf.operation" -> "move")(rec)
+    assert(!moved.columns.contains("name"))
+    assert(moved.select(Smt.hasHeaderKey("headers", "who")).as[Boolean]
+      .collect().forall(identity))
+    // errors are loud and specific
+    def err(kv: (String, String)*): String =
+      intercept[IllegalArgumentException](chain(kv: _*)(rec)).getMessage
+    assert(err("transforms" -> "z", "transforms.z.type" -> "NoSuchSmt")
+      .contains("unknown type"))
+    assert(err("transforms" -> "z", "transforms.z.type" -> "MaskField$Key")
+      .contains("$Key"))
+    assert(err("transforms" -> "z", "transforms.z.type" -> "MaskField$Value",
+      "transforms.z.fields" -> "name", "transforms.z.predicate" -> "p",
+      "predicates.p.type" -> "predicates.RecordIsTombstone")
+      .contains("only supported on Filter"))
+    assert(err("transforms" -> "z", "transforms.z.type" -> "MaskField$Value")
+      .contains("transforms.z.fields"))
+  }
+
   test("L3: cosineQ agrees with float cosine to quantization tolerance; symmetric") {
     val vecs = Seq(
       (1L, Seq(0.1f, -0.2f, 0.3f)), (2L, Seq(0.25f, 0.05f, -0.4f)))
