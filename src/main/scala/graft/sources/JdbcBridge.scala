@@ -94,6 +94,19 @@ object JdbcBridge {
     }
   }
 
+  /** True when `table` is queryable over `url` — the Connect
+    * `auto.create` probe: create only when missing ([[createTable]]
+    * drops first, and auto.create must never clobber a sink table that
+    * already holds delivered rows). */
+  def tableExists(url: String, table: String,
+      creds: Map[String, String] = Map.empty): Boolean =
+    withConnection(url, creds) { conn =>
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+      catch { case _: java.sql.SQLException => false }
+      finally st.close()
+    }
+
   /** Create-or-replace `table` from `df` (the test fixture seeding step,
     * not a Connect mode). With `keyCols`, the table is created with a
     * PRIMARY KEY (see [[createTable]]) and seeded via append; without,
