@@ -49,12 +49,16 @@ object Dedup {
     * is worth stating it). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
-    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    // uniquified temp columns — fixed names would clobber caller columns
+    val h = hashName(df)
+    val rn = (Iterator("__rn") ++ Iterator.from(0).map(i => s"__rn$i"))
+      .find(n => !df.columns.contains(n)).get
+    val w = Window.partitionBy(col(h)).orderBy(col(idCol))
     df.where(t.isNotNull)
-      .withColumn("__h", sha2(t, 256))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__h", "__rn")
+      .withColumn(h, sha2(t, 256))
+      .withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1)
+      .drop(h, rn)
       .unionByName(df.where(t.isNull))
   }
 
@@ -73,14 +77,23 @@ object Dedup {
     * for the optimizer to see that. */
   def exactIncremental(newDf: DataFrame, history: DataFrame,
       textCol: String, idCol: String): DataFrame = {
-    val seen = history.select(sha2(col(textCol), 256).alias("__h")).distinct()
+    // uniquified temp hash column (the Sampling.tempName pattern): a
+    // fixed "__h" would silently clobber — then drop — a caller column
+    val h = hashName(newDf)
+    val seen = history.select(sha2(col(textCol), 256).alias(h)).distinct()
     // NULL text is never a duplicate of anything (same contract as
     // [[exact]]) — and a NULL join key would not match anyway; keep the
     // pass-through explicit
-    newDf.withColumn("__h", sha2(col(textCol), 256))
-      .join(seen, Seq("__h"), "left_anti")
-      .drop("__h")
+    newDf.withColumn(h, sha2(col(textCol), 256))
+      .join(seen, Seq(h), "left_anti")
+      .drop(h)
   }
+
+  /** Temp hash-column name absent from `df` (join-key columns must be
+    * same-named on both sides, so one name per call). */
+  private def hashName(df: DataFrame): String =
+    (Iterator("__h") ++ Iterator.from(0).map(i => s"__h$i"))
+      .find(n => !df.columns.contains(n)).get
 
   /** L1 incremental, broadcastable-batch form — same result as
     * [[exactIncremental]] (batch rows whose text the history has not
@@ -114,16 +127,17 @@ object Dedup {
     * many copies of a text. */
   def exactIncrementalProbe(newDf: DataFrame, history: DataFrame,
       textCol: String, idCol: String): DataFrame = {
+    val h = hashName(newDf)
     // no distinct on either broadcast side: a distinct IS a shuffle.
     // Duplicate keys pad the broadcast but do not change semi/anti
     // semantics; within-batch dups are [[exact]]'s job (family contract)
     val batchKeys = newDf.where(col(textCol).isNotNull)
-      .select(sha2(col(textCol), 256).alias("__h"))
-    val survivors = history.select(sha2(col(textCol), 256).alias("__h"))
-      .join(broadcast(batchKeys), Seq("__h"), "left_semi")
-    newDf.withColumn("__h", sha2(col(textCol), 256))
-      .join(broadcast(survivors), Seq("__h"), "left_anti")
-      .drop("__h")
+      .select(sha2(col(textCol), 256).alias(h))
+    val survivors = history.select(sha2(col(textCol), 256).alias(h))
+      .join(broadcast(batchKeys), Seq(h), "left_semi")
+    newDf.withColumn(h, sha2(col(textCol), 256))
+      .join(broadcast(survivors), Seq(h), "left_anti")
+      .drop(h)
   }
 
   /** 31-bit string hash via the codegen'd xxhash64 kernel (a per-char

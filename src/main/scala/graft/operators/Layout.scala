@@ -158,6 +158,8 @@ object Layout {
     val dataFiles = fs.listStatus(path)
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
+    if (dataFiles.isEmpty) return 0 // nothing to compact (schema
+    // inference over zero files would throw, and a swap would race)
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")

@@ -347,6 +347,23 @@ class DedupSpec extends SparkSpec {
     assert(out === Array(11L, 12L))
   }
 
+  test("L1 family: caller columns named __h/__rn survive every dedup form intact") {
+    // the temp hash/rank columns must uniquify around caller columns of
+    // the same name (the saltedJoin/tokenBudget hygiene rule)
+    val hist = Seq((1L, "aa", "kh", 7), (2L, "bb", "kh2", 8)).toDF("doc_id", "text", "__h", "__rn")
+    val nb = Seq((10L, "aa", "keep", 5), (11L, "cc", "keep2", 6)).toDF("doc_id", "text", "__h", "__rn")
+    for (out <- Seq(Dedup.exactIncremental(nb, hist, "text", "doc_id"),
+        Dedup.exactIncrementalProbe(nb, hist, "text", "doc_id"))) {
+      assert(out.columns.toSeq === Seq("doc_id", "text", "__h", "__rn"))
+      assert(out.select($"doc_id", $"__h", $"__rn").as[(Long, String, Int)]
+        .collect().toSet === Set((11L, "keep2", 6)))
+    }
+    val ex = Dedup.exact(nb.unionByName(nb.select($"doc_id" + 100 as "doc_id",
+      $"text", $"__h", $"__rn")), "text", "doc_id")
+    assert(ex.columns.toSeq === Seq("doc_id", "text", "__h", "__rn"))
+    assert(ex.select($"doc_id").as[Long].collect().sorted === Array(10L, 11L))
+  }
+
   test("L1c: broadcastable-batch probe form agrees exactly with the shuffle form") {
     // same NULL contract on the toy frame...
     val hist = Seq((1L, "aa"), (2L, "bb"), (3L, null)).toDF("doc_id", "text")

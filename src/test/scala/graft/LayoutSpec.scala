@@ -159,6 +159,9 @@ class LayoutSpec extends SparkSpec {
       === before)
     // idempotent: compacting a compacted dir keeps the single file
     assert(Layout.compact(spark, dir, targetBytes = 1L << 30) === 1)
+    // an empty/fileless dir is a 0-file no-op, not a schema-inference crash
+    val empty = tmpDir("compact_empty")
+    assert(Layout.compact(spark, empty, targetBytes = 1L << 30) === 0)
     // and no swap debris left behind
     val parent = new org.apache.hadoop.fs.Path(dir).getParent
     assert(fs.listStatus(parent).map(_.getPath.getName).toSet === Set("data"))
