@@ -410,6 +410,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: z-ordered write stays balanced; second-column box prunes the scan at 12x", suiteTags: _*) {
+    withScaleConf {
+      // two independent-ish uniform dimensions — the multi-dim filter
+      // shape a single-column sort cannot prune
+      val base = spark.range(N).select(col("id"),
+        pmod(hash(col("id")), lit(1000)).cast("long").as("x"),
+        pmod(hash(col("id"), lit(1)), lit(1000)).cast("long").as("y"))
+      val dir = tmpDir("scale_zorder")
+      val stages = probe {
+        graft.operators.Layout.writeZOrdered(base, dir, Seq("x", "y"), numFiles = 64)
+      }
+      // the Morton key over uniform dims is uniform — the range
+      // repartition before the write must not concentrate a task
+      assertBalanced("zorder-write", stages)
+      // pruning at scale: a 5%-of-range box on the SECOND column must
+      // skip most files' row groups (8x8-ish grid → ~1-2 of 8 y-slabs)
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = spark.read.parquet(dir).where($"y".between(100, 150))
+        val kept = df.count()
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head
+        val decoded = scan.metrics("numOutputRows").value
+        info(s"zorder-prune: decoded $decoded of $N rows for a 5% second-column box (kept $kept)")
+        assert(decoded * 2 <= N,
+          s"z-order pruned nothing at scale: decoded $decoded of $N")
+        assert(kept > 0)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
   test("scale: ANN + IVF top-k over 50k embeddings with 1% zero-norm vectors — k rows/query, no poison, bounded lists", suiteTags: _*) {
     withScaleConf {
       val queries = emb.where($"vec_id".isin(1L, 7L, 13L, 19L, 101L, 1001L, 20011L, 49999L))
