@@ -248,7 +248,12 @@ object Similarity {
     *    exchange. At 100 TB this is the difference between scanning
     *    nProbe/nLists of the corpus and scanning all of it.
     *
-    * Deterministic: same corpus + params → byte-identical index. */
+    * Deterministic: same corpus + params → byte-identical index.
+    *
+    * Rebuilding in a NEW session over a non-durable metastore: call
+    * [[dropIvfIndex]] first — `mode=overwrite` cannot see the previous
+    * session's surviving warehouse directories (the
+    * [[Layout.dropTableAndLocation]] rationale). */
   def writeIvfIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       table: String, nLists: Int = 16, lloydIters: Int = 1,
       numBuckets: Int = 16,

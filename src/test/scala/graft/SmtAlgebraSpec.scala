@@ -319,6 +319,32 @@ class SmtAlgebraSpec extends SparkSpec {
       .contains("transforms.z.fields"))
   }
 
+  test("P15: TimestampConverter config paths — unix/string/Timestamp by input type") {
+    import graft.operators.SmtChain
+    import graft.sources.ConnectorConfig.Config
+    val t = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-05T06:07:08Z"))
+    def conv(kv: (String, String)*)(df: org.apache.spark.sql.DataFrame) =
+      SmtChain.fromConfig(Config("c", Map("transforms" -> "tc",
+        "transforms.tc.type" -> "TimestampConverter$Value") ++ kv))(df)
+    val ts = Seq((1L, t)).toDF("id", "ev")
+    assert(conv("transforms.tc.field" -> "ev", "transforms.tc.target.type" -> "unix")(ts)
+      .select($"ev").as[Long].collect() === Array(t.toInstant.getEpochSecond))
+    assert(conv("transforms.tc.field" -> "ev", "transforms.tc.target.type" -> "string",
+      "transforms.tc.format" -> "yyyyMMdd")(ts)
+      .select($"ev").as[String].collect() === Array("20240305")) // UTC session
+    val fromUnix = Seq((1L, t.toInstant.getEpochSecond)).toDF("id", "ev")
+    assert(conv("transforms.tc.field" -> "ev", "transforms.tc.target.type" -> "Timestamp")(fromUnix)
+      .select($"ev").as[java.sql.Timestamp].collect() === Array(t))
+    val fromStr = Seq((1L, "2024-03-05 06:07:08")).toDF("id", "ev")
+    assert(conv("transforms.tc.field" -> "ev", "transforms.tc.target.type" -> "Timestamp",
+      "transforms.tc.format" -> "yyyy-MM-dd HH:mm:ss")(fromStr)
+      .select($"ev").as[java.sql.Timestamp].collect() === Array(t))
+    // string target without a format is a loud config error
+    assert(intercept[IllegalArgumentException](
+      conv("transforms.tc.field" -> "ev", "transforms.tc.target.type" -> "string")(ts))
+      .getMessage.contains("format"))
+  }
+
   test("L3: cosineQ agrees with float cosine to quantization tolerance; symmetric") {
     val vecs = Seq(
       (1L, Seq(0.1f, -0.2f, 0.3f)), (2L, Seq(0.25f, 0.05f, -0.4f)))
