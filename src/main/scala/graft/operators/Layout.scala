@@ -118,6 +118,57 @@ object Layout {
           lit(mn), lit(mx), lit(buckets))) - 1).cast("long")
       }
     }
+    writeByZ(df, path, ranks, bits, numFiles, mode)
+  }
+
+  /** [[writeZOrdered]] with EQUAL-FREQUENCY ranks: each column is
+    * ranked against its own `approxQuantile` boundaries (2^bits - 1 of
+    * them; one bounded driver collect per call, like the min/max pass),
+    * so a heavily skewed column still spreads across the full grid and
+    * its min/max pruning stays selective — the equi-width grid puts
+    * most of a skewed column's rows into a handful of cells, and files
+    * then span the whole value range (measured in LayoutSpec: on a
+    * power-law column the quantile grid decodes a fraction of what the
+    * equi-width grid reads). Costs one quantile sketch pass over
+    * `zCols`; same write path, same purity contract. Ties that straddle
+    * a boundary share a rank — pruning, never correctness, is affected.
+    * `bits` ≤ 12 keeps the per-row rank fold (a 2^bits-element HOF
+    * scan) cheap; 8 is plenty — pruning granularity is file count, not
+    * grid resolution. */
+  def writeZOrderedQuantile(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int = 8, relativeError: Double = 0.001,
+      mode: String = "overwrite"): Unit = {
+    require(zCols.nonEmpty, "zCols must be non-empty")
+    require(numFiles > 0, "numFiles must be positive")
+    require(bits > 0 && bits <= 12 && zCols.size * bits <= 62,
+      s"need 0 < bits <= 12 and |zCols| * bits <= 62, got ${zCols.size} x $bits")
+    val nb = (1 << bits) - 1
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val doubled = df.select(zCols.map(c => col(c).cast("double").alias(c)): _*)
+    val ranks = zCols.map { c =>
+      val bounds = doubled.stat.approxQuantile(c, probs, relativeError)
+      if (bounds.isEmpty) // all-NULL column: no boundaries to rank on
+        when(col(c).isNull, lit(null).cast("long")).otherwise(lit(0L))
+      else {
+        val v = col(c).cast("double")
+        // rank = #boundaries <= v, a single codegen'd fold over the
+        // boundary literal (0 .. 2^bits - 1, equal-frequency by
+        // construction). The explicit isNull wrap matters: inside the
+        // fold, `NULL >= b` is NULL and `when` would take the otherwise
+        // branch, silently ranking NULLs 0 — they must rank NULL like
+        // the width_bucket path
+        when(col(c).isNull, lit(null).cast("long"))
+          .otherwise(aggregate(typedLit(bounds.toSeq), lit(0L),
+            (acc, b) => acc + when(v >= b, 1L).otherwise(0L)))
+      }
+    }
+    writeByZ(df, path, ranks, bits, numFiles, mode)
+  }
+
+  /** Shared write tail of the z-order family: interleave, range
+    * partition + sort on the key, drop it, write. */
+  private def writeByZ(df: DataFrame, path: String, ranks: Seq[Column],
+      bits: Int, numFiles: Int, mode: String): Unit = {
     val zc = (Iterator("__z") ++ Iterator.from(0).map(i => s"__z$i"))
       .find(n => !df.columns.contains(n)).get
     df.withColumn(zc, zKey(ranks, bits))

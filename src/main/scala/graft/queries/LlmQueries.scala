@@ -690,6 +690,24 @@ object LlmQueries {
         .where(col("l_partkey").between(20, 150) && col("l_suppkey").between(2, 5))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 2 AND 5 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""")),
+
+    // ---- L16b: quantile (equal-frequency) z-order — the skew-robust
+    // grid (per-column approxQuantile boundaries instead of equi-width;
+    // on a power-law column the equi-width grid collapses into one cell
+    // — measured 5.5x decode difference in LayoutSpec). Same purity
+    // oracle as l16: the rewrite is a pure reorder. ----
+    ("l16b_zorder_quantile", (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      val path = s.conf.get("spark.sql.warehouse.dir") + "/l16b_zorder_data"
+      graft.operators.Layout.writeZOrderedQuantile(li, path,
+        Seq("l_partkey", "l_suppkey"), numFiles = 32)
+      s.read.parquet(path)
+        .where(col("l_partkey").between(20, 150) && col("l_suppkey").between(2, 5))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
     }, Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 2 AND 5 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity"""))
   )
 }

@@ -167,6 +167,46 @@ class LayoutSpec extends SparkSpec {
     assert(fs.listStatus(parent).map(_.getPath.getName).toSet === Set("data"))
   }
 
+  test("writeZOrderedQuantile: equal-frequency grid out-prunes equi-width on a power-law column") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // y is power-law: ~half the rows land in y < 2, a long tail reaches
+    // 10000 — the equi-width grid puts almost everything in one y-cell
+    val n = 20000
+    val base = spark.range(n).select($"id",
+      pmod(hash($"id"), lit(1000)).cast("long").as("x"),
+      (lit(10000) / (pmod(hash($"id", lit(1)), lit(100)) + 1)).cast("long").as("y"))
+    val eqDir = tmpDir("z_eq"); val qDir = tmpDir("z_q")
+    Layout.writeZOrdered(base, eqDir, Seq("x", "y"), numFiles = 64)
+    Layout.writeZOrderedQuantile(base, qDir, Seq("x", "y"), numFiles = 64)
+    def decodedRows(dir: String): Long = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        // a selective box in the DENSE region: y∈[100,105] is ~6% of
+        // rows but only ~0.05% of the value range — the case where the
+        // equi-width grid collapses (its first cell spans y≤138, which
+        // holds ~28% of all rows)
+        val df = spark.read.parquet(dir).where($"y".between(100, 105))
+        df.collect()
+        df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+          .head.metrics("numOutputRows").value
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val eq = decodedRows(eqDir); val q = decodedRows(qDir)
+    info(s"power-law y box: equi-width decoded $eq, quantile decoded $q of $n")
+    // equi-width: y<=200 is 2% of the value range — one grid cell holds
+    // ~90% of rows, and every file containing it spans the whole y range
+    assert(q * 2 <= eq, s"quantile grid did not out-prune: $q vs $eq")
+    // purity: same bag of rows either way
+    assert(spark.read.parquet(qDir).orderBy($"id").collect()
+      === spark.read.parquet(eqDir).orderBy($"id").collect())
+    // NULL ranks NULL (not 0): a null-y row must not crash or vanish
+    val withNull = Seq((1L, Some(5L), 7L), (2L, None, 8L)).toDF("id", "y", "x")
+    val nd = tmpDir("z_qnull")
+    Layout.writeZOrderedQuantile(withNull, nd, Seq("y", "x"), numFiles = 2)
+    assert(spark.read.parquet(nd).count() === 2)
+  }
+
   test("writeZOrdered: NULL and constant z columns degrade to rank 0, rows intact") {
     val df = Seq((1L, Some(3.0), 5.0), (2L, None, 5.0), (3L, Some(9.0), 5.0))
       .toDF("id", "a", "c")
