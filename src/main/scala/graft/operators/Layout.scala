@@ -132,11 +132,15 @@ object Layout {
     * equi-width grid reads). Costs one quantile sketch pass over
     * `zCols`; same write path, same purity contract. Ties that straddle
     * a boundary share a rank — pruning, never correctness, is affected.
-    * `bits` ≤ 12 keeps the per-row rank fold (a 2^bits-element HOF
-    * scan) cheap; 8 is plenty — pruning granularity is file count, not
+    * Default `bits = 6` (64 equal-frequency buckets per column): the
+    * binary-search rank tree doubles per level, so bits is a direct
+    * codegen-size dial — 6 keeps the generated method comfortably
+    * inside JIT limits (measured: the difference between ~45 s and
+    * ~25 s for the sf0.1 rewrite) while a 64×64 grid still dwarfs any
+    * practical file count, and pruning granularity is file count, not
     * grid resolution. */
   def writeZOrderedQuantile(df: DataFrame, path: String, zCols: Seq[String],
-      numFiles: Int, bits: Int = 8, relativeError: Double = 0.001,
+      numFiles: Int, bits: Int = 6, relativeError: Double = 0.01,
       mode: String = "overwrite"): Unit = {
     require(zCols.nonEmpty, "zCols must be non-empty")
     require(numFiles > 0, "numFiles must be positive")
@@ -145,36 +149,85 @@ object Layout {
     val nb = (1 << bits) - 1
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
     val doubled = df.select(zCols.map(c => col(c).cast("double").alias(c)): _*)
-    val ranks = zCols.map { c =>
+    // rank = #boundaries <= v (upper-bound binary search, exact under
+    // duplicate boundaries), built as `bits` element_at/when steps over
+    // the sorted boundary literal — one PROJECTION PER LEVEL, each
+    // evaluated once and fused by whole-stage codegen. The two rejected
+    // shapes are both measured multi-× disasters at sf0.1: an
+    // `aggregate` HOF fold evaluates interpreted with a boxed lambda
+    // call per boundary (~53 s for the write), and a single nested
+    // Column doubles its tree per level (the accumulator appears in
+    // both the probe index and the sum), overflowing codegen into
+    // fallback (~30 s). Per-level columns keep the whole search
+    // O(bits) ops per row (~1 s, the equi-width cost band). The
+    // descending power-of-two steps keep every probed index within
+    // [1, 2^bits - 1]. The explicit isNull wrap matters: `NULL <= b`
+    // is NULL and `when` would take the otherwise branch at every
+    // step, silently ranking NULLs 0 — they must rank NULL like the
+    // width_bucket path.
+    var cur = df
+    def fresh(base: String): String =
+      (Iterator(base) ++ Iterator.from(0).map(i => s"$base$i"))
+        .find(n => !cur.columns.contains(n)).get
+    val rankNames = zCols.zipWithIndex.map { case (c, ci) =>
       val bounds = doubled.stat.approxQuantile(c, probs, relativeError)
-      if (bounds.isEmpty) // all-NULL column: no boundaries to rank on
-        when(col(c).isNull, lit(null).cast("long")).otherwise(lit(0L))
-      else {
+      val out = fresh(s"__zq$ci")
+      if (bounds.isEmpty) { // all-NULL column: no boundaries to rank on
+        cur = cur.withColumn(out,
+          when(col(c).isNull, lit(null).cast("long")).otherwise(lit(0L)))
+      } else {
+        val bArr = typedLit(bounds.toSeq)
         val v = col(c).cast("double")
-        // rank = #boundaries <= v, a single codegen'd fold over the
-        // boundary literal (0 .. 2^bits - 1, equal-frequency by
-        // construction). The explicit isNull wrap matters: inside the
-        // fold, `NULL >= b` is NULL and `when` would take the otherwise
-        // branch, silently ranking NULLs 0 — they must rank NULL like
-        // the width_bucket path
-        when(col(c).isNull, lit(null).cast("long"))
-          .otherwise(aggregate(typedLit(bounds.toSeq), lit(0L),
-            (acc, b) => acc + when(v >= b, 1L).otherwise(0L)))
+        var acc = fresh(s"__zq${ci}_l")
+        cur = cur.withColumn(acc, lit(0L))
+        for (step <- (0 until bits).map(i => 1L << (bits - 1 - i))) {
+          val next = fresh(s"__zq${ci}_l")
+          cur = cur.withColumn(next, col(acc) +
+            when(element_at(bArr, (col(acc) + lit(step)).cast("int")) <= v,
+              lit(step)).otherwise(lit(0L)))
+            .drop(acc)
+          acc = next
+        }
+        cur = cur.withColumn(out,
+          when(col(c).isNull, lit(null).cast("long")).otherwise(col(acc)))
+          .drop(acc)
       }
+      out
     }
-    writeByZ(df, path, ranks, bits, numFiles, mode)
+    writeByZ(cur, path, rankNames.map(col), bits, numFiles, mode,
+      alsoDrop = rankNames)
   }
 
-  /** Shared write tail of the z-order family: interleave, range
-    * partition + sort on the key, drop it, write. */
+  /** Shared write tail of the z-order family: MATERIALIZE the rank
+    * expressions as their own projection, then interleave, range
+    * partition + sort on the key, drop the scaffolding, write.
+    *
+    * The materialization is load-bearing, not cosmetic: [[zKey]]
+    * references each rank `bits` times (one bit extraction per level),
+    * and the quantile path's rank is itself a `bits`-level nested
+    * binary search whose tree doubles per level — inlined, the combined
+    * projection multiplies to tens of thousands of expression nodes
+    * (measured ~2 min of optimizer + codegen-overflow time at sf0.1 vs
+    * ~1 s materialized). CollapseProject keeps a non-cheap alias that
+    * is referenced more than once in its own Project (the same
+    * guarantee the minhash signature pass relies on), so each rank
+    * computes exactly once per row. */
   private def writeByZ(df: DataFrame, path: String, ranks: Seq[Column],
-      bits: Int, numFiles: Int, mode: String): Unit = {
-    val zc = (Iterator("__z") ++ Iterator.from(0).map(i => s"__z$i"))
-      .find(n => !df.columns.contains(n)).get
-    df.withColumn(zc, zKey(ranks, bits))
+      bits: Int, numFiles: Int, mode: String,
+      alsoDrop: Seq[String] = Nil): Unit = {
+    def fresh(base: String, taken: Seq[String]): String =
+      (Iterator(base) ++ Iterator.from(0).map(i => s"$base$i"))
+        .find(n => !taken.contains(n)).get
+    val rankNames = ranks.indices.foldLeft(Seq.empty[String]) { (acc, i) =>
+      acc :+ fresh(s"__zr$i", df.columns.toSeq ++ acc)
+    }
+    val zc = fresh("__z", df.columns.toSeq ++ rankNames)
+    val srcCols = df.columns.map(c => df(s"`${c.replace("`", "``")}`"))
+    df.select(srcCols ++ rankNames.zip(ranks).map { case (n, r) => r.alias(n) }: _*)
+      .withColumn(zc, zKey(rankNames.map(col), bits))
       .repartitionByRange(numFiles, col(zc))
       .sortWithinPartitions(zc)
-      .drop(zc)
+      .drop(rankNames ++ alsoDrop :+ zc: _*)
       .write.mode(mode).parquet(path)
   }
 
