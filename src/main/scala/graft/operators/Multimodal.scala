@@ -214,10 +214,97 @@ object Multimodal {
   private[graft] final case class WavAudio(
       channels: Int, sampleRate: Int, samples: Array[Short])
 
-  /** Honest 16-bit-PCM WAV decoder, written from the public RIFF/WAVE
-    * spec: `RIFF <size> WAVE` then word-aligned chunks; `fmt ` carries
-    * (audioFormat=1, channels, sampleRate, ..., bitsPerSample=16),
-    * `data` carries little-endian samples. None for anything else. */
+  /** G.711 μ-law expansion (ITU-T G.711, the classic telephony
+    * companding codec): complement, then magnitude
+    * `((mantissa<<3) + 0x84) << exponent` re-biased by 0x84. Max
+    * magnitude 32124 — the published codec bound. */
+  private[graft] def mulawExpand(b: Byte): Short = {
+    val u = (~b) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law expansion: XOR 0x55, segment 0 is linear
+    * `(mantissa<<4) + 8`, higher segments re-bias by 0x108 and shift.
+    * A-law's sign convention is inverted vs μ-law: a SET sign bit is
+    * positive (per the G.711 tables). */
+  private[graft] def alawExpand(b: Byte): Short = {
+    val a = b & 0xff
+    val v = a ^ 0x55
+    val seg = (v & 0x70) >> 4
+    val t =
+      if (seg == 0) ((v & 0x0f) << 4) + 8
+      else (((v & 0x0f) << 4) + 0x108) << (seg - 1)
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  private val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** IMA/DVI ADPCM mono decode (the 4-bit predictive quantizer, public
+    * IMA spec): per `blockAlign`-sized block a 4-byte header (predictor
+    * s16 LE, step index u8, reserved) then nibble pairs low-first; each
+    * nibble reconstructs `diff = step/8 (+step if b2)(+step/2 if b1)
+    * (+step/4 if b0)`, sign bit subtracts, predictor clamps to s16 and
+    * the step index walks the published tables. Returns None on a
+    * malformed trailing block or out-of-range header index. */
+  private[graft] def adpcmDecodeMono(data: Array[Byte], blockAlign: Int): Option[Array[Short]] = {
+    if (blockAlign < 5 || data.length == 0 || data.length % blockAlign != 0) return None
+    val samplesPerBlock = (blockAlign - 4) * 2 + 1
+    val out = new Array[Short](data.length / blockAlign * samplesPerBlock)
+    var o = 0
+    var base = 0
+    while (base < data.length) {
+      var pred = ((data(base) & 0xff) | (data(base + 1) << 8)).toShort.toInt
+      var idx = data(base + 2) & 0xff
+      if (idx > 88) return None
+      out(o) = pred.toShort; o += 1
+      var j = base + 4
+      while (j < base + blockAlign) {
+        val byte = data(j) & 0xff
+        var n = 0
+        while (n < 2) {
+          val code = if (n == 0) byte & 0x0f else (byte >> 4) & 0x0f
+          val step = AdpcmStepTable(idx)
+          var diff = step >> 3
+          if ((code & 4) != 0) diff += step
+          if ((code & 2) != 0) diff += step >> 1
+          if ((code & 1) != 0) diff += step >> 2
+          pred = if ((code & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+          idx += AdpcmIndexTable(code & 7)
+          if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+          out(o) = pred.toShort; o += 1
+          n += 1
+        }
+        j += 1
+      }
+      base += blockAlign
+    }
+    Some(out)
+  }
+
+  /** Honest WAV decoder, written from the public RIFF/WAVE spec:
+    * `RIFF <size> WAVE` then word-aligned chunks; `fmt ` carries
+    * (audioFormat, channels, sampleRate, byteRate, blockAlign,
+    * bitsPerSample), `data` the payload. Decoded formats — every one a
+    * real audio codec implemented from its public spec:
+    *
+    *  - 1: 16-bit linear PCM (uncompressed);
+    *  - 7: G.711 μ-law, 6: G.711 A-law (companded telephony, 2:1);
+    *  - 0x11: IMA ADPCM mono (4-bit predictive quantization, 4:1) —
+    *    the COMPRESSED-audio member of the modality family, as baseline
+    *    JPEG is for images.
+    *
+    * None for anything else (MP3 and friends stay with the quarantined
+    * stub). */
   private[graft] def decodeWav(bytes: Array[Byte]): Option[WavAudio] = {
     def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
@@ -226,13 +313,15 @@ object Multimodal {
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     var i = 12
     var fmt = -1; var channels = -1; var rate = -1; var bps = -1
+    var blockAlign = -1
     var data: Array[Byte] = null
     while (i + 8 <= bytes.length) {
       val id = tag(i); val sz = u32(i + 4)
       val body = i + 8
       if (id == "fmt " && sz >= 16 && body + 16 <= bytes.length) {
         fmt = u16(body); channels = u16(body + 2)
-        rate = u32(body + 4).toInt; bps = u16(body + 14)
+        rate = u32(body + 4).toInt; blockAlign = u16(body + 12)
+        bps = u16(body + 14)
       } else if (id == "data") {
         // a declared size past EOF is a truncated file — reject rather
         // than silently computing moments over half the audio
@@ -242,16 +331,22 @@ object Multimodal {
       i = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
       if (sz < 0 || sz > bytes.length) return None // corrupt size field
     }
-    if (fmt != 1 || bps != 16 || channels < 1 || rate <= 0 || data == null) None
-    else {
-      val n = data.length / 2
-      val samples = new Array[Short](n)
-      var j = 0
-      while (j < n) {
-        samples(j) = ((data(2 * j) & 0xff) | (data(2 * j + 1) << 8)).toShort
-        j += 1
-      }
-      Some(WavAudio(channels, rate, samples))
+    if (channels < 1 || rate <= 0 || data == null) None
+    else (fmt, bps) match {
+      case (1, 16) =>
+        val n = data.length / 2
+        val samples = new Array[Short](n)
+        var j = 0
+        while (j < n) {
+          samples(j) = ((data(2 * j) & 0xff) | (data(2 * j + 1) << 8)).toShort
+          j += 1
+        }
+        Some(WavAudio(channels, rate, samples))
+      case (7, 8) => Some(WavAudio(channels, rate, data.map(mulawExpand)))
+      case (6, 8) => Some(WavAudio(channels, rate, data.map(alawExpand)))
+      case (0x11, 4) if channels == 1 =>
+        adpcmDecodeMono(data, blockAlign).map(WavAudio(1, rate, _))
+      case _ => None
     }
   }
 
@@ -633,6 +728,43 @@ object Multimodal {
             o += 1; j += 1; p += 1
           }
           f += 1
+        }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Deterministic G.711 μ-law WAV generator — the audio analogue of
+    * [[syntheticPpm]]: per row a real RIFF/WAVE container (fmt chunk
+    * audioFormat=7, mono, 8 kHz, 8-bit) whose `nSamples` data bytes are
+    * `(seed * 7 + j) % 251`, so the DECODED sample statistics are
+    * recomputable from the seed plus the public G.711 expansion formula
+    * alone (the `l08f_mulaw_decode` oracle re-derives the complement /
+    * segment / mantissa arithmetic in SQL). */
+  def syntheticWavMulaw(df: DataFrame, seedCol: String, nSamples: Int): DataFrame = {
+    require(nSamples >= 1 && nSamples % 2 == 0,
+      "syntheticWavMulaw needs a positive even sample count (RIFF word alignment)")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val header = "RIFF".getBytes(ascii) ++ le32(4 + 24 + 8 + nSamples) ++
+      "WAVE".getBytes(ascii) ++ "fmt ".getBytes(ascii) ++ le32(16) ++
+      le16(7) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes(ascii) ++ le32(nSamples)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val out = new Array[Byte](header.length + nSamples)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var j = 0
+        while (j < nSamples) {
+          out(header.length + j) = (((seed * 7 + j) % 251 + 251) % 251).toByte
+          j += 1
         }
         Row.fromSeq(r.toSeq :+ out)
       }

@@ -648,6 +648,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""SELECT d.doc_id, CAST(5 AS REAL) AS fmt, CAST(4 AS REAL) AS width, CAST(4 AS REAL) AS height, CAST(3 AS REAL) AS n_frames, CAST(SUM(CASE WHEN g.j % 24 < 16 THEN (d.doc_id*7 + g.j) % 251 END) / 48.0 AS REAL) AS mean_y, CAST(SUM(CASE WHEN g.j % 24 >= 16 AND g.j % 24 < 20 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_u, CAST(SUM(CASE WHEN g.j % 24 >= 20 THEN (d.doc_id*7 + g.j) % 251 END) / 12.0 AS REAL) AS mean_v FROM documents d, generate_series(0, 71) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    // ---- L8f: G.711 μ-law decode — COMPRESSED audio joins the modality
+    // family (baseline JPEG covers images, Y4M video): per row a real
+    // mono 8 kHz μ-law WAV whose 16 data bytes derive from doc_id; the
+    // from-scratch G.711 expansion (complement / segment / mantissa /
+    // re-bias) decodes them, and DuckDB re-derives the SAME formula in
+    // SQL from the seed — a wrong segment shift or bias changes every
+    // statistic and fails the hash. ----
+    ("l08f_mulaw_decode", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticWavMulaw(docs, "doc_id", nSamples = 16), dim = 8)
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).as("fmt"),
+          element_at(col("features"), 2).as("n_channels"),
+          element_at(col("features"), 3).as("sample_rate"),
+          element_at(col("features"), 4).as("n_samples"),
+          element_at(col("features"), 5).as("mean_s"),
+          element_at(col("features"), 6).as("rms_s"),
+          element_at(col("features"), 7).as("min_s"),
+          element_at(col("features"), 8).as("max_s"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH b AS (SELECT d.doc_id, 255 - ((d.doc_id*7 + g.j) % 251) AS u FROM documents d, generate_series(0, 15) g(j)), e AS (SELECT doc_id, u, ((u % 128) // 16) AS ex, u % 16 AS man FROM b), sm AS (SELECT doc_id, CASE WHEN u >= 128 THEN 132 - ((man*8 + 132) * (1 << ex)) ELSE ((man*8 + 132) * (1 << ex)) - 132 END AS smp FROM e) SELECT doc_id, CAST(2 AS REAL) AS fmt, CAST(1 AS REAL) AS n_channels, CAST(8000 AS REAL) AS sample_rate, CAST(16 AS REAL) AS n_samples, CAST(SUM(smp) / 16.0 AS REAL) AS mean_s, CAST(sqrt(SUM(smp*smp) / 16.0) AS REAL) AS rms_s, CAST(MIN(smp) AS REAL) AS min_s, CAST(MAX(smp) AS REAL) AS max_s FROM sm GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- L8d: baseline JPEG decode — the compressed-codec leg of the
     // multimodal family, entirely from-scratch (ITU T.81: Huffman entropy
     // decode, dequantize, IDCT). Lossy codecs are made oracle-checkable

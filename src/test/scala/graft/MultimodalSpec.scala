@@ -327,6 +327,102 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L) != feats(2L))
   }
 
+  /** Raw-payload WAV builder (for the 8-bit/4-bit codec formats the
+    * Short-based `wav` helper can't express). */
+  private def wavRaw(channels: Int, rate: Int, data: Array[Byte],
+      audioFormat: Int, bps: Int, blockAlign: Int): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = le16(audioFormat) ++ le16(channels) ++ le32(rate) ++
+      le32(rate) ++ le16(blockAlign) ++ le16(bps)
+    "RIFF".getBytes ++ le32(4 + 8 + fmt.length + 8 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  test("G.711: mu-law/A-law expansion matches the published codec tables at the edges") {
+    // μ-law: 0xFF → 0 (positive zero), 0x7F → 0 (negative zero),
+    // 0x80 → +32124 (max), 0x00 → -32124
+    assert(Multimodal.mulawExpand(0xff.toByte) === 0)
+    assert(Multimodal.mulawExpand(0x7f.toByte) === 0)
+    assert(Multimodal.mulawExpand(0x80.toByte) === 32124)
+    assert(Multimodal.mulawExpand(0x00.toByte) === -32124)
+    // A-law: 0xD5 → +8 (canonical silence), 0x55 → -8, 0xAA → +32256
+    // (max), 0x2A → -32256; sign bit SET is positive (inverted vs μ-law)
+    assert(Multimodal.alawExpand(0xd5.toByte) === 8)
+    assert(Multimodal.alawExpand(0x55.toByte) === -8)
+    assert(Multimodal.alawExpand(0xaa.toByte) === 32256)
+    assert(Multimodal.alawExpand(0x2a.toByte) === -32256)
+    // the expansions decode through the WAV container (fmt 7 / fmt 6)
+    val mu = Multimodal.decodeWav(wavRaw(1, 8000,
+      Array(0xff, 0x80, 0x00, 0x7f).map(_.toByte), audioFormat = 7,
+      bps = 8, blockAlign = 1)).get
+    assert(mu.samples.toSeq === Seq[Short](0, 32124, -32124, 0))
+    val al = Multimodal.decodeWav(wavRaw(1, 8000,
+      Array(0xd5, 0xaa, 0x2a, 0x55).map(_.toByte), audioFormat = 6,
+      bps = 8, blockAlign = 1)).get
+    assert(al.samples.toSeq === Seq[Short](8, 32256, -32256, -8))
+  }
+
+  test("G.711 mu-law: agrees with the JDK's independent javax.sound converter on all 256 codes") {
+    import javax.sound.sampled._
+    val codes = Array.tabulate(256)(_.toByte)
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(codes),
+      new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false),
+      codes.length.toLong)
+    val pcm = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false), src)
+    val out = pcm.readAllBytes()
+    val jdk = Array.tabulate(256)(i => ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort)
+    val mine = codes.map(Multimodal.mulawExpand)
+    assert(mine.toSeq === jdk.toSeq)
+  }
+
+  test("IMA ADPCM: hand-stepped nibble reconstruction, clamps, and rejection paths") {
+    // block: predictor=100, index=0, nibbles 0x3 then 0xF (one byte,
+    // low nibble first), padded with 0x0 pairs to blockAlign=8.
+    // Hand-stepped per the IMA spec (step table [7,8,...]):
+    //  code 3 @ step 7: diff = 0+3+1 = 4 → 104; index += -1 → 0
+    //  code F @ step 7: diff = 0+7+3+1 = 11, sign → 93; index += 8 → 8
+    //  code 0 @ step 16 (idx 8): diff = 2 → 95; index += -1 → 7
+    //  code 0 @ step 14 (idx 7): diff = 1 → 96; index -> 6
+    //  code 0 @ step 13 (idx 6): diff = 1 → 97
+    //  code 0 @ step 12 (idx 5): diff = 1 → 98
+    //  code 0 @ step 11 (idx 4): diff = 1 → 99
+    //  code 0 @ step 10 (idx 3): diff = 1 → 100
+    val block = Array[Byte](100, 0, 0, 0, 0xf3.toByte, 0, 0, 0)
+    val got = Multimodal.adpcmDecodeMono(block, blockAlign = 8).get
+    assert(got.toSeq === Seq[Short](100, 104, 93, 95, 96, 97, 98, 99, 100))
+    // container path: fmt 0x11, bps 4, mono
+    val viaWav = Multimodal.decodeWav(wavRaw(1, 8000, block,
+      audioFormat = 0x11, bps = 4, blockAlign = 8)).get
+    assert(viaWav.samples.toSeq === got.toSeq)
+    // rejections: trailing partial block, corrupt header index, stereo
+    assert(Multimodal.adpcmDecodeMono(block.dropRight(1), 8).isEmpty)
+    assert(Multimodal.adpcmDecodeMono(
+      Array[Byte](0, 0, 89, 0, 0, 0, 0, 0), 8).isEmpty) // index 89 > 88
+    assert(Multimodal.decodeWav(wavRaw(2, 8000, block ++ block,
+      audioFormat = 0x11, bps = 4, blockAlign = 8)).isEmpty)
+  }
+
+  test("extractFeatures on mu-law WAV: tag 2, exact moments through the synthetic generator") {
+    val out = Multimodal.extractFeatures(
+        Multimodal.syntheticWavMulaw(Seq(4L, 11L).toDF("doc_id"), "doc_id", nSamples = 16),
+        dim = 8)
+      .select($"doc_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for (seed <- Seq(4L, 11L)) {
+      val f = out(seed)
+      val smp = (0 until 16).map(j =>
+        Multimodal.mulawExpand((((seed * 7 + j) % 251).toInt & 0xff).toByte).toInt)
+      assert(f(0) === 2f && f(1) === 1f && f(2) === 8000f && f(3) === 16f)
+      assert(f(4) === (smp.map(_.toLong).sum / 16.0).toFloat)
+      assert(f(6) === smp.min.toFloat && f(7) === smp.max.toFloat)
+    }
+  }
+
   test("decodeY4m: C420/C444/mono geometry, frame params, hand-computed means") {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     def bytes(s: String, raster: Array[Byte]*): Array[Byte] =
