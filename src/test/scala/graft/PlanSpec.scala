@@ -296,6 +296,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
+  test("p15 config-parsed SMT chain fuses into whole-stage codegen like the hand-written ones") {
+    // the config parser must not cost plan quality: the 5-transform
+    // chain is the same composed projection Catalyst fuses for p01-p14
+    val df = run("p15_config_chain")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"config chain lost codegen:\n${plan.take(3000)}")
+  }
+
   test("star queries stay inside whole-stage codegen (no interpreted hot path)") {
     Seq("a01_groupby", "j02_equi", "w01_rank").foreach { q =>
       val df = run(q)
