@@ -51,8 +51,7 @@ object Dedup {
     val t = col(textCol)
     // uniquified temp columns — fixed names would clobber caller columns
     val h = hashName(df)
-    val rn = (Iterator("__rn") ++ Iterator.from(0).map(i => s"__rn$i"))
-      .find(n => !df.columns.contains(n)).get
+    val rn = graft.Cols.fresh(df.columns, "__rn")
     val w = Window.partitionBy(col(h)).orderBy(col(idCol))
     df.where(t.isNotNull)
       .withColumn(h, sha2(t, 256))
@@ -91,9 +90,7 @@ object Dedup {
 
   /** Temp hash-column name absent from `df` (join-key columns must be
     * same-named on both sides, so one name per call). */
-  private def hashName(df: DataFrame): String =
-    (Iterator("__h") ++ Iterator.from(0).map(i => s"__h$i"))
-      .find(n => !df.columns.contains(n)).get
+  private def hashName(df: DataFrame): String = graft.Cols.fresh(df.columns, "__h")
 
   /** L1 incremental, broadcastable-batch form — same result as
     * [[exactIncremental]] (batch rows whose text the history has not
@@ -367,7 +364,15 @@ object Dedup {
     // spec — see writeBandHistory on the all-keys co-partition rule
     val pairs = bounded.as("n").join(hist.as("h"),
         col("n.__band") === col("h.__band") &&
-          col("n.__bandsig") === col("h.__bandsig"))
+          col("n.__bandsig") === col("h.__bandsig") &&
+          // a pair whose sides share an id is the same document meeting
+          // its own history copy — an at-least-once replay (the batch
+          // was appended, the ingest loop crashed before recording it,
+          // the batch comes again). Without this exclusion the replay
+          // finds every batch doc "duplicated" at jaccard 1.0 and the
+          // recomputed survivor set is EMPTY — the replay then
+          // overwrites the batch's survivor output with nothing.
+          col(s"n.$idCol") =!= col(s"h.$idCol"))
       .select(col(s"n.$idCol").alias("id_new"), col(s"h.$idCol").alias("id_hist"))
       .distinct()
     val newSh = shingleFrame(newDf, textCol, idCol, shingleN)

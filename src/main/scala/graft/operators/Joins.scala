@@ -158,9 +158,7 @@ object Joins {
     // select(lCols) then emits bucket ids as that column's data. (Plain
     // asofJoin's select-with-alias shape fails loudly instead.)
     val used = (lCols ++ right.columns).toSet
-    def tn(base: String): String =
-      (Iterator(base) ++ Iterator.from(0).map(i => s"$base$i"))
-        .find(n => !used.contains(n)).get
+    def tn(base: String): String = graft.Cols.fresh(used, base)
     val cTs = tn("__ts"); val cSide = tn("__side"); val cV = tn("__v")
     val cB = tn("__b"); val cVin = tn("__vin"); val cLast = tn("__last")
     val cPrev = tn("__prev"); val cM = tn("__m")

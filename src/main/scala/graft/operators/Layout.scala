@@ -166,9 +166,7 @@ object Layout {
     // step, silently ranking NULLs 0 — they must rank NULL like the
     // width_bucket path.
     var cur = df
-    def fresh(base: String): String =
-      (Iterator(base) ++ Iterator.from(0).map(i => s"$base$i"))
-        .find(n => !cur.columns.contains(n)).get
+    def fresh(base: String): String = graft.Cols.fresh(cur.columns, base)
     val rankNames = zCols.zipWithIndex.map { case (c, ci) =>
       val bounds = doubled.stat.approxQuantile(c, probs, relativeError)
       val out = fresh(s"__zq$ci")
@@ -216,8 +214,7 @@ object Layout {
       bits: Int, numFiles: Int, mode: String,
       alsoDrop: Seq[String] = Nil): Unit = {
     def fresh(base: String, taken: Seq[String]): String =
-      (Iterator(base) ++ Iterator.from(0).map(i => s"$base$i"))
-        .find(n => !taken.contains(n)).get
+      graft.Cols.fresh(taken, base)
     val rankNames = ranks.indices.foldLeft(Seq.empty[String]) { (acc, i) =>
       acc :+ fresh(s"__zr$i", df.columns.toSeq ++ acc)
     }
@@ -257,6 +254,9 @@ object Layout {
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20, verifyCount: Boolean = true): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    // normalize BEFORE deriving the swap siblings: raw string concat on
+    // a trailing-slash dir would nest tmp INSIDE the target, and the
+    // rename swap would then fail after the original was renamed aside
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = fs.listStatus(path)
@@ -266,10 +266,10 @@ object Layout {
     // inference over zero files would throw, and a swap would race)
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    val tmp = path.suffix("__compact_tmp")
+    val old = path.suffix("__compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
-    val src = spark.read.parquet(dir)
+    val src = spark.read.parquet(path.toString)
     src.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
     if (verifyCount) {
       val (a, b) = (src.count(), spark.read.parquet(tmp.toString).count())
@@ -315,8 +315,7 @@ object Layout {
       s"saltedJoin supports fact-preserving join types only, got $how")
     // uniquified temp column: a fixed "__salt" would silently clobber
     // (and then drop) a caller column of that name on either side
-    val salt = (Iterator("__salt") ++ Iterator.from(0).map(i => s"__salt$i"))
-      .find(n => !fact.columns.contains(n) && !dim.columns.contains(n)).get
+    val salt = graft.Cols.fresh(fact.columns.toSeq ++ dim.columns, "__salt")
     val salted = fact.withColumn(salt, saltExpr(fact, salts))
     val replicated = dim.crossJoin(
       dim.sparkSession.range(salts).select(col("id").cast("int").alias(salt)))

@@ -109,8 +109,7 @@ object Sampling {
   /** First name in `base`, `base0`, `base1`, … absent from `df.columns` —
     * temp-column hygiene shared by the budget operators. */
   private def tempName(df: DataFrame, base: String): String =
-    (Iterator(base) ++ Iterator.from(0).map(i => s"$base$i"))
-      .find(n => !df.columns.contains(n)).get
+    graft.Cols.fresh(df.columns, base)
 
   /** [[tokenBudget]] for HOT groups — the 100 TB straggler fix: one
     * window per group makes the dominant group (English at ~half of a web

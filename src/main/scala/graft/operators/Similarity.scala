@@ -292,8 +292,12 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1) // same order as the build → same tie-breaks
     val cents = typedLit(centRows.toSeq)
+    // materialized once (localCheckpoint): the probe frame feeds BOTH
+    // the driver-side list-id pull and the broadcast join below —
+    // unmaterialized, the per-query centroid scoring would run twice
     val probes = queries.select(col(qId), col(qVec),
       explode(probeListsAgainst(cents, col(qVec), nProbe)).alias("__list"))
+      .localCheckpoint(eager = true)
     // probed list ids, driver-side: bounded by nLists, and the isin
     // filter is what turns the bucketed layout into bucket PRUNING at
     // the scan (a join alone prunes nothing)

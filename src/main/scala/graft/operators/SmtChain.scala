@@ -135,8 +135,15 @@ object SmtChain {
             s"transform '$alias': Filter needs transforms.$alias.predicate"))
           val negate = opt("negate").exists(_.toBoolean)
           val p = predicate(config, predAlias, headersCol, topicCol, valueCols)
-          // Connect's Filter DROPS matching records (negate inverts)
-          df => df.where(if (negate) p(df) else !p(df))
+          // Connect's Filter DROPS matching records (negate inverts).
+          // A predicate evaluating NULL (rlike on a NULL topic) must
+          // read as FALSE like Connect's boolean — under raw
+          // three-valued logic the row would vanish from BOTH negate
+          // settings instead of surviving exactly one
+          df => {
+            val matched = coalesce(p(df), lit(false))
+            df.where(if (negate) matched else !matched)
+          }
         case "ReplaceField" =>
           val renames = opt("renames").map(csv(_).map { r =>
             r.split(":") match {

@@ -182,6 +182,12 @@ object ConnectorConfig {
           baseFrame(spark, sfDir, config),
           req("timestamp.column.name"), req("incrementing.column.name"), stateDir, maxRows)
       case _ =>
+        // bulk: batch.max.rows deliberately does NOT bound the cycle —
+        // matching Connect, whose bulk mode chunks rows WITHIN a poll
+        // (the repo maps the same key to the JDBC reader's fetchsize,
+        // see jdbcOptions) but still redelivers the whole table every
+        // cycle. Only the incremental modes above have a resumable
+        // high-water mark for a per-cycle bound to advance.
         IncrementalSource.Poll(sourceScan(spark, sfDir, config), () => ())
     }
   }

@@ -32,46 +32,66 @@ import org.apache.spark.sql.SparkSession
 object ConnectorRunner {
 
   /** One poll-transform-deliver cycle. Returns the delivered row count
-    * (0 = backlog drained; offsets untouched by an empty poll). */
+    * (rows surviving the SMT chain — a Filter can legitimately deliver
+    * 0 from a non-empty poll; offsets still advance past the dropped
+    * rows). Offsets are untouched by an empty poll. */
   def runOnce(spark: SparkSession, sfDir: String,
-      config: ConnectorConfig.Config, stateDir: String): Long = {
+      config: ConnectorConfig.Config, stateDir: String): Long =
+    runCycle(spark, sfDir, config, stateDir)._2
+
+  /** (polledAnything, deliveredRows) — the first drives [[drain]]'s
+    * termination: "drained" means the SOURCE returned nothing, not that
+    * a Filter dropped everything this cycle delivered. */
+  private def runCycle(spark: SparkSession, sfDir: String,
+      config: ConnectorConfig.Config, stateDir: String): (Boolean, Long) = {
     def err(msg: String) = throw new IllegalArgumentException(s"${config.name}: $msg")
     val poll = ConnectorConfig.pollSource(spark, sfDir, config, stateDir)
+    val polledAnything = !poll.batch.isEmpty
+    // one barrier run of the source scan + chain: the count and the
+    // sink write must not each recompute the poll (incremental polls
+    // are bounded by design; a 100 TB one-shot bulk load should go
+    // through the plain scan builders, not a poll loop)
     val transformed = SmtChain.fromConfig(config)(poll.batch)
-    val n = transformed.count()
-    if (n > 0) (config("connection.url"), config("sink.path")) match {
-      case (Some(url), None) =>
-        val table = config("table.name.format").getOrElse(err("needs table.name.format"))
-        if (table.contains("${")) err(
-          "table.name.format placeholders are not supported — route to a literal table")
-        val creds = JdbcBridge.sinkCreds(config)
-        // Connect auto.create: create WHEN MISSING — never clobber a
-        // table already holding earlier cycles' rows
-        if (config("auto.create").exists(_.toBoolean)
-            && !JdbcBridge.tableExists(url, table, creds))
-          JdbcBridge.createTable(url, table, transformed.schema,
-            config("pk.fields").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil), creds)
-        config("insert.mode").getOrElse("insert") match {
-          case "insert" => JdbcBridge.insertInto(transformed, url, table, creds)
-          case "upsert" =>
-            val pk = config("pk.fields").map(_.split(",").map(_.trim).toSeq)
-              .getOrElse(err("insert.mode=upsert needs pk.fields"))
-            JdbcBridge.upsert(transformed, url, table, pk, creds = creds)
-          case other => err(s"unknown insert.mode '$other' (insert, upsert)")
-        }
-      case (None, Some(path)) =>
-        FileSink.writeBatch(transformed, config("sink.format").getOrElse("parquet"), path)
-      case (Some(_), Some(_)) => err("configure ONE sink: connection.url or sink.path")
-      case (None, None) => err("no sink configured (connection.url or sink.path)")
-    }
-    // commit only after delivery: Connect's at-least-once contract
-    poll.commit()
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = transformed.count()
+      if (n > 0) (config("connection.url"), config("sink.path")) match {
+        case (Some(url), None) =>
+          val table = config("table.name.format").getOrElse(err("needs table.name.format"))
+          if (table.contains("${")) err(
+            "table.name.format placeholders are not supported — route to a literal table")
+          val creds = JdbcBridge.sinkCreds(config)
+          // Connect auto.create: create WHEN MISSING — never clobber a
+          // table already holding earlier cycles' rows (ensureTable
+          // probes via metadata and its CREATE never drops)
+          if (config("auto.create").exists(_.toBoolean))
+            JdbcBridge.ensureTable(url, table, transformed.schema,
+              config("pk.fields").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil), creds)
+          config("insert.mode").getOrElse("insert") match {
+            case "insert" => JdbcBridge.insertInto(transformed, url, table, creds)
+            case "upsert" =>
+              val pk = config("pk.fields").map(_.split(",").map(_.trim).toSeq)
+                .getOrElse(err("insert.mode=upsert needs pk.fields"))
+              JdbcBridge.upsert(transformed, url, table, pk, creds = creds)
+            case other => err(s"unknown insert.mode '$other' (insert, upsert)")
+          }
+        case (None, Some(path)) =>
+          FileSink.writeBatch(transformed, config("sink.format").getOrElse("parquet"), path)
+        case (Some(_), Some(_)) => err("configure ONE sink: connection.url or sink.path")
+        case (None, None) => err("no sink configured (connection.url or sink.path)")
+      }
+      // commit only after delivery: Connect's at-least-once contract
+      poll.commit()
+      (polledAnything, n)
+    } finally transformed.unpersist(blocking = false)
   }
 
-  /** Drain the source: [[runOnce]] until an empty poll (bounded by
-    * `maxCycles` against misconfigured non-advancing sources). Returns
-    * total delivered rows. */
+  /** Drain the source: poll cycles until the SOURCE returns nothing
+    * (bounded by `maxCycles` against misconfigured non-advancing
+    * sources). Termination is on poll emptiness, NOT delivered count —
+    * a Filter transform dropping an entire bounded poll still advances
+    * the offset and the loop keeps going until the backlog is truly
+    * consumed. Returns total delivered rows. */
   def drain(spark: SparkSession, sfDir: String, config: ConnectorConfig.Config,
       stateDir: String, maxCycles: Int = 1000): Long = {
     // a bulk source redelivers everything per cycle — it can never drain
@@ -79,13 +99,14 @@ object ConnectorRunner {
       s"${config.name}: drain needs an incremental mode (bulk never empties)")
     var total = 0L
     var cycles = 0
-    var last = -1L
-    while (last != 0L && cycles < maxCycles) {
-      last = runOnce(spark, sfDir, config, stateDir)
-      total += last
+    var polled = true
+    while (polled && cycles < maxCycles) {
+      val (p, n) = runCycle(spark, sfDir, config, stateDir)
+      polled = p
+      total += n
       cycles += 1
     }
-    require(last == 0L,
+    require(!polled,
       s"${config.name}: backlog not drained after $maxCycles cycles")
     total
   }

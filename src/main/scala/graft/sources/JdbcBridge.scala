@@ -94,18 +94,31 @@ object JdbcBridge {
     }
   }
 
-  /** True when `table` is queryable over `url` — the Connect
-    * `auto.create` probe: create only when missing ([[createTable]]
-    * drops first, and auto.create must never clobber a sink table that
-    * already holds delivered rows). */
+  /** True when `table` exists per JDBC metadata. Deliberately NOT a
+    * probe query with a broad SQLException catch: there, a transient
+    * error (lock timeout, connection blip) reads as "missing", and an
+    * auto-create path acting on that answer clobbers a sink table full
+    * of delivered rows. Here a metadata/connection failure PROPAGATES —
+    * "can't tell" is never "missing". Unquoted DDL identifiers are
+    * case-normalized by the engine (Derby uppercases), so the stored
+    * case variants are probed. */
   def tableExists(url: String, table: String,
       creds: Map[String, String] = Map.empty): Boolean =
     withConnection(url, creds) { conn =>
-      val st = conn.createStatement()
-      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
-      catch { case _: java.sql.SQLException => false }
-      finally st.close()
+      val md = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+        val rs = md.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
     }
+
+  /** Create `table` when missing — the Connect `auto.create` path.
+    * Unlike [[createTable]] this NEVER drops: an existing table (with
+    * earlier cycles' delivered rows) is left untouched. */
+  def ensureTable(url: String, table: String, schema: StructType,
+      keyCols: Seq[String], creds: Map[String, String] = Map.empty): Unit =
+    if (!tableExists(url, table, creds))
+      createTable(url, table, schema, keyCols, creds)
 
   /** Create-or-replace `table` from `df` (the test fixture seeding step,
     * not a Connect mode). With `keyCols`, the table is created with a

@@ -126,10 +126,15 @@ object StreamOps {
     * between append and pointer flip can re-append one batch's rows,
     * and duplicate history entries cannot change any future survivor
     * set (candidate pairs are distinct on ids before scoring), they
-    * only cost storage until the next history rebuild. Versioning the
-    * history instead would mean rewriting the accumulated corpus every
-    * micro-batch — O(history) per batch is exactly what the bucketed
-    * append exists to avoid. */
+    * only cost storage until the next history rebuild. The replayed
+    * batch itself recomputes the SAME survivors against its own
+    * appended copy: probe pairs exclude same-id matches (a doc meeting
+    * its own history row is a replay artifact, not a duplicate —
+    * [[graft.operators.Dedup.minhashIncremental]]), so the re-written
+    * batch dir is identical, not empty. Versioning the history instead
+    * would mean rewriting the accumulated corpus every micro-batch —
+    * O(history) per batch is exactly what the bucketed append exists
+    * to avoid. */
   def nearDedupSink(docs: DataFrame, historyTable: String, numBuckets: Int,
       textCol: String, idCol: String, outDir: String, checkpoint: String,
       threshold: Double = 0.8): DataStreamWriter[Row] =

@@ -131,4 +131,32 @@ class PipelineSpec extends SparkSpec {
     assert(JdbcBridge.read(spark, ConnectorConfig.Config("rb2", Map(
       "connection.url" -> url, "table" -> "events_r"))).count() === total)
   }
+
+  test("ConnectorRunner.drain: a Filter dropping every row still consumes the SOURCE") {
+    import graft.sources.ConnectorRunner
+    val stateDir = tmpDir("drain_filter")
+    val outDir = tmpDir("drain_filter_out") + "/files"
+    // every bounded poll survives the source but dies in the chain —
+    // "drained" must mean the SOURCE is empty, not that one cycle
+    // delivered nothing (the old delivered-count termination stopped
+    // after the first all-filtered poll with backlog left behind)
+    val cfg = ConnectorConfig.Config("fdrain", Map(
+      "table" -> "events", "mode" -> "incrementing",
+      "incrementing.column.name" -> "event_id", "batch.max.rows" -> "400",
+      "transforms" -> "tag,f",
+      "transforms.tag.type" -> "InsertField$Value",
+      "transforms.tag.static.field" -> "topic",
+      "transforms.tag.static.value" -> "ev",
+      "transforms.f.type" -> "Filter",
+      "transforms.f.predicate" -> "p",
+      "predicates.p.type" -> "predicates.TopicNameMatches",
+      "predicates.p.pattern" -> "ev",
+      "sink.path" -> outDir))
+    assert(ConnectorRunner.drain(spark, sf0001, cfg, stateDir) === 0L)
+    // offsets really advanced past the filtered rows: an UNFILTERED
+    // pass over the same state delivers nothing
+    val unfiltered = ConnectorConfig.Config("fdrain2",
+      cfg.settings - "transforms")
+    assert(ConnectorRunner.runOnce(spark, sf0001, unfiltered, stateDir) === 0L)
+  }
 }

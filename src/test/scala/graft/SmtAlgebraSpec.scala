@@ -296,6 +296,18 @@ class SmtAlgebraSpec extends SparkSpec {
       "predicates.p.type" -> "predicates.TopicNameMatches",
       "predicates.p.pattern" -> "click.*")(rec)
     assert(keep.select($"topic").as[String].collect() === Array("clicks"))
+    // a NULL predicate input reads as FALSE (Connect boolean parity):
+    // the record survives exactly ONE negate setting — raw three-valued
+    // logic would drop it from both
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "clicks")).toDF("id", "topic")
+    def filt(negate: Boolean) = chain(
+      "transforms" -> "f", "transforms.f.type" -> "Filter",
+      "transforms.f.predicate" -> "p", "transforms.f.negate" -> negate.toString,
+      "predicates.p.type" -> "predicates.TopicNameMatches",
+      "predicates.p.pattern" -> "click.*")(withNull)
+      .select($"id").as[Long].collect().sorted
+    assert(filt(negate = false) === Array(1L)) // NULL topic: not matched → kept
+    assert(filt(negate = true) === Array(2L)) // and dropped only here
     // HeaderFrom move: field lands in headers and leaves the value
     val moved = chain(
       "transforms" -> "hf", "transforms.hf.type" -> "HeaderFrom$Value",

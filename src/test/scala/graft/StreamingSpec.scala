@@ -599,6 +599,22 @@ class StreamingSpec extends SparkSpec {
       assert(StreamOps.nearDedupBatch(next, 2L, hist, 4, "text", "doc_id", out))
       assert(batchIds(2) === Array(8L))
       assert(histIds() === Array(1L, 3L, 5L, 8L))
+      // CRASH WINDOW: history appended, pointer flip lost. The replay
+      // meets its own appended copy — same-id pairs are excluded as
+      // replay artifacts, so the recomputed survivor output is
+      // IDENTICAL (not empty), with only an at-least-once double
+      // append in the history (storage, never correctness)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      graft.sources.AtomicPointer.write(hconf,
+        new org.apache.hadoop.fs.Path(out, "_LATEST.tmp-crash"),
+        new org.apache.hadoop.fs.Path(out, "_LATEST"), "1")
+      assert(StreamOps.nearDedupBatch(next, 2L, hist, 4, "text", "doc_id", out))
+      assert(batchIds(2) === Array(8L)) // survivors re-derived, not emptied
+      assert(histIds() === Array(1L, 3L, 5L, 8L))
+      // and the loop keeps deduping correctly after the replay
+      val after = Seq((9L, doc(8) + " rr"), (10L, doc(10))).toDF("doc_id", "text")
+      assert(StreamOps.nearDedupBatch(after, 3L, hist, 4, "text", "doc_id", out))
+      assert(batchIds(3) === Array(10L))
     } finally Dedup.dropBandHistory(spark, hist)
   }
 }
