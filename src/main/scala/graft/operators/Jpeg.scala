@@ -214,6 +214,8 @@ private[graft] object Jpeg {
           if (len != 8 + 3 * nf) return None
           if (width <= 0 || height <= 0 || width > 100000000 || height > 100000000)
             return None // same dimension bound as decodePpm/decodePng
+          if (width.toLong * height > (1L << 26))
+            return None // total-pixel cap: a few header bytes must not force a GB-scale plane allocation
           if (nf != 1 && nf != 3) return None // CMYK/unknown color models
           comps = Array.fill(nf)(null)
           var i = 0

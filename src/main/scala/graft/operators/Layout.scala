@@ -48,9 +48,33 @@ object Layout {
     * and `saveAsTable` refuses with LOCATION_ALREADY_EXISTS over the
     * surviving directory. */
   def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), table)
+    import org.apache.hadoop.fs.Path
+    val catalog = spark.sessionState.catalog
+    val ident =
+      try Some(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      catch { case _: Exception => None }
+    // Resolve the location from the catalog while the entry still exists —
+    // Spark lowercases managed-table directory names and nests non-default
+    // databases under <db>.db/, so <warehouse>/<table> verbatim misses
+    // mixed-case or db-qualified names.
+    val resolved = ident.filter(catalog.tableExists)
+      .map(i => new Path(catalog.getTableMetadata(i).location))
+    ident match {
+      case Some(i) => spark.sql(s"DROP TABLE IF EXISTS ${i.quotedString}")
+      case None    => spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    }
+    val loc = resolved.getOrElse {
+      // cross-session: the in-memory metastore has no entry, so rebuild the
+      // managed location the way Spark lays it out
+      val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+      ident match {
+        case Some(i) =>
+          val db = i.database.getOrElse(catalog.getCurrentDatabase)
+          val base = if (db == "default") wh else new Path(wh, db.toLowerCase + ".db")
+          new Path(base, i.table.toLowerCase)
+        case None => new Path(wh, table.toLowerCase)
+      }
+    }
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

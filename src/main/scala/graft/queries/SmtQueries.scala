@@ -309,6 +309,30 @@ object SmtQueries {
         .orderBy(col("event_id"))
     }, Some("""SELECT event_id, '{"k": ' AS raw FROM events WHERE event_id % 100 = 0 ORDER BY event_id""")),
 
+    // ---- S16c: errors.tolerance=all through the PROPERTIES-DRIVEN
+    // runner — one Connect config (query source with planted corrupt
+    // payloads, json value converter, tolerance=all + DLQ path, file
+    // sink) drains end-to-end; the sink output is the oracle-checked
+    // clean side ----
+    ("s16c_runner_tolerant", (s, d) => {
+      import graft.sources.{ConnectorConfig, ConnectorRunner}
+      val base = java.nio.file.Files.createTempDirectory("s16c").toString
+      val out = base + "/out"
+      val cfg = ConnectorConfig.Config("s16c", Map(
+        "query" -> ("SELECT event_id, CASE WHEN event_id % 100 = 0 " +
+          "THEN '{\"k\": ' ELSE props END AS props FROM events"),
+        "mode" -> "incrementing", "incrementing.column.name" -> "event_id",
+        "value.converter" -> "json",
+        "value.converter.column" -> "props",
+        "value.converter.schema" -> "k INT",
+        "errors.tolerance" -> "all",
+        "errors.deadletter.path" -> (base + "/dlq"),
+        "sink.path" -> out))
+      ConnectorRunner.drain(s, d, cfg, base + "/state")
+      s.read.parquet(out).select(col("event_id"), col("k"))
+        .orderBy(col("event_id"))
+    }, Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events WHERE event_id % 100 <> 0 ORDER BY event_id""")),
+
     // ---- S8: schemaless JSON value decode (the Connect JsonConverter
     // path) — unwrap carries every payload field through the envelope ----
     ("s08_json_roundtrip", (s, d) => {

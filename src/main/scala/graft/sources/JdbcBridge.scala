@@ -106,8 +106,17 @@ object JdbcBridge {
       creds: Map[String, String] = Map.empty): Boolean =
     withConnection(url, creds) { conn =>
       val md = conn.getMetaData
+      // getTables treats the name as a LIKE pattern — the '_' routine in
+      // sink names ("events_r") would match any character and let a
+      // DIFFERENT table answer for this one, silently skipping auto-create
+      val esc = md.getSearchStringEscape
+      def literal(t: String): String = t.flatMap {
+        case c @ ('_' | '%') => esc + c
+        case c if esc.length == 1 && c == esc.head => esc + c
+        case c => c.toString
+      }
       Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-        val rs = md.getTables(null, null, t, null)
+        val rs = md.getTables(null, null, literal(t), null)
         try rs.next() finally rs.close()
       }
     }

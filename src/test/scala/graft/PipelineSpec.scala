@@ -159,4 +159,96 @@ class PipelineSpec extends SparkSpec {
       cfg.settings - "transforms")
     assert(ConnectorRunner.runOnce(spark, sf0001, unfiltered, stateDir) === 0L)
   }
+
+  test("ConnectorRunner: sink misconfiguration fails the FIRST cycle even when every row is filtered") {
+    import graft.sources.ConnectorRunner
+    // both sinks configured + a Filter dropping everything: the old
+    // n>0-gated validation let this 'drain' silently and commit offsets
+    // past the data (r7 ADVICE) — now the config fails before any poll
+    val cfg = ConnectorConfig.Config("badsink", Map(
+      "table" -> "events", "mode" -> "incrementing",
+      "incrementing.column.name" -> "event_id",
+      "transforms" -> "tag,f",
+      "transforms.tag.type" -> "InsertField$Value",
+      "transforms.tag.static.field" -> "topic",
+      "transforms.tag.static.value" -> "ev",
+      "transforms.f.type" -> "Filter",
+      "transforms.f.predicate" -> "p",
+      "predicates.p.type" -> "predicates.TopicNameMatches",
+      "predicates.p.pattern" -> "no-such-topic",
+      "connection.url" -> "jdbc:derby:memory:badsink;create=true",
+      "table.name.format" -> "t",
+      "sink.path" -> (tmpDir("badsink") + "/files")))
+    val stateDir = tmpDir("badsink_offsets")
+    val e = intercept[IllegalArgumentException] {
+      ConnectorRunner.runOnce(spark, sf0001, cfg, stateDir)
+    }
+    assert(e.getMessage.contains("ONE sink"))
+    // nothing was committed: a corrected config still sees the backlog
+    val fixed = ConnectorConfig.Config("badsink2",
+      cfg.settings - "connection.url" - "table.name.format" - "transforms")
+    assert(ConnectorRunner.runOnce(spark, sf0001, fixed, stateDir) > 0L)
+  }
+
+  test("ConnectorRunner: errors.tolerance=all delivers clean rows and quarantines corrupt ones to the DLQ path") {
+    import graft.sources.ConnectorRunner
+    val base = tmpDir("tol_all")
+    val outDir = base + "/out"; val dlqDir = base + "/dlq"
+    // every 100th event's props payload is truncated JSON at the SOURCE
+    // (query mode); the converter must split, not fail, not silently null
+    val cfg = ConnectorConfig.Config("tol", Map(
+      "query" -> ("SELECT event_id, CASE WHEN event_id % 100 = 0 " +
+        "THEN '{\"k\": ' ELSE props END AS props FROM events"),
+      "mode" -> "incrementing", "incrementing.column.name" -> "event_id",
+      "batch.max.rows" -> "700",
+      "value.converter" -> "json",
+      "value.converter.column" -> "props",
+      "value.converter.schema" -> "k INT",
+      "errors.tolerance" -> "all",
+      "errors.deadletter.path" -> dlqDir,
+      "sink.path" -> outDir))
+    val total = graft.sources.Tables.events(spark, sf0001).count()
+    val corrupt = graft.sources.Tables.events(spark, sf0001)
+      .where($"event_id" % 100 === 0).count()
+    assert(ConnectorRunner.drain(spark, sf0001, cfg, base + "/state")
+      === total - corrupt)
+    // clean side: parsed field flattened to a top-level column, raw gone
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.toSet === Set("event_id", "k"))
+    assert(out.count() === total - corrupt)
+    assert(out.where($"event_id" % 100 === 0).count() === 0L)
+    // DLQ side: exactly the planted rows, raw payload preserved verbatim
+    val dlq = spark.read.parquet(dlqDir)
+    assert(dlq.count() === corrupt)
+    assert(dlq.where($"raw" === "{\"k\": ").count() === corrupt)
+    assert(dlq.select($"event_id").except(
+      graft.sources.Tables.events(spark, sf0001)
+        .where($"event_id" % 100 === 0).select($"event_id")).count() === 0L)
+  }
+
+  test("ConnectorRunner: errors.tolerance=none fails loudly BEFORE the offset commit") {
+    import graft.sources.ConnectorRunner
+    val base = tmpDir("tol_none")
+    val cfg = ConnectorConfig.Config("strict", Map(
+      "query" -> ("SELECT event_id, CASE WHEN event_id % 100 = 0 " +
+        "THEN '{\"k\": ' ELSE props END AS props FROM events"),
+      "mode" -> "incrementing", "incrementing.column.name" -> "event_id",
+      "value.converter" -> "json",
+      "value.converter.column" -> "props",
+      "value.converter.schema" -> "k INT",
+      "sink.path" -> (base + "/out")))
+    val e = intercept[IllegalStateException] {
+      ConnectorRunner.runOnce(spark, sf0001, cfg, base + "/state")
+    }
+    assert(e.getMessage.contains("errors.tolerance=none"))
+    // the failed cycle committed nothing: switching the same state to
+    // tolerance=all still sees the whole backlog
+    val tolerant = ConnectorConfig.Config("strict2", cfg.settings
+      + ("errors.tolerance" -> "all"))
+    val total = graft.sources.Tables.events(spark, sf0001).count()
+    val corrupt = graft.sources.Tables.events(spark, sf0001)
+      .where($"event_id" % 100 === 0).count()
+    assert(ConnectorRunner.runOnce(spark, sf0001, tolerant, base + "/state")
+      === total - corrupt)
+  }
 }
