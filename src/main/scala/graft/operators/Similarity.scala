@@ -139,7 +139,7 @@ object Similarity {
     * win the fold: `NaN > x` is true under Spark ordering, so without
     * the guard a broken vector would take the first list and, worse, a
     * NaN-scoring centroid would absorb everything. */
-  private def nearestAgainst(cents: Column, vec: Column): Column =
+  private[graft] def nearestAgainst(cents: Column, vec: Column): Column =
     aggregate(scoredAgainst(cents, vec),
       struct(lit(-1L).alias("list"), lit(-2.0d).alias("sim")),
       (acc, x) => when(!isnan(x.getField("sim")) &&
@@ -275,6 +275,80 @@ object Similarity {
   def dropIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     Layout.dropTableAndLocation(spark, table)
     Layout.dropTableAndLocation(spark, s"${table}_centroids")
+  }
+
+  /** [[appendToIvfIndex]]'s drift report: mean cosine similarity of
+    * indexed vectors to their assigned centroid, before vs after the
+    * append (higher = tighter lists; `indexedBefore` counts the rows
+    * behind `meanSimBefore`, i.e. pre-append rows with a finite score).
+    * `meanSimAfter` falling across appends means the FROZEN quantizer
+    * is drifting away from the data — the signal to schedule a
+    * [[writeIvfIndex]] rebuild. */
+  final case class IvfDrift(appended: Long, indexedBefore: Long,
+      meanSimBefore: Double, meanSimAfter: Double)
+
+  /** Continuous-ingest append to a persisted IVF index: assign `batch`
+    * to the EXISTING centroids (the quantizer is frozen — assignment is
+    * a pure projection of the centroid literal, exactly the build's
+    * rule, so an appended index is bit-identical to building over
+    * old+new with these centroids) and append to the bucketed list
+    * table under its OWN bucket spec (read from the catalog; Spark
+    * rejects a mismatched append, and probes keep pruning to bucket
+    * files). The existing index is never read for the write and never
+    * exchanges — at 100 TB the append costs one pass over the batch,
+    * not the corpus.
+    *
+    * Drift: `meanSimBefore` is one (vec, list)-projection aggregate
+    * over the existing index (a production deployment would sample it);
+    * `meanSimAfter` combines it exactly with the batch-side mean via
+    * the row counts — no post-append rescan. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String,
+      cId: String = "vec_id", cVec: String = "embedding",
+      computeDrift: Boolean = true): IvfDrift = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — build the index with writeIvfIndex first"))
+    val centRows = spark.table(s"${table}_centroids")
+      .select(col("list"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1) // same order as the build → same tie-breaks
+    val cents = typedLit(centRows.toSeq)
+    val assigned = batch.select(col(cId), col(cVec),
+      nearestAgainst(cents, col(cVec)).alias("__list"))
+      // two consumers when drift is on (mean + write) — pin the batch
+      // so the source doesn't recompute; released before returning
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val appended = assigned.count()
+      val (nBefore, simBefore, after) =
+        if (!computeDrift) (0L, Double.NaN, Double.NaN)
+        else {
+          val centMap = typedLit(centRows.toMap)
+          // zero-norm/null vectors score NaN against any centroid — they
+          // are indexed (same rule as the build) but excluded from the
+          // mean, which must reflect list tightness, not data hygiene
+          def stats(df: DataFrame): (Long, Double) = {
+            val sim = VF.cosineNative(col(cVec), element_at(centMap, col("__list")))
+            val r = df.select(sim.alias("__s"))
+              .where(col("__s").isNotNull && !isnan(col("__s")))
+              .agg(count(lit(1)), avg(col("__s"))).head()
+            (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
+          }
+          val (nb, sb) = stats(spark.table(table))
+          val (na, sa) = stats(assigned)
+          val combined =
+            if (nb + na == 0) Double.NaN
+            else if (nb == 0) sa
+            else if (na == 0) sb
+            else (sb * nb + sa * na) / (nb + na)
+          (nb, sb, combined)
+        }
+      Layout.writeBucketed(assigned, table, Seq("__list"), spec.numBuckets,
+        mode = "append")
+      IvfDrift(appended, nBefore, simBefore, after)
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Probe a persisted IVF index ([[writeIvfIndex]]) — no build work at

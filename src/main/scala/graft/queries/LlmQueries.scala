@@ -328,6 +328,27 @@ object LlmQueries {
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
     }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
 
+    // ---- L4f: IVF index APPEND (continuous ingest) — planted copies
+    // arrive in a later batch appended to the frozen quantizer; the
+    // probe must surface every one through the same bucket-pruned path,
+    // proving the appended rows are first-class index citizens ----
+    ("l04f_ivf_append_recall", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val base = emb.where(col("vec_id") % 7 =!= 3)
+      val later = emb.where(col("vec_id") % 7 === 3).unionByName(queries
+        .select((col("q_id") + 500000).as("vec_id"), col("q_vec").as("embedding")))
+      Similarity.dropIvfIndex(s, "l04f_ivf") // cross-session idempotence
+      Similarity.writeIvfIndex(s, base, "l04f_ivf", nLists = 16, lloydIters = 1)
+      Similarity.appendToIvfIndex(s, later, "l04f_ivf")
+      val top = Similarity.ivfTopKIndexed(s, queries, "l04f_ivf", k = 10, nProbe = 4)
+      val planted = queries.select(col("q_id"), (col("q_id") + 500000).as("vec_id"))
+      planted.join(top.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
+
     // ---- L5: text stats — counts, punctuation ratio, mean word length ----
     ("l05_text_stats", (s, d) => {
       // DataFrame-level form: one tokenizer pass per row (the scalar

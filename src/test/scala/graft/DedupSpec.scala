@@ -145,6 +145,110 @@ class DedupSpec extends SparkSpec {
     } finally Similarity.dropIvfIndex(spark, "t_ivf_parity")
   }
 
+  test("L4f: appendToIvfIndex == frozen-quantizer rebuild; appended vectors probe-visible through pruning") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val queries = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val base = emb.where($"vec_id" % 7 =!= 3)
+    val later = emb.where($"vec_id" % 7 === 3).unionByName(queries
+      .select(($"q_id" + 500000).as("vec_id"), $"q_vec".as("embedding")))
+    Similarity.dropIvfIndex(spark, "t_ivf_app")
+    Similarity.writeIvfIndex(spark, base, "t_ivf_app", nLists = 16, lloydIters = 1)
+    val writes = scala.collection.mutable.ArrayBuffer.empty[QueryExecution]
+    val listener = new QueryExecutionListener {
+      def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        writes.synchronized { writes += qe }
+      def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val drift = Similarity.appendToIvfIndex(spark, later, "t_ivf_app")
+      assert(drift.appended === later.count())
+      assert(!drift.meanSimBefore.isNaN && !drift.meanSimAfter.isNaN)
+      // 1) the append write never read the EXISTING index and never
+      //    shuffled — at 100 TB the append costs one batch pass, full
+      //    stop. Listener events deliver async: poll with a deadline
+      //    (the bus has no public flush).
+      def capturedWrites() = writes.synchronized { writes.toList }
+        .filter(_.executedPlan.toString.contains("InsertIntoHadoopFsRelation"))
+      val deadline = System.currentTimeMillis + 30000
+      while (capturedWrites().isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      val writePlans = capturedWrites()
+      assert(writePlans.nonEmpty, "no captured append write plan")
+      writePlans.foreach { qe =>
+        val p = qe.executedPlan
+        assert(!p.toString.contains("t_ivf_app["),
+          s"append write scanned the existing index:\n$p")
+        val shuffles = p.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+        assert(shuffles.isEmpty, s"append write shuffled:\n$p")
+      }
+      // 2) bit-parity with a frozen-quantizer rebuild: the table now
+      //    holds exactly the assignment of base∪later to the SAME
+      //    centroids (the production claim — append ≡ rebuild as long
+      //    as the quantizer is unchanged)
+      val centRows = spark.table("t_ivf_app_centroids")
+        .select($"list", $"centroid").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      val cents = org.apache.spark.sql.functions.typedLit(centRows.toSeq)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"vec_id", $"embedding", $"__list")
+        .as[(Long, Seq[Float], Long)].collect().toSet
+      val expected = rows(base.unionByName(later).select($"vec_id", $"embedding",
+        Similarity.nearestAgainst(cents, $"embedding").as("__list")))
+      assert(rows(spark.table("t_ivf_app")) === expected,
+        "appended index diverged from the frozen-quantizer assignment")
+      // 3) bucket spec survived the append; probes still prune AND find
+      //    the appended planted copies
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("t_ivf_app")).bucketSpec
+      assert(spec.exists(s => s.numBuckets == 16 && s.bucketColumnNames == Seq("__list")))
+      val top = Similarity.ivfTopKIndexed(spark, queries, "t_ivf_app", k = 10, nProbe = 4)
+      top.collect()
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(top.queryExecution.executedPlan.toString)
+      assert(m.isDefined && m.get.group(2).toInt == 16,
+        "post-append probe lost bucket pruning")
+      val found = top.select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+      (0L until 5L).foreach { q =>
+        assert(found.contains((q, q + 500000)),
+          s"appended planted copy of query $q not surfaced")
+      }
+    } finally {
+      spark.listenerManager.unregister(listener)
+      Similarity.dropIvfIndex(spark, "t_ivf_app")
+    }
+  }
+
+  test("L4f: drift metric falls when the appended batch sits far from the frozen centroids") {
+    // base corpus: one vector per axis with nLists = corpus size, so
+    // (sample + id-order top-up) makes EVERY vector its own centroid —
+    // meanSimBefore is exactly 1, independent of the hash-strided
+    // sample. Appended batch: diagonals at 45° to every centroid —
+    // meanSimAfter must drop, the rebuild signal
+    val base = (0L to 7L)
+      .map(i => (i, Seq.tabulate(8)(j => if (j == i) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val diag = (20L to 29L)
+      .map(i => (i, Seq.tabulate(8)(j => if (j <= 1) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.dropIvfIndex(spark, "t_ivf_drift")
+    Similarity.writeIvfIndex(spark, base, "t_ivf_drift", nLists = 8, lloydIters = 0)
+    try {
+      val drift = Similarity.appendToIvfIndex(spark, diag, "t_ivf_drift")
+      assert(drift.appended === 10L && drift.indexedBefore === 8L)
+      assert(drift.meanSimBefore > 0.999,
+        s"self-centroid base must score 1, got ${drift.meanSimBefore}")
+      // exact: (8*1 + 10*cos45) / 18 ≈ 0.837
+      assert(drift.meanSimAfter < 0.95 && drift.meanSimAfter > 0.8,
+        s"45-degree batch must drag the mean to ~0.84: " +
+          s"${drift.meanSimBefore} -> ${drift.meanSimAfter}")
+    } finally Similarity.dropIvfIndex(spark, "t_ivf_drift")
+  }
+
   test("L4e: indexed probe prunes the corpus scan to the probed lists' bucket files") {
     // one query, nProbe=4 of 16 lists — the scan must read at most 4 of
     // the 16 bucket files (SelectedBucketsCount), not the whole corpus;
