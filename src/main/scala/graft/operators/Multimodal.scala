@@ -662,6 +662,43 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[syntheticJpeg]]'s PROGRESSIVE (SOF2) sibling: the same
+    * block-constant raster behind a multi-scan Annex G script (DC first
+    * at point transform 1, DC refinement, per-component AC bands), so
+    * the decoded statistics stay recomputable from the seed alone (the
+    * `l08g_progressive_decode` oracle) while the payload exercises the
+    * progressive coefficient-accumulation decode path end to end.
+    * Successive approximation on AC is covered by the JDK-scripted
+    * cross-check in MultimodalSpec. */
+  def syntheticJpegProgressive(df: DataFrame, seedCol: String,
+      width: Int, height: Int): DataFrame = {
+    require(width >= 8 && height >= 8 && width % 8 == 0 && height % 8 == 0,
+      "syntheticJpegProgressive needs positive multiples of 8")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val blocksX = width / 8
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val gray = new Array[Byte](width * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val b = (y / 8) * blocksX + x / 8
+            gray(y * width + x) = (((seed * 7 + b) % 251 + 251) % 251).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+
+          Jpeg.encodeGrayProgressive(width, height, gray, Jpeg.UnitQuant))
+      }
+    }(enc)
+  }
+
   /** Deterministic PNG test-pattern generator — the [[syntheticPpm]]
     * pattern behind a real compressed container: per row a `width` ×
     * `height` RGB PNG whose RASTER byte j is `(seed * 7 + j) % 251`, so

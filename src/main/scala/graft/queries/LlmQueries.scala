@@ -716,6 +716,23 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""SELECT d.doc_id, CAST(4 AS REAL) AS fmt, CAST(16 AS REAL) AS width, CAST(16 AS REAL) AS height, CAST(1 AS REAL) AS n_channels, CAST(SUM((d.doc_id*7 + g.j) % 251) / 4.0 AS REAL) AS mean_gray FROM documents d, generate_series(0, 3) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    // ---- L8g: PROGRESSIVE JPEG decode (SOF2, T.81 Annex G) — the same
+    // block-constant fixture as l08d but delivered across a DC-first +
+    // DC-refinement + AC-band scan script; unit quant keeps the decode
+    // exact, so the same seed-only oracle applies ----
+    ("l08g_progressive_decode", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticJpegProgressive(docs, "doc_id", width = 16, height = 16), dim = 8)
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).as("fmt"),
+          element_at(col("features"), 2).as("width"),
+          element_at(col("features"), 3).as("height"),
+          element_at(col("features"), 4).as("n_channels"),
+          element_at(col("features"), 5).as("mean_gray"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT d.doc_id, CAST(4 AS REAL) AS fmt, CAST(16 AS REAL) AS width, CAST(16 AS REAL) AS height, CAST(1 AS REAL) AS n_channels, CAST(SUM((d.doc_id*7 + g.j) % 251) / 4.0 AS REAL) AS mean_gray FROM documents d, generate_series(0, 3) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
     // ---- L16: Z-ordered layout — lineitem rewritten Morton-clustered on
     // (l_partkey, l_suppkey), then a 2-d box filter over the clustered
     // copy. The layout is a pure reorder, so the oracle is the same

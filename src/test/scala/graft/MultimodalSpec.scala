@@ -257,6 +257,119 @@ class MultimodalSpec extends SparkSpec {
     assert(maxDiff <= 2, s"decoders diverge by $maxDiff (>2) — not IDCT rounding noise")
   }
 
+  test("decodeJpeg: progressive EXACT round trip on block-constant gray; identical to baseline on color") {
+    import graft.operators.Jpeg
+    // gray, unit quant, block-constant: DC-only survives — the DC-first
+    // (Al=1) + refinement (Al=0) + AC-band script must reassemble it
+    // exactly, like baseline
+    val vals = Array(10, 250, 128, 37)
+    val gray = new Array[Byte](16 * 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      gray(y * 16 + x) = vals((y / 8) * 2 + x / 8).toByte
+    val prog = Jpeg.encodeGrayProgressive(16, 16, gray, Jpeg.UnitQuant)
+    // really a progressive stream (SOF2 present, SOF0 absent)
+    assert((0 until prog.length - 1).exists(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2))
+    val im = Jpeg.decode(prog).get
+    assert(im.width == 16 && im.height == 16 && im.channels == 1)
+    assert(im.pixels.toSeq == gray.toSeq,
+      "progressive unit-quant constant blocks must round-trip exactly")
+    // color, Annex K tables, padded dims: the progressive script carries
+    // the SAME quantized coefficients as baseline — decoded pixels must
+    // be IDENTICAL, not merely close
+    val w = 21; val h = 13
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = ((x * 11 + y * 3) % 256).toByte
+      rgb(o + 1) = ((x * 2 + 7 * y) % 256).toByte
+      rgb(o + 2) = ((x * 5 + y * 13) % 256).toByte
+    }
+    val base = Jpeg.decode(Jpeg.encode(w, h, rgb)).get
+    val prg = Jpeg.decode(Jpeg.encodeProgressive(w, h, rgb)).get
+    assert(prg.width == w && prg.height == h && prg.channels == 3)
+    assert(prg.pixels.toSeq == base.pixels.toSeq,
+      "progressive and baseline decode of the same coefficients diverged")
+  }
+
+  test("decodeJpeg: progressive vs the independent JDK codec (its own scan script, AC refinement included)") {
+    import graft.operators.Jpeg
+    import javax.imageio.{ImageIO, ImageWriteParam}
+    def jdkProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val jpg = bos.toByteArray
+      assert((0 until jpg.length - 1).exists(i =>
+        (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc2),
+        "JDK writer did not produce SOF2 — progressive mode not exercised")
+      jpg
+    }
+    // The JDK encoder's default progressive script uses successive
+    // approximation on AC bands (Al 2→1→0) — the refinement decode path
+    // our own fixture encoder doesn't emit. GRAY carries the strict ±2
+    // contract: single component, so no chroma-upsampling ambiguity —
+    // any residual difference is IDCT rounding alone.
+    val w = 24; val h = 17
+    val gimg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gimg.getRaster.setSample(x, y, 0, (x * 11 + y * 7) % 256)
+    val gjpg = jdkProgressive(gimg)
+    val gim = Jpeg.decode(gjpg).getOrElse(fail("our decoder rejected the JDK progressive gray stream"))
+    assert(gim.width == w && gim.height == h && gim.channels == 1)
+    val gback = ImageIO.read(new java.io.ByteArrayInputStream(gjpg))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs((gim.pixels(y * w + x) & 0xff) - gback.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"progressive decoders diverge by $maxDiff (>2) on gray")
+    // COLOR from the JDK writer is 4:2:0 — its reader upsamples chroma
+    // with a triangle filter where this decoder replicates (both valid;
+    // T.81 leaves upsampling implementation-defined), so per-pixel
+    // equality is the wrong contract. Check decode + per-channel MEANS,
+    // which any correct upsampling preserves to well under a level.
+    val cimg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      cimg.setRGB(x, y, (((x * 11 + y * 3) % 256) << 16) |
+        (((x * 2 + 7 * y) % 256) << 8) | ((x * 5 + y * 13) % 256))
+    val cjpg = jdkProgressive(cimg)
+    val cim = Jpeg.decode(cjpg).getOrElse(fail("our decoder rejected the JDK progressive color stream"))
+    assert(cim.width == w && cim.height == h && cim.channels == 3)
+    val cback = ImageIO.read(new java.io.ByteArrayInputStream(cjpg))
+    val oursMean = new Array[Double](3); val theirsMean = new Array[Double](3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      oursMean(c) += (cim.pixels((y * w + x) * 3 + c) & 0xff).toDouble
+      theirsMean(c) += ((cback.getRGB(x, y) >> (16 - 8 * c)) & 0xff).toDouble
+    }
+    for (c <- 0 until 3)
+      assert(math.abs(oursMean(c) - theirsMean(c)) / (w * h) <= 1.5,
+        s"channel $c mean diverges: ${oursMean(c) / (w * h)} vs ${theirsMean(c) / (w * h)}")
+  }
+
+  test("decodeJpeg: 2000 deterministically mangled PROGRESSIVE streams never throw") {
+    import graft.operators.Jpeg
+    val gray = Array.tabulate(16 * 16)(j => ((j * 31 + 7) % 251).toByte)
+    val base = Jpeg.encodeGrayProgressive(16, 16, gray)
+    assert(Jpeg.decode(base).isDefined)
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 0 until 2000) {
+      val m = base.clone()
+      val n = 1 + rnd.nextInt(3)
+      for (_ <- 0 until n) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Jpeg.decode(m) // None or a well-formed image — never an escape
+    }
+    // truncations at every length in the tail
+    for (cut <- 1 until math.min(base.length, 600))
+      Jpeg.decode(base.take(base.length - cut))
+  }
+
   test("decodeJpeg: restart markers honored; truncation/progressive/junk rejected") {
     import graft.operators.Jpeg
     val gray = Array.tabulate(24 * 8)(j => ((j * 13 + 5) % 251).toByte)
@@ -277,13 +390,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Jpeg.decode(whole.dropRight(6)).isEmpty, "EOI missing must reject")
     assert(Jpeg.decode(whole.take(20)).isEmpty)
     assert(Jpeg.decode("definitely not a jpeg".getBytes).isEmpty)
-    // progressive (SOF2) must be declined, not mis-decoded: patch the
-    // SOF0 marker byte (FF C0 → FF C2)
+    // a LYING frame header must be declined, not mis-decoded: patching
+    // SOF0 → SOF2 makes the baseline scan header (Ss=0, Se=63) illegal
+    // for a progressive frame (DC scans are Ss=Se=0)
     val prog = whole.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
-    assert(Jpeg.decode(prog).isEmpty, "progressive frames must fall to the stub")
+    assert(Jpeg.decode(prog).isEmpty,
+      "baseline scan header inside a progressive frame must reject")
     // and a JPEG payload is not mistaken for the other containers
     assert(Multimodal.decodePng(whole).isEmpty && Multimodal.decodePpm(whole).isEmpty &&
       Multimodal.decodeWav(whole).isEmpty)
