@@ -326,6 +326,49 @@ object Dedup {
     writeBandHistory(df, textCol, idCol, table, numBuckets, shingleN,
       numHashes, bands, mode = "append")
 
+  /** Compact a band history down to `survivors` (a frame carrying
+    * `idCol`): [[appendBandHistory]] grows both tables unboundedly, and
+    * documents that were deleted or aged out of retention leave DEAD
+    * bands behind — rows that inflate every probe's join and can even
+    * resurface a removed document as a "duplicate". Retention is the
+    * caller's policy: derive `survivors` from the corpus (e.g.
+    * `docs.where($"ingest_ts" >= cutoff)`) and compact on whatever cadence
+    * the deletion rate demands.
+    *
+    * Each table is rewritten keeping only surviving ids, bucketed under
+    * its OWN catalog bucket spec (count and columns read back, never
+    * assumed), one file per bucket — so compaction also serves as the
+    * small-file fix after many appends, and the zero-exchange probe
+    * property is preserved (re-pinned in DedupSpec). The swap is
+    * write-tmp → drop-old → rename, the [[Layout.compact]] discipline;
+    * like it, the swap is not atomic — a crash between drop and rename
+    * leaves the data in `<table>__compact`, and re-running the
+    * compaction completes the swap (stale tmp tables are dropped first).
+    *
+    * Scale shape: one semi-join pass per table. The band table is keyed
+    * by `(__band, __bandsig)`, so the id semi-join is its one full
+    * shuffle — that is the price of compaction, paid rarely and
+    * amortized over every probe that no longer drags dead bands. */
+  def compactBandHistory(spark: org.apache.spark.sql.SparkSession,
+      table: String, survivors: DataFrame, idCol: String): Unit = {
+    require(survivors.columns.contains(idCol),
+      s"survivors frame lacks id column '$idCol'")
+    val ids = survivors.select(col(idCol)).distinct()
+    for (src <- Seq(table, s"${table}_sh")) {
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(src)).bucketSpec
+        .getOrElse(throw new IllegalArgumentException(
+          s"$src has no bucket spec — not a writeBandHistory table"))
+      val tmp = src + "__compact"
+      Layout.dropTableAndLocation(spark, tmp) // stale tmp from a crashed run
+      val kept = spark.table(src).join(ids, Seq(idCol), "left_semi")
+      Layout.writeBucketed(kept, tmp, spec.bucketColumnNames, spec.numBuckets,
+        onePassPerBucket = true)
+      Layout.dropTableAndLocation(spark, src)
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$src`")
+    }
+  }
+
   /** L2 incremental — near-dup candidate pairs of a NEW batch against a
     * PERSISTED band history ([[writeBandHistory]]): the continuous-ingest
     * form of [[minhashCandidates]]. Every production dedup pipeline is

@@ -340,6 +340,80 @@ class DedupSpec extends SparkSpec {
     Dedup.dropBandHistory(spark, "t_incr_hist")
   }
 
+  test("L2h: compaction drops deleted docs' bands; probes match a fresh build, bucket spec preserved") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val sents = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank while birds sing",
+      "distributed query engines shuffle partitions across executors and prune columns at the columnar scan layer",
+      "a watermark bounds state growth in streaming joins so the store evicts rows once event time passes",
+      "bucketed tables join without exchanges because both sides already share the same hash partitioning on disk",
+      "minhash signatures approximate jaccard similarity by taking minima of permuted shingle hashes per band")
+    val corpus = sents.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Dedup.dropBandHistory(spark, "t_cmp_hist")
+    Dedup.dropBandHistory(spark, "t_cmp_fresh")
+    Dedup.writeBandHistory(corpus, "text", "doc_id", "t_cmp_hist", numBuckets = 4)
+    // docs 3 and 4 are deleted from the corpus; compact to the survivors
+    val survivors = corpus.where($"doc_id" < 3)
+    Dedup.compactBandHistory(spark, "t_cmp_hist", survivors, "doc_id")
+    try {
+      // dead ids are really gone from BOTH tables
+      assert(spark.table("t_cmp_hist").where($"doc_id" >= 3).count() === 0L)
+      assert(spark.table("t_cmp_hist_sh").where($"doc_id" >= 3).count() === 0L)
+      // bucket spec preserved on both tables
+      for (t <- Seq("t_cmp_hist", "t_cmp_hist_sh")) {
+        val spec = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)).bucketSpec
+        assert(spec.exists(_.numBuckets == 4), s"$t lost its bucket spec")
+      }
+      // a batch near-duplicating a DELETED doc (4) and a surviving doc
+      // (1): the probe of the compacted history equals a fresh build
+      // over the survivors — the deleted doc cannot resurface
+      val batch = Seq((104L, sents(4) + " zzextra"), (101L, sents(1) + " zzextra"))
+        .toDF("doc_id", "text")
+      Dedup.writeBandHistory(survivors, "text", "doc_id", "t_cmp_fresh", numBuckets = 4)
+      def probe(table: String) = Dedup.minhashIncremental(spark, batch, table,
+          "text", "doc_id", maxBucket = Int.MaxValue)
+        .select($"id_new", $"id_hist", $"jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      val compacted = probe("t_cmp_hist")
+      assert(compacted === probe("t_cmp_fresh"),
+        "compacted history diverged from a fresh build over the survivors")
+      assert(compacted.exists(p => p._1 == 101L && p._2 == 1L && p._3 >= 0.8))
+      assert(!compacted.exists(_._1 == 104L), "deleted doc resurfaced as a duplicate")
+      // zero-exchange probe property survives the rewrite (the l02h pin)
+      def pathTo(p: SparkPlan, pred: SparkPlan => Boolean): Option[List[SparkPlan]] =
+        if (pred(p)) Some(List(p))
+        else p.children.iterator.flatMap(c => pathTo(c, pred)).nextOption().map(p :: _)
+      val conf = spark.conf
+      val oldAqe = conf.get("spark.sql.adaptive.enabled")
+      val oldB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = Dedup.minhashIncremental(spark, batch, "t_cmp_hist",
+          "text", "doc_id").queryExecution.executedPlan
+        for (table <- Seq("t_cmp_hist", "t_cmp_hist_sh")) {
+          val path = pathTo(plan,
+              p => p.children.isEmpty && p.toString.contains(s"default.$table["))
+            .getOrElse(fail(s"no scan of $table in plan:\n$plan"))
+          val joinIdx = path.lastIndexWhere(_.nodeName.toLowerCase.contains("join"))
+          assert(joinIdx >= 0)
+          assert(!path.drop(joinIdx + 1).exists(_.isInstanceOf[ShuffleExchangeLike]),
+            s"exchange above $table after compaction")
+        }
+      } finally {
+        conf.set("spark.sql.adaptive.enabled", oldAqe)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+      }
+    } finally {
+      Dedup.dropBandHistory(spark, "t_cmp_hist")
+      Dedup.dropBandHistory(spark, "t_cmp_fresh")
+    }
+  }
+
   test("L1: NULL texts all pass through exact dedup (not merged as duplicates)") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, null), (4L, null), (5L, null))
       .toDF("doc_id", "text")
