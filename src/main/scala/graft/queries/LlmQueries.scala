@@ -38,6 +38,12 @@ object LlmQueries {
   }
 
   private val QSCALE = 1000000L
+
+  /** Per-SF table-name tag for the probe-only queries' pre-built
+    * indexes: build once per (session, scale factor), never let an
+    * index built from one SF's data answer a probe at another. */
+  private def sfTag(d: String): String =
+    d.split('/').filter(_.nonEmpty).last.replaceAll("[^A-Za-z0-9]", "_")
   /** DuckDB side of `VF.quantize` ∘ cast-to-double. */
   private def qSql(v: String): String =
     s"list_transform($v, x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))"
@@ -114,6 +120,35 @@ object LlmQueries {
       Dedup.dropBandHistory(s, "l02h_hist")
       Dedup.writeBandHistory(docs, "text", "doc_id", "l02h_hist", numBuckets = 8)
       val cands = Dedup.minhashIncremental(s, batch, "l02h_hist", "text", "doc_id",
+          maxBucket = Int.MaxValue)
+        .where(col("jaccard") >= 0.8)
+        .select(col("id_new"), col("id_hist"))
+      val planted = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("id_new"), col("doc_id").as("id_hist"))
+      planted.join(cands, Seq("id_new", "id_hist"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
+
+    // ---- L2h probe-only: the SAME contract as l02h against a
+    // PRE-BUILT band history — l02h's bench row is build-dominated
+    // (two bucketed writes per rep), which is the honest worst case but
+    // hides probe regressions as persisted indexes multiply. This row
+    // builds once per (session, SF) and times the probe alone — the
+    // production steady state, where the history was written by
+    // yesterday's ingest. Per-SF table names keep a pre-built index
+    // from ever serving a different scale factor's data. ----
+    ("l02h_probe_near_dedup", (s, d) => {
+      val table = s"l02hp_hist_${sfTag(d)}"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (!s.catalog.tableExists(table)) {
+        Dedup.dropBandHistory(s, table) // orphaned location from a prior session
+        Dedup.writeBandHistory(docs, "text", "doc_id", table, numBuckets = 8)
+      }
+      val batch = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzextra")).as("text"))
+      val cands = Dedup.minhashIncremental(s, batch, table, "text", "doc_id",
           maxBucket = Int.MaxValue)
         .where(col("jaccard") >= 0.8)
         .select(col("id_new"), col("id_hist"))
@@ -322,6 +357,30 @@ object LlmQueries {
       Similarity.dropIvfIndex(s, "l04e_ivf") // cross-session idempotence
       Similarity.writeIvfIndex(s, aug, "l04e_ivf", nLists = 16, lloydIters = 1)
       val top = Similarity.ivfTopKIndexed(s, queries, "l04e_ivf", k = 10, nProbe = 4)
+      val planted = queries.select(col("q_id"), (col("q_id") + 500000).as("vec_id"))
+      planted.join(top.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
+
+    // ---- L4e probe-only: l04e's recall contract against a PRE-BUILT
+    // persisted IVF index — built once per (session, SF), so the row
+    // times what a deployment pays per query batch: centroid load,
+    // bucket-pruned scan, broadcast score, top-k. The build cost stays
+    // visible in l04e itself. ----
+    ("l04e_probe_indexed_topk", (s, d) => {
+      val table = s"l04ep_ivf_${sfTag(d)}"
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      if (!s.catalog.tableExists(table) ||
+          !s.catalog.tableExists(s"${table}_centroids")) {
+        Similarity.dropIvfIndex(s, table) // orphaned location from a prior session
+        val aug = emb.unionByName(queries
+          .select((col("q_id") + 500000).as("vec_id"), col("q_vec").as("embedding")))
+        Similarity.writeIvfIndex(s, aug, table, nLists = 16, lloydIters = 1)
+      }
+      val top = Similarity.ivfTopKIndexed(s, queries, table, k = 10, nProbe = 4)
       val planted = queries.select(col("q_id"), (col("q_id") + 500000).as("vec_id"))
       planted.join(top.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
         .agg(count(lit(1)).as("missed_planted"))
@@ -765,6 +824,25 @@ object LlmQueries {
       val path = s.conf.get("spark.sql.warehouse.dir") + "/l16b_zorder_data"
       graft.operators.Layout.writeZOrderedQuantile(li, path,
         Seq("l_partkey", "l_suppkey"), numFiles = 32)
+      s.read.parquet(path)
+        .where(col("l_partkey").between(20, 150) && col("l_suppkey").between(2, 5))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 2 AND 5 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""")),
+
+    // ---- L16c: Hilbert-curve layout — the connected-locality variant of
+    // l16 (Skilling's transform over the same equi-width ranks; every
+    // file covers a CONNECTED region, so a box straddling a Morton
+    // octant boundary reads fewer files — measured against Morton in
+    // LayoutSpec). Purity oracle identical to l16: the curve choice only
+    // permutes row order, never rows. ----
+    ("l16c_zorder_hilbert", (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      val path = s.conf.get("spark.sql.warehouse.dir") + "/l16c_zorder_data"
+      graft.operators.Layout.writeZOrdered(li, path,
+        Seq("l_partkey", "l_suppkey"), numFiles = 32, curve = "hilbert")
       s.read.parquet(path)
         .where(col("l_partkey").between(20, 150) && col("l_suppkey").between(2, 5))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),

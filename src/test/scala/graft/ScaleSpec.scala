@@ -424,6 +424,15 @@ class ScaleSpec extends SparkSpec {
       // the Morton key over uniform dims is uniform — the range
       // repartition before the write must not concentrate a task
       assertBalanced("zorder-write", stages)
+      // the Hilbert key is a bijection of the same rank grid, so its
+      // range partitioning must stay exactly as balanced — the curve
+      // buys locality (connected file regions), never at skew's expense
+      val hDir = tmpDir("scale_zorder_h")
+      val hStages = probe {
+        graft.operators.Layout.writeZOrdered(base, hDir, Seq("x", "y"),
+          numFiles = 64, curve = "hilbert")
+      }
+      assertBalanced("zorder-write-hilbert", hStages)
       // pruning at scale: a 5%-of-range box on the SECOND column must
       // skip most files' row groups (8x8-ish grid → ~1-2 of 8 y-slabs)
       val prev = spark.conf.get("spark.sql.adaptive.enabled")
