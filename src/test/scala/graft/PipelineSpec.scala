@@ -251,4 +251,122 @@ class PipelineSpec extends SparkSpec {
     assert(ConnectorRunner.runOnce(spark, sf0001, tolerant, base + "/state")
       === total - corrupt)
   }
+
+  test("handoff: properties-driven bounded polls -> SMT -> streaming near-dedup -> JDBC upsert, exactly-once through a crash replay") {
+    import graft.operators.Dedup
+    import graft.sources.ConnectorRunner
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+
+    // corpus: 10 distinct docs, then near-dups of docs 1-3 plus ONE new
+    // doc arriving later (higher doc_id => later bounded poll) — the
+    // continuous-ingest shape: yesterday's corpus is already history
+    // when today's batch lands
+    val sents = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank while birds sing",
+      "distributed query engines shuffle partitions across executors and prune columns at the columnar scan layer",
+      "a watermark bounds state growth in streaming joins so the store evicts rows once event time passes",
+      "bucketed tables join without exchanges because both sides already share the same hash partitioning on disk",
+      "minhash signatures approximate jaccard similarity by taking minima of permuted shingle hashes per band",
+      "vector indexes cluster embeddings around centroids so a probe scans only the nearest inverted lists",
+      "the schema registry resolves writer schemas by id so consumers decode framed avro payloads safely",
+      "morton keys interleave rank bits while hilbert walks keep file regions connected across octant boundaries",
+      "dead letter queues quarantine malformed records so healthy rows keep flowing through the connector",
+      "offset commits follow sink writes so a crash between the two redelivers the batch idempotently")
+    val fresh = "compaction rewrites bucketed history tables keeping survivors so probes stop dragging dead bands"
+    val corpus =
+      sents.zipWithIndex.map { case (t, i) => (i + 1L, t, s"note-${i + 1}") } ++
+      (1 to 3).map(i => (10L + i, sents(i - 1) + " zzextra", s"note-dup$i")) :+
+      ((14L, fresh, "note-14"))
+    val srcDir = tmpDir("handoff_src")
+    corpus.toDF("doc_id", "text", "note")
+      .write.parquet(s"$srcDir/documents.parquet")
+
+    // leg 1, the reference's user contract: ONE properties map — bounded
+    // incremental polls, an SMT dropping the payload cruft, a file sink
+    // landing each poll for the streaming leg to pick up
+    val staging = tmpDir("handoff_staging")
+    val cfg = ConnectorConfig.Config("handoff", Map(
+      "table" -> "documents", "mode" -> "incrementing",
+      "incrementing.column.name" -> "doc_id",
+      "batch.max.rows" -> "5",
+      "transforms" -> "trim",
+      "transforms.trim.type" -> "org.apache.kafka.connect.transforms.ReplaceField$Value",
+      "transforms.trim.exclude" -> "note",
+      "sink.path" -> staging))
+    val stateDir = tmpDir("handoff_offsets")
+
+    // leg 2: streaming near-dedup against the persisted band history,
+    // survivors upserted into Derby. nearDedupBatch is exactly-once on
+    // the survivor dirs (batch-id pointer); the JDBC leg is
+    // at-least-once + PK upsert — replays re-deliver the same rows
+    // idempotently, never skip them (a skip would LOSE a crash that hit
+    // between survivor write and upsert)
+    val url = "jdbc:derby:memory:handoff;create=true"
+    JdbcBridge.createTable(url, "docs_s", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))),
+      Seq("doc_id"))
+    val hist = "t_handoff_hist"
+    Dedup.dropBandHistory(spark, hist)
+    val survDir = tmpDir("handoff_surv")
+    val ckpt = tmpDir("handoff_ckpt")
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def deliver(batch: DataFrame, batchId: Long): Unit = {
+      seen += batchId
+      StreamOps.nearDedupBatch(batch, batchId, hist, 4, "text", "doc_id", survDir): Unit
+      val surv = spark.read.parquet(s"$survDir/batch-$batchId")
+        .select($"doc_id", $"text")
+      JdbcBridge.upsert(surv, url, "docs_s", Seq("doc_id"))
+    }
+    def runStream(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(staging)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((b: DataFrame, id: Long) => deliver(b, id))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sinkRows(): Set[(Long, String)] =
+      JdbcBridge.read(spark, ConnectorConfig.Config("rb", Map(
+        "connection.url" -> url, "table" -> "docs_s")))
+        .as[(Long, String)].collect().toSet
+
+    try {
+      // day 1: two bounded polls land docs 1-10; the stream builds the
+      // history and delivers all ten (nothing to dedup against yet)
+      assert(ConnectorRunner.runOnce(spark, srcDir, cfg, stateDir) === 5L)
+      assert(ConnectorRunner.runOnce(spark, srcDir, cfg, stateDir) === 5L)
+      // the SMT ran inside the runner: the staging files carry no cruft
+      assert(!spark.read.parquet(staging).columns.contains("note"))
+      runStream()
+      val day1 = sinkRows()
+      assert(day1.map(_._1) === (1L to 10L).toSet)
+
+      // CRASH REPLAY: the worker dies after the survivor write + pointer
+      // flip but before the checkpoint commit — the batch re-delivers
+      // whole. nearDedupBatch skips (pointer already at this id), the
+      // upsert re-applies the identical survivor dir: the sink must not
+      // change by a single row
+      val lastId = seen.last
+      deliver(spark.read.parquet(staging), lastId)
+      assert(sinkRows() === day1, "crash replay changed the sink")
+
+      // day 2: the remaining poll lands the three near-dups + one new
+      // doc; the stream dedups against the PERSISTED history — only the
+      // new doc survives to the sink
+      assert(ConnectorRunner.drain(spark, srcDir, cfg, stateDir) === 4L)
+      runStream()
+      val day2 = sinkRows()
+      assert(day2.map(_._1) === (1L to 10L).toSet + 14L,
+        s"expected docs 1-10 + 14, got ${day2.map(_._1).toSeq.sorted}")
+      assert(day2.count(_._1 == 14L) === 1)
+      assert((day2 -- day1).map(_._1) === Set(14L),
+        "near-dups of the persisted history leaked into the sink")
+
+      // and replaying the day-2 batch is idempotent too
+      deliver(spark.read.parquet(staging), seen.last)
+      assert(sinkRows() === day2)
+    } finally Dedup.dropBandHistory(spark, hist)
+  }
 }
