@@ -341,9 +341,11 @@ object Dedup {
     * small-file fix after many appends, and the zero-exchange probe
     * property is preserved (re-pinned in DedupSpec). The swap is
     * write-tmp → drop-old → rename, the [[Layout.compact]] discipline;
-    * like it, the swap is not atomic — a crash between drop and rename
-    * leaves the data in `<table>__compact`, and re-running the
-    * compaction completes the swap (stale tmp tables are dropped first).
+    * like it, the swap is not atomic — a crash between the drop and the
+    * rename leaves the ONLY copy in `<table>__compact`, and re-running
+    * the compaction first completes that swap (renames the orphaned tmp
+    * back in) before rewriting; a tmp coexisting with its source (died
+    * mid-write) is the one shape dropped as stale.
     *
     * Scale shape: one semi-join pass per table. The band table is keyed
     * by `(__band, __bandsig)`, so the id semi-join is its one full
@@ -355,12 +357,19 @@ object Dedup {
       s"survivors frame lacks id column '$idCol'")
     val ids = survivors.select(col(idCol)).distinct()
     for (src <- Seq(table, s"${table}_sh")) {
+      val tmp = src + "__compact"
+      if (!spark.catalog.tableExists(src) && spark.catalog.tableExists(tmp))
+        // crashed between drop-old and rename: tmp holds the ONLY copy —
+        // complete the interrupted swap, then compact normally (dropping
+        // the tmp here instead would delete the table)
+        spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$src`")
       val spec = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(src)).bucketSpec
         .getOrElse(throw new IllegalArgumentException(
           s"$src has no bucket spec — not a writeBandHistory table"))
-      val tmp = src + "__compact"
-      Layout.dropTableAndLocation(spark, tmp) // stale tmp from a crashed run
+      // a tmp COEXISTING with its source is the other crash shape (died
+      // mid-write): that one really is stale
+      Layout.dropTableAndLocation(spark, tmp)
       val kept = spark.table(src).join(ids, Seq(idCol), "left_semi")
       Layout.writeBucketed(kept, tmp, spec.bucketColumnNames, spec.numBuckets,
         onePassPerBucket = true)

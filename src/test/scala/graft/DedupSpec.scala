@@ -408,6 +408,18 @@ class DedupSpec extends SparkSpec {
         conf.set("spark.sql.adaptive.enabled", oldAqe)
         conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
       }
+      // crash recovery: simulate dying between drop-old and rename (the
+      // table exists ONLY as the orphaned __compact tmp) — a re-run must
+      // complete the swap, not drop the only copy as "stale"
+      val expectRows = spark.table("t_cmp_hist").orderBy($"doc_id", $"__band")
+        .collect()
+      spark.sql("ALTER TABLE `t_cmp_hist` RENAME TO `t_cmp_hist__compact`")
+      Dedup.compactBandHistory(spark, "t_cmp_hist", survivors, "doc_id")
+      assert(spark.catalog.tableExists("t_cmp_hist") &&
+        !spark.catalog.tableExists("t_cmp_hist__compact"))
+      assert(spark.table("t_cmp_hist").orderBy($"doc_id", $"__band").collect()
+        === expectRows, "recovered compaction lost or mutated rows")
+      assert(probe("t_cmp_hist") === compacted)
     } finally {
       Dedup.dropBandHistory(spark, "t_cmp_hist")
       Dedup.dropBandHistory(spark, "t_cmp_fresh")
