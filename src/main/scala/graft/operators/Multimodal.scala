@@ -16,10 +16,12 @@ import org.apache.spark.sql.types._
   * covering compressed/uncompressed image and audio modalities
   * end-to-end: header fields and per-channel pixel/sample statistics
   * come from real decoding, and a changed payload provably changes the
-  * features (oracle-checked in `l08b`/`l08c`/`l08d`). Payloads in any
-  * OTHER format (progressive JPEG, MP3, video codecs) fall back to
-  * `decodeStub` (deterministic bytes-hash fake), clearly quarantined —
-  * swap it for a JNI/codec call in production.
+  * features (oracle-checked in `l08b`/`l08c`/`l08d`). Compressed video
+  * is covered by the AVI/MJPEG demux ([[decodeAviMjpeg]] + per-frame
+  * [[Jpeg.decode]], `l08h`). Payloads in any OTHER format (MP3,
+  * non-MJPEG video codecs) fall back to `decodeStub` (deterministic
+  * bytes-hash fake), clearly quarantined — swap it for a JNI/codec
+  * call in production.
   *
   * Scale notes: payloads never pass through a shuffle here (narrow
   * mapPartitions); at 100 TB keep payloads in their own column family
@@ -420,6 +422,96 @@ object Multimodal {
     if (n == 0) None else Some(Y4mVideo(w, h, cs, n, raster.toByteArray))
   }
 
+  private[graft] final case class AviMjpeg(
+      width: Int, height: Int, frames: Seq[Array[Byte]])
+
+  /** Honest AVI/MJPEG demuxer, written from the public RIFF/AVI layout
+    * (Microsoft's "AVI RIFF File Reference"; the OpenDML extensions are
+    * not needed for baseline MJPG): `RIFF <sz> AVI ` containing
+    * `LIST hdrl` — an `avih` main header (frame dims at data offsets
+    * 32/36) and one `LIST strl` per stream, whose `strh.fccType = vids`
+    * stream must read MJPG in the handler or in the `strf`
+    * BITMAPINFOHEADER.biCompression — and `LIST movi`, whose
+    * `##dc`/`##db` chunks (## = the stream number, two ASCII decimal
+    * digits) each hold ONE complete baseline/progressive JPEG;
+    * [[Jpeg.decode]] handles the frame leg, making MJPEG exactly
+    * "motion + the codec we already have". `rec ` sub-lists (interleave
+    * grouping) are walked transparently. Returns None (never garbage)
+    * for bad magic, truncated chunks, a missing/other-codec vids
+    * stream, or zero frames — those fall to the quarantined stub like
+    * every other unsupported format. Frame count is capped (4096) next
+    * to [[Jpeg]]'s per-frame pixel cap, so a few crafted header bytes
+    * cannot force a GB-scale decode. */
+  private[graft] def decodeAviMjpeg(bytes: Array[Byte]): Option[AviMjpeg] = {
+    def tag(o: Int): String =
+      if (o + 4 <= bytes.length)
+        new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    if (u32(4) + 8 > bytes.length) return None // truncated container
+    var width = -1; var height = -1
+    var vidsStream = -1 // strl index of the MJPG video stream
+    var pendingVids = -1 // vids strl awaiting its strf codec fourcc
+    var streamIdx = 0
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    // walk a run of sibling chunks in [from, until); returns false on a
+    // malformed chunk (the whole payload then quarantines)
+    def walk(from: Int, until: Int, ctx: String): Boolean = {
+      var o = from
+      while (o < until) {
+        if (o + 8 > until) return false
+        val id = tag(o); val sz = u32(o + 4)
+        val data = o + 8
+        if (sz < 0 || data + sz > until) return false
+        id match {
+          case "LIST" =>
+            if (sz < 4) return false
+            val typ = tag(data)
+            typ match {
+              case "hdrl" | "strl" | "odml" =>
+                if (!walk(data + 4, data + sz.toInt, typ)) return false
+              case "movi" | "rec " =>
+                if (!walk(data + 4, data + sz.toInt, "movi")) return false
+              case _ => // INFO etc: skip whole
+            }
+          case "avih" =>
+            if (sz < 40) return false
+            width = u32(data + 32).toInt; height = u32(data + 36).toInt
+          case "strh" =>
+            if (sz < 8) return false
+            if (tag(data) == "vids" && vidsStream < 0) {
+              val handler = tag(data + 4)
+              if (handler == "MJPG" || handler == "mjpg" || handler == "dmb1")
+                vidsStream = streamIdx
+              // no recognizable handler fourcc: this stream's strf
+              // BITMAPINFOHEADER.biCompression decides
+              else pendingVids = streamIdx
+            }
+            if (ctx == "strl") streamIdx += 1
+          case "strf" =>
+            if (vidsStream < 0 && pendingVids == streamIdx - 1 && sz >= 20 &&
+                tag(data + 16) == "MJPG") vidsStream = pendingVids
+          case _ if ctx == "movi" && id.length == 4 &&
+              id(0).isDigit && id(1).isDigit &&
+              (id.substring(2) == "dc" || id.substring(2) == "db") =>
+            val sn = (id(0) - '0') * 10 + (id(1) - '0')
+            if (sn == vidsStream) {
+              if (frames.length >= 4096) return false // runaway header cap
+              frames += java.util.Arrays.copyOfRange(bytes, data, data + sz.toInt)
+            }
+          case _ => // ignore: idx1, JUNK, other streams' chunks
+        }
+        o = data + sz.toInt + (sz.toInt & 1) // chunks pad to even offsets
+      }
+      true
+    }
+    if (!walk(12, (u32(4) + 8).toInt, "top")) return None
+    if (width <= 0 || height <= 0 || vidsStream < 0 || frames.isEmpty) None
+    else Some(AviMjpeg(width, height, frames.toSeq))
+  }
+
   /** Content-derived features. Layout (padded/truncated to `dim`):
     *  - PPM:  [1, width, height, maxval, meanR, meanG, meanB, meanAll]
     *  - WAV:  [2, channels, sampleRate, nSamples, mean, rms, min, max]
@@ -432,6 +524,10 @@ object Multimodal {
     *  - Y4M:  [5, width, height, nFrames, meanY, meanU, meanV, meanAll]
     *    (uncompressed video via [[decodeY4m]]; mono repeats the luma
     *    mean in the chroma slots like PNG gray)
+    *  - AVI/MJPEG: [6, width, height, nFrames, channels, meanAll,
+    *    meanFirstFrame, meanLastFrame] (COMPRESSED video via
+    *    [[decodeAviMjpeg]] + per-frame [[Jpeg.decode]]; the first/last
+    *    frame means pin that frame ORDER survived the demux)
     *  - else: decodeStub (format tag 0 territory — quarantined fake)
     * Sums accumulate exactly in Long; the final double divisions (and
     * sqrt) are single IEEE ops, so an external engine recomputing the
@@ -523,6 +619,36 @@ object Multimodal {
       val mV = if (nc == 0) mY else (sv / (nc.toLong * v.nFrames).toDouble).toFloat
       val mAll = ((sy + su + sv) / (frameBytes.toLong * v.nFrames).toDouble).toFloat
       Array(5f, w.toFloat, h.toFloat, v.nFrames.toFloat, mY, mU, mV, mAll)
+    }).orElse(decodeAviMjpeg(payload).flatMap { av =>
+      // every frame must decode (via the JPEG codec) and agree with the
+      // container's declared geometry — otherwise the payload quarantines
+      // whole ("never garbage"): a half-decoded video is not a statistic
+      val dec = av.frames.map(Jpeg.decode)
+      if (dec.exists(_.isEmpty)) None
+      else {
+        val fs = dec.map(_.get)
+        val ch = fs.head.channels
+        if (fs.exists(f => f.width != av.width || f.height != av.height ||
+            f.channels != ch)) None
+        else {
+          var sAll = 0L; var sFirst = 0L; var sLast = 0L
+          var i = 0
+          while (i < fs.length) {
+            val px = fs(i).pixels
+            var s = 0L; var j = 0
+            while (j < px.length) { s += px(j) & 0xff; j += 1 }
+            sAll += s
+            if (i == 0) sFirst = s
+            if (i == fs.length - 1) sLast = s
+            i += 1
+          }
+          val per = (av.width.toLong * av.height * ch).toDouble
+          Some(Array(6f, av.width.toFloat, av.height.toFloat,
+            fs.length.toFloat, ch.toFloat,
+            (sAll / (per * fs.length)).toFloat,
+            (sFirst / per).toFloat, (sLast / per).toFloat))
+        }
+      }
     }).getOrElse(decodeStub(payload, dim))
     if (full.length == dim) full
     else java.util.Arrays.copyOf(full, dim) // pad 0f / truncate
@@ -767,6 +893,81 @@ object Multimodal {
           f += 1
         }
         Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Wrap per-frame JPEG payloads in a minimal well-formed AVI/MJPEG
+    * RIFF container (the layout [[decodeAviMjpeg]] documents): hdrl with
+    * a 56-byte `avih`, one `strl` (56-byte `strh` vids/MJPG + 40-byte
+    * BITMAPINFOHEADER `strf` with biCompression MJPG), then `movi` with
+    * one `00dc` chunk per frame, even-padded. */
+  private[graft] def aviMjpegContainer(width: Int, height: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fourcc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      fourcc(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(typ) ++ children)
+    val maxFrame = frames.map(_.length).max
+    val avih = le32(40000) ++ le32(maxFrame * 25) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+      le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++
+      le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++
+      le32(frames.length) ++ le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++
+      le16(24) ++ fourcc("MJPG") ++ le32(width * height * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Deterministic AVI/MJPEG test-pattern generator — [[syntheticJpeg]]'s
+    * arithmetic extended over frames behind a real RIFF/AVI container:
+    * per row, `nFrames` block-constant gray JPEG frames (unit quant, so
+    * the decode is EXACT) where 8×8 block `b` of frame `f` holds
+    * `(seed * 7 + f * blocksPerFrame + b) % 251` — the decoded per-frame
+    * and whole-clip means are recomputable from the seed alone (the
+    * `l08h_mjpeg_decode` oracle), while the payload crosses the real
+    * demux (RIFF walk, stream matching, per-chunk JPEG decode). */
+  def syntheticAviMjpeg(df: DataFrame, seedCol: String, width: Int,
+      height: Int, nFrames: Int): DataFrame = {
+    require(width >= 8 && height >= 8 && width % 8 == 0 && height % 8 == 0,
+      "syntheticAviMjpeg needs positive multiples of 8")
+    require(nFrames >= 1, "syntheticAviMjpeg needs at least one frame")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val blocksX = width / 8
+    val blocksPerFrame = blocksX * (height / 8)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val frames = (0 until nFrames).map { f =>
+          val gray = new Array[Byte](width * height)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val b = f * blocksPerFrame + (y / 8) * blocksX + x / 8
+              gray(y * width + x) = (((seed * 7 + b) % 251 + 251) % 251).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Jpeg.encodeGray(width, height, gray, Jpeg.UnitQuant)
+        }
+        Row.fromSeq(r.toSeq :+ aviMjpegContainer(width, height, frames))
       }
     }(enc)
   }

@@ -792,6 +792,30 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""SELECT d.doc_id, CAST(4 AS REAL) AS fmt, CAST(16 AS REAL) AS width, CAST(16 AS REAL) AS height, CAST(1 AS REAL) AS n_channels, CAST(SUM((d.doc_id*7 + g.j) % 251) / 4.0 AS REAL) AS mean_gray FROM documents d, generate_series(0, 3) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    // ---- L8h: COMPRESSED video decode — AVI/MJPEG demux (RIFF walk,
+    // stream match, per-frame JPEG decode): per row a real 3-frame AVI
+    // whose 8x8 block b of frame f holds (doc_id*7 + f*4 + b) % 251, so
+    // block index j = f*4 + b runs 0..11 and DuckDB re-derives every
+    // mean from the seed alone. First/last-frame means pin that frame
+    // ORDER survived the demux — a swapped or dropped movi chunk fails
+    // the hash even when the whole-clip mean happens to agree. ----
+    ("l08h_mjpeg_decode", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticAviMjpeg(docs, "doc_id", width = 16, height = 16,
+          nFrames = 3), dim = 8)
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).as("fmt"),
+          element_at(col("features"), 2).as("width"),
+          element_at(col("features"), 3).as("height"),
+          element_at(col("features"), 4).as("n_frames"),
+          element_at(col("features"), 5).as("n_channels"),
+          element_at(col("features"), 6).as("mean_all"),
+          element_at(col("features"), 7).as("mean_first"),
+          element_at(col("features"), 8).as("mean_last"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT d.doc_id, CAST(6 AS REAL) AS fmt, CAST(16 AS REAL) AS width, CAST(16 AS REAL) AS height, CAST(3 AS REAL) AS n_frames, CAST(1 AS REAL) AS n_channels, CAST(SUM((d.doc_id*7 + g.j) % 251) / 12.0 AS REAL) AS mean_all, CAST(SUM(CASE WHEN g.j < 4 THEN (d.doc_id*7 + g.j) % 251 END) / 4.0 AS REAL) AS mean_first, CAST(SUM(CASE WHEN g.j >= 8 THEN (d.doc_id*7 + g.j) % 251 END) / 4.0 AS REAL) AS mean_last FROM documents d, generate_series(0, 11) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
     // ---- L16: Z-ordered layout — lineitem rewritten Morton-clustered on
     // (l_partkey, l_suppkey), then a 2-d box filter over the clustered
     // copy. The layout is a pure reorder, so the oracle is the same

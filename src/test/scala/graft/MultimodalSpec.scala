@@ -604,6 +604,80 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeAviMjpeg: demux + per-frame JPEG decode, exact means, frame order pinned") {
+    import graft.operators.Jpeg
+    // two 8x8 block-constant gray frames (unit quant → EXACT decode)
+    def grayFrame(v: Int): Array[Byte] =
+      Jpeg.encodeGray(8, 8, Array.fill(64)(v.toByte), Jpeg.UnitQuant)
+    val avi = Multimodal.aviMjpegContainer(8, 8, Seq(grayFrame(40), grayFrame(90)))
+    val demux = Multimodal.decodeAviMjpeg(avi).get
+    assert((demux.width, demux.height, demux.frames.length) === (8, 8, 2))
+    // each movi chunk is byte-for-byte the JPEG that went in
+    assert(demux.frames(0) === grayFrame(40) && demux.frames(1) === grayFrame(90))
+    val f = Multimodal.contentFeatures(avi, 8)
+    assert(f(0) === 6f && f(1) === 8f && f(2) === 8f && f(3) === 2f && f(4) === 1f)
+    assert(f(5) === 65f, "whole-clip mean") // (40 + 90) / 2
+    assert(f(6) === 40f && f(7) === 90f, "first/last frame means — order matters")
+  }
+
+  test("decodeAviMjpeg: malformed and non-MJPG containers reject to None, never garbage") {
+    import graft.operators.Jpeg
+    def grayFrame(v: Int): Array[Byte] =
+      Jpeg.encodeGray(8, 8, Array.fill(64)(v.toByte), Jpeg.UnitQuant)
+    val good = Multimodal.aviMjpegContainer(8, 8, Seq(grayFrame(40), grayFrame(90)))
+    // truncation anywhere (container OR frame leg) → None
+    for (cut <- Seq(4, 40, good.length / 2, good.length - 3))
+      assert(Multimodal.decodeAviMjpeg(good.take(cut)).isEmpty, s"cut at $cut")
+    // a WAV is RIFF too — must not demux as AVI (and still decodes as audio)
+    val wav = Multimodal.contentFeatures(
+      Seq(5L).toDF("doc_id").transform(Multimodal.syntheticWavMulaw(_, "doc_id", 16))
+        .select($"payload").collect().head.getAs[Array[Byte]](0), 8)
+    assert(wav(0) === 2f, "WAV misrouted by the AVI demux")
+    // flip the strh handler AND strf biCompression to a raw-DIB vids
+    // stream: structurally valid AVI, unsupported codec → quarantine
+    def patch(b: Array[Byte], at: Int, s: String): Array[Byte] = {
+      val c = b.clone(); s.getBytes.zipWithIndex.foreach { case (x, i) => c(at + i) = x }; c
+    }
+    def find(b: Array[Byte], s: String): Int = {
+      val pat = s.getBytes
+      (0 to b.length - pat.length).find(i => pat.indices.forall(j => b(i + j) == pat(j))).get
+    }
+    val h1 = find(good, "MJPG")
+    val notMjpg0 = patch(good, h1, "DIB ")
+    val h2 = find(notMjpg0, "MJPG")
+    val notMjpg = patch(notMjpg0, h2, "DIB ")
+    assert(Multimodal.decodeAviMjpeg(notMjpg).isEmpty)
+    // 2000 deterministically mangled containers never throw
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 0 until 2000) {
+      val c = good.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      val d = Multimodal.decodeAviMjpeg(c) // None or well-formed, never a throw
+      d.foreach(v => assert(v.width > 0 && v.height > 0 && v.frames.nonEmpty))
+      Multimodal.contentFeatures(c, 8) // and the feature path never throws either
+    }
+  }
+
+  test("extractFeatures on AVI/MJPEG: tag 6, exact means through the synthetic generator") {
+    val docs = Seq(3L, 9L).toDF("doc_id")
+    val out = Multimodal.extractFeatures(
+        Multimodal.syntheticAviMjpeg(docs, "doc_id", width = 16, height = 16, nFrames = 3),
+        dim = 8)
+      .select($"doc_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for (seed <- Seq(3L, 9L)) {
+      val f = out(seed)
+      // 16x16 → 4 blocks per frame; block b of frame fr holds
+      // (seed*7 + fr*4 + b) % 251 — recompute exactly (the l08h oracle)
+      def m(js: Seq[Int]): Float =
+        (js.map(j => (seed * 7 + j) % 251).sum / js.size.toDouble).toFloat
+      assert(f(0) === 6f && f(1) === 16f && f(2) === 16f && f(3) === 3f && f(4) === 1f)
+      assert(f(5) === m(0 until 12), "whole-clip mean")
+      assert(f(6) === m(0 until 4), "first frame")
+      assert(f(7) === m(8 until 12), "last frame")
+    }
+  }
+
   test("unknown formats fall back to the deterministic stub, same dim") {
     val df = Seq((1L, "not an image at all".getBytes)).toDF("id", "payload")
     val f1 = Multimodal.extractFeatures(df, dim = 8).select($"features").collect().head.getSeq[Float](0)
