@@ -356,6 +356,94 @@ object Multimodal {
       width: Int, height: Int, colorspace: String, nFrames: Int,
       raster: Array[Byte])
 
+  private[graft] final case class Mp3Meta(
+      sampleRate: Int, channels: Int, layer: Int, nFrames: Int,
+      meanKbps: Double, durationSec: Double)
+
+  // MPEG-1 audio header tables (ISO/IEC 11172-3, public): bitrate in
+  // kbps by [layer 1..3][bitrate_index 1..14], sampling rate by index
+  private val Mp3Bitrates: Array[Array[Int]] = Array(
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private val Mp3Rates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Honest MPEG-1 audio (MP3-family) METADATA parser, written from the
+    * public ISO/IEC 11172-3 frame-header layout: walks every frame
+    * (12-bit sync, version/layer/bitrate/samplerate/padding/mode
+    * fields), skips a leading ID3v2 tag (syncsafe size) and a trailing
+    * 128-byte ID3v1 tag, and returns the stream-level facts a
+    * training-data pipeline filters on — sample rate, channels, layer,
+    * frame count, mean (VBR-aware) bitrate, duration. This is the
+    * HEADER level only, and says so: the entropy-coded sample payload
+    * (Huffman + IMDCT + the 512-tap synthesis window) stays quarantined
+    * behind the stub — there is no independent decoder in this
+    * container to validate a from-scratch synthesis against, and a
+    * half-validated codec would be worse than a labeled stub.
+    *
+    * Strict, never-garbage contract like every sibling: free MPEG-2/2.5
+    * headers, a mid-stream version/layer/rate/mode change (VBR may vary
+    * only the bitrate index), a truncated final frame, or trailing junk
+    * that is not an ID3v1 tag all reject to None. Frame-length
+    * arithmetic: Layer I `(12000*kbps/rate + pad) * 4` bytes, Layers
+    * II/III `144000*kbps/rate + pad`; samples per frame 384 (L1) / 1152
+    * (L2, L3). */
+  private[graft] def decodeMp3Meta(bytes: Array[Byte]): Option[Mp3Meta] = {
+    var i = 0
+    // ID3v2: "ID3" vmaj vmin flags size(4 x 7-bit syncsafe)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      if ((bytes(6) | bytes(7) | bytes(8) | bytes(9)) < 0) return None
+      val sz = (bytes(6) << 21) | (bytes(7) << 14) | (bytes(8) << 7) | bytes(9)
+      i = 10 + sz
+      if (i >= bytes.length) return None
+    }
+    var sampleRate = -1; var channels = -1; var layer = -1
+    var nFrames = 0; var kbpsSum = 0L
+    while (i < bytes.length) {
+      // trailing ID3v1 tag ends the stream cleanly
+      if (bytes.length - i == 128 && bytes(i) == 'T' && bytes(i + 1) == 'A' &&
+          bytes(i + 2) == 'G') {
+        i = bytes.length
+      } else {
+        if (i + 4 > bytes.length) return None // partial header
+        val h = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+          ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if ((h >>> 21) != 0x7ff) return None // lost sync
+        val version = (h >>> 19) & 3 // 3 = MPEG-1; 2/0 = MPEG-2/2.5
+        val layerCode = (h >>> 17) & 3 // 3=I, 2=II, 1=III
+        val bi = (h >>> 12) & 15
+        val ri = (h >>> 10) & 3
+        val pad = (h >>> 9) & 1
+        val mode = (h >>> 6) & 3 // 3 = single channel
+        if (version != 3 || layerCode == 0 || bi == 0 || bi == 15 || ri == 3)
+          return None // MPEG-2/2.5, reserved layer, free/bad bitrate, bad rate
+        val ly = 4 - layerCode // 1, 2, 3
+        val kbps = Mp3Bitrates(ly - 1)(bi - 1)
+        val rate = Mp3Rates(ri)
+        val ch = if (mode == 3) 1 else 2
+        if (nFrames == 0) { sampleRate = rate; channels = ch; layer = ly }
+        // VBR varies the bitrate index only — anything else mid-stream
+        // is a splice, not a stream
+        else if (rate != sampleRate || ch != channels || ly != layer) return None
+        val frameLen =
+          if (ly == 1) (12000 * kbps / rate + pad) * 4
+          else 144000 * kbps / rate + pad
+        if (frameLen < 4 || i + frameLen > bytes.length) return None // truncated
+        i += frameLen
+        nFrames += 1
+        kbpsSum += kbps
+        if (nFrames > 2000000) return None // runaway cap (~2 GB of audio)
+      }
+    }
+    if (nFrames == 0) None
+    else {
+      val spf = if (layer == 1) 384 else 1152
+      Some(Mp3Meta(sampleRate, channels, layer, nFrames,
+        kbpsSum.toDouble / nFrames,
+        nFrames.toDouble * spf / sampleRate))
+    }
+  }
+
   /** Honest YUV4MPEG2 (`.y4m`) decoder, written from the public
     * mjpegtools stream spec — the uncompressed VIDEO member of the
     * modality family (PPM is its image sibling, PCM-WAV its audio one):
@@ -528,6 +616,10 @@ object Multimodal {
     *    meanFirstFrame, meanLastFrame] (COMPRESSED video via
     *    [[decodeAviMjpeg]] + per-frame [[Jpeg.decode]]; the first/last
     *    frame means pin that frame ORDER survived the demux)
+    *  - MP3: [7, sampleRate, channels, nFrames, layer, meanKbps,
+    *    durationSec, 0] ([[decodeMp3Meta]] — REAL header-walk metadata,
+    *    the filter-level facts; sample statistics deliberately absent:
+    *    the entropy payload stays quarantined, see the decoder's doc)
     *  - else: decodeStub (format tag 0 territory — quarantined fake)
     * Sums accumulate exactly in Long; the final double divisions (and
     * sqrt) are single IEEE ops, so an external engine recomputing the
@@ -649,6 +741,9 @@ object Multimodal {
             (sFirst / per).toFloat, (sLast / per).toFloat))
         }
       }
+    }).orElse(decodeMp3Meta(payload).map { m =>
+      Array(7f, m.sampleRate.toFloat, m.channels.toFloat, m.nFrames.toFloat,
+        m.layer.toFloat, m.meanKbps.toFloat, m.durationSec.toFloat, 0f)
     }).getOrElse(decodeStub(payload, dim))
     if (full.length == dim) full
     else java.util.Arrays.copyOf(full, dim) // pad 0f / truncate
@@ -968,6 +1063,51 @@ object Multimodal {
           Jpeg.encodeGray(width, height, gray, Jpeg.UnitQuant)
         }
         Row.fromSeq(r.toSeq :+ aviMjpegContainer(width, height, frames))
+      }
+    }(enc)
+  }
+
+  /** Deterministic MP3 stream generator — valid MPEG-1 Layer III frame
+    * headers (44.1 kHz mono, no CRC) over zeroed payload bytes, VBR:
+    * frame `f` uses bitrate index `9 + (seed + f) % 3` (128/160/192
+    * kbps), `3 + seed % 5` frames total, so every [[decodeMp3Meta]]
+    * field is recomputable from the seed alone (the `l08i_mp3_meta`
+    * oracle). Even seeds get a leading ID3v2 tag and seeds divisible by
+    * 3 a trailing ID3v1 tag, so both skip paths stay exercised. The
+    * payload bytes are zeros BY DESIGN: the generator feeds the honest
+    * metadata contract, not a fake sample decode. */
+  def syntheticMp3(df: DataFrame, seedCol: String): DataFrame = {
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val out = new java.io.ByteArrayOutputStream()
+        if (seed % 2 == 0) { // ID3v2 header + 16 tag bytes (syncsafe size)
+          out.write("ID3".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          out.write(Array[Byte](4, 0, 0, 0, 0, 0, 16))
+          out.write(new Array[Byte](16))
+        }
+        val nFrames = (3 + seed % 5).toInt
+        val kbpsByIdx = Array(128, 160, 192)
+        var f = 0
+        while (f < nFrames) {
+          val sel = ((seed + f) % 3).toInt
+          val bi = 9 + sel
+          val frameLen = 144000 * kbpsByIdx(sel) / 44100 // pad = 0
+          out.write(0xff); out.write(0xfb) // sync + MPEG-1 + Layer III
+          out.write(bi << 4) // 44.1 kHz (ri=0), no padding
+          out.write(0xc0) // single channel
+          out.write(new Array[Byte](frameLen - 4))
+          f += 1
+        }
+        if (seed % 3 == 0) { // trailing ID3v1 tag
+          out.write("TAG".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          out.write(new Array[Byte](125))
+        }
+        Row.fromSeq(r.toSeq :+ out.toByteArray)
       }
     }(enc)
   }

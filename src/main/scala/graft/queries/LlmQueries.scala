@@ -816,6 +816,27 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""SELECT d.doc_id, CAST(6 AS REAL) AS fmt, CAST(16 AS REAL) AS width, CAST(16 AS REAL) AS height, CAST(3 AS REAL) AS n_frames, CAST(1 AS REAL) AS n_channels, CAST(SUM((d.doc_id*7 + g.j) % 251) / 12.0 AS REAL) AS mean_all, CAST(SUM(CASE WHEN g.j < 4 THEN (d.doc_id*7 + g.j) % 251 END) / 4.0 AS REAL) AS mean_first, CAST(SUM(CASE WHEN g.j >= 8 THEN (d.doc_id*7 + g.j) % 251 END) / 4.0 AS REAL) AS mean_last FROM documents d, generate_series(0, 11) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    // ---- L8i: MP3 metadata extraction — the HONEST header level of the
+    // MP3 family (frame-sync walk, bitrate/rate tables, VBR mean,
+    // ID3v2/v1 skip): the facts a corpus pipeline filters on (rate,
+    // channels, frames, bitrate, duration), all recomputed by DuckDB
+    // from the seed arithmetic. Sample decode stays quarantined (see
+    // decodeMp3Meta's doc) — no fake sample statistics appear here. ----
+    ("l08i_mp3_meta", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticMp3(docs, "doc_id"), dim = 8)
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).as("fmt"),
+          element_at(col("features"), 2).as("sample_rate"),
+          element_at(col("features"), 3).as("n_channels"),
+          element_at(col("features"), 4).as("n_frames"),
+          element_at(col("features"), 5).as("layer"),
+          element_at(col("features"), 6).as("mean_kbps"),
+          element_at(col("features"), 7).as("duration_sec"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT d.doc_id, CAST(7 AS REAL) AS fmt, CAST(44100 AS REAL) AS sample_rate, CAST(1 AS REAL) AS n_channels, CAST(3 + d.doc_id % 5 AS REAL) AS n_frames, CAST(3 AS REAL) AS layer, CAST(AVG(CASE (d.doc_id + g.f) % 3 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END) AS REAL) AS mean_kbps, CAST((3 + d.doc_id % 5) * 1152 / 44100.0 AS REAL) AS duration_sec FROM documents d, generate_series(0, 6) g(f) WHERE g.f < 3 + d.doc_id % 5 GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
     // ---- L16: Z-ordered layout — lineitem rewritten Morton-clustered on
     // (l_partkey, l_suppkey), then a 2-d box filter over the clustered
     // copy. The layout is a pure reorder, so the oracle is the same

@@ -678,6 +678,67 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeMp3Meta: frame walk, VBR mean, ID3 tags; strict rejection of splices and truncation") {
+    // hand-built frames: MPEG-1 Layer III, 44.1 kHz mono, no CRC
+    def frame(kbps: Int, bi: Int): Array[Byte] = {
+      val len = 144000 * kbps / 44100
+      Array(0xff.toByte, 0xfb.toByte, (bi << 4).toByte, 0xc0.toByte) ++
+        new Array[Byte](len - 4)
+    }
+    val cbr = frame(128, 9) ++ frame(128, 9)
+    val m = Multimodal.decodeMp3Meta(cbr).get
+    assert((m.sampleRate, m.channels, m.layer, m.nFrames) === (44100, 1, 3, 2))
+    assert(m.meanKbps === 128.0)
+    assert(m.durationSec === 2.0 * 1152 / 44100)
+    // VBR: bitrate index may vary per frame; the mean reflects it
+    val vbr = frame(128, 9) ++ frame(192, 11)
+    assert(Multimodal.decodeMp3Meta(vbr).get.meanKbps === 160.0)
+    // ID3v2 front tag and ID3v1 tail tag both skip cleanly
+    val id3v2 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 16) ++
+      new Array[Byte](16)
+    val id3v1 = "TAG".getBytes ++ new Array[Byte](125)
+    assert(Multimodal.decodeMp3Meta(id3v2 ++ cbr ++ id3v1).get.nFrames === 2)
+    // rejections, each a distinct failure mode: MPEG-2 version bits,
+    // free bitrate, reserved sample rate, a mid-stream rate splice,
+    // truncated final frame, non-tag trailing junk
+    val mpeg2 = cbr.clone(); mpeg2(1) = 0xf3.toByte
+    assert(Multimodal.decodeMp3Meta(mpeg2).isEmpty)
+    val free = cbr.clone(); free(2) = 0x00
+    assert(Multimodal.decodeMp3Meta(free).isEmpty)
+    val badRate = cbr.clone(); badRate(2) = ((9 << 4) | 0x0c).toByte
+    assert(Multimodal.decodeMp3Meta(badRate).isEmpty)
+    val spliced = frame(128, 9) ++ frame(128, 9)
+    spliced(frame(128, 9).length + 2) = ((9 << 4) | 0x04).toByte // 48 kHz mid-stream
+    assert(Multimodal.decodeMp3Meta(spliced).isEmpty)
+    assert(Multimodal.decodeMp3Meta(cbr.dropRight(5)).isEmpty)
+    assert(Multimodal.decodeMp3Meta(cbr ++ "junk!".getBytes).isEmpty)
+    // 2000 deterministically mangled streams never throw
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 2000) {
+      val c = (id3v2 ++ vbr).clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeMp3Meta(c)
+      Multimodal.contentFeatures(c, 8)
+    }
+  }
+
+  test("extractFeatures on MP3: tag 7, metadata recomputed from the seed through the generator") {
+    val docs = Seq(3L, 4L, 6L).toDF("doc_id") // odd, even(ID3v2), div-3(ID3v1)
+    val out = Multimodal.extractFeatures(
+        Multimodal.syntheticMp3(docs, "doc_id"), dim = 8)
+      .select($"doc_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for (seed <- Seq(3L, 4L, 6L)) {
+      val f = out(seed)
+      val n = (3 + seed % 5).toInt
+      val kbps = (0 until n).map(fr => Array(128, 160, 192)(((seed + fr) % 3).toInt))
+      assert(f(0) === 7f && f(1) === 44100f && f(2) === 1f && f(3) === n.toFloat)
+      assert(f(4) === 3f, "layer")
+      assert(f(5) === (kbps.sum.toDouble / n).toFloat, "VBR mean kbps")
+      assert(f(6) === (n.toDouble * 1152 / 44100).toFloat, "duration")
+    }
+  }
+
   test("unknown formats fall back to the deterministic stub, same dim") {
     val df = Seq((1L, "not an image at all".getBytes)).toDF("id", "payload")
     val f1 = Multimodal.extractFeatures(df, dim = 8).select($"features").collect().head.getSeq[Float](0)
