@@ -28,6 +28,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Parquet TIMESTAMP columns written without isAdjustedToUTC would
+      // otherwise infer as TIMESTAMP_NTZ (Spark 3.4+ default): with the
+      // session pinned to UTC the instant is identical either way, and
+      // the engine's time operators (unix_micros bucketing, Avro/JSON
+      // serde) speak the TIMESTAMP type — read all parquet timestamps
+      // as TIMESTAMP for one consistent time semantics
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
 
   /** Local session for the harness entry points. */

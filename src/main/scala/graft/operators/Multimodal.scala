@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   * come from real decoding, and a changed payload provably changes the
   * features (oracle-checked in `l08b`/`l08c`/`l08d`). Compressed video
   * is covered by the AVI/MJPEG demux ([[decodeAviMjpeg]] + per-frame
-  * [[Jpeg.decode]], `l08h`). Payloads in any OTHER format (MP3,
-  * non-MJPEG video codecs) fall back to `decodeStub` (deterministic
-  * bytes-hash fake), clearly quarantined — swap it for a JNI/codec
-  * call in production.
+  * [[Jpeg.decode]], `l08h`), LZW-compressed palettized images and
+  * animations by [[decodeGif]] (`l08j`) and uncompressed Windows
+  * bitmaps by [[decodeBmp]] (`l08k`). Payloads in any OTHER format
+  * (MP3 sample data, non-MJPEG video codecs) fall back to `decodeStub`
+  * (deterministic bytes-hash fake), clearly quarantined — swap it for
+  * a JNI/codec call in production.
   *
   * Scale notes: payloads never pass through a shuffle here (narrow
   * mapPartitions); at 100 TB keep payloads in their own column family
@@ -444,6 +446,267 @@ object Multimodal {
     }
   }
 
+  /** One decoded GIF: all frames are full-logical-screen RGB rasters
+    * (this decoder rejects sub-rectangle frames rather than composite —
+    * see [[decodeGif]]). */
+  private[graft] final case class GifImage(
+      width: Int, height: Int, nFrames: Int, frames: Array[Array[Byte]])
+
+  /** Honest GIF decoder, written from the public GIF87a/89a
+    * specification: header + logical screen descriptor, global/local
+    * color tables, extension-block skipping (graphic control, comment,
+    * application), per-image-descriptor LZW decompression (variable
+    * 3..12-bit codes, clear/EOI handling, the KwKwK case), optional
+    * Adam-style four-pass de-interlacing, and palette mapping to RGB.
+    * Multi-image streams decode as frames.
+    *
+    * Strict, never-garbage contract like every sibling: a frame that is
+    * not the full logical screen (compositing with disposal methods is a
+    * rendering concern, not a statistic), an index outside the active
+    * palette, a truncated or desynchronized LZW stream, or a missing
+    * trailer all reject to None. Pixel bounds mirror [[Jpeg]]'s cap
+    * (w*h <= 2^24, <= 256 frames) so a crafted header cannot force a
+    * large allocation. */
+  private[graft] def decodeGif(bytes: Array[Byte]): Option[GifImage] = {
+    if (bytes.length < 14) return None
+    val hdr = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val w = u16(6); val h = u16(8)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    val packed = bytes(10) & 0xff
+    var pos = 13
+    var global: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (pos + 3 * n > bytes.length) return None
+      global = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var trailerSeen = false
+    while (!trailerSeen) {
+      if (pos >= bytes.length) return None // ran off the end before 0x3B
+      (bytes(pos) & 0xff) match {
+        case 0x3b => trailerSeen = true
+        case 0x21 => // extension: label byte then length-prefixed sub-blocks
+          pos += 2
+          var sub = true
+          while (sub) {
+            if (pos >= bytes.length) return None
+            val len = bytes(pos) & 0xff; pos += 1
+            if (len == 0) sub = false
+            else { if (pos + len > bytes.length) return None; pos += len }
+          }
+        case 0x2c => // image descriptor
+          if (pos + 10 > bytes.length) return None
+          val left = u16(pos + 1); val top = u16(pos + 3)
+          val iw = u16(pos + 5); val ih = u16(pos + 7)
+          val ip = bytes(pos + 9) & 0xff
+          pos += 10
+          // full-screen frames only — partial frames would need disposal
+          // compositing to mean anything as pixels
+          if (left != 0 || top != 0 || iw != w || ih != h) return None
+          val interlaced = (ip & 0x40) != 0
+          var palette = global
+          if ((ip & 0x80) != 0) {
+            val n = 1 << ((ip & 7) + 1)
+            if (pos + 3 * n > bytes.length) return None
+            palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          if (palette == null) return None // no color table in scope
+          if (pos >= bytes.length) return None
+          val minCode = bytes(pos) & 0xff; pos += 1
+          // gather the LZW sub-blocks into one buffer
+          val data = new java.io.ByteArrayOutputStream()
+          var sub = true
+          while (sub) {
+            if (pos >= bytes.length) return None
+            val len = bytes(pos) & 0xff; pos += 1
+            if (len == 0) sub = false
+            else {
+              if (pos + len > bytes.length) return None
+              data.write(bytes, pos, len); pos += len
+            }
+          }
+          val indices = gifLzwDecode(minCode, data.toByteArray, w * h)
+            .getOrElse(return None)
+          val nColors = palette.length / 3
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            // de-interlace by computing each sequential pixel's target row
+            val srcRow = p / w
+            val dstRow = if (!interlaced) srcRow else {
+              val pass8 = (h + 7) / 8; val pass8o4 = (h + 3) / 8
+              val pass4 = (h + 1) / 4
+              if (srcRow < pass8) srcRow * 8
+              else if (srcRow < pass8 + pass8o4) (srcRow - pass8) * 8 + 4
+              else if (srcRow < pass8 + pass8o4 + pass4) (srcRow - pass8 - pass8o4) * 4 + 2
+              else (srcRow - pass8 - pass8o4 - pass4) * 2 + 1
+            }
+            val idx = indices(p) & 0xff
+            if (idx >= nColors) return None
+            val o = (dstRow * w + p % w) * 3
+            rgb(o) = palette(idx * 3)
+            rgb(o + 1) = palette(idx * 3 + 1)
+            rgb(o + 2) = palette(idx * 3 + 2)
+            p += 1
+          }
+          frames += rgb
+          if (frames.length > 256) return None // bound total allocation
+        case _ => return None // unknown block type: desynchronized
+      }
+    }
+    if (frames.isEmpty) None
+    else Some(GifImage(w, h, frames.length, frames.toArray))
+  }
+
+  /** GIF-flavor LZW decompression (ECMA-variant with CLEAR/EOI codes and
+    * LSB-first variable-width packing): produces exactly `expected`
+    * index bytes or None. Dictionary as parallel prefix/suffix arrays
+    * (the textbook layout); width grows at 2^codeSize up to 12 bits. */
+  private def gifLzwDecode(minCode: Int, data: Array[Byte],
+      expected: Int): Option[Array[Byte]] = {
+    if (minCode < 2 || minCode > 8) return None
+    val clear = 1 << minCode; val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictSize = eoi + 1; var codeSize = minCode + 1
+    var prev = -1
+    val out = new Array[Byte](expected); var outLen = 0
+    val nBits = data.length.toLong * 8; var bitPos = 0L
+    val stack = new Array[Byte](4096)
+    def readCode(): Int = {
+      if (bitPos + codeSize > nBits) return -1
+      var v = 0; var i = 0
+      while (i < codeSize) {
+        val bi = bitPos + i
+        v |= (((data((bi >> 3).toInt) & 0xff) >> (bi & 7).toInt) & 1) << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    // expand `code` through the prefix chain onto the stack; returns the
+    // string's first byte, or -1 on a cycle/overflow (malformed stream)
+    def expand(code: Int): Int = {
+      var c = code; var sp = 0
+      while (c >= clear) { // composite codes sit above clear+1
+        if (sp >= stack.length || c >= dictSize) return -1
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      val first = c
+      if (outLen + sp + 1 > expected) return -1
+      out(outLen) = first.toByte; outLen += 1
+      while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+      first
+    }
+    while (outLen < expected) {
+      val code = readCode()
+      if (code < 0) return None // ran out of bits before the raster filled
+      if (code == clear) {
+        dictSize = eoi + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return None // EOI before the raster filled
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code after clear must be literal
+        out(outLen) = code.toByte; outLen += 1
+        prev = code
+      } else {
+        var first = -1
+        if (code < dictSize) {
+          first = expand(code)
+        } else if (code == dictSize) { // the KwKwK case
+          // string = expand(prev) + firstChar(expand(prev))
+          val mark = outLen
+          first = expand(prev)
+          if (first >= 0) {
+            if (outLen >= expected) return None
+            out(outLen) = first.toByte; outLen += 1
+          }
+          if (mark == outLen) return None // defensive; expand failed
+        } else return None // code beyond dictionary: desynchronized
+        if (first < 0) return None
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first.toByte
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  private[graft] final case class BmpImage(
+      width: Int, height: Int, bpp: Int, pixels: Array[Byte])
+
+  /** Honest BMP decoder, written from the public Windows bitmap layout:
+    * BITMAPFILEHEADER (`BM`, pixel-data offset) + 40-byte
+    * BITMAPINFOHEADER, uncompressed (BI_RGB) 8-bit-paletted, 24-bit BGR
+    * and 32-bit BGRX rasters, 4-byte row padding, bottom-up (positive
+    * height) and top-down (negative height) orders. Output is top-down
+    * RGB. Returns None (never garbage) for other header versions,
+    * compressed variants (RLE/bitfields), bad plane/bpp fields, an
+    * 8-bit index outside the palette, or a raster shorter than the
+    * declared geometry. Same allocation cap as the siblings
+    * (w*h <= 2^24). */
+  private[graft] def decodeBmp(bytes: Array[Byte]): Option[BmpImage] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    val dataOffset = i32(10)
+    if (i32(14) != 40) return None // BITMAPINFOHEADER only
+    val w = i32(18); val hRaw = i32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    if (u16(26) != 1) return None // planes
+    val bpp = u16(28)
+    if (bpp != 8 && bpp != 24 && bpp != 32) return None
+    if (i32(30) != 0) return None // BI_RGB only
+    var palette: Array[Byte] = null
+    if (bpp == 8) {
+      val declared = i32(46)
+      val n = if (declared == 0) 256 else declared
+      if (n < 0 || n > 256 || 54 + 4 * n > bytes.length) return None
+      palette = java.util.Arrays.copyOfRange(bytes, 54, 54 + 4 * n) // BGRX quads
+    }
+    val rowSize = ((w * bpp / 8) + 3) / 4 * 4
+    if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * h > bytes.length)
+      return None
+    val rgb = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val srcRow = if (topDown) r else h - 1 - r
+      val base = dataOffset + srcRow * rowSize
+      var x = 0
+      while (x < w) {
+        val o = (r * w + x) * 3
+        bpp match {
+          case 8 =>
+            val idx = bytes(base + x) & 0xff
+            if (idx * 4 >= palette.length) return None
+            rgb(o) = palette(idx * 4 + 2) // stored B,G,R,X
+            rgb(o + 1) = palette(idx * 4 + 1)
+            rgb(o + 2) = palette(idx * 4)
+          case 24 =>
+            val p = base + x * 3
+            rgb(o) = bytes(p + 2); rgb(o + 1) = bytes(p + 1); rgb(o + 2) = bytes(p)
+          case _ =>
+            val p = base + x * 4
+            rgb(o) = bytes(p + 2); rgb(o + 1) = bytes(p + 1); rgb(o + 2) = bytes(p)
+        }
+        x += 1
+      }
+      r += 1
+    }
+    Some(BmpImage(w, h, bpp, rgb))
+  }
+
   /** Honest YUV4MPEG2 (`.y4m`) decoder, written from the public
     * mjpegtools stream spec — the uncompressed VIDEO member of the
     * modality family (PPM is its image sibling, PCM-WAV its audio one):
@@ -620,6 +883,12 @@ object Multimodal {
     *    durationSec, 0] ([[decodeMp3Meta]] — REAL header-walk metadata,
     *    the filter-level facts; sample statistics deliberately absent:
     *    the entropy payload stays quarantined, see the decoder's doc)
+    *  - GIF: [8, width, height, nFrames, meanR, meanG, meanB, meanAll]
+    *    (LZW-compressed palettized images/animations via [[decodeGif]];
+    *    means run over ALL frames' palette-mapped RGB)
+    *  - BMP: [9, width, height, bpp, meanR, meanG, meanB, meanAll]
+    *    (uncompressed Windows bitmaps via [[decodeBmp]] — BGR swap,
+    *    row padding and bottom-up order all exercised)
     *  - else: decodeStub (format tag 0 territory — quarantined fake)
     * Sums accumulate exactly in Long; the final double divisions (and
     * sqrt) are single IEEE ops, so an external engine recomputing the
@@ -744,6 +1013,42 @@ object Multimodal {
     }).orElse(decodeMp3Meta(payload).map { m =>
       Array(7f, m.sampleRate.toFloat, m.channels.toFloat, m.nFrames.toFloat,
         m.layer.toFloat, m.meanKbps.toFloat, m.durationSec.toFloat, 0f)
+    }).orElse(decodeGif(payload).map { g =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var f = 0
+      while (f < g.nFrames) {
+        val px = g.frames(f)
+        var j = 0
+        while (j < px.length) {
+          (j % 3: @annotation.switch) match {
+            case 0 => sr += px(j) & 0xff
+            case 1 => sg += px(j) & 0xff
+            case _ => sb += px(j) & 0xff
+          }
+          j += 1
+        }
+        f += 1
+      }
+      val npx = (g.width.toLong * g.height * g.nFrames).toDouble
+      Array(8f, g.width.toFloat, g.height.toFloat, g.nFrames.toFloat,
+        (sr / npx).toFloat, (sg / npx).toFloat, (sb / npx).toFloat,
+        ((sr + sg + sb) / (npx * 3)).toFloat)
+    }).orElse(decodeBmp(payload).map { im =>
+      val px = im.pixels
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var j = 0
+      while (j < px.length) {
+        (j % 3: @annotation.switch) match {
+          case 0 => sr += px(j) & 0xff
+          case 1 => sg += px(j) & 0xff
+          case _ => sb += px(j) & 0xff
+        }
+        j += 1
+      }
+      val npx = (im.width.toLong * im.height).toDouble
+      Array(9f, im.width.toFloat, im.height.toFloat, im.bpp.toFloat,
+        (sr / npx).toFloat, (sg / npx).toFloat, (sb / npx).toFloat,
+        ((sr + sg + sb) / (npx * 3)).toFloat)
     }).getOrElse(decodeStub(payload, dim))
     if (full.length == dim) full
     else java.util.Arrays.copyOf(full, dim) // pad 0f / truncate
@@ -1145,6 +1450,181 @@ object Multimodal {
           j += 1
         }
         Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** The deterministic 256-entry palette the GIF fixtures share with
+    * their oracles: entry i = (i, (2i) mod 256, (3i) mod 256) — three
+    * distinct linear ramps, so a mis-mapped index changes every channel
+    * statistic differently. */
+  private[graft] val GifTestPalette: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      p(i * 3) = i.toByte
+      p(i * 3 + 1) = ((i * 2) % 256).toByte
+      p(i * 3 + 2) = ((i * 3) % 256).toByte
+      i += 1
+    }
+    p
+  }
+
+  /** Minimal well-formed GIF89a writer for the fixtures: logical screen
+    * + 256-entry global color table, one image descriptor per frame
+    * (optionally written in interlaced row order with the flag set), and
+    * the classic "uncompressed GIF" LZW stream — 8-bit literals at
+    * 9-bit code width with a CLEAR every 254 codes so the decoder's
+    * dictionary never forces a width change. Any spec-conforming reader
+    * (ImageIO's GIF plugin cross-checks in MultimodalSpec) decodes it
+    * bit-exactly. */
+  private[graft] def gifContainer(width: Int, height: Int,
+      indexFrames: Seq[Array[Byte]], interlaced: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    out.write("GIF89a".getBytes(ascii))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(width); le16(height)
+    out.write(0xf7) // GCT present, 8 bits/channel source, 256 entries
+    out.write(0); out.write(0)
+    out.write(GifTestPalette)
+    for (indices <- indexFrames) {
+      require(indices.length == width * height, "frame/geometry mismatch")
+      out.write(0x2c)
+      le16(0); le16(0); le16(width); le16(height)
+      out.write(if (interlaced) 0x40 else 0x00)
+      out.write(8) // LZW minimum code size
+      // interlaced files store rows in pass order; emit accordingly
+      val ordered =
+        if (!interlaced) indices
+        else {
+          val rows = (0 until height).filter(_ % 8 == 0) ++
+            (0 until height).filter(r => r % 8 == 4) ++
+            (0 until height).filter(r => r % 4 == 2) ++
+            (0 until height).filter(r => r % 2 == 1)
+          val o = new Array[Byte](indices.length)
+          var d = 0
+          for (r <- rows) { System.arraycopy(indices, r * width, o, d, width); d += width }
+          o
+        }
+      // 9-bit LSB-first bit-packer over CLEAR(256)/literal/EOI(257)
+      val lzw = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nAcc = 0
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << nAcc; nAcc += 9
+        while (nAcc >= 8) { lzw.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+      }
+      emit(256)
+      var count = 0
+      for (b <- ordered) {
+        if (count == 254) { emit(256); count = 0 }
+        emit(b & 0xff); count += 1
+      }
+      emit(257)
+      if (nAcc > 0) lzw.write((acc & 0xff).toInt)
+      val bytes = lzw.toByteArray
+      var off = 0
+      while (off < bytes.length) {
+        val n = math.min(255, bytes.length - off)
+        out.write(n); out.write(bytes, off, n); off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Deterministic GIF test-pattern generator — the [[syntheticPpm]]
+    * arithmetic behind a real LZW-compressed palettized container: per
+    * row an `nFrames`-frame GIF whose palette INDEX j (counted across
+    * frames) is `(seed * 7 + j) % 251`, mapped through
+    * [[GifTestPalette]] — so the decoded channel means are
+    * `mean((idx*k) mod 256)` for k = 1,2,3, recomputable from the seed
+    * alone (the `l08j_gif_decode` oracle does) while the payload
+    * crosses the real decode path (block walk, LZW, palette). */
+  def syntheticGif(df: DataFrame, seedCol: String, width: Int, height: Int,
+      nFrames: Int): DataFrame = {
+    require(width >= 1 && height >= 1 && nFrames >= 1, "syntheticGif needs positive dims")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val n = width * height
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val frames = (0 until nFrames).map { f =>
+          val idx = new Array[Byte](n)
+          var p = 0
+          while (p < n) {
+            idx(p) = (((seed * 7 + f.toLong * n + p) % 251 + 251) % 251).toByte
+            p += 1
+          }
+          idx
+        }
+        Row.fromSeq(r.toSeq :+ gifContainer(width, height, frames))
+      }
+    }(enc)
+  }
+
+  /** Minimal 24-bit BI_RGB BMP writer for the fixtures: 54-byte
+    * header pair, bottom-up rows, 4-byte padding — the exact layout
+    * [[decodeBmp]] documents. `rgb` is top-down row-major RGB. */
+  private[graft] def bmpContainer(width: Int, height: Int,
+      rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "raster/geometry mismatch")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val size = 54 + rowSize * height
+    val out = new Array[Byte](size)
+    def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size); le32(10, 54)
+    le32(14, 40); le32(18, width); le32(22, height)
+    le16(26, 1); le16(28, 24); le32(30, 0)
+    le32(34, rowSize * height)
+    var r = 0
+    while (r < height) {
+      val dst = 54 + (height - 1 - r) * rowSize // bottom-up
+      var x = 0
+      while (x < width) {
+        val s = (r * width + x) * 3
+        out(dst + x * 3) = rgb(s + 2) // B
+        out(dst + x * 3 + 1) = rgb(s + 1) // G
+        out(dst + x * 3 + 2) = rgb(s) // R
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Deterministic BMP test-pattern generator — [[syntheticPpm]]'s
+    * arithmetic behind the Windows bitmap container (BGR swap, row
+    * padding, bottom-up order): top-down RGB raster byte j is
+    * `(seed * 7 + j) % 251`, so `l08k_bmp_decode`'s oracle is the PPM
+    * oracle with format tag 9 — any padding/flip/swap mistake in the
+    * decoder changes the channel means and fails the hash. */
+  def syntheticBmp(df: DataFrame, seedCol: String, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, "syntheticBmp needs positive dims")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val n = width * height * 3
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val rgb = new Array[Byte](n)
+        var j = 0
+        while (j < n) {
+          rgb(j) = (((seed * 7 + j) % 251 + 251) % 251).toByte
+          j += 1
+        }
+        Row.fromSeq(r.toSeq :+ bmpContainer(width, height, rgb))
       }
     }(enc)
   }

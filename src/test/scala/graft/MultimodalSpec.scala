@@ -745,4 +745,232 @@ class MultimodalSpec extends SparkSpec {
     val f2 = Multimodal.extractFeatures(df, dim = 8).select($"features").collect().head.getSeq[Float](0)
     assert(f1.size == 8 && f1 == f2)
   }
+
+  // ---------------------------------------------------------------- GIF
+
+  private def gifIndices(w: Int, h: Int, seed: Long, frame: Int = 0): Array[Byte] =
+    Array.tabulate(w * h)(p => (((seed * 7 + frame.toLong * w * h + p) % 251 + 251) % 251).toByte)
+
+  test("decodeGif: LZW round trip (plain + interlaced + multi-frame), exact palette-mapped pixels") {
+    val w = 7; val h = 11 // odd dims exercise the interlace pass boundaries
+    val idx = gifIndices(w, h, 3L)
+    for (interlaced <- Seq(false, true)) {
+      val gif = Multimodal.gifContainer(w, h, Seq(idx), interlaced = interlaced)
+      val im = Multimodal.decodeGif(gif).getOrElse(fail(s"decode failed interlaced=$interlaced"))
+      assert(im.width == w && im.height == h && im.nFrames == 1)
+      for (p <- 0 until w * h) {
+        val i = idx(p) & 0xff
+        assert((im.frames(0)(p * 3) & 0xff) == i, s"R at $p interlaced=$interlaced")
+        assert((im.frames(0)(p * 3 + 1) & 0xff) == (i * 2) % 256)
+        assert((im.frames(0)(p * 3 + 2) & 0xff) == (i * 3) % 256)
+      }
+    }
+    // multi-frame: both frames decode, in order
+    val f0 = gifIndices(4, 4, 9L, frame = 0); val f1 = gifIndices(4, 4, 9L, frame = 1)
+    val anim = Multimodal.decodeGif(Multimodal.gifContainer(4, 4, Seq(f0, f1))).get
+    assert(anim.nFrames == 2)
+    assert((anim.frames(0)(0) & 0xff) == (f0(0) & 0xff))
+    assert((anim.frames(1)(0) & 0xff) == (f1(0) & 0xff))
+  }
+
+  test("decodeGif: a long uniform run survives dictionary growth (real compression, not just literals)") {
+    // ImageIO's writer (below) emits genuinely compressed streams, but
+    // pin the width-growth path with a crafted worst case too: a 64x64
+    // constant image written by ImageIO compresses to long KwKwK chains
+    val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(10, 20, 30)); g2.fillRect(0, 0, 64, 64); g2.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos))
+    val im = Multimodal.decodeGif(baos.toByteArray).getOrElse(fail("decode of ImageIO GIF failed"))
+    assert(im.width == 64 && im.height == 64)
+    // every pixel identical, and equal to what ImageIO itself reads back
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(baos.toByteArray))
+    val rgb0 = ref.getRGB(0, 0)
+    for (p <- 0 until 64 * 64) {
+      assert((im.frames(0)(p * 3) & 0xff) == ((rgb0 >> 16) & 0xff))
+      assert((im.frames(0)(p * 3 + 1) & 0xff) == ((rgb0 >> 8) & 0xff))
+      assert((im.frames(0)(p * 3 + 2) & 0xff) == (rgb0 & 0xff))
+    }
+  }
+
+  test("decodeGif: agrees with the independent JDK ImageIO codec in BOTH directions") {
+    // direction 1: our writer, ImageIO's reader — pixel-exact
+    val w = 13; val h = 9
+    val idx = gifIndices(w, h, 5L)
+    val ours = Multimodal.gifContainer(w, h, Seq(idx))
+    val jimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(jimg != null, "ImageIO could not parse our GIF")
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = idx(y * w + x) & 0xff
+      val rgb = jimg.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == i && ((rgb >> 8) & 0xff) == (i * 2) % 256 &&
+        (rgb & 0xff) == (i * 3) % 256, s"ImageIO disagrees at ($x,$y)")
+    }
+    // direction 2: ImageIO's writer (real LZW compression), our reader
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = idx(y * w + x) & 0xff
+      img.setRGB(x, y, (i << 16) | (((i * 2) % 256) << 8) | ((i * 3) % 256))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos))
+    val im = Multimodal.decodeGif(baos.toByteArray).getOrElse(fail("decode of ImageIO GIF failed"))
+    assert(im.width == w && im.height == h && im.nFrames == 1)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y) // TYPE_BYTE_INDEXED may have quantized; compare to what was stored
+      val p = (y * w + x) * 3
+      assert((im.frames(0)(p) & 0xff) == ((rgb >> 16) & 0xff), s"R at ($x,$y)")
+      assert((im.frames(0)(p + 1) & 0xff) == ((rgb >> 8) & 0xff), s"G at ($x,$y)")
+      assert((im.frames(0)(p + 2) & 0xff) == (rgb & 0xff), s"B at ($x,$y)")
+    }
+  }
+
+  test("decodeGif: malformed streams reject to None, never garbage") {
+    val good = Multimodal.gifContainer(4, 3, Seq(gifIndices(4, 3, 1L)))
+    assert(Multimodal.decodeGif(good).isDefined)
+    // bad magic
+    val bad = good.clone(); bad(0) = 'J'.toByte
+    assert(Multimodal.decodeGif(bad).isEmpty)
+    // missing trailer / truncation at every prefix
+    for (cut <- 1 until good.length)
+      assert(Multimodal.decodeGif(java.util.Arrays.copyOf(good, cut)).isEmpty, s"cut=$cut")
+    // partial-frame rect (left=1) must reject, not composite
+    val part = good.clone()
+    val desc = 6 + 7 + 768 // header + LSD + GCT → image separator offset
+    assert(part(desc) == 0x2c.toByte)
+    part(desc + 1) = 1 // left = 1
+    assert(Multimodal.decodeGif(part).isEmpty)
+    // 2000 deterministically mangled streams never throw
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 2000) {
+      val m = good.clone()
+      val n = 1 + rnd.nextInt(4)
+      for (_ <- 0 until n) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeGif(m) // Option or nothing — any throw fails the test
+    }
+  }
+
+  test("extractFeatures on GIF: tag 8, exact means through the synthetic generator") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticGif(df, "id", width = 4, height = 3, nFrames = 2), dim = 8)
+      .select($"id", $"features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def means(seed: Long): (Float, Float, Float) = {
+      val idx = (0 until 24).map(j => ((seed * 7 + j) % 251).toInt)
+      ((idx.map(_.toLong).sum / 24.0).toFloat,
+        (idx.map(i => (i * 2) % 256).map(_.toLong).sum / 24.0).toFloat,
+        (idx.map(i => (i * 3) % 256).map(_.toLong).sum / 24.0).toFloat)
+    }
+    val (r1, g1, b1) = means(1L)
+    assert(feats(1L).take(4) == Seq(8f, 4f, 3f, 2f))
+    assert(feats(1L)(4) == r1 && feats(1L)(5) == g1 && feats(1L)(6) == b1)
+    assert(feats(1L) != feats(2L))
+  }
+
+  // ---------------------------------------------------------------- BMP
+
+  test("decodeBmp: 24-bit round trip with row padding; top-down, 8-bit and 32-bit variants") {
+    val w = 5; val h = 3 // rowSize 16 ≠ 15: padding exercised
+    val rgb = Array.tabulate(w * h * 3)(j => ((7 + j) % 251).toByte)
+    val bmp = Multimodal.bmpContainer(w, h, rgb)
+    val im = Multimodal.decodeBmp(bmp).getOrElse(fail("decode failed"))
+    assert(im.width == w && im.height == h && im.bpp == 24)
+    assert(im.pixels.sameElements(rgb))
+    // top-down: flip height sign and write rows unflipped → same pixels
+    def le32(o: Int, v: Int, a: Array[Byte]): Unit = {
+      a(o) = (v & 0xff).toByte; a(o + 1) = ((v >> 8) & 0xff).toByte
+      a(o + 2) = ((v >> 16) & 0xff).toByte; a(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val td = bmp.clone()
+    le32(22, -h, td)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    for (r <- 0 until h; x <- 0 until w; c <- 0 until 3) // re-order rows top-down
+      td(54 + r * rowSize + x * 3 + c) = bmp(54 + (h - 1 - r) * rowSize + x * 3 + c)
+    val imTd = Multimodal.decodeBmp(td).getOrElse(fail("top-down decode failed"))
+    assert(imTd.pixels.sameElements(rgb))
+    // 8-bit paletted: 2x2 with a 4-entry palette
+    val pal8 = Array[Byte](
+      'B', 'M', 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, // file header (offset patched below)
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 8, 0,
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      4, 0, 0, 0, 0, 0, 0, 0) ++ // colorsUsed=4
+      Array[Byte](10, 20, 30, 0, 40, 50, 60, 0, 70, 80, 90, 0, 100, 110, 120, 0) ++ // BGRX
+      Array[Byte](0, 1, 0, 0, 2, 3, 0, 0) // two 4-padded rows, bottom-up
+    le32(10, 54 + 16, pal8)
+    val im8 = Multimodal.decodeBmp(pal8).getOrElse(fail("8-bit decode failed"))
+    assert(im8.bpp == 8 && im8.width == 2 && im8.height == 2)
+    // bottom row in file = top row of image: indices 0,1 are the BOTTOM image row
+    assert((im8.pixels(0) & 0xff) == 90 && (im8.pixels(1) & 0xff) == 80 && (im8.pixels(2) & 0xff) == 70) // idx 2 → BGR reversed
+    // 32-bit: repack the 24-bit raster as BGRX
+    val bgrx = new Array[Byte](54 + w * 4 * h)
+    System.arraycopy(bmp, 0, bgrx, 0, 54)
+    bgrx(28) = 32
+    le32(34, w * 4 * h, bgrx)
+    le32(2, bgrx.length, bgrx)
+    for (r <- 0 until h; x <- 0 until w) {
+      val s = 54 + r * rowSize + x * 3
+      val d = 54 + r * w * 4 + x * 4
+      bgrx(d) = bmp(s); bgrx(d + 1) = bmp(s + 1); bgrx(d + 2) = bmp(s + 2)
+    }
+    val im32 = Multimodal.decodeBmp(bgrx).getOrElse(fail("32-bit decode failed"))
+    assert(im32.bpp == 32 && im32.pixels.sameElements(rgb))
+  }
+
+  test("decodeBmp: agrees with the independent JDK ImageIO codec in BOTH directions") {
+    val w = 6; val h = 4
+    val rgb = Array.tabulate(w * h * 3)(j => ((11 + j * 5) % 251).toByte)
+    // direction 1: our writer, ImageIO's reader
+    val jimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.bmpContainer(w, h, rgb)))
+    assert(jimg != null, "ImageIO could not parse our BMP")
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      val v = jimg.getRGB(x, y)
+      assert(((v >> 16) & 0xff) == (rgb(p) & 0xff) && ((v >> 8) & 0xff) == (rgb(p + 1) & 0xff) &&
+        (v & 0xff) == (rgb(p + 2) & 0xff), s"ImageIO disagrees at ($x,$y)")
+    }
+    // direction 2: ImageIO's writer, our reader
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", baos))
+    val im = Multimodal.decodeBmp(baos.toByteArray).getOrElse(fail("decode of ImageIO BMP failed"))
+    assert(im.width == w && im.height == h)
+    assert(im.pixels.sameElements(rgb))
+  }
+
+  test("decodeBmp: malformed headers and short rasters reject to None, never garbage") {
+    val good = Multimodal.bmpContainer(4, 3, Array.tabulate(36)(j => j.toByte))
+    assert(Multimodal.decodeBmp(good).isDefined)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeBmp(badMagic).isEmpty)
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8
+    assert(Multimodal.decodeBmp(rle).isEmpty)
+    val v5 = good.clone(); v5(14) = 124 // BITMAPV5HEADER size
+    assert(Multimodal.decodeBmp(v5).isEmpty)
+    for (cut <- 1 until good.length)
+      assert(Multimodal.decodeBmp(java.util.Arrays.copyOf(good, cut)).isEmpty, s"cut=$cut")
+    val rnd = new scala.util.Random(43)
+    for (_ <- 0 until 2000) {
+      val m = good.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(4)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeBmp(m)
+    }
+  }
+
+  test("extractFeatures on BMP: tag 9, exact means through the synthetic generator") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticBmp(df, "id", width = 5, height = 3), dim = 8)
+      .select($"id", $"features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def mean(seed: Long, c: Int): Float =
+      ((0 until 45).filter(_ % 3 == c).map(j => (seed * 7 + j) % 251).sum / 15.0).toFloat
+    assert(feats(1L).take(4) == Seq(9f, 5f, 3f, 24f))
+    assert(feats(1L)(4) == mean(1L, 0) && feats(1L)(5) == mean(1L, 1) && feats(1L)(6) == mean(1L, 2))
+    assert(feats(1L) != feats(2L))
+  }
 }
