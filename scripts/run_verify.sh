@@ -22,8 +22,9 @@ ADD_OPENS=(
   --add-opens=java.base/sun.security.action=ALL-UNNAMED
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
 )
+shift $(( $# > 2 ? 2 : $# ))
 exec java "${ADD_OPENS[@]}" \
   -Xmx8g \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -cp "$CP" graft.Verify "$SF_DIR" "$OUT_DIR"
+  -cp "$CP" graft.Verify "$SF_DIR" "$OUT_DIR" "$@"

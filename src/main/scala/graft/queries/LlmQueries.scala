@@ -837,6 +837,49 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""SELECT d.doc_id, CAST(7 AS REAL) AS fmt, CAST(44100 AS REAL) AS sample_rate, CAST(1 AS REAL) AS n_channels, CAST(3 + d.doc_id % 5 AS REAL) AS n_frames, CAST(3 AS REAL) AS layer, CAST(AVG(CASE (d.doc_id + g.f) % 3 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END) AS REAL) AS mean_kbps, CAST((3 + d.doc_id % 5) * 1152 / 44100.0 AS REAL) AS duration_sec FROM documents d, generate_series(0, 6) g(f) WHERE g.f < 3 + d.doc_id % 5 GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    // ---- L8j: GIF decode — LZW-compressed palettized images join the
+    // codec family: per row a real 2-frame 4x3 GIF89a (palette index j,
+    // counted across frames, = (doc_id*7+j) % 251; palette entry i =
+    // (i, 2i mod 256, 3i mod 256)) crosses the full decode path — block
+    // walk, variable-width LZW, palette mapping — and DuckDB recomputes
+    // the expected channel means from the seed arithmetic alone. A
+    // wrong LZW reset width, palette offset or frame order changes the
+    // means and fails the hash. ----
+    ("l08j_gif_decode", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticGif(docs, "doc_id", width = 4, height = 3, nFrames = 2), dim = 8)
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).as("fmt"),
+          element_at(col("features"), 2).as("width"),
+          element_at(col("features"), 3).as("height"),
+          element_at(col("features"), 4).as("n_frames"),
+          element_at(col("features"), 5).as("mean_r"),
+          element_at(col("features"), 6).as("mean_g"),
+          element_at(col("features"), 7).as("mean_b"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT d.doc_id, CAST(8 AS REAL) AS fmt, CAST(4 AS REAL) AS width, CAST(3 AS REAL) AS height, CAST(2 AS REAL) AS n_frames, CAST(SUM((d.doc_id*7 + g.j) % 251) / 24.0 AS REAL) AS mean_r, CAST(SUM(((d.doc_id*7 + g.j) % 251 * 2) % 256) / 24.0 AS REAL) AS mean_g, CAST(SUM(((d.doc_id*7 + g.j) % 251 * 3) % 256) / 24.0 AS REAL) AS mean_b FROM documents d, generate_series(0, 23) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
+    // ---- L8k: BMP decode — the l08b PPM oracle behind the Windows
+    // bitmap container: the top-down RGB raster byte j = (doc_id*7+j)
+    // % 251 survives the BGR swap, 4-byte row padding and bottom-up
+    // row order, so the channel means match PPM's formula exactly with
+    // format tag 9. Any flip/swap/padding mistake fails the hash. ----
+    ("l08k_bmp_decode", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticBmp(docs, "doc_id", width = 5, height = 3), dim = 8)
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).as("fmt"),
+          element_at(col("features"), 2).as("width"),
+          element_at(col("features"), 3).as("height"),
+          element_at(col("features"), 4).as("bpp"),
+          element_at(col("features"), 5).as("mean_r"),
+          element_at(col("features"), 6).as("mean_g"),
+          element_at(col("features"), 7).as("mean_b"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT d.doc_id, CAST(9 AS REAL) AS fmt, CAST(5 AS REAL) AS width, CAST(3 AS REAL) AS height, CAST(24 AS REAL) AS bpp, CAST(SUM(CASE WHEN g.j % 3 = 0 THEN (d.doc_id*7 + g.j) % 251 END) / 15.0 AS REAL) AS mean_r, CAST(SUM(CASE WHEN g.j % 3 = 1 THEN (d.doc_id*7 + g.j) % 251 END) / 15.0 AS REAL) AS mean_g, CAST(SUM(CASE WHEN g.j % 3 = 2 THEN (d.doc_id*7 + g.j) % 251 END) / 15.0 AS REAL) AS mean_b FROM documents d, generate_series(0, 44) g(j) GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
     // ---- L16: Z-ordered layout — lineitem rewritten Morton-clustered on
     // (l_partkey, l_suppkey), then a 2-d box filter over the clustered
     // copy. The layout is a pure reorder, so the oracle is the same
@@ -892,6 +935,40 @@ object LlmQueries {
         .where(col("l_partkey").between(20, 150) && col("l_suppkey").between(2, 5))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"))
-    }, Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 2 AND 5 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity"""))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 2 AND 5 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""")),
+
+    // ---- L17: BPE vocabulary training (Sennrich 2016) — learn merges
+    // on the distinct-word dictionary (one groupBy shuffle reduces the
+    // corpus to the vocabulary; every iteration is a partial-aggregated
+    // pair count + a ONE-row TakeOrdered driver pull). The merge table
+    // itself is rows-only by design (no SQL engine trains BPE); its
+    // oracle-green contract sibling is l17b below. ----
+    ("l17_bpe_merges", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("text"))
+      val merges = graft.operators.Bpe.learnMerges(
+        graft.operators.Bpe.wordDict(docs, "text"), k = 8)
+      graft.operators.Bpe.mergesDf(s, merges).orderBy(col("rank"))
+    }, None),
+
+    // ---- L17b: BPE reconstruction contract — apply the learned merges
+    // back to the corpus and claim, per document, (a) the total
+    // CHARACTER length of the produced subword tokens and (b) token
+    // count + independently-counted merge events. BOTH must equal the
+    // document's whitespace-free character count, which DuckDB computes
+    // directly from the raw text: a tokenizer that drops, duplicates or
+    // splits a character, or merge bookkeeping that miscounts a single
+    // event, shifts a claimed number and fails the hash — while the
+    // learned vocabulary itself stays engine-side (data-dependent). ----
+    ("l17b_bpe_reconstruction", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val merges = graft.operators.Bpe.learnMerges(
+        graft.operators.Bpe.wordDict(docs, "text"), k = 8)
+      val applied = graft.operators.Bpe.applyBpe(docs, "text", merges)
+      applied.select(col("doc_id"),
+          aggregate(transform(col("bpe_tokens"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_chars"),
+          (size(col("bpe_tokens")).cast("long") + col("bpe_merge_events")).as("n_units"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_units FROM documents ORDER BY doc_id"""))
   )
 }

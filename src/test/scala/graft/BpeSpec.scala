@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE vocabulary training (Sennrich 2016 re-expressed Spark-first):
+  * hand-computed merge sequences on the paper-style fixture, greedy
+  * overlap semantics, early exhaustion, determinism, and the
+  * reconstruction contract the l17b oracle stands on. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus =
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+
+  test("learnMerges: hand-computed sequence on the classic fixture, ties broken lexicographically") {
+    val docs = Seq(corpus.mkString(" ")).toDF("content")
+    val merges = Bpe.learnMerges(Bpe.wordDict(docs, "content"), k = 8)
+    val expected = Seq(
+      ("e", "s", 9L), // ties (e,s)/(s,t) at 9 → lexicographic
+      ("es", "t", 9L),
+      ("l", "o", 7L), // ties (l,o)/(o,w) at 7
+      ("lo", "w", 7L),
+      ("e", "w", 6L), // ties (e,w)/(n,e)/(w,est) at 6
+      ("ew", "est", 6L),
+      ("n", "ewest", 6L),
+      ("d", "est", 3L)) // ties (d,est)/(i,d)/(w,i) at 3
+    assert(merges.map(m => (m.left, m.right, m.freq)) == expected)
+    assert(merges.map(_.rank) == (0 until 8))
+  }
+
+  test("learnMerges: greedy left-to-right — an overlapping pair does not re-merge") {
+    val docs = Seq("aaa").toDF("content")
+    val merges = Bpe.learnMerges(Bpe.wordDict(docs, "content"), k = 2)
+    // "aaa" has pairs (a,a) twice but greedy merging yields [aa, a], so
+    // round 2 sees exactly one (aa, a) pair
+    assert(merges.map(m => (m.left, m.right, m.freq)) ==
+      Seq(("a", "a", 2L), ("aa", "a", 1L)))
+  }
+
+  test("learnMerges: stops early when every word is fully merged") {
+    val docs = Seq("ab ab ab").toDF("content")
+    val merges = Bpe.learnMerges(Bpe.wordDict(docs, "content"), k = 5)
+    assert(merges.map(m => (m.left, m.right, m.freq)) == Seq(("a", "b", 3L)))
+  }
+
+  test("learnMerges is deterministic across runs") {
+    val docs = Seq(corpus.mkString(" "), "the quick brown fox the quick").toDF("content")
+    val a = Bpe.learnMerges(Bpe.wordDict(docs, "content"), k = 6)
+    val b = Bpe.learnMerges(Bpe.wordDict(docs, "content"), k = 6)
+    assert(a == b)
+  }
+
+  test("applyBpe: tokenizes unseen words with the learned vocabulary; events counted independently") {
+    val train = Seq(corpus.mkString(" ")).toDF("content")
+    val merges = Bpe.learnMerges(Bpe.wordDict(train, "content"), k = 8)
+    val out = Bpe.applyBpe(Seq((1L, "lowest")).toDF("id", "content"), "content", merges)
+      .select($"bpe_tokens", $"bpe_merge_events").collect().head
+    // lowest = l,o,w,e,s,t → (e,s) → (es,t) → (l,o) → (lo,w) → [low, est]
+    assert(out.getSeq[String](0) == Seq("low", "est"))
+    assert(out.getLong(1) == 4L) // 6 chars → 2 tokens in 4 merge events
+  }
+
+  test("reconstruction contract: token chars and tokens+events both equal the whitespace-free char count") {
+    val docs = Seq(
+      (1L, corpus.mkString(" ")),
+      (2L, "  leading and   irregular\tspacing around words  "),
+      (3L, "singleword"),
+      (4L, "")).toDF("doc_id", "content")
+    val merges = Bpe.learnMerges(Bpe.wordDict(docs, "content"), k = 5)
+    val rows = Bpe.applyBpe(docs, "content", merges)
+      .select($"doc_id", $"content", $"bpe_tokens", $"bpe_merge_events")
+      .collect()
+    for (r <- rows) {
+      val chars = r.getString(1).replaceAll("\\s", "").length.toLong
+      val tokens = r.getSeq[String](2)
+      assert(tokens.map(_.length).sum.toLong == chars, s"char total, doc ${r.getLong(0)}")
+      assert(tokens.size + r.getLong(3) == chars, s"token+event total, doc ${r.getLong(0)}")
+      // concatenated tokens reproduce the original non-whitespace text
+      assert(tokens.mkString == r.getString(1).replaceAll("\\s+", ""),
+        s"reconstruction, doc ${r.getLong(0)}")
+    }
+  }
+
+  test("wordDict: one row per distinct word with corpus counts") {
+    val docs = Seq("a b a", "b  c").toDF("content")
+    val dict = Bpe.wordDict(docs, "content").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dict == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+}
