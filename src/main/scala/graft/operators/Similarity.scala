@@ -351,16 +351,153 @@ object Similarity {
     } finally assigned.unpersist(blocking = false)
   }
 
+  /** The delta directory of a persisted IVF index: a sibling of the
+    * main table's warehouse location. Streaming appends land here
+    * (one subdirectory per micro-batch — see [[appendToIvfDelta]]),
+    * probes union it with the bucketed main table, and
+    * [[compactIvfDelta]] folds it back in. */
+  private[graft] def ivfDeltaDir(spark: org.apache.spark.sql.SparkSession,
+      table: String): String = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc =
+      if (catalog.tableExists(ident))
+        new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
+      else {
+        // mid-compaction crash window: the main entry is dropped, but the
+        // delta's location must stay resolvable — rebuild the managed
+        // path the way Spark lays it out (lowercased, <db>.db nesting)
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val db = ident.database.getOrElse(catalog.getCurrentDatabase)
+        val base = if (db == "default") wh
+          else new org.apache.hadoop.fs.Path(wh, db.toLowerCase + ".db")
+        new org.apache.hadoop.fs.Path(base, ident.table.toLowerCase)
+      }
+    loc.toString + "__delta"
+  }
+
+  /** Streaming-ingest append to a persisted IVF index, EXACTLY-ONCE:
+    * assign `batch` to the EXISTING centroids (frozen quantizer, the
+    * build's exact rule) and write the assigned rows to the index's
+    * delta directory under `batch-<batchId>/` with mode=overwrite — a
+    * replayed micro-batch deterministically overwrites its own
+    * directory, so redelivery is idempotent WITHOUT ever rewriting or
+    * even reading the main index (the property that matters when the
+    * index is 100 TB and the batch is minutes of data; contrast a
+    * bucketed-table append, which cannot be made replay-safe without a
+    * recovery rewrite of the table).
+    *
+    * The delta is deliberately NOT bucketed: it stays small — bounded
+    * by the [[compactIvfDelta]] cadence — so probe-side pruning on it
+    * is parquet min/max, not bucket files; the 100 TB main table keeps
+    * its bucket pruning. Returns the appended row count and the
+    * batch-side mean similarity to the assigned centroid (the drift
+    * signal, batch-only: a streaming sink must not rescan the corpus
+    * per micro-batch — compare against the build-time mean instead). */
+  def appendToIvfDelta(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String, batchId: Long,
+      cId: String = "vec_id", cVec: String = "embedding"): IvfDrift = {
+    val centRows = spark.table(s"${table}_centroids")
+      .select(col("list"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1) // same order as the build → same tie-breaks
+    val cents = typedLit(centRows.toSeq)
+    val assigned = batch.select(col(cId), col(cVec),
+      nearestAgainst(cents, col(cVec)).alias("__list"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centMap = typedLit(centRows.toMap)
+      val sim = VF.cosineNative(col(cVec), element_at(centMap, col("__list")))
+      val r = assigned.select(sim.alias("__s"))
+        .agg(count(lit(1)),
+          avg(when(col("__s").isNotNull && !isnan(col("__s")), col("__s"))))
+        .head()
+      val n = r.getLong(0)
+      val mean = if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+      assigned.write.mode("overwrite")
+        .parquet(s"${ivfDeltaDir(spark, table)}/batch-$batchId")
+      IvfDrift(n, 0L, Double.NaN, mean)
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** Fold the delta directory back into the bucketed main table (the
+    * [[Dedup.compactBandHistory]] swap discipline: write main ∪ delta
+    * to a tmp table under the SAME bucket spec, drop, rename — and
+    * complete an interrupted swap instead of dropping the only copy),
+    * then delete the delta. No-op without a delta.
+    *
+    * Crash contract: the delta-dir rename to `__folded` is the commit
+    * record, so re-entry after a crash at ANY point either completes
+    * the fold or restores the delta and reruns — never duplicates and
+    * never loses a vector. Between an interrupted run and its re-run,
+    * probes may temporarily not see the delta rows (and a probe during
+    * the drop-rename instant can fail to resolve the table) — the
+    * standard swap-window caveat, same as [[Dedup.compactBandHistory]]. */
+  def compactIvfDelta(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmp = table + "__compact"
+    val deltaPath = new org.apache.hadoop.fs.Path(ivfDeltaDir(spark, table))
+    // the delta dir renamed to __folded is the COMMIT RECORD: the rename
+    // happens only once the tmp table fully contains main ∪ delta, so at
+    // re-entry every crash state is decidable (unlike a delete-last
+    // protocol, where "main present + delta present" cannot distinguish
+    // a fresh run from a crash just after the swap — re-folding there
+    // would duplicate every delta vector)
+    val foldedPath = new org.apache.hadoop.fs.Path(deltaPath + "__folded")
+    val fs = deltaPath.getFileSystem(hconf)
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      // crashed between drop-old and rename: tmp (which contains the
+      // folded delta — the commit record proves it) holds the ONLY copy
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      fs.delete(foldedPath, true)
+      return
+    }
+    if (fs.exists(foldedPath)) {
+      // crashed after the commit record: if the swap also completed the
+      // fold is durable — finish the cleanup; if tmp still coexists with
+      // main the swap did NOT happen, so restore the delta and rerun
+      if (spark.catalog.tableExists(tmp) && spark.catalog.tableExists(table)) {
+        if (fs.exists(deltaPath)) fs.delete(deltaPath, true)
+        fs.rename(foldedPath, deltaPath)
+      } else {
+        fs.delete(foldedPath, true)
+        return
+      }
+    }
+    if (!fs.exists(deltaPath)) return // nothing to fold
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bucket spec — build the index with writeIvfIndex first"))
+    Layout.dropTableAndLocation(spark, tmp) // stale tmp from a mid-write crash
+    val cols = spark.table(table).columns.map(col)
+    val merged = spark.table(table)
+      .unionByName(spark.read.parquet(deltaPath.toString).select(cols: _*))
+    Layout.writeBucketed(merged, tmp, spec.bucketColumnNames, spec.numBuckets,
+      onePassPerBucket = true)
+    fs.rename(deltaPath, foldedPath) // COMMIT: tmp fully contains the delta
+    Layout.dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    fs.delete(foldedPath, true)
+  }
+
   /** Probe a persisted IVF index ([[writeIvfIndex]]) — no build work at
     * query time: centroids load from the (nLists-row) table, the probed
     * list ids resolve driver-side (bounded by nLists), and the corpus
     * scan prunes to the probed lists' bucket files before a broadcast
     * join scores them. Identical results to [[ivfTopK]] with the same
-    * build parameters (parity-tested: same deterministic quantizer). */
+    * build parameters (parity-tested: same deterministic quantizer).
+    *
+    * `includeDelta=true` (default) also scores rows in the index's
+    * delta directory ([[appendToIvfDelta]]) so streaming appends are
+    * visible to probes immediately, before any compaction. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
       table: String, k: Int, nProbe: Int = 4,
       qId: String = "q_id", qVec: String = "q_vec",
-      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+      cId: String = "vec_id", cVec: String = "embedding",
+      includeDelta: Boolean = true): DataFrame = {
     val centRows = spark.table(s"${table}_centroids")
       .select(col("list"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -376,7 +513,16 @@ object Similarity {
     // filter is what turns the bucketed layout into bucket PRUNING at
     // the scan (a join alone prunes nothing)
     val lists = probes.select(col("__list")).distinct().collect().map(_.getLong(0))
-    val pruned = spark.table(table).where(col("__list").isin(lists.toSeq: _*))
+    val main = spark.table(table)
+    val deltaPath = new org.apache.hadoop.fs.Path(ivfDeltaDir(spark, table))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val corpus =
+      if (includeDelta && fs.exists(deltaPath))
+        main.unionByName(spark.read.parquet(deltaPath.toString)
+          .select(main.columns.map(col): _*))
+      else main
+    val pruned = corpus.where(col("__list").isin(lists.toSeq: _*))
     val probed = pruned.join(broadcast(probes), Seq("__list"))
       .select(col(qId), col(cId), VF.cosineNative(col(qVec), col(cVec)).alias("cos_sim"))
     topKStage(probed, k, qId, cId)

@@ -408,6 +408,41 @@ object LlmQueries {
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
     }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
 
+    // ---- L4g: STREAMING-shape IVF ingest — planted copies arrive as
+    // delta micro-batches (appendToIvfDelta: each batch owns a replay-
+    // overwritable delta subdirectory; the 100 TB main table is never
+    // read or rewritten on the hot path); the probe surfaces every one
+    // through the main ∪ delta union, then compaction folds the delta
+    // into the bucketed main and the SAME probe still finds them —
+    // both halves of the delta lifecycle in one recall contract ----
+    ("l04g_ivf_delta_recall", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val base = emb.where(col("vec_id") % 7 =!= 3)
+      val b0 = emb.where(col("vec_id") % 7 === 3)
+      val b1 = queries
+        .select((col("q_id") + 500000).as("vec_id"), col("q_vec").as("embedding"))
+      Similarity.dropIvfIndex(s, "l04g_ivf") // cross-session idempotence
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Similarity.writeIvfIndex(s, base, "l04g_ivf", nLists = 16, lloydIters = 1)
+      fs.delete(new org.apache.hadoop.fs.Path(Similarity.ivfDeltaDir(s, "l04g_ivf")), true)
+      Similarity.appendToIvfDelta(s, b0, "l04g_ivf", batchId = 0)
+      Similarity.appendToIvfDelta(s, b1, "l04g_ivf", batchId = 1)
+      val planted = queries.select(col("q_id"), (col("q_id") + 500000).as("vec_id"))
+      val pre = Similarity.ivfTopKIndexed(s, queries, "l04g_ivf", k = 10, nProbe = 4)
+      val missedPre = planted
+        .join(pre.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .agg(count(lit(1)).as("missed_delta"))
+      Similarity.compactIvfDelta(s, "l04g_ivf")
+      val post = Similarity.ivfTopKIndexed(s, queries, "l04g_ivf", k = 10, nProbe = 4)
+      val missedPost = planted
+        .join(post.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .agg(count(lit(1)).as("missed_compacted"))
+      missedPre.crossJoin(missedPost)
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_delta, 0 AS missed_compacted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
+
     // ---- L5: text stats — counts, punctuation ratio, mean word length ----
     ("l05_text_stats", (s, d) => {
       // DataFrame-level form: one tokenizer pass per row (the scalar

@@ -135,6 +135,27 @@ object StreamOps {
     * would mean rewriting the accumulated corpus every micro-batch —
     * O(history) per batch is exactly what the bucketed append exists
     * to avoid. */
+  /** Streaming leg of persisted-IVF index maintenance: per micro-batch,
+    * assign the batch's vectors to the index's FROZEN centroids and land
+    * them in the index's delta directory
+    * ([[graft.operators.Similarity.appendToIvfDelta]]). Exactly-once by
+    * construction: each batch overwrites its own `batch-<id>/` delta
+    * subdirectory, so a replay after any crash rewrites identical
+    * content instead of double-appending — no pointer file and no
+    * recovery rewrite of the (100 TB) main index. Probes
+    * ([[graft.operators.Similarity.ivfTopKIndexed]]) see appended
+    * vectors immediately via the main ∪ delta union; fold the delta in
+    * with [[graft.operators.Similarity.compactIvfDelta]] on whatever
+    * cadence bounds the delta's size. */
+  def ivfAppendSink(vecs: DataFrame, table: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataStreamWriter[Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.appendToIvfDelta(
+          batch.sparkSession, batch, table, batchId, idCol, vecCol): Unit
+      }
+
   def nearDedupSink(docs: DataFrame, historyTable: String, numBuckets: Int,
       textCol: String, idCol: String, outDir: String, checkpoint: String,
       threshold: Double = 0.8): DataStreamWriter[Row] =

@@ -269,6 +269,145 @@ class DedupSpec extends SparkSpec {
     } finally Similarity.dropIvfIndex(spark, "t_ivf_prune")
   }
 
+  test("L4g: delta append is replay-idempotent, probe-visible, and compaction equals a direct append") {
+    val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val queries = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val base = emb.where($"vec_id" % 7 =!= 3)
+    val planted = queries.select(($"q_id" + 500000).as("vec_id"), $"q_vec".as("embedding"))
+    val b0 = emb.where($"vec_id" % 7 === 3 && $"vec_id" % 2 === 0)
+    val b1 = emb.where($"vec_id" % 7 === 3 && $"vec_id" % 2 === 1).unionByName(planted)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    Similarity.dropIvfIndex(spark, "t_ivf_delta")
+    Similarity.dropIvfIndex(spark, "t_ivf_delta_ref")
+    Similarity.writeIvfIndex(spark, base, "t_ivf_delta", nLists = 16, lloydIters = 1)
+    Similarity.writeIvfIndex(spark, base, "t_ivf_delta_ref", nLists = 16, lloydIters = 1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val deltaPath = new org.apache.hadoop.fs.Path(
+      Similarity.ivfDeltaDir(spark, "t_ivf_delta"))
+    try {
+      val d0 = Similarity.appendToIvfDelta(spark, b0, "t_ivf_delta", batchId = 0)
+      assert(d0.appended === b0.count() && !d0.meanSimAfter.isNaN)
+      Similarity.appendToIvfDelta(spark, b1, "t_ivf_delta", batchId = 1)
+      // the main table was NOT touched: delta rows live beside it
+      assert(spark.table("t_ivf_delta").count() === base.count())
+      assert(fs.exists(deltaPath))
+      val deltaRows = spark.read.parquet(deltaPath.toString)
+      assert(deltaRows.count() === b0.count() + b1.count())
+      // REPLAY batch 1 (same content): identical delta, not a double-append
+      Similarity.appendToIvfDelta(spark, b1, "t_ivf_delta", batchId = 1)
+      assert(spark.read.parquet(deltaPath.toString).count() === b0.count() + b1.count())
+      // probes see delta vectors immediately (planted copies surface)
+      val preCompact = norm(
+        Similarity.ivfTopKIndexed(spark, queries, "t_ivf_delta", k = 10, nProbe = 4))
+      (0L until 5L).foreach { q =>
+        assert(preCompact.exists(t => t._1 == q && t._2 == q + 500000),
+          s"delta-appended planted copy of query $q not surfaced")
+      }
+      // reference: the same rows appended DIRECTLY to a twin index —
+      // probe parity pins that delta+union ≡ bucketed append semantics
+      Similarity.appendToIvfIndex(spark, b0.unionByName(b1), "t_ivf_delta_ref",
+        computeDrift = false)
+      val ref = norm(
+        Similarity.ivfTopKIndexed(spark, queries, "t_ivf_delta_ref", k = 10, nProbe = 4))
+      assert(preCompact === ref, "delta-union probe diverged from direct-append probe")
+      // compaction folds the delta in: same probe results, bucket spec
+      // and pruning preserved, delta gone
+      Similarity.compactIvfDelta(spark, "t_ivf_delta")
+      assert(!fs.exists(deltaPath), "compaction left the delta behind")
+      assert(spark.table("t_ivf_delta").count() === base.count() + b0.count() + b1.count())
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("t_ivf_delta")).bucketSpec
+      assert(spec.exists(s => s.numBuckets == 16 && s.bucketColumnNames == Seq("__list")))
+      val post = Similarity.ivfTopKIndexed(spark, queries, "t_ivf_delta", k = 10, nProbe = 4)
+      post.collect()
+      assert(norm(post) === preCompact, "compaction changed probe results")
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(post.queryExecution.executedPlan.toString)
+      assert(m.isDefined && m.get.group(2).toInt == 16,
+        "post-compaction probe lost bucket pruning")
+      // compaction with no delta is a no-op
+      Similarity.compactIvfDelta(spark, "t_ivf_delta")
+      assert(spark.table("t_ivf_delta").count() === base.count() + b0.count() + b1.count())
+    } finally {
+      fs.delete(deltaPath, true)
+      Similarity.dropIvfIndex(spark, "t_ivf_delta")
+      Similarity.dropIvfIndex(spark, "t_ivf_delta_ref")
+    }
+  }
+
+  test("L4g: every interrupted-compaction crash state recovers without loss or duplication") {
+    import graft.operators.Layout
+    val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val base = emb.where($"vec_id" < 400)
+    val batch = emb.where($"vec_id" >= 400 && $"vec_id" < 450)
+    val table = "t_ivf_crash"
+    val tmp = table + "__compact"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def deltaP = new org.apache.hadoop.fs.Path(Similarity.ivfDeltaDir(spark, table))
+    def foldedP = new org.apache.hadoop.fs.Path(deltaP.toString + "__folded")
+    def expected = base.count() + batch.count()
+    def freshIndexWithDelta(): Unit = {
+      Similarity.dropIvfIndex(spark, table)
+      Layout.dropTableAndLocation(spark, tmp)
+      fs.delete(deltaP, true); fs.delete(foldedP, true)
+      Similarity.writeIvfIndex(spark, base, table, nLists = 8, lloydIters = 0)
+      Similarity.appendToIvfDelta(spark, batch, table, batchId = 0)
+    }
+    def mergedToTmp(): Unit = { // reproduce the compactor's tmp write
+      val cols = spark.table(table).columns.map(org.apache.spark.sql.functions.col)
+      Layout.writeBucketed(
+        spark.table(table).unionByName(
+          spark.read.parquet(deltaP.toString).select(cols: _*)),
+        tmp, Seq("__list"), 8, onePassPerBucket = true)
+    }
+    def checkFinal(label: String): Unit = {
+      assert(spark.table(table).count() === expected, s"$label: row count")
+      assert(spark.table(table).select($"vec_id").distinct().count() === expected,
+        s"$label: duplicated vectors")
+      assert(!fs.exists(deltaP) && !fs.exists(foldedP), s"$label: leftover state")
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
+      assert(spec.exists(_.numBuckets == 8), s"$label: bucket spec lost")
+    }
+    try {
+      // state A: stale tmp from a mid-write crash, delta intact
+      freshIndexWithDelta()
+      Layout.writeBucketed(base.limit(3)
+        .withColumn("__list", org.apache.spark.sql.functions.lit(0L)),
+        tmp, Seq("__list"), 8)
+      Similarity.compactIvfDelta(spark, table)
+      checkFinal("state A (stale tmp)")
+      // state B: crashed after the commit rename but BEFORE the swap —
+      // tmp and main coexist, delta renamed to __folded
+      freshIndexWithDelta()
+      mergedToTmp()
+      fs.rename(deltaP, foldedP)
+      Similarity.compactIvfDelta(spark, table)
+      checkFinal("state B (tmp+main+folded)")
+      // state C: crashed between drop-main and rename — tmp is the only copy
+      freshIndexWithDelta()
+      mergedToTmp()
+      fs.rename(deltaP, foldedP)
+      Layout.dropTableAndLocation(spark, table)
+      Similarity.compactIvfDelta(spark, table)
+      checkFinal("state C (tmp only)")
+      // state D: crashed after the swap, only the folded marker remains
+      freshIndexWithDelta()
+      mergedToTmp()
+      fs.rename(deltaP, foldedP)
+      Layout.dropTableAndLocation(spark, table)
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      Similarity.compactIvfDelta(spark, table)
+      checkFinal("state D (folded marker only)")
+    } finally {
+      fs.delete(deltaP, true); fs.delete(foldedP, true)
+      Layout.dropTableAndLocation(spark, tmp)
+      Similarity.dropIvfIndex(spark, table)
+    }
+  }
+
   test("L2: a planted hot bucket (1k identical docs) is sidelined, planted near-dups still found") {
     // 1000 byte-identical boilerplate docs share every band signature —
     // uncapped, their bucket self-join is ~500k pairs in ONE task. With

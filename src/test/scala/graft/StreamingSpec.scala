@@ -554,6 +554,58 @@ class StreamingSpec extends SparkSpec {
     assert(p2.batch.isEmpty)
   }
 
+  test("L4g streaming leg: ivfAppendSink lands micro-batches in the index delta, probe-visible, compactable") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val base = emb.where($"vec_id" < 400)
+    val table = "t_ivf_stream"
+    Similarity.dropIvfIndex(spark, table)
+    Similarity.writeIvfIndex(spark, base, table, nLists = 8, lloydIters = 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val deltaP = new org.apache.hadoop.fs.Path(Similarity.ivfDeltaDir(spark, table))
+    fs.delete(deltaP, true)
+    // two micro-batches of arriving vectors, the second with planted
+    // copies of the probes
+    val b0 = emb.where($"vec_id" >= 400 && $"vec_id" < 430)
+      .as[(Long, Seq[Float])].collect()
+    val queries = emb.where($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val planted = queries.select(($"q_id" + 900000).as("vec_id"), $"q_vec".as("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val ms = TestSources.memory[(Long, Seq[Float])]
+    val q = StreamOps.ivfAppendSink(
+      ms.toDF.toDF("vec_id", "embedding"), table, tmpDir("ivfsinkckpt")).start()
+    try {
+      ms.addData(b0.toSeq)
+      q.processAllAvailable()
+      ms.addData(planted.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    try {
+      // both batches landed as their own delta subdirectories
+      val batches = fs.listStatus(deltaP).map(_.getPath.getName).sorted
+      assert(batches === Array("batch-0", "batch-1"))
+      assert(spark.read.parquet(deltaP.toString).count() ===
+        b0.length + planted.length)
+      // main untouched; probes see the streamed vectors through the union
+      assert(spark.table(table).count() === base.count())
+      val top = Similarity.ivfTopKIndexed(spark, queries, table, k = 5, nProbe = 8)
+        .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+      (0L until 3L).foreach { qid =>
+        assert(top.contains((qid, qid + 900000)),
+          s"streamed planted copy of query $qid not probe-visible")
+      }
+      // compaction folds both batches into the bucketed main
+      Similarity.compactIvfDelta(spark, table)
+      assert(!fs.exists(deltaP))
+      assert(spark.table(table).count() === base.count() + b0.length + planted.length)
+    } finally {
+      fs.delete(deltaP, true)
+      Similarity.dropIvfIndex(spark, table)
+    }
+  }
+
   test("L2h streaming leg: near-dedup ingest loop across micro-batches, replay-safe") {
     import graft.operators.Dedup
     def doc(n: Int): String = (0 until 20).map(w => s"tok${n}w$w").mkString(" ")
