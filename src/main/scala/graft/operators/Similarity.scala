@@ -377,6 +377,19 @@ object Similarity {
     loc.toString + "__delta"
   }
 
+  /** Read an IVF delta directory. Batches live in `batch-<id>/`
+    * subdirectories (so a replayed micro-batch can overwrite exactly its
+    * own files), and Spark's parquet source does NOT list non-partition
+    * subdirectories — a plain `read.parquet(deltaDir)` finds zero data
+    * files and dies in schema inference. `recursiveFileLookup` walks the
+    * batch subdirs, and the main table's schema is passed explicitly so
+    * an empty or just-created delta can never trip inference. */
+  private def readIvfDelta(spark: org.apache.spark.sql.SparkSession,
+      table: String, deltaPath: String): DataFrame =
+    spark.read.schema(spark.table(table).schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(deltaPath)
+
   /** Streaming-ingest append to a persisted IVF index, EXACTLY-ONCE:
     * assign `batch` to the EXISTING centroids (frozen quantizer, the
     * build's exact rule) and write the assigned rows to the index's
@@ -474,7 +487,7 @@ object Similarity {
     Layout.dropTableAndLocation(spark, tmp) // stale tmp from a mid-write crash
     val cols = spark.table(table).columns.map(col)
     val merged = spark.table(table)
-      .unionByName(spark.read.parquet(deltaPath.toString).select(cols: _*))
+      .unionByName(readIvfDelta(spark, table, deltaPath.toString).select(cols: _*))
     Layout.writeBucketed(merged, tmp, spec.bucketColumnNames, spec.numBuckets,
       onePassPerBucket = true)
     fs.rename(deltaPath, foldedPath) // COMMIT: tmp fully contains the delta
@@ -519,7 +532,7 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     val corpus =
       if (includeDelta && fs.exists(deltaPath))
-        main.unionByName(spark.read.parquet(deltaPath.toString)
+        main.unionByName(readIvfDelta(spark, table, deltaPath.toString)
           .select(main.columns.map(col): _*))
       else main
     val pruned = corpus.where(col("__list").isin(lists.toSeq: _*))

@@ -431,9 +431,16 @@ object LlmQueries {
       Similarity.appendToIvfDelta(s, b1, "l04g_ivf", batchId = 1)
       val planted = queries.select(col("q_id"), (col("q_id") + 500000).as("vec_id"))
       val pre = Similarity.ivfTopKIndexed(s, queries, "l04g_ivf", k = 10, nProbe = 4)
+      // MATERIALIZED before compaction: the probe's delta-dir read is
+      // lazy (Spark 4 defers ResolveDataSource to final analysis) while
+      // compactIvfDelta below mutates storage eagerly at construction —
+      // an unmaterialized `pre` would resolve a directory the compaction
+      // already renamed away. Eager localCheckpoint pins the 1-row
+      // result; the post-compaction probe is then free to re-plan.
       val missedPre = planted
         .join(pre.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
         .agg(count(lit(1)).as("missed_delta"))
+        .localCheckpoint(eager = true)
       Similarity.compactIvfDelta(s, "l04g_ivf")
       val post = Similarity.ivfTopKIndexed(s, queries, "l04g_ivf", k = 10, nProbe = 4)
       val missedPost = planted

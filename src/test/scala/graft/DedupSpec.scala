@@ -293,11 +293,13 @@ class DedupSpec extends SparkSpec {
       // the main table was NOT touched: delta rows live beside it
       assert(spark.table("t_ivf_delta").count() === base.count())
       assert(fs.exists(deltaPath))
-      val deltaRows = spark.read.parquet(deltaPath.toString)
-      assert(deltaRows.count() === b0.count() + b1.count())
+      // batches land in batch-<id>/ subdirs — recursive lookup to count
+      def deltaCount() = spark.read.option("recursiveFileLookup", "true")
+        .parquet(deltaPath.toString).count()
+      assert(deltaCount() === b0.count() + b1.count())
       // REPLAY batch 1 (same content): identical delta, not a double-append
       Similarity.appendToIvfDelta(spark, b1, "t_ivf_delta", batchId = 1)
-      assert(spark.read.parquet(deltaPath.toString).count() === b0.count() + b1.count())
+      assert(deltaCount() === b0.count() + b1.count())
       // probes see delta vectors immediately (planted copies surface)
       val preCompact = norm(
         Similarity.ivfTopKIndexed(spark, queries, "t_ivf_delta", k = 10, nProbe = 4))
@@ -352,14 +354,18 @@ class DedupSpec extends SparkSpec {
       Similarity.dropIvfIndex(spark, table)
       Layout.dropTableAndLocation(spark, tmp)
       fs.delete(deltaP, true); fs.delete(foldedP, true)
-      Similarity.writeIvfIndex(spark, base, table, nLists = 8, lloydIters = 0)
+      // numBuckets pinned to nLists: the compactor folds under the
+      // TABLE's spec, and checkFinal + mergedToTmp both assume 8
+      Similarity.writeIvfIndex(spark, base, table, nLists = 8, lloydIters = 0,
+        numBuckets = 8)
       Similarity.appendToIvfDelta(spark, batch, table, batchId = 0)
     }
     def mergedToTmp(): Unit = { // reproduce the compactor's tmp write
       val cols = spark.table(table).columns.map(org.apache.spark.sql.functions.col)
       Layout.writeBucketed(
         spark.table(table).unionByName(
-          spark.read.parquet(deltaP.toString).select(cols: _*)),
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(deltaP.toString).select(cols: _*)),
         tmp, Seq("__list"), 8, onePassPerBucket = true)
     }
     def checkFinal(label: String): Unit = {

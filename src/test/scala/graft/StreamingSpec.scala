@@ -586,8 +586,8 @@ class StreamingSpec extends SparkSpec {
       // both batches landed as their own delta subdirectories
       val batches = fs.listStatus(deltaP).map(_.getPath.getName).sorted
       assert(batches === Array("batch-0", "batch-1"))
-      assert(spark.read.parquet(deltaP.toString).count() ===
-        b0.length + planted.length)
+      assert(spark.read.option("recursiveFileLookup", "true")
+        .parquet(deltaP.toString).count() === b0.length + planted.length)
       // main untouched; probes see the streamed vectors through the union
       assert(spark.table(table).count() === base.count())
       val top = Similarity.ivfTopKIndexed(spark, queries, table, k = 5, nProbe = 8)
