@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgrams, CosineF32, CosineQ64}
+import graft.functions.{CharNgrams, CosineF32, CosineQ64, HilbertKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -44,5 +44,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"char_ngrams(text, n): n must be a constant, got $nExpr")
       CharNgrams(c.head, n)
     }
+    // variadic: hilbert_key(bits, rank0, rank1, ...) — bits constant first
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 2,
+          "hilbert_key(bits, rank0, ...) takes a constant plus >= 1 rank")
+        val bitsExpr = children.head
+        val bits = if (bitsExpr.foldable) bitsExpr.eval() match {
+          case i: Int => i
+          case l: Long if l.isValidInt => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"hilbert_key(bits, ...): bits must be an integer constant, got $other")
+        } else throw new IllegalArgumentException(
+          s"hilbert_key(bits, ...): bits must be a constant, got $bitsExpr")
+        HilbertKey(children.tail, bits)
+      }))
   }
 }

@@ -257,17 +257,26 @@ object Layout {
       if (curve == "morton")
         ranked.withColumn(zc, zKey(rankNames.map(col), bits))
       else
-        // Skilling's transform rewrites the rank columns into the Hilbert
-        // transpose; the index is then the SAME bit interleave with the
-        // dimension order reversed (X(0) carries the most significant bit
-        // of each n-bit group)
-        hilbertTranspose(ranked, rankNames, bits)
-          .withColumn(zc, zKey(rankNames.reverse.map(col), bits))
+        // native single-pass expression (Skilling transform + reversed
+        // interleave fused); bit-identical to the column-ladder form
+        // ([[hilbertTranspose]] + zKey(reverse)), which survives as the
+        // independent parity oracle in LayoutSpec
+        ranked.withColumn(zc, hilbertKey(rankNames.map(col), bits))
     keyed
       .repartitionByRange(numFiles, col(zc))
       .sortWithinPartitions(zc)
       .drop(rankNames ++ alsoDrop :+ zc: _*)
       .write.mode(mode).parquet(path)
+  }
+
+  /** Hilbert index of the rank columns via the native codegen'd
+    * [[graft.functions.HilbertKey]] expression — the z-write hot path.
+    * The column-ladder derivation below ([[hilbertTranspose]]) is kept
+    * as the independently-written parity oracle. */
+  private[graft] def hilbertKey(ranks: Seq[Column], bits: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.HilbertKey(ranks.map(ColumnBridge.expression), bits))
   }
 
   /** Rewrite rank columns `xs` (each a Long in [0, 2^bits)) into the

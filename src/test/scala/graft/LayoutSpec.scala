@@ -234,11 +234,22 @@ class LayoutSpec extends SparkSpec {
       val names = (0 until n).map(d => s"hx$d")
       val grid = spark.range(cells).select(
         col("id") +: coords.zip(names).map { case (c, nm) => c.as(nm) }: _*)
-      val byKey = Layout.hilbertTranspose(grid, names, bits)
+      // the column ladder and the native expression must agree cell-for-
+      // cell — two independently-written derivations of the same curve.
+      // Compared Scala-side: a `ladder =!= native` filter would push the
+      // predicate down through the ladder's ~bits x n chained
+      // projections, substituting the whole tree per step (measured
+      // OOM at 16 bits)
+      val ladder = Layout.hilbertTranspose(grid, names, bits)
         .withColumn("h", Layout.zKey(names.reverse.map(col), bits))
-        // transposed coords are scaffolding — the ORIGINAL cell re-derives
+        .select(col("id"), col("h")).as[(Long, Long)].collect().toMap
+      val byKey = grid
+        .withColumn("h", Layout.hilbertKey(names.map(col), bits))
+        // rank cols are scaffolding — the ORIGINAL cell re-derives
         // from id below, Scala-side
         .select(col("h"), col("id")).orderBy("h").as[(Long, Long)].collect()
+      assert(byKey.map { case (h, id) => (id, h) }.toMap === ladder,
+        s"$n-D/$bits-bit native hilbert_key diverged from the column ladder")
       def cell(id: Long): Seq[Long] =
         (0 until n).map(d => (id / math.pow(side, n - 1 - d).toLong) % side)
       assert(byKey.map(_._1).toSeq === (0L until cells),
@@ -248,6 +259,35 @@ class LayoutSpec extends SparkSpec {
         assert(dist === 1, s"$n-D keys $ha -> $hb jump $dist cells")
       }
     }
+  }
+
+  test("hilbert_key native: 16-bit parity, NULL ranks, SQL registration") {
+    import graft.functions.HilbertKey
+    // the exhaustive grids above stop at 5 bits — a random sample at the
+    // writeZOrdered default width (16) pins the wide-q path of the
+    // codegen'd loop against the driver-side function (same algorithm,
+    // interpreted JVM path vs generated-Java path)
+    val rnd = spark.range(20000).select(col("id"),
+      pmod(hash(col("id")), lit(1 << 16)).cast("long").as("hx0"),
+      pmod(hash(col("id") * 31), lit(1 << 16)).cast("long").as("hx1"))
+    rnd.withColumn("hn", Layout.hilbertKey(Seq(col("hx0"), col("hx1")), 16))
+      .select(col("hx0"), col("hx1"), col("hn"))
+      .as[(Long, Long, Long)].collect().foreach { case (x0, x1, hn) =>
+        assert(hn === HilbertKey.index(Array(x0, x1), 16),
+          s"codegen path diverged from driver path at ($x0, $x1)")
+      }
+    // NULL rank -> NULL key (ladder semantics: those rows z-sort first)
+    val nulled = spark.range(3).select(
+      when(col("id") === 1, lit(null)).otherwise(col("id")).cast("long").as("hx0"),
+      col("id").cast("long").as("hx1"))
+    assert(nulled.select(
+        Layout.hilbertKey(Seq(col("hx0"), col("hx1")), 4).as("h"))
+      .where(col("h").isNull).count() === 1)
+    // SQL surface: variadic hilbert_key(bits, ...) via GraftExtensions
+    rnd.limit(100).selectExpr("hilbert_key(16, hx0, hx1) as h", "hx0", "hx1")
+      .as[(Long, Long, Long)].collect().foreach { case (h, x0, x1) =>
+        assert(h === HilbertKey.index(Array(x0, x1), 16))
+      }
   }
 
   test("writeZOrdered(curve=hilbert): same bag of rows, box filter prunes at least as well as Morton") {
