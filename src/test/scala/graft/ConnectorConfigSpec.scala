@@ -170,6 +170,34 @@ class ConnectorConfigSpec extends SparkSpec {
     assert(!plain.keys.exists(_.contains("ssl")))
   }
 
+  test("kafka live-broker boundary: the classpath has no kafka artifacts — envelope stand-in is the test edge") {
+    import graft.sources.KafkaEnvelope
+    // This environment ships neither kafka-clients nor the
+    // spark-sql-kafka connector (zero-egress, /opt/spark/jars has no
+    // kafka jar), so an embedded-loopback-broker integration test of
+    // readStream.format("kafka") is impossible HERE by construction —
+    // not a code gap. This test pins that boundary: if a kafka client
+    // ever appears on the classpath, the first assertion fails loudly
+    // as the signal to replace the envelope stand-in with a live
+    // single-broker test through sourceOptions -> SMT -> sink.
+    val kafkaOnClasspath =
+      try { Class.forName("org.apache.kafka.clients.consumer.KafkaConsumer"); true }
+      catch { case _: ClassNotFoundException => false }
+    assert(!kafkaOnClasspath,
+      "kafka-clients is now on the classpath: write the live embedded-broker " +
+        "test for S5 (sourceOptions end-to-end) and retire this boundary pin")
+    // and the format itself is absent, so the option map (already
+    // contract-tested above) is the deepest reachable layer: Spark
+    // cannot even resolve the 'kafka' source without the connector jar
+    val e = intercept[Exception] {
+      spark.readStream.format("kafka")
+        .options(KafkaEnvelope.sourceOptions("localhost:9092", Seq("t")))
+        .load()
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"expected a missing-kafka-source failure, got: ${e.getMessage}")
+  }
+
   test("pollSource dispatches config modes onto the resumable offset-backed polls") {
     import graft.sources.IncrementalSource
     val state = tmpDir("cfgpoll")
