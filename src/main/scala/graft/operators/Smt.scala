@@ -125,6 +125,51 @@ object Smt {
   def valueToKey(keyName: String, fields: String*)(df: DataFrame): DataFrame =
     df.withColumn(keyName, struct(fields.map(qcol): _*))
 
+  /** P13b — SetSchemaMetadata (stock Connect SMT, `$Value` form): tag
+    * the VALUE schema with a name and/or version. Relationally the value
+    * schema is the frame's value columns, so the tag lands in each value
+    * column's `StructField.metadata` — a pure schema annotation, no data
+    * touched. The tag survives writes that persist the Spark schema
+    * (parquet footer, saveAsTable) and is read back via
+    * [[schemaMetadataOf]]; the schema-carrying wire serde emits it on
+    * the wire ([[graft.sources.JsonSchemaSerde.serialize]] name +
+    * version). Operations that rebuild columns from scratch drop
+    * column metadata (standard Spark behavior) — apply this SMT last in
+    * a chain, exactly where Connect users put it. */
+  val SchemaNameKey = "connect.schema.name"
+  val SchemaVersionKey = "connect.schema.version"
+  def setSchemaMetadata(schemaName: Option[String], schemaVersion: Option[Int],
+      metaCols: Set[String] = Set.empty)(df: DataFrame): DataFrame = {
+    require(schemaName.isDefined || schemaVersion.isDefined,
+      "setSchemaMetadata needs schema.name and/or schema.version")
+    df.select(df.schema.fields.toSeq.map { f =>
+      val c = qcol(f.name)
+      if (metaCols.contains(f.name)) c
+      else {
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        schemaName.foreach(mb.putString(SchemaNameKey, _))
+        schemaVersion.foreach(v => mb.putLong(SchemaVersionKey, v.toLong))
+        c.as(f.name, mb.build())
+      }
+    }: _*)
+  }
+
+  /** Read back the [[setSchemaMetadata]] tag from the frame's value
+    * columns: (schema name, schema version), either half None when
+    * untagged. */
+  def schemaMetadataOf(df: DataFrame,
+      metaCols: Set[String] = Set.empty): (Option[String], Option[Long]) = {
+    val valueFields = df.schema.fields.filterNot(f => metaCols.contains(f.name))
+    (valueFields.collectFirst {
+       case f if f.metadata.contains(SchemaNameKey) =>
+         f.metadata.getString(SchemaNameKey)
+     },
+     valueFields.collectFirst {
+       case f if f.metadata.contains(SchemaVersionKey) =>
+         f.metadata.getLong(SchemaVersionKey)
+     })
+  }
+
   /** P14 — header ops over `headers: array<struct<key:string,value:...>>`
     * (the Kafka source's header schema). */
   def insertHeader(headersCol: String, key: String, value: Column)(df: DataFrame): DataFrame =

@@ -232,6 +232,12 @@ object SmtChain {
         case "ValueToKey" =>
           val fields = csv(req("fields"))
           Smt.valueToKey(keyCol, fields: _*)
+        case "SetSchemaMetadata" =>
+          val name = opt("schema.name")
+          val version = opt("schema.version").map(_.toInt)
+          if (name.isEmpty && version.isEmpty) throw new IllegalArgumentException(
+            s"transform '$alias': SetSchemaMetadata needs schema.name and/or schema.version")
+          df => Smt.setSchemaMetadata(name, version, metaSet)(df)
         case "InsertHeader" =>
           val header = req("header"); val value = req("value.literal")
           Smt.insertHeader(headersCol, header, lit(value))
@@ -257,7 +263,8 @@ object SmtChain {
         case other => throw new IllegalArgumentException(
           s"transform '$alias': unknown type '$other' — supported: Filter, ReplaceField, " +
             "MaskField, InsertField, ExtractField, HoistField, Flatten, Cast, RegexRouter, " +
-            "TimestampRouter, TimestampConverter, ValueToKey, InsertHeader, DropHeaders, HeaderFrom")
+            "TimestampRouter, TimestampConverter, ValueToKey, SetSchemaMetadata, " +
+            "InsertHeader, DropHeaders, HeaderFrom")
       }
       step
     }

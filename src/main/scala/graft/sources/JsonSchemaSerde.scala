@@ -42,8 +42,11 @@ object JsonSchemaSerde {
   }
 
   /** The Connect schema JSON for a StructType — deterministic field
-    * order (schema order), driver-side constant. */
-  def connectSchemaJson(schema: StructType, name: String): String = {
+    * order (schema order), driver-side constant. `version` is the
+    * struct-level schema version (what `SetSchemaMetadata` sets);
+    * omitted from the wire when None, like the real converter. */
+  def connectSchemaJson(schema: StructType, name: String,
+      version: Option[Int] = None): String = {
     val fields = schema.fields.map { f =>
       val (t, logical) = f.dataType match {
         case ByteType => ("int8", None)
@@ -62,16 +65,17 @@ object JsonSchemaSerde {
       val logicalJson = logical.map(n => s""","name":"${esc(n)}","version":1""").getOrElse("")
       s"""{"type":"$t","optional":${f.nullable}$logicalJson,"field":"${esc(f.name)}"}"""
     }.mkString("[", ",", "]")
-    s"""{"type":"struct","fields":$fields,"optional":false,"name":"${esc(name)}"}"""
+    val versionJson = version.map(v => s""","version":$v""").getOrElse("")
+    s"""{"type":"struct","fields":$fields,"optional":false,"name":"${esc(name)}"$versionJson}"""
   }
 
   /** Encode `cols` as a schema-carrying JSON value column `out`
     * (binary, like a topic scan would yield). Timestamps go to int64
     * epoch millis per the Connect logical type. */
   def serialize(df: DataFrame, cols: Seq[String], name: String,
-      out: String = "value"): DataFrame = {
+      out: String = "value", version: Option[Int] = None): DataFrame = {
     val schema = StructType(cols.map(c => df.schema(c)))
-    val schemaJson = connectSchemaJson(schema, name)
+    val schemaJson = connectSchemaJson(schema, name, version)
     // backtick-quote the lookup: a raw col("user.id") parses as a nested
     // path and fails analysis even though the flat column exists
     def qcol(c: String) = col(graft.SqlIdent.bq(c))
@@ -103,7 +107,8 @@ object JsonSchemaSerde {
     * times per row). */
   def deserialize(df: DataFrame, valueCol: String, schema: StructType,
       structOut: String = "payload",
-      schemaNameOut: String = "schema_name"): DataFrame = {
+      schemaNameOut: String = "schema_name",
+      schemaVersionOut: Option[String] = None): DataFrame = {
     val wire = StructType(schema.fields.map { f =>
       f.dataType match {
         case TimestampType => f.copy(dataType = LongType)
@@ -112,7 +117,8 @@ object JsonSchemaSerde {
     })
     val envelope = StructType(Seq(
       StructField("schema",
-        StructType(Seq(StructField("name", StringType, nullable = true))),
+        StructType(Seq(StructField("name", StringType, nullable = true),
+          StructField("version", IntegerType, nullable = true))),
         nullable = true),
       StructField("payload", wire, nullable = true)))
     // uniquified temp column: a fixed "__wire" would clobber (and then
@@ -127,8 +133,11 @@ object JsonSchemaSerde {
     // consumer detecting tombstones via isNull (CdcApply / the JDBC CDC
     // sink) would otherwise upsert all-NULLs over real data. Same
     // contract as AvroSerde.deserialize (null bytes -> null struct).
-    df.withColumn(tmp, from_json(col(valueCol).cast(StringType), envelope))
+    val withName = df
+      .withColumn(tmp, from_json(col(valueCol).cast(StringType), envelope))
       .withColumn(schemaNameOut, col(tmp).getField("schema").getField("name"))
+    schemaVersionOut.fold(withName)(out => withName.withColumn(out,
+        col(tmp).getField("schema").getField("version")))
       .withColumn(structOut, when(payload.isNull, lit(null).cast(schema))
         .otherwise(struct(schema.fields.map { f =>
           (f.dataType match {

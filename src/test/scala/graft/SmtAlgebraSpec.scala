@@ -277,6 +277,51 @@ class SmtAlgebraSpec extends SparkSpec {
       === Array("click-out", "event-out"))
   }
 
+  test("P13b: SetSchemaMetadata tags value-column schema metadata, chain-parsed == hand-applied, wire roundtrip") {
+    import graft.operators.SmtChain
+    import graft.sources.{ConnectorConfig, JsonSchemaSerde}
+    import org.apache.spark.sql.types.StructType
+    val rec = Seq((1L, "events", "alice", 10.0), (2L, "events", "bob", 20.0))
+      .toDF("id", "topic", "name", "v")
+    val cfg = ConnectorConfig.Config("c", Map(
+      "transforms" -> "meta",
+      "transforms.meta.type" -> "org.apache.kafka.connect.transforms.SetSchemaMetadata$Value",
+      "transforms.meta.schema.name" -> "com.example.Order",
+      "transforms.meta.schema.version" -> "3"))
+    val out = SmtChain.fromConfig(cfg)(rec)
+    val hand = Smt.setSchemaMetadata(Some("com.example.Order"), Some(3),
+      SmtChain.MetaCols.toSet)(rec)
+    assert(out.schema === hand.schema)
+    assert(out.collect() === rec.collect()) // pure schema annotation
+    // value columns tagged; the topic metadata column untouched
+    assert(Smt.schemaMetadataOf(out, SmtChain.MetaCols.toSet)
+      === (Some("com.example.Order"), Some(3L)))
+    assert(!out.schema("topic").metadata.contains(Smt.SchemaNameKey))
+    // the tag survives a parquet round-trip (schema persists in footers)
+    val dir = tmpDir("schema_meta")
+    out.write.mode("overwrite").parquet(dir)
+    assert(Smt.schemaMetadataOf(spark.read.parquet(dir), SmtChain.MetaCols.toSet)._1
+      === Some("com.example.Order"))
+    // wire leg: the schema-carrying serde emits the tag, and the decoder
+    // surfaces both halves for consumer-side routing
+    val (nm, ver) = Smt.schemaMetadataOf(out, SmtChain.MetaCols.toSet)
+    val enc = JsonSchemaSerde.serialize(out, Seq("id", "name", "v"),
+      nm.get, "wire", ver.map(_.toInt))
+    val wireJson = enc.select($"wire".cast("string")).as[String].head()
+    assert(wireJson.contains(""""name":"com.example.Order","version":3"""))
+    val payloadSchema = StructType(Seq(out.schema("id"), out.schema("name"), out.schema("v")))
+    val dec = JsonSchemaSerde.deserialize(enc, "wire", payloadSchema,
+      schemaVersionOut = Some("schema_version"))
+    assert(dec.select($"schema_name", $"schema_version").distinct().collect()
+      === Array(org.apache.spark.sql.Row("com.example.Order", 3)))
+    // config error: neither name nor version
+    val bad = intercept[IllegalArgumentException] {
+      SmtChain.fromConfig(ConnectorConfig.Config("c", Map(
+        "transforms" -> "m", "transforms.m.type" -> "SetSchemaMetadata")))(rec)
+    }
+    assert(bad.getMessage.contains("schema.name and/or schema.version"))
+  }
+
   test("P15: Filter + predicate (+negate), HeaderFrom move, and config errors") {
     import graft.operators.SmtChain
     import graft.sources.ConnectorConfig.Config
