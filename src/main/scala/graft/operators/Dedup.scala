@@ -312,8 +312,14 @@ object Dedup {
     * rebuild a history from scratch (rather than [[appendBandHistory]])
     * should drop first. */
   def dropBandHistory(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
-    for (t <- Seq(table, s"${table}_sh"))
+    for (t <- Seq(table, s"${table}_sh")) {
+      // resolve the delta location while the catalog entry still exists
+      val delta = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
       Layout.dropTableAndLocation(spark, t)
+      val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(delta, true)
+      fs.delete(new org.apache.hadoop.fs.Path(delta + "__folded"), true)
+    }
 
   /** Append a (deduped) batch to an existing band history — the write
     * half of the ingest loop: probe ([[minhashIncremental]]), drop dups
@@ -325,6 +331,48 @@ object Dedup {
       bands: Int = 4): Unit =
     writeBandHistory(df, textCol, idCol, table, numBuckets, shingleN,
       numHashes, bands, mode = "append")
+
+  /** REPLAY-SAFE delta append to a band history — the
+    * [[Similarity.appendToIvfDelta]] discipline applied here: a direct
+    * bucketed-table append ([[appendBandHistory]]) cannot be made
+    * idempotent without a recovery rewrite (a replayed micro-batch
+    * appends its rows twice), so the streaming ingest loop lands each
+    * batch in `batch-<batchId>/` subdirectories of BOTH tables' delta
+    * directories with mode=overwrite — a replay deterministically
+    * overwrites its own directory, and the accumulated (100 TB) main
+    * tables are never read or rewritten on the hot path.
+    *
+    * Write order is shingles FIRST, bands second: a crash between the
+    * two leaves shingles without bands for the batch — invisible to
+    * probes (band pairs drive the candidate join) — rather than band
+    * matches whose Jaccard verification silently drops for missing
+    * shingles. Probes see delta rows immediately
+    * ([[minhashIncremental]] `includeDelta`); fold with
+    * [[compactBandDelta]] on whatever cadence bounds delta size. */
+  def appendBandHistoryDelta(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, textCol: String, idCol: String, table: String,
+      batchId: Long, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): Unit = {
+    shingleFrame(df, textCol, idCol, shingleN).write.mode("overwrite")
+      .parquet(s"${Layout.deltaDirOf(spark, s"${table}_sh")}/batch-$batchId")
+    bandedSignatures(df, textCol, idCol, shingleN, numHashes, bands)
+      .write.mode("overwrite")
+      .parquet(s"${Layout.deltaDirOf(spark, table)}/batch-$batchId")
+  }
+
+  /** Fold both band-history delta directories back into their bucketed
+    * tables ([[Layout.foldDeltaIntoBucketed]] — commit-record rename,
+    * every crash state recoverable). Band table first: if the fold dies
+    * between the two, the surviving `_sh` delta only re-verifies
+    * already-folded band rows on the next probe (ids exist in both
+    * places is impossible — the fold moves, never copies). */
+  def compactBandDelta(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    Layout.foldDeltaIntoBucketed(spark, table,
+      noSpecHint = "not a writeBandHistory table")
+    Layout.foldDeltaIntoBucketed(spark, s"${table}_sh",
+      noSpecHint = "not a writeBandHistory table")
+  }
 
   /** Compact a band history down to `survivors` (a frame carrying
     * `idCol`): [[appendBandHistory]] grows both tables unboundedly, and
@@ -408,32 +456,51 @@ object Dedup {
   def minhashIncremental(spark: org.apache.spark.sql.SparkSession,
       newDf: DataFrame, historyTable: String, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      maxBucket: Int = 128): DataFrame = {
-    val hist = spark.table(historyTable)
+      maxBucket: Int = 128, includeDelta: Boolean = true): DataFrame = {
     val batch = bandedSignatures(newDf, textCol, idCol, shingleN, numHashes, bands)
     val bounded = dropOversizedBuckets(batch, Seq("__band", "__bandsig"), maxBucket)
-    // key order (__band, __bandsig) must mirror the history's bucket
-    // spec — see writeBandHistory on the all-keys co-partition rule
-    val pairs = bounded.as("n").join(hist.as("h"),
-        col("n.__band") === col("h.__band") &&
-          col("n.__bandsig") === col("h.__bandsig") &&
-          // a pair whose sides share an id is the same document meeting
-          // its own history copy — an at-least-once replay (the batch
-          // was appended, the ingest loop crashed before recording it,
-          // the batch comes again). Without this exclusion the replay
-          // finds every batch doc "duplicated" at jaccard 1.0 and the
-          // recomputed survivor set is EMPTY — the replay then
-          // overwrites the batch's survivor output with nothing.
-          col(s"n.$idCol") =!= col(s"h.$idCol"))
-      .select(col(s"n.$idCol").alias("id_new"), col(s"h.$idCol").alias("id_hist"))
-      .distinct()
     val newSh = shingleFrame(newDf, textCol, idCol, shingleN)
-    val histSh = spark.table(s"${historyTable}_sh")
-    pairs
-      .join(newSh.select(col(idCol).alias("id_new"), col("__sh").alias("sh_n")), Seq("id_new"))
-      .join(histSh.select(col(idCol).alias("id_hist"), col("__sh").alias("sh_h")), Seq("id_hist"))
-      .select(col("id_new"), col("id_hist"),
-        TF.jaccard(col("sh_n"), col("sh_h")).alias("jaccard"))
+    // one probe shape for both history legs; the MAIN leg keeps the
+    // zero-exchange property (bucketed layout on exactly the join keys,
+    // PlanSpec-pinned), the DELTA leg is a small×small join (batch ×
+    // un-compacted appends) — probing the delta separately instead of
+    // unioning it into the history side is what PRESERVES the main
+    // leg's zero exchange (a union side has no bucketed layout)
+    def probe(hist: DataFrame, histSh: DataFrame): DataFrame = {
+      // key order (__band, __bandsig) must mirror the history's bucket
+      // spec — see writeBandHistory on the all-keys co-partition rule
+      val pairs = bounded.as("n").join(hist.as("h"),
+          col("n.__band") === col("h.__band") &&
+            col("n.__bandsig") === col("h.__bandsig") &&
+            // a pair whose sides share an id is the same document meeting
+            // its own history copy — an at-least-once replay (the batch
+            // was appended, the ingest loop crashed before recording it,
+            // the batch comes again). Without this exclusion the replay
+            // finds every batch doc "duplicated" at jaccard 1.0 and the
+            // recomputed survivor set is EMPTY — the replay then
+            // overwrites the batch's survivor output with nothing.
+            col(s"n.$idCol") =!= col(s"h.$idCol"))
+        .select(col(s"n.$idCol").alias("id_new"), col(s"h.$idCol").alias("id_hist"))
+        .distinct()
+      pairs
+        .join(newSh.select(col(idCol).alias("id_new"), col("__sh").alias("sh_n")), Seq("id_new"))
+        .join(histSh.select(col(idCol).alias("id_hist"), col("__sh").alias("sh_h")), Seq("id_hist"))
+        .select(col("id_new"), col("id_hist"),
+          TF.jaccard(col("sh_n"), col("sh_h")).alias("jaccard"))
+    }
+    val main = probe(spark.table(historyTable), spark.table(s"${historyTable}_sh"))
+    val deltaPath = new org.apache.hadoop.fs.Path(
+      Layout.deltaDirOf(spark, historyTable))
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (includeDelta && fs.exists(deltaPath))
+      // main and delta ids are disjoint by protocol (the fold MOVES the
+      // delta behind a commit record, never copies), so no cross-leg
+      // pair dedup is needed
+      main.unionByName(probe(
+        Layout.readDelta(spark, historyTable, deltaPath.toString),
+        Layout.readDelta(spark, s"${historyTable}_sh",
+          Layout.deltaDirOf(spark, s"${historyTable}_sh"))))
+    else main
   }
 
   /** L2 incremental, applied — drop every batch row near-duplicating the
@@ -445,9 +512,10 @@ object Dedup {
   def nearDedupIncremental(spark: org.apache.spark.sql.SparkSession,
       newDf: DataFrame, historyTable: String, textCol: String, idCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, maxBucket: Int = 128): DataFrame = {
+      bands: Int = 4, maxBucket: Int = 128,
+      includeDelta: Boolean = true): DataFrame = {
     val dupIds = minhashIncremental(spark, newDf, historyTable, textCol, idCol,
-        shingleN, numHashes, bands, maxBucket)
+        shingleN, numHashes, bands, maxBucket, includeDelta)
       .where(col("jaccard") >= threshold)
       .select(col("id_new").alias(idCol)).distinct()
       .localCheckpoint(eager = true)

@@ -79,6 +79,108 @@ object Layout {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** The delta directory of a managed bucketed table: a sibling of its
+    * warehouse location. Streaming appends land here (one
+    * `batch-<id>/` subdirectory per micro-batch, overwrite-own-dir so
+    * replays are idempotent), probes union it with the bucketed main,
+    * and [[foldDeltaIntoBucketed]] folds it back in. Resolvable even
+    * mid-compaction when the main catalog entry is dropped (the managed
+    * path is rebuilt the way Spark lays it out). */
+  private[graft] def deltaDirOf(spark: SparkSession, table: String): String = {
+    import org.apache.hadoop.fs.Path
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc =
+      if (catalog.tableExists(ident))
+        new Path(catalog.getTableMetadata(ident).location)
+      else {
+        val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+        val db = ident.database.getOrElse(catalog.getCurrentDatabase)
+        val base = if (db == "default") wh
+          else new Path(wh, db.toLowerCase + ".db")
+        new Path(base, ident.table.toLowerCase)
+      }
+    loc.toString + "__delta"
+  }
+
+  /** Read a table's delta directory. Batches live in `batch-<id>/`
+    * subdirectories (so a replayed micro-batch overwrites exactly its
+    * own files), and Spark's parquet source does NOT list non-partition
+    * subdirectories — a plain `read.parquet(deltaDir)` finds zero data
+    * files and dies in schema inference. `recursiveFileLookup` walks the
+    * batch subdirs, and the main table's schema is passed explicitly so
+    * an empty or just-created delta can never trip inference. */
+  private[graft] def readDelta(spark: SparkSession, table: String,
+      deltaPath: String): DataFrame =
+    spark.read.schema(spark.table(table).schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(deltaPath)
+
+  /** Fold a table's delta directory back into the bucketed main table
+    * (write main ∪ delta to a tmp table under the SAME bucket spec,
+    * drop, rename — and complete an interrupted swap instead of
+    * dropping the only copy), then delete the delta. No-op without a
+    * delta.
+    *
+    * Crash contract: the delta-dir rename to `__folded` is the commit
+    * record, so re-entry after a crash at ANY point either completes
+    * the fold or restores the delta and reruns — never duplicates and
+    * never loses a row. Between an interrupted run and its re-run,
+    * probes may temporarily not see the delta rows (and a probe during
+    * the drop-rename instant can fail to resolve the table) — the
+    * standard swap-window caveat. Crash-state recovery is exhaustively
+    * tested on the IVF instantiation (DedupSpec), which shares this
+    * exact code path. */
+  private[graft] def foldDeltaIntoBucketed(spark: SparkSession, table: String,
+      noSpecHint: String = "write the table bucketed first"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmp = table + "__compact"
+    val deltaPath = new Path(deltaDirOf(spark, table))
+    // the delta dir renamed to __folded is the COMMIT RECORD: the rename
+    // happens only once the tmp table fully contains main ∪ delta, so at
+    // re-entry every crash state is decidable (unlike a delete-last
+    // protocol, where "main present + delta present" cannot distinguish
+    // a fresh run from a crash just after the swap — re-folding there
+    // would duplicate every delta row)
+    val foldedPath = new Path(deltaPath + "__folded")
+    val fs = deltaPath.getFileSystem(hconf)
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      // crashed between drop-old and rename: tmp (which contains the
+      // folded delta — the commit record proves it) holds the ONLY copy
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      fs.delete(foldedPath, true)
+      return
+    }
+    if (fs.exists(foldedPath)) {
+      // crashed after the commit record: if the swap also completed the
+      // fold is durable — finish the cleanup; if tmp still coexists with
+      // main the swap did NOT happen, so restore the delta and rerun
+      if (spark.catalog.tableExists(tmp) && spark.catalog.tableExists(table)) {
+        if (fs.exists(deltaPath)) fs.delete(deltaPath, true)
+        fs.rename(foldedPath, deltaPath)
+      } else {
+        fs.delete(foldedPath, true)
+        return
+      }
+    }
+    if (!fs.exists(deltaPath)) return // nothing to fold
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bucket spec — $noSpecHint"))
+    dropTableAndLocation(spark, tmp) // stale tmp from a mid-write crash
+    val cols = spark.table(table).columns.map(col)
+    val merged = spark.table(table)
+      .unionByName(readDelta(spark, table, deltaPath.toString).select(cols: _*))
+    writeBucketed(merged, tmp, spec.bucketColumnNames, spec.numBuckets,
+      onePassPerBucket = true)
+    fs.rename(deltaPath, foldedPath) // COMMIT: tmp fully contains the delta
+    dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    fs.delete(foldedPath, true)
+  }
+
   /** Equi-join of two same-bucketed tables by name — shuffle-free when
     * both were written with identical bucketing. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -273,8 +273,13 @@ object Similarity {
     * locations — see [[Layout.dropTableAndLocation]] for why the
     * location matters across sessions). */
   def dropIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    // resolve the delta location while the catalog entry still exists
+    val delta = new org.apache.hadoop.fs.Path(ivfDeltaDir(spark, table))
     Layout.dropTableAndLocation(spark, table)
     Layout.dropTableAndLocation(spark, s"${table}_centroids")
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(delta, true)
+    fs.delete(new org.apache.hadoop.fs.Path(delta + "__folded"), true)
   }
 
   /** [[appendToIvfIndex]]'s drift report: mean cosine similarity of
@@ -357,38 +362,13 @@ object Similarity {
     * probes union it with the bucketed main table, and
     * [[compactIvfDelta]] folds it back in. */
   private[graft] def ivfDeltaDir(spark: org.apache.spark.sql.SparkSession,
-      table: String): String = {
-    val catalog = spark.sessionState.catalog
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val loc =
-      if (catalog.tableExists(ident))
-        new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
-      else {
-        // mid-compaction crash window: the main entry is dropped, but the
-        // delta's location must stay resolvable — rebuild the managed
-        // path the way Spark lays it out (lowercased, <db>.db nesting)
-        val wh = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"))
-        val db = ident.database.getOrElse(catalog.getCurrentDatabase)
-        val base = if (db == "default") wh
-          else new org.apache.hadoop.fs.Path(wh, db.toLowerCase + ".db")
-        new org.apache.hadoop.fs.Path(base, ident.table.toLowerCase)
-      }
-    loc.toString + "__delta"
-  }
+      table: String): String = Layout.deltaDirOf(spark, table)
 
-  /** Read an IVF delta directory. Batches live in `batch-<id>/`
-    * subdirectories (so a replayed micro-batch can overwrite exactly its
-    * own files), and Spark's parquet source does NOT list non-partition
-    * subdirectories — a plain `read.parquet(deltaDir)` finds zero data
-    * files and dies in schema inference. `recursiveFileLookup` walks the
-    * batch subdirs, and the main table's schema is passed explicitly so
-    * an empty or just-created delta can never trip inference. */
+  /** Read an IVF delta directory — see [[Layout.readDelta]] for the
+    * recursive-lookup + explicit-schema rationale. */
   private def readIvfDelta(spark: org.apache.spark.sql.SparkSession,
       table: String, deltaPath: String): DataFrame =
-    spark.read.schema(spark.table(table).schema)
-      .option("recursiveFileLookup", "true")
-      .parquet(deltaPath)
+    Layout.readDelta(spark, table, deltaPath)
 
   /** Streaming-ingest append to a persisted IVF index, EXACTLY-ONCE:
     * assign `batch` to the EXISTING centroids (frozen quantizer, the
@@ -448,53 +428,9 @@ object Similarity {
     * the drop-rename instant can fail to resolve the table) — the
     * standard swap-window caveat, same as [[Dedup.compactBandHistory]]. */
   def compactIvfDelta(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val tmp = table + "__compact"
-    val deltaPath = new org.apache.hadoop.fs.Path(ivfDeltaDir(spark, table))
-    // the delta dir renamed to __folded is the COMMIT RECORD: the rename
-    // happens only once the tmp table fully contains main ∪ delta, so at
-    // re-entry every crash state is decidable (unlike a delete-last
-    // protocol, where "main present + delta present" cannot distinguish
-    // a fresh run from a crash just after the swap — re-folding there
-    // would duplicate every delta vector)
-    val foldedPath = new org.apache.hadoop.fs.Path(deltaPath + "__folded")
-    val fs = deltaPath.getFileSystem(hconf)
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
-      // crashed between drop-old and rename: tmp (which contains the
-      // folded delta — the commit record proves it) holds the ONLY copy
-      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-      fs.delete(foldedPath, true)
-      return
-    }
-    if (fs.exists(foldedPath)) {
-      // crashed after the commit record: if the swap also completed the
-      // fold is durable — finish the cleanup; if tmp still coexists with
-      // main the swap did NOT happen, so restore the delta and rerun
-      if (spark.catalog.tableExists(tmp) && spark.catalog.tableExists(table)) {
-        if (fs.exists(deltaPath)) fs.delete(deltaPath, true)
-        fs.rename(foldedPath, deltaPath)
-      } else {
-        fs.delete(foldedPath, true)
-        return
-      }
-    }
-    if (!fs.exists(deltaPath)) return // nothing to fold
-    val spec = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
-      .getOrElse(throw new IllegalArgumentException(
-        s"$table has no bucket spec — build the index with writeIvfIndex first"))
-    Layout.dropTableAndLocation(spark, tmp) // stale tmp from a mid-write crash
-    val cols = spark.table(table).columns.map(col)
-    val merged = spark.table(table)
-      .unionByName(readIvfDelta(spark, table, deltaPath.toString).select(cols: _*))
-    Layout.writeBucketed(merged, tmp, spec.bucketColumnNames, spec.numBuckets,
-      onePassPerBucket = true)
-    fs.rename(deltaPath, foldedPath) // COMMIT: tmp fully contains the delta
-    Layout.dropTableAndLocation(spark, table)
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-    fs.delete(foldedPath, true)
-  }
+      table: String): Unit =
+    Layout.foldDeltaIntoBucketed(spark, table,
+      noSpecHint = "build the index with writeIvfIndex first")
 
   /** Probe a persisted IVF index ([[writeIvfIndex]]) — no build work at
     * query time: centroids load from the (nLists-row) table, the probed

@@ -159,6 +159,43 @@ object LlmQueries {
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
     }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
 
+    // ---- L2i: STREAMING-shape band-history ingest — the delta batch
+    // lands in replay-overwritable batch-<id>/ subdirectories beside
+    // the bucketed history (appendBandHistoryDelta: the accumulated
+    // corpus is never read or rewritten on the hot path, the
+    // appendToIvfDelta discipline); the probe surfaces every planted
+    // near-dup through the main + delta legs, then compaction folds the
+    // delta into both bucketed tables and the SAME probe still finds
+    // them — both halves of the delta lifecycle in one recall contract
+    // (the l04g sibling for the dedup index) ----
+    ("l02i_band_delta_recall", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val hist = docs.where(col("doc_id") % 7 =!= 0)
+      val arrived = docs.where(col("doc_id") % 7 === 0) // delta micro-batch
+      val probe = arrived
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzextra")).as("text"))
+      Dedup.dropBandHistory(s, "l02i_hist") // also clears stale deltas
+      Dedup.writeBandHistory(hist, "text", "doc_id", "l02i_hist", numBuckets = 8)
+      Dedup.appendBandHistoryDelta(s, arrived, "text", "doc_id", "l02i_hist",
+        batchId = 0)
+      val planted = arrived
+        .select((col("doc_id") + 200000).as("id_new"), col("doc_id").as("id_hist"))
+      def missed(as: String) = planted.join(
+          Dedup.minhashIncremental(s, probe, "l02i_hist", "text", "doc_id",
+              maxBucket = Int.MaxValue)
+            .where(col("jaccard") >= 0.8).select(col("id_new"), col("id_hist")),
+          Seq("id_new", "id_hist"), "left_anti")
+        .agg(count(lit(1)).as(as))
+      // MATERIALIZED before compaction (the l04g lesson): the probe's
+      // delta read resolves lazily at final analysis, after compaction
+      // renamed the delta away — pin the 1-row result eagerly first
+      val missedPre = missed("missed_delta").localCheckpoint(eager = true)
+      Dedup.compactBandDelta(s, "l02i_hist")
+      missedPre.crossJoin(missed("missed_compacted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_delta, 0 AS missed_compacted, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
+
     // ---- L2g: exact token-trigram Jaccard — the non-approximate member
     // of the dedup family (what MinHash estimates): set Jaccard over
     // distinct token 3-grams for each planted (original, near-copy) pair,

@@ -339,6 +339,68 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("L2h: band-history delta append is replay-idempotent, probe-visible, and compaction equals a direct append") {
+    def doc(n: Int): String = (0 until 20).map(w => s"tok${n}w$w").mkString(" ")
+    val table = "t_band_delta"; val ref = "t_band_delta_ref"
+    val hist = (1 to 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    // delta batch: doc 11 near-dups history doc 1; 12-14 fresh
+    val batchA = Seq((11L, doc(1) + " zz"), (12L, doc(12)), (13L, doc(13)),
+      (14L, doc(14))).toDF("doc_id", "text")
+    // probe batch: 21 near-dups MAIN doc 2, 22 near-dups DELTA doc 12,
+    // 23 fresh — a correct probe must see both history legs
+    val batchB = Seq((21L, doc(2) + " zz"), (22L, doc(12) + " zz"),
+      (23L, doc(23))).toDF("doc_id", "text")
+    def pairs(t: String, includeDelta: Boolean = true) =
+      Dedup.minhashIncremental(spark, batchB, t, "text", "doc_id",
+          includeDelta = includeDelta)
+        .where($"jaccard" >= 0.8)
+        .select($"id_new", $"id_hist").as[(Long, Long)].collect().toSet
+    Dedup.dropBandHistory(spark, table)
+    Dedup.dropBandHistory(spark, ref)
+    Dedup.writeBandHistory(hist, "text", "doc_id", table, numBuckets = 4)
+    Dedup.writeBandHistory(hist, "text", "doc_id", ref, numBuckets = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def deltaP(t: String) = new org.apache.hadoop.fs.Path(
+      graft.operators.Layout.deltaDirOf(spark, t))
+    try {
+      Dedup.appendBandHistoryDelta(spark, batchA, "text", "doc_id", table, batchId = 0)
+      // REPLAY the same batch: overwrite-own-dir, not a double append
+      Dedup.appendBandHistoryDelta(spark, batchA, "text", "doc_id", table, batchId = 0)
+      def deltaCount(t: String) = spark.read
+        .option("recursiveFileLookup", "true").parquet(deltaP(t).toString)
+        .select($"doc_id").distinct().count()
+      assert(deltaCount(table) === 4 && deltaCount(s"${table}_sh") === 4)
+      // main tables untouched by the delta append
+      assert(spark.table(table).select($"doc_id").distinct().count() === 10)
+      // probe sees BOTH legs; delta-off sees only the main leg
+      val withDelta = pairs(table)
+      assert(withDelta === Set((21L, 2L), (22L, 12L)),
+        s"delta probe pairs: $withDelta")
+      assert(pairs(table, includeDelta = false) === Set((21L, 2L)))
+      // parity: the same batch appended DIRECTLY to a twin history
+      Dedup.appendBandHistory(batchA, "text", "doc_id", ref, numBuckets = 4)
+      assert(pairs(ref) === withDelta,
+        "delta-probe diverged from direct-append probe")
+      // compaction folds both tables, preserves bucket spec, delta gone
+      Dedup.compactBandDelta(spark, table)
+      assert(!fs.exists(deltaP(table)) && !fs.exists(deltaP(s"${table}_sh")))
+      assert(spark.table(table).select($"doc_id").distinct().count() === 14)
+      assert(spark.table(s"${table}_sh").select($"doc_id").distinct().count() === 14)
+      for (t <- Seq(table, s"${table}_sh")) {
+        val spec = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)).bucketSpec
+        assert(spec.exists(_.numBuckets == 4), s"$t lost its bucket spec")
+      }
+      assert(pairs(table) === withDelta, "compaction changed probe results")
+      // compaction with no delta is a no-op
+      Dedup.compactBandDelta(spark, table)
+      assert(spark.table(table).select($"doc_id").distinct().count() === 14)
+    } finally {
+      Dedup.dropBandHistory(spark, table)
+      Dedup.dropBandHistory(spark, ref)
+    }
+  }
+
   test("L4g: every interrupted-compaction crash state recovers without loss or duplication") {
     import graft.operators.Layout
     val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
