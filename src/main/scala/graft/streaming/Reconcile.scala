@@ -15,7 +15,22 @@ import org.apache.spark.sql.Row
   * desired query not yet running and stops every running query not in the
   * desired set. Idempotent — calling it repeatedly converges, like the
   * reference's reconcile-on-boot loop.
-  */
+  *
+  * MULTI-WORKER SCOPE (the reference's `?forward=true` leader
+  * forwarding, `main.sh:155-159`): this reconcile is single-session by
+  * construction — `spark.streams` is a per-SparkSession
+  * StreamingQueryManager, so "the worker state" here is one driver's
+  * queries. A Connect cluster forwards the PUT to the group leader so
+  * any worker can accept a config; the Spark-native equivalent of that
+  * topology is not N coordinating sessions but ONE driver owning all
+  * streaming queries over a cluster of executors — worker membership,
+  * rebalance, and leader election are what Spark's driver/executor
+  * split already provides. Where several DRIVERS must share a desired
+  * set (e.g. blue/green), the composition is external: point each
+  * driver's reconcile at a partition of the desired map (the analogue
+  * of Connect task assignment), never at the same query names — two
+  * sessions starting the same checkpointed query would race on the
+  * checkpoint lock. */
 object Reconcile {
 
   /** Bring the set of active streaming queries in line with `desired`
