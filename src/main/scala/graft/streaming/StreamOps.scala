@@ -198,6 +198,66 @@ object StreamOps {
     true
   }
 
+  /** [[nearDedupSink]] with the REPLAY-SAFE delta history append —
+    * see [[nearDedupBatchDelta]] for the exactly-once upgrade. */
+  def nearDedupSinkDelta(docs: DataFrame, historyTable: String, numBuckets: Int,
+      textCol: String, idCol: String, outDir: String, checkpoint: String,
+      threshold: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDedupBatchDelta(batch, batchId, historyTable, numBuckets,
+          textCol, idCol, outDir, threshold): Unit
+      }
+
+  /** [[nearDedupBatch]] upgraded to the delta-ingest discipline
+    * ([[graft.operators.Dedup.appendBandHistoryDelta]]): the history
+    * append lands in the batch's OWN `batch-<id>/` delta subdirectories
+    * (replay overwrites identical content, never double-appends), which
+    * closes [[nearDedupBatch]]'s one at-least-once window — the crash
+    * between history append and pointer flip that re-appends a batch's
+    * band rows. Here EVERY leg is exactly-once: survivor output
+    * overwrites its own directory, history overwrites its own delta
+    * subdirectory, and the probe excludes same-id pairs so a replay
+    * recomputes the identical survivor set against its own crashed
+    * half-state. The accumulated (100 TB) main tables are never read
+    * for the write and never rewritten on the hot path; fold the delta
+    * with [[graft.operators.Dedup.compactBandDelta]] on whatever
+    * cadence bounds delta size (probes stay correct either way).
+    *
+    * First batch: the bucketed main tables must exist for the delta
+    * dirs to belong to — an EMPTY history is created once (two bucketed
+    * writes of zero rows), after which the main tables only change at
+    * compaction. */
+  def nearDedupBatchDelta(batch: DataFrame, batchId: Long, historyTable: String,
+      numBuckets: Int, textCol: String, idCol: String, outDir: String,
+      threshold: Double = 0.8): Boolean = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(outDir)
+    val pointer = new Path(root, "_LATEST")
+    val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
+    if (current.contains(batchId)) return false // replayed batch: no-op
+    if (!spark.catalog.tableExists(historyTable))
+      Dedup.writeBandHistory(batch.select(col(idCol), col(textCol)).limit(0),
+        textCol, idCol, historyTable, numBuckets)
+    val within = Dedup.nearDedupMinhash(
+      Dedup.exact(batch, textCol, idCol), textCol, idCol, threshold)
+    val survivors = Dedup
+      .nearDedupIncremental(spark, within, historyTable, textCol, idCol, threshold)
+      // barrier: the output write and the delta append must see the
+      // SAME survivor set, computed once (not two LSH pipeline runs)
+      .localCheckpoint(eager = true)
+    survivors.write.mode("overwrite")
+      .parquet(new Path(root, s"batch-$batchId").toString)
+    Dedup.appendBandHistoryDelta(spark, survivors, textCol, idCol,
+      historyTable, batchId)
+    graft.sources.AtomicPointer.write(hconf,
+      new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
+    true
+  }
+
   /** Read the current CDC state (empty frame with `schema` if none). */
   def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
