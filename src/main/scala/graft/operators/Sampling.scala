@@ -149,6 +149,74 @@ object Sampling {
       .drop(shard, cum)
   }
 
+  /** L18 — deterministic corpus MIXTURE: combine N sources at integer
+    * target weights, the data-recipe step every training run starts
+    * with ("2 parts web, 3 parts code, 5 parts books"). Sources whose
+    * target share exceeds their size are UPSAMPLED by whole epochs
+    * (standard practice for small high-quality sources — books/wiki
+    * repeated 2-3×, web text sub-sampled), tagged with an `epoch`
+    * column; the fractional remainder of every rate is a hash-ring cut.
+    *
+    * All arithmetic is INTEGER (targets by integer division of
+    * `totalRows * w / Σw`, epoch split by `target / n` and
+    * `target % n`, the fractional cut as ring buckets) so the kept set
+    * is a pure function of (data, weights, totalRows) — reproducible
+    * cross-engine, and the DuckDB oracle replays it exactly. The
+    * approximation vs real-valued rates is ≤ 1 part in `buckets` per
+    * source — inherent to hash sampling, not a defect.
+    *
+    * Scale shape: one bounded `count()` aggregate per source up front;
+    * everything after is a per-row projection + filter and a narrow
+    * `explode(sequence)` for epoch replication — no shuffle, no window,
+    * no driver data. Compose with [[deterministicShuffle]] (keyed on a
+    * derived mix id, e.g. `id * maxEpochs + epoch`) to interleave the
+    * sources for training order.
+    *
+    * Output: the shared source schema + `source` (the given name) +
+    * `epoch` (0-based copy number). Rows whose source contributes
+    * nothing (zero weight / zero target) are absent entirely. */
+  def mixCorpora(sources: Seq[(DataFrame, Long, String)], idCol: String,
+      totalRows: Long, buckets: Int = 10000): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    require(totalRows >= 0, "totalRows must be non-negative")
+    require(sources.forall(_._2 >= 0) && sources.exists(_._2 > 0),
+      "weights must be non-negative with at least one positive")
+    require(buckets >= 1, "buckets must be >= 1")
+    val names = sources.map(_._3)
+    require(names.distinct.size == names.size, s"duplicate source names: $names")
+    val cols0 = sources.head._1.columns.toSeq
+    require(sources.forall(_._1.columns.toSeq == cols0),
+      "sources must share one schema (same columns, same order)")
+    require(!cols0.contains("source") && !cols0.contains("epoch"),
+      "sources must not already carry 'source'/'epoch' columns")
+    val wsum = sources.map(_._2).sum
+    val parts = sources.flatMap { case (df, w, name) =>
+      val n = df.count() // bounded: one scalar aggregate per source
+      val target = totalRows * w / wsum
+      if (n == 0 || target == 0) None
+      else {
+        val full = target / n            // whole epochs
+        val cut = (target % n) * buckets / n // fractional epoch, ring cut
+        val epochsName = tempName(df, "__epochs")
+        Some(df
+          .withColumn("source", lit(name))
+          .withColumn(epochsName,
+            lit(full) + when(hashBucket(idCol, buckets) < cut, 1L).otherwise(0L))
+          .where(col(epochsName) > 0)
+          // explicit step 1: two-arg sequence infers step -1 when the
+          // bound is negative, which would resurrect zero-epoch rows
+          .withColumn("epoch",
+            explode(sequence(lit(0L), col(epochsName) - 1, lit(1L))))
+          .drop(epochsName))
+      }
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse {
+      sources.head._1.limit(0)
+        .withColumn("source", lit(null).cast("string"))
+        .withColumn("epoch", lit(null).cast("long"))
+    }
+  }
+
   /** Seeded uniform random sample (Spark-deterministic for a fixed seed,
     * partitioning and engine — use [[hashSample]] when cross-run
     * stability matters). */

@@ -584,6 +584,24 @@ object LlmQueries {
         .limit(100)
     }, Some("""SELECT doc_id, ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 AS shuffle_key FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""")),
 
+    // ---- L18: corpus MIXTURE — the data-recipe step: N sources at
+    // integer weights, small sources UPSAMPLED by whole epochs (epoch
+    // column tags the copies), each rate's fractional remainder a
+    // portable hash-ring cut. All-integer arithmetic (targets, epoch
+    // split, ring cut), so DuckDB replays the exact kept multiset.
+    // Scale: one bounded count per source, then pure projection +
+    // filter + narrow explode — no shuffle, no window ----
+    ("l18_corpus_mixture", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      def src(m: Int) = docs.where(pmod(col("doc_id"), lit(3)) === m)
+      graft.operators.Sampling.mixCorpora(
+          Seq((src(0), 2L, "web"), (src(1), 3L, "code"), (src(2), 5L, "books")),
+          "doc_id", totalRows = 1000)
+        .select(col("source"), col("epoch"), col("doc_id"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("source"), col("epoch"), col("doc_id"))
+    }, Some("""WITH src AS (SELECT doc_id, text, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'code' ELSE 'books' END AS source, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 5 END AS w FROM documents), rates AS (SELECT source, COUNT(*) AS n, (1000 * ANY_VALUE(w)) // 10 AS target FROM src GROUP BY source), ep AS (SELECT s.source, s.doc_id, len(s.text) AS n_chars, (r.target // r.n) + (CASE WHEN ((s.doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 10000 < ((r.target % r.n) * 10000) // r.n THEN 1 ELSE 0 END) AS epochs FROM src s JOIN rates r USING (source)) SELECT source, CAST(unnest(generate_series(0, epochs - 1)) AS BIGINT) AS epoch, doc_id, n_chars FROM ep WHERE epochs > 0 ORDER BY source, epoch, doc_id"""))
+,
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
     // total order in both engines ----

@@ -862,6 +862,43 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(kept("false") / (n / 2) - 0.1) < 0.1, kept.toString)
   }
 
+  test("L18: mixture composition tracks integer weights, upsamples by whole tagged epochs, deterministic") {
+    import graft.operators.Sampling
+    def src(m: Int) = docs.where($"doc_id" % 3 === m)
+    val sources = Seq((src(0), 2L, "web"), (src(1), 3L, "code"), (src(2), 5L, "books"))
+    def run() = Sampling.mixCorpora(sources, "doc_id", totalRows = 1000)
+      .select($"source", $"epoch", $"doc_id").as[(String, Long, Long)].collect()
+    val mix = run()
+    val bySource = mix.groupBy(_._1)
+    for ((df, w, name) <- sources) {
+      val n = df.count()
+      val target = 1000L * w / 10L
+      val full = target / n
+      val rows = bySource.getOrElse(name, Array.empty)
+      // n*full rows from whole epochs + a hash-cut of ~target%n: the
+      // count tracks the integer target up to ring lumpiness
+      assert(math.abs(rows.length - target) <= math.max(4L, n / 5),
+        s"$name: ${rows.length} rows vs target $target (n=$n)")
+      // every WHOLE epoch replicates the complete source, tagged 0..full-1
+      for (e <- 0L until full)
+        assert(rows.count(_._2 == e) === n, s"$name epoch $e incomplete")
+      // the fractional epoch is a strict subset
+      assert(rows.count(_._2 == full) < n, s"$name fractional epoch not partial")
+      assert(rows.forall(_._2 <= full))
+    }
+    assert(mix.sorted === run().sorted) // pure function of the inputs
+    intercept[IllegalArgumentException] { // duplicate names
+      Sampling.mixCorpora(Seq((src(0), 1L, "a"), (src(1), 1L, "a")), "doc_id", 10)
+    }
+    intercept[IllegalArgumentException] { // mismatched schemas
+      Sampling.mixCorpora(
+        Seq((src(0).select($"doc_id"), 1L, "a"), (src(1), 1L, "b")), "doc_id", 10)
+    }
+    intercept[IllegalArgumentException] { // all-zero weights
+      Sampling.mixCorpora(Seq((src(0), 0L, "a")), "doc_id", 10)
+    }
+  }
+
   test("A4 claim: approx_count_distinct within rsd bound of exact") {
     val o = Tables.orders(spark, sf0001)
     val exact = o.agg(countDistinct($"o_custkey")).as[Long].head()
