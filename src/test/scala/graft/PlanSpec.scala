@@ -65,6 +65,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no partial+final topK aggregate pair:\n$plan")
   }
 
+  test("l18 mixture is exchange-free per source (projection + filter + explode, no shuffle/window)") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val mix = Sampling.mixCorpora(Seq(
+      (docs.where(col("doc_id") % 2 === 0), 3L, "even"),
+      (docs.where(col("doc_id") % 2 === 1), 7L, "odd")), "doc_id", totalRows = 200)
+    val plan = mix.queryExecution.executedPlan.toString
+    // the recipe's ordering/shuffling is the CALLER's composition
+    // (deterministicShuffle); the operator itself must stay narrow —
+    // a window or exchange here would funnel 100 TB through a sort
+    assert(!plan.contains("Exchange"), s"mixture plan shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"mixture plan windows:\n$plan")
+    assert(plan.contains("Generate"), s"epoch replication not an explode:\n$plan")
+  }
+
   test("j01 dim join is a broadcast hash join, not a shuffle join") {
     val df = run("j01_broadcast")
     df.collect()
