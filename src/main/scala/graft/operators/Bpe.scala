@@ -178,4 +178,29 @@ object Bpe {
     import spark.implicits._
     merges.toDF("rank", "left", "right", "freq")
   }
+
+  /** Persist a learned vocabulary as a managed table — the BPE sibling
+    * of the persisted IVF index / band history: train once on the
+    * dictionary reduction of the full corpus, then every downstream
+    * tokenization job loads k rows from the catalog instead of
+    * re-training. Overwrites (a vocabulary is a versioned artifact —
+    * write a new table name for a new recipe). */
+  def writeVocab(spark: SparkSession, merges: Seq[Merge], table: String): Unit =
+    mergesDf(spark, merges).write.mode("overwrite").format("parquet")
+      .saveAsTable(table)
+
+  /** Load a persisted vocabulary ([[writeVocab]]) — a bounded k-row
+    * driver pull, rank-ordered. */
+  def readVocab(spark: SparkSession, table: String): Seq[Merge] =
+    spark.table(table).select(col("rank"), col("left"), col("right"), col("freq"))
+      .orderBy(col("rank")).collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** [[applyBpe]] against a persisted vocabulary: the production
+    * tokenize path — k catalog rows in, broadcast with the task,
+    * nothing about the corpus shuffles. */
+  def applyBpeFromTable(spark: SparkSession, df: DataFrame, textCol: String,
+      table: String): DataFrame =
+    applyBpe(df, textCol, readVocab(spark, table))
 }

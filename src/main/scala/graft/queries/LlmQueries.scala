@@ -1066,6 +1066,28 @@ object LlmQueries {
             lit(0L), (a, x) => a + x).as("n_chars"),
           (size(col("bpe_tokens")).cast("long") + col("bpe_merge_events")).as("n_units"))
         .orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_units FROM documents ORDER BY doc_id""")),
+
+    // ---- L17c: PERSISTED vocabulary — train once, save as a managed
+    // table (the BPE sibling of the persisted IVF index / band
+    // history), tokenize from the catalog: k rows in, broadcast with
+    // the task, corpus never shuffles. Same reconstruction contract as
+    // l17b, now through the write→read→apply path; per-SF table names
+    // keep a persisted vocab from serving a different scale's data ----
+    ("l17c_bpe_persisted", (s, d) => {
+      val table = s"l17c_vocab_${sfTag(d)}"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (!s.catalog.tableExists(table)) {
+        graft.operators.Layout.dropTableAndLocation(s, table) // stale location
+        graft.operators.Bpe.writeVocab(s, graft.operators.Bpe.learnMerges(
+          graft.operators.Bpe.wordDict(docs, "text"), k = 8), table)
+      }
+      val applied = graft.operators.Bpe.applyBpeFromTable(s, docs, "text", table)
+      applied.select(col("doc_id"),
+          aggregate(transform(col("bpe_tokens"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_chars"),
+          (size(col("bpe_tokens")).cast("long") + col("bpe_merge_events")).as("n_units"))
+        .orderBy(col("doc_id"))
     }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_units FROM documents ORDER BY doc_id"""))
   )
 }

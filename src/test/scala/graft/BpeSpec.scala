@@ -83,6 +83,27 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("persisted vocab: write->read round-trips exactly; apply-from-table equals direct apply") {
+    import graft.operators.Layout
+    val table = "t_bpe_vocab"
+    Layout.dropTableAndLocation(spark, table)
+    try {
+      val train = Seq(corpus.mkString(" ")).toDF("content")
+      val merges = Bpe.learnMerges(Bpe.wordDict(train, "content"), k = 8)
+      Bpe.writeVocab(spark, merges, table)
+      assert(Bpe.readVocab(spark, table) == merges) // ranks, pairs, freqs
+      val docs = Seq((1L, "lowest"), (2L, "newest widest")).toDF("id", "content")
+      val direct = Bpe.applyBpe(docs, "content", merges)
+        .select($"id", $"bpe_tokens", $"bpe_merge_events").collect().toSeq
+      val fromTable = Bpe.applyBpeFromTable(spark, docs, "content", table)
+        .select($"id", $"bpe_tokens", $"bpe_merge_events").collect().toSeq
+      assert(fromTable == direct)
+      // overwrite semantics: a retrained vocab replaces, never appends
+      Bpe.writeVocab(spark, merges.take(3), table)
+      assert(Bpe.readVocab(spark, table) == merges.take(3))
+    } finally Layout.dropTableAndLocation(spark, table)
+  }
+
   test("wordDict: one row per distinct word with corpus counts") {
     val docs = Seq("a b a", "b  c").toDF("content")
     val dict = Bpe.wordDict(docs, "content").collect()
