@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgrams, CosineF32, CosineQ64, HilbertKey}
+import graft.functions.{CharNgrams, CosineF32, CosineQ64, HilbertKey, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,6 +43,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       } else throw new IllegalArgumentException(
         s"char_ngrams(text, n): n must be a constant, got $nExpr")
       CharNgrams(c.head, n)
+    }
+    inject(ext, "unicode_normalize", classOf[UnicodeNormalize], 2) { c =>
+      val formExpr = c(1)
+      val form = if (formExpr.foldable) formExpr.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize(text, form): form must be a string constant, got $other")
+      } else throw new IllegalArgumentException(
+        s"unicode_normalize(text, form): form must be a constant, got $formExpr")
+      UnicodeNormalize(c.head, form)
     }
     // variadic: hilbert_key(bits, rank0, rank1, ...) — bits constant first
     ext.injectFunction((

@@ -26,6 +26,31 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Unicode normalization via the native [[UnicodeNormalize]]
+    * expression (Spark ships no builtin; ASCII fast path inside). */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      UnicodeNormalize(ColumnBridge.expression(text), form))
+  }
+
+  /** Full text-cleaning normalization — the standard first pass of a
+    * training-data pipeline: Unicode-normalize (composed/decomposed
+    * byte forms of the same glyphs unify, or every downstream dedup /
+    * fingerprint / token count diverges on encoding), collapse
+    * whitespace runs to single spaces, strip the remaining (non-
+    * whitespace) control characters, trim. Character classes are spelled
+    * EXPLICITLY, not `\s`: Java and RE2 disagree on `\x0B`, and the
+    * DuckDB oracle replays these exact classes. Order matters — the
+    * whitespace collapse runs before the control strip, or the strip
+    * would eat tabs/newlines instead of the collapse converting them
+    * to spaces. Pure per-row projection; no shuffle. */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    trim(regexp_replace(
+      regexp_replace(unicodeNormalize(text, form),
+        "[ \\t\\n\\r\\f\\u000B]+", " "),
+      "[\\u0000-\\u0008\\u000E-\\u001F\\u007F]", ""))
+
   /** Character n-grams of the whole string, as an array — the native
     * single-pass [[CharNgrams]] kernel (the built-in `substr`-per-position
     * form is O(len²); see the expression's scaladoc). */

@@ -602,6 +602,20 @@ object LlmQueries {
         .orderBy(col("source"), col("epoch"), col("doc_id"))
     }, Some("""WITH src AS (SELECT doc_id, text, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'code' ELSE 'books' END AS source, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 5 END AS w FROM documents), rates AS (SELECT source, COUNT(*) AS n, (1000 * ANY_VALUE(w)) // 10 AS target FROM src GROUP BY source), ep AS (SELECT s.source, s.doc_id, len(s.text) AS n_chars, (r.target // r.n) + (CASE WHEN ((s.doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 10000 < ((r.target % r.n) * 10000) // r.n THEN 1 ELSE 0 END) AS epochs FROM src s JOIN rates r USING (source)) SELECT source, CAST(unnest(generate_series(0, epochs - 1)) AS BIGINT) AS epoch, doc_id, n_chars FROM ep WHERE epochs > 0 ORDER BY source, epoch, doc_id"""))
 ,
+    // ---- L19: text normalization — the pipeline's first cleaning
+    // pass: NFC (native unicode_normalize expression; composed and
+    // decomposed byte forms of the same glyphs unify), whitespace runs
+    // collapse to single spaces, remaining control characters strip,
+    // trim. Character classes spelled explicitly on both engines
+    // (Java vs RE2 disagree on \s); value-checked against DuckDB's
+    // utf8proc nfc_normalize ----
+    ("l19_normalize_text", (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.normalizeText(col("text")).as("norm"))
+        .withColumn("n_norm", length(col("norm")).cast("long"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')) AS norm FROM documents) SELECT doc_id, norm, CAST(len(norm) AS BIGINT) AS n_norm FROM n ORDER BY doc_id""")),
+
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
     // total order in both engines ----

@@ -203,6 +203,39 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("L19: unicode_normalize composes NFC, NFKC folds compatibility forms; normalizeText pipeline; SQL surface") {
+    import graft.functions.{TextFunctions => TF}
+    val decomposed = "caf" + "e" + "\u0301" // e + combining acute
+    val composed = "caf" + "\u00e9"          // precomposed e-acute
+    val messy = "a" + "\u0000" + "b\tc\n\nd  e" + "\u000b" + "f"
+    val rows = Seq(
+      (1L, decomposed), (2L, composed), (3L, messy),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = rows.select($"id",
+        TF.unicodeNormalize($"t").as("n"), TF.normalizeText($"t").as("c"))
+      .orderBy($"id").collect()
+    assert(out(0).getString(1) === composed) // NFC composes
+    assert(out(0).getString(1) === out(1).getString(1)) // byte forms unify
+    // NUL stripped; every whitespace run (tab, newlines, double space,
+    // vertical tab) collapsed to one space
+    assert(out(2).getString(2) === "ab c d e f")
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2)) // null propagates
+    // NFKC folds compatibility characters (fi ligature U+FB01 -> fi)
+    assert(Seq(Tuple1("\ufb01n")).toDF("t")
+      .select(TF.unicodeNormalize($"t", "NFKC")).as[String].head() === "fin")
+    // SQL registration agrees with the library form
+    assert(rows.where($"t".isNotNull)
+      .selectExpr("unicode_normalize(t, 'NFC') AS n")
+      .select($"n").as[String].collect().sorted
+      === rows.where($"t".isNotNull).select(TF.unicodeNormalize($"t"))
+        .as[String].collect().sorted)
+    // bad form fails analysis, not runtime
+    intercept[Exception] {
+      rows.select(TF.unicodeNormalize($"t", "NFX")).collect()
+    }
+  }
+
   test("L6b: native char_ngrams matches the substr form (unicode, edges) and works from SQL") {
     import graft.functions.{TextFunctions => TF}
     // seeded generator over a unicode-heavy alphabet: ASCII, 2-byte (é),
