@@ -196,6 +196,36 @@ object LlmQueries {
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
     }, Some("""SELECT 0 AS missed_delta, 0 AS missed_compacted, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
 
+    // ---- L2i probe-only: the delta-leg recall contract against a
+    // PRE-BUILT history + UN-compacted delta (built once per session,
+    // SF) — times the production steady state between compactions:
+    // zero-exchange main probe + the small delta join. Every planted
+    // original lives ONLY in the delta, so recall proves the delta leg,
+    // not the main one. Lifecycle cost stays visible in l02i itself. ----
+    ("l02i_probe_delta_dedup", (s, d) => {
+      val table = s"l02ip_hist_${sfTag(d)}"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (!s.catalog.tableExists(table)) {
+        Dedup.dropBandHistory(s, table) // orphaned location from a prior session
+        Dedup.writeBandHistory(docs.where(col("doc_id") % 7 =!= 0),
+          "text", "doc_id", table, numBuckets = 8)
+        Dedup.appendBandHistoryDelta(s, docs.where(col("doc_id") % 7 === 0),
+          "text", "doc_id", table, batchId = 0)
+      }
+      val batch = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzextra")).as("text"))
+      val cands = Dedup.minhashIncremental(s, batch, table, "text", "doc_id",
+          maxBucket = Int.MaxValue)
+        .where(col("jaccard") >= 0.8)
+        .select(col("id_new"), col("id_hist"))
+      val planted = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("id_new"), col("doc_id").as("id_hist"))
+      planted.join(cands, Seq("id_new", "id_hist"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
+
     // ---- L2g: exact token-trigram Jaccard — the non-approximate member
     // of the dedup family (what MinHash estimates): set Jaccard over
     // distinct token 3-grams for each planted (original, near-copy) pair,
@@ -486,6 +516,31 @@ object LlmQueries {
       missedPre.crossJoin(missedPost)
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
     }, Some("""SELECT 0 AS missed_delta, 0 AS missed_compacted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
+
+    // ---- L4g probe-only: the delta-visibility recall contract against
+    // a PRE-BUILT index + UN-compacted delta — the steady state between
+    // compactions: centroid load, bucket-pruned main scan, the small
+    // recursive delta read, broadcast score, top-k. Every planted copy
+    // lives ONLY in the delta. Lifecycle cost stays in l04g itself. ----
+    ("l04g_probe_delta_topk", (s, d) => {
+      val table = s"l04gp_ivf_${sfTag(d)}"
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      if (!s.catalog.tableExists(table) ||
+          !s.catalog.tableExists(s"${table}_centroids")) {
+        Similarity.dropIvfIndex(s, table) // also clears a stale delta
+        Similarity.writeIvfIndex(s, emb, table, nLists = 16, lloydIters = 1)
+        Similarity.appendToIvfDelta(s, queries
+          .select((col("q_id") + 500000).as("vec_id"), col("q_vec").as("embedding")),
+          table, batchId = 0)
+      }
+      val top = Similarity.ivfTopKIndexed(s, queries, table, k = 10, nProbe = 4)
+      val planted = queries.select(col("q_id"), (col("q_id") + 500000).as("vec_id"))
+      planted.join(top.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
 
     // ---- L5: text stats — counts, punctuation ratio, mean word length ----
     ("l05_text_stats", (s, d) => {
