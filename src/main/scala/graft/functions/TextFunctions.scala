@@ -37,19 +37,21 @@ object TextFunctions {
   /** Full text-cleaning normalization — the standard first pass of a
     * training-data pipeline: Unicode-normalize (composed/decomposed
     * byte forms of the same glyphs unify, or every downstream dedup /
-    * fingerprint / token count diverges on encoding), collapse
-    * whitespace runs to single spaces, strip the remaining (non-
-    * whitespace) control characters, trim. Character classes are spelled
-    * EXPLICITLY, not `\s`: Java and RE2 disagree on `\x0B`, and the
-    * DuckDB oracle replays these exact classes. Order matters — the
-    * whitespace collapse runs before the control strip, or the strip
-    * would eat tabs/newlines instead of the collapse converting them
-    * to spaces. Pure per-row projection; no shuffle. */
+    * fingerprint / token count diverges on encoding), strip the
+    * non-whitespace control characters, collapse whitespace runs to
+    * single spaces, trim. Character classes are spelled EXPLICITLY,
+    * not `\s`: Java and RE2 disagree on `\x0B`, and the DuckDB oracle
+    * replays these exact classes. The strip class excludes the
+    * whitespace controls (U+0009-U+000D), so stripping FIRST is
+    * safe and required — collapsing first would leave a double space
+    * wherever a control character separated two whitespace runs
+    * ("a <NUL><VT> b" must clean to "a b", not "a  b"). Pure
+    * per-row projection; no shuffle. */
   def normalizeText(text: Column, form: String = "NFC"): Column =
     trim(regexp_replace(
       regexp_replace(unicodeNormalize(text, form),
-        "[ \\t\\n\\r\\f\\u000B]+", " "),
-      "[\\u0000-\\u0008\\u000E-\\u001F\\u007F]", ""))
+        "[\\u0000-\\u0008\\u000E-\\u001F\\u007F]", ""),
+      "[ \\t\\n\\r\\f\\u000B]+", " "))
 
   /** Character n-grams of the whole string, as an array — the native
     * single-pass [[CharNgrams]] kernel (the built-in `substr`-per-position

@@ -8,11 +8,17 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 object UnicodeNormalize {
-  /** Runtime kernel shared by eval and codegen. `isNormalized` is the
-    * fast path: ASCII (the overwhelming majority of corpus bytes) and
-    * already-composed text return the INPUT UTF8String without a
-    * String round-trip or allocation. */
+  /** Runtime kernel shared by eval and codegen, two fast paths:
+    * a byte scan returns pure-ASCII input (the overwhelming majority
+    * of corpus bytes) untouched with ZERO allocation — ASCII is
+    * normalized under every form — and non-ASCII text that
+    * `isNormalized` accepts skips only the re-encode (the decode to
+    * String is unavoidable there: the Normalizer API is String-in). */
   def normalize(s: UTF8String, form: Normalizer.Form): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n && (s.getByte(i) & 0x80) == 0) i += 1
+    if (i == n) return s // pure ASCII: no decode, no allocation
     val str = s.toString
     if (Normalizer.isNormalized(str, form)) s
     else UTF8String.fromString(Normalizer.normalize(str, form))

@@ -303,6 +303,33 @@ object Dedup {
       s"${table}_sh", Seq(idCol), numBuckets, mode)
   }
 
+  /** Create any MISSING half of a band history as an empty bucketed
+    * table, never touching an existing half — the crash-safe first-use
+    * init for the delta ingest loop. A blanket drop-and-rewrite on a
+    * missing `_sh` would destroy folded band rows in the deeper crash
+    * state (init half-crashed, deltas then partially compacted); per-
+    * table creation leaves whatever survived intact. `_sh` first,
+    * mirroring [[appendBandHistoryDelta]]'s write order. Signature
+    * parameters only shape the empty schemas and must match the
+    * probe's. */
+  def ensureBandHistory(spark: org.apache.spark.sql.SparkSession,
+      like: DataFrame, textCol: String, idCol: String, table: String,
+      numBuckets: Int, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): Unit = {
+    val empty = like.select(col(idCol), col(textCol)).limit(0)
+    if (!spark.catalog.tableExists(s"${table}_sh")) {
+      Layout.dropTableAndLocation(spark, s"${table}_sh") // orphaned location
+      Layout.writeBucketed(shingleFrame(empty, textCol, idCol, shingleN),
+        s"${table}_sh", Seq(idCol), numBuckets)
+    }
+    if (!spark.catalog.tableExists(table)) {
+      Layout.dropTableAndLocation(spark, table)
+      Layout.writeBucketed(
+        bandedSignatures(empty, textCol, idCol, shingleN, numHashes, bands),
+        table, Seq("__band", "__bandsig"), numBuckets)
+    }
+  }
+
   /** Drop a band history: both tables AND their warehouse locations.
     * The location delete matters across sessions — with a non-durable
     * metastore (the default in-memory Derby) a new session's catalog has
@@ -363,9 +390,11 @@ object Dedup {
   /** Fold both band-history delta directories back into their bucketed
     * tables ([[Layout.foldDeltaIntoBucketed]] — commit-record rename,
     * every crash state recoverable). Band table first: if the fold dies
-    * between the two, the surviving `_sh` delta only re-verifies
-    * already-folded band rows on the next probe (ids exist in both
-    * places is impossible — the fold moves, never copies). */
+    * between the two, the just-folded band rows' shingles still live in
+    * the surviving `_sh` delta — which [[minhashIncremental]]'s
+    * verification reads as a coalesced second source precisely so that
+    * window stays correct (gating both legs on one delta dir would
+    * silently drop those pairs' Jaccard rows). */
   def compactBandDelta(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     Layout.foldDeltaIntoBucketed(spark, table,
@@ -458,18 +487,39 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       maxBucket: Int = 128, includeDelta: Boolean = true): DataFrame = {
     val batch = bandedSignatures(newDf, textCol, idCol, shingleN, numHashes, bands)
-    val bounded = dropOversizedBuckets(batch, Seq("__band", "__bandsig"), maxBucket)
-    val newSh = shingleFrame(newDf, textCol, idCol, shingleN)
-    // one probe shape for both history legs; the MAIN leg keeps the
-    // zero-exchange property (bucketed layout on exactly the join keys,
-    // PlanSpec-pinned), the DELTA leg is a small×small join (batch ×
-    // un-compacted appends) — probing the delta separately instead of
-    // unioning it into the history side is what PRESERVES the main
-    // leg's zero exchange (a union side has no bucketed layout)
-    def probe(hist: DataFrame, histSh: DataFrame): DataFrame = {
+    val boundedRaw = dropOversizedBuckets(batch, Seq("__band", "__bandsig"), maxBucket)
+    val newShRaw = shingleFrame(newDf, textCol, idCol, shingleN)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bandDelta = new org.apache.hadoop.fs.Path(
+      Layout.deltaDirOf(spark, historyTable))
+    val shDelta = new org.apache.hadoop.fs.Path(
+      Layout.deltaDirOf(spark, s"${historyTable}_sh"))
+    val fs = bandDelta.getFileSystem(hconf)
+    // the two delta dirs are gated INDEPENDENTLY: compactBandDelta folds
+    // the band table first, so a crash (or a racing probe) between the
+    // two folds sees band rows already in the main table whose shingles
+    // still live only in the surviving _sh delta — verification must be
+    // able to find them there
+    val useBandDelta = includeDelta && fs.exists(bandDelta)
+    val useShDelta = includeDelta && fs.exists(shDelta)
+    // both band legs share the batch-side signature pipeline — when a
+    // delta leg exists, materialize it once (tiny: one batch) or each
+    // leg would recompute the shingle + hash pass
+    val (bounded, newSh) =
+      if (useBandDelta)
+        (boundedRaw.localCheckpoint(eager = true),
+          newShRaw.localCheckpoint(eager = true))
+      else (boundedRaw, newShRaw)
+    // the MAIN leg keeps the zero-exchange property (bucketed layout on
+    // exactly the join keys, PlanSpec-pinned), the DELTA leg is a
+    // small×small join (batch × un-compacted appends) — probing the
+    // delta separately instead of unioning it into the history side is
+    // what PRESERVES the main leg's zero exchange (a union side has no
+    // bucketed layout)
+    def bandPairs(hist: DataFrame): DataFrame =
       // key order (__band, __bandsig) must mirror the history's bucket
       // spec — see writeBandHistory on the all-keys co-partition rule
-      val pairs = bounded.as("n").join(hist.as("h"),
+      bounded.as("n").join(hist.as("h"),
           col("n.__band") === col("h.__band") &&
             col("n.__bandsig") === col("h.__bandsig") &&
             // a pair whose sides share an id is the same document meeting
@@ -482,25 +532,38 @@ object Dedup {
             col(s"n.$idCol") =!= col(s"h.$idCol"))
         .select(col(s"n.$idCol").alias("id_new"), col(s"h.$idCol").alias("id_hist"))
         .distinct()
-      pairs
-        .join(newSh.select(col(idCol).alias("id_new"), col("__sh").alias("sh_n")), Seq("id_new"))
-        .join(histSh.select(col(idCol).alias("id_hist"), col("__sh").alias("sh_h")), Seq("id_hist"))
-        .select(col("id_new"), col("id_hist"),
-          TF.jaccard(col("sh_n"), col("sh_h")).alias("jaccard"))
-    }
-    val main = probe(spark.table(historyTable), spark.table(s"${historyTable}_sh"))
-    val deltaPath = new org.apache.hadoop.fs.Path(
-      Layout.deltaDirOf(spark, historyTable))
-    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (includeDelta && fs.exists(deltaPath))
-      // main and delta ids are disjoint by protocol (the fold MOVES the
-      // delta behind a commit record, never copies), so no cross-leg
-      // pair dedup is needed
-      main.unionByName(probe(
-        Layout.readDelta(spark, historyTable, deltaPath.toString),
-        Layout.readDelta(spark, s"${historyTable}_sh",
-          Layout.deltaDirOf(spark, s"${historyTable}_sh"))))
-    else main
+    val mainPairs = bandPairs(spark.table(historyTable))
+    // main and delta ids are disjoint by protocol (the fold MOVES the
+    // delta behind a commit record, never copies), so no cross-leg pair
+    // dedup is needed
+    val pairs =
+      if (useBandDelta)
+        mainPairs.unionByName(bandPairs(
+          Layout.readDelta(spark, historyTable, bandDelta.toString)))
+      else mainPairs
+    // shingle verification looks a pair's history side up in BOTH
+    // sources (main `_sh` bucketed-by-id — still exchange-free as the
+    // left-join's bucketed side — and the `_sh` delta when present,
+    // coalesced): in steady state the sources are disjoint so exactly
+    // one hit lands; in the between-folds crash window the just-folded
+    // band rows resolve through the delta source
+    val verified = pairs
+      .join(newSh.select(col(idCol).alias("id_new"), col("__sh").alias("sh_n")),
+        Seq("id_new"))
+      .join(spark.table(s"${historyTable}_sh")
+        .select(col(idCol).alias("id_hist"), col("__sh").alias("__sh_m")),
+        Seq("id_hist"), "left")
+    val withSh =
+      if (useShDelta)
+        verified
+          .join(Layout.readDelta(spark, s"${historyTable}_sh", shDelta.toString)
+            .select(col(idCol).alias("id_hist"), col("__sh").alias("__sh_d")),
+            Seq("id_hist"), "left")
+          .withColumn("__sh_h", coalesce(col("__sh_m"), col("__sh_d")))
+      else verified.withColumn("__sh_h", col("__sh_m"))
+    withSh.where(col("__sh_h").isNotNull) // inner-join semantics, either source
+      .select(col("id_new"), col("id_hist"),
+        TF.jaccard(col("sh_n"), col("__sh_h")).alias("jaccard"))
   }
 
   /** L2 incremental, applied — drop every batch row near-duplicating the

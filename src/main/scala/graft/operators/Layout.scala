@@ -155,10 +155,21 @@ object Layout {
     if (fs.exists(foldedPath)) {
       // crashed after the commit record: if the swap also completed the
       // fold is durable — finish the cleanup; if tmp still coexists with
-      // main the swap did NOT happen, so restore the delta and rerun
+      // main the swap did NOT happen, so restore the delta and rerun.
+      // The restore MERGES the folded batches back under the live delta
+      // dir instead of replacing it: the ingest loop may have kept
+      // running between the crash and this recovery, landing NEW
+      // batch-<id> subdirectories there — deleting the live dir would
+      // destroy durably-acknowledged batches. A name collision (the
+      // same batch replayed after the crash) keeps the LIVE copy; the
+      // two are identical by the append's determinism.
       if (spark.catalog.tableExists(tmp) && spark.catalog.tableExists(table)) {
-        if (fs.exists(deltaPath)) fs.delete(deltaPath, true)
-        fs.rename(foldedPath, deltaPath)
+        if (!fs.exists(deltaPath)) fs.mkdirs(deltaPath)
+        fs.listStatus(foldedPath).foreach { st =>
+          val target = new Path(deltaPath, st.getPath.getName)
+          if (!fs.exists(target)) fs.rename(st.getPath, target)
+        }
+        fs.delete(foldedPath, true)
       } else {
         fs.delete(foldedPath, true)
         return

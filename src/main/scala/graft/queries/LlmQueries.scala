@@ -669,7 +669,7 @@ object LlmQueries {
         .select(col("doc_id"), TF.normalizeText(col("text")).as("norm"))
         .withColumn("n_norm", length(col("norm")).cast("long"))
         .orderBy(col("doc_id"))
-    }, Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')) AS norm FROM documents) SELECT doc_id, norm, CAST(len(norm) AS BIGINT) AS n_norm FROM n ORDER BY doc_id""")),
+    }, Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm FROM documents) SELECT doc_id, norm, CAST(len(norm) AS BIGINT) AS n_norm FROM n ORDER BY doc_id""")),
 
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a

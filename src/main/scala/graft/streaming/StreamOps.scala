@@ -239,9 +239,10 @@ object StreamOps {
     val pointer = new Path(root, "_LATEST")
     val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
     if (current.contains(batchId)) return false // replayed batch: no-op
-    if (!spark.catalog.tableExists(historyTable))
-      Dedup.writeBandHistory(batch.select(col(idCol), col(textCol)).limit(0),
-        textCol, idCol, historyTable, numBuckets)
+    // creates whichever history half is missing (a keyed-on-one-table
+    // check would wedge forever after a crash between the two creates)
+    Dedup.ensureBandHistory(spark, batch, textCol, idCol, historyTable,
+      numBuckets)
     val within = Dedup.nearDedupMinhash(
       Dedup.exact(batch, textCol, idCol), textCol, idCol, threshold)
     val survivors = Dedup

@@ -401,6 +401,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("L2h: probe verifies through the _sh delta in the between-folds crash window") {
+    import graft.operators.Layout
+    def doc(n: Int): String = (0 until 20).map(w => s"tok${n}w$w").mkString(" ")
+    val table = "t_band_window"
+    val hist = (1 to 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val arrived = Seq((11L, doc(11)), (12L, doc(12))).toDF("doc_id", "text")
+    val probeBatch = Seq((21L, doc(11) + " zz")).toDF("doc_id", "text")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Dedup.dropBandHistory(spark, table)
+    Dedup.writeBandHistory(hist, "text", "doc_id", table, numBuckets = 4)
+    try {
+      Dedup.appendBandHistoryDelta(spark, arrived, "text", "doc_id", table, batchId = 0)
+      def pairs() = Dedup.minhashIncremental(spark, probeBatch, table,
+          "text", "doc_id", maxBucket = Int.MaxValue)
+        .where($"jaccard" >= 0.8)
+        .select($"id_new", $"id_hist").as[(Long, Long)].collect().toSet
+      assert(pairs() === Set((21L, 11L))) // both deltas live
+      // simulate compactBandDelta dying between its two folds: the BAND
+      // delta is folded into the main table, the _sh delta survives —
+      // doc 11's band rows are now main-side but its shingles are
+      // delta-side only; verification must coalesce across sources or
+      // this pair silently vanishes
+      Layout.foldDeltaIntoBucketed(spark, table)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, table))))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, s"${table}_sh"))))
+      assert(pairs() === Set((21L, 11L)), "pair lost in the between-folds window")
+      // re-running the compaction completes the job; probe unchanged
+      Dedup.compactBandDelta(spark, table)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, s"${table}_sh"))))
+      assert(pairs() === Set((21L, 11L)))
+    } finally Dedup.dropBandHistory(spark, table)
+  }
+
   test("L4g: every interrupted-compaction crash state recovers without loss or duplication") {
     import graft.operators.Layout
     val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
@@ -469,6 +502,23 @@ class DedupSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
       Similarity.compactIvfDelta(spark, table)
       checkFinal("state D (folded marker only)")
+      // state E: crashed after the commit record (state B) and the
+      // INGEST LOOP KEPT RUNNING — a new batch landed in the recreated
+      // delta dir (and its pointer was flipped) before recovery ran;
+      // recovery must MERGE the folded batches back beside it, not
+      // delete the live dir (that would destroy a durably-acknowledged
+      // batch)
+      freshIndexWithDelta()
+      mergedToTmp()
+      fs.rename(deltaP, foldedP)
+      val late = emb.where($"vec_id" >= 450 && $"vec_id" < 470)
+      Similarity.appendToIvfDelta(spark, late, table, batchId = 1)
+      Similarity.compactIvfDelta(spark, table)
+      assert(spark.table(table).count() === expected + late.count(),
+        "state E: post-crash batch lost by recovery")
+      assert(spark.table(table).select($"vec_id").distinct().count()
+        === expected + late.count(), "state E: duplicated vectors")
+      assert(!fs.exists(deltaP) && !fs.exists(foldedP), "state E: leftover state")
     } finally {
       fs.delete(deltaP, true); fs.delete(foldedP, true)
       Layout.dropTableAndLocation(spark, tmp)
