@@ -39,6 +39,44 @@ object Packing {
     * @param seqLen  tokens per packed training sequence
     * @param shards  independent packing streams; sequences per shard
     *                differ by at most one doc's tokens / seqLen */
+  /** Split each document into fixed-size token windows with a stride —
+    * the context-window preprocessing step (embedding indexing,
+    * long-document training): window `k` covers tokens
+    * `[k*stride, k*stride + chunkTokens)`, 0-based; the last window
+    * truncates at the document's end, and starts run while
+    * `k*stride < nTokens` (so every token is covered and a short tail
+    * still emits). Stride < chunkTokens gives overlapping windows
+    * (standard for retrieval indexes so no phrase straddles a cut).
+    *
+    * Scale shape: tokens materialize ONCE per document, then one narrow
+    * `explode(sequence)` per row — no shuffle, no window function, no
+    * driver involvement; composable with [[packSequences]] downstream.
+    * Output: the id column + `chunk_id` (0-based), `chunk_start`
+    * (token offset), `n_chunk_tokens`, `chunk` (space-joined text).
+    * Empty/NULL documents emit no rows. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(stride > 0 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens] (larger would skip tokens)")
+    val toks = graft.Cols.fresh(df.columns, "__toks")
+    df.withColumn(toks, graft.functions.TextFunctions.tokens(col(textCol)))
+      .where(size(col(toks)) > 0)
+      // k*stride <= nTok-1 ⇔ k <= (nTok-1)/stride; Spark `/` is double
+      // division, so floor+cast spells the integer division (exact:
+      // size is non-negative)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          floor((size(col(toks)) - 1) / stride).cast("int"), lit(1))))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("chunk_start"),
+        size(slice(col(toks), col("chunk_id") * stride + 1, lit(chunkTokens)))
+          .as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col(toks), col("chunk_id") * stride + 1, lit(chunkTokens)))
+          .as("chunk"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
       seqLen: Int, shards: Int = 256): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")

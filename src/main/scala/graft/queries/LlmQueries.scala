@@ -671,6 +671,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm FROM documents) SELECT doc_id, norm, CAST(len(norm) AS BIGINT) AS n_norm FROM n ORDER BY doc_id""")),
 
+    // ---- L20: document chunking — fixed token windows with stride
+    // (retrieval-index / long-document preprocessing): window k covers
+    // tokens [k*8, k*8+16); overlapping so no phrase straddles a cut.
+    // Tokens materialize once per doc, then one narrow explode — no
+    // shuffle; DuckDB replays the window arithmetic exactly ----
+    ("l20_chunk_documents", (s, d) => {
+      graft.operators.Packing.chunkDocuments(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", "doc_id", chunkTokens = 16, stride = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }, Some(s"""WITH t AS (SELECT doc_id, $tokensSql ts FROM documents), c AS (SELECT doc_id, unnest(generate_series(0, (len(ts) - 1) // 8)) AS chunk_id, ts FROM t WHERE len(ts) > 0) SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, CAST(chunk_id * 8 AS INT) AS chunk_start, CAST(len(list_slice(ts, chunk_id * 8 + 1, chunk_id * 8 + 16)) AS INT) AS n_chunk_tokens, array_to_string(list_slice(ts, chunk_id * 8 + 1, chunk_id * 8 + 16), ' ') AS chunk FROM c ORDER BY doc_id, chunk_id""")),
+
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
     // total order in both engines ----

@@ -53,6 +53,43 @@ class PackingSpec extends SparkSpec {
     assert(got === Seq((0L, 0L), (0L, 10L), (0L, 20L)))
   }
 
+  test("chunkDocuments: full coverage, stride overlap, truncated tail, empty docs, guards") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
+      (2L, "a b c"),                                   // shorter than one chunk
+      (3L, ""), (4L, null.asInstanceOf[String]))       // emit nothing
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(docs, "text", "doc_id",
+        chunkTokens = 8, stride = 4)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Int, Int, Int, String)].collect()
+    // doc 1: starts at 0,4,8,12,16 — every token covered, consecutive
+    // chunks overlap by chunk-stride, tail truncates
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq === Seq(0, 4, 8, 12, 16))
+    assert(d1.map(_._4).toSeq === Seq(8, 8, 8, 8, 4))
+    assert(d1.head._5 === (1 to 8).map(i => s"t$i").mkString(" "))
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val aToks = a._5.split(" ").toSeq; val bToks = b._5.split(" ").toSeq
+      assert(aToks.takeRight(4) === bToks.take(4), "stride overlap broken")
+    }
+    // union of chunks at stride boundaries reconstructs the doc: each
+    // chunk contributes its first `stride` tokens, the last contributes all
+    assert((d1.init.map(_._5.split(" ").take(4).mkString(" ")) :+ d1.last._5)
+      .mkString(" ") === (1 to 20).map(i => s"t$i").mkString(" "))
+    // short doc: one truncated chunk; empty/null: no rows
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0, 3, "a b c")))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+    // stride == chunk: disjoint cover, no overlap
+    val flat = Packing.chunkDocuments(docs.where($"doc_id" === 1), "text",
+        "doc_id", chunkTokens = 8, stride = 8)
+      .orderBy($"chunk_id").as[(Long, Int, Int, Int, String)].collect()
+    assert(flat.map(_._4).toSeq === Seq(8, 8, 4))
+    intercept[IllegalArgumentException] { // stride > chunk skips tokens
+      Packing.chunkDocuments(docs, "text", "doc_id", 8, 9)
+    }
+  }
+
   test("every doc appears exactly once and token totals are preserved") {
     val docs = (1L to 500L).map(i => (i, (i % 23).toInt)).toDF("id", "n_tok")
     val packed = Packing.packSequences(docs, "id", "n_tok", seqLen = 128, shards = 8)
