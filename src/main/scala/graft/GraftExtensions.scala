@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgrams, CosineF32, CosineQ64, HilbertKey, UnicodeNormalize}
+import graft.functions.{CharNgrams, CosineF32, CosineQ64, HilbertKey, StripHtml, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"char_ngrams(text, n): n must be a constant, got $nExpr")
       CharNgrams(c.head, n)
     }
+    inject(ext, "strip_html", classOf[StripHtml], 1)(c => StripHtml(c.head))
     inject(ext, "unicode_normalize", classOf[UnicodeNormalize], 2) { c =>
       val formExpr = c(1)
       val form = if (formExpr.foldable) formExpr.eval() match {

@@ -53,6 +53,15 @@ object TextFunctions {
         "[\\u0000-\\u0008\\u000E-\\u001F\\u007F]", ""),
       "[ \\t\\n\\r\\f\\u000B]+", " "))
 
+  /** HTML-to-text via the native [[StripHtml]] expression (tags → one
+    * space, script/style content dropped, entities decoded; malformed
+    * markup passes through literally). Compose with [[normalizeText]]
+    * for whitespace cleanup — the standard web-corpus intake pair. */
+  def stripHtml(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(StripHtml(ColumnBridge.expression(text)))
+  }
+
   /** Character n-grams of the whole string, as an array — the native
     * single-pass [[CharNgrams]] kernel (the built-in `substr`-per-position
     * form is O(len²); see the expression's scaladoc). */

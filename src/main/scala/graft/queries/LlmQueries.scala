@@ -683,6 +683,23 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }, Some(s"""WITH t AS (SELECT doc_id, $tokensSql ts FROM documents), c AS (SELECT doc_id, unnest(generate_series(0, (len(ts) - 1) // 8)) AS chunk_id, ts FROM t WHERE len(ts) > 0) SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, CAST(chunk_id * 8 AS INT) AS chunk_start, CAST(len(list_slice(ts, chunk_id * 8 + 1, chunk_id * 8 + 16)) AS INT) AS n_chunk_tokens, array_to_string(list_slice(ts, chunk_id * 8 + 1, chunk_id * 8 + 16), ' ') AS chunk FROM c ORDER BY doc_id, chunk_id""")),
 
+    // ---- L21: HTML-to-text intake — web corpora arrive as markup;
+    // tags become spaces, script/style CONTENT drops, entities decode
+    // (named + numeric), then the l19 normalize pass cleans whitespace.
+    // Contract oracle: deterministic HTML is built AROUND each corpus
+    // doc in the query itself (the corpus is markup-free, checked), so
+    // DuckDB can state the expected cleaned text exactly ----
+    ("l21_strip_html", (s, d) => {
+      val html = concat(
+        lit("""<html><head><style>p { color: red; }</style></head><body><!-- c --><p class="x">"""),
+        col("text"),
+        lit("""</p><script>var j = "<div>";</script>&amp;&#65;&#x42; end</body></html>"""))
+      Tables.documents(s, d).select(col("doc_id"),
+          TF.normalizeText(TF.stripHtml(html)).as("clean"))
+        .withColumn("n_clean", length(col("clean")).cast("long"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g') || ' &AB end') AS clean FROM documents) SELECT doc_id, clean, CAST(len(clean) AS BIGINT) AS n_clean FROM n ORDER BY doc_id""")),
+
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
     // total order in both engines ----

@@ -236,6 +236,35 @@ class SmtAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("L21: strip_html — tags, script/style content, comments, entities, malformed passthrough, SQL surface") {
+    import graft.functions.{StripHtml, TextFunctions => TF}
+    def s(h: String) = StripHtml.strip(h)
+    assert(s("a<br>b") === "a b") // tag -> one space, words stay split
+    assert(s("""<p class="x">hi</p>""") === " hi ")
+    assert(s("<script>var x = '<div>';</script>after") === " after")
+    assert(s("<style a=b>p { }</style>x") === " x")
+    assert(s("<script src=x/>y") === " y") // self-closing: no content skip
+    assert(s("a<!-- <b> -->c") === "a c")
+    assert(s("&amp;&lt;&gt;&quot;&apos;&nbsp;") === "&<>\"' ")
+    assert(s("&#65;&#x42;&#X43;") === "ABC") // numeric dec + hex forms
+    // never-garbage: malformed constructs pass through literally
+    assert(s("a < b") === "a < b") // unterminated '<'
+    assert(s("fish & chips") === "fish & chips") // bare ampersand
+    assert(s("&unknown;") === "&unknown;")
+    assert(s("&#xZZ;") === "&#xZZ;")
+    // unterminated script: the open tag becomes a space and the content
+    // SURVIVES (skipping to a close tag that never comes would eat it)
+    assert(s("<script>never closed") === " never closed")
+    assert(s("") === "")
+    // column + SQL surfaces agree with the driver-side kernel
+    val df = Seq((1L, "x<p>y</p>&amp;z"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    assert(df.select(TF.stripHtml($"t")).as[String].collect().toSeq
+      === Seq("x y &z", null))
+    assert(df.selectExpr("strip_html(t)").as[String].collect().toSeq
+      === Seq("x y &z", null))
+  }
+
   test("L6b: native char_ngrams matches the substr form (unicode, edges) and works from SQL") {
     import graft.functions.{TextFunctions => TF}
     // seeded generator over a unicode-heavy alphabet: ASCII, 2-byte (é),
