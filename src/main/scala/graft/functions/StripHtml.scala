@@ -69,17 +69,22 @@ object StripHtml {
         if (semi < 0 || semi - i > 10) { out.append(c); i += 1 }
         else {
           val body = html.substring(i + 1, semi)
+          // surrogate codepoints are excluded even though
+          // isValidCodePoint admits them: toChars on a lone surrogate
+          // builds an invalid UTF-16 string whose UTF-8 re-encode is
+          // garbage bytes — such references pass through literally
+          def fromCp(cp: Int): String =
+            if (Character.isValidCodePoint(cp) &&
+                !(cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
+              new String(Character.toChars(cp))
+            else null
           val decoded: String =
             if (body.startsWith("#x") || body.startsWith("#X")) {
-              try {
-                val cp = Integer.parseInt(body.substring(2), 16)
-                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
-              } catch { case _: NumberFormatException => null }
+              try fromCp(Integer.parseInt(body.substring(2), 16))
+              catch { case _: NumberFormatException => null }
             } else if (body.startsWith("#")) {
-              try {
-                val cp = Integer.parseInt(body.substring(1))
-                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
-              } catch { case _: NumberFormatException => null }
+              try fromCp(Integer.parseInt(body.substring(1)))
+              catch { case _: NumberFormatException => null }
             } else entities.getOrElse(body, null)
           if (decoded == null) { out.append(c); i += 1 } // unknown: literal
           else { out.append(decoded); i = semi + 1 }

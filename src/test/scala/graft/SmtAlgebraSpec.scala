@@ -252,6 +252,8 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(s("fish & chips") === "fish & chips") // bare ampersand
     assert(s("&unknown;") === "&unknown;")
     assert(s("&#xZZ;") === "&#xZZ;")
+    assert(s("&#xD800;") === "&#xD800;") // lone surrogate: literal, not garbage
+    assert(s("&#x1F600;") === new String(Character.toChars(0x1F600))) // astral ok
     // unterminated script: the open tag becomes a space and the content
     // SURVIVES (skipping to a close tag that never comes would eat it)
     assert(s("<script>never closed") === " never closed")
