@@ -65,6 +65,27 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no partial+final topK aggregate pair:\n$plan")
   }
 
+  test("text intake expressions (strip_html, unicode_normalize, hilbert_key) codegen cleanly, no fallback") {
+    import graft.functions.{TextFunctions => TF}
+    import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+    // fallback off: a doGenCode that emits uncompilable Java must FAIL
+    // here, not silently drop the stage to interpreted mode in prod
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf0001)
+      val df = docs.select(
+        TF.normalizeText(TF.stripHtml(col("text"))).as("t"),
+        graft.operators.Layout.hilbertKey(
+          Seq(col("doc_id"), col("doc_id") + 1), 8).as("h"))
+      df.collect()
+      val wsc = df.queryExecution.executedPlan.collect {
+        case w: WholeStageCodegenExec => w }
+      assert(wsc.exists(_.collect { case p: ProjectExec => p }.nonEmpty),
+        s"intake projection not inside WholeStageCodegen:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("l18 mixture is exchange-free per source (projection + filter + explode, no shuffle/window)") {
     import graft.operators.Sampling
     val docs = graft.sources.Tables.documents(spark, sf0001)
