@@ -33,10 +33,18 @@ object StripHtml {
   def strip(html: String): String = {
     val n = html.length
     val out = new java.lang.StringBuilder(n)
+    // '<' opens markup only before a letter, '/', '!' or '?' (the HTML5
+    // tokenizer's rule): prose comparisons and emoticons ("a < b > c",
+    // "<3") are literal text, and deleting the span between them would
+    // destroy real words
+    def opensMarkup(i: Int): Boolean = i + 1 < n && {
+      val d = html.charAt(i + 1)
+      Character.isLetter(d) || d == '/' || d == '!' || d == '?'
+    }
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<') {
+      if (c == '<' && opensMarkup(i)) {
         if (html.regionMatches(i, "<!--", 0, 4)) {
           val end = html.indexOf("-->", i + 4)
           if (end < 0) { out.append(c); i += 1 } // unterminated: literal
@@ -54,10 +62,18 @@ object StripHtml {
             val selfClosing = html.charAt(close - 1) == '/'
             if ((name == "script" || name == "style") &&
                 html.charAt(i + 1) != '/' && !selfClosing) {
+              // case-INSENSITIVE close-tag scan: </SCRIPT> is as common
+              // as </script> in older markup, and missing it would leak
+              // the element's code/CSS into the prose output
               val endTag = "</" + name
-              var e = html.indexOf(endTag, close + 1)
+              var e = -1
+              var p = close + 1
+              while (e < 0 && p <= n - endTag.length) {
+                if (html.regionMatches(true, p, endTag, 0, endTag.length)) e = p
+                else p += 1
+              }
               // tolerate whitespace before the closing '>'
-              var eClose = if (e < 0) -1 else html.indexOf('>', e + endTag.length)
+              val eClose = if (e < 0) -1 else html.indexOf('>', e + endTag.length)
               if (e < 0 || eClose < 0) { out.append(' '); i = close + 1 }
               else { out.append(' '); i = eClose + 1 }
             } else { out.append(' '); i = close + 1 }

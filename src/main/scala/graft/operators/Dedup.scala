@@ -317,17 +317,24 @@ object Dedup {
       numBuckets: Int, shingleN: Int = 3, numHashes: Int = 16,
       bands: Int = 4): Unit = {
     val empty = like.select(col(idCol), col(textCol)).limit(0)
-    if (!spark.catalog.tableExists(s"${table}_sh")) {
-      Layout.dropTableAndLocation(spark, s"${table}_sh") // orphaned location
-      Layout.writeBucketed(shingleFrame(empty, textCol, idCol, shingleN),
-        s"${table}_sh", Seq(idCol), numBuckets)
-    }
-    if (!spark.catalog.tableExists(table)) {
-      Layout.dropTableAndLocation(spark, table)
-      Layout.writeBucketed(
-        bandedSignatures(empty, textCol, idCol, shingleN, numHashes, bands),
-        table, Seq("__band", "__bandsig"), numBuckets)
-    }
+    // a half being created from scratch is DEFINED empty — its sibling
+    // delta dirs can only be leftovers of a destroyed prior incarnation
+    // (a new session over an old warehouse), and probing them would
+    // find phantom matches against rows that no longer exist
+    def create(t: String)(frame: DataFrame, keys: Seq[String]): Unit =
+      if (!spark.catalog.tableExists(t)) {
+        val delta = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
+        Layout.dropTableAndLocation(spark, t) // orphaned location
+        val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(delta, true)
+        fs.delete(new org.apache.hadoop.fs.Path(delta + "__folded"), true)
+        Layout.writeBucketed(frame, t, keys, numBuckets)
+      }
+    create(s"${table}_sh")(
+      shingleFrame(empty, textCol, idCol, shingleN), Seq(idCol))
+    create(table)(
+      bandedSignatures(empty, textCol, idCol, shingleN, numHashes, bands),
+      Seq("__band", "__bandsig"))
   }
 
   /** Drop a band history: both tables AND their warehouse locations.
@@ -504,12 +511,13 @@ object Dedup {
     val useShDelta = includeDelta && fs.exists(shDelta)
     // both band legs share the batch-side signature pipeline — when a
     // delta leg exists, materialize it once (tiny: one batch) or each
-    // leg would recompute the shingle + hash pass
-    val (bounded, newSh) =
-      if (useBandDelta)
-        (boundedRaw.localCheckpoint(eager = true),
-          newShRaw.localCheckpoint(eager = true))
-      else (boundedRaw, newShRaw)
+    // leg would recompute the shingle + hash pass. The shingle frame
+    // needs no barrier: since verification unified into one join it is
+    // referenced exactly once
+    val bounded =
+      if (useBandDelta) boundedRaw.localCheckpoint(eager = true)
+      else boundedRaw
+    val newSh = newShRaw
     // the MAIN leg keeps the zero-exchange property (bucketed layout on
     // exactly the join keys, PlanSpec-pinned), the DELTA leg is a
     // small×small join (batch × un-compacted appends) — probing the

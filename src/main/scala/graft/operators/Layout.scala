@@ -167,7 +167,13 @@ object Layout {
         if (!fs.exists(deltaPath)) fs.mkdirs(deltaPath)
         fs.listStatus(foldedPath).foreach { st =>
           val target = new Path(deltaPath, st.getPath.getName)
-          if (!fs.exists(target)) fs.rename(st.getPath, target)
+          // HDFS rename reports failure by RETURNING false, not by
+          // throwing — proceeding to the recursive delete below on a
+          // failed restore would destroy that batch; abort instead and
+          // let re-entry retry the merge
+          if (!fs.exists(target) && !fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"delta recovery: could not restore ${st.getPath} to $target")
         }
         fs.delete(foldedPath, true)
       } else {

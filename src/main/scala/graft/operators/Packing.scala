@@ -31,14 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Assign every row a (shard, seq_in_shard, start_in_seq) packing
-    * coordinate from its token count.
-    *
-    * @param nTokCol token count column (precomputed — counting is the
-    *                tokenizer's job, see TextFunctions.tokens)
-    * @param seqLen  tokens per packed training sequence
-    * @param shards  independent packing streams; sequences per shard
-    *                differ by at most one doc's tokens / seqLen */
   /** Split each document into fixed-size token windows with a stride —
     * the context-window preprocessing step (embedding indexing,
     * long-document training): window `k` covers tokens
@@ -77,6 +69,14 @@ object Packing {
           .as("chunk"))
   }
 
+  /** Assign every row a (shard, seq_in_shard, start_in_seq) packing
+    * coordinate from its token count.
+    *
+    * @param nTokCol token count column (precomputed — counting is the
+    *                tokenizer's job, see TextFunctions.tokens)
+    * @param seqLen  tokens per packed training sequence
+    * @param shards  independent packing streams; sequences per shard
+    *                differ by at most one doc's tokens / seqLen */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
       seqLen: Int, shards: Int = 256): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")

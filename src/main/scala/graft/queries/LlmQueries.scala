@@ -141,7 +141,10 @@ object LlmQueries {
     ("l02h_probe_near_dedup", (s, d) => {
       val table = s"l02hp_hist_${sfTag(d)}"
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      if (!s.catalog.tableExists(table)) {
+      // BOTH tables gated: a crash between writeBandHistory's two
+      // writes would otherwise wedge the query on the missing _sh half
+      if (!s.catalog.tableExists(table) ||
+          !s.catalog.tableExists(s"${table}_sh")) {
         Dedup.dropBandHistory(s, table) // orphaned location from a prior session
         Dedup.writeBandHistory(docs, "text", "doc_id", table, numBuckets = 8)
       }
@@ -205,7 +208,9 @@ object LlmQueries {
     ("l02i_probe_delta_dedup", (s, d) => {
       val table = s"l02ip_hist_${sfTag(d)}"
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      if (!s.catalog.tableExists(table)) {
+      // BOTH tables gated — see l02h_probe
+      if (!s.catalog.tableExists(table) ||
+          !s.catalog.tableExists(s"${table}_sh")) {
         Dedup.dropBandHistory(s, table) // orphaned location from a prior session
         Dedup.writeBandHistory(docs.where(col("doc_id") % 7 =!= 0),
           "text", "doc_id", table, numBuckets = 8)
@@ -698,7 +703,7 @@ object LlmQueries {
           TF.normalizeText(TF.stripHtml(html)).as("clean"))
         .withColumn("n_clean", length(col("clean")).cast("long"))
         .orderBy(col("doc_id"))
-    }, Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g') || ' &AB end') AS clean FROM documents) SELECT doc_id, clean, CAST(len(clean) AS BIGINT) AS n_clean FROM n ORDER BY doc_id""")),
+    }, Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text || ' &AB end'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean FROM documents) SELECT doc_id, clean, CAST(len(clean) AS BIGINT) AS n_clean FROM n ORDER BY doc_id""")),
 
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a

@@ -247,8 +247,14 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(s("a<!-- <b> -->c") === "a c")
     assert(s("&amp;&lt;&gt;&quot;&apos;&nbsp;") === "&<>\"' ")
     assert(s("&#65;&#x42;&#X43;") === "ABC") // numeric dec + hex forms
+    assert(s("<SCRIPT>var x=1;</SCRIPT>done") === " done") // case-insensitive close
     // never-garbage: malformed constructs pass through literally
     assert(s("a < b") === "a < b") // unterminated '<'
+    // '<' before a non-letter is PROSE (HTML5 tokenizer rule) — a later
+    // '>' must not turn the span into a deleted pseudo-tag
+    assert(s("for a < b > c holds") === "for a < b > c holds")
+    assert(s("i <3 you") === "i <3 you")
+    assert(s("<!DOCTYPE html>x") === " x")
     assert(s("fish & chips") === "fish & chips") // bare ampersand
     assert(s("&unknown;") === "&unknown;")
     assert(s("&#xZZ;") === "&#xZZ;")
