@@ -705,6 +705,26 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text || ' &AB end'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean FROM documents) SELECT doc_id, clean, CAST(len(clean) AS BIGINT) AS n_clean FROM n ORDER BY doc_id""")),
 
+    // ---- L22: the full INTAKE COMPOSITION — strip markup, normalize,
+    // quality-score, threshold-filter, exact-dedup, token-count: the
+    // standard web-corpus front half wired end-to-end from the proven
+    // pieces (l21, l19, l05c, l01), with the whole chain restated in
+    // SQL. One pass of per-row projections + the dedup's hash window —
+    // nothing else shuffles ----
+    ("l22_intake_pipeline", (s, d) => {
+      val html = concat(lit("""<div class="doc"><p>"""), col("text"),
+        lit("</p></div>"))
+      val cleaned = Tables.documents(s, d)
+        .select(col("doc_id"), TF.normalizeText(TF.stripHtml(html)).as("clean"))
+      val scored = cleaned
+        .withColumn("quality", TF.qualityScore(col("clean")))
+        .where(col("quality") >= 0.75)
+      Dedup.exact(scored, "clean", "doc_id")
+        .select(col("doc_id"), col("quality"),
+          TF.bpeishTokenCount(col("clean")).as("n_tok"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""WITH c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS clean FROM documents), t AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\\s+'), x -> len(x) > 0) ts FROM c), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t), q AS (SELECT doc_id, clean, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m), f AS (SELECT doc_id, clean, quality FROM q WHERE quality >= 0.75), dd AS (SELECT doc_id, clean, quality FROM f QUALIFY row_number() OVER (PARTITION BY clean ORDER BY doc_id) = 1) SELECT doc_id, quality, len(regexp_extract_all(clean, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok FROM dd ORDER BY doc_id""")),
+
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
     // total order in both engines ----
