@@ -41,6 +41,24 @@ object StripHtml {
       val d = html.charAt(i + 1)
       Character.isLetter(d) || d == '/' || d == '!' || d == '?'
     }
+    // closing-'>' scan honoring quoted attribute values: a '>' inside
+    // "..." or '...' is attribute DATA, not the tag close (the HTML5
+    // attribute-value states), so '<a title="a>b">' closes at the final
+    // '>'. An unterminated quote falls back to the first raw '>' — the
+    // never-garbage contract prefers over-keeping to eating the file.
+    def findTagClose(from: Int): Int = {
+      var p = from
+      while (p < n) {
+        val c = html.charAt(p)
+        if (c == '>') return p
+        if (c == '"' || c == '\'') {
+          val endQ = html.indexOf(c, p + 1)
+          if (endQ < 0) return html.indexOf('>', from) // unterminated quote
+          p = endQ + 1
+        } else p += 1
+      }
+      -1
+    }
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -50,7 +68,7 @@ object StripHtml {
           if (end < 0) { out.append(c); i += 1 } // unterminated: literal
           else { out.append(' '); i = end + 3 }
         } else {
-          val close = html.indexOf('>', i + 1)
+          val close = findTagClose(i + 1)
           if (close < 0) { out.append(c); i += 1 } // unterminated: literal
           else {
             // tag name, lower-cased, for the script/style content skip
@@ -59,9 +77,11 @@ object StripHtml {
             var k = j
             while (k < close && Character.isLetterOrDigit(html.charAt(k))) k += 1
             val name = html.substring(j, k).toLowerCase
-            val selfClosing = html.charAt(close - 1) == '/'
+            // a trailing '/' is IGNORED on script/style (the HTML5
+            // tokenizer has no self-closing state for raw-text elements:
+            // '<script src=x/>' keeps the element open in every browser)
             if ((name == "script" || name == "style") &&
-                html.charAt(i + 1) != '/' && !selfClosing) {
+                html.charAt(i + 1) != '/') {
               // case-INSENSITIVE close-tag scan: </SCRIPT> is as common
               // as </script> in older markup, and missing it would leak
               // the element's code/CSS into the prose output

@@ -243,7 +243,15 @@ class SmtAlgebraSpec extends SparkSpec {
     assert(s("""<p class="x">hi</p>""") === " hi ")
     assert(s("<script>var x = '<div>';</script>after") === " after")
     assert(s("<style a=b>p { }</style>x") === " x")
-    assert(s("<script src=x/>y") === " y") // self-closing: no content skip
+    // HTML5 ignores the self-closing '/' on script/style — the element
+    // stays open, so the body is still script content, not prose
+    assert(s("<script src=x/>var y;</script>after") === " after")
+    assert(s("<script src=x/>y") === " y") // no close tag: body survives
+    // a '>' inside a quoted attribute value is data, not the tag close
+    assert(s("""<a title="a>b">text</a>""") === " text ")
+    assert(s("<a title='a>b'>text</a>") === " text ")
+    // unterminated quote: fall back to the first raw '>' (never-garbage)
+    assert(s("""<a title="unterminated>text""") === " text")
     assert(s("a<!-- <b> -->c") === "a c")
     assert(s("&amp;&lt;&gt;&quot;&apos;&nbsp;") === "&<>\"' ")
     assert(s("&#65;&#x42;&#X43;") === "ABC") // numeric dec + hex forms
