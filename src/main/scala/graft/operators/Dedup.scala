@@ -323,11 +323,9 @@ object Dedup {
     // find phantom matches against rows that no longer exist
     def create(t: String)(frame: DataFrame, keys: Seq[String]): Unit =
       if (!spark.catalog.tableExists(t)) {
-        val delta = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
+        val delta = Layout.deltaDirOf(spark, t)
         Layout.dropTableAndLocation(spark, t) // orphaned location
-        val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(delta, true)
-        fs.delete(new org.apache.hadoop.fs.Path(delta + "__folded"), true)
+        Layout.deleteDeltaState(spark, delta)
         Layout.writeBucketed(frame, t, keys, numBuckets)
       }
     create(s"${table}_sh")(
@@ -348,11 +346,9 @@ object Dedup {
   def dropBandHistory(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
     for (t <- Seq(table, s"${table}_sh")) {
       // resolve the delta location while the catalog entry still exists
-      val delta = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
+      val delta = Layout.deltaDirOf(spark, t)
       Layout.dropTableAndLocation(spark, t)
-      val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(delta, true)
-      fs.delete(new org.apache.hadoop.fs.Path(delta + "__folded"), true)
+      Layout.deleteDeltaState(spark, delta)
     }
 
   /** Append a (deduped) batch to an existing band history — the write
@@ -382,11 +378,23 @@ object Dedup {
     * matches whose Jaccard verification silently drops for missing
     * shingles. Probes see delta rows immediately
     * ([[minhashIncremental]] `includeDelta`); fold with
-    * [[compactBandDelta]] on whatever cadence bounds delta size. */
+    * [[compactBandDelta]] on whatever cadence bounds delta size.
+    *
+    * A batch the fold manifest records as already folded
+    * ([[Layout.foldManifestDirOf]]) is SKIPPED — the replay-after-fold
+    * state, where re-appending would let the next fold duplicate the
+    * batch's rows in the main tables permanently. The band table's
+    * manifest is the single gate for both writes: [[compactBandDelta]]
+    * folds bands first, so a band-marked batch's shingles are either
+    * folded too or still sitting in the `_sh` delta — either way a
+    * skipped replay loses nothing. Corollary (the manifest contract):
+    * batch ids must be monotonic over the table lifetime — one
+    * streaming checkpoint; rebuild the history for a fresh stream. */
   def appendBandHistoryDelta(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, textCol: String, idCol: String, table: String,
       batchId: Long, shingleN: Int = 3, numHashes: Int = 16,
       bands: Int = 4): Unit = {
+    if (Layout.isBatchFolded(spark, table, batchId)) return
     shingleFrame(df, textCol, idCol, shingleN).write.mode("overwrite")
       .parquet(s"${Layout.deltaDirOf(spark, s"${table}_sh")}/batch-$batchId")
     bandedSignatures(df, textCol, idCol, shingleN, numHashes, bands)
@@ -541,13 +549,20 @@ object Dedup {
         .select(col(s"n.$idCol").alias("id_new"), col(s"h.$idCol").alias("id_hist"))
         .distinct()
     val mainPairs = bandPairs(spark.table(historyTable))
-    // main and delta ids are disjoint by protocol (the fold MOVES the
-    // delta behind a commit record, never copies), so no cross-leg pair
-    // dedup is needed
+    // main and delta ids are disjoint in steady state (the fold MOVES
+    // the delta behind a commit record, never copies, and the fold
+    // manifest keeps replays from re-appending folded batches) — but a
+    // history id CAN legitimately appear in both legs, or twice in the
+    // delta, when upstream redelivers a document under its own id in a
+    // later batch (the self-pair exclusion above means it is not
+    // flagged as its own duplicate, so it lands again). The pair
+    // contract is one row per (id_new, id_hist): dedup across legs —
+    // the pair set is candidate-sized, so the extra exchange is noise
     val pairs =
       if (useBandDelta)
         mainPairs.unionByName(bandPairs(
           Layout.readDelta(spark, historyTable, bandDelta.toString)))
+          .distinct()
       else mainPairs
     // shingle verification looks a pair's history side up in BOTH
     // sources (main `_sh` bucketed-by-id — still exchange-free as the
@@ -564,8 +579,15 @@ object Dedup {
     val withSh =
       if (useShDelta)
         verified
+          // one shingle row per id: a redelivered document (see the
+          // pair-union note) holds a row in TWO delta batch dirs — an
+          // un-deduped join would multiply the pair. The rows are
+          // byte-identical (the shingle frame is a pure function of the
+          // text), so keeping either is correct; coalesce below still
+          // prefers the main-source row when both sources hit
           .join(Layout.readDelta(spark, s"${historyTable}_sh", shDelta.toString)
-            .select(col(idCol).alias("id_hist"), col("__sh").alias("__sh_d")),
+            .select(col(idCol).alias("id_hist"), col("__sh").alias("__sh_d"))
+            .dropDuplicates("id_hist"),
             Seq("id_hist"), "left")
           .withColumn("__sh_h", coalesce(col("__sh_m"), col("__sh_d")))
       else verified.withColumn("__sh_h", col("__sh_m"))

@@ -103,6 +103,56 @@ object Layout {
     loc.toString + "__delta"
   }
 
+  /** The fold manifest of a delta table: one empty `batch-<id>` marker
+    * file per delta batch already folded into the bucketed main table.
+    * [[foldDeltaIntoBucketed]] writes the markers BEFORE its commit
+    * rename, and the streaming appends ([[Dedup.appendBandHistoryDelta]],
+    * [[Similarity.appendToIvfDelta]]) skip marked batches — closing the
+    * one at-least-once hole the commit-record protocol alone leaves: a
+    * batch whose delta append landed but whose STREAM checkpoint commit
+    * was lost, then folded before the stream replays it, would be
+    * re-appended (the fold keeps no memory of what it folded) and the
+    * next fold would duplicate its rows in the main table permanently.
+    *
+    * Marker-before-commit is safe in every crash state: a marker whose
+    * fold never committed only suppresses a replay of a batch whose
+    * rows still sit in the LIVE delta dir (the rename to `__folded` is
+    * the only way rows leave it), so nothing is lost — whereas
+    * marker-after-commit reopens the exact race above in the window
+    * between rename and marker write.
+    *
+    * Consequence the appends document: batch ids must be MONOTONIC over
+    * the table's lifetime (one streaming checkpoint). Restarting a
+    * stream from a FRESH checkpoint against an existing history reuses
+    * folded ids and would see its first batches silently skipped —
+    * rebuild the history (or keep the checkpoint) instead. Markers are
+    * zero-byte files, one per batch ever folded, dropped with the
+    * table. */
+  private[graft] def foldManifestDirOf(spark: SparkSession, table: String): String =
+    deltaDirOf(spark, table) + "__manifest"
+
+  /** True when `batchId` of `table`'s delta was already folded into the
+    * main table — the append-side gate of the manifest protocol. */
+  private[graft] def isBatchFolded(spark: SparkSession, table: String,
+      batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      foldManifestDirOf(spark, table), s"batch-$batchId")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Delete a table's delta dir AND its protocol siblings (`__folded`
+    * commit record, `__manifest` fold markers) — the teardown every
+    * drop/ensure path must use so a rebuilt table never inherits stale
+    * markers that would suppress its first batches. */
+  private[graft] def deleteDeltaState(spark: SparkSession, deltaDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val delta = new Path(deltaDir)
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(delta, true)
+    fs.delete(new Path(deltaDir + "__folded"), true)
+    fs.delete(new Path(deltaDir + "__manifest"), true)
+  }
+
   /** Read a table's delta directory. Batches live in `batch-<id>/`
     * subdirectories (so a replayed micro-batch overwrites exactly its
     * own files), and Spark's parquet source does NOT list non-partition
@@ -192,6 +242,18 @@ object Layout {
       .unionByName(readDelta(spark, table, deltaPath.toString).select(cols: _*))
     writeBucketed(merged, tmp, spec.bucketColumnNames, spec.numBuckets,
       onePassPerBucket = true)
+    // record every batch id being folded BEFORE the commit rename (the
+    // [[foldManifestDirOf]] contract): after the rename these rows live
+    // only in tmp/main, and an unmarked replay re-appending one of them
+    // would be duplicated by the next fold
+    val manifest = new Path(foldManifestDirOf(spark, table))
+    fs.mkdirs(manifest)
+    fs.listStatus(deltaPath).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("batch-")) {
+        val m = new Path(manifest, st.getPath.getName)
+        if (!fs.exists(m)) fs.create(m, true).close()
+      }
+    }
     fs.rename(deltaPath, foldedPath) // COMMIT: tmp fully contains the delta
     dropTableAndLocation(spark, table)
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")

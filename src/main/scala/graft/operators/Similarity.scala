@@ -274,12 +274,10 @@ object Similarity {
     * location matters across sessions). */
   def dropIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     // resolve the delta location while the catalog entry still exists
-    val delta = new org.apache.hadoop.fs.Path(ivfDeltaDir(spark, table))
+    val delta = ivfDeltaDir(spark, table)
     Layout.dropTableAndLocation(spark, table)
     Layout.dropTableAndLocation(spark, s"${table}_centroids")
-    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(delta, true)
-    fs.delete(new org.apache.hadoop.fs.Path(delta + "__folded"), true)
+    Layout.deleteDeltaState(spark, delta)
   }
 
   /** [[appendToIvfIndex]]'s drift report: mean cosine similarity of
@@ -387,10 +385,20 @@ object Similarity {
     * its bucket pruning. Returns the appended row count and the
     * batch-side mean similarity to the assigned centroid (the drift
     * signal, batch-only: a streaming sink must not rescan the corpus
-    * per micro-batch — compare against the build-time mean instead). */
+    * per micro-batch — compare against the build-time mean instead).
+    *
+    * A batch the fold manifest records as already folded
+    * ([[Layout.foldManifestDirOf]]) is SKIPPED (returns a zero-count
+    * drift): re-appending a folded batch would let the next fold
+    * duplicate its vectors in the main index — each then consuming two
+    * top-k slots. Corollary: batch ids must be monotonic over the index
+    * lifetime (one streaming checkpoint); rebuild via [[dropIvfIndex]] +
+    * [[writeIvfIndex]] for a fresh stream. */
   def appendToIvfDelta(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String, batchId: Long,
       cId: String = "vec_id", cVec: String = "embedding"): IvfDrift = {
+    if (Layout.isBatchFolded(spark, table, batchId))
+      return IvfDrift(0L, 0L, Double.NaN, Double.NaN)
     val centRows = spark.table(s"${table}_centroids")
       .select(col("list"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))

@@ -434,6 +434,107 @@ class DedupSpec extends SparkSpec {
     } finally Dedup.dropBandHistory(spark, table)
   }
 
+  test("L2h: fold manifest — a batch replayed AFTER its fold is skipped, never duplicated") {
+    import graft.operators.Layout
+    def doc(n: Int): String = (0 until 20).map(w => s"tok${n}w$w").mkString(" ")
+    val table = "t_band_manifest"
+    val hist = (1 to 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val batch = Seq((11L, doc(11)), (12L, doc(12))).toDF("doc_id", "text")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def deltaP(t: String) = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
+    Dedup.dropBandHistory(spark, table)
+    Dedup.writeBandHistory(hist, "text", "doc_id", table, numBuckets = 4)
+    try {
+      Dedup.appendBandHistoryDelta(spark, batch, "text", "doc_id", table, batchId = 0)
+      Dedup.compactBandDelta(spark, table)
+      assert(spark.table(s"${table}_sh").count() === 10)
+      // the lost-checkpoint replay: the stream re-delivers batch 0 AFTER
+      // the fold — without the manifest this would re-append, and the
+      // NEXT fold would duplicate rows 11/12 in the main tables forever
+      Dedup.appendBandHistoryDelta(spark, batch, "text", "doc_id", table, batchId = 0)
+      assert(!fs.exists(deltaP(table)) && !fs.exists(deltaP(s"${table}_sh")),
+        "replayed folded batch landed in the delta")
+      Dedup.compactBandDelta(spark, table) // would fold the duplicate in
+      // one shingle row and bands(=4) band rows per doc — no duplicates
+      assert(spark.table(s"${table}_sh").count() === 10)
+      assert(spark.table(table).groupBy($"doc_id").count()
+        .where($"count" =!= 4).count() === 0,
+        "duplicated band rows after replay-after-fold")
+      // a FRESH batch id still appends and folds normally
+      val b1 = Seq((13L, doc(13))).toDF("doc_id", "text")
+      Dedup.appendBandHistoryDelta(spark, b1, "text", "doc_id", table, batchId = 1)
+      assert(fs.exists(deltaP(table)), "fresh batch wrongly skipped")
+      Dedup.compactBandDelta(spark, table)
+      assert(spark.table(s"${table}_sh").count() === 11)
+      // the manifest survives the folds: batch 0 AND 1 both marked
+      assert(Layout.isBatchFolded(spark, table, 0) &&
+        Layout.isBatchFolded(spark, table, 1))
+    } finally Dedup.dropBandHistory(spark, table)
+  }
+
+  test("L4g: fold manifest — a vector batch replayed after its fold is skipped (no double top-k slots)") {
+    val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val base = emb.where($"vec_id" < 400)
+    val batch = emb.where($"vec_id" >= 400 && $"vec_id" < 450)
+    val table = "t_ivf_manifest"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Similarity.dropIvfIndex(spark, table)
+    Similarity.writeIvfIndex(spark, base, table, nLists = 8, lloydIters = 1)
+    val deltaPath = new org.apache.hadoop.fs.Path(Similarity.ivfDeltaDir(spark, table))
+    try {
+      assert(Similarity.appendToIvfDelta(spark, batch, table, batchId = 0)
+        .appended === batch.count())
+      Similarity.compactIvfDelta(spark, table)
+      val n = spark.table(table).count()
+      assert(n === base.count() + batch.count())
+      // replay after the fold: skipped (zero-count drift), nothing lands
+      val replay = Similarity.appendToIvfDelta(spark, batch, table, batchId = 0)
+      assert(replay.appended === 0L, "folded batch re-appended")
+      assert(!fs.exists(deltaPath))
+      Similarity.compactIvfDelta(spark, table)
+      assert(spark.table(table).count() === n,
+        "replay-after-fold duplicated vectors in the index")
+      // fresh batch id unaffected
+      val b1 = emb.where($"vec_id" >= 450 && $"vec_id" < 460)
+      assert(Similarity.appendToIvfDelta(spark, b1, table, batchId = 1)
+        .appended === b1.count())
+      Similarity.compactIvfDelta(spark, table)
+      assert(spark.table(table).count() === n + b1.count())
+    } finally Similarity.dropIvfIndex(spark, table)
+  }
+
+  test("L2h: a history id present in BOTH main and delta yields ONE candidate pair row") {
+    import graft.operators.Layout
+    def doc(n: Int): String = (0 until 20).map(w => s"tok${n}w$w").mkString(" ")
+    val table = "t_band_redeliver"
+    val hist = (1 to 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val d11 = Seq((11L, doc(11))).toDF("doc_id", "text")
+    val probeBatch = Seq((21L, doc(11) + " zz")).toDF("doc_id", "text")
+    Dedup.dropBandHistory(spark, table)
+    Dedup.writeBandHistory(hist, "text", "doc_id", table, numBuckets = 4)
+    try {
+      def rows() = Dedup.minhashIncremental(spark, probeBatch, table,
+          "text", "doc_id", maxBucket = Int.MaxValue)
+        .where($"jaccard" >= 0.8).select($"id_new", $"id_hist")
+        .as[(Long, Long)].collect().toList
+      // doc 11 redelivered by upstream in TWO delta batches (at-least-once
+      // delivery the exact-dedup stage would normally absorb; the probe's
+      // pair contract must hold even without it): one row, not two
+      Dedup.appendBandHistoryDelta(spark, d11, "text", "doc_id", table, batchId = 0)
+      Dedup.appendBandHistoryDelta(spark, d11, "text", "doc_id", table, batchId = 1)
+      assert(rows() === List((21L, 11L)), "delta-side redelivery multiplied the pair")
+      // fold ONE copy into main, redeliver delta-side again: the id now
+      // lives in BOTH sources — cross-leg union and the two-source
+      // shingle lookup must still emit exactly one row
+      Dedup.dropBandHistory(spark, table)
+      Dedup.writeBandHistory(hist, "text", "doc_id", table, numBuckets = 4)
+      Dedup.appendBandHistoryDelta(spark, d11, "text", "doc_id", table, batchId = 0)
+      Dedup.compactBandDelta(spark, table)
+      Dedup.appendBandHistoryDelta(spark, d11, "text", "doc_id", table, batchId = 1)
+      assert(rows() === List((21L, 11L)), "main+delta id multiplied the pair")
+    } finally Dedup.dropBandHistory(spark, table)
+  }
+
   test("L4g: every interrupted-compaction crash state recovers without loss or duplication") {
     import graft.operators.Layout
     val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
