@@ -470,6 +470,110 @@ object Dedup {
     }
   }
 
+  /** EXACT-dedup HASH HISTORY — the third table of the intake family
+    * (`<table>_xh`): one (id, sha256(text)) row per accumulated
+    * document, bucketed on the hash, maintained under the same
+    * delta-subdirectory + fold-manifest discipline as the band tables.
+    * The streaming intake loop probes it to drop batch rows whose text
+    * the corpus has already accepted — the cheap pre-filter that spares
+    * the LSH probe the load, and the only way to catch SHORT exact
+    * duplicates (docs whose shingle set is empty never surface as LSH
+    * candidates at any threshold).
+    *
+    * Scale shape: the table is two narrow columns regardless of corpus
+    * text volume, and the probe ([[exactIncrementalDelta]]) broadcasts
+    * the batch's hashes — the history side never exchanges. Creates
+    * only a MISSING table (the [[ensureBandHistory]] crash-safe
+    * discipline), clearing stale delta state from a destroyed prior
+    * incarnation. */
+  def ensureHashHistory(spark: org.apache.spark.sql.SparkSession,
+      like: DataFrame, textCol: String, idCol: String, table: String,
+      numBuckets: Int): Unit = {
+    val t = s"${table}_xh"
+    if (!spark.catalog.tableExists(t)) {
+      val delta = Layout.deltaDirOf(spark, t)
+      Layout.dropTableAndLocation(spark, t)
+      Layout.deleteDeltaState(spark, delta)
+      Layout.writeBucketed(hashFrame(like, textCol, idCol).limit(0),
+        t, Seq("__xh"), numBuckets)
+    }
+  }
+
+  /** The hash-history row shape: (__xid, __xh). Columns are renamed —
+    * not the caller's names — so the probe's history-vs-batch join
+    * conditions never collide with batch columns. NULL texts are
+    * excluded: they are never duplicates of anything (family
+    * contract), so their hashes have nothing to match. */
+  private def hashFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).alias("__xid"), sha2(col(textCol), 256).alias("__xh"))
+
+  /** Replay-safe delta append to a hash history — one `batch-<id>/`
+    * overwrite-own-dir subdirectory per micro-batch, skipped when the
+    * fold manifest records the batch as already folded (the
+    * [[appendBandHistoryDelta]] discipline; same monotonic-batch-id
+    * contract). */
+  def appendHashHistoryDelta(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, textCol: String, idCol: String, table: String,
+      batchId: Long): Unit = {
+    val t = s"${table}_xh"
+    if (Layout.isBatchFolded(spark, t, batchId)) return
+    hashFrame(df, textCol, idCol).write.mode("overwrite")
+      .parquet(s"${Layout.deltaDirOf(spark, t)}/batch-$batchId")
+  }
+
+  /** Fold the hash-history delta into its bucketed table (commit-record
+    * + manifest protocol — [[Layout.foldDeltaIntoBucketed]]). */
+  def compactHashDelta(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Layout.foldDeltaIntoBucketed(spark, s"${table}_xh",
+      noSpecHint = "not an ensureHashHistory table")
+
+  /** Drop a hash history (table + location + delta state). */
+  def dropHashHistory(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val t = s"${table}_xh"
+    val delta = Layout.deltaDirOf(spark, t)
+    Layout.dropTableAndLocation(spark, t)
+    Layout.deleteDeltaState(spark, delta)
+  }
+
+  /** L1 incremental against a persisted hash history (main ∪ delta) —
+    * the exact-dedup stage of the streaming intake loop: batch rows
+    * whose text hash the history holds under a DIFFERENT id are
+    * dropped. The same-id exclusion is the replay guard, exactly as in
+    * [[minhashIncremental]]: a replayed batch meeting its own appended
+    * hashes must recompute the identical survivor set, not an empty
+    * one. NULL texts pass through (never duplicates — family
+    * contract).
+    *
+    * Scale shape ([[exactIncrementalProbe]]'s zero-exchange form): the
+    * batch's hash set broadcasts, the history — 100 TB corpus ⇒ still
+    * only two narrow columns — is semi-FILTERED map-side to the
+    * matching (id, hash) rows, and those broadcast back for the
+    * anti-join. Neither side ever shuffles. */
+  def exactIncrementalDelta(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, table: String, textCol: String, idCol: String,
+      includeDelta: Boolean = true): DataFrame = {
+    val t = s"${table}_xh"
+    val h = hashName(newDf)
+    val deltaP = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
+    val fs = deltaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist =
+      if (includeDelta && fs.exists(deltaP))
+        spark.table(t).unionByName(Layout.readDelta(spark, t, deltaP.toString))
+      else spark.table(t)
+    val batchKeys = newDf.where(col(textCol).isNotNull)
+      .select(sha2(col(textCol), 256).alias(h))
+    // hits is bounded by the batch's key set whenever the history is
+    // exact-deduped (the loop invariant: only survivors are appended);
+    // replay crash-states add at most one batch's worth of same-id rows
+    val hits = hist.join(broadcast(batchKeys), col("__xh") === col(h), "left_semi")
+    newDf.withColumn(h, sha2(col(textCol), 256))
+      .join(broadcast(hits),
+        col("__xh") === col(h) && col("__xid") =!= col(idCol), "left_anti")
+      .drop(h)
+  }
+
   /** L2 incremental — near-dup candidate pairs of a NEW batch against a
     * PERSISTED band history ([[writeBandHistory]]): the continuous-ingest
     * form of [[minhashCandidates]]. Every production dedup pipeline is
@@ -594,6 +698,36 @@ object Dedup {
     withSh.where(col("__sh_h").isNotNull) // inner-join semantics, either source
       .select(col("id_new"), col("id_hist"),
         TF.jaccard(col("sh_n"), col("__sh_h")).alias("jaccard"))
+  }
+
+  /** The intake history = band history (near-dedup) + hash history
+    * (exact dedup), managed as one unit by the streaming intake loop
+    * ([[graft.streaming.StreamOps.intakeBatch]]). Creates whichever
+    * tables are missing (crash-safe per-table, like
+    * [[ensureBandHistory]]). */
+  def ensureIntakeHistory(spark: org.apache.spark.sql.SparkSession,
+      like: DataFrame, textCol: String, idCol: String, table: String,
+      numBuckets: Int): Unit = {
+    ensureBandHistory(spark, like, textCol, idCol, table, numBuckets)
+    ensureHashHistory(spark, like, textCol, idCol, table, numBuckets)
+  }
+
+  /** Fold all three intake delta directories (band, `_sh`, `_xh`) into
+    * their bucketed tables. Band tables first ([[compactBandDelta]]'s
+    * crash-window ordering), hash last — a crash anywhere leaves every
+    * probe correct: the hash probe reads main ∪ delta, so an unfolded
+    * `_xh` delta is simply still delta-side. */
+  def compactIntakeDelta(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    compactBandDelta(spark, table)
+    compactHashDelta(spark, table)
+  }
+
+  /** Drop an intake history: all three tables + locations + delta
+    * state. */
+  def dropIntakeHistory(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    dropBandHistory(spark, table)
+    dropHashHistory(spark, table)
   }
 
   /** L2 incremental, applied — drop every batch row near-duplicating the

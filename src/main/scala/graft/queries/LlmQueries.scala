@@ -725,6 +725,62 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some(s"""WITH c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS clean FROM documents), t AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\\s+'), x -> len(x) > 0) ts FROM c), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t), q AS (SELECT doc_id, clean, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m), f AS (SELECT doc_id, clean, quality FROM q WHERE quality >= 0.75), dd AS (SELECT doc_id, clean, quality FROM f QUALIFY row_number() OVER (PARTITION BY clean ORDER BY doc_id) = 1) SELECT doc_id, quality, len(regexp_extract_all(clean, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok FROM dd ORDER BY doc_id""")),
 
+    // ---- L23: the STREAMING intake loop end-to-end — three micro-
+    // batches driven through StreamOps.intakeBatch (clean → score →
+    // exact dedup within+vs-history → near dedup within+vs-history →
+    // exactly-once survivor output + delta appends), with a compaction
+    // BETWEEN batches so the last batch probes the folded main tables.
+    // Texts are synthesized deterministically from the documents table's
+    // ids (40 'tokNwordW' tokens; every 11th doc a 3-token low-quality
+    // stub) so the corpus has NO natural near-dups and DuckDB can
+    // restate the whole outcome: batch 1 carries exact copies of every
+    // (3k,5k) doc under +300000, batch 2 near-copies of every (3k,7k)
+    // doc under +200000 — planted dups never survive (quality-filtered
+    // with their originals or deduped against history), so the survivor
+    // set is exactly the quality-passing originals, each in its own
+    // batch. ----
+    ("l23_intake_streaming", (s, d) => {
+      import graft.streaming.StreamOps
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val clean = when(col("doc_id") % 11 === 0, lit("tiny low quality"))
+        .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+          i => concat(lit("tok"), col("doc_id").cast("string"),
+            lit("word"), i.cast("string"))), " "))
+      val docs = ids.select(col("doc_id"), clean.as("__clean"))
+      def wrap(c: org.apache.spark.sql.Column) = concat(lit("<p class=\"x\">"), c,
+        lit("</p><script>var j = \"<q>\";</script>"))
+      val b0 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), wrap(col("__clean")).as("html"))
+      val b1 = docs.where(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), wrap(col("__clean")).as("html"))
+        .unionByName(docs
+          .where(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            wrap(col("__clean")).as("html")))
+      val b2 = docs.where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), wrap(col("__clean")).as("html"))
+        .unionByName(docs
+          .where(col("doc_id") % 3 === 0 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            wrap(concat(col("__clean"), lit(" zzextra"))).as("html")))
+      val table = "l23_hist"
+      val outDir = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/l23_out"
+      // rebuild from scratch each run: stale pointer/history from a
+      // previous rep or session would no-op the batches (l02i pattern)
+      Dedup.dropIntakeHistory(s, table)
+      val outP = new org.apache.hadoop.fs.Path(outDir)
+      outP.getFileSystem(s.sparkContext.hadoopConfiguration).delete(outP, true)
+      StreamOps.intakeBatch(b0, 0L, table, 8, "html", "doc_id", outDir)
+      StreamOps.intakeBatch(b1, 1L, table, 8, "html", "doc_id", outDir)
+      Dedup.compactIntakeDelta(s, table) // mid-stream fold: b2 probes MAIN
+      StreamOps.intakeBatch(b2, 2L, table, 8, "html", "doc_id", outDir)
+      (0 to 2).map(b => s.read.parquet(s"$outDir/batch-$b")
+          .select(col("doc_id"), lit(b).cast("int").as("batch"), col("quality")))
+        .reduce(_ unionByName _)
+        .orderBy(col("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'tiny low quality' ELSE array_to_string(list_transform(generate_series(0, 39), i -> 'tok' || doc_id || 'word' || i), ' ') END AS clean, CAST(doc_id % 3 AS INT) AS batch FROM documents), tok AS (SELECT doc_id, batch, clean, list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0) ts FROM t), m AS (SELECT doc_id, batch, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM tok), q AS (SELECT doc_id, batch, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m) SELECT doc_id, batch, quality FROM q WHERE quality >= 0.75 ORDER BY doc_id""")),
+
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
     // total order in both engines ----

@@ -259,6 +259,102 @@ object StreamOps {
     true
   }
 
+  /** The FULL streaming intake loop — the production shape of the whole
+    * engine, composing every proven piece into one `foreachBatch`
+    * pipeline. Per micro-batch of raw (id, html) documents:
+    *
+    *  1. clean: `strip_html` → `normalizeText` (two native codegen'd
+    *     expressions, one per-row pass);
+    *  2. score: `qualityScore`, drop rows below `minQuality` (rows with
+    *     NULL html score NULL and drop — intake is a filter, unlike the
+    *     pure dedup operators' NULL pass-through);
+    *  3. exact dedup, within the batch ([[graft.operators.Dedup.exact]])
+    *     then against the accumulated HASH history
+    *     ([[graft.operators.Dedup.exactIncrementalDelta]], main ∪
+    *     delta) — catches all exact copies, including short docs LSH
+    *     cannot see, before any LSH work;
+    *  4. near dedup, within the batch then against the persisted BAND
+    *     history ([[graft.operators.Dedup.nearDedupIncremental]],
+    *     main ∪ delta);
+    *  5. survivors (id, text, quality) written exactly-once to
+    *     `outDir/batch-<id>/` and appended to BOTH history deltas
+    *     (band tables first, hash last — every crash prefix leaves
+    *     probes correct), then the `_LATEST` pointer flips.
+    *
+    * Delivery contract — every leg exactly-once: the survivor output
+    * and the delta appends each overwrite their own batch-<id>
+    * directory; a fully-replayed batch (id in the pointer) is a no-op;
+    * a partially-replayed batch recomputes the IDENTICAL survivor set
+    * because both history probes exclude same-id matches (a doc meeting
+    * its own crashed append is a replay artifact, not a duplicate); and
+    * a batch replayed after a compaction folded its crashed append is
+    * skipped by the fold manifest ([[graft.operators.Layout
+    * .foldManifestDirOf]]) rather than re-appended. Fold the deltas with
+    * [[graft.operators.Dedup.compactIntakeDelta]] on whatever cadence
+    * bounds their size — probes stay correct on either side of the
+    * fold, and replays stay safe across it.
+    *
+    * Scale shape: steps 1-2 are narrow projections; step 3 broadcasts
+    * only batch hashes (history side never exchanges); step 4's history
+    * leg is the zero-exchange bucketed probe; the appends write one
+    * batch's worth of data. Nothing in the loop reads or rewrites the
+    * accumulated corpus. */
+  def intakeSink(docs: DataFrame, historyTable: String, numBuckets: Int,
+      htmlCol: String, idCol: String, outDir: String, checkpoint: String,
+      minQuality: Double = 0.75, threshold: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        intakeBatch(batch, batchId, historyTable, numBuckets,
+          htmlCol, idCol, outDir, minQuality, threshold): Unit
+      }
+
+  /** One intake micro-batch (see [[intakeSink]]; also the batch path
+    * the registry row and tests drive directly). Returns false if the
+    * batch id is already recorded (full replay: no-op). */
+  def intakeBatch(batch: DataFrame, batchId: Long, historyTable: String,
+      numBuckets: Int, htmlCol: String, idCol: String, outDir: String,
+      minQuality: Double = 0.75, threshold: Double = 0.8): Boolean = {
+    import graft.operators.Dedup
+    import graft.functions.{TextFunctions => TF}
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(outDir)
+    val pointer = new Path(root, "_LATEST")
+    val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
+    if (current.contains(batchId)) return false // replayed batch: no-op
+    // the clean/score front half: per-row native expressions only
+    val scored = batch
+      .select(col(idCol),
+        TF.normalizeText(TF.stripHtml(col(htmlCol))).as("text"))
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .where(col("quality") >= minQuality)
+    // creates whichever history tables are missing (crash-safe per
+    // table — a keyed-on-one-table check would wedge after a crash
+    // between creates)
+    Dedup.ensureIntakeHistory(spark, scored, "text", idCol, historyTable,
+      numBuckets)
+    val exactWithin = Dedup.exact(scored, "text", idCol)
+    val exactNew = Dedup.exactIncrementalDelta(spark, exactWithin,
+      historyTable, "text", idCol)
+    val nearWithin = Dedup.nearDedupMinhash(exactNew, "text", idCol, threshold)
+    val survivors = Dedup
+      .nearDedupIncremental(spark, nearWithin, historyTable, "text", idCol,
+        threshold)
+      // barrier: the output write and BOTH delta appends must see the
+      // SAME survivor set, computed once (not three LSH pipeline runs)
+      .localCheckpoint(eager = true)
+    survivors.write.mode("overwrite")
+      .parquet(new Path(root, s"batch-$batchId").toString)
+    Dedup.appendBandHistoryDelta(spark, survivors, "text", idCol,
+      historyTable, batchId)
+    Dedup.appendHashHistoryDelta(spark, survivors, "text", idCol,
+      historyTable, batchId)
+    graft.sources.AtomicPointer.write(hconf,
+      new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
+    true
+  }
+
   /** Read the current CDC state (empty frame with `schema` if none). */
   def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
