@@ -725,6 +725,46 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some(s"""WITH c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS clean FROM documents), t AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\\s+'), x -> len(x) > 0) ts FROM c), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t), q AS (SELECT doc_id, clean, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m), f AS (SELECT doc_id, clean, quality FROM q WHERE quality >= 0.75), dd AS (SELECT doc_id, clean, quality FROM f QUALIFY row_number() OVER (PARTITION BY clean ORDER BY doc_id) = 1) SELECT doc_id, quality, len(regexp_extract_all(clean, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok FROM dd ORDER BY doc_id""")),
 
+    // ---- L22b: intake composition + NEAR-dedup leg — real web intake
+    // chains exact AND near dedup; this row adds the cluster-resolved
+    // stage (minhashCandidates → connected components → keep each
+    // cluster's min id) to the l22 chain, with a planted-near-dup
+    // contract (the l02g/l02h pattern): every planted near-copy whose
+    // original also passed the quality gate must be dropped. The claim
+    // is robust to any NATURAL near-dups the corpus might hold — the
+    // copy is directly connected to its original, so the copy (larger
+    // id) can never be its cluster's minimum while the original is
+    // present, whatever else joins the cluster. DuckDB counts the
+    // planted set by replaying the quality arithmetic on both texts. ----
+    ("l22b_intake_near_dedup", (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val aug = base.unionByName(base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzextra")).as("text")))
+      val html = concat(lit("""<div class="doc"><p>"""), col("text"),
+        lit("</p></div>"))
+      val scored = aug
+        .select(col("doc_id"), TF.normalizeText(TF.stripHtml(html)).as("clean"))
+        .withColumn("quality", TF.qualityScore(col("clean")))
+        .where(col("quality") >= 0.75)
+      val exactDeduped = Dedup.exact(scored, "clean", "doc_id")
+      // uncapped buckets: recall contract (the l02d rationale)
+      val survivors = Dedup.nearDupClusters(exactDeduped, "clean", "doc_id",
+          threshold = 0.8, maxBucket = Int.MaxValue)
+        .where(col("doc_id") === col("cluster"))
+        .select(col("doc_id"))
+      // planted = originals where BOTH sides passed the quality gate
+      val sIds = scored.select(col("doc_id"))
+      val planted = sIds.where(col("doc_id") % 7 === 0 && col("doc_id") < 200000)
+        .join(sIds.where(col("doc_id") >= 200000)
+          .select((col("doc_id") - 200000).as("doc_id")), Seq("doc_id"), "left_semi")
+      val missed = survivors.join(
+        planted.select((col("doc_id") + 200000).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      missed.agg(count(lit(1)).as("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""WITH c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS c1, trim(regexp_replace(regexp_replace(nfc_normalize(text || ' zzextra'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS c2 FROM documents WHERE doc_id % 7 = 0), u AS (SELECT doc_id, unnest([c1, c2]) AS x FROM c), t AS (SELECT doc_id, x, list_filter(string_split_regex(lower(x), '\s+'), w -> len(w) > 0) ts FROM u), m AS (SELECT doc_id, x, CASE WHEN len(x)=0 THEN 0.0 ELSE CAST(len(x) - len(regexp_replace(x, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(x) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, w -> len(w))) AS DOUBLE)/len(ts) END mwl FROM t), q AS (SELECT doc_id, round(least(CAST(len(x) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m), ok AS (SELECT doc_id FROM q GROUP BY doc_id HAVING min(quality) >= 0.75) SELECT 0 AS missed_planted, COUNT(*) AS n_planted FROM ok""")),
+
     // ---- L23: the STREAMING intake loop end-to-end — three micro-
     // batches driven through StreamOps.intakeBatch (clean → score →
     // exact dedup within+vs-history → near dedup within+vs-history →
