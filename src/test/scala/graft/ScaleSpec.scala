@@ -250,6 +250,52 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: corpus mixture with a 60%-weight hot source interleaves without concentrating a task", suiteTags: _*) {
+    withScaleConf {
+      // the l18 oracle pins the recipe semantics; this pins the SCALE
+      // shape — a hot source (60% weight, upsampled past 2 epochs) must
+      // not concentrate the mix: the per-source legs are narrow
+      // projections + explode (no exchange of their own), and the one
+      // real shuffle is the training-order interleave (range exchange on
+      // the portable key), which is where a skewed mix would funnel
+      val cols = Seq($"doc_id", $"lang", $"n_tok", $"text")
+      val hot = docs.where($"lang" === "en").select(cols: _*)
+      val mid = docs.where($"lang" =!= "en" && $"doc_id" % 2 === 0).select(cols: _*)
+      val low = docs.where($"lang" =!= "en" && $"doc_id" % 2 === 1).select(cols: _*)
+      val total = 150000L
+      val mix = Sampling.mixCorpora(
+        Seq((hot, 60L, "hot"), (mid, 30L, "mid"), (low, 10L, "low")),
+        "doc_id", totalRows = total)
+        // training order: interleave on the portable key of the mix id
+        // (doc_id × maxEpochs + epoch — distinct per emitted copy), the
+        // composition the mixCorpora scaladoc prescribes
+        .withColumn("mix_id", $"doc_id" * 8 + $"epoch")
+      val dir = tmpDir("scale_mix")
+      val stages = probe {
+        // write in shuffle order: an aggregate consumer would let
+        // EliminateSorts drop the range exchange and the probe would
+        // measure nothing but the narrow legs
+        Sampling.deterministicShuffle(mix, "mix_id").write
+          .mode("overwrite").parquet(dir)
+      }
+      assertBalanced("corpus-mix-interleave", stages)
+      // the recipe held at scale: per-source counts within ring-cut
+      // granularity of the integer-weight targets, hot source genuinely
+      // upsampled (> 2 epochs present)
+      val out = spark.read.parquet(dir)
+      val bySource = out.groupBy($"source").count()
+        .as[(String, Long)].collect().toMap
+      for ((name, w) <- Seq(("hot", 60L), ("mid", 30L), ("low", 10L))) {
+        val target = total * w / 100
+        val got = bySource.getOrElse(name, 0L)
+        assert(math.abs(got - target) <= target / 50,
+          s"source $name: $got rows vs target $target (>2% off)")
+      }
+      assert(out.where($"source" === "hot").agg(max($"epoch")).as[Long].head() >= 2,
+        "hot source was not upsampled past 2 epochs")
+    }
+  }
+
   test("scale: sequence packing shards the layout windows (no single-partition cumsum)", suiteTags: _*) {
     withScaleConf {
       import graft.operators.Packing

@@ -335,6 +335,44 @@ class StreamingSpec extends SparkSpec {
     assert(!Reconcile.list(spark).contains("recA"))
   }
 
+  test("T10: two drivers reconcile disjoint partitions of one desired set independently (multi-worker contract)") {
+    // the MULTI-WORKER SCOPE note in Reconcile's scaladoc, pinned: a
+    // StreamingQueryManager is per-SparkSession, so two "drivers"
+    // (sessions here) each own THEIR partition of the desired map — the
+    // analogue of Connect task assignment across workers — and one
+    // session's reconcile can neither list nor prune the other's
+    // queries. The reference's ?forward=true leader forwarding
+    // (main.sh:155-159) exists because any Connect worker may receive
+    // any PUT; the Spark-native contract is the opposite: routing is
+    // static (each driver gets a disjoint name partition), so no
+    // forwarding layer is needed and an empty desired set on one driver
+    // must NOT tear down the other's half of the world.
+    val sessionB = spark.newSession()
+    val msA = TestSources.memory[Long]
+    val msB = TestSources.memory[Long](implicitly, sessionB.sqlContext)
+    msA.addData(1L); msB.addData(1L)
+    val wA = msA.toDF.writeStream.format("memory").queryName("part0")
+      .outputMode(OutputMode.Append)
+    val wB = msB.toDF.writeStream.format("memory").queryName("part1")
+      .outputMode(OutputMode.Append)
+    try {
+      val (sA, _) = Reconcile(spark, Map("part0" -> wA))
+      val (sB, _) = Reconcile(sessionB, Map("part1" -> wB))
+      assert(sA === Seq("part0") && sB === Seq("part1"))
+      // each manager sees exactly its own partition
+      assert(Reconcile.list(spark) === Seq("part0"))
+      assert(Reconcile.list(sessionB) === Seq("part1"))
+      // isolation: driver B reconciling to EMPTY prunes only its own
+      // query — driver A's stays up even though B's desired set does
+      // not contain "part0"
+      val (started, stopped) = Reconcile(sessionB, Map.empty)
+      assert(started.isEmpty && stopped === Seq("part1"))
+      assert(Reconcile.list(spark) === Seq("part0"))
+    } finally {
+      Reconcile(spark, Map.empty); Reconcile(sessionB, Map.empty)
+    }
+  }
+
   test("T10: reconcile under churn — desired set flips while data flows, no row dropped or duplicated") {
     // the main.sh:146-196 semantics UNDER LOAD: a managed query is pruned
     // while records are in flight, data keeps arriving while nothing
