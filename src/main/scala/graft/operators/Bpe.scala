@@ -50,13 +50,222 @@ object Bpe {
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("count"))
 
-  /** Learn `k` BPE merges from a (word, count) dictionary. Returns the
-    * merge table in rank order. Symbols start as single characters;
-    * each iteration merges the globally most frequent adjacent pair
-    * (count-weighted, ties broken lexicographically) wherever it
-    * occurs, greedy left-to-right within a word. Stops early when no
-    * adjacent pair remains. */
-  def learnMerges(dict: DataFrame, k: Int): Seq[Merge] = {
+  /** Learn `k` BPE merges from a (word, count) dictionary — BATCHED
+    * driver rounds, bit-identical to [[learnMergesSerial]] (the paper's
+    * one-merge-per-round loop). A realistic 32k-merge vocabulary costs
+    * ~14 h under the serial loop (BASELINE.md measured ~1.6 s of driver
+    * round-trip per merge at a 1M-row dictionary); batching folds many
+    * merges into one distributed pair-count pass, cutting rounds
+    * without changing a single learned merge.
+    *
+    * Batch selection — and why it is EXACT, not approximate. Per round,
+    * pull the top-`window` pairs in the serial total order (freq desc,
+    * then (left, right) lexicographic) and walk that prefix in order,
+    * accepting pairs until the FIRST pair that either
+    *
+    *  (a) shares a symbol with an already-accepted pair (its count
+    *      would change under the earlier merge),
+    *  (b) has a merged string `l+r` equal to an accepted pair's merged
+    *      string or one of its symbols (two creators of one string
+    *      would double-count its pairs), or
+    *  (c) has a merged string that already exists as a dictionary
+    *      symbol (a pre-existing symbol with that spelling would be
+    *      indistinguishable from the merge's output, letting pairs in
+    *      the hazard class start above zero) — `knownSymbols` below
+    *      over-approximates the live symbol set as
+    *      initial-characters ∪ merges-so-far, both driver-resident, so
+    *      this check is a set lookup, not a job.
+    *
+    * The accepted prefix is then truncated to pairs with freq STRICTLY
+    * above the HAZARD BOUND `H` (at least the top pair always
+    * survives — applying it alone is literally the serial round).
+    * Serial equivalence, by induction over the batch m_1..m_M: when
+    * serial has applied m_1..m_{i-1},
+    *
+    *  - counts of m_i..m_M are unchanged (pairwise symbol-disjoint, and
+    *    no m_j creates a string equal to another member's symbol), so
+    *    their freqs and tie-break order are the original ones;
+    *  - every NON-HAZARD other pair only loses occurrences, and its
+    *    original count is ≤ the first violator's (nothing conflicting
+    *    can precede the first violation in an ordered walk) ≤ each
+    *    accepted freq — with TIES decided in the batch's favor: equal
+    *    counts fall back to (left, right) lexicographic, the very
+    *    order the walk consumed, and the accepted pair came first;
+    *  - every HAZARD pair — one side spelled like an accepted merge's
+    *    output s_j — started at zero by rule (c) and grows through
+    *    exactly one adjacency pattern (each side's provenance is
+    *    unique by rules (b)+(c)): occurrences of `x s_j` are created
+    *    only from `x l_j r_j`, bounded by the original count of
+    *    (x, l_j); of `s_j y` only from `l_j r_j y`, bounded by
+    *    (r_j, y); of `s_j s_j'` bounded by (r_j, l_j'). Every such
+    *    FEEDING pair carries an accepted LEFT symbol on its right or
+    *    an accepted RIGHT symbol on its left — so
+    *    `H = max(count of non-accepted pulled pairs of that shape,
+    *    window-tail freq if the table runs deeper)` bounds every
+    *    hazard's count at every serial step, and feeding counts
+    *    cannot themselves have grown (a feeder contains an accepted
+    *    symbol, which by (b)+(c) no merge output spells — feeders are
+    *    non-hazard, decrease-only). Lexicographic ties are NOT safe
+    *    against hazards (a hazard pair is new — its tie-break
+    *    position is arbitrary), hence strictly-above-H.
+    *
+    * So serial's next pick is exactly m_i, with the same recorded
+    * frequency. ∎  H ≤ the first violator's freq (a violator shares a
+    * symbol with the accepted set; when it feeds no hazard it does not
+    * even count), so this truncation dominates the naive
+    * cutoff-at-violator rule — and a DEEPER window only shrinks H
+    * (pulled pairs are bounded exactly instead of by the tail freq,
+    * and the tail freq itself falls), so `window` trades a slightly
+    * larger TakeOrdered pull for strictly larger proven-exact batches.
+    * The batch applies in rank order as ONE narrow dictionary rewrite
+    * (symbol-disjointness makes the order immaterial, but rank order
+    * keeps the within-word greedy semantics textually identical to
+    * serial).
+    *
+    * Early character-level rounds batch poorly (top pairs share
+    * letters — the walk stops fast and degrades to serial, which is
+    * also why the classic-fixture tests still see serial-identical
+    * per-round behavior); the long multi-character tail where the 14 h
+    * lives batches well. Measured round reduction is in BASELINE.md.
+    *
+    * Driver pulls per round: one `window`-row TakeOrdered (versus
+    * serial's 1 row), plus one alphabet-sized distinct pull at start —
+    * all bounded by construction. */
+  def learnMerges(dict: DataFrame, k: Int, maxBatch: Int = 256,
+      window: Int = 1024): Seq[Merge] =
+    learnMergesCounted(dict, k, maxBatch, window)._1
+
+  /** [[learnMerges]] plus the number of driver rounds it took — the
+    * measured quantity behind the batching claim (BASELINE.md records
+    * rounds-per-merge; BpeSpec asserts rounds < merges on a Zipf
+    * dictionary). */
+  def learnMergesCounted(dict: DataFrame, k: Int, maxBatch: Int = 256,
+      window: Int = 1024): (Seq[Merge], Int) = {
+    require(k >= 1, "learnMerges needs k >= 1")
+    require(maxBatch >= 1 && window >= maxBatch,
+      "learnMerges needs maxBatch >= 1 and window >= maxBatch")
+    var words = dict
+      .select(col("count").cast(LongType).as("count"),
+        filter(split(col("word"), ""), s => s =!= "").as("syms"))
+      .where(size(col("syms")) >= 2)
+      .localCheckpoint()
+    // the symbol universe only ever holds initial characters plus merge
+    // outputs, so rule (c)'s membership test stays driver-side: seed
+    // with the (alphabet-bounded) distinct character pull, grow with
+    // each accepted merge. Symbols that later merge away make the set
+    // an over-approximation — conservative, never wrong.
+    val knownSymbols = scala.collection.mutable.HashSet.empty[String]
+    words.select(explode(col("syms")).as("s")).distinct()
+      .collect().foreach(r => knownSymbols += r.getString(0))
+    var prevPersisted: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    var round = 0
+    while (merges.length < k && !exhausted) {
+      val syms = col("syms")
+      val top = words
+        .select(col("count"), explode(
+          transform(sequence(lit(0), size(syms) - 2), i => struct(
+            element_at(syms, i + 1).as("l"), element_at(syms, i + 2).as("r"))))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("count")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(window)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pulled = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // ordered walk: accept the clean conflict-free prefix (the
+        // lex-tie argument needs every non-accepted pair to FOLLOW
+        // every accepted one in the total order, so the walk must stop
+        // at the first violation — skipping it and continuing would
+        // leave a partially-decayed conflict ranked between members)
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var violated = false
+        val wanted = math.min(maxBatch, k - merges.length)
+        val it = pulled.iterator
+        while (!violated && accepted.length < wanted && it.hasNext) {
+          val (l, r, f) = it.next()
+          val s = l + r
+          if (used(l) || used(r) || used(s) || knownSymbols(s)) violated = true
+          else { accepted += ((l, r, f)); used += l; used += r; used += s }
+        }
+        // hazard bound H (scaladoc proof): the max count a pair spelled
+        // with an accepted merge's output can GROW to = max original
+        // count of the feeding shapes — accepted-left on the right or
+        // accepted-right on the left — over the non-accepted pulled
+        // pairs, plus the window tail for pairs never pulled. A full
+        // violation-free table pull leaves H = 0: no feeder exists.
+        val lefts = accepted.map(_._1).toSet
+        val rights = accepted.map(_._2).toSet
+        var h = if (top.length == window) pulled.last._3 else 0L
+        var j = accepted.length // first non-accepted index (cap or violator)
+        while (j < pulled.length) {
+          val (a, b, f) = pulled(j)
+          if (f <= h) j = pulled.length // desc order: no later pair can raise H
+          else { if (rights(a) || lefts(b)) h = f; j += 1 }
+        }
+        val batch = {
+          val strict = accepted.takeWhile(_._3 > h)
+          if (strict.nonEmpty) strict else accepted.take(1)
+        }
+        batch.foreach { case (l, r, f) =>
+          merges += Merge(merges.length, l, r, f)
+          knownSymbols += (l + r)
+        }
+        val applied = applyMergesToDict(words, batch.map(b => (b._1, b._2)).toSeq)
+        val next =
+          if ((round + 1) % 4 == 0) applied.localCheckpoint()
+          else { applied.persist(); applied.count(); applied }
+        if (prevPersisted != null) prevPersisted.unpersist(false)
+        prevPersisted = if ((round + 1) % 4 == 0) null else next
+        words = next
+        round += 1
+      }
+    }
+    if (prevPersisted != null) prevPersisted.unpersist(false)
+    (merges.toSeq, round)
+  }
+
+  /** One batched dictionary rewrite: apply `batch` merges in rank order
+    * to every word's symbol array (the greedy left-to-right pass of
+    * [[applyBpe]], per merge), dropping words that fully merge. Narrow —
+    * nothing shuffles; one pass regardless of batch size (the Catalyst
+    * fold [[learnMergesSerial]] uses would stack one nested `aggregate`
+    * per merge and blow past codegen limits at 64 merges). */
+  private def applyMergesToDict(words: DataFrame,
+      batch: Seq[(String, String)]): DataFrame = {
+    val enc = RowEncoder.encoderFor(words.schema)
+    val symsIdx = words.schema.fieldIndex("syms")
+    words.mapPartitions { rows =>
+      rows.flatMap { row =>
+        var syms: Array[String] = row.getSeq[String](symsIdx).toArray
+        batch.foreach { case (l, r) =>
+          if (syms.length >= 2) {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                buf += l + r; i += 2
+              } else { buf += syms(i); i += 1 }
+            }
+            syms = buf.toArray
+          }
+        }
+        if (syms.length >= 2)
+          Iterator(Row.fromSeq(row.toSeq.updated(symsIdx, syms.toSeq)))
+        else Iterator.empty
+      }
+    }(enc)
+  }
+
+  /** The paper's serial loop — one merge per driver round, the parity
+    * oracle [[learnMerges]]'s batching is tested against (BpeSpec
+    * batched-vs-serial at k=64). Kept as the reference semantics; use
+    * [[learnMerges]] for real training. */
+  def learnMergesSerial(dict: DataFrame, k: Int): Seq[Merge] = {
     require(k >= 1, "learnMerges needs k >= 1")
     // split each word into single-character symbols; keep only words
     // long enough to ever produce a pair

@@ -104,6 +104,49 @@ class BpeSpec extends SparkSpec {
     } finally Layout.dropTableAndLocation(spark, table)
   }
 
+  // ---- batched training (the 32k-vocab round-count fix) ------------
+
+  /** Zipf-ish deterministic dictionary: 300 pseudo-random words over a
+    * 12-letter alphabet with 1/rank counts — diverse enough that the
+    * batched walk finds conflict-free prefixes, adversarial enough
+    * (shared letters, repeated substrings, count ties in the tail) to
+    * exercise every batch-selection rule. */
+  private def zipfDict = {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijkl"
+    (1 to 300).map { i =>
+      val w = (0 until (3 + rnd.nextInt(9)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      (w + i.toString, 1L + 3000L / i) // rank suffix keeps words distinct
+    }.toDF("word", "count")
+  }
+
+  test("batched learnMerges is bit-identical to the serial loop at k=64") {
+    val dict = zipfDict
+    val serial = Bpe.learnMergesSerial(dict, k = 64)
+    assert(serial.length == 64)
+    for (mb <- Seq(2, 8, 64)) {
+      val batched = Bpe.learnMerges(dict, k = 64, maxBatch = mb,
+        window = math.max(mb * 4, 16))
+      assert(batched == serial, s"maxBatch=$mb diverged from serial")
+    }
+  }
+
+  test("batched learnMerges at maxBatch=1 degrades exactly to serial") {
+    val docs = Seq(corpus.mkString(" ")).toDF("content")
+    val dict = Bpe.wordDict(docs, "content")
+    assert(Bpe.learnMerges(dict, k = 8, maxBatch = 1, window = 16) ==
+      Bpe.learnMergesSerial(dict, k = 8))
+  }
+
+  test("batching takes measurably fewer driver rounds on a Zipf dictionary") {
+    val (merges, rounds) = Bpe.learnMergesCounted(zipfDict, k = 64)
+    assert(merges.length == 64)
+    // exactness caps how hard a flat-tied tail can batch, but a Zipf
+    // head must fold several merges per round — the whole point
+    assert(rounds < 40, s"expected < 40 rounds for 64 merges, got $rounds")
+  }
+
   test("wordDict: one row per distinct word with corpus counts") {
     val docs = Seq("a b a", "b  c").toDF("content")
     val dict = Bpe.wordDict(docs, "content").collect()

@@ -18,10 +18,10 @@ object BpeProbe {
     println(s"[bpe] dict rows: ${dict.count()}")
     for (k <- ks) {
       val t0 = System.nanoTime()
-      val merges = graft.operators.Bpe.learnMerges(dict, k)
+      val (merges, rounds) = graft.operators.Bpe.learnMergesCounted(dict, k)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[bpe] k=$k%-4d learned=${merges.length}%-4d total=$sec%.2f s " +
-        f"per-merge=${sec / math.max(1, merges.length)}%.3f s")
+      println(f"[bpe] k=$k%-4d learned=${merges.length}%-4d rounds=$rounds%-4d " +
+        f"total=$sec%.2f s per-merge=${sec / math.max(1, merges.length)}%.3f s")
     }
     // dictionary-size scaling: the synthetic corpus has ~31 distinct
     // words, so the rows above measure only the per-iteration driver
@@ -39,11 +39,21 @@ object BpeProbe {
         .groupBy("word").agg(sum("count").as("count"))
         .localCheckpoint(eager = true)
       val rows = synth.count()
+      val kk = ks.max
+      // serial (the r9 baseline loop) vs batched (r10): same merges by
+      // the BpeSpec parity proof — the comparison is rounds and wall
       val t0 = System.nanoTime()
-      val merges = graft.operators.Bpe.learnMerges(synth, 64)
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[bpe] synth-dict rows=$rows%-8d k=64 learned=${merges.length}%-4d " +
-        f"total=$sec%.2f s per-merge=${sec / math.max(1, merges.length)}%.3f s")
+      val serial = graft.operators.Bpe.learnMergesSerial(synth, kk)
+      val sSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (batched, rounds) = graft.operators.Bpe.learnMergesCounted(synth, kk)
+      val bSec = (System.nanoTime() - t1) / 1e9
+      require(batched == serial, "batched/serial divergence in probe!")
+      println(f"[bpe] synth-dict rows=$rows%-8d k=$kk learned=${serial.length}%-4d " +
+        f"serial: total=$sSec%.2f s per-merge=${sSec / math.max(1, serial.length)}%.3f s | " +
+        f"batched: rounds=$rounds total=$bSec%.2f s " +
+        f"per-merge=${bSec / math.max(1, batched.length)}%.3f s " +
+        f"(${serial.length.toDouble / math.max(1, rounds)}%.1fx fewer rounds)")
     }
     spark.stop()
   }
