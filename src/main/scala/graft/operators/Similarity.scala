@@ -234,6 +234,33 @@ object Similarity {
     centRows
   }
 
+  /** The (nLists-row, driver-bounded) centroid table of a persisted
+    * index, id-sorted — the same order as the build, so the
+    * nearest-list fold and probe sort reproduce the build's
+    * tie-breaks. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      table: String): Array[(Long, Seq[Float])] =
+    spark.table(s"${table}_centroids")
+      .select(col("list"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+
+  /** Mean cosine similarity of assigned rows (`cVec`, `__list`) to
+    * their centroid — the tightness number both the drift report and
+    * the aging policy stand on. Zero-norm/null vectors are excluded
+    * (they are indexed but score NaN against any centroid; the mean
+    * must reflect list tightness, not data hygiene). One bounded
+    * aggregate; a production deployment would sample the input. */
+  private def listTightness(df: DataFrame, cVec: String,
+      centRows: Array[(Long, Seq[Float])]): (Long, Double) = {
+    val centMap = typedLit(centRows.toMap)
+    val sim = VF.cosineNative(col(cVec), element_at(centMap, col("__list")))
+    val r = df.select(sim.alias("__s"))
+      .where(col("__s").isNotNull && !isnan(col("__s")))
+      .agg(count(lit(1)), avg(col("__s"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
+  }
+
   /** Persist an IVF index — the PRODUCTION shape: [[ivfTopK]] rebuilds
     * its coarse quantizer on every call (the honest per-call bench
     * cost), while a deployment builds the index once per corpus and
@@ -257,7 +284,8 @@ object Similarity {
   def writeIvfIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       table: String, nLists: Int = 16, lloydIters: Int = 1,
       numBuckets: Int = 16,
-      cId: String = "vec_id", cVec: String = "embedding"): Unit = {
+      cId: String = "vec_id", cVec: String = "embedding",
+      recordAging: Boolean = true): Unit = {
     val centRows = buildCentroids(corpus, nLists, lloydIters, cId, cVec)
     import spark.implicits._
     centRows.toSeq.toDF("list", "centroid")
@@ -267,6 +295,38 @@ object Similarity {
     val assigned = corpus.select(col(cId), col(cVec),
       nearestAgainst(cents, col(cVec)).alias("__list"))
     Layout.writeBucketed(assigned, table, Seq("__list"), numBuckets)
+    // the aging baseline ([[ivfAging]]): build-time tightness + build
+    // params, one extra bounded aggregate over the just-written index
+    if (recordAging) writeIvfMeta(spark, table, nLists, lloydIters, cVec)
+  }
+
+  /** The persisted index's one-row meta table: the quantizer's
+    * build-time tightness (the [[ivfAging]] baseline) and the build
+    * parameters a [[reclusterIvfIndex]] rebuild reuses. Rewritten by
+    * every build and recluster. */
+  private final case class IvfMeta(builtMeanSim: Double, builtRows: Long,
+      nLists: Int, lloydIters: Int)
+
+  private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
+      table: String, nLists: Int, lloydIters: Int, cVec: String): Unit = {
+    val (n, mean) = listTightness(spark.table(table), cVec,
+      readCentroids(spark, table))
+    import spark.implicits._
+    Seq((mean, n, nLists, lloydIters))
+      .toDF("built_mean_sim", "built_rows", "n_lists", "lloyd_iters")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
+      table: String): IvfMeta = {
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"${table}_meta missing — build the index with writeIvfIndex" +
+        " (recordAging=true) to enable the aging policy")
+    val r = spark.table(s"${table}_meta")
+      .select(col("built_mean_sim"), col("built_rows"),
+        col("n_lists"), col("lloyd_iters")).head()
+    IvfMeta(r.getDouble(0), r.getLong(1), r.getInt(2), r.getInt(3))
   }
 
   /** Drop a persisted IVF index (both tables AND their warehouse
@@ -277,6 +337,10 @@ object Similarity {
     val delta = ivfDeltaDir(spark, table)
     Layout.dropTableAndLocation(spark, table)
     Layout.dropTableAndLocation(spark, s"${table}_centroids")
+    Layout.dropTableAndLocation(spark, s"${table}_meta")
+    // stale recluster swap halves, if a crashed maintenance run left any
+    Layout.dropTableAndLocation(spark, s"${table}__recluster")
+    Layout.dropTableAndLocation(spark, s"${table}_centroids__next")
     Layout.deleteDeltaState(spark, delta)
   }
 
@@ -313,10 +377,7 @@ object Similarity {
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table has no bucket spec — build the index with writeIvfIndex first"))
-    val centRows = spark.table(s"${table}_centroids")
-      .select(col("list"), col("centroid")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1) // same order as the build → same tie-breaks
+    val centRows = readCentroids(spark, table) // build order → same tie-breaks
     val cents = typedLit(centRows.toSeq)
     val assigned = batch.select(col(cId), col(cVec),
       nearestAgainst(cents, col(cVec)).alias("__list"))
@@ -399,10 +460,7 @@ object Similarity {
       cId: String = "vec_id", cVec: String = "embedding"): IvfDrift = {
     if (Layout.isBatchFolded(spark, table, batchId))
       return IvfDrift(0L, 0L, Double.NaN, Double.NaN)
-    val centRows = spark.table(s"${table}_centroids")
-      .select(col("list"), col("centroid")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1) // same order as the build → same tie-breaks
+    val centRows = readCentroids(spark, table) // build order → same tie-breaks
     val cents = typedLit(centRows.toSeq)
     val assigned = batch.select(col(cId), col(cVec),
       nearestAgainst(cents, col(cVec)).alias("__list"))
@@ -440,6 +498,140 @@ object Similarity {
     Layout.foldDeltaIntoBucketed(spark, table,
       noSpecHint = "build the index with writeIvfIndex first")
 
+  /** The aging report behind the persisted index's re-clustering
+    * policy: build-time tightness (recorded by [[writeIvfIndex]] in the
+    * `_meta` table) vs the CURRENT tightness of main ∪ delta under the
+    * frozen quantizer. `drift` is the absolute drop in mean cosine
+    * similarity-to-assigned-centroid; `drifted` is the measured trigger
+    * `drift > tau`. */
+  final case class IvfAging(builtMeanSim: Double, builtRows: Long,
+      currentMeanSim: Double, currentRows: Long, drift: Double,
+      drifted: Boolean)
+
+  /** Measure a persisted index's aging — the policy's READ side, safe
+    * to run any time (one bounded aggregate over the index; a
+    * production deployment would sample it). The FROZEN quantizer keeps
+    * appends cheap and deterministic, at the price that a shifting
+    * ingest distribution slowly loosens the lists: probes stay CORRECT
+    * (every vector is in exactly one list) but recall-per-nProbe decays
+    * as lists widen. Tightness-drop is the standard proxy for that
+    * decay, and unlike recall it needs no query workload to measure. */
+  def ivfAging(spark: org.apache.spark.sql.SparkSession, table: String,
+      tau: Double = 0.02, cVec: String = "embedding",
+      includeDelta: Boolean = true): IvfAging = {
+    val meta = readIvfMeta(spark, table)
+    val centRows = readCentroids(spark, table)
+    val main = spark.table(table)
+    val deltaPath = new org.apache.hadoop.fs.Path(ivfDeltaDir(spark, table))
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur =
+      if (includeDelta && fs.exists(deltaPath))
+        main.unionByName(readIvfDelta(spark, table, deltaPath.toString)
+          .select(main.columns.map(col): _*))
+      else main
+    val (n, mean) = listTightness(cur, cVec, centRows)
+    val drift = meta.builtMeanSim - mean
+    IvfAging(meta.builtMeanSim, meta.builtRows, mean, n, drift,
+      !drift.isNaN && drift > tau)
+  }
+
+  /** Re-cluster a persisted IVF index in place — the aging policy's
+    * WRITE side: fold any delta, retrain the coarse quantizer over the
+    * index's CURRENT content with the build's own recorded parameters,
+    * re-assign every vector, and swap. Deterministic: the result is
+    * bit-identical to [[writeIvfIndex]] over the same content (same
+    * centroid sample, Lloyd's grid, bucket spec) — parity is pinned in
+    * DedupSpec.
+    *
+    * This is a MAINTENANCE operation, triggered by measured drift
+    * ([[reclusterIfDrifted]]), not a hot-path one: it rewrites the full
+    * index once, which at 100 TB is a layout job amortized over every
+    * probe that follows (the same cost class as the initial build — and
+    * the reason the trigger is a measured threshold rather than a
+    * cadence).
+    *
+    * Crash contract (the [[compactIvfDelta]] discipline, extended to
+    * the two-table swap): the new generation is fully committed to
+    * side tables (`<table>__recluster`, `<table>_centroids__next`)
+    * before anything is dropped, and the main-table swap commits before
+    * the centroid swap, so every crash state is decidable from catalog
+    * existence at re-entry — an interrupted run either completes the
+    * swap or rebuilds from intact inputs; content is never lost.
+    * Probes CONCURRENT with the swap, however, can see mismatched
+    * generations (new assignments under old centroids or vice versa —
+    * silently wrong pruning, not an error), so run this from the
+    * maintenance session that owns the index with probes quiesced —
+    * the same ownership rule compaction already requires. The fold
+    * manifest is preserved: folded batch ids stay folded across a
+    * recluster, so a replaying stream cannot re-append them. */
+  def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, cId: String = "vec_id",
+      cVec: String = "embedding"): Unit = {
+    val tmp = table + "__recluster"
+    val centT = table + "_centroids"
+    val nextT = centT + "__next"
+    val cat = spark.catalog
+    // ---- re-entry: finish an interrupted swap (decidable states) ----
+    if (!cat.tableExists(table)) {
+      // crashed between drop-main and rename: tmp holds the only copy
+      require(cat.tableExists(tmp),
+        s"recluster recovery: neither $table nor $tmp exists")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    }
+    if (!cat.tableExists(tmp) && cat.tableExists(nextT)) {
+      // main swap committed (tmp renamed away), centroid swap pending —
+      // `nextT` in the catalog means its write committed (registration
+      // is the commit marker), so completing is always safe
+      val meta = readIvfMeta(spark, table)
+      Layout.dropTableAndLocation(spark, centT)
+      spark.sql(s"ALTER TABLE `$nextT` RENAME TO `$centT`")
+      writeIvfMeta(spark, table, meta.nLists, meta.lloydIters, cVec)
+      return
+    }
+    // ---- fresh rebuild (also the crashed-before-any-drop path: both
+    // side tables are rebuilt from the intact main generation; a crash
+    // after the swaps but before the meta rewrite just reruns — the
+    // rebuild is deterministic, so the rerun converges) ----
+    compactIvfDelta(spark, table)
+    val meta = readIvfMeta(spark, table)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bucket spec — build the index with writeIvfIndex first"))
+    Layout.dropTableAndLocation(spark, tmp)   // stale uncommitted halves
+    Layout.dropTableAndLocation(spark, nextT)
+    val corpus = spark.table(table).select(col(cId), col(cVec))
+    val centRows = buildCentroids(corpus, meta.nLists, meta.lloydIters, cId, cVec)
+    val cents = typedLit(centRows.toSeq)
+    val assigned = corpus.select(col(cId), col(cVec),
+      nearestAgainst(cents, col(cVec)).alias("__list"))
+    Layout.writeBucketed(assigned, tmp, Seq("__list"), spec.numBuckets)
+    import spark.implicits._
+    centRows.toSeq.toDF("list", "centroid")
+      .write.mode("overwrite").format("parquet").saveAsTable(nextT)
+    // ---- swap: main first, then centroids (the re-entry order) ----
+    Layout.dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    Layout.dropTableAndLocation(spark, centT)
+    spark.sql(s"ALTER TABLE `$nextT` RENAME TO `$centT`")
+    writeIvfMeta(spark, table, meta.nLists, meta.lloydIters, cVec)
+  }
+
+  /** The measured aging trigger: re-cluster iff the index's tightness
+    * has dropped more than `tau` below its build-time baseline.
+    * Returns the PRE-decision report and whether a rebuild ran. Run on
+    * the maintenance cadence (e.g. alongside [[compactIvfDelta]]);
+    * τ≈0.02-0.05 absolute cosine is a reasonable starting band — low
+    * enough to catch a distribution shift before recall sags, high
+    * enough that ingest noise never triggers a 100 TB rewrite. */
+  def reclusterIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      table: String, tau: Double = 0.02, cId: String = "vec_id",
+      cVec: String = "embedding"): (IvfAging, Boolean) = {
+    val aging = ivfAging(spark, table, tau, cVec)
+    if (aging.drifted) reclusterIvfIndex(spark, table, cId, cVec)
+    (aging, aging.drifted)
+  }
+
   /** Probe a persisted IVF index ([[writeIvfIndex]]) — no build work at
     * query time: centroids load from the (nLists-row) table, the probed
     * list ids resolve driver-side (bounded by nLists), and the corpus
@@ -455,10 +647,7 @@ object Similarity {
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "vec_id", cVec: String = "embedding",
       includeDelta: Boolean = true): DataFrame = {
-    val centRows = spark.table(s"${table}_centroids")
-      .select(col("list"), col("centroid")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1) // same order as the build → same tie-breaks
+    val centRows = readCentroids(spark, table) // build order → same tie-breaks
     val cents = typedLit(centRows.toSeq)
     // materialized once (localCheckpoint): the probe frame feeds BOTH
     // the driver-side list-id pull and the broadcast join below —

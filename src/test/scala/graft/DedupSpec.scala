@@ -339,6 +339,108 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("L4h: aging policy — measured drift triggers a recluster with build parity and a reset baseline") {
+    // base lives in span(e0, e1), so every centroid the build can
+    // derive (samples and Lloyd means of base vectors) does too; the
+    // shifted batch is orthogonal to that span and scores EXACTLY 0
+    // against any such centroid — the drift arithmetic is closed-form
+    // regardless of which vectors the deterministic sample picks
+    val base = (0L to 19L).map { i =>
+      (i, Seq.tabulate(8)(j => if (j == (i % 2).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val shifted = (100L to 109L).map { i =>
+      (i, Seq.tabulate(8)(j => if (j == 2 || j == 3) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val t = "t_ivf_age"; val ref = "t_ivf_age_ref"
+    Similarity.dropIvfIndex(spark, t)
+    Similarity.dropIvfIndex(spark, ref)
+    Similarity.writeIvfIndex(spark, base, t, nLists = 2, lloydIters = 1,
+      numBuckets = 4)
+    try {
+      // freshly built: current tightness IS the baseline
+      val a0 = Similarity.ivfAging(spark, t, tau = 0.05)
+      assert(a0.builtRows === 20L && math.abs(a0.drift) < 1e-9 && !a0.drifted)
+      // orthogonal batch: current mean = built * 20/30, drift = built/3
+      Similarity.appendToIvfDelta(spark, shifted, t, batchId = 0)
+      val a1 = Similarity.ivfAging(spark, t, tau = 0.05)
+      assert(a1.currentRows === 30L)
+      assert(math.abs(a1.currentMeanSim - a1.builtMeanSim * 20 / 30) < 1e-6,
+        s"orthogonal-batch mean must be built*2/3: $a1")
+      assert(a1.drifted, s"drift ${a1.drift} must exceed tau: $a1")
+      val (report, ran) = Similarity.reclusterIfDrifted(spark, t, tau = 0.05)
+      assert(ran && report.drifted)
+      // the rebuild folded the delta and rewrote the whole index
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        Similarity.ivfDeltaDir(spark, t))), "recluster left the delta behind")
+      assert(spark.table(t).count() === 30L)
+      // parity: recluster ≡ writeIvfIndex over the same content with
+      // the same recorded parameters (deterministic quantizer)
+      Similarity.writeIvfIndex(spark, base.unionByName(shifted), ref,
+        nLists = 2, lloydIters = 1, numBuckets = 4)
+      def cents(n: String) = spark.table(s"${n}_centroids")
+        .select($"list", $"centroid").as[(Long, Seq[Float])].collect().toSet
+      def assigned(n: String) = spark.table(n)
+        .select($"vec_id", $"__list").as[(Long, Long)].collect().toSet
+      assert(cents(t) === cents(ref), "recluster centroids diverged from fresh build")
+      assert(assigned(t) === assigned(ref), "recluster assignments diverged")
+      // baseline reset: measured against the NEW quantizer, no drift
+      val a2 = Similarity.ivfAging(spark, t, tau = 0.05)
+      assert(math.abs(a2.drift) < 1e-9 && !a2.drifted, s"stale baseline: $a2")
+      assert(!Similarity.reclusterIfDrifted(spark, t, tau = 0.05)._2,
+        "undrifted index must not rebuild")
+      // probes stay exact: exhaustive probe (nProbe = nLists) over the
+      // reclustered index equals brute force over the union
+      val queries = Seq((0L, Seq.tabulate(8)(j => if (j == 0) 1f else 0f)),
+        (1L, Seq.tabulate(8)(j => if (j == 2 || j == 3) 1f else 0f)))
+        .toDF("q_id", "q_vec")
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select($"q_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+      assert(norm(Similarity.ivfTopKIndexed(spark, queries, t, k = 5, nProbe = 2))
+        === norm(Similarity.bruteForceTopK(queries, base.unionByName(shifted), 5)),
+        "post-recluster exhaustive probe diverged from brute force")
+    } finally {
+      Similarity.dropIvfIndex(spark, t)
+      Similarity.dropIvfIndex(spark, ref)
+    }
+  }
+
+  test("L4h: an interrupted recluster swap completes at re-entry") {
+    import graft.operators.Layout
+    val base = (0L to 19L).map { i =>
+      (i, Seq.tabulate(8)(j => if (j == (i % 2).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val t = "t_ivf_age_crash"
+    Similarity.dropIvfIndex(spark, t)
+    Similarity.writeIvfIndex(spark, base, t, nLists = 2, lloydIters = 1,
+      numBuckets = 4)
+    try {
+      val before = spark.table(t)
+        .select($"vec_id", $"__list").as[(Long, Long)].collect().toSet
+      // plant the crash state "new generation committed to side tables,
+      // crashed between drop-main and rename": both side tables hold
+      // the (here: identical) new generation, the main table is gone
+      Layout.writeBucketed(spark.table(t), s"${t}__recluster", Seq("__list"), 4)
+      spark.table(s"${t}_centroids").write.format("parquet")
+        .saveAsTable(s"${t}_centroids__next")
+      Layout.dropTableAndLocation(spark, t)
+      assert(!spark.catalog.tableExists(t))
+      // re-entry completes BOTH swaps and rewrites the baseline
+      Similarity.reclusterIvfIndex(spark, t)
+      assert(spark.catalog.tableExists(t) &&
+        spark.catalog.tableExists(s"${t}_centroids"))
+      assert(!spark.catalog.tableExists(s"${t}__recluster") &&
+        !spark.catalog.tableExists(s"${t}_centroids__next"),
+        "recovery left swap halves behind")
+      assert(spark.table(t)
+        .select($"vec_id", $"__list").as[(Long, Long)].collect().toSet === before,
+        "recovery changed the index content")
+      val a = Similarity.ivfAging(spark, t, tau = 0.05)
+      assert(a.builtRows === 20L && math.abs(a.drift) < 1e-9 && !a.drifted)
+    } finally Similarity.dropIvfIndex(spark, t)
+  }
+
   test("L2h: band-history delta append is replay-idempotent, probe-visible, and compaction equals a direct append") {
     def doc(n: Int): String = (0 until 20).map(w => s"tok${n}w$w").mkString(" ")
     val table = "t_band_delta"; val ref = "t_band_delta_ref"
