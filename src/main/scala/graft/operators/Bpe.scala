@@ -157,7 +157,16 @@ object Bpe {
     val knownSymbols = scala.collection.mutable.HashSet.empty[String]
     words.select(explode(col("syms")).as("s")).distinct()
       .collect().foreach(r => knownSymbols += r.getString(0))
-    var prevPersisted: DataFrame = null
+    // Round-t's input frame is LAZILY persisted (no eager count — that
+    // would spend one full dictionary pass per round purely on
+    // materialization): the round's own pair-count job materializes it,
+    // and the frame it was derived FROM stays cached until then — so a
+    // lazy frame is released one round after it stopped being `words`.
+    // Checkpointed frames are never unpersisted (their blocks anchor
+    // the lineage of everything after them; the ContextCleaner reclaims
+    // them when the reference drops).
+    var releasable: DataFrame = null // ex-`words`, lazy, awaiting successor's materialization
+    var wordsLazy = false            // current `words` persisted lazily (vs checkpointed)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     var round = 0
@@ -173,6 +182,8 @@ object Bpe {
         .orderBy(col("freq").desc, col("l"), col("r"))
         .limit(window)
         .collect()
+      // this collect materialized `words` — its predecessor can go
+      if (releasable != null) { releasable.unpersist(false); releasable = null }
       if (top.isEmpty) exhausted = true
       else {
         val pulled = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -216,16 +227,22 @@ object Bpe {
           knownSymbols += (l + r)
         }
         val applied = applyMergesToDict(words, batch.map(b => (b._1, b._2)).toSeq)
+        // localCheckpoint (eager) every 4th round truncates lineage; in
+        // between, a LAZY persist — the next round's aggregation
+        // materializes it in the same job that consumes it
+        val cp = (round + 1) % 4 == 0
         val next =
-          if ((round + 1) % 4 == 0) applied.localCheckpoint()
-          else { applied.persist(); applied.count(); applied }
-        if (prevPersisted != null) prevPersisted.unpersist(false)
-        prevPersisted = if ((round + 1) % 4 == 0) null else next
+          if (cp) applied.localCheckpoint() // eager: reads `words` NOW
+          else { applied.persist(); applied }
+        if (cp) { if (wordsLazy) words.unpersist(false) }
+        else if (wordsLazy) releasable = words
+        wordsLazy = !cp
         words = next
         round += 1
       }
     }
-    if (prevPersisted != null) prevPersisted.unpersist(false)
+    if (releasable != null) releasable.unpersist(false)
+    if (wordsLazy) words.unpersist(false)
     (merges.toSeq, round)
   }
 
@@ -335,7 +352,19 @@ object Bpe {
     * contract `chars == tokens' total length` AND
     * `chars_count == tokens_count + merge_events` a real check and not
     * an identity). Merge list is captured in the closure — Spark
-    * broadcasts it with the task (k entries), nothing shuffles. */
+    * broadcasts it with the task (k entries), nothing shuffles.
+    *
+    * Per word, tokenization iterates MIN-RANK-FIRST: find the
+    * lowest-rank adjacent pair present (one rank-map lookup per
+    * position), apply it greedily left-to-right, repeat until no
+    * learned pair remains. Identical to applying every merge fully in
+    * rank order — a rank-r pair's components are outputs of merges
+    * ranked BELOW r (that is when the pair was learnable), so passing
+    * rank r can never create a new site for a rank < r merge — but the
+    * cost is O(applicable-ranks × length) per word instead of
+    * O(k × length): at a realistic 32k-merge vocabulary the rank-order
+    * scan would spend 32k array passes on every distinct word, the
+    * min-rank walk only touches ranks the word actually uses. */
   def applyBpe(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
     val ranked = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
     val outSchema = df.schema
@@ -344,6 +373,12 @@ object Bpe {
     val enc = RowEncoder.encoderFor(outSchema)
     val textIdx = df.schema.fieldIndex(textCol)
     df.mapPartitions { rows =>
+      // per-task rank map; built once per partition, shared by words.
+      // Boxed Integer values: a Scala-Int-valued java HashMap would
+      // silently unbox a missing key's null to rank 0
+      val rank = new java.util.HashMap[(String, String), Integer]()
+      var ri = 0
+      while (ri < ranked.length) { rank.put(ranked(ri), Integer.valueOf(ri)); ri += 1 }
       // per-partition word→tokenization cache: natural text repeats
       // words heavily, and the cache turns apply into a dictionary
       // lookup (the same reduction training uses)
@@ -358,16 +393,28 @@ object Bpe {
             if (hit == null) {
               var syms = w.toCharArray.map(_.toString)
               var e = 0L
-              ranked.foreach { case (l, mr) =>
-                if (syms.length >= 2) {
+              var more = syms.length >= 2
+              while (more) {
+                // lowest-rank pair present anywhere in the word
+                var best = Int.MaxValue
+                var i = 0
+                while (i + 1 < syms.length) {
+                  val rk = rank.get((syms(i), syms(i + 1)))
+                  if (rk != null && rk < best) best = rk
+                  i += 1
+                }
+                if (best == Int.MaxValue) more = false
+                else {
+                  val (l, mr) = ranked(best)
                   val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-                  var i = 0
+                  i = 0
                   while (i < syms.length) {
                     if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == mr) {
                       buf += l + mr; e += 1; i += 2
                     } else { buf += syms(i); i += 1 }
                   }
                   syms = buf.toArray
+                  more = syms.length >= 2
                 }
               }
               hit = (syms, e)

@@ -147,6 +147,36 @@ class BpeSpec extends SparkSpec {
     assert(rounds < 40, s"expected < 40 rounds for 64 merges, got $rounds")
   }
 
+  test("applyBpe min-rank iteration equals the full rank-order pass") {
+    // reference semantics: every merge applied fully, in rank order —
+    // the paper's (and the training rewrite's) formulation. applyBpe
+    // walks min-rank-first instead (O(used-ranks) not O(k) per word);
+    // this pins the equivalence on 300 diverse pseudo-random words.
+    val dict = zipfDict
+    val merges = Bpe.learnMerges(dict, k = 64)
+    def ref(w: String): Seq[String] = {
+      var syms = w.toCharArray.map(_.toString).toSeq
+      merges.sortBy(_.rank).foreach { m =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.left && syms(i + 1) == m.right) {
+            buf += m.left + m.right; i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        syms = buf.toSeq
+      }
+      syms
+    }
+    val rows = Bpe.applyBpe(dict.select($"word".as("content")), "content", merges)
+      .select($"content", $"bpe_tokens").collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == ref(r.getString(0)),
+        s"tokenization diverged on '${r.getString(0)}'")
+    }
+  }
+
   test("wordDict: one row per distinct word with corpus counts") {
     val docs = Seq("a b a", "b  c").toDF("content")
     val dict = Bpe.wordDict(docs, "content").collect()
