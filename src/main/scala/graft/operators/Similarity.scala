@@ -509,26 +509,38 @@ object Similarity {
       drifted: Boolean)
 
   /** Measure a persisted index's aging — the policy's READ side, safe
-    * to run any time (one bounded aggregate over the index; a
-    * production deployment would sample it). The FROZEN quantizer keeps
-    * appends cheap and deterministic, at the price that a shifting
-    * ingest distribution slowly loosens the lists: probes stay CORRECT
-    * (every vector is in exactly one list) but recall-per-nProbe decays
-    * as lists widen. Tightness-drop is the standard proxy for that
-    * decay, and unlike recall it needs no query workload to measure. */
+    * to run any time. The FROZEN quantizer keeps appends cheap and
+    * deterministic, at the price that a shifting ingest distribution
+    * slowly loosens the lists: probes stay CORRECT (every vector is in
+    * exactly one list) but recall-per-nProbe decays as lists widen.
+    * Tightness-drop is the standard proxy for that decay, and unlike
+    * recall it needs no query workload to measure.
+    *
+    * `sampleFraction` < 1 measures the mean over a seeded Bernoulli
+    * sample instead of the full index — the 100 TB read side (the mean
+    * concentrates: at any production row count the sampling error is
+    * orders below a sane τ, so pick a fraction whose sampled rows are
+    * ~1e6+ and the trigger is unaffected; the build-time baseline is
+    * exact either way). Seeded, so a re-read of an unchanged index
+    * reports the same number. */
   def ivfAging(spark: org.apache.spark.sql.SparkSession, table: String,
       tau: Double = 0.02, cVec: String = "embedding",
-      includeDelta: Boolean = true): IvfAging = {
+      includeDelta: Boolean = true, sampleFraction: Double = 1.0): IvfAging = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
     val meta = readIvfMeta(spark, table)
     val centRows = readCentroids(spark, table)
     val main = spark.table(table)
     val deltaPath = new org.apache.hadoop.fs.Path(ivfDeltaDir(spark, table))
     val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur =
+    val whole =
       if (includeDelta && fs.exists(deltaPath))
         main.unionByName(readIvfDelta(spark, table, deltaPath.toString)
           .select(main.columns.map(col): _*))
       else main
+    val cur =
+      if (sampleFraction < 1.0) whole.sample(sampleFraction, seed = 42L)
+      else whole
     val (n, mean) = listTightness(cur, cVec, centRows)
     val drift = meta.builtMeanSim - mean
     IvfAging(meta.builtMeanSim, meta.builtRows, mean, n, drift,

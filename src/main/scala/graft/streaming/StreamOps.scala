@@ -337,6 +337,16 @@ object StreamOps {
     val exactWithin = Dedup.exact(scored, "text", idCol)
     val exactNew = Dedup.exactIncrementalDelta(spark, exactWithin,
       historyTable, "text", idCol)
+      // barrier: everything below re-reads the batch several times —
+      // the within-batch LSH evaluates its input once for banded
+      // signatures and once for shingles, and the history probe then
+      // evaluates both pipelines again. Materializing the cleaned,
+      // scored, exact-deduped batch ONCE stops the native front half
+      // (strip → NFC → score → hash dedup window → history anti-join)
+      // from re-running under each of those four signature plans.
+      // Batch-sized by construction; same barrier class as the
+      // survivor checkpoint below.
+      .localCheckpoint(eager = true)
     val nearWithin = Dedup.nearDedupMinhash(exactNew, "text", idCol, threshold)
     val survivors = Dedup
       .nearDedupIncremental(spark, nearWithin, historyTable, "text", idCol,

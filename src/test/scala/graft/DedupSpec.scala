@@ -388,6 +388,12 @@ class DedupSpec extends SparkSpec {
       // baseline reset: measured against the NEW quantizer, no drift
       val a2 = Similarity.ivfAging(spark, t, tau = 0.05)
       assert(math.abs(a2.drift) < 1e-9 && !a2.drifted, s"stale baseline: $a2")
+      // sampled read side (the 100 TB path): same baseline, fewer rows
+      // measured, deterministic across re-reads of an unchanged index
+      val s1 = Similarity.ivfAging(spark, t, tau = 0.05, sampleFraction = 0.5)
+      val s2 = Similarity.ivfAging(spark, t, tau = 0.05, sampleFraction = 0.5)
+      assert(s1 == s2, "seeded sample must be deterministic")
+      assert(s1.currentRows <= 30L && s1.builtMeanSim == a2.builtMeanSim)
       assert(!Similarity.reclusterIfDrifted(spark, t, tau = 0.05)._2,
         "undrifted index must not rebuild")
       // probes stay exact: exhaustive probe (nProbe = nLists) over the
