@@ -136,7 +136,14 @@ object TextFunctions {
     val lenScore = least(length(text).cast("double") / 400.0d, lit(1.0d))
     val punctPenalty = lit(1.0d) - least(punctRatio(text) * 5.0d, lit(1.0d))
     val wordScore = when(mwl >= 3.0d && mwl <= 10.0d, lit(1.0d)).otherwise(lit(0.5d))
-    round(lenScore * 0.5d + punctPenalty * 0.3d + wordScore * 0.2d, 6)
+    // explicit NULL-in → NULL-out: `least` SKIPS null arguments
+    // (least(null, 1.0) = 1.0), so without the guard a NULL text earns
+    // the full length score and the word-score fallback — 0.6, ABOVE
+    // any gate at τ ≤ 0.6. A score must never manufacture quality out
+    // of absent text (found by the ScaleSpec intake case; the DuckDB
+    // oracles agree: their CASE arithmetic yields NULL for NULL text).
+    when(text.isNull, lit(null).cast("double"))
+      .otherwise(round(lenScore * 0.5d + punctPenalty * 0.3d + wordScore * 0.2d, 6))
   }
 
   /** Per-language stopword lists for the langId heuristic. */

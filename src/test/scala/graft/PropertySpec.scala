@@ -62,4 +62,24 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("qualityScore: NULL text scores NULL, never a passing number") {
+    // Spark's `least` SKIPS null arguments (least(null, 1.0) = 1.0), so
+    // an unguarded composite scored NULL text at 0.6 — above any gate
+    // at τ ≤ 0.6. Both the scalar and the DataFrame form must refuse to
+    // manufacture quality from absent text; empty text stays a REAL
+    // (terrible) score, not NULL.
+    val rows = Seq((1L, null: String), (2L, ""), (3L, "a solid enough sentence"))
+      .toDF("id", "t")
+    val scalar = rows.select($"id", TF.qualityScore($"t").as("q"))
+      .orderBy($"id").collect()
+    assert(scalar(0).isNullAt(1), "NULL text must score NULL (scalar form)")
+    assert(!scalar(1).isNullAt(1) && scalar(1).getDouble(1) < 0.5)
+    assert(!scalar(2).isNullAt(1))
+    val df = TF.withQuality(rows, "t").orderBy($"id").select($"quality").collect()
+    assert(df(0).isNullAt(0), "NULL text must score NULL (DataFrame form)")
+    assert(!df(1).isNullAt(0) && df(1).getDouble(0) == scalar(1).getDouble(1))
+    assert(df(2).getDouble(0) == scalar(2).getDouble(1),
+      "scalar and DataFrame forms must agree")
+  }
 }

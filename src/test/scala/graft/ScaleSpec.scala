@@ -523,6 +523,80 @@ class ScaleSpec extends SparkSpec {
       assertBalanced("ann+ivf", stages, ratio = 6.0)
     }
   }
+
+  test("scale: streaming intake batch collapses the boilerplate cluster, drops planted copies vs history, stays balanced", suiteTags: _*) {
+    withScaleConf {
+      import graft.streaming.StreamOps
+      import graft.functions.{TextFunctions => TF}
+      val table = "t_scale_intake"
+      val outDir = spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/t_scale_intake_out"
+      val outP = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Dedup.dropIntakeHistory(spark, table)
+      fs.delete(outP, true)
+      def wrap(c: org.apache.spark.sql.Column) =
+        concat(lit("""<div class="d"><p>"""), c,
+          lit("</p><script>track()</script></div>"))
+      try {
+        // ---- batch 0: the full skewed corpus (NULL stripe + the
+        // 10k-copy boilerplate cluster), as HTML ----
+        val b0 = docs.select($"doc_id", wrap($"text").as("html"))
+        // expected survivors, derived independently of the dedup
+        // machinery: one row per distinct non-NULL text passing the
+        // quality gate (strip∘wrap is identity on these texts modulo
+        // whitespace, so the gate can be restated on the raw text; the
+        // boilerplate cluster contributes exactly 1)
+        val expected0 = docs.where($"text".isNotNull)
+          .select($"text").distinct()
+          .where(TF.qualityScore(TF.normalizeText($"text")) >= 0.5)
+          .count()
+        var ran = false
+        val stages0 = probe {
+          ran = StreamOps.intakeBatch(b0, 0L, table, 8, "html", "doc_id",
+            outDir, minQuality = 0.5)
+        }
+        assert(ran)
+        assert(spark.read.parquet(s"$outDir/batch-0").count() === expected0)
+        assertBalanced("intake-b0", stages0)
+        // ---- batch 1, against the now-populated history: exact copies
+        // (must fall to the hash history), near-copies at jaccard ≈
+        // 0.97 (must fall to the band history), and genuinely new texts
+        // (reversed originals — disjoint shingles; must ALL survive) ----
+        val exactCopies = docs
+          .where($"text".isNotNull && $"doc_id" % 97 === 1 && $"doc_id" < N - 10000)
+          .select(($"doc_id" + 1000000).as("doc_id"), wrap($"text").as("html"))
+        val nearCopies = docs
+          .where($"doc_id" % 64 =!= 0 && $"doc_id" < 800 && $"doc_id" % 2 === 1)
+          .select(($"doc_id" + 2000000).as("doc_id"),
+            wrap(concat($"text", lit(" zz"))).as("html"))
+        val fresh = docs
+          .where($"text".isNotNull && $"doc_id" % 3 === 0 && $"doc_id" < N - 10000)
+          .select(($"doc_id" + 3000000).as("doc_id"),
+            wrap(reverse($"text")).as("html"))
+        val expectedFresh = docs
+          .where($"text".isNotNull && $"doc_id" % 3 === 0 && $"doc_id" < N - 10000)
+          .select(reverse($"text").as("t")).distinct()
+          .where(TF.qualityScore(TF.normalizeText($"t")) >= 0.5)
+          .count()
+        val b1 = exactCopies.unionByName(nearCopies).unionByName(fresh)
+        val stages1 = probe {
+          StreamOps.intakeBatch(b1, 1L, table, 8, "html", "doc_id",
+            outDir, minQuality = 0.5)
+        }
+        val out1 = spark.read.parquet(s"$outDir/batch-1")
+        // no planted id — exact or near — may survive the history probes
+        assert(out1.where($"doc_id" < 3000000).count() === 0L,
+          "a planted copy survived the history dedup at 12x")
+        assert(out1.count() === expectedFresh,
+          "fresh reversed texts were wrongly deduped")
+        assertBalanced("intake-b1", stages1)
+      } finally {
+        Dedup.dropIntakeHistory(spark, table)
+        fs.delete(outP, true)
+      }
+    }
+  }
 }
 
 /** Selects the heavy 50× evidence run ([[ScaleSpec50x]]). */
