@@ -638,8 +638,10 @@ object Similarity {
     * enough that ingest noise never triggers a 100 TB rewrite. */
   def reclusterIfDrifted(spark: org.apache.spark.sql.SparkSession,
       table: String, tau: Double = 0.02, cId: String = "vec_id",
-      cVec: String = "embedding"): (IvfAging, Boolean) = {
-    val aging = ivfAging(spark, table, tau, cVec)
+      cVec: String = "embedding",
+      sampleFraction: Double = 1.0): (IvfAging, Boolean) = {
+    val aging = ivfAging(spark, table, tau, cVec,
+      sampleFraction = sampleFraction)
     if (aging.drifted) reclusterIvfIndex(spark, table, cId, cVec)
     (aging, aging.drifted)
   }

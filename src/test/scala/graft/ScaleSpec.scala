@@ -262,7 +262,12 @@ class ScaleSpec extends SparkSpec {
       val hot = docs.where($"lang" === "en").select(cols: _*)
       val mid = docs.where($"lang" =!= "en" && $"doc_id" % 2 === 0).select(cols: _*)
       val low = docs.where($"lang" =!= "en" && $"doc_id" % 2 === 1).select(cols: _*)
-      val total = 150000L
+      // scale the recipe with the corpus (2.5 rows of mix per corpus
+      // row — 150k at 12×): a FIXED total would stop exercising
+      // upsampling once the corpus outgrows it (at 50× a 150k recipe
+      // needs no hot epochs at all and the >2-epoch assertion below
+      // would be vacuously false)
+      val total = N * 5L / 2
       val mix = Sampling.mixCorpora(
         Seq((hot, 60L, "hot"), (mid, 30L, "mid"), (low, 10L, "low")),
         "doc_id", totalRows = total)
@@ -540,13 +545,34 @@ class ScaleSpec extends SparkSpec {
           lit("</p><script>track()</script></div>"))
       try {
         // ---- batch 0: the full skewed corpus (NULL stripe + the
-        // 10k-copy boilerplate cluster), as HTML ----
+        // 10k-copy boilerplate cluster) PLUS planted within-batch
+        // near-copies, as HTML. The plant is not only coverage (the
+        // within-batch LSH leg must fire at this scale): a batch with
+        // ZERO duplicates lets AQE's empty-relation propagation
+        // eliminate the anti-joins and serve the result through a
+        // locality-packed `AQEShuffleRead local` (3 reducers per task,
+        // the rest empty) — a degenerate-input artifact the balance
+        // contract would misread as a straggler ----
+        val withins = docs
+          .where($"doc_id" % 64 =!= 0 && $"doc_id" < 800 && $"doc_id" % 2 === 1)
+          .select(($"doc_id" + 500000).as("doc_id"),
+            wrap(concat($"text", lit(" zz"))).as("html"))
+        // a foreachBatch sink receives its micro-batch MATERIALIZED by
+        // the source; constructing one from filtered scans of a cached
+        // fixture is test scaffolding, so it materializes OUTSIDE the
+        // probe — otherwise every history-building job re-executes the
+        // lopsided union scan and the probe measures the scaffolding
         val b0 = docs.select($"doc_id", wrap($"text").as("html"))
-        // expected survivors, derived independently of the dedup
-        // machinery: one row per distinct non-NULL text passing the
-        // quality gate (strip∘wrap is identity on these texts modulo
-        // whitespace, so the gate can be restated on the raw text; the
-        // boilerplate cluster contributes exactly 1)
+          .unionByName(withins)
+          .repartition(16).localCheckpoint(eager = true)
+        val nWithins = withins.count()
+        // expected ORIGINAL survivors, derived independently of the
+        // dedup machinery: one row per distinct non-NULL text passing
+        // the quality gate (strip∘wrap is identity on these texts
+        // modulo whitespace, so the gate can be restated on the raw
+        // text; the boilerplate cluster contributes exactly 1).
+        // Originals are never the dropped side of a planted pair (the
+        // copy carries the larger id).
         val expected0 = docs.where($"text".isNotNull)
           .select($"text").distinct()
           .where(TF.qualityScore(TF.normalizeText($"text")) >= 0.5)
@@ -557,7 +583,13 @@ class ScaleSpec extends SparkSpec {
             outDir, minQuality = 0.5)
         }
         assert(ran)
-        assert(spark.read.parquet(s"$outDir/batch-0").count() === expected0)
+        val out0 = spark.read.parquet(s"$outDir/batch-0")
+        assert(out0.where($"doc_id" < 500000).count() === expected0)
+        // within-batch LSH recall at production banding: ≥99% of the
+        // planted copies dropped (the l02d uncapped oracle owns total
+        // recall; this is the capped path at scale)
+        assert(out0.where($"doc_id" >= 500000).count() <= nWithins / 100,
+          "within-batch planted near-copies survived intake")
         assertBalanced("intake-b0", stages0)
         // ---- batch 1, against the now-populated history: exact copies
         // (must fall to the hash history), near-copies at jaccard ≈
@@ -580,15 +612,21 @@ class ScaleSpec extends SparkSpec {
           .where(TF.qualityScore(TF.normalizeText($"t")) >= 0.5)
           .count()
         val b1 = exactCopies.unionByName(nearCopies).unionByName(fresh)
+          .repartition(16).localCheckpoint(eager = true) // same rationale as b0
         val stages1 = probe {
           StreamOps.intakeBatch(b1, 1L, table, 8, "html", "doc_id",
             outDir, minQuality = 0.5)
         }
         val out1 = spark.read.parquet(s"$outDir/batch-1")
-        // no planted id — exact or near — may survive the history probes
-        assert(out1.where($"doc_id" < 3000000).count() === 0L,
-          "a planted copy survived the history dedup at 12x")
-        assert(out1.count() === expectedFresh,
+        // exact copies can never survive (hash equality is exact)
+        assert(out1.where($"doc_id" >= 1000000 && $"doc_id" < 2000000).count() === 0L,
+          "a planted EXACT copy survived the hash history at scale")
+        // near copies: same ≥99% banding-recall bound as batch 0 (a
+        // banded miss is deterministic per pair, so it would repeat here)
+        val nearSurvived = out1.where($"doc_id" >= 2000000 && $"doc_id" < 3000000).count()
+        assert(nearSurvived <= nWithins / 100,
+          s"$nearSurvived planted near-copies survived the band history")
+        assert(out1.where($"doc_id" >= 3000000).count() === expectedFresh,
           "fresh reversed texts were wrongly deduped")
         assertBalanced("intake-b1", stages1)
       } finally {
