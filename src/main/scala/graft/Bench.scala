@@ -64,6 +64,16 @@ object Bench {
     val controlNames = Seq("p01_project", "a01_groupby", "w03_running")
     val controlBaselineSec =
       sys.env.get("SPARK_GRAFT_CONTROL_BASELINE").map(_.toDouble).getOrElse(3.457)
+    // one untimed warmup pass before the controls: the canonical
+    // denominators were recorded mid-sweep in a hot JVM, so a control
+    // measured as the very first query of a cold JVM carries JIT/
+    // classload warmup in its median and biases control_ratio ~15-25%
+    // HIGH on every run (observed: first-up p01 medians 2.0-2.4 s vs
+    // 1.75-1.8 s once warm on a quiet box)
+    controlNames.headOption.flatMap(SparkEntry.queries.get).foreach { fn =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     val controls = controlNames.flatMap { n =>
       SparkEntry.queries.get(n).map(fn => n -> measure("__control_" + n, fn))
     }
