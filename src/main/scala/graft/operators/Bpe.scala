@@ -187,41 +187,9 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         val pulled = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        // ordered walk: accept the clean conflict-free prefix (the
-        // lex-tie argument needs every non-accepted pair to FOLLOW
-        // every accepted one in the total order, so the walk must stop
-        // at the first violation — skipping it and continuing would
-        // leave a partially-decayed conflict ranked between members)
-        val used = scala.collection.mutable.HashSet.empty[String]
-        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        var violated = false
-        val wanted = math.min(maxBatch, k - merges.length)
-        val it = pulled.iterator
-        while (!violated && accepted.length < wanted && it.hasNext) {
-          val (l, r, f) = it.next()
-          val s = l + r
-          if (used(l) || used(r) || used(s) || knownSymbols(s)) violated = true
-          else { accepted += ((l, r, f)); used += l; used += r; used += s }
-        }
-        // hazard bound H (scaladoc proof): the max count a pair spelled
-        // with an accepted merge's output can GROW to = max original
-        // count of the feeding shapes — accepted-left on the right or
-        // accepted-right on the left — over the non-accepted pulled
-        // pairs, plus the window tail for pairs never pulled. A full
-        // violation-free table pull leaves H = 0: no feeder exists.
-        val lefts = accepted.map(_._1).toSet
-        val rights = accepted.map(_._2).toSet
-        var h = if (top.length == window) pulled.last._3 else 0L
-        var j = accepted.length // first non-accepted index (cap or violator)
-        while (j < pulled.length) {
-          val (a, b, f) = pulled(j)
-          if (f <= h) j = pulled.length // desc order: no later pair can raise H
-          else { if (rights(a) || lefts(b)) h = f; j += 1 }
-        }
-        val batch = {
-          val strict = accepted.takeWhile(_._3 > h)
-          if (strict.nonEmpty) strict else accepted.take(1)
-        }
+        val batch = selectBatch(pulled,
+          math.min(maxBatch, k - merges.length), knownSymbols,
+          windowFull = top.length == window)
         batch.foreach { case (l, r, f) =>
           merges += Merge(merges.length, l, r, f)
           knownSymbols += (l + r)
@@ -244,6 +212,58 @@ object Bpe {
     if (releasable != null) releasable.unpersist(false)
     if (wordsLazy) words.unpersist(false)
     (merges.toSeq, round)
+  }
+
+  /** Select the proven-exact merge batch from one window pull. Pure and
+    * driver-side — extracted from the training loop so the collision
+    * paths are unit-testable without engineering a triggering corpus.
+    *
+    * Ordered walk first: accept the clean conflict-free prefix (the
+    * lex-tie argument needs every non-accepted pair to FOLLOW every
+    * accepted one in the total order, so the walk must stop at the
+    * first violation — skipping it and continuing would leave a
+    * partially-decayed conflict ranked between members). Then the
+    * hazard bound H (scaladoc proof on [[learnMergesCounted]]): the max
+    * count a pair spelled with an accepted merge's output can GROW to =
+    * max original count of the feeding shapes — accepted-left on the
+    * right or accepted-right on the left — over the non-accepted pulled
+    * pairs, plus the window tail for pairs never pulled. A full
+    * violation-free table pull leaves H = 0: no feeder exists.
+    *
+    * NEVER empty for a non-empty pull: when even the FIRST pulled
+    * pair's output already spells a known symbol (a double-creator,
+    * e.g. ("ab","c") after ("a","bc") both make "abc"), the walk
+    * rejects it, `accepted` is empty, and an empty batch would spin
+    * the training loop forever. Serial has no knownSymbols guard and
+    * simply learns that pair, so it is forced through as a singleton:
+    * a 1-merge batch IS one serial round verbatim — progress and bit
+    * parity both hold. */
+  private[graft] def selectBatch(pulled: Array[(String, String, Long)],
+      wanted: Int, knownSymbols: String => Boolean,
+      windowFull: Boolean): collection.Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var violated = false
+    val it = pulled.iterator
+    while (!violated && accepted.length < wanted && it.hasNext) {
+      val (l, r, f) = it.next()
+      val s = l + r
+      if (used(l) || used(r) || used(s) || knownSymbols(s)) violated = true
+      else { accepted += ((l, r, f)); used += l; used += r; used += s }
+    }
+    val lefts = accepted.map(_._1).toSet
+    val rights = accepted.map(_._2).toSet
+    var h = if (windowFull) pulled.last._3 else 0L
+    var j = accepted.length // first non-accepted index (cap or violator)
+    while (j < pulled.length) {
+      val (a, b, f) = pulled(j)
+      if (f <= h) j = pulled.length // desc order: no later pair can raise H
+      else { if (rights(a) || lefts(b)) h = f; j += 1 }
+    }
+    val strict = accepted.takeWhile(_._3 > h)
+    if (strict.nonEmpty) strict
+    else if (accepted.nonEmpty) accepted.take(1)
+    else scala.collection.mutable.ArrayBuffer(pulled.head) // forced serial round
   }
 
   /** One batched dictionary rewrite: apply `batch` merges in rank order
@@ -364,8 +384,20 @@ object Bpe {
     * cost is O(applicable-ranks × length) per word instead of
     * O(k × length): at a realistic 32k-merge vocabulary the rank-order
     * scan would spend 32k array passes on every distinct word, the
-    * min-rank walk only touches ranks the word actually uses. */
+    * min-rank walk only touches ranks the word actually uses.
+    *
+    * PRECONDITION (validated, fails loudly): no merge's output string
+    * may spell a component of a LOWER-ranked merge — otherwise passing
+    * rank q creates a fresh site for rank p < q and min-rank-first
+    * re-fires p where the rank-order reference pass would not.
+    * [[learnMerges]]' rule (c) enforces this within a batch and its
+    * knownSymbols guard across batches (the forced-singleton collision
+    * path and [[learnMergesSerial]] can emit a duplicate OUTPUT, which
+    * is still safe — only output-equals-earlier-component diverges);
+    * arbitrary persisted tables ([[applyBpeFromTable]]) get no such
+    * guarantee, hence the check here at every entry point. */
   def applyBpe(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    validateMinRankSafe(merges)
     val ranked = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
     val outSchema = df.schema
       .add(StructField("bpe_tokens", ArrayType(StringType)))
@@ -427,6 +459,33 @@ object Bpe {
         Row.fromSeq(r.toSeq :+ out.toSeq :+ events)
       }
     }(enc)
+  }
+
+  /** The unique-creator precondition behind [[applyBpe]]'s
+    * min-rank-first equivalence proof: walking merges in ascending
+    * rank, a merge whose output string equals a component (left or
+    * right) of a STRICTLY lower rank is rejected — applying the later
+    * merge would manufacture a new adjacency for the earlier pair,
+    * letting min-rank re-fire it at a site the rank-order pass never
+    * sees. O(k) driver-side; duplicate outputs and output==later
+    * component are both fine (they cannot create back-edges). */
+  private[graft] def validateMinRankSafe(merges: Seq[Merge]): Unit = {
+    val compFirstRank = new java.util.HashMap[String, Integer]()
+    merges.sortBy(_.rank).foreach { m =>
+      val out = m.left + m.right
+      val hit = compFirstRank.get(out)
+      if (hit != null && hit < m.rank)
+        throw new IllegalArgumentException(
+          s"BPE vocab violates the min-rank-first precondition: merge " +
+          s"rank ${m.rank} output '$out' spells a component of merge " +
+          s"rank $hit — applying it would create new sites for the " +
+          s"earlier pair, diverging from rank-order apply semantics. " +
+          s"Retrain with learnMerges or apply with a rank-order pass.")
+      if (!compFirstRank.containsKey(m.left))
+        compFirstRank.put(m.left, Integer.valueOf(m.rank))
+      if (!compFirstRank.containsKey(m.right))
+        compFirstRank.put(m.right, Integer.valueOf(m.rank))
+    }
   }
 
   /** Merge table as a DataFrame — the registry/rows-only surface. */

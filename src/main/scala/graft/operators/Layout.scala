@@ -197,7 +197,13 @@ object Layout {
     val fs = deltaPath.getFileSystem(hconf)
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
       // crashed between drop-old and rename: tmp (which contains the
-      // folded delta — the commit record proves it) holds the ONLY copy
+      // folded delta — the commit record proves it) holds the ONLY copy.
+      // The drop itself is two steps (DROP TABLE, then location delete);
+      // a crash between them leaves the old main's directory on disk
+      // with no catalog entry, which would wedge the RENAME below —
+      // dropTableAndLocation re-resolves the managed path for a missing
+      // entry and clears exactly that stale directory first.
+      dropTableAndLocation(spark, table)
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
       fs.delete(foldedPath, true)
       return

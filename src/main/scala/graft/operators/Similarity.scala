@@ -584,10 +584,26 @@ object Similarity {
     val nextT = centT + "__next"
     val cat = spark.catalog
     // ---- re-entry: finish an interrupted swap (decidable states) ----
+    if (!cat.tableExists(table) && cat.tableExists(table + "__compact")) {
+      // crashed inside the compactIvfDelta call below (main dropped,
+      // `__compact` holding the only copy — the fold's commit rename
+      // happens before its drop, so a catalog-registered __compact with
+      // main missing is always the complete folded generation): the
+      // fold protocol's own re-entry renames it back. Delegate before
+      // deciding our own swap states.
+      compactIvfDelta(spark, table)
+    }
     if (!cat.tableExists(table)) {
       // crashed between drop-main and rename: tmp holds the only copy
       require(cat.tableExists(tmp),
-        s"recluster recovery: neither $table nor $tmp exists")
+        s"recluster recovery: none of $table, ${table}__compact, $tmp exists")
+      // the drop that preceded the crash is itself two steps (DROP
+      // TABLE, then location delete) — a crash between them leaves the
+      // old main's warehouse directory on disk with no catalog entry,
+      // and RENAME would wedge moving the managed location onto it.
+      // dropTableAndLocation re-resolves the managed path for a
+      // missing entry, so this clears exactly that stale directory.
+      Layout.dropTableAndLocation(spark, table)
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     }
     if (!cat.tableExists(tmp) && cat.tableExists(nextT)) {

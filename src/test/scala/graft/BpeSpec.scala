@@ -177,6 +177,48 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("selectBatch: never empty — a first-pair knownSymbols collision is forced through as the serial singleton") {
+    // the r10 ADVICE hang: top pulled pair's output already a known
+    // symbol (double-creator class) → the walk rejects position 0,
+    // accepted is empty, and an empty batch would spin the training
+    // loop forever. The forced singleton IS the serial round.
+    val pulled = Array(("ab", "c", 10L), ("x", "y", 9L), ("p", "q", 8L))
+    val batch = Bpe.selectBatch(pulled, wanted = 8,
+      knownSymbols = Set("abc"), windowFull = false)
+    assert(batch == Seq(("ab", "c", 10L)))
+    // sanity on the normal path: no collision → clean prefix accepted
+    val clean = Bpe.selectBatch(pulled, wanted = 8,
+      knownSymbols = Set.empty[String], windowFull = false)
+    assert(clean == pulled.toSeq)
+  }
+
+  test("selectBatch: hazard bound can strip the whole accepted prefix — still emits the serial singleton") {
+    // accepted = [(a,b,5)]; violator (b,z,5) feeds a hazard with the
+    // same count, so H=5 and the strict prefix (freq > H) is empty —
+    // accepted.take(1) must carry the round, not an empty batch
+    val pulled = Array(("a", "b", 5L), ("b", "z", 5L))
+    val batch = Bpe.selectBatch(pulled, wanted = 8,
+      knownSymbols = Set.empty[String], windowFull = false)
+    assert(batch == Seq(("a", "b", 5L)))
+  }
+
+  test("validateMinRankSafe: rejects a vocab whose later output spells an earlier component") {
+    import graft.operators.Bpe.Merge
+    // rank 0 uses component "bc"; rank 2 output "bc" would create new
+    // rank-0 sites after the fact → min-rank-first diverges → loud fail
+    val bad = Seq(Merge(0, "a", "bc", 9L), Merge(1, "x", "y", 8L),
+      Merge(2, "b", "c", 7L))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.applyBpe(Seq((1L, "abc")).toDF("id", "content"), "content", bad)
+    }
+    assert(e.getMessage.contains("min-rank-first"))
+    // duplicate OUTPUTS are fine (the forced-singleton/serial class):
+    // ("a","bc") and ("ab","c") both spell "abc" — no back-edge
+    val dup = Seq(Merge(0, "b", "c", 9L), Merge(1, "a", "bc", 8L),
+      Merge(2, "a", "b", 7L), Merge(3, "ab", "c", 6L))
+    Bpe.validateMinRankSafe(dup) // must not throw
+  }
+
   test("wordDict: one row per distinct word with corpus counts") {
     val docs = Seq("a b a", "b  c").toDF("content")
     val dict = Bpe.wordDict(docs, "content").collect()

@@ -432,6 +432,15 @@ class DedupSpec extends SparkSpec {
         .saveAsTable(s"${t}_centroids__next")
       Layout.dropTableAndLocation(spark, t)
       assert(!spark.catalog.tableExists(t))
+      // harden the crash: the old main's directory survived the drop
+      // (the two-step drop window) — recovery must clear it, or the
+      // RENAME wedges moving the managed location onto it
+      val fsH = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val staleH = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), t)
+      fsH.mkdirs(staleH)
+      fsH.create(new org.apache.hadoop.fs.Path(staleH, "stale-orphan"), true).close()
       // re-entry completes BOTH swaps and rewrites the baseline
       Similarity.reclusterIvfIndex(spark, t)
       assert(spark.catalog.tableExists(t) &&
@@ -445,6 +454,51 @@ class DedupSpec extends SparkSpec {
       val a = Similarity.ivfAging(spark, t, tau = 0.05)
       assert(a.builtRows === 20L && math.abs(a.drift) < 1e-9 && !a.drifted)
     } finally Similarity.dropIvfIndex(spark, t)
+  }
+
+  test("L4h: recluster re-entry recovers a crash inside its own compaction (__compact holds the only copy)") {
+    import graft.operators.Layout
+    val base = (0L to 19L).map { i =>
+      (i, Seq.tabulate(8)(j => if (j == (i % 2).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val delta = (20L to 24L).map { i =>
+      (i, Seq.tabulate(8)(j => if (j == (i % 2).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val t = "t_ivf_age_cmp_crash"
+    val tmp = t + "__compact"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Similarity.dropIvfIndex(spark, t)
+    Layout.dropTableAndLocation(spark, tmp)
+    Similarity.writeIvfIndex(spark, base, t, nLists = 2, lloydIters = 1,
+      numBuckets = 4)
+    try {
+      Similarity.appendToIvfDelta(spark, delta, t, batchId = 0)
+      val deltaP = new org.apache.hadoop.fs.Path(Similarity.ivfDeltaDir(spark, t))
+      // plant the fold's own state C inside a recluster: tmp fully
+      // written, commit record renamed, main dropped — the r10 code
+      // hit the misleading "neither exists" require here; the fix
+      // delegates to the fold protocol's re-entry first
+      val cols = spark.table(t).columns.map(org.apache.spark.sql.functions.col)
+      Layout.writeBucketed(
+        spark.table(t).unionByName(
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(deltaP.toString).select(cols: _*)),
+        tmp, Seq("__list"), 4, onePassPerBucket = true)
+      fs.rename(deltaP, new org.apache.hadoop.fs.Path(deltaP.toString + "__folded"))
+      Layout.dropTableAndLocation(spark, t)
+      assert(!spark.catalog.tableExists(t) && spark.catalog.tableExists(tmp))
+      Similarity.reclusterIvfIndex(spark, t)
+      assert(spark.catalog.tableExists(t) && !spark.catalog.tableExists(tmp) &&
+        !spark.catalog.tableExists(s"${t}__recluster") &&
+        !spark.catalog.tableExists(s"${t}_centroids__next"),
+        "recovery left swap halves behind")
+      assert(spark.table(t).select($"vec_id").as[Long].collect().toSet
+        === (0L to 24L).toSet, "recovered index lost or duplicated rows")
+    } finally {
+      Layout.dropTableAndLocation(spark, tmp)
+      Similarity.dropIvfIndex(spark, t)
+    }
   }
 
   test("L2h: band-history delta append is replay-idempotent, probe-visible, and compaction equals a direct append") {
@@ -728,6 +782,26 @@ class DedupSpec extends SparkSpec {
       assert(spark.table(table).select($"vec_id").distinct().count()
         === expected + late.count(), "state E: duplicated vectors")
       assert(!fs.exists(deltaP) && !fs.exists(foldedP), "state E: leftover state")
+      // state F: the old main's warehouse directory SURVIVED the drop
+      // (dropTableAndLocation is two steps — DROP TABLE, then location
+      // delete — and a durable-metastore DROP can also fail its FS
+      // delete); recovery must clear the stale directory before the
+      // RENAME or the catalog move wedges onto it
+      freshIndexWithDelta()
+      mergedToTmp()
+      fs.rename(deltaP, foldedP)
+      Layout.dropTableAndLocation(spark, table)
+      val staleLoc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+        table)
+      fs.mkdirs(staleLoc)
+      fs.create(new org.apache.hadoop.fs.Path(staleLoc, "stale-orphan"), true).close()
+      Similarity.compactIvfDelta(spark, table)
+      checkFinal("state F (stale main dir)")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location.getPath,
+        "stale-orphan")), "state F: stale orphan file survived into the new main")
     } finally {
       fs.delete(deltaP, true); fs.delete(foldedP, true)
       Layout.dropTableAndLocation(spark, tmp)
