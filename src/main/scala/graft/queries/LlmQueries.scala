@@ -522,6 +522,54 @@ object LlmQueries {
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
     }, Some("""SELECT 0 AS missed_delta, 0 AS missed_compacted, COUNT(*) AS n_planted FROM embeddings WHERE vec_id < 5""")),
 
+    // ---- L4h: IVF AGING lifecycle as a recall contract — the r10
+    // measured-drift policy (ivfAging → reclusterIfDrifted) certified
+    // end-to-end in the registry, not just in spec: build on two thirds
+    // of the corpus, ingest the held-out third NEGATED (an orthant flip
+    // scores far below the build-time tightness baseline against every
+    // old centroid) plus planted exact copies of five drifted queries,
+    // and let the MEASURED policy decide. The oracle pins all four
+    // facts: the drift triggered a recluster (reclustered=1), every
+    // planted copy is found by the indexed probe against the RETRAINED
+    // quantizer (missed_planted=0 — the recall leg), and the baseline
+    // was reset by the rebuild so an immediate re-check does NOT
+    // trigger again (re_reclustered=0 — the no-flapping leg). ----
+    ("l04h_recluster_recall", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") % 3 =!= 2)
+      val drift = emb.where(col("vec_id") % 3 === 2)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+      val queries = drift.where(col("vec_id") < 15)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val plantedVecs = queries
+        .select((col("q_id") + 500000).as("vec_id"), col("q_vec").as("embedding"))
+      val t = "l04h_ivf"
+      Similarity.dropIvfIndex(s, t) // cross-session idempotence
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Similarity.writeIvfIndex(s, base, t, nLists = 16, lloydIters = 1)
+      fs.delete(new org.apache.hadoop.fs.Path(Similarity.ivfDeltaDir(s, t)), true)
+      Similarity.appendToIvfDelta(s, drift.unionByName(plantedVecs), t, batchId = 0)
+      // tau 0.01: the negated third measures a deterministic drift of
+      // ~0.015-0.03 against these near-uniform synthetic embeddings
+      // (built tightness only ~0.27 at sf0.1 — there is little cluster
+      // structure to lose), while the post-recluster baseline reads
+      // exactly 0 — both legs keep deterministic margin at every SF
+      val (_, ran1) = Similarity.reclusterIfDrifted(s, t, tau = 0.01)
+      val top = Similarity.ivfTopKIndexed(s, queries, t, k = 10, nProbe = 4)
+      val planted = queries.select(col("q_id"), (col("q_id") + 500000).as("vec_id"))
+      // materialized before the second policy check: were it to rebuild
+      // (it must not), the lazy probe would re-plan over swapped storage
+      val missed = planted
+        .join(top.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+        .localCheckpoint(eager = true)
+      val (_, ran2) = Similarity.reclusterIfDrifted(s, t, tau = 0.01)
+      missed
+        .select(lit(if (ran1) 1 else 0).as("reclustered"), col("missed_planted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+        .withColumn("re_reclustered", lit(if (ran2) 1 else 0))
+    }, Some("""SELECT 1 AS reclustered, 0 AS missed_planted, COUNT(*) AS n_planted, 0 AS re_reclustered FROM embeddings WHERE vec_id % 3 = 2 AND vec_id < 15""")),
+
     // ---- L4g probe-only: the delta-visibility recall contract against
     // a PRE-BUILT index + UN-compacted delta — the steady state between
     // compactions: centroid load, bucket-pruned main scan, the small
@@ -820,6 +868,67 @@ object LlmQueries {
         .reduce(_ unionByName _)
         .orderBy(col("doc_id"))
     }, Some("""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'tiny low quality' ELSE array_to_string(list_transform(generate_series(0, 39), i -> 'tok' || doc_id || 'word' || i), ' ') END AS clean, CAST(doc_id % 3 AS INT) AS batch FROM documents), tok AS (SELECT doc_id, batch, clean, list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0) ts FROM t), m AS (SELECT doc_id, batch, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM tok), q AS (SELECT doc_id, batch, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m) SELECT doc_id, batch, quality FROM q WHERE quality >= 0.75 ORDER BY doc_id""")),
+
+    // ---- L23b: STEADY-STATE intake probe — the composed hot path
+    // priced on its own (the l02h/l04e probe-row pattern): l23 is
+    // lifecycle-by-design (three history builds + a mid-stream
+    // compaction per rep), so a regression in the COMPOSITION — e.g. a
+    // lost localCheckpoint barrier re-introducing the 4x signature
+    // re-evaluation — would hide inside its rebuild noise. Here the
+    // hash+band+shingle history is seeded once per session and folded
+    // to its steady state, and each rep replays ONE micro-batch
+    // against the populated history with the pointer rolled back — the
+    // exact crash-replay path, which the exactly-once contract pins to
+    // an identical survivor set. Survivors = quality-passing fresh
+    // docs; planted exact copies of seeded docs die on the hash
+    // history, planted near copies on the band history — DuckDB
+    // restates the outcome from the deterministic synthesized texts. ----
+    ("l23b_intake_probe", (s, d) => {
+      import graft.streaming.StreamOps
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val clean = when(col("doc_id") % 11 === 0, lit("tiny low quality"))
+        .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+          i => concat(lit("tok"), col("doc_id").cast("string"),
+            lit("word"), i.cast("string"))), " "))
+      val docs = ids.select(col("doc_id"), clean.as("__clean"))
+      def wrap(c: org.apache.spark.sql.Column) = concat(lit("<p class=\"x\">"), c,
+        lit("</p><script>var j = \"<q>\";</script>"))
+      val table = s"l23bp_hist_${sfTag(d)}"
+      val outDir = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + s"/l23bp_out_${sfTag(d)}"
+      val outP = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // all three history tables gated (crash between creates — the
+      // l02h rationale); seed = two-thirds of the corpus, then fold so
+      // the probe runs against the steady-state bucketed main tables
+      if (!s.catalog.tableExists(table) ||
+          !s.catalog.tableExists(s"${table}_sh") ||
+          !s.catalog.tableExists(s"${table}_xh")) {
+        Dedup.dropIntakeHistory(s, table) // orphaned dirs from a prior session
+        fs.delete(outP, true)
+        StreamOps.intakeBatch(docs.where(col("doc_id") % 3 =!= 1)
+            .select(col("doc_id"), wrap(col("__clean")).as("html")),
+          0L, table, 8, "html", "doc_id", outDir)
+        Dedup.compactIntakeDelta(s, table)
+      }
+      // roll the pointer back so every rep replays batch 1 for real
+      // (overwrite-own-dir appends keep the history idempotent)
+      fs.delete(new org.apache.hadoop.fs.Path(outP, "_LATEST"), false)
+      val b1 = docs.where(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), wrap(col("__clean")).as("html"))
+        .unionByName(docs // exact copies of seeded docs → hash-history drop
+          .where(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            wrap(col("__clean")).as("html")))
+        .unionByName(docs // near copies of seeded docs → band-history drop
+          .where(col("doc_id") % 3 === 0 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            wrap(concat(col("__clean"), lit(" zzextra"))).as("html")))
+      StreamOps.intakeBatch(b1, 1L, table, 8, "html", "doc_id", outDir)
+      s.read.parquet(s"$outDir/batch-1")
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'tiny low quality' ELSE array_to_string(list_transform(generate_series(0, 39), i -> 'tok' || doc_id || 'word' || i), ' ') END AS clean FROM documents WHERE doc_id % 3 = 1), tok AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0) ts FROM t), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM tok), q AS (SELECT doc_id, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m) SELECT doc_id, quality FROM q WHERE quality >= 0.75 ORDER BY doc_id""")),
 
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a

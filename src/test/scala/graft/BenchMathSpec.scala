@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Bench noise-disclosure arithmetic (r10 VERDICT ask #1): the
+  * mid-sweep control blind spot is closed by bracketing controls plus
+  * per-family micro ratios — this pins the pure math those fields are
+  * computed with, including a synthetic-load scenario. */
+class BenchMathSpec extends AnyFunSuite {
+
+  test("median: true median on odd and even rep counts") {
+    assert(BenchMath.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    // even N averages the middle pair — the lower-middle pick would
+    // bias even-rep runs fast vs an odd-N baseline
+    assert(BenchMath.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
+    assert(BenchMath.median(Seq(7.5)) === 7.5)
+    intercept[IllegalArgumentException](BenchMath.median(Seq.empty))
+  }
+
+  test("familyOf: letter prefix + ordinal groups variant clusters") {
+    assert(BenchMath.familyOf("l02h_probe_near_dedup") === "l02")
+    assert(BenchMath.familyOf("l02d_minhash_planted_recall") === "l02")
+    assert(BenchMath.familyOf("l04e_probe_indexed_topk") === "l04")
+    assert(BenchMath.familyOf("q01_flagship") === "q01")
+    assert(BenchMath.familyOf("w03_running") === "w03")
+    assert(BenchMath.familyOf("a01_groupby") !== BenchMath.familyOf("a02_global"))
+  }
+
+  test("ratio: degenerate denominators and readings report 0.0, never Inf/NaN") {
+    assert(BenchMath.ratio(2.0, 0.0) === 0.0)
+    assert(BenchMath.ratio(0.0, 2.0) === 0.0)
+    assert(BenchMath.ratio(-1.0, 2.0) === 0.0)
+    assert(BenchMath.ratio(3.0, 2.0) === 1.5)
+  }
+
+  test("synthetic load: a mid-sweep episode elevates exactly the covered families") {
+    // quiet box baseline 0.1 s; co-tenant lands during families l13/l14
+    // (3x micro), then clears — the l13b-class spike row is covered by
+    // its own family's ratio while the bracketing start/end controls
+    // could both read quiet
+    val microBase = 0.1
+    val familyMicro = Seq(
+      "a01" -> 0.10, "l02" -> 0.11, "l13" -> 0.30, "l14" -> 0.33,
+      "l15" -> 0.10, "w03" -> 0.09)
+    val ratios = BenchMath.familyRatios(familyMicro, microBase).toMap
+    assert(math.abs(ratios("a01") - 1.0) < 1e-9)
+    assert(math.abs(ratios("l13") - 3.0) < 1e-9)
+    assert(math.abs(ratios("l14") - 3.3) < 1e-9)
+    assert(math.abs(ratios("l15") - 1.0) < 1e-9)
+    // the episode is disclosed: covered families > 2x, quiet ones ~1x
+    assert(ratios.filter(_._2 > 2.0).keySet === Set("l13", "l14"))
+  }
+
+  test("calibratedBase: a loaded/under-warmed start median cannot mask a real episode") {
+    // start median read 0.2 (JIT still warming) but the quiet sweep
+    // micros read 0.07 — dividing by 0.2 would report a real 3x episode
+    // (0.21) as ~1.0; the min re-bases so it reads 3.0
+    val obs = Seq(0.08, 0.07, 0.21, 0.07, 0.09)
+    val base = BenchMath.calibratedBase(0.2, obs)
+    assert(base === 0.07)
+    assert(math.abs(BenchMath.ratio(0.21, base) - 3.0) < 1e-9)
+    // zero (failed) readings are excluded, not adopted as a base
+    assert(BenchMath.calibratedBase(0.0, Seq(0.0, 0.1)) === 0.1)
+    assert(BenchMath.calibratedBase(0.0, Seq(0.0)) === 0.0)
+  }
+}
