@@ -820,13 +820,17 @@ object Dedup {
 
   /** Hamming distance between two packed BIGINT signatures, windowed to
     * the low `bits` (popcount of masked XOR — one codegen'd kernel, not
-    * a 32-term shift chain). Same `bits <= 63` contract as [[simhash]]:
-    * a silent Long.MaxValue mask at bits=64 would drop sign-bit diffs. */
+    * a 32-term shift chain). Unlike [[simhash]] (the PACKER, whose
+    * vote-sum arithmetic caps it at 63), the distance itself is safe at
+    * the full 64: the mask is all-ones and popcount of the raw XOR
+    * counts the sign bit like any other — which is what full-width
+    * signatures packed elsewhere (e.g. the image dHash) need. */
   def hamming(a: Column, b: Column, bits: Int = 32): Column = {
-    // same [1, 63] window as simhash: bits <= 0 masks everything away and
-    // reports distance 0 for ANY pair
-    require(bits >= 1 && bits <= 63, "bits must be in [1, 63] (packed BIGINT)")
-    val mask = if (bits == 63) Long.MaxValue else (1L << bits) - 1L
+    // bits <= 0 masks everything away and reports distance 0 for ANY pair
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64] (packed BIGINT)")
+    val mask = if (bits == 64) -1L
+      else if (bits == 63) Long.MaxValue
+      else (1L << bits) - 1L
     bit_count(a.bitwiseXOR(b).bitwiseAND(lit(mask)))
   }
 

@@ -1075,6 +1075,113 @@ object Multimodal {
     }(enc)
   }
 
+  /** First-frame grayscale raster of any decodable image payload,
+    * values scaled to 0-255: the shared luma front half of the
+    * perceptual-hash path. BT.601 integer luma (299r+587g+114b)/1000
+    * for color rasters, channel passthrough for gray; PPM values are
+    * rescaled from the header's maxVal. Returns None (never garbage)
+    * for undecodable/non-image payloads — audio/video containers fall
+    * through exactly like [[contentFeatures]]' quarantine path. */
+  private[graft] def grayRaster(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def lumaRgb(w: Int, h: Int, px: Array[Byte], stride: Int, scale: Float) = {
+      val g = new Array[Float](w * h)
+      var p = 0
+      while (p < g.length) {
+        val o = p * stride
+        g(p) = ((px(o) & 0xff) * 299 + (px(o + 1) & 0xff) * 587 +
+          (px(o + 2) & 0xff) * 114) / 1000f * scale
+        p += 1
+      }
+      g
+    }
+    def lumaGray(w: Int, h: Int, px: Array[Byte], stride: Int) = {
+      val g = new Array[Float](w * h)
+      var p = 0
+      while (p < g.length) { g(p) = (px(p * stride) & 0xff).toFloat; p += 1 }
+      g
+    }
+    decodePpm(payload).map { im =>
+      (im.width, im.height,
+        lumaRgb(im.width, im.height, im.pixels, 3, 255f / im.maxVal))
+    }.orElse(decodePng(payload).map { im =>
+      val g = if (im.channels >= 3) lumaRgb(im.width, im.height, im.pixels, im.channels, 1f)
+        else lumaGray(im.width, im.height, im.pixels, im.channels)
+      (im.width, im.height, g)
+    }).orElse(Jpeg.decode(payload).map { im =>
+      val g = if (im.channels >= 3) lumaRgb(im.width, im.height, im.pixels, im.channels, 1f)
+        else lumaGray(im.width, im.height, im.pixels, im.channels)
+      (im.width, im.height, g)
+    }).orElse(decodeGif(payload).filter(_.nFrames >= 1).map { im =>
+      (im.width, im.height, lumaRgb(im.width, im.height, im.frames(0), 3, 1f))
+    }).orElse(decodeBmp(payload).map { im =>
+      (im.width, im.height, lumaRgb(im.width, im.height, im.pixels, 3, 1f))
+    })
+  }
+
+  /** 64-bit difference hash (dHash — the public 8x8 luma-gradient
+    * perceptual hash): [[grayRaster]], area-average down to a 9-wide x
+    * 8-tall grid, then bit r*8+c = [grid(r)(c+1) > grid(r)(c)]. Two
+    * images of the SAME pixels re-encoded through different codecs
+    * hash identically (the decode paths all land on the same raster),
+    * and small lossy perturbations flip at most a few gradient signs —
+    * which is exactly the Hamming-band near-dup regime
+    * [[Dedup.simhashCandidatesOfSigs]] already handles at bits=64.
+    * None for undecodable payloads or rasters smaller than the grid
+    * (a sub-9x8 image has no meaningful gradient field). */
+  private[graft] def dHash64(payload: Array[Byte]): Option[Long] =
+    grayRaster(payload).filter { case (w, h, _) => w >= 9 && h >= 8 }
+      .map { case (w, h, g) =>
+        val grid = new Array[Double](9 * 8)
+        var r = 0
+        while (r < 8) {
+          val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+          var c = 0
+          while (c < 9) {
+            val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+            var sum = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += g(y * w + x); x += 1 }
+              y += 1
+            }
+            grid(r * 9 + c) = sum / ((y1 - y0) * (x1 - x0))
+            c += 1
+          }
+          r += 1
+        }
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          val rr = i / 8; val cc = i % 8
+          if (grid(rr * 9 + cc + 1) > grid(rr * 9 + cc)) bits |= 1L << i
+          i += 1
+        }
+        bits
+      }
+
+  /** Column form of [[dHash64]]: adds `<outCol> long` (null for
+    * undecodable payloads — filter upstream of the banded join, a null
+    * signature is "no identity", not bucket 0). Same mapPartitions
+    * idiom as [[extractFeatures]]: per-row imperative decode, nothing
+    * shuffles, the hash is 8 bytes per image into the band join
+    * regardless of payload size. */
+  def imageDHash(df: DataFrame, payloadCol: String = "payload",
+      outCol: String = "dhash"): DataFrame = {
+    require(!df.columns.contains(outCol), s"input already has a '$outCol' column")
+    val outSchema = df.schema.add(StructField(outCol, LongType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val h = if (payload == null) null
+          else dHash64(payload).map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
   /** Deterministic P6 test-pattern generator (the multimodal analogue of
     * the planted-fixture builders elsewhere): per row, a real `width` ×
     * `height` PPM whose pixel bytes are `(seed * 7 + j) % 251` — so an

@@ -930,6 +930,46 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'tiny low quality' ELSE array_to_string(list_transform(generate_series(0, 39), i -> 'tok' || doc_id || 'word' || i), ' ') END AS clean FROM documents WHERE doc_id % 3 = 1), tok AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0) ts FROM t), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM tok), q AS (SELECT doc_id, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m) SELECT doc_id, quality FROM q WHERE quality >= 0.75 ORDER BY doc_id""")),
 
+    // ---- L24: IMAGE near-dedup via perceptual hash — dedup finally
+    // consumes the pixels the 11 codecs decode: dHash (public 8x8
+    // luma-gradient hash, Multimodal.dHash64) over the decoded raster,
+    // fed into the existing 64-bit Hamming band machinery
+    // (simhashCandidatesOfSigs), so image identity composes with the
+    // same banded/bucketed join discipline as text SimHash — 8 bytes
+    // per image cross the shuffle, never payloads. Contract (the l02d
+    // recall pattern): every planted cross-codec copy — the SAME pixel
+    // raster re-encoded PPM→PNG under a fresh id — must surface as a
+    // candidate pair, and at Hamming distance exactly 0 (both decode
+    // paths land on the identical raster; the lossy-codec tolerance
+    // leg is pinned in MultimodalSpec where JPEG-decoded block rasters
+    // hash identically to their PNG siblings). ----
+    ("l24_image_dedup", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val originals = Multimodal.syntheticPpm(docs, "doc_id", 16, 16)
+        .select(col("doc_id"), col("payload"))
+      val copies = Multimodal.syntheticPng(
+          docs.where(col("doc_id") % 7 === 0), "doc_id", 16, 16)
+        .select((col("doc_id") + 200000).as("doc_id"), col("payload"))
+      val sigs = Multimodal.imageDHash(originals.unionByName(copies))
+        .where(col("dhash").isNotNull)
+        .select(col("doc_id"), col("dhash"))
+      // uncapped buckets: recall contract (the l02d rationale) — the
+      // fixture's ~250 base-offset classes keep every bucket small
+      val cands = Dedup.simhashCandidatesOfSigs(sigs, "doc_id", "dhash",
+        maxDist = 3, nBands = 4, bits = 64, maxBucket = Int.MaxValue)
+      val planted = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 200000).as("id_b"))
+      val missed = planted
+        .join(cands.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+      val nonzero = planted
+        .join(cands.where(col("hamming_dist") =!= 0)
+          .select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("planted_nonzero_hamming"))
+      missed.crossJoin(nonzero)
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, 0 AS planted_nonzero_hamming, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
+
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
     // total order in both engines ----
@@ -966,6 +1006,58 @@ object LlmQueries {
       split.where(col("split") === "eval").agg(count(lit(1)).as("n_eval"))
         .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
     }, Some("""WITH s AS (SELECT doc_id, text, CASE WHEN ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 100 < 80 THEN 'train' ELSE 'eval' END split FROM documents), t AS (SELECT doc_id, split, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) ts FROM s), g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(generate_series(1, len(ts)-4), i -> array_to_string(ts[i:i+4], ' ')))) gram FROM t WHERE len(ts) >= 5), tr AS (SELECT DISTINCT gram FROM g WHERE split='train'), ev AS (SELECT DISTINCT doc_id FROM g WHERE split='eval' AND gram IN (SELECT gram FROM tr)) SELECT (SELECT COUNT(*) FROM s WHERE split='eval') AS n_eval, (SELECT COUNT(*) FROM ev) AS n_contaminated""")),
+
+    // ---- L11b: EMBEDDING-SPACE contamination check — l11's n-gram
+    // test misses paraphrase/near-verbatim leakage; modern pipelines
+    // also flag eval items whose nearest TRAIN neighbor in embedding
+    // space exceeds a cosine threshold. Pure composition of proven
+    // pieces: the portable hash-ring split (l09) carves train/eval,
+    // the train side becomes a persisted IVF index (cached per
+    // session, the l04e pattern), and the indexed probe scores each
+    // eval vector's top-1 train neighbor. Contract: planted leaks
+    // (exact copies of train vectors under fresh eval ids) must ALL
+    // flag — the copy's query vector ranks its source's own list
+    // first, so any nProbe>=1 finds it at cos 1.0 — while planted
+    // CLEAN vectors (the same vectors negated: cos -1.0 to their
+    // source, and >=0.999 to any train vector would need a natural
+    // antipodal twin, which the corpus audit rules out) must NOT.
+    // Broadcast shape: only the bounded eval+planted set ships with
+    // the probe; the train corpus stays bucket-pruned on disk. ----
+    ("l11b_embedding_contamination", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val split = graft.operators.Sampling.hashSplit(emb, "vec_id", trainPct = 80)
+      val train = split.where(col("split") === "train")
+        .select(col("vec_id"), col("embedding"))
+      val evalSet = split.where(col("split") === "eval")
+        .select(col("vec_id"), col("embedding"))
+      val leakSrc = train.where(col("vec_id") < 40)
+      val leak = leakSrc.select((col("vec_id") + 700000).as("vec_id"), col("embedding"))
+      val clean = leakSrc.select((col("vec_id") + 800000).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+      val table = s"l11b_ivf_${sfTag(d)}"
+      if (!s.catalog.tableExists(table) ||
+          !s.catalog.tableExists(s"${table}_centroids")) {
+        Similarity.dropIvfIndex(s, table) // orphaned location from a prior session
+        Similarity.writeIvfIndex(s, train, table, nLists = 16, lloydIters = 1)
+      }
+      val queries = evalSet.unionByName(leak).unionByName(clean)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val top1 = Similarity.ivfTopKIndexed(s, queries, table, k = 1, nProbe = 2)
+      // NaN guard (the l02c rationale): Spark orders NaN above every
+      // double, so a zero-norm probe would silently "flag"
+      val flagged = top1
+        .where(!isnan(col("cos_sim")) && col("cos_sim") >= 0.999)
+        .select(col("q_id"))
+      val missed = leak.select(col("vec_id").as("q_id"))
+        .join(flagged, Seq("q_id"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+      missed.crossJoin(leak.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(flagged.where(col("q_id") >= 800000)
+          .agg(count(lit(1)).as("flagged_clean")))
+        .crossJoin(evalSet.agg(count(lit(1)).as("n_eval")))
+        .select(col("n_planted"), col("missed_planted"), col("flagged_clean"),
+          col("n_eval"))
+    }, Some("""WITH s AS (SELECT vec_id, CASE WHEN ((vec_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 100 < 80 THEN 'train' ELSE 'eval' END split FROM embeddings) SELECT (SELECT COUNT(*) FROM s WHERE split='train' AND vec_id < 40) AS n_planted, 0 AS missed_planted, 0 AS flagged_clean, (SELECT COUNT(*) FROM s WHERE split='eval') AS n_eval""")),
 
     // ---- L12: repetition quality signal (Gopher-style) — fraction of
     // a doc's tokens covered by its most frequent bigram. One explode,

@@ -53,6 +53,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("L2b/L24: hamming at the full 64-bit window counts the sign bit; banding handles negative signatures") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq(
+      (0L, Long.MinValue),              // differ ONLY in bit 63
+      (-1L, Long.MaxValue),             // same low 63 bits, sign differs
+      (Long.MinValue, Long.MinValue))   // negative-equal
+      .toDF("a", "b")
+    val d64 = pairs.select(Dedup.hamming(col("a"), col("b"), bits = 64).as("h"))
+      .as[Long].collect().toSeq
+    assert(d64 === Seq(1L, 1L, 0L), s"64-bit window: $d64")
+    // the 63-bit window must NOT see the sign bit (the old contract)
+    val d63 = pairs.select(Dedup.hamming(col("a"), col("b"), bits = 63).as("h"))
+      .as[Long].collect().toSeq
+    assert(d63 === Seq(0L, 0L, 0L), s"63-bit window: $d63")
+    // band join at bits=64 with negative sigs: a sign-bit-only pair is
+    // within maxDist=3, so pigeonhole must surface it (top band is the
+    // sign-carrying one — arithmetic shiftright plus mask must agree)
+    val sigs = Seq((1L, Long.MinValue), (2L, 0L), (3L, -1L), (4L, Long.MaxValue))
+      .toDF("doc_id", "sig")
+    val cands = Dedup.simhashCandidatesOfSigs(sigs, "doc_id", "sig",
+        maxDist = 3, nBands = 4, bits = 64, maxBucket = Int.MaxValue)
+      .select($"id_a", $"id_b", $"hamming_dist").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(cands === Set((1L, 2L, 1), (3L, 4L, 1)), s"got $cands")
+  }
+
   test("L4b: ANN top-k overlaps exact top-k (recall@10)") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.where($"vec_id" < 10)

@@ -973,4 +973,79 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L)(4) == mean(1L, 0) && feats(1L)(5) == mean(1L, 1) && feats(1L)(6) == mean(1L, 2))
     assert(feats(1L) != feats(2L))
   }
+
+  // ---- dHash (the l24 perceptual-identity path) ----
+
+  private def blockGray(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val g = new Array[Byte](w * h)
+    val bx = w / 8
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (y / 8) * bx + x / 8
+      g(y * w + x) = (((seed * 7 + b) % 251 + 251) % 251).toByte
+    }
+    g
+  }
+
+  test("dHash64: identical pixels re-encoded across codecs hash identically; content changes the hash") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    def hashes(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Multimodal.imageDHash(df.select($"doc_id", $"payload"))
+        .select($"doc_id", $"dhash").as[(Long, Long)].collect().toMap
+    val viaPpm = hashes(Multimodal.syntheticPpm(docs, "doc_id", 16, 16))
+    val viaPng = hashes(Multimodal.syntheticPng(docs, "doc_id", 16, 16))
+    assert(viaPpm === viaPng, "same raster, different codec, different hash")
+    assert(viaPpm.values.toSet.size === 3, "different content must differ")
+  }
+
+  test("dHash64: JPEG-decoded block raster hashes identically to its PNG sibling (the lossy-codec leg)") {
+    import graft.operators.Jpeg
+    // block-constant 8x8 content is DC-only under the unit quant table,
+    // so the lossy path decodes the exact raster — cross-codec identity
+    // must survive an actual JPEG encode/decode round trip
+    (0L until 8L).foreach { seed =>
+      val gray = blockGray(seed, 16, 16)
+      val jpeg = Jpeg.encodeGray(16, 16, gray, Jpeg.UnitQuant)
+      val rgb = gray.flatMap(v => Array(v, v, v))
+      val png = Multimodal.encodePng(16, 16, rgb)
+      val hj = Multimodal.dHash64(jpeg)
+      val hp = Multimodal.dHash64(png)
+      assert(hj.isDefined && hj === hp, s"seed $seed: jpeg $hj vs png $hp")
+    }
+  }
+
+  test("dHash64: small luma perturbations move the hash only a few Hamming bits") {
+    val gray = blockGray(5L, 16, 16)
+    val base = Multimodal.dHash64(Multimodal.encodePng(16, 16,
+      gray.flatMap(v => Array(v, v, v)))).get
+    // nudge ONE 8x8 block by +4 luma: on the 16x16 raster the 9-col
+    // grid puts exactly one column boundary (col4|col5) on the block
+    // edge, and the bumped block spans grid rows 0-3 — so precisely 4
+    // gradient signs flip (the +4 overturns the blocks' natural +1
+    // step), nothing else moves: locality is exact, not approximate
+    val bumped = gray.clone()
+    for (y <- 0 until 8; x <- 0 until 8)
+      bumped(y * 16 + x) = (((bumped(y * 16 + x) & 0xff) + 4) min 255).toByte
+    val moved = Multimodal.dHash64(Multimodal.encodePng(16, 16,
+      bumped.flatMap(v => Array(v, v, v)))).get
+    val dist = java.lang.Long.bitCount(base ^ moved)
+    assert(dist === 4, s"one-block nudge moved $dist bits (expected the 4 edge flips)")
+    // and sign-bit coverage on the l24 ramp fixture (the block fixture
+    // never compares across its own top-right block, but the ramp's
+    // monotone luma sets bit 63): the 64-bit Hamming band join must be
+    // exercised by genuinely negative signatures
+    val sigs = (0L until 40L).map { sd =>
+      val rgb = Array.tabulate(16 * 16 * 3)(j => (((sd * 7 + j) % 251 + 251) % 251).toByte)
+      Multimodal.dHash64(Multimodal.encodePng(16, 16, rgb)).get
+    }
+    assert(sigs.exists(_ < 0L), "no negative dHash in the l24 fixture — sign-bit leg untested")
+  }
+
+  test("dHash64: undecodable and sub-grid payloads yield None / null column, never garbage") {
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+    assert(Multimodal.dHash64(ppm(4, 4, Array.fill(48)(7))).isEmpty, "sub-9x8 raster must have no hash")
+    val out = Multimodal.imageDHash(
+      Seq((1L, "junk".getBytes)).toDF("doc_id", "payload"))
+      .select($"dhash").collect()
+    assert(out.head.isNullAt(0))
+  }
 }

@@ -28,7 +28,22 @@ object BpeBatchProbe {
     println(f"[bpeb] dict=$rows k=$k learned=${merges.length} rounds=$rounds " +
       f"total=$sec%.1f s rounds/merge=${rounds.toDouble / merges.length}%.3f " +
       f"(x-fewer=${merges.length.toDouble / rounds}%.1f)")
-    // tail trend: rounds consumed by each successive quarter of merges
+    // optional third arg: persist the learned vocabulary through the
+    // l17c catalog path and prove the artifact round-trips at this size
+    if (args.length > 2) {
+      val table = args(2)
+      graft.operators.Layout.dropTableAndLocation(spark, table)
+      graft.operators.Bpe.writeVocab(spark, merges, table)
+      val back = graft.operators.Bpe.readVocab(spark, table)
+      println(s"[bpeb] persisted $table roundtrip=${back == merges} rows=${back.length}")
+      // and the production tokenize path loads + applies it
+      import spark.implicits._
+      val sample = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("id", "content")
+      val toks = graft.operators.Bpe.applyBpeFromTable(spark, sample, "content", table)
+        .select(col("bpe_tokens")).collect().head.getSeq[String](0)
+      println(s"[bpeb] applyFromTable tokens=${toks.length}")
+    }
     spark.stop()
   }
 }
