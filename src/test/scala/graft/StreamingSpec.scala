@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.{CdcApply, Joins}
 import graft.sources.TestSources
-import graft.streaming.{FileSink, Reconcile, Stateful, StreamOps}
+import graft.streaming.{FileSink, Reconcile, ReconcileLease, Stateful, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -368,6 +368,62 @@ class StreamingSpec extends SparkSpec {
       val (started, stopped) = Reconcile(sessionB, Map.empty)
       assert(started.isEmpty && stopped === Seq("part1"))
       assert(Reconcile.list(spark) === Seq("part0"))
+    } finally {
+      Reconcile(spark, Map.empty); Reconcile(sessionB, Map.empty)
+    }
+  }
+
+  test("T10: lease-elected leader — one shared desired set, follower mutates nothing, expiry fails over") {
+    // the DYNAMIC half of main.sh:155-159's ?forward=true story: two
+    // drivers point at the SAME desired set; the filesystem lease
+    // (create-exclusive epoch files) elects who reconciles it. The
+    // fake clock drives expiry deterministically.
+    import org.apache.hadoop.fs.Path
+    val sessionB = spark.newSession()
+    val dir = new Path(tmpDir("leasedir"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val msA = TestSources.memory[Long]
+    val msB = TestSources.memory[Long](implicitly, sessionB.sqlContext)
+    msA.addData(1L); msB.addData(1L)
+    val desiredA = Map("shared" -> msA.toDF.writeStream.format("memory")
+      .queryName("shared").outputMode(OutputMode.Append))
+    val desiredB = Map("shared" -> msB.toDF.writeStream.format("memory")
+      .queryName("shared").outputMode(OutputMode.Append))
+    try {
+      // t=0: A wins epoch 1 and reconciles; B is refused and mutates NOTHING
+      val rA = ReconcileLease.reconcileIfLeader(spark, dir, "driverA",
+        desiredA, ttlMs = 1000, nowMs = 0)
+      assert(rA === Some((Seq("shared"), Seq.empty)))
+      val rB = ReconcileLease.reconcileIfLeader(sessionB, dir, "driverB",
+        desiredB, ttlMs = 1000, nowMs = 100)
+      assert(rB.isEmpty, "follower ran a reconcile under a live foreign lease")
+      assert(Reconcile.list(sessionB).isEmpty, "follower started queries")
+      // t=500: A renews — epoch bumps, ownership continuous
+      val renewed = ReconcileLease.tryAcquire(hconf, dir, "driverA", 1000, 500).get
+      assert(renewed.owner === "driverA" && renewed.epoch === 2 &&
+        renewed.expiresAtMs === 1500)
+      // t=1200: B still fenced (A renewed to 1500)
+      assert(ReconcileLease.tryAcquire(hconf, dir, "driverB", 1000, 1200).isEmpty)
+      // t=1600: A is dead (no renewal past 1500) — B steals and takes over
+      val rB2 = ReconcileLease.reconcileIfLeader(sessionB, dir, "driverB",
+        desiredB, ttlMs = 1000, nowMs = 1600)
+      assert(rB2 === Some((Seq("shared"), Seq.empty)))
+      assert(Reconcile.list(sessionB) === Seq("shared"))
+      // the ex-leader's next tick loses: live foreign lease, no mutation
+      assert(ReconcileLease.reconcileIfLeader(spark, dir, "driverA",
+        desiredA, ttlMs = 1000, nowMs = 1700).isEmpty)
+      val cur = ReconcileLease.current(hconf, dir).get
+      assert(cur.owner === "driverB" && cur.epoch === 3,
+        s"fencing token must be monotone across the takeover: $cur")
+      // explicit release frees the lease immediately — no ttl wait —
+      // and epochs stay monotone (a zombie's stale token can never
+      // outrank the next real leader)
+      ReconcileLease.release(hconf, dir, "driverB")
+      val released = ReconcileLease.current(hconf, dir).get
+      assert(released.epoch === 4 && !released.liveAt(1700))
+      val back = ReconcileLease.tryAcquire(hconf, dir, "driverA", 1000, 1800).get
+      assert(back.owner === "driverA" && back.epoch === 5,
+        s"monotone epochs across release+reacquire: $back")
     } finally {
       Reconcile(spark, Map.empty); Reconcile(sessionB, Map.empty)
     }
