@@ -798,6 +798,29 @@ object Dedup {
       .select(col("id").alias(idCol), col("component").alias("cluster"))
   }
 
+  /** Cluster-resolved IMAGE near-dedup — [[nearDupClusters]] with
+    * perceptual identity instead of shingles: dHash the decoded
+    * rasters ([[Multimodal.imageDHash]]; undecodable payloads keep a
+    * null signature and their own singleton cluster — "no identity" is
+    * not bucket 0), band the 64-bit signatures, connect components
+    * over pairs within `maxDist`, keep each cluster's minimum id. The
+    * survivor frame joins back to the caller's columns by id, so the
+    * image payloads themselves never enter the shuffle — 8 bytes per
+    * image, exactly the text path's discipline. */
+  def imageNearDupClusters(df: DataFrame, payloadCol: String, idCol: String,
+      maxDist: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    val sigs = Multimodal.imageDHash(
+        df.select(col(idCol), col(payloadCol)), payloadCol, "__dhash")
+      .select(col(idCol), col("__dhash"))
+    val pairs = simhashCandidatesOfSigs(sigs.where(col("__dhash").isNotNull),
+        idCol, "__dhash", maxDist, nBands = maxDist + 1, bits = 64,
+        maxBucket = maxBucket)
+      .select(col("id_a"), col("id_b"))
+    Graph.connectedComponents(pairs, "id_a", "id_b",
+        nodes = Some(df.select(col(idCol))))
+      .select(col("id").alias(idCol), col("component").alias("cluster"))
+  }
+
   /** SimHash 32-bit signature over token 1-grams: per bit, sum +1/-1
     * weighted by whether the token hash has that bit set; sign → bit.
     * Single-pass fold carrying all bit-votes in one array accumulator —

@@ -966,9 +966,18 @@ object LlmQueries {
         .join(cands.where(col("hamming_dist") =!= 0)
           .select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
         .agg(count(lit(1)).as("planted_nonzero_hamming"))
+      // cluster-resolved survivors: a copy is directly connected to its
+      // original, so the copy (larger id) can never be its cluster's
+      // minimum — whatever hash-collision classes join the component
+      val survivedCopies = Dedup.imageNearDupClusters(
+          originals.unionByName(copies), "payload", "doc_id",
+          maxDist = 3, maxBucket = Int.MaxValue)
+        .where(col("doc_id") === col("cluster") && col("doc_id") >= 200000)
+        .agg(count(lit(1)).as("copies_survived"))
       missed.crossJoin(nonzero)
+        .crossJoin(survivedCopies)
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
-    }, Some("""SELECT 0 AS missed_planted, 0 AS planted_nonzero_hamming, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
+    }, Some("""SELECT 0 AS missed_planted, 0 AS planted_nonzero_hamming, 0 AS copies_survived, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
 
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
