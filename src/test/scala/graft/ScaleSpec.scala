@@ -217,6 +217,79 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: image dHash banding — capped buckets sideline a 10k-identical flood, cross-codec copies still pair, stays balanced", suiteTags: _*) {
+    withScaleConf {
+      import graft.operators.Multimodal
+      // images: splitmix-mixed 16x16 rasters (the oracle rows' ramp
+      // fixture collapses to ~170 hash classes — degenerate for a
+      // BALANCE contract; real image corpora hash ~uniformly, and the
+      // mass-duplicate shape is planted explicitly instead: the last
+      // 10k rows all share ONE seed — the same logo crawled 10k times)
+      def mixedRgb(seed: Long): Array[Byte] = {
+        val out = new Array[Byte](16 * 16 * 3)
+        var x = seed * 0x9E3779B97F4A7C15L
+        var j = 0
+        while (j < out.length) {
+          x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 29
+          out(j) = (x & 0xff).toByte
+          j += 1
+        }
+        out
+      }
+      val ppmHeader = "P6\n16 16\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      def imagesOf(df: DataFrame, asPng: Boolean): DataFrame = {
+        val schema = df.schema
+          .add(org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType))
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+        val seedIdx = df.schema.fieldIndex("img_seed")
+        df.mapPartitions { rows =>
+          rows.map { r =>
+            val rgb = mixedRgb(r.getLong(seedIdx))
+            val payload =
+              if (asPng) Multimodal.encodePng(16, 16, rgb)
+              else ppmHeader ++ rgb
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ payload)
+          }
+        }(enc)
+      }
+      val seeds = docs.select($"doc_id",
+        when($"doc_id" >= N - 10000, lit(42L)).otherwise($"doc_id").as("img_seed"))
+      val originals = imagesOf(seeds, asPng = false).select($"doc_id", $"payload")
+      // planted cross-codec copies: the SAME raster re-encoded as PNG
+      // under fresh ids
+      val plantedSrc = docs.where($"doc_id" < 800 && $"doc_id" % 2 === 1)
+      val copies = imagesOf(plantedSrc
+          .select(($"doc_id" + 1000000).as("doc_id"), $"doc_id".as("img_seed")),
+          asPng = true)
+        .select($"doc_id", $"payload")
+      val planted = plantedSrc
+        .select($"doc_id".as("id_a"), ($"doc_id" + 1000000).as("id_b"))
+      var missed = -1L; var floodPairs = -1L; var nPlanted = 0L
+      val stages = probe {
+        val sigs = Multimodal.imageDHash(
+            originals.unionByName(copies), "payload", "dhash")
+          .where($"dhash".isNotNull).select($"doc_id", $"dhash")
+        val cands = Dedup.simhashCandidatesOfSigs(sigs, "doc_id", "dhash",
+          maxDist = 3, nBands = 4, bits = 64, maxBucket = 1024)
+        missed = planted.join(
+          cands.where($"hamming_dist" === 0).select($"id_a", $"id_b"),
+          Seq("id_a", "id_b"), "left_anti").count()
+        floodPairs = cands.where($"id_a" >= N - 10000 && $"id_a" < N &&
+          $"id_b" >= N - 10000 && $"id_b" < N).count()
+        nPlanted = planted.count()
+      }
+      assert(nPlanted > 300, s"fixture degenerated: only $nPlanted planted pairs")
+      assert(missed === 0, s"capped image banding missed $missed/$nPlanted cross-codec copies")
+      // every band bucket the flood fills is over the cap: no
+      // flood x flood quadratic pair may survive (exact/hash dedup is
+      // the right tool for byte-identical mass duplicates)
+      assert(floodPairs === 0, s"flood produced $floodPairs quadratic pairs")
+      assertBalanced("image-dhash", stages)
+    }
+  }
+
   test("scale: probe sensitivity control — UNSHARDED token budget on the hot language IS a straggler", suiteTags: _*) {
     withScaleConf {
       // one window partition per language ⇒ "en" (60% of the corpus) is
