@@ -47,10 +47,12 @@ object Bench {
     def microOnce(): Double = {
       val t0 = System.nanoTime()
       try {
-        // mod keeps the sum ANSI-safe: sum(id*id) over 40M rows
+        // mod keeps the sum ANSI-safe: sum(id*id) at this range
         // overflows Long under Spark 4 ANSI and would silently zero
-        // every micro reading through the catch below
-        spark.range(20000000L)
+        // every micro reading through the catch below. 100M ids ≈
+        // 0.2 s: long enough that task-launch jitter (which spans 2x
+        // on a ~50 ms job) stops dominating the reading
+        spark.range(100000000L)
           .selectExpr("sum(id % 97) as s", "count(if(id % 7 = 0, 1, null)) as c")
           .collect()
         (System.nanoTime() - t0) / 1e9

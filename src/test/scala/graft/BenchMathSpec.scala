@@ -51,14 +51,19 @@ class BenchMathSpec extends AnyFunSuite {
     assert(ratios.filter(_._2 > 2.0).keySet === Set("l13", "l14"))
   }
 
-  test("calibratedBase: a loaded/under-warmed start median cannot mask a real episode") {
-    // start median read 0.2 (JIT still warming) but the quiet sweep
-    // micros read 0.07 — dividing by 0.2 would report a real 3x episode
-    // (0.21) as ~1.0; the min re-bases so it reads 3.0
-    val obs = Seq(0.08, 0.07, 0.21, 0.07, 0.09)
-    val base = BenchMath.calibratedBase(0.2, obs)
-    assert(base === 0.07)
-    assert(math.abs(BenchMath.ratio(0.21, base) - 3.0) < 1e-9)
+  test("calibratedBase: median of all observations — neither the warm-up start nor one lucky minimum skews it") {
+    // start median read 0.24 (JIT still warming), quiet sweep micros
+    // center on 0.08 with one lucky 0.04 and a real 3x episode at 0.24:
+    // a start-only base would report the episode as 1.0, a MIN base
+    // (first r11 attempt) would flag every quiet family as 2x hot —
+    // the median does neither
+    val obs = Seq(0.08, 0.04, 0.24, 0.08, 0.09, 0.07, 0.08)
+    val base = BenchMath.calibratedBase(0.24, obs)
+    assert(base === 0.08)
+    assert(math.abs(BenchMath.ratio(0.24, base) - 3.0) < 1e-9)
+    assert(BenchMath.ratio(0.08, base) === 1.0)
+    // the lucky minimum reads LOW, not everything else high
+    assert(BenchMath.ratio(0.04, base) === 0.5)
     // zero (failed) readings are excluded, not adopted as a base
     assert(BenchMath.calibratedBase(0.0, Seq(0.0, 0.1)) === 0.1)
     assert(BenchMath.calibratedBase(0.0, Seq(0.0)) === 0.0)
