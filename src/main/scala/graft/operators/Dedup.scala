@@ -821,6 +821,112 @@ object Dedup {
       .select(col("id").alias(idCol), col("component").alias("cluster"))
   }
 
+  /** Within-batch IMAGE exact dedup — [[exact]] keyed on the perceptual
+    * hash instead of sha256(text): rows whose decoded rasters share a
+    * dHash keep only the minimum id (a PNG re-encode of the same pixels
+    * IS the same image; byte-identity would miss it). Undecodable
+    * payloads (null dHash) pass through untouched — "no identity" is
+    * the NULL-text family contract, not a duplicate class. */
+  def imageExact(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
+    val h = graft.Cols.fresh(df.columns, "__ph")
+    val rn = graft.Cols.fresh(df.columns :+ h, "__rn")
+    val hashed = Multimodal.imageDHash(df, payloadCol, h)
+    val w = Window.partitionBy(col(h)).orderBy(col(idCol))
+    hashed.where(col(h).isNotNull)
+      .withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1)
+      .drop(h, rn)
+      .unionByName(hashed.where(col(h).isNull).drop(h))
+  }
+
+  /** IMAGE perceptual-hash HISTORY (`<table>_ph`) — the [[ensureHashHistory]]
+    * discipline keyed on dHash: one (id, dhash) row per accumulated
+    * image, bucketed on the hash, same delta-subdirectory +
+    * fold-manifest replay safety. Two narrow columns at any corpus
+    * size; the probe broadcasts batch hashes and the history never
+    * exchanges — image payloads never cross a shuffle anywhere in the
+    * family. */
+  def ensureImageHistory(spark: org.apache.spark.sql.SparkSession,
+      like: DataFrame, payloadCol: String, idCol: String, table: String,
+      numBuckets: Int): Unit = {
+    val t = s"${table}_ph"
+    if (!spark.catalog.tableExists(t)) {
+      val delta = Layout.deltaDirOf(spark, t)
+      Layout.dropTableAndLocation(spark, t)
+      Layout.deleteDeltaState(spark, delta)
+      Layout.writeBucketed(imageHashFrame(like, payloadCol, idCol).limit(0),
+        t, Seq("__ph"), numBuckets)
+    }
+  }
+
+  /** The image-history row shape: (__pid, __ph). Renamed so probe join
+    * conditions never collide with batch columns; undecodable payloads
+    * are excluded — nothing can ever match a missing identity. */
+  private def imageHashFrame(df: DataFrame, payloadCol: String,
+      idCol: String): DataFrame =
+    Multimodal.imageDHash(df.select(col(idCol), col(payloadCol)), payloadCol, "__ph")
+      .where(col("__ph").isNotNull)
+      .select(col(idCol).alias("__pid"), col("__ph"))
+
+  /** Replay-safe delta append to an image history (the
+    * [[appendHashHistoryDelta]] contract: overwrite-own-dir per batch,
+    * fold-manifest skip). */
+  def appendImageHistoryDelta(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, payloadCol: String, idCol: String, table: String,
+      batchId: Long): Unit = {
+    val t = s"${table}_ph"
+    if (Layout.isBatchFolded(spark, t, batchId)) return
+    imageHashFrame(df, payloadCol, idCol).write.mode("overwrite")
+      .parquet(s"${Layout.deltaDirOf(spark, t)}/batch-$batchId")
+  }
+
+  /** Fold the image-history delta into its bucketed table. */
+  def compactImageDelta(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Layout.foldDeltaIntoBucketed(spark, s"${table}_ph",
+      noSpecHint = "not an ensureImageHistory table")
+
+  /** Drop an image history (table + location + delta state). */
+  def dropImageHistory(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val t = s"${table}_ph"
+    val delta = Layout.deltaDirOf(spark, t)
+    Layout.dropTableAndLocation(spark, t)
+    Layout.deleteDeltaState(spark, delta)
+  }
+
+  /** Incremental image dedup against a persisted perceptual-hash
+    * history (main ∪ delta) — [[exactIncrementalDelta]] for images:
+    * batch rows whose dHash the history holds under a DIFFERENT id are
+    * dropped (the same-id exclusion is the replay guard — a replayed
+    * batch meeting its own appended hashes recomputes the identical
+    * survivor set). Undecodable payloads pass through: a null hash
+    * matches nothing, so the anti-join keeps them by construction.
+    *
+    * Scale shape: batch hashes broadcast, the history is semi-filtered
+    * map-side to matching rows and those broadcast back — neither side
+    * ever shuffles, and only (id, long) pairs move. */
+  def imageIncrementalDelta(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, table: String, payloadCol: String, idCol: String,
+      includeDelta: Boolean = true): DataFrame = {
+    val t = s"${table}_ph"
+    // distinct from the history's own "__ph" — a same-named batch column
+    // makes the join condition's reference ambiguous
+    val h = graft.Cols.fresh(newDf.columns :+ "__ph", "__bph")
+    val deltaP = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
+    val fs = deltaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist =
+      if (includeDelta && fs.exists(deltaP))
+        spark.table(t).unionByName(Layout.readDelta(spark, t, deltaP.toString))
+      else spark.table(t)
+    val hashed = Multimodal.imageDHash(newDf, payloadCol, h)
+    val batchKeys = hashed.where(col(h).isNotNull).select(col(h))
+    val hits = hist.join(broadcast(batchKeys), col("__ph") === col(h), "left_semi")
+    hashed.join(broadcast(hits),
+        col("__ph") === col(h) && col("__pid") =!= col(idCol), "left_anti")
+      .drop(h)
+  }
+
   /** SimHash 32-bit signature over token 1-grams: per bit, sum +1/-1
     * weighted by whether the token hash has that bit set; sign → bit.
     * Single-pass fold carrying all bit-votes in one array accumulator —

@@ -1182,6 +1182,63 @@ object Multimodal {
     }(enc)
   }
 
+  /** Splitmix64-mixed RGB raster for a seed — the pixel source of the
+    * MIXED fixture generators below. The [[syntheticPpm]] ramp formula
+    * is perfect for mean-recomputing oracles but collapses to ~170
+    * distinct dHashes over any seed range (the gradient signs barely
+    * depend on the offset) — useless as an IDENTITY fixture. Mixing
+    * makes rasters hash-diverse (distinct seeds ⇒ distinct dHashes for
+    * any realistic corpus) while staying fully deterministic. */
+  private[graft] def mixedRgb(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](width * height * 3)
+    var x = seed * 0x9E3779B97F4A7C15L
+    var j = 0
+    while (j < out.length) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 29
+      out(j) = (x & 0xff).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** [[syntheticPpm]] with splitmix-mixed pixels — the identity-fixture
+    * sibling (see [[mixedRgb]]): use for dedup/perceptual-hash
+    * contracts where distinct seeds must produce distinct hashes. */
+  def syntheticPpmMixed(df: DataFrame, seedCol: String, width: Int,
+      height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, "syntheticPpmMixed needs positive dims")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val header = s"P6\n$width $height\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out = header ++ mixedRgb(r.getLong(seedIdx), width, height)
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** [[syntheticPng]] with splitmix-mixed pixels — same raster as
+    * [[syntheticPpmMixed]] for the same seed, so the two generators
+    * yield cross-codec exact-pixel copies (dHash-identical). */
+  def syntheticPngMixed(df: DataFrame, seedCol: String, width: Int,
+      height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, "syntheticPngMixed needs positive dims")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val rgb = mixedRgb(r.getLong(seedIdx), width, height)
+        Row.fromSeq(r.toSeq :+ encodePng(width, height, rgb))
+      }
+    }(enc)
+  }
+
   /** Deterministic P6 test-pattern generator (the multimodal analogue of
     * the planted-fixture builders elsewhere): per row, a real `width` ×
     * `height` PPM whose pixel bytes are `(seed * 7 + j) % 251` — so an

@@ -979,6 +979,49 @@ object LlmQueries {
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
     }, Some("""SELECT 0 AS missed_planted, 0 AS planted_nonzero_hamming, 0 AS copies_survived, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
 
+    // ---- L24b: INCREMENTAL image dedup vs a persisted perceptual-hash
+    // history — the image leg of the intake discipline: the `_ph` table
+    // (the `_xh` machinery keyed on dHash) accumulates accepted image
+    // identities, and each arriving batch is deduped within itself
+    // (imageExact, keep-min per raster) then against history
+    // (imageIncrementalDelta — batch hashes broadcast, history never
+    // exchanges, payloads never cross a shuffle). Fixture uses the
+    // MIXED generators (hash-diverse rasters — the ramp formula's ~170
+    // hash classes would alias unrelated docs): history = two thirds of
+    // the corpus as PPM; the batch = the fresh third as PPM, PNG
+    // re-encodes of history images (cross-codec, die on the history
+    // probe), and PNG re-encodes of batch images (die within-batch).
+    // Survivors are exactly the fresh third, restated in SQL. ----
+    ("l24b_image_incremental", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val table = s"l24bp_hist_${sfTag(d)}"
+      val hist = docs.where(col("doc_id") % 3 =!= 1)
+      if (!s.catalog.tableExists(s"${table}_ph")) {
+        Dedup.dropImageHistory(s, table) // orphaned location from a prior session
+        val seedImgs = Multimodal.syntheticPpmMixed(hist, "doc_id", 16, 16)
+        Dedup.ensureImageHistory(s, seedImgs, "payload", "doc_id", table, 8)
+        Dedup.appendImageHistoryDelta(s, seedImgs, "payload", "doc_id", table, 0L)
+        Dedup.compactImageDelta(s, table) // steady state: folded main
+      }
+      val fresh = Multimodal.syntheticPpmMixed(
+        docs.where(col("doc_id") % 3 === 1), "doc_id", 16, 16)
+      val vsHist = Multimodal.syntheticPngMixed(
+        hist.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("doc_id").as("__seed")),
+        "__seed", 16, 16)
+      val within = Multimodal.syntheticPngMixed(
+        docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("doc_id").as("__seed")),
+        "__seed", 16, 16)
+      val batch = fresh.select(col("doc_id"), col("payload"))
+        .unionByName(vsHist.select(col("doc_id"), col("payload")))
+        .unionByName(within.select(col("doc_id"), col("payload")))
+      Dedup.imageIncrementalDelta(s,
+          Dedup.imageExact(batch, "payload", "doc_id"),
+          table, "payload", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""")),
+
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
     // total order in both engines ----

@@ -53,6 +53,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("L24b: image history lifecycle — delta-visible probe, same-id replay, fold, undecodable passthrough") {
+    import graft.operators.Multimodal
+    val table = "t_img_hist"
+    def ppm(ids: Seq[Long]) = Multimodal.syntheticPpmMixed(
+      ids.toDF("doc_id"), "doc_id", 16, 16).select($"doc_id", $"payload")
+    def png(pairs: Seq[(Long, Long)]) = Multimodal.syntheticPngMixed(
+      pairs.toDF("doc_id", "__seed"), "__seed", 16, 16)
+      .select($"doc_id", $"payload")
+    Dedup.dropImageHistory(spark, table)
+    try {
+      val b0 = ppm(1L to 10L)
+      Dedup.ensureImageHistory(spark, b0, "payload", "doc_id", table, 4)
+      Dedup.appendImageHistoryDelta(spark, b0, "payload", "doc_id", table, 0)
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select($"doc_id").as[Long].collect().toSet
+      // BEFORE compaction the probe must see the delta: a cross-codec
+      // copy of history image 3 dies, fresh 20/21 survive
+      val b1 = ppm(Seq(20L, 21L)).unionByName(png(Seq((103L, 3L))))
+      assert(ids(Dedup.imageIncrementalDelta(spark, b1, table, "payload", "doc_id"))
+        === Set(20L, 21L), "delta-side history identity missed")
+      // same-id replay: the original batch probing its own appended
+      // hashes recomputes the identical (full) survivor set
+      assert(ids(Dedup.imageIncrementalDelta(spark, b0, table, "payload", "doc_id"))
+        === (1L to 10L).toSet, "replay guard dropped a batch's own rows")
+      // fold, then the same probes hold against the bucketed main
+      Dedup.compactImageDelta(spark, table)
+      assert(spark.table(s"${table}_ph").count() === 10L)
+      assert(ids(Dedup.imageIncrementalDelta(spark, b1, table, "payload", "doc_id"))
+        === Set(20L, 21L), "post-fold history identity missed")
+      // undecodable payloads pass through both stages (no identity)
+      val junk = Seq((300L, "not an image".getBytes)).toDF("doc_id", "payload")
+      val mixed = ppm(Seq(30L)).unionByName(junk)
+      val within = Dedup.imageExact(
+        mixed.unionByName(png(Seq((130L, 30L)))), "payload", "doc_id")
+      assert(ids(within) === Set(30L, 300L), "within-batch keep-min or passthrough broke")
+      assert(ids(Dedup.imageIncrementalDelta(spark, within, table, "payload", "doc_id"))
+        === Set(30L, 300L))
+    } finally Dedup.dropImageHistory(spark, table)
+  }
+
   test("L2b/L24: hamming at the full 64-bit window counts the sign bit; banding handles negative signatures") {
     import org.apache.spark.sql.functions.col
     val pairs = Seq(
