@@ -157,6 +157,11 @@ object Bpe {
     val knownSymbols = scala.collection.mutable.HashSet.empty[String]
     words.select(explode(col("syms")).as("s")).distinct()
       .collect().foreach(r => knownSymbols += r.getString(0))
+    // components of learned merges — the strings a FORCED singleton's
+    // output must never spell (validateMinRankSafe's reject class);
+    // the normal walk is already covered because every component is a
+    // known symbol, but the forced path bypasses that guard
+    val learnedComponents = scala.collection.mutable.HashSet.empty[String]
     // Round-t's input frame is LAZILY persisted (no eager count — that
     // would spend one full dictionary pass per round purely on
     // materialization): the round's own pair-count job materializes it,
@@ -189,10 +194,18 @@ object Bpe {
         val pulled = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         val batch = selectBatch(pulled,
           math.min(maxBatch, k - merges.length), knownSymbols,
-          windowFull = top.length == window)
+          windowFull = top.length == window,
+          learnedComponent = learnedComponents)
+        // empty ONLY when every pulled pair's output spells a learned
+        // component (selectBatch scaladoc) — continuing would spin the
+        // loop without progress; the vocabulary is complete as-is
+        if (batch.isEmpty) exhausted = true
+        else {
         batch.foreach { case (l, r, f) =>
           merges += Merge(merges.length, l, r, f)
           knownSymbols += (l + r)
+          learnedComponents += l
+          learnedComponents += r
         }
         val applied = applyMergesToDict(words, batch.map(b => (b._1, b._2)).toSeq)
         // localCheckpoint (eager) every 4th round truncates lineage; in
@@ -207,6 +220,7 @@ object Bpe {
         wordsLazy = !cp
         words = next
         round += 1
+        }
       }
     }
     if (releasable != null) releasable.unpersist(false)
@@ -230,17 +244,30 @@ object Bpe {
     * pairs, plus the window tail for pairs never pulled. A full
     * violation-free table pull leaves H = 0: no feeder exists.
     *
-    * NEVER empty for a non-empty pull: when even the FIRST pulled
-    * pair's output already spells a known symbol (a double-creator,
-    * e.g. ("ab","c") after ("a","bc") both make "abc"), the walk
-    * rejects it, `accepted` is empty, and an empty batch would spin
-    * the training loop forever. Serial has no knownSymbols guard and
-    * simply learns that pair, so it is forced through as a singleton:
-    * a 1-merge batch IS one serial round verbatim — progress and bit
-    * parity both hold. */
+    * NEVER empty for a non-empty pull — with ONE exception: when even
+    * the FIRST pulled pair's output already spells a known symbol (a
+    * double-creator, e.g. ("ab","c") after ("a","bc") both make
+    * "abc"), the walk rejects it, `accepted` is empty, and an empty
+    * batch would spin the training loop forever. Serial has no
+    * knownSymbols guard and simply learns that pair, so it is forced
+    * through as a singleton: a 1-merge batch IS one serial round
+    * verbatim — progress and bit parity both hold. The exception
+    * (ADVICE r11): a forced pair whose output spells a COMPONENT of an
+    * already-learned (lower-ranked) merge would train a vocabulary
+    * that [[validateMinRankSafe]] rejects at every apply — emitting it
+    * makes the tokenizer refuse its own training output. Such a pair
+    * is skipped in favor of the highest-frequency component-safe
+    * pulled pair (a divergence from serial order, which would have
+    * learned the unusable merge; the usable prefix up to that point is
+    * identical). When EVERY pulled pair collides, the batch is empty
+    * and training terminates — the residual case: a corpus whose
+    * remaining pair mass all spells learned components cannot be
+    * extended without breaking min-rank apply. */
   private[graft] def selectBatch(pulled: Array[(String, String, Long)],
       wanted: Int, knownSymbols: String => Boolean,
-      windowFull: Boolean): collection.Seq[(String, String, Long)] = {
+      windowFull: Boolean,
+      learnedComponent: String => Boolean = _ => false)
+      : collection.Seq[(String, String, Long)] = {
     val used = scala.collection.mutable.HashSet.empty[String]
     val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var violated = false
@@ -263,7 +290,15 @@ object Bpe {
     val strict = accepted.takeWhile(_._3 > h)
     if (strict.nonEmpty) strict
     else if (accepted.nonEmpty) accepted.take(1)
-    else scala.collection.mutable.ArrayBuffer(pulled.head) // forced serial round
+    else {
+      // forced serial round — but never one validateMinRankSafe would
+      // refuse (see scaladoc): first component-safe pair by the serial
+      // total order, or empty when none exists
+      pulled.find { case (l, r, _) => !learnedComponent(l + r) } match {
+        case Some(p) => scala.collection.mutable.ArrayBuffer(p)
+        case None => scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      }
+    }
   }
 
   /** One batched dictionary rewrite: apply `batch` merges in rank order

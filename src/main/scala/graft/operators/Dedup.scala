@@ -809,6 +809,12 @@ object Dedup {
     * image, exactly the text path's discipline. */
   def imageNearDupClusters(df: DataFrame, payloadCol: String, idCol: String,
       maxDist: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    // maxDist=0 would wire a single 64-bit band (nBands = maxDist + 1),
+    // which the band-mask guard in simhashCandidatesOfSigs rejects —
+    // catch it here with the caller-level story: exact dHash identity
+    // is [[imageExact]]'s job, the banded join needs >= 2 bands
+    require(maxDist >= 1,
+      "imageNearDupClusters needs maxDist >= 1 (for dHash-exact identity use imageExact)")
     val sigs = Multimodal.imageDHash(
         df.select(col(idCol), col(payloadCol)), payloadCol, "__dhash")
       .select(col(idCol), col("__dhash"))
@@ -990,6 +996,13 @@ object Dedup {
       maxDist: Int = 3, nBands: Int = 4, bits: Int = 32,
       maxBucket: Int = 1024): DataFrame = {
     require(maxDist < nBands, "pigeonhole guarantee needs maxDist < nBands")
+    // bandBits is shifted into a Long mask: 64 band bits would wrap
+    // `1L << 64` to 1, zeroing the mask — every signature lands in ONE
+    // bucket that the maxBucket cap then sidelines, silently losing all
+    // recall (ADVICE r11). Fail loudly instead.
+    require(bits / nBands <= 63,
+      s"bits/nBands = ${bits / nBands} band bits overflow the Long band " +
+      s"mask (max 63) — raise nBands (got $nBands for $bits-bit signatures)")
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1L
     val banded = sigs.select(col(idCol), col(sigCol).alias("__sig"),

@@ -79,6 +79,7 @@ object ReconcileLease {
   def tryAcquire(hconf: Configuration, dir: Path, owner: String,
       ttlMs: Long, nowMs: Long): Option[Lease] = {
     require(ttlMs > 0, "lease ttl must be positive")
+    requireCleanOwner(owner)
     current(hconf, dir) match {
       case Some(l) if l.owner != owner && l.liveAt(nowMs) => None
       case cur =>
@@ -97,24 +98,54 @@ object ReconcileLease {
     * through the claim gate the epoch stays monotone for the lease
     * directory's lifetime. No-op when we are not the current owner (a
     * foreign lease is never touched). */
-  def release(hconf: Configuration, dir: Path, owner: String): Unit =
+  def release(hconf: Configuration, dir: Path, owner: String): Unit = {
+    requireCleanOwner(owner)
     current(hconf, dir).filter(_.owner == owner).foreach { l =>
       claim(hconf, dir, owner, l.epoch + 1, expiresAtMs = 0L): Unit
     }
+  }
+
+  /** Lease files serialize as `owner expiresAtMs` — whitespace in a
+    * caller-chosen owner id would write a lease every reader (including
+    * the owner itself) skips as unparseable: the live lease turns
+    * invisible and a contender claims a fresh epoch while the original
+    * holder still believes it leads (split-brain, ADVICE r11). Reject
+    * at every entry point instead of silently corrupting the election. */
+  private def requireCleanOwner(owner: String): Unit =
+    require(owner.nonEmpty && !owner.exists(_.isWhitespace),
+      s"lease owner id must be non-empty with no whitespace, got '$owner'")
 
   /** The guarded reconcile: run [[Reconcile]] over `desired` iff this
     * session's `owner` holds (or can take) the lease. Returns
-    * Some((started, stopped)) when leading, None when following — a
-    * follower mutates NOTHING, so pointing two drivers at the same
-    * desired set is safe, which is exactly the property the static
-    * multi-worker contract could not offer. Call on the reconcile
-    * cadence with ttl a few multiples of it, so a crashed leader's
-    * queries are re-homed one expiry later. */
+    * Some((heldLease, started, stopped)) when leading, None when
+    * following — a follower mutates NOTHING, so pointing two drivers at
+    * the same desired set is safe, which is exactly the property the
+    * static multi-worker contract could not offer. Call on the
+    * reconcile cadence with ttl a few multiples of it, so a crashed
+    * leader's queries are re-homed one expiry later.
+    *
+    * FENCING CAVEAT (ADVICE r11): leadership is checked at ENTRY only —
+    * a driver paused (GC, VM suspend) between the successful acquire
+    * and the Reconcile mutations can keep mutating after its lease
+    * expired and a standby took over. The returned lease's `epoch` is
+    * the fencing token for closing that window: a caller whose side
+    * effects must be single-writer re-verifies
+    * `current(...).exists(_.epoch == held.epoch)` AFTER the effects and
+    * compensates (stop its queries, re-enter the election loop) on
+    * mismatch. Reconcile's own mutations are start/stop of idempotent
+    * checkpointed queries — a doubled START is caught by the next
+    * leader's reconcile pass and the checkpoint lock, so for the
+    * default loop the post-check is advisory; it becomes mandatory the
+    * moment `desired` writers gain non-idempotent side effects. As with
+    * every lease, ttl must also dominate worst-case clock skew. */
   def reconcileIfLeader(spark: SparkSession, dir: Path, owner: String,
       desired: Map[String, DataStreamWriter[Row]], ttlMs: Long,
-      nowMs: Long): Option[(Seq[String], Seq[String])] = {
+      nowMs: Long): Option[(Lease, Seq[String], Seq[String])] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    tryAcquire(hconf, dir, owner, ttlMs, nowMs).map(_ => Reconcile(spark, desired))
+    tryAcquire(hconf, dir, owner, ttlMs, nowMs).map { held =>
+      val (started, stopped) = Reconcile(spark, desired)
+      (held, started, stopped)
+    }
   }
 
   private def claim(hconf: Configuration, dir: Path, owner: String,

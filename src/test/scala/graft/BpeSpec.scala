@@ -192,6 +192,29 @@ class BpeSpec extends SparkSpec {
     assert(clean == pulled.toSeq)
   }
 
+  test("selectBatch: a forced singleton never spells a learned component — skips to the next safe pair, empty when none") {
+    // the r11 ADVICE case: pulled.head's output "abc" is BOTH a known
+    // symbol (forcing the singleton path) AND a component of an
+    // already-learned merge — emitting it would train a vocabulary
+    // validateMinRankSafe rejects at applyBpe time. The forced path
+    // must skip to the highest-frequency component-safe pair instead.
+    val pulled = Array(("ab", "c", 10L), ("x", "y", 9L), ("p", "q", 8L))
+    val batch = Bpe.selectBatch(pulled, wanted = 8,
+      knownSymbols = Set("abc"), windowFull = false,
+      learnedComponent = Set("abc"))
+    assert(batch == Seq(("x", "y", 9L)))
+    // every pulled pair colliding → empty batch (training terminates
+    // instead of emitting an unusable merge or spinning)
+    val none = Bpe.selectBatch(Array(("ab", "c", 10L)), wanted = 8,
+      knownSymbols = Set("abc"), windowFull = false,
+      learnedComponent = Set("abc"))
+    assert(none.isEmpty)
+    // end-to-end: the emitted vocabulary always passes its own apply
+    // path's precondition (the exact failure the ADVICE described)
+    Bpe.validateMinRankSafe(
+      Seq(Bpe.Merge(0, "a", "abc", 5L), Bpe.Merge(1, "x", "y", 9L)))
+  }
+
   test("selectBatch: hazard bound can strip the whole accepted prefix — still emits the serial singleton") {
     // accepted = [(a,b,5)]; violator (b,z,5) feeds a hazard with the
     // same count, so H=5 and the strict prefix (freq > H) is empty —

@@ -117,6 +117,20 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b", $"hamming_dist").as[(Long, Long, Int)]
       .collect().toSet
     assert(cands === Set((1L, 2L, 1), (3L, 4L, 1)), s"got $cands")
+    // ADVICE r11: a single 64-bit band would wrap `1L << 64` to 1,
+    // zeroing the band mask — every signature in one bucket, which the
+    // maxBucket cap then sidelines to ZERO candidates. Loud, not silent:
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashCandidatesOfSigs(sigs, "doc_id", "sig",
+        maxDist = 0, nBands = 1, bits = 64, maxBucket = 1024)
+    }
+    assert(e.getMessage.contains("band"))
+    // and the caller that wired nBands = maxDist + 1 rejects maxDist=0
+    // at its own door (exact dHash identity is imageExact's job)
+    intercept[IllegalArgumentException] {
+      Dedup.imageNearDupClusters(sigs.select($"doc_id",
+        lit(Array[Byte]()).as("payload")), "payload", "doc_id", maxDist = 0)
+    }
   }
 
   test("L4b: ANN top-k overlaps exact top-k (recall@10)") {

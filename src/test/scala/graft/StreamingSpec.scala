@@ -393,7 +393,12 @@ class StreamingSpec extends SparkSpec {
       // t=0: A wins epoch 1 and reconciles; B is refused and mutates NOTHING
       val rA = ReconcileLease.reconcileIfLeader(spark, dir, "driverA",
         desiredA, ttlMs = 1000, nowMs = 0)
-      assert(rA === Some((Seq("shared"), Seq.empty)))
+      assert(rA.map { case (l, s, t) => (l.owner, l.epoch, s, t) } ===
+        Some(("driverA", 1L, Seq("shared"), Seq.empty)))
+      // the fencing pattern the scaladoc prescribes: after side effects,
+      // the held epoch still being current proves no takeover happened
+      // mid-mutation
+      assert(ReconcileLease.current(hconf, dir).exists(_.epoch == rA.get._1.epoch))
       val rB = ReconcileLease.reconcileIfLeader(sessionB, dir, "driverB",
         desiredB, ttlMs = 1000, nowMs = 100)
       assert(rB.isEmpty, "follower ran a reconcile under a live foreign lease")
@@ -407,8 +412,13 @@ class StreamingSpec extends SparkSpec {
       // t=1600: A is dead (no renewal past 1500) — B steals and takes over
       val rB2 = ReconcileLease.reconcileIfLeader(sessionB, dir, "driverB",
         desiredB, ttlMs = 1000, nowMs = 1600)
-      assert(rB2 === Some((Seq("shared"), Seq.empty)))
+      assert(rB2.map { case (l, s, t) => (l.owner, s, t) } ===
+        Some(("driverB", Seq("shared"), Seq.empty)))
       assert(Reconcile.list(sessionB) === Seq("shared"))
+      // an ex-leader's post-effect fence check now FAILS — its held
+      // epoch (2) is no longer current, so it must compensate
+      assert(!ReconcileLease.current(hconf, dir).exists(_.epoch == 2L),
+        "stale fencing token must not verify after a takeover")
       // the ex-leader's next tick loses: live foreign lease, no mutation
       assert(ReconcileLease.reconcileIfLeader(spark, dir, "driverA",
         desiredA, ttlMs = 1000, nowMs = 1700).isEmpty)
@@ -424,6 +434,15 @@ class StreamingSpec extends SparkSpec {
       val back = ReconcileLease.tryAcquire(hconf, dir, "driverA", 1000, 1800).get
       assert(back.owner === "driverA" && back.epoch === 5,
         s"monotone epochs across release+reacquire: $back")
+      // owner ids serialize space-separated — whitespace would write a
+      // lease every reader skips as unparseable (invisible live lease →
+      // split-brain), so it is rejected at the door
+      intercept[IllegalArgumentException] {
+        ReconcileLease.tryAcquire(hconf, dir, "driver A", 1000, 1900)
+      }
+      intercept[IllegalArgumentException] {
+        ReconcileLease.release(hconf, dir, "")
+      }
     } finally {
       Reconcile(spark, Map.empty); Reconcile(sessionB, Map.empty)
     }
