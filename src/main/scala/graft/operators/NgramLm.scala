@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character-bigram language-model quality scoring (SURVEY §2.9 text
+  * family) — the in-engine form of the public CCNet recipe (Wenzek et
+  * al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+  * Web Crawl Data"): train an n-gram LM on a held-out clean slice,
+  * score every document by average log-probability, and filter (or
+  * bucket) on the score. CCNet uses a word 5-gram KenLM; the engine's
+  * model is an additively-smoothed character bigram — the smallest
+  * member of the same family whose training is ONE distributed count
+  * and whose scoring restates exactly in SQL, which is what makes the
+  * operator oracle-checkable rather than trust-me.
+  *
+  * Model: P(c2 | c1) = (count(c1 c2) + 1) / (count(c1) + V), where
+  * count(c1) sums the bigram counts with left char c1 (so the
+  * distribution conditions on "c1 followed by anything", summing to 1
+  * over the V-sized smoothed alphabet), and V = distinct training
+  * characters + 1 (one shared unseen class). A document scores the
+  * mean of ln P over its consecutive character pairs; perplexity is
+  * exp(-mean). Documents under 2 characters carry no evidence and
+  * score NULL.
+  *
+  * Determinism (the oracle contract): ln is the ONE non-IEEE-exact
+  * operation in the pipeline, and engines may legitimately disagree by
+  * 1 ulp on it — so ln is evaluated ONCE PER MODEL ROW (an
+  * alphabet²-bounded table, not a per-document path) and immediately
+  * quantized to the repo's integer grid (round(x·1e6) as BIGINT, the
+  * [[graft.functions.VectorFunctions.quantize]] discipline). Per-doc
+  * scoring is then integer multiply-accumulate — exact and
+  * order-independent, so `groupBy(doc).sum` matches bit-for-bit across
+  * engines regardless of their aggregation order. The final division
+  * back to a double is one IEEE-exact op on identical integers.
+  *
+  * Scale shape (100 TB): training is one explode + groupBy over the
+  * CLEAN SLICE only (a fixed sample, not the corpus), reduced to an
+  * alphabet-bounded model frame. Scoring broadcasts that model (two
+  * tiny tables), explodes each document's bigrams map-side, hash-joins
+  * against the broadcasts with NO exchange, and partial-aggregates on
+  * doc id — one shuffled row per document, never the text. Nothing
+  * about the corpus is collected to the driver.
+  */
+object NgramLm {
+
+  /** Quantization grid for ln values (the VectorFunctions scale). */
+  private val Scale = 1000000L
+
+  /** Trained char-bigram model: `big` = (bg string, q_lp long) — the
+    * quantized ln P of each seen bigram; `ctx` = (c1 string, q0_lp
+    * long) — quantized ln of the smoothed floor P(unseen | c1) =
+    * 1/(count(c1)+V); `qUnseen` = quantized ln(1/V) for bigrams whose
+    * left char was never seen; `vocab` = V. The two frames are
+    * alphabet-bounded (≤ |Σ|² rows) — always broadcastable. */
+  final case class CharLm(big: DataFrame, ctx: DataFrame, qUnseen: Long,
+      vocab: Long)
+
+  private def qln(x: Column): Column = round(log(x) * Scale).cast("long")
+
+  /** Train the smoothed char-bigram LM on `clean` (the held-out clean
+    * slice — CCNet's target-domain corpus). Two jobs: one bounded
+    * distinct-character count (V), one bigram groupBy reduced to the
+    * model frames. The model frames are RESULTS (localCheckpoint'd):
+    * scoring must not re-run training per consumer plan. */
+  def trainCharBigram(clean: DataFrame, textCol: String): CharLm = {
+    val bigrams = clean
+      .select(explode(TF.charNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+    // V = distinct characters + 1 (the shared unseen class); derived
+    // from the bigram table's own characters so a 1-char document's
+    // alphabet contribution matches what the model can ever condition on
+    val vocab = bigrams
+      .select(explode(array(substring(col("bg"), 1, 1),
+        substring(col("bg"), 2, 1))).as("ch"))
+      .agg(countDistinct(col("ch"))).collect()(0).getLong(0) + 1L
+    val ctxCounts = bigrams
+      .groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("c")).as("cc"))
+    val big = bigrams
+      .join(ctxCounts, substring(col("bg"), 1, 1) === col("c1"))
+      .select(col("bg"),
+        qln((col("c") + 1).cast("double") / (col("cc") + vocab)).as("q_lp"))
+      .localCheckpoint(true)
+    val ctx = ctxCounts
+      .select(col("c1"),
+        qln(lit(1.0) / (col("cc") + vocab)).as("q0_lp"))
+      .localCheckpoint(true)
+    val qUnseen = math.round(math.log(1.0 / vocab) * Scale)
+    CharLm(big, ctx, qUnseen, vocab)
+  }
+
+  /** Score `df`: adds `n_big` (bigram count), `q_sum` (exact integer
+    * sum of quantized ln P — the oracle-stable form) and `avg_logp`
+    * (q_sum / (n_big · 1e6); NULL when the text has no bigram). Output
+    * column names must be free in `df`. */
+  def scoreDocs(df: DataFrame, textCol: String, idCol: String,
+      lm: CharLm): DataFrame = {
+    val bg = graft.Cols.fresh(df.columns, "__bg")
+    val exploded = df
+      .select(col(idCol), explode(TF.charNgrams(col(textCol), 2)).as(bg))
+    val scored = exploded
+      .join(broadcast(lm.big), col(bg) === col("bg"), "left")
+      .join(broadcast(lm.ctx), substring(col(bg), 1, 1) === col("c1"), "left")
+      .select(col(idCol),
+        coalesce(col("q_lp"), col("q0_lp"), lit(lm.qUnseen)).as("q"))
+      .groupBy(col(idCol))
+      // integer sums: exact and order-free on both engines
+      .agg(sum(col("q")).as("q_sum"), count(lit(1)).as("n_big"))
+    df.join(scored, Seq(idCol), "left")
+      .withColumn("n_big", coalesce(col("n_big"), lit(0L)))
+      .withColumn("avg_logp",
+        when(col("n_big") > 0,
+          col("q_sum").cast("double") / (col("n_big") * Scale).cast("double")))
+  }
+
+  /** [[scoreDocs]] + `ppl` (perplexity = exp(-avg_logp), rounded to
+    * the 1e-6 grid — exp on identical doubles can differ by 1 ulp
+    * cross-engine, the same class of exposure as the model's ln, and
+    * at one evaluation per document it stays far below the grid). */
+  def withPerplexity(df: DataFrame, textCol: String, idCol: String,
+      lm: CharLm): DataFrame =
+    scoreDocs(df, textCol, idCol, lm)
+      .withColumn("ppl", round(exp(-col("avg_logp")), 6))
+}

@@ -635,6 +635,48 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some(s"""WITH t AS (SELECT doc_id, text, $tokensSql ts FROM documents), m AS (SELECT doc_id, text, ts, CASE WHEN len(text)=0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(text) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t) SELECT doc_id, round(least(CAST(len(text) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) quality, list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(ts, x -> CAST(len(x) AS BIGINT) * 131 + ascii(x))), (acc, v) -> (acc * 31 + v) % 2147483647) fp, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) n_bpeish FROM m ORDER BY doc_id""")),
 
+    // ---- L27: CCNet-style LM quality — char-bigram LM trained on the
+    // held-out clean slice (doc_id % 3 = 0), every doc scored by mean
+    // quantized ln P (NgramLm scaladoc: ln evaluated once per MODEL row
+    // and snapped to the 1e-6 integer grid, so per-doc aggregation is
+    // exact integer arithmetic both engines agree on). DuckDB retrains
+    // the identical model and rescores from scratch — the whole
+    // train+score pipeline is differential, not just the outputs. ----
+    ("l27_perplexity", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val lm = graft.operators.NgramLm.trainCharBigram(
+        docs.where(col("doc_id") % 3 === 0), "text")
+      graft.operators.NgramLm.scoreDocs(docs, "text", "doc_id", lm)
+        .select(col("doc_id"), col("n_big"), col("q_sum"), col("avg_logp"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH clean AS (SELECT text FROM documents WHERE doc_id % 3 = 0), bgx AS (SELECT unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM clean), bc AS (SELECT bg, COUNT(*) c FROM bgx GROUP BY bg), v AS (SELECT COUNT(DISTINCT ch) + 1 AS v FROM (SELECT unnest([substr(bg,1,1), substr(bg,2,1)]) ch FROM bc)), cc AS (SELECT substr(bg,1,1) c1, SUM(c) cc FROM bc GROUP BY 1), bigm AS (SELECT bg, CAST(round(ln((c + 1.0)/(cc + v)) * 1000000) AS BIGINT) q FROM bc JOIN cc ON substr(bc.bg,1,1) = cc.c1 CROSS JOIN v), ctxm AS (SELECT c1, CAST(round(ln(1.0/(cc + v)) * 1000000) AS BIGINT) q0 FROM cc CROSS JOIN v), toks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM documents), sc AS (SELECT doc_id, SUM(COALESCE(bigm.q, ctxm.q0, (SELECT CAST(round(ln(1.0/v)*1000000) AS BIGINT) FROM v))) q_sum, COUNT(*) n_big FROM toks LEFT JOIN bigm USING (bg) LEFT JOIN ctxm ON substr(toks.bg,1,1) = ctxm.c1 GROUP BY doc_id) SELECT d.doc_id, COALESCE(sc.n_big, 0) AS n_big, sc.q_sum, CASE WHEN sc.n_big > 0 THEN CAST(sc.q_sum AS DOUBLE)/(sc.n_big*1000000) END AS avg_logp FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- L27b: perplexity CONTRAST contract — the l02d planted
+    // pattern: every document's alphabet-permuted gibberish sibling
+    // (a→z … z→a; letter bigram statistics scrambled, spaces kept) must
+    // score strictly below the original under the clean-slice model.
+    // Any doc containing a letter differs under the involution, so the
+    // oracle states the pair count in closed form. ----
+    ("l27b_perplexity_contrast", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val lm = graft.operators.NgramLm.trainCharBigram(
+        docs.where(col("doc_id") % 3 === 0), "text")
+      val gib = docs.select(col("doc_id"),
+        translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+          "zyxwvutsrqponmlkjihgfedcba").as("text"))
+      val so = graft.operators.NgramLm.scoreDocs(docs, "text", "doc_id", lm)
+        .select(col("doc_id"), col("text"), col("n_big"),
+          col("avg_logp").as("lp_orig"))
+      val sg = graft.operators.NgramLm.scoreDocs(gib, "text", "doc_id", lm)
+        .select(col("doc_id"), col("text").as("gib_text"),
+          col("avg_logp").as("lp_gib"))
+      val pairs = so.join(sg, Seq("doc_id"))
+        .where(col("n_big") > 0 && col("text") =!= col("gib_text"))
+      pairs.agg(
+        count(when(col("lp_gib") >= col("lp_orig"), 1)).as("violations"),
+        count(lit(1)).as("n_pairs"))
+    }, Some("""SELECT 0 AS violations, COUNT(*) AS n_pairs FROM documents WHERE len(text) >= 2 AND regexp_matches(text, '[a-z]')""")),
+
     // ---- L6: token n-grams (distinct trigram count per doc; tokens
     // materialized first — see TextFunctions.ngramsOfTokens scale note) ----
     ("l06_ngrams", (s, d) => {

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.NgramLm
+import org.apache.spark.sql.functions._
+
+/** Char-bigram LM training + scoring (the CCNet-style quality leg).
+  * The registry rows (l27/l27b) cover the full DuckDB differential;
+  * these cases pin the arithmetic on a hand-checkable fixture and the
+  * contracts the oracle cannot see (NULL/short texts, unseen classes,
+  * plan shape). */
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // "abab" + "ab": bigrams ab=3, ba=1; chars {a,b} → V=3.
+  // ctx a: ab(3) → cc=3; ctx b: ba(1) → cc=1.
+  private lazy val lm = NgramLm.trainCharBigram(
+    Seq("abab", "ab").toDF("text"), "text")
+
+  test("training counts and smoothing on a hand-checked fixture") {
+    assert(lm.vocab === 3L)
+    val big = lm.big.as[(String, Long)].collect().toMap
+    // P(b|a) = (3+1)/(3+3); P(a|b) = (1+1)/(1+3)
+    assert(big("ab") === math.round(math.log(4.0 / 6.0) * 1e6))
+    assert(big("ba") === math.round(math.log(2.0 / 4.0) * 1e6))
+    val ctx = lm.ctx.as[(String, Long)].collect().toMap
+    // unseen after a: 1/(3+3); after b: 1/(1+3)
+    assert(ctx("a") === math.round(math.log(1.0 / 6.0) * 1e6))
+    assert(ctx("b") === math.round(math.log(1.0 / 4.0) * 1e6))
+    assert(lm.qUnseen === math.round(math.log(1.0 / 3.0) * 1e6))
+  }
+
+  test("scoring: seen, unseen-in-context, unseen-context, short and NULL texts") {
+    val docs = Seq(
+      (1L, "aba"),   // ab + ba: both seen
+      (2L, "aa"),    // unseen bigram, seen context a → q0(a)
+      (3L, "xy"),    // unseen context → qUnseen
+      (4L, "a"),     // no bigram → n_big 0, NULL score
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = NgramLm.scoreDocs(docs, "text", "doc_id", lm)
+      .select($"doc_id", $"n_big", $"q_sum", $"avg_logp")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val qAb = math.round(math.log(4.0 / 6.0) * 1e6)
+    val qBa = math.round(math.log(2.0 / 4.0) * 1e6)
+    val q0a = math.round(math.log(1.0 / 6.0) * 1e6)
+    assert(out(1L) === ((2L, Some(qAb + qBa), Some((qAb + qBa) / 2e6))))
+    assert(out(2L) === ((1L, Some(q0a), Some(q0a / 1e6))))
+    assert(out(3L) === ((1L, Some(lm.qUnseen), Some(lm.qUnseen / 1e6))))
+    assert(out(4L) === ((0L, None, None)))
+    assert(out(5L) === ((0L, None, None)))
+  }
+
+  test("perplexity column and the clean-vs-gibberish contrast direction") {
+    val clean = Seq.tabulate(40)(i => (i.toLong, "the table scans rows fast and the query joins the table"))
+      .toDF("doc_id", "text")
+    val model = NgramLm.trainCharBigram(clean, "text")
+    val probe = Seq((100L, "the table scans rows"), (101L, "qjz xvk wqq zzj pqx"))
+      .toDF("doc_id", "text")
+    val rows = NgramLm.withPerplexity(probe, "text", "doc_id", model)
+      .select($"doc_id", $"avg_logp", $"ppl").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows(100L)._1 > rows(101L)._1, s"clean must outscore gibberish: $rows")
+    assert(rows(100L)._2 < rows(101L)._2, s"clean perplexity must be lower: $rows")
+    assert(rows(100L)._2 === math.round(math.exp(-rows(100L)._1) * 1e6) / 1e6)
+  }
+
+  test("plan shape: model joins broadcast; one exchange (doc agg), none for the corpus text") {
+    val docs = Seq.tabulate(50)(i => (i.toLong, s"doc $i text sample")).toDF("doc_id", "text")
+    val scored = NgramLm.scoreDocs(docs, "text", "doc_id", lm)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"model join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join anywhere:\n$plan")
+  }
+}
