@@ -62,6 +62,55 @@ object TextFunctions {
     ColumnBridge.column(StripHtml(ColumnBridge.expression(text)))
   }
 
+  /** Block-level boilerplate removal (the jusText / Readability family
+    * of public web-corpus extractors — Pomikálek 2011): [[stripHtml]]
+    * removes MARKUP but keeps nav/footer TEXT; this stage drops whole
+    * low-content blocks before any of that text reaches the corpus.
+    *
+    * Method — the standard public recipe, built entirely from codegen'd
+    * regex/array expressions (no UDF, no parser state):
+    *
+    *  1. delete script/style bodies and comments (never visible);
+    *  2. segment on block-level tags (`p div li ul ol … h1-6 header
+    *     footer nav br hr` — the HTML flow-content boundary set), so
+    *     each array element is one rendering block;
+    *  3. per block, compute the VISIBLE text (inline tags → space,
+    *     whitespace collapsed) and its LINK text (contents of `<a>`
+    *     spans, same cleanup);
+    *  4. keep blocks with `len(visible) >= minChars` AND
+    *     `len(link) <= maxLinkDensity * len(visible)` — short fragments
+    *     and link-dominated blocks (menus, breadcrumbs, footers) drop;
+    *  5. join survivors with single spaces.
+    *
+    * Output still carries entities (&amp; etc.) — compose as
+    * `normalizeText(stripHtml(extractContent(html)))`, the intake
+    * front half with the boilerplate leg on. NULL html → NULL. Pure
+    * per-row projection; no shuffle, parallelizes trivially. */
+  def extractContent(html: Column, minChars: Int = 20,
+      maxLinkDensity: Double = 0.33): Column = {
+    val noInvisible = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+        "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val blocks = split(noInvisible,
+      "(?i)</?(?:p|div|li|ul|ol|dl|dt|dd|td|th|tr|table|h[1-6]|header|footer|nav|section|article|aside|main|blockquote|pre|form|figure|figcaption|br|hr)(?:\\s[^>]*)?/?>")
+    def visibleOf(b: Column): Column =
+      trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "),
+        "[ \\t\\n\\r\\f\\u000B]+", " "))
+    val withMeta = transform(blocks, b => struct(
+      visibleOf(b).as("v"),
+      length(visibleOf(concat_ws(" ",
+        regexp_extract_all(b,
+          lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1))))).as("ll")))
+    val kept = filter(withMeta, s =>
+      length(s.getField("v")) >= minChars &&
+        s.getField("ll").cast("double") <=
+          lit(maxLinkDensity) * length(s.getField("v")).cast("double"))
+    when(html.isNull, lit(null).cast("string"))
+      .otherwise(array_join(transform(kept, s => s.getField("v")), " "))
+  }
+
   /** Character n-grams of the whole string, as an array — the native
     * single-pass [[CharNgrams]] kernel (the built-in `substr`-per-position
     * form is O(len²); see the expression's scaladoc). */

@@ -795,6 +795,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text || ' &AB end'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean FROM documents) SELECT doc_id, clean, CAST(len(clean) AS BIGINT) AS n_clean FROM n ORDER BY doc_id""")),
 
+    // ---- L26: BOILERPLATE removal — the jusText-family block
+    // classifier (TF.extractContent) between strip and normalize: each
+    // corpus doc is wrapped in a deterministic page skeleton (link-only
+    // nav menu, a link-dense footer with trailing copyright text, a
+    // script body), and the planted contract is that the survivor text
+    // is EXACTLY the normalized original document — the menu anchors
+    // die on minChars, the footer (48 visible chars, 31 of them link
+    // text) dies on link density, the script body never becomes text,
+    // and the content block passes untouched. The expected outcome is
+    // stated in closed form in SQL (the l24 pattern: the wrapper is
+    // deterministic, so any fragment of it surviving — or any content
+    // char lost — breaks the hash). ----
+    ("l26_boilerplate", (s, d) => {
+      val page = concat(
+        lit("""<html><body><div class="nav"><ul><li><a href="/">Home</a></li><li><a href="/about">About us</a></li><li><a href="/contact">Contact</a></li></ul></div><div class="content"><p>"""),
+        col("text"),
+        lit("""</p></div><div class="footer"><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> &#169; 2026 site</div><script>var nav = "<div>menu</div>";</script></body></html>"""))
+      Tables.documents(s, d).select(col("doc_id"),
+          TF.normalizeText(TF.stripHtml(TF.extractContent(page))).as("clean"))
+        .withColumn("n_clean", length(col("clean")).cast("long"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean FROM documents) SELECT doc_id, clean, CAST(len(clean) AS BIGINT) AS n_clean FROM n ORDER BY doc_id""")),
+
     // ---- L22: the full INTAKE COMPOSITION — strip markup, normalize,
     // quality-score, threshold-filter, exact-dedup, token-count: the
     // standard web-corpus front half wired end-to-end from the proven
