@@ -704,6 +704,76 @@ object Similarity {
     topKStage(probed, k, qId, cId)
   }
 
+  /** SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication" — the public scalable recipe): k-means-cluster the
+    * embeddings FIRST (the same deterministic coarse quantizer IVF
+    * uses), then compare cosine ONLY within each cluster and collapse
+    * groups at `cos >= tau` to their minimum id. The cluster pass is
+    * what makes this scale: pair work is Σ m_c² over cluster sizes
+    * instead of one global O(n²) join, and the per-cluster self-join
+    * shuffles on list id exactly like the LSH bucket joins. A
+    * τ-similar pair CAN straddle a cluster boundary and be missed —
+    * that is SemDeDup's documented recall trade-off, priced against
+    * never materializing the global pair space (the same deal the
+    * banded LSH operators make explicitly).
+    *
+    * Returns (idCol, cluster) for EVERY input row — the
+    * [[Dedup.nearDupClusters]] shape: isolated vectors (and NaN /
+    * zero-norm ones, which score no pair) map to themselves; filter
+    * `id === cluster` for survivors or join back for the full dedup
+    * map. Clusters over `maxCluster` rows are SIDELINED (members keep
+    * themselves) — the LSH hot-bucket discipline: one degenerate
+    * mega-cluster must not go quadratic in a single task. Recall
+    * contracts pass `Int.MaxValue`. */
+  def semanticDupClusters(df: DataFrame, tau: Double, nLists: Int = 16,
+      lloydIters: Int = 1, maxCluster: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = typedLit(buildCentroids(df, nLists, lloydIters, idCol, vecCol).toSeq)
+    semanticOverAssigned(df.select(col(idCol), col(vecCol),
+      nearestAgainst(cents, col(vecCol)).alias("__list")),
+      df, tau, maxCluster, idCol, vecCol)
+  }
+
+  /** [[semanticDupClusters]] against a PERSISTED index's frozen
+    * quantizer ([[writeIvfIndex]]): the production shape — the corpus
+    * was already clustered once to build the index, so dedup reuses
+    * those centroids instead of re-training, and successive dedup
+    * passes stay comparable under one quantizer until a
+    * [[reclusterIfDrifted]] retrain. */
+  def semanticDupClustersIndexed(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, table: String, tau: Double, maxCluster: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = typedLit(readCentroids(spark, table).toSeq)
+    semanticOverAssigned(df.select(col(idCol), col(vecCol),
+      nearestAgainst(cents, col(vecCol)).alias("__list")),
+      df, tau, maxCluster, idCol, vecCol)
+  }
+
+  private def semanticOverAssigned(assigned: DataFrame, all: DataFrame,
+      tau: Double, maxCluster: Int, idCol: String, vecCol: String): DataFrame = {
+    // cluster sizes are nLists rows — always broadcastable; the semi
+    // join prunes sidelined clusters map-side before any pair work
+    val small = assigned.groupBy(col("__list"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxCluster)
+      .select(col("__list"))
+    val bounded = assigned.join(broadcast(small), Seq("__list"), "left_semi")
+    // aliased self-join → one shared exchange on the list id (the
+    // minhashCandidates discipline)
+    val pairs = bounded.as("a").join(bounded.as("b"),
+        col("a.__list") === col("b.__list"))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"),
+        VF.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")).alias("cos_sim"))
+      // NaN guard (the embeddingNearDups rationale): a zero-norm vector
+      // scores NaN > tau under Spark ordering and would join everything
+      .where(!isnan(col("cos_sim")) && col("cos_sim") >= tau)
+      .select(col("id_a"), col("id_b"))
+    Graph.connectedComponents(pairs, "id_a", "id_b",
+        nodes = Some(all.select(col(idCol))))
+      .select(col("id").alias(idCol), col("component").alias("cluster"))
+  }
+
   /** ANN: bucket corpus by hyperplane signature; probe the query's own
     * bucket plus all 1-bit-flip neighbors (multi-probe) and top-k within. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 6,

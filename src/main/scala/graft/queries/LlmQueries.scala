@@ -1087,6 +1087,43 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, Some("""SELECT doc_id FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""")),
 
+    // ---- L29: SEMANTIC dedup (SemDeDup) — cluster-first embedding
+    // dedup: the deterministic k-means quantizer assigns every vector
+    // to a list, within-cluster pairs at cos >= 0.95 collapse to their
+    // min id, NO global pair join anywhere. Planted contract (l02d
+    // pattern): scaled copies (2x — a power of two, so every cosine
+    // the assignment and the pair scorer compute is bit-identical to
+    // the original's and the copy provably lands in its original's
+    // cluster) must all be dropped; NEGATED controls (cos -1 to their
+    // original, and the corpus' natural pair range is |cos| <= 0.55)
+    // must all survive. DuckDB states the survivor arithmetic in
+    // closed form. ----
+    ("l29_semantic_dedup", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      val negated = emb.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float")).as("embedding"))
+      val aug = emb.unionByName(planted).unionByName(negated)
+      val clusters = Similarity.semanticDupClusters(aug, tau = 0.95,
+        nLists = 16, maxCluster = Int.MaxValue)
+      val survivors = clusters.where(col("vec_id") === col("cluster"))
+        .select(col("vec_id")).localCheckpoint(true)
+      val missed = survivors.where(col("vec_id") >= 100000 && col("vec_id") < 200000)
+        .agg(count(lit(1)).as("missed_planted"))
+      val controlsDropped = emb.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"))
+        .join(survivors, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("controls_dropped"))
+      missed.crossJoin(controlsDropped)
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+        .crossJoin(emb.where(col("vec_id") % 5 === 0)
+          .agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, 0 AS controls_dropped, (SELECT COUNT(*) FROM embeddings) + (SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 0) AS n_survivors, (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_planted""")),
+
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a
     // total order in both engines ----

@@ -1312,6 +1312,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("L29: semantic dedup — paraphrase-class perturbations collapse, orthogonal vectors and sidelined clusters keep themselves") {
+    // two tight semantic groups plus REAL perturbed paraphrases (not
+    // the l29 row's exactly-scaled copies): cos(v, v+ε) ≈ 0.995
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val vecs = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0.99, 0.1, 0, 0)),   // group A + paraphrase
+      (3L, v(0, 1, 0, 0)), (4L, v(0.05, 0.995, 0.05, 0)), // group B + paraphrase
+      (5L, v(0, 0, 1, 0)),                               // isolated
+      (6L, v(0, 0, 0, 0)))                               // zero-norm: NaN, never pairs
+      .toDF("vec_id", "embedding")
+    val clusters = Similarity.semanticDupClusters(vecs, tau = 0.95,
+        nLists = 2, maxCluster = Int.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(2L) === 1L && clusters(4L) === 3L,
+      s"paraphrases must join their originals: $clusters")
+    assert(clusters(1L) === 1L && clusters(3L) === 3L &&
+      clusters(5L) === 5L && clusters(6L) === 6L, s"$clusters")
+    // sidelined clusters (maxCluster=1) go quadratic nowhere: every
+    // vector keeps itself — the LSH hot-bucket discipline
+    val sidelined = Similarity.semanticDupClusters(vecs, tau = 0.95,
+        nLists = 2, maxCluster = 1)
+      .as[(Long, Long)].collect()
+    assert(sidelined.forall { case (id, c) => id === c }, sidelined.toSeq)
+  }
+
+  test("L29: indexed semantic dedup reuses the persisted frozen quantizer — same clusters as the ad-hoc pass") {
+    val emb = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val aug = emb.unionByName(emb.where($"vec_id" % 9 === 0)
+      .select(($"vec_id" + 50000).as("vec_id"),
+        transform($"embedding", x => (x * lit(2.0f)).cast("float")).as("embedding")))
+    val adhoc = Similarity.semanticDupClusters(aug, tau = 0.95,
+        nLists = 8, maxCluster = Int.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    Similarity.dropIvfIndex(spark, "l29_sem_ivf")
+    Similarity.writeIvfIndex(spark, aug, "l29_sem_ivf", nLists = 8, lloydIters = 1)
+    val indexed = Similarity.semanticDupClustersIndexed(spark, aug,
+        "l29_sem_ivf", tau = 0.95, maxCluster = Int.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    assert(indexed === adhoc, "frozen-quantizer dedup diverged from ad hoc")
+    // every planted scaled copy collapsed onto its original
+    aug.where($"vec_id" >= 50000).select($"vec_id").as[Long].collect()
+      .foreach(id => assert(indexed(id) === id - 50000, s"copy $id kept"))
+    Similarity.dropIvfIndex(spark, "l29_sem_ivf")
+  }
+
   test("A4 claim: approx_count_distinct within rsd bound of exact") {
     val o = Tables.orders(spark, sf0001)
     val exact = o.agg(countDistinct($"o_custkey")).as[Long].head()
