@@ -933,6 +933,148 @@ object Dedup {
       .drop(h)
   }
 
+  // ---- AUDIO identity family (the image `_ph` discipline over
+  // Haitsma-Kalker spectral fingerprints, [[Multimodal
+  // .audioFingerprint64]]): unlike image dHash — where a lossless
+  // re-encode decodes to the IDENTICAL raster and exact hash equality
+  // is the probe — audio re-encodes are lossy (μ-law, ADPCM), so the
+  // persisted history stores BANDED signatures and the probe is the
+  // Hamming band join, with the calibrated tolerance AudioMaxDist
+  // (probe-measured: cross-codec re-encodes of one signal land ≤ 8
+  // bits apart; AudioBands = 9 keeps the pigeonhole guarantee). ----
+
+  /** Calibrated Hamming tolerance for cross-codec audio identity. */
+  val AudioMaxDist = 8
+  /** Band count for audio signatures (pigeonhole: > AudioMaxDist). */
+  val AudioBands = 9
+
+  /** The audio-history row shape: (__pid, __asig). Payloads that do not
+    * decode (or are too short to frame) carry no identity and are
+    * excluded — nothing can ever match them. */
+  private def audioSigFrame(df: DataFrame, payloadCol: String,
+      idCol: String): DataFrame =
+    Multimodal.audioFingerprint(df.select(col(idCol), col(payloadCol)),
+        payloadCol, "__asig")
+      .where(col("__asig").isNotNull)
+      .select(col(idCol).alias("__pid"), col("__asig"))
+
+  /** Banded form of a (__pid, __asig) frame: one row per (band,
+    * bucket) — the simhash band explode, persisted so history probes
+    * join bucketed layout with zero exchange. */
+  private def audioBandFrame(sigs: DataFrame): DataFrame = {
+    val bandBits = 64 / AudioBands
+    val mask = (1L << bandBits) - 1L
+    sigs.select(col("__pid"), col("__asig"),
+        posexplode(array((0 until AudioBands).map(b =>
+          shiftright(col("__asig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+  }
+
+  /** Create the audio band history (`<table>_ab`) if missing — the
+    * [[ensureImageHistory]] contract, banded rows bucketed on exactly
+    * the probe join's keys (__band, __bucket). */
+  def ensureAudioHistory(spark: org.apache.spark.sql.SparkSession,
+      like: DataFrame, payloadCol: String, idCol: String, table: String,
+      numBuckets: Int): Unit = {
+    val t = s"${table}_ab"
+    if (!spark.catalog.tableExists(t)) {
+      val delta = Layout.deltaDirOf(spark, t)
+      Layout.dropTableAndLocation(spark, t)
+      Layout.deleteDeltaState(spark, delta)
+      Layout.writeBucketed(
+        audioBandFrame(audioSigFrame(like, payloadCol, idCol).limit(0)),
+        t, Seq("__band", "__bucket"), numBuckets)
+    }
+  }
+
+  /** Replay-safe delta append to an audio history (overwrite-own-dir
+    * per batch, fold-manifest skip — the [[appendImageHistoryDelta]]
+    * contract). */
+  def appendAudioHistoryDelta(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, payloadCol: String, idCol: String, table: String,
+      batchId: Long): Unit = {
+    val t = s"${table}_ab"
+    if (Layout.isBatchFolded(spark, t, batchId)) return
+    audioBandFrame(audioSigFrame(df, payloadCol, idCol)).write.mode("overwrite")
+      .parquet(s"${Layout.deltaDirOf(spark, t)}/batch-$batchId")
+  }
+
+  /** Fold the audio-history delta into its bucketed table. */
+  def compactAudioDelta(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Layout.foldDeltaIntoBucketed(spark, s"${table}_ab",
+      noSpecHint = "not an ensureAudioHistory table")
+
+  /** Drop an audio history (table + location + delta state). */
+  def dropAudioHistory(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val t = s"${table}_ab"
+    val delta = Layout.deltaDirOf(spark, t)
+    Layout.dropTableAndLocation(spark, t)
+    Layout.deleteDeltaState(spark, delta)
+  }
+
+  /** Incremental audio dedup against a persisted band history
+    * (main ∪ delta): batch rows whose fingerprint lies within
+    * [[AudioMaxDist]] of a history row under a DIFFERENT id are
+    * dropped. Same-id exclusion is the replay guard; undecodable
+    * payloads (null fingerprint) pass through by construction.
+    *
+    * Scale shape: the batch's banded rows broadcast (9 small rows per
+    * item); the MAIN history leg joins them against the bucketed
+    * (__band, __bucket) layout with no history-side exchange, the
+    * delta leg is small×small; only (id, long) pairs ever move. */
+  def audioIncrementalDelta(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, table: String, payloadCol: String, idCol: String,
+      includeDelta: Boolean = true): DataFrame = {
+    val t = s"${table}_ab"
+    val h = graft.Cols.fresh(newDf.columns :+ "__asig", "__bsig")
+    val deltaP = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
+    val fs = deltaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hashed = Multimodal.audioFingerprint(newDf, payloadCol, h)
+    val batchBands = audioBandFrame(
+        hashed.where(col(h).isNotNull)
+          .select(col(idCol).alias("__pid"), col(h).alias("__asig")))
+      .select(col("__band").alias("__bband"), col("__bucket").alias("__bbucket"),
+        col("__pid").alias("__bid"), col("__asig").alias("__bsig2"))
+      // one shared signature pipeline for both legs (the
+      // minhashIncremental barrier rationale); batch-sized
+      .localCheckpoint(eager = true)
+    def hitIds(hist: DataFrame): DataFrame =
+      hist.join(broadcast(batchBands),
+          col("__band") === col("__bband") &&
+            col("__bucket") === col("__bbucket") &&
+            col("__pid") =!= col("__bid"))
+        .where(hamming(col("__asig"), col("__bsig2"), bits = 64) <= AudioMaxDist)
+        .select(col("__bid"))
+    val mainHits = hitIds(spark.table(t))
+    val hits =
+      if (includeDelta && fs.exists(deltaP))
+        mainHits.unionByName(hitIds(Layout.readDelta(spark, t, deltaP.toString)))
+      else mainHits
+    hashed.join(broadcast(hits.distinct()),
+        col(idCol) === col("__bid"), "left_anti")
+      .drop(h)
+  }
+
+  /** Cluster-resolved AUDIO near-dedup — [[imageNearDupClusters]] over
+    * spectral fingerprints: band the 64-bit signatures
+    * ([[AudioBands]]), connect components within [[AudioMaxDist]],
+    * keep each cluster's minimum id. */
+  def audioNearDupClusters(df: DataFrame, payloadCol: String, idCol: String,
+      maxBucket: Int = 1024): DataFrame = {
+    val sigs = Multimodal.audioFingerprint(
+        df.select(col(idCol), col(payloadCol)), payloadCol, "__afp")
+      .select(col(idCol), col("__afp"))
+    val pairs = simhashCandidatesOfSigs(sigs.where(col("__afp").isNotNull),
+        idCol, "__afp", AudioMaxDist, nBands = AudioBands, bits = 64,
+        maxBucket = maxBucket)
+      .select(col("id_a"), col("id_b"))
+    Graph.connectedComponents(pairs, "id_a", "id_b",
+        nodes = Some(df.select(col(idCol))))
+      .select(col("id").alias(idCol), col("component").alias("cluster"))
+  }
+
   /** SimHash 32-bit signature over token 1-grams: per bit, sum +1/-1
     * weighted by whether the token hash has that bit set; sign → bit.
     * Single-pass fold carrying all bit-votes in one array accumulator —

@@ -1618,6 +1618,289 @@ object Multimodal {
     }(enc)
   }
 
+  /** G.711 μ-law compression (ITU-T G.711) — the encoder side of
+    * [[mulawExpand]]: clip to 32635, bias by 0x84, locate the segment
+    * (exponent) as the highest set bit above bit 7, keep 4 mantissa
+    * bits, complement. Round-trips with [[mulawExpand]] to within one
+    * companding step (the codec's published behavior). */
+  private[graft] def mulawCompress(sIn: Short): Byte = {
+    val Bias = 0x84; val Clip = 32635
+    var s = sIn.toInt
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > Clip) s = Clip
+    s += Bias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mantissa = (s >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mantissa)).toByte
+  }
+
+  /** IMA/DVI ADPCM mono ENCODER (public IMA spec) — the exact inverse
+    * discipline of [[adpcmDecodeMono]]: per block, the first sample is
+    * stored verbatim in the 4-byte header with the carried step index,
+    * then each sample quantizes its delta from the RECONSTRUCTED
+    * predictor (the encoder tracks the decoder's state bit-for-bit, so
+    * error never accumulates beyond one step) into a 4-bit code,
+    * nibble pairs low-first. `samples.length` must be a whole number
+    * of blocks: (blockAlign-4)*2 + 1 samples each. */
+  private[graft] def adpcmEncodeMono(samples: Array[Short],
+      blockAlign: Int): Array[Byte] = {
+    require(blockAlign >= 5, "blockAlign must be >= 5")
+    val spb = (blockAlign - 4) * 2 + 1
+    require(samples.length > 0 && samples.length % spb == 0,
+      s"sample count ${samples.length} is not a whole number of $spb-sample blocks")
+    val out = new Array[Byte](samples.length / spb * blockAlign)
+    var idx = 0
+    var o = 0; var si = 0
+    while (si < samples.length) {
+      var pred: Int = samples(si)
+      out(o) = (pred & 0xff).toByte; out(o + 1) = ((pred >> 8) & 0xff).toByte
+      out(o + 2) = idx.toByte; out(o + 3) = 0
+      si += 1; o += 4
+      var n = 0
+      var byteAcc = 0
+      while (n < (blockAlign - 4) * 2) {
+        val step = AdpcmStepTable(idx)
+        var diff = samples(si).toInt - pred; si += 1
+        var code = 0
+        if (diff < 0) { code = 8; diff = -diff }
+        if (diff >= step) { code |= 4; diff -= step }
+        if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) code |= 1
+        var d2 = step >> 3
+        if ((code & 4) != 0) d2 += step
+        if ((code & 2) != 0) d2 += step >> 1
+        if ((code & 1) != 0) d2 += step >> 2
+        pred = if ((code & 8) != 0) pred - d2 else pred + d2
+        if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+        idx += AdpcmIndexTable(code & 7)
+        if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+        if (n % 2 == 0) byteAcc = code
+        else { out(o) = (byteAcc | (code << 4)).toByte; o += 1 }
+        n += 1
+      }
+    }
+    out
+  }
+
+  /** 64-bit spectral audio fingerprint over decoded PCM — the
+    * Haitsma-Kalker scheme (2002, "A Highly Robust Audio
+    * Fingerprinting System", the public standard): frame the signal,
+    * compute per-frame band energies, and emit the SIGN of the
+    * band-difference's time-derivative — signs survive companding /
+    * quantization noise that raw energies do not. The engine's band
+    * filterbank is a 4-level Haar wavelet packet (octave detail
+    * energies d1..d4 plus the final approximation) — deterministic
+    * integer-index arithmetic, no FFT dependency: 17 frames × 5 bands
+    * → 16 frame transitions × 4 band differences = exactly 64 bits.
+    * Multi-channel audio folds to mono first (mean). None when the
+    * payload is not decodable audio or carries fewer than 272
+    * mono samples (17 frames × 16 for four halvings).
+    *
+    * Identity semantics: the same SIGNAL re-encoded through a lossy
+    * telephony codec (PCM16 → μ-law → ADPCM) lands within a few bits —
+    * the Hamming band join turns that into candidate pairs exactly as
+    * dHash does for images. */
+  private[graft] def audioFingerprint64(payload: Array[Byte]): Option[Long] =
+    decodeWav(payload).flatMap { a =>
+      val n = a.samples.length / a.channels
+      if (n < 17 * 16) None
+      else {
+        val x = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < a.channels) { acc += a.samples(i * a.channels + c); c += 1 }
+          x(i) = acc / a.channels
+          i += 1
+        }
+        val flen = n / 17
+        val e = Array.ofDim[Double](17, 5)
+        var f = 0
+        while (f < 17) {
+          var cur = java.util.Arrays.copyOfRange(x, f * flen, (f + 1) * flen)
+          var lvl = 0
+          while (lvl < 4) {
+            val half = cur.length / 2
+            val next = new Array[Double](half)
+            var d = 0.0
+            var j = 0
+            while (j < half) {
+              val hi = (cur(2 * j) - cur(2 * j + 1)) * 0.5
+              next(j) = (cur(2 * j) + cur(2 * j + 1)) * 0.5
+              d += hi * hi
+              j += 1
+            }
+            e(f)(lvl) = d
+            cur = next
+            lvl += 1
+          }
+          var approx = 0.0
+          var j = 0
+          while (j < cur.length) { approx += cur(j) * cur(j); j += 1 }
+          e(f)(4) = approx
+          f += 1
+        }
+        // Two bit families per frame transition, all in the LOG domain
+        // (sign of an energy RATIO): raw-energy differences are
+        // dominated by whichever band is loudest, and mixing bands of
+        // very different magnitudes turns codec quantization noise
+        // into bit flips (probe-measured: raw cross-band HK bits read
+        // 15+ flips on an ADPCM re-encode; log-ratio bits read ≤ a
+        // few). TEMPORAL bits (how each band evolves) separate
+        // different envelopes/chirps; SPECTRAL bits (which band
+        // dominates within the frame) separate different tonal
+        // content — either family alone collapses one axis of
+        // identity (probe-measured zero-distance collisions on
+        // temporal-only). d1 — the top octave, where ADPCM's
+        // quantization noise concentrates — is left out of every bit.
+        // +1 floors the log for silent bands.
+        def lg(v: Double): Double = math.log(v + 1.0)
+        var sig = 0L
+        var bit = 0
+        f = 1
+        while (f < 17) {
+          val bits = Array(
+            lg(e(f)(2)) - lg(e(f - 1)(2)), // temporal, d3
+            lg(e(f)(4)) - lg(e(f - 1)(4)), // temporal, approx
+            lg(e(f)(1)) - lg(e(f)(2)),     // spectral, d2 vs d3
+            lg(e(f)(3)) - lg(e(f)(4)))     // spectral, d4 vs approx
+          var m = 0
+          while (m < 4) {
+            if (bits(m) > 0) sig |= 1L << bit
+            bit += 1
+            m += 1
+          }
+          f += 1
+        }
+        Some(sig)
+      }
+    }
+
+  /** DataFrame form of [[audioFingerprint64]] — the [[imageDHash]]
+    * shape: adds `outCol long` (NULL for undecodable / too-short
+    * payloads — "no identity", never bucket 0). */
+  def audioFingerprint(df: DataFrame, payloadCol: String = "payload",
+      outCol: String = "afp"): DataFrame = {
+    require(!df.columns.contains(outCol), s"input already has a '$outCol' column")
+    val outSchema = df.schema.add(StructField(outCol, LongType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val h = if (payload == null) null
+          else audioFingerprint64(payload).map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
+  /** Deterministic NON-STATIONARY test signal for a seed: an
+    * amplitude-modulated two-tone whose low component CHIRPS upward,
+    * at 8 kHz — (f₁, f₂, a₂, AM rate, chirp depth) all seed-derived.
+    * Non-stationarity is the point: the fingerprint's
+    * Haitsma-Kalker bits are TIME-DERIVATIVES of band energies, which
+    * for a stationary tone are sign(≈0) — codec-noise coin flips (the
+    * first probe measured re-encode distances of 27-36 bits on
+    * stationary tones vs ≤ a few once modulated, the same reason the
+    * published scheme is specified over evolving audio). Peak < 21k,
+    * safely inside s16. */
+  private[graft] def toneSignal(seed: Long, n: Int): Array[Short] = {
+    def pmod(v: Long, m: Long): Long = ((v % m) + m) % m
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+      z ^= z >>> 27; z *= 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // an 8-note "melody": per note a quarter-tone-scale frequency
+    // (220·2^(k/4), k ∈ 0..13 → 220-2093 Hz, spanning the d2-d4
+    // octaves) and an amplitude, both splitmix-derived — ~8×6 bits of
+    // signal entropy, so 64-bit fingerprints separate seeds, unlike a
+    // fixed two-tone family (probe-measured zero-distance collisions).
+    // Note onsets are hard phase resets — broadband transients, the
+    // temporal structure real audio has and the HK bits key on.
+    val nNotes = 8
+    val noteLen = n / nNotes
+    val fam = 4.0 + pmod(mix(seed * 31 + 7), 12)
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val note = math.min(i / noteLen, nNotes - 1)
+      val h = mix(seed * nNotes + note)
+      val f = 220.0 * math.pow(2.0, pmod(h, 14) / 4.0)
+      val amp = (0.55 + pmod(h >>> 8, 8) * 0.05) * 9000.0
+      val tn = (i - note * noteLen) / 8000.0
+      val t = i / 8000.0
+      val am = 1.0 + 0.8 * math.sin(2 * math.Pi * fam * t)
+      val v = am * amp * math.sin(2 * math.Pi * f * tn)
+      out(i) = math.max(-32768L, math.min(32767L, math.round(v))).toShort
+      i += 1
+    }
+    out
+  }
+
+  private def wavContainer(fmt: Int, channels: Int, rate: Int,
+      blockAlign: Int, bitsPerSample: Int, data: Array[Byte]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val pad = data.length & 1
+    "RIFF".getBytes(ascii) ++ le32(4 + 24 + 8 + data.length + pad) ++
+      "WAVE".getBytes(ascii) ++ "fmt ".getBytes(ascii) ++ le32(16) ++
+      le16(fmt) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bitsPerSample) ++
+      "data".getBytes(ascii) ++ le32(data.length) ++ data ++
+      (if (pad == 1) Array(0.toByte) else Array.empty[Byte])
+  }
+
+  private def syntheticToneWav(df: DataFrame, seedCol: String,
+      encode: Array[Short] => Array[Byte]): DataFrame = {
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ encode(toneSignal(r.getLong(seedIdx), ToneSamples)))
+      }
+    }(enc)
+  }
+
+  /** Shared tone-fixture length: 4 ADPCM blocks of 505 samples at the
+    * fixture blockAlign (256) — the one length all three codec
+    * generators can carry EXACTLY, so cross-codec copies decode to the
+    * same sample count and frame identically. */
+  private[graft] val ToneSamples = 2020
+  private[graft] val ToneBlockAlign = 256
+
+  /** Per-seed tone as 16-bit linear PCM WAV. */
+  def syntheticWavPcm16(df: DataFrame, seedCol: String): DataFrame =
+    syntheticToneWav(df, seedCol, s => wavContainer(1, 1, 8000, 2, 16,
+      { val d = new Array[Byte](s.length * 2)
+        var j = 0
+        while (j < s.length) {
+          d(2 * j) = (s(j) & 0xff).toByte; d(2 * j + 1) = ((s(j) >> 8) & 0xff).toByte
+          j += 1
+        }
+        d }))
+
+  /** The SAME per-seed tone re-encoded through G.711 μ-law — the lossy
+    * re-encode leg of the audio identity contract. */
+  def syntheticWavMulawTone(df: DataFrame, seedCol: String): DataFrame =
+    syntheticToneWav(df, seedCol,
+      s => wavContainer(7, 1, 8000, 1, 8, s.map(mulawCompress)))
+
+  /** The SAME per-seed tone re-encoded through IMA ADPCM (4:1). */
+  def syntheticWavAdpcmTone(df: DataFrame, seedCol: String): DataFrame =
+    syntheticToneWav(df, seedCol,
+      s => wavContainer(0x11, 1, 8000, ToneBlockAlign, 4,
+        adpcmEncodeMono(s, ToneBlockAlign)))
+
   /** The deterministic 256-entry palette the GIF fixtures share with
     * their oracles: entry i = (i, (2i) mod 256, (3i) mod 256) — three
     * distinct linear ramps, so a mis-mapped index changes every channel

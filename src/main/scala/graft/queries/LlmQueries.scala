@@ -1087,6 +1087,134 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, Some("""SELECT doc_id FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""")),
 
+    // ---- L28: AUDIO near-dedup via spectral fingerprint — dedup
+    // consumes the PCM the audio codecs decode: Haitsma-Kalker-style
+    // 64-bit signatures (Multimodal.audioFingerprint64 — log band
+    // energies of a Haar filterbank, sign bits of temporal + spectral
+    // ratios) over every decoded clip, fed into the SAME Hamming band
+    // machinery as image dHash / text SimHash, at the calibrated
+    // tolerance AudioMaxDist=8 (probe-measured re-encode ceiling over
+    // the full sf0.1 seed range). Contract (l24 pattern): every
+    // planted cross-codec re-encode of a doc's tone — the SAME signal
+    // re-encoded PCM16→μ-law and PCM16→ADPCM under fresh ids — must
+    // surface as a candidate pair, and no copy may survive the
+    // cluster resolution (a copy is directly connected to its
+    // original, so it can never be its cluster's minimum). ----
+    ("l28_audio_dedup", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val originals = Multimodal.syntheticWavPcm16(docs, "doc_id")
+        .select(col("doc_id"), col("payload"))
+      val muCopies = Multimodal.syntheticWavMulawTone(
+          docs.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              col("doc_id").as("__seed")), "__seed")
+        .select(col("doc_id"), col("payload"))
+      val adCopies = Multimodal.syntheticWavAdpcmTone(
+          docs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 300000).as("doc_id"),
+              col("doc_id").as("__seed")), "__seed")
+        .select(col("doc_id"), col("payload"))
+      val all = originals.unionByName(muCopies).unionByName(adCopies)
+      val sigs = Multimodal.audioFingerprint(all)
+        .where(col("afp").isNotNull).select(col("doc_id"), col("afp"))
+      // uncapped buckets: recall contract (the l02d rationale)
+      val cands = Dedup.simhashCandidatesOfSigs(sigs, "doc_id", "afp",
+          maxDist = Dedup.AudioMaxDist, nBands = Dedup.AudioBands, bits = 64,
+          maxBucket = Int.MaxValue)
+        .select(col("id_a"), col("id_b"))
+      val planted = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 200000).as("id_b"))
+        .unionByName(docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 300000).as("id_b")))
+      val missed = planted.join(cands, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+      val survivedCopies = Dedup.audioNearDupClusters(all, "payload", "doc_id",
+          maxBucket = Int.MaxValue)
+        .where(col("doc_id") === col("cluster") && col("doc_id") >= 200000)
+        .agg(count(lit(1)).as("copies_survived"))
+      missed.crossJoin(survivedCopies)
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, 0 AS copies_survived, (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) + (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0) AS n_planted""")),
+
+    // ---- L28b: INCREMENTAL audio dedup vs a persisted BANDED
+    // signature history (`_ab`) — the audio leg of the intake
+    // discipline. Lossy re-encodes make exact-hash history probes
+    // useless here, so the history stores banded signatures and the
+    // probe is the Hamming band join. Three claims: (1) the banded
+    // history probe equals brute-force pairwise Hamming over the same
+    // signatures (the l02e guarantee differential — pigeonhole-exact,
+    // so mismatch_hist = 0 unconditionally, natural collisions
+    // included); (2) planted μ-law re-encodes of HISTORY docs die on
+    // the history probe; (3) planted ADPCM re-encodes of IN-BATCH
+    // docs die on the within-batch cluster resolution (a copy never
+    // outranks its smaller-id original). ----
+    ("l28b_audio_incremental", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val table = s"l28bp_hist_${sfTag(d)}"
+      val hist = docs.where(col("doc_id") % 3 =!= 1)
+      val histPcm = Multimodal.syntheticWavPcm16(hist, "doc_id")
+        .select(col("doc_id"), col("payload"))
+      if (!s.catalog.tableExists(s"${table}_ab")) {
+        Dedup.dropAudioHistory(s, table) // orphaned location from a prior session
+        Dedup.ensureAudioHistory(s, histPcm, "payload", "doc_id", table, 8)
+        Dedup.appendAudioHistoryDelta(s, histPcm, "payload", "doc_id", table, 0L)
+        Dedup.compactAudioDelta(s, table) // steady state: folded main
+      }
+      val freshIds = docs.where(col("doc_id") % 3 === 1)
+      val fresh = Multimodal.syntheticWavPcm16(freshIds, "doc_id")
+        .select(col("doc_id"), col("payload"))
+      val vsHist = Multimodal.syntheticWavMulawTone(
+          hist.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              col("doc_id").as("__seed")), "__seed")
+        .select(col("doc_id"), col("payload"))
+      val within = Multimodal.syntheticWavAdpcmTone(
+          freshIds.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 300000).as("doc_id"),
+              col("doc_id").as("__seed")), "__seed")
+        .select(col("doc_id"), col("payload"))
+      val batch = fresh.unionByName(vsHist).unionByName(within)
+      // claim (1): banded history probe == brute-force Hamming over
+      // the same signatures (different-id, <= AudioMaxDist)
+      val incSurvivors = Dedup.audioIncrementalDelta(s, batch, table,
+          "payload", "doc_id")
+        .select(col("doc_id")).localCheckpoint(true)
+      val batchSigs = Multimodal.audioFingerprint(batch)
+        .where(col("afp").isNotNull).select(col("doc_id"), col("afp"))
+        .localCheckpoint(true)
+      val histSigs = Multimodal.audioFingerprint(histPcm)
+        .where(col("afp").isNotNull)
+        .select(col("doc_id").as("__hid"), col("afp").as("__hafp"))
+      val refDropped = batchSigs.crossJoin(histSigs)
+        .where(col("doc_id") =!= col("__hid") &&
+          Dedup.hamming(col("afp"), col("__hafp"), bits = 64) <= Dedup.AudioMaxDist)
+        .select(col("doc_id")).distinct()
+      val refSurvivors = batch.select(col("doc_id"))
+        .join(refDropped, Seq("doc_id"), "left_anti")
+      val mismatch = refSurvivors
+        .join(incSurvivors, Seq("doc_id"), "left_anti")
+        .unionByName(incSurvivors.join(refSurvivors, Seq("doc_id"), "left_anti"))
+        .agg(count(lit(1)).as("mismatch_hist"))
+      // claims (2)+(3): the composed pipeline — within-batch cluster
+      // resolution, then the history probe — kills every planted copy
+      val withinSurvivors = Dedup.audioNearDupClusters(batch, "payload",
+          "doc_id", maxBucket = Int.MaxValue)
+        .where(col("doc_id") === col("cluster"))
+        .select(col("doc_id")).join(batch, Seq("doc_id"))
+      val pipeSurvivors = Dedup.audioIncrementalDelta(s, withinSurvivors,
+          table, "payload", "doc_id")
+        .select(col("doc_id")).localCheckpoint(true)
+      val missedHist = pipeSurvivors.where(col("doc_id") >= 200000 && col("doc_id") < 300000)
+        .agg(count(lit(1)).as("missed_hist"))
+      val missedWithin = pipeSurvivors.where(col("doc_id") >= 300000)
+        .agg(count(lit(1)).as("missed_within"))
+      mismatch.crossJoin(missedHist).crossJoin(missedWithin)
+        .crossJoin(hist.where(col("doc_id") % 5 === 0)
+          .agg(count(lit(1)).as("n_planted_hist")))
+        .crossJoin(freshIds.where(col("doc_id") % 7 === 0)
+          .agg(count(lit(1)).as("n_planted_within")))
+    }, Some("""SELECT 0 AS mismatch_hist, 0 AS missed_hist, 0 AS missed_within, (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 1 AND doc_id % 5 = 0) AS n_planted_hist, (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 1 AND doc_id % 7 = 0) AS n_planted_within""")),
+
     // ---- L29: SEMANTIC dedup (SemDeDup) — cluster-first embedding
     // dedup: the deterministic k-means quantizer assigns every vector
     // to a list, within-cluster pairs at cos >= 0.95 collapse to their

@@ -93,6 +93,48 @@ class DedupSpec extends SparkSpec {
     } finally Dedup.dropImageHistory(spark, table)
   }
 
+  test("L28b: audio history lifecycle — delta-visible banded probe, same-id replay, fold, undecodable passthrough") {
+    import graft.operators.Multimodal
+    val table = "t_aud_hist"
+    def pcm(ids: Seq[Long]) = Multimodal.syntheticWavPcm16(
+      ids.toDF("doc_id"), "doc_id").select($"doc_id", $"payload")
+    def mulaw(pairs: Seq[(Long, Long)]) = Multimodal.syntheticWavMulawTone(
+      pairs.toDF("doc_id", "__seed"), "__seed").select($"doc_id", $"payload")
+    Dedup.dropAudioHistory(spark, table)
+    try {
+      val b0 = pcm(1L to 10L)
+      Dedup.ensureAudioHistory(spark, b0, "payload", "doc_id", table, 4)
+      Dedup.appendAudioHistoryDelta(spark, b0, "payload", "doc_id", table, 0)
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select($"doc_id").as[Long].collect().toSet
+      // BEFORE compaction the probe must see the delta: a LOSSY μ-law
+      // re-encode of history clip 3 (a few Hamming bits away, not
+      // equal) dies on the band join; fresh 20/21 survive
+      val b1 = pcm(Seq(20L, 21L)).unionByName(mulaw(Seq((103L, 3L))))
+      assert(ids(Dedup.audioIncrementalDelta(spark, b1, table, "payload", "doc_id"))
+        === Set(20L, 21L), "delta-side lossy re-encode missed")
+      // same-id replay: the original batch probing its own appended
+      // signatures recomputes the identical (full) survivor set
+      assert(ids(Dedup.audioIncrementalDelta(spark, b0, table, "payload", "doc_id"))
+        === (1L to 10L).toSet, "replay guard dropped a batch's own rows")
+      // fold, then the same probes hold against the bucketed main
+      Dedup.compactAudioDelta(spark, table)
+      assert(spark.table(s"${table}_ab").count() === 10L * Dedup.AudioBands)
+      assert(ids(Dedup.audioIncrementalDelta(spark, b1, table, "payload", "doc_id"))
+        === Set(20L, 21L), "post-fold lossy re-encode missed")
+      // undecodable payloads pass through (no identity), and the
+      // within-batch cluster resolution keeps min id per re-encode pair
+      val junk = Seq((300L, "not audio".getBytes)).toDF("doc_id", "payload")
+      val batch = pcm(Seq(30L)).unionByName(mulaw(Seq((130L, 30L)))).unionByName(junk)
+      val within = Dedup.audioNearDupClusters(batch, "payload", "doc_id")
+        .where($"doc_id" === $"cluster").select($"doc_id")
+        .join(batch, Seq("doc_id"))
+      assert(ids(within) === Set(30L, 300L), "within-batch keep-min or passthrough broke")
+      assert(ids(Dedup.audioIncrementalDelta(spark, within, table, "payload", "doc_id"))
+        === Set(30L, 300L))
+    } finally Dedup.dropAudioHistory(spark, table)
+  }
+
   test("L2b/L24: hamming at the full 64-bit window counts the sign bit; banding handles negative signatures") {
     import org.apache.spark.sql.functions.col
     val pairs = Seq(

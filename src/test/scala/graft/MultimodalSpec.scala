@@ -1040,6 +1040,88 @@ class MultimodalSpec extends SparkSpec {
     assert(sigs.exists(_ < 0L), "no negative dHash in the l24 fixture — sign-bit leg untested")
   }
 
+  test("mulawCompress: inverts mulawExpand exactly over all 256 codes, and round-trips within one companding step") {
+    // expand→compress→expand is the identity on the VALUE space for
+    // all 256 codes (code-space identity fails only on 0x7F, μ-law's
+    // redundant "negative zero" — the encoder canonicalizes it) ...
+    (0 until 256).foreach { c =>
+      val b = c.toByte
+      val v = Multimodal.mulawExpand(b)
+      assert(Multimodal.mulawExpand(Multimodal.mulawCompress(v)) === v,
+        s"code $c value $v did not round-trip")
+      if (c != 0x7f)
+        assert(Multimodal.mulawCompress(v) === b, s"code $c did not round-trip")
+    }
+    // ... and compress→expand lands within the segment's step size
+    Seq[Short](0, 1, -1, 100, -100, 1000, -1000, 8000, -8000, 30000, -30000,
+        32767, -32768).foreach { s =>
+      val rt = Multimodal.mulawExpand(Multimodal.mulawCompress(s)).toInt
+      val step = math.max(8, Integer.highestOneBit(math.min(math.abs(s.toInt), 32635) + 0x84) >> 4)
+      assert(math.abs(rt - s) <= step,
+        s"sample $s round-tripped to $rt (step $step)")
+    }
+  }
+
+  test("adpcmEncodeMono: decodes back with bounded error; encoder tracks decoder state bit-for-bit") {
+    val s = Multimodal.toneSignal(42L, Multimodal.ToneSamples)
+    val enc = Multimodal.adpcmEncodeMono(s, Multimodal.ToneBlockAlign)
+    val dec = Multimodal.adpcmDecodeMono(enc, Multimodal.ToneBlockAlign).get
+    assert(dec.length === s.length)
+    // SNR of the 4-bit predictive quantizer on a tonal signal: the
+    // codec tracks within a few steps once locked — mean absolute
+    // error well under 2% of full scale
+    val mae = s.indices.map(i => math.abs(dec(i) - s(i)).toDouble).sum / s.length
+    assert(mae < 600.0, s"ADPCM mean abs error $mae")
+    intercept[IllegalArgumentException] { // partial block refused
+      Multimodal.adpcmEncodeMono(s.take(100), Multimodal.ToneBlockAlign)
+    }
+  }
+
+  test("audioFingerprint64: cross-codec re-encodes land within AudioMaxDist; distinct seeds separate; stereo folds") {
+    import graft.operators.Dedup
+    def fpOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Multimodal.audioFingerprint(df).select($"doc_id", $"afp")
+        .as[(Long, Long)].collect().toMap
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pcm = fpOf(Multimodal.syntheticWavPcm16(ids, "doc_id"))
+    val mu = fpOf(Multimodal.syntheticWavMulawTone(ids, "doc_id"))
+    val ad = fpOf(Multimodal.syntheticWavAdpcmTone(ids, "doc_id"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (1L to 5L).foreach { id =>
+      assert(ham(pcm(id), mu(id)) <= Dedup.AudioMaxDist, s"mu $id")
+      assert(ham(pcm(id), ad(id)) <= Dedup.AudioMaxDist, s"ad $id")
+    }
+    for (a <- 1L to 5L; b <- (a + 1) to 5L)
+      assert(ham(pcm(a), pcm(b)) > Dedup.AudioMaxDist,
+        s"seeds $a/$b collide at ${ham(pcm(a), pcm(b))}")
+    // stereo: duplicating the mono channel must not change the
+    // fingerprint (channel fold is a mean)
+    val mono = Multimodal.toneSignal(7L, Multimodal.ToneSamples)
+    def wav16(samples: Array[Short], channels: Int): Array[Byte] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val data = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { j =>
+        data(2 * j) = (samples(j) & 0xff).toByte
+        data(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+      }
+      "RIFF".getBytes(ascii) ++ le32(4 + 24 + 8 + data.length) ++
+        "WAVE".getBytes(ascii) ++ "fmt ".getBytes(ascii) ++ le32(16) ++
+        le16(1) ++ le16(channels) ++ le32(8000) ++ le32(8000 * 2 * channels) ++
+        le16(2 * channels) ++ le16(16) ++ "data".getBytes(ascii) ++
+        le32(data.length) ++ data
+    }
+    val fMono = Multimodal.audioFingerprint64(wav16(mono, 1)).get
+    val stereoSamples = mono.flatMap(x => Array(x, x))
+    val fStereo = Multimodal.audioFingerprint64(wav16(stereoSamples, 2)).get
+    assert(fMono === fStereo)
+    // no-identity paths: not audio, and too short to frame
+    assert(Multimodal.audioFingerprint64("RIFFjunk".getBytes).isEmpty)
+    assert(Multimodal.audioFingerprint64(wav16(mono.take(200), 1)).isEmpty)
+  }
+
   test("dHash64: undecodable and sub-grid payloads yield None / null column, never garbage") {
     assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
     assert(Multimodal.dHash64(ppm(4, 4, Array.fill(48)(7))).isEmpty, "sub-9x8 raster must have no hash")
