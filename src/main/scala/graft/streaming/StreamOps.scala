@@ -181,14 +181,16 @@ object StreamOps {
     val within = Dedup.nearDedupMinhash(
       Dedup.exact(batch, textCol, idCol), textCol, idCol, threshold)
     val hasHistory = spark.catalog.tableExists(historyTable)
-    val survivors = (if (hasHistory)
+    // barrier: the output write and the history append must see the
+    // SAME survivor set, computed once (not two LSH pipeline runs) —
+    // the exactly-once write IS the barrier; the append re-reads the
+    // written directory (the intakeBatch job-budget rationale)
+    val survivorsPath = new Path(root, s"batch-$batchId").toString
+    val outFrame = if (hasHistory)
         Dedup.nearDedupIncremental(spark, within, historyTable, textCol, idCol, threshold)
-      else within)
-      // barrier: the output write and the history append must see the
-      // SAME survivor set, computed once (not two LSH pipeline runs)
-      .localCheckpoint(eager = true)
-    survivors.write.mode("overwrite")
-      .parquet(new Path(root, s"batch-$batchId").toString)
+      else within
+    outFrame.write.mode("overwrite").parquet(survivorsPath)
+    val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
     if (hasHistory)
       Dedup.appendBandHistory(survivors, textCol, idCol, historyTable, numBuckets)
     else
@@ -245,15 +247,17 @@ object StreamOps {
       numBuckets)
     val within = Dedup.nearDedupMinhash(
       Dedup.exact(batch, textCol, idCol), textCol, idCol, threshold)
-    val survivors = Dedup
-      .nearDedupIncremental(spark, within, historyTable, textCol, idCol, threshold)
-      // barrier: the output write and the delta append must see the
-      // SAME survivor set, computed once (not two LSH pipeline runs)
-      .localCheckpoint(eager = true)
-    survivors.write.mode("overwrite")
-      .parquet(new Path(root, s"batch-$batchId").toString)
-    Dedup.appendBandHistoryDelta(spark, survivors, textCol, idCol,
-      historyTable, batchId)
+    // barrier: the output write and the delta append must see the SAME
+    // survivor set, computed once (not two LSH pipeline runs) — the
+    // exactly-once write IS the barrier; the append re-reads the
+    // written directory (the intakeBatch job-budget rationale)
+    val survivorsPath = new Path(root, s"batch-$batchId").toString
+    val outFrame = Dedup.nearDedupIncremental(spark, within, historyTable,
+      textCol, idCol, threshold)
+    outFrame.write.mode("overwrite").parquet(survivorsPath)
+    Dedup.appendBandHistoryDelta(spark,
+      spark.read.schema(outFrame.schema).parquet(survivorsPath),
+      textCol, idCol, historyTable, batchId)
     graft.sources.AtomicPointer.write(hconf,
       new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
     true
@@ -348,14 +352,21 @@ object StreamOps {
       // survivor checkpoint below.
       .localCheckpoint(eager = true)
     val nearWithin = Dedup.nearDedupMinhash(exactNew, "text", idCol, threshold)
-    val survivors = Dedup
-      .nearDedupIncremental(spark, nearWithin, historyTable, "text", idCol,
-        threshold)
-      // barrier: the output write and BOTH delta appends must see the
-      // SAME survivor set, computed once (not three LSH pipeline runs)
-      .localCheckpoint(eager = true)
-    survivors.write.mode("overwrite")
-      .parquet(new Path(root, s"batch-$batchId").toString)
+    // barrier: the output write and BOTH delta appends must see the
+    // SAME survivor set, computed once (not three LSH pipeline runs).
+    // The exactly-once survivor WRITE is that barrier — it runs the
+    // plan once, and the appends re-read the written batch directory
+    // (one tiny bounded scan each) instead of a checkpoint's block
+    // copy. One fewer job per micro-batch and no duplicate
+    // materialization (the r11 job-budget audit; count pinned in
+    // StreamingSpec).
+    val survivorsPath = new Path(root, s"batch-$batchId").toString
+    val outFrame = Dedup.nearDedupIncremental(spark, nearWithin, historyTable,
+      "text", idCol, threshold)
+    outFrame.write.mode("overwrite").parquet(survivorsPath)
+    // explicit schema: a schema-discovery pass over the just-written
+    // footers would spend the job the write just saved
+    val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
     Dedup.appendBandHistoryDelta(spark, survivors, "text", idCol,
       historyTable, batchId)
     Dedup.appendHashHistoryDelta(spark, survivors, "text", idCol,

@@ -939,4 +939,47 @@ class StreamingSpec extends SparkSpec {
       assert(batchIds(2) === Array(8L)) // doc 7 caught against the FOLDED main
     } finally Dedup.dropBandHistory(spark, hist)
   }
+
+  test("L23 job budget: one steady-state intakeBatch launches at most 20 Spark jobs (pinned — driver overhead multiplies at production cadence)") {
+    // The r11 audit: ~12 batch-sized jobs per micro-batch read as pure
+    // driver overhead in l23b's segment table. Measured decomposition
+    // at the pin (JobCountProbe): 4 parquet writes (survivors, band
+    // delta, _sh delta, hash delta — the ORDER is the crash-prefix
+    // contract, so they cannot merge), 1 localCheckpoint barrier
+    // (exactNew — also what gives the planner concrete sizes for the
+    // broadcast anti-joins), and ~15 broadcast/subquery jobs, each a
+    // distinct bounded exchange the probes need. The survivor
+    // checkpoint was FUSED into the exactly-once write (the write is
+    // the barrier; appends re-read the batch dir with an explicit
+    // schema so not even a footer-discovery job remains). This pin
+    // fails if the count silently grows.
+    import graft.operators.Dedup
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val hist = "t_budget_hist"
+    val outDir = tmpDir("budget_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      def docs(ids: Range) = ids.map(_.toLong).toDF("doc_id")
+        .select($"doc_id", concat(lit("<p>"),
+          array_join(transform(sequence(lit(0), lit(39)),
+            i => concat(lit("tok"), $"doc_id", lit("w"), i)), " "),
+          lit("</p>")).as("html"))
+      StreamOps.intakeBatch(docs(0 until 300), 0L, hist, 4, "html", "doc_id", outDir)
+      Dedup.compactIntakeDelta(spark, hist) // steady state: folded main
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = { n.incrementAndGet(): Unit }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        StreamOps.intakeBatch(docs(300 until 450), 1L, hist, 4, "html", "doc_id", outDir)
+        // the listener bus is async — give it a moment to drain
+        Thread.sleep(1500)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(n.get() <= 20,
+        s"steady-state intakeBatch launched ${n.get()} jobs (pinned at 20) — " +
+          "a new job slipped into the hot path; re-run graft.tools.JobCountProbe " +
+          "to attribute it and either fuse it or re-justify the budget")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
 }
