@@ -730,6 +730,56 @@ object Dedup {
     dropHashHistory(spark, table)
   }
 
+  /** AUTO-compaction policy for intake histories — the measured-trigger
+    * discipline [[Similarity.ivfAging]] established, applied to the
+    * delta/main layout: fold when the accumulated delta bytes (summed
+    * over the band, `_sh` and `_xh` sub-tables) reach `maxDeltaRatio`
+    * of the bucketed mains. Delta bytes are what the delta probe legs
+    * pay per micro-batch (main ∪ delta unions), so the trigger bounds
+    * steady-state probe cost at ≤ (1 + ratio)× the folded cost while
+    * amortizing fold work against real growth — an empty or tiny main
+    * folds immediately (cheap), a 100 TB main folds only after the
+    * deltas have earned it. The measurement is filesystem metadata
+    * ([[Layout.deltaMainBytes]]), no jobs — safe to call on every
+    * micro-batch.
+    *
+    * Crash states are the fold protocol's own
+    * ([[Layout.foldDeltaIntoBucketed]]'s decidable commit-record
+    * states, plus the fold manifest that keeps REPLAYED batches from
+    * re-appending across an auto-triggered fold) — the policy adds no
+    * new state, it only decides WHEN to enter the protocol. Returns
+    * true when a fold ran. */
+  def compactIntakeIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxDeltaRatio: Double = 0.10): Boolean = {
+    require(maxDeltaRatio > 0, "maxDeltaRatio must be positive")
+    val (d, m) = Seq(table, s"${table}_sh", s"${table}_xh")
+      .map(Layout.deltaMainBytes(spark, _))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val fold = d > 0 && d >= maxDeltaRatio * m
+    if (fold) compactIntakeDelta(spark, table)
+    fold
+  }
+
+  /** [[compactIntakeIfNeeded]] for an audio band history (`_ab`). */
+  def compactAudioIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxDeltaRatio: Double = 0.10): Boolean = {
+    require(maxDeltaRatio > 0, "maxDeltaRatio must be positive")
+    val (d, m) = Layout.deltaMainBytes(spark, s"${table}_ab")
+    val fold = d > 0 && d >= maxDeltaRatio * m
+    if (fold) compactAudioDelta(spark, table)
+    fold
+  }
+
+  /** [[compactIntakeIfNeeded]] for an image hash history (`_ph`). */
+  def compactImageIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxDeltaRatio: Double = 0.10): Boolean = {
+    require(maxDeltaRatio > 0, "maxDeltaRatio must be positive")
+    val (d, m) = Layout.deltaMainBytes(spark, s"${table}_ph")
+    val fold = d > 0 && d >= maxDeltaRatio * m
+    if (fold) compactImageDelta(spark, table)
+    fold
+  }
+
   /** L2 incremental, applied — drop every batch row near-duplicating the
     * persisted history above `threshold` (compose with
     * [[nearDedupMinhash]] for within-batch dups, then

@@ -103,6 +103,23 @@ object Layout {
     loc.toString + "__delta"
   }
 
+  /** Measured (deltaBytes, mainBytes) of one bucketed+delta table —
+    * the AUTO-compaction policy's trigger input. Filesystem metadata
+    * only (`getContentSummary`), no Spark jobs: the policy runs on
+    * every micro-batch, so the measurement must cost a few namenode
+    * RPCs, not a scan. Delta bytes are a faithful proxy for the delta
+    * probe legs' cost — every probe unions `main ∪ delta` and the
+    * delta leg's work is linear in exactly these bytes. */
+  private[graft] def deltaMainBytes(spark: SparkSession, table: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val deltaP = new Path(deltaDirOf(spark, table))
+    val mainP = new Path(deltaDirOf(spark, table).stripSuffix("__delta"))
+    val fs = deltaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytes(p: Path): Long =
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    (bytes(deltaP), bytes(mainP))
+  }
+
   /** The fold manifest of a delta table: one empty `batch-<id>` marker
     * file per delta batch already folded into the bucketed main table.
     * [[foldDeltaIntoBucketed]] writes the markers BEFORE its commit

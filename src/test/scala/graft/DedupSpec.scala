@@ -135,6 +135,60 @@ class DedupSpec extends SparkSpec {
     } finally Dedup.dropAudioHistory(spark, table)
   }
 
+  test("L23 auto-compaction: byte-ratio trigger folds when earned, probe's delta legs vanish, replay stays safe across an auto fold") {
+    import graft.operators.Layout
+    import graft.streaming.StreamOps
+    import org.apache.hadoop.fs.Path
+    val table = "t_autofold"
+    val outDir = tmpDir("autofold_out")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Dedup.dropIntakeHistory(spark, table)
+    try {
+      def docs(ids: Range) = ids.map(_.toLong).toDF("doc_id")
+        .select($"doc_id", concat(lit("<p>"),
+          array_join(transform(sequence(lit(0), lit(39)),
+            i => concat(lit("tok"), $"doc_id", lit("w"), i)), " "),
+          lit("</p>")).as("html"))
+      def deltaDirs = Seq(table, s"${table}_sh", s"${table}_xh")
+        .map(t => new Path(Layout.deltaDirOf(spark, t)))
+      def anyDelta = deltaDirs.exists(p => p.getFileSystem(hconf).exists(p))
+      // batch 0 against empty mains: the delta IS the corpus — any
+      // positive ratio is exceeded, the fold fires immediately (cheap
+      // early folds are intended), and a second call does not thrash
+      StreamOps.intakeBatch(docs(0 until 300), 0L, table, 4, "html", "doc_id", outDir)
+      assert(anyDelta, "append should land delta-side")
+      assert(Dedup.compactIntakeIfNeeded(spark, table), "over-ratio delta must fold")
+      assert(!anyDelta, "fold must clear every delta dir")
+      assert(!Dedup.compactIntakeIfNeeded(spark, table), "empty delta must not re-fold")
+      // a small batch against the now-large main stays UNDER the 10%
+      // ratio: the policy leaves it delta-side (fold work not yet earned)
+      StreamOps.intakeBatch(docs(300 until 310), 1L, table, 4, "html", "doc_id", outDir)
+      assert(anyDelta)
+      assert(!Dedup.compactIntakeIfNeeded(spark, table, maxDeltaRatio = 0.5),
+        "a 10-doc delta over a 300-doc main must not trigger at ratio 0.5")
+      // tightening the ratio models accumulated pressure → auto fold;
+      // post-fold the probes' delta legs VANISH (they key on the dirs'
+      // existence — absence is the recovered probe plan)
+      assert(Dedup.compactIntakeIfNeeded(spark, table, maxDeltaRatio = 1e-9))
+      assert(!anyDelta, "post-fold probes must be main-only")
+      val survivors1 = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id").as[Long].collect().sorted
+      assert(survivors1 === (300L until 310L).toArray)
+      // REPLAY across the auto-triggered fold: pointer rolled back, the
+      // stream re-delivers batch 1 — the fold manifest suppresses the
+      // re-append (batch 1's rows already live in the folded main), the
+      // same-id probe exclusion keeps the survivor set identical, and
+      // no delta state reappears
+      val outP = new Path(outDir)
+      outP.getFileSystem(hconf).delete(new Path(outP, "_LATEST"), false)
+      assert(StreamOps.intakeBatch(docs(300 until 310), 1L, table, 4, "html", "doc_id", outDir))
+      val replayed = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id").as[Long].collect().sorted
+      assert(replayed === survivors1, "replay across an auto fold changed the survivor set")
+      assert(!anyDelta, "a folded batch's replay must not re-append delta rows")
+    } finally Dedup.dropIntakeHistory(spark, table)
+  }
+
   test("L2b/L24: hamming at the full 64-bit window counts the sign bit; banding handles negative signatures") {
     import org.apache.spark.sql.functions.col
     val pairs = Seq(
