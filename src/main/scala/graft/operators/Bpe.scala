@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -49,6 +49,46 @@ object Bpe {
     df.select(explode(split(col(textCol), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("count"))
+
+  /** Character-class pre-tokenizer regex (the GPT-2 pre-tokenizer's
+    * class structure, public scheme): maximal runs of letters, of
+    * digits, or of non-space-non-alphanumeric characters; whitespace
+    * separates and drops. Unicode classes, so CJK ideographs are
+    * letter runs. */
+  private val PretokRegex = "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+
+  /** Class-run pre-tokens of `text`, each run CHUNKED to at most
+    * `maxWordLen` characters — the guard [[wordDict]] lacks for
+    * whitespace-free scripts: a CJK document splits on `\s+` into one
+    * whole-line "word", every line is distinct, and the
+    * distinct-word-dictionary reduction that makes training
+    * corpus-scale-independent collapses back to the corpus itself.
+    * Bounding run length restores it: the dictionary is then bounded
+    * by |alphabet|^maxWordLen ∩ corpus n-grams — in practice the
+    * script's common character n-grams, which is exactly the unit BPE
+    * wants to learn over (the GPT-2 scheme's byte-level analogue).
+    * Pure per-row expressions; used by [[wordDictPretokenized]] and
+    * mirrored exactly by the executor-side splitter in
+    * [[applyBpePretokenized]]. */
+  private[graft] def preTokens(text: Column, maxWordLen: Int): Column =
+    flatten(transform(
+      regexp_extract_all(text, lit(PretokRegex), lit(0)),
+      r => transform(
+        sequence(lit(0), floor((length(r) - 1) / maxWordLen).cast("int")),
+        i => r.substr(i * maxWordLen + 1, lit(maxWordLen)))))
+
+  /** [[wordDict]] over the bounded class-run pre-tokens — the
+    * dictionary builder for corpora where whitespace does not
+    * segment. On whitespace-segmented text with maxWordLen above the
+    * longest word it degenerates to [[wordDict]] minus intra-word
+    * punctuation splits. */
+  def wordDictPretokenized(df: DataFrame, textCol: String,
+      maxWordLen: Int = 16): DataFrame = {
+    require(maxWordLen >= 2, "maxWordLen must be >= 2 (a 1-char word cannot merge)")
+    df.select(explode(preTokens(col(textCol), maxWordLen)).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("count"))
+  }
 
   /** Learn `k` BPE merges from a (word, count) dictionary — BATCHED
     * driver rounds, bit-identical to [[learnMergesSerial]] (the paper's
@@ -431,7 +471,24 @@ object Bpe {
     * is still safe — only output-equals-earlier-component diverges);
     * arbitrary persisted tables ([[applyBpeFromTable]]) get no such
     * guarantee, hence the check here at every entry point. */
-  def applyBpe(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+  def applyBpe(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame =
+    applyBpeCore(df, textCol, merges, pretokLen = None)
+
+  /** [[applyBpe]] with the bounded class-run pre-tokenizer instead of
+    * the whitespace splitter — the apply-side mirror of
+    * [[wordDictPretokenized]] (train and apply MUST segment
+    * identically, or apply meets "words" training never saw). Same
+    * merge semantics, same reconstruction contract: the pre-tokens
+    * cover exactly the non-whitespace characters, so
+    * `sum(token lengths) == chars minus whitespace`. */
+  def applyBpePretokenized(df: DataFrame, textCol: String,
+      merges: Seq[Merge], maxWordLen: Int = 16): DataFrame = {
+    require(maxWordLen >= 2, "maxWordLen must be >= 2")
+    applyBpeCore(df, textCol, merges, pretokLen = Some(maxWordLen))
+  }
+
+  private def applyBpeCore(df: DataFrame, textCol: String,
+      merges: Seq[Merge], pretokLen: Option[Int]): DataFrame = {
     validateMinRankSafe(merges)
     val ranked = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
     val outSchema = df.schema
@@ -450,11 +507,36 @@ object Bpe {
       // words heavily, and the cache turns apply into a dictionary
       // lookup (the same reduction training uses)
       val cache = new java.util.HashMap[String, (Array[String], Long)]()
+      // pre-tokenized mode: same class-run regex + chunking as the
+      // Column-side preTokens (train/apply segmentation parity)
+      val pretok = pretokLen.map(_ => java.util.regex.Pattern.compile(PretokRegex))
+      def wordsOf(text: String): Iterator[String] = pretok match {
+        case None => text.split("\\s+").iterator
+        case Some(p) =>
+          val maxLen = pretokLen.get
+          val m = p.matcher(text)
+          new Iterator[String] {
+            private var run: String = null
+            private var off = 0
+            def hasNext: Boolean = {
+              if (run == null || off >= run.length) {
+                if (!m.find()) return false
+                run = m.group(); off = 0
+              }
+              true
+            }
+            def next(): String = {
+              if (!hasNext) throw new NoSuchElementException
+              val end = math.min(off + maxLen, run.length)
+              val w = run.substring(off, end); off = end; w
+            }
+          }
+      }
       rows.map { r =>
         val text = r.getString(textIdx)
         var events = 0L
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        if (text != null) text.split("\\s+").foreach { w =>
+        if (text != null) wordsOf(text).foreach { w =>
           if (w.nonEmpty) {
             var hit = cache.get(w)
             if (hit == null) {

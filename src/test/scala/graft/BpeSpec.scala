@@ -242,6 +242,48 @@ class BpeSpec extends SparkSpec {
     Bpe.validateMinRankSafe(dup) // must not throw
   }
 
+  test("pre-tokenized dictionary: a whitespace-free (CJK) corpus keeps the dictionary reduction, trains, and reconstructs") {
+    // a pseudo-CJK corpus: no whitespace anywhere, heavy character
+    // n-gram repetition across lines (the structure BPE exploits)
+    val phrases = Seq("数据处理引擎", "数据处理管道", "分布式数据处理",
+      "引擎与管道", "数据引擎")
+    val docs = (0 until 60).map(i => phrases(i % phrases.size) * 3 + phrases((i + 1) % phrases.size))
+      .toDF("content")
+    // whitespace splitting DEGENERATES: every distinct line is one
+    // "word" — dictionary ≈ corpus, the reduction is gone
+    val flat = Bpe.wordDict(docs, "content").collect()
+    assert(flat.forall(_.getString(0).length > 16),
+      "whitespace splitting should yield whole-line words on CJK")
+    // the bounded pre-tokenizer restores it: every word ≤ maxWordLen,
+    // and the dictionary is shared n-gram chunks, far fewer than a
+    // per-line vocabulary of the same corpus under distinct ids
+    val dict = Bpe.wordDictPretokenized(docs, "content", maxWordLen = 8)
+    val words = dict.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(words.forall(_._1.length <= 8), "chunking must bound word length")
+    assert(words.map(_._2).sum > words.length * 3,
+      "pre-tokens must REPEAT across lines (the dictionary reduction)")
+    // trains and round-trips: total reconstruction over non-whitespace
+    // chars, and merge events account exactly for the length reduction
+    val merges = Bpe.learnMerges(dict, k = 24, maxBatch = 8, window = 64)
+    assert(merges.nonEmpty)
+    val rows = Bpe.applyBpePretokenized(docs, "content", merges, maxWordLen = 8)
+      .select($"content", $"bpe_tokens", $"bpe_merge_events").collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val toks = r.getSeq[String](1)
+      assert(toks.map(_.length).sum === text.length,
+        "pre-tokens must cover every non-whitespace char exactly once")
+      assert(toks.length.toLong + r.getLong(2) === text.length,
+        "token count + merge events must equal the char count")
+      assert(toks.exists(_.length > 1), "no merge ever applied")
+    }
+    // mixed content: whitespace still separates, punctuation splits off
+    val mixed = Seq("数据abc处理 def!引擎").toDF("content")
+    val mts = Bpe.applyBpePretokenized(mixed, "content", merges, maxWordLen = 8)
+      .select($"bpe_tokens").collect()(0).getSeq[String](0)
+    assert(mts.mkString === "数据abc处理def!引擎".replace(" ", ""))
+  }
+
   test("wordDict: one row per distinct word with corpus counts") {
     val docs = Seq("a b a", "b  c").toDF("content")
     val dict = Bpe.wordDict(docs, "content").collect()
