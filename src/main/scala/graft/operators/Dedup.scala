@@ -993,10 +993,24 @@ object Dedup {
   // (probe-measured: cross-codec re-encodes of one signal land ≤ 8
   // bits apart; AudioBands = 9 keeps the pigeonhole guarantee). ----
 
-  /** Calibrated Hamming tolerance for cross-codec audio identity. */
-  val AudioMaxDist = 8
-  /** Band count for audio signatures (pigeonhole: > AudioMaxDist). */
-  val AudioBands = 9
+  /** Calibrated Hamming tolerance for cross-codec audio identity
+    * (probe-measured re-encode ceiling over the full sf0.1 seed range:
+    * μ-law ≤ 3, ADPCM ≤ 9). */
+  val AudioMaxDist = 9
+  /** Band geometry for audio signatures — WIDE bands + MULTI-PROBE,
+    * not the SimHash plain-band split. Plain pigeonhole banding needs
+    * nBands > maxDist, i.e. 9 bands of 7 bits = 128 buckets per band:
+    * at corpus scale EVERY bucket is hot (ScaleSpec measured the 60k
+    * corpus collapsing them into the oversize sideline — zero recall),
+    * which is why the published Haitsma-Kalker search uses wide
+    * sub-fingerprints probed with bit flips. Here: 5 bands × 12 bits
+    * (4096 buckets per band), probe side expands each band value to
+    * its 13-element 1-bit-flip ball. Guarantee: if every band held ≥2
+    * errors the distance would be ≥10 > AudioMaxDist, so a pair within
+    * tolerance always shares a band within one bit — which the flip
+    * ball covers exactly. */
+  val AudioBands = 5
+  val AudioBandBits = 12
 
   /** The audio-history row shape: (__pid, __asig). Payloads that do not
     * decode (or are too short to frame) carry no identity and are
@@ -1008,16 +1022,72 @@ object Dedup {
       .where(col("__asig").isNotNull)
       .select(col(idCol).alias("__pid"), col("__asig"))
 
-  /** Banded form of a (__pid, __asig) frame: one row per (band,
-    * bucket) — the simhash band explode, persisted so history probes
-    * join bucketed layout with zero exchange. */
-  private def audioBandFrame(sigs: DataFrame): DataFrame = {
-    val bandBits = 64 / AudioBands
-    val mask = (1L << bandBits) - 1L
+  /** Banded form of a (__pid, __asig) frame: one EXACT row per (band,
+    * bucket) — the stored/history side. Probes come from
+    * [[audioProbeFrame]]'s flip balls. */
+  private def audioBandFrame(sigs: DataFrame): DataFrame =
     sigs.select(col("__pid"), col("__asig"),
         posexplode(array((0 until AudioBands).map(b =>
-          shiftright(col("__asig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+          shiftright(col("__asig"), b * AudioBandBits)
+            .bitwiseAND(lit((1L << AudioBandBits) - 1L))): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+
+  /** Probe form: per band, the 1-bit-flip ball of the band value
+    * (13 rows per band — the exact value plus each single-bit flip).
+    * One side exact, one side probed finds every pair whose closest
+    * band differs by ≤1 bit, which the [[AudioBands]] geometry
+    * guarantees for any pair within [[AudioMaxDist]]. */
+  private def audioProbeFrame(sigs: DataFrame): DataFrame = {
+    val mask = (1L << AudioBandBits) - 1L
+    sigs.select(col("__pid"), col("__asig"),
+        posexplode(array((0 until AudioBands).map { b =>
+          val v = shiftright(col("__asig"), b * AudioBandBits).bitwiseAND(lit(mask))
+          array(v +: (0 until AudioBandBits).map(k => v.bitwiseXOR(lit(1L << k))): _*)
+        }: _*)))
+      .withColumnRenamed("pos", "__band")
+      .select(col("__pid"), col("__asig"), col("__band"),
+        explode(col("col")).as("__bucket"))
+  }
+
+  /** Candidate pairs among `sigs` (idCol, sigCol) within
+    * [[AudioMaxDist]] — exact-side banding + flip-ball probes, hot
+    * exact buckets over `maxBucket` sidelined (the LSH cap
+    * discipline; with 4096-way buckets a sideline means a genuine
+    * mass-duplicate class, not normal density). */
+  def audioCandidates(sigs: DataFrame, idCol: String, sigCol: String,
+      maxBucket: Int = 1024): DataFrame = {
+    val base = sigs.select(col(idCol).alias("__pid"), col(sigCol).alias("__asig"))
+    val exact = dropOversizedBuckets(audioBandFrame(base),
+      Seq("__band", "__bucket"), maxBucket)
+    // Probe-side discipline — sidelining a mass-duplicate class's own
+    // (oversized) buckets still leaves its 10k IDENTICAL probe balls
+    // landing on every neighboring small bucket, turning each
+    // ≤8-distance neighbor into a 10k-degree star (ScaleSpec measured
+    // exactly this). Identical signatures probe identically, so the
+    // probe side keeps ONE representative (min id) per
+    // (band, bucket, signature): an identity class then reaches its
+    // neighbors — and its own members, through the representative
+    // probing the class's own exact bucket — with LINEAR pair volume,
+    // and connected components restore the full clusters. The cap then
+    // applies to representative rows (sig-diverse hot probe groups).
+    // Pairs are normalized via least/greatest, NOT pid<qid: the
+    // representative carries its class's MINIMUM id, so ordering by
+    // side would orphan every class member.
+    val probes = dropOversizedBuckets(
+        audioProbeFrame(base)
+          .groupBy(col("__band"), col("__bucket"), col("__asig"))
+          .agg(min(col("__pid")).as("__pid")),
+        Seq("__band", "__bucket"), maxBucket)
+      .select(col("__band").alias("__qband"), col("__bucket").alias("__qbucket"),
+        col("__pid").alias("__qid"), col("__asig").alias("__qsig"))
+    exact.join(probes,
+        col("__band") === col("__qband") && col("__bucket") === col("__qbucket") &&
+          col("__pid") =!= col("__qid"))
+      .select(least(col("__pid"), col("__qid")).alias("id_a"),
+        greatest(col("__pid"), col("__qid")).alias("id_b"),
+        hamming(col("__asig"), col("__qsig"), bits = 64).alias("hamming_dist"))
+      .where(col("hamming_dist") <= AudioMaxDist)
+      .distinct()
   }
 
   /** Create the audio band history (`<table>_ab`) if missing — the
@@ -1076,15 +1146,22 @@ object Dedup {
     * delta leg is small×small; only (id, long) pairs ever move. */
   def audioIncrementalDelta(spark: org.apache.spark.sql.SparkSession,
       newDf: DataFrame, table: String, payloadCol: String, idCol: String,
-      includeDelta: Boolean = true): DataFrame = {
+      includeDelta: Boolean = true, maxBucket: Int = 1024): DataFrame = {
     val t = s"${table}_ab"
     val h = graft.Cols.fresh(newDf.columns :+ "__asig", "__bsig")
     val deltaP = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
     val fs = deltaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hashed = Multimodal.audioFingerprint(newDf, payloadCol, h)
-    val batchBands = audioBandFrame(
+    // batch side carries the FLIP-BALL probes (13 rows per band per
+    // item — still batch-sized and broadcastable); the history keeps
+    // one exact row per band, so the persisted layout never grows
+    // with the probe geometry. Oversized probe groups are sidelined
+    // (the audioCandidates probe-side cap): a batch-side
+    // mass-duplicate class must not star-join the history.
+    val batchBands = dropOversizedBuckets(audioProbeFrame(
         hashed.where(col(h).isNotNull)
-          .select(col(idCol).alias("__pid"), col(h).alias("__asig")))
+          .select(col(idCol).alias("__pid"), col(h).alias("__asig"))),
+        Seq("__band", "__bucket"), maxBucket)
       .select(col("__band").alias("__bband"), col("__bucket").alias("__bbucket"),
         col("__pid").alias("__bid"), col("__asig").alias("__bsig2"))
       // one shared signature pipeline for both legs (the
@@ -1108,17 +1185,16 @@ object Dedup {
   }
 
   /** Cluster-resolved AUDIO near-dedup — [[imageNearDupClusters]] over
-    * spectral fingerprints: band the 64-bit signatures
-    * ([[AudioBands]]), connect components within [[AudioMaxDist]],
-    * keep each cluster's minimum id. */
+    * spectral fingerprints: wide-band + flip-probe candidates
+    * ([[audioCandidates]]), connect components within
+    * [[AudioMaxDist]], keep each cluster's minimum id. */
   def audioNearDupClusters(df: DataFrame, payloadCol: String, idCol: String,
       maxBucket: Int = 1024): DataFrame = {
     val sigs = Multimodal.audioFingerprint(
         df.select(col(idCol), col(payloadCol)), payloadCol, "__afp")
       .select(col(idCol), col("__afp"))
-    val pairs = simhashCandidatesOfSigs(sigs.where(col("__afp").isNotNull),
-        idCol, "__afp", AudioMaxDist, nBands = AudioBands, bits = 64,
-        maxBucket = maxBucket)
+    val pairs = audioCandidates(sigs.where(col("__afp").isNotNull),
+        idCol, "__afp", maxBucket = maxBucket)
       .select(col("id_a"), col("id_b"))
     Graph.connectedComponents(pairs, "id_a", "id_b",
         nodes = Some(df.select(col(idCol))))

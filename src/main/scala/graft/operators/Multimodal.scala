@@ -1816,14 +1816,19 @@ object Multimodal {
       z ^= z >>> 27; z *= 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    // an 8-note "melody": per note a quarter-tone-scale frequency
+    // a 16-note "melody": per note a quarter-tone-scale frequency
     // (220·2^(k/4), k ∈ 0..13 → 220-2093 Hz, spanning the d2-d4
-    // octaves) and an amplitude, both splitmix-derived — ~8×6 bits of
-    // signal entropy, so 64-bit fingerprints separate seeds, unlike a
-    // fixed two-tone family (probe-measured zero-distance collisions).
-    // Note onsets are hard phase resets — broadband transients, the
-    // temporal structure real audio has and the HK bits key on.
-    val nNotes = 8
+    // octaves) and an amplitude, both splitmix-derived. 16 notes ≈ one
+    // note per fingerprint frame, so EVERY frame transition is a note
+    // onset and every temporal bit carries note-pair information —
+    // with 8 notes, half the transitions fell inside a note and their
+    // bits collapsed onto the 12-value AM parameter, leaving a dense
+    // signature cloud whose hot buckets ate the banding (ScaleSpec
+    // giant-component failure). ~16×7 bits of signal entropy keeps
+    // 64-bit fingerprints pairwise-distant across seeds. Note onsets
+    // are hard phase resets — broadband transients, the temporal
+    // structure real audio has and the HK bits key on.
+    val nNotes = 16
     val noteLen = n / nNotes
     val fam = 4.0 + pmod(mix(seed * 31 + 7), 12)
     val out = new Array[Short](n)

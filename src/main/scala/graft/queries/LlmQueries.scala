@@ -1118,8 +1118,7 @@ object LlmQueries {
       val sigs = Multimodal.audioFingerprint(all)
         .where(col("afp").isNotNull).select(col("doc_id"), col("afp"))
       // uncapped buckets: recall contract (the l02d rationale)
-      val cands = Dedup.simhashCandidatesOfSigs(sigs, "doc_id", "afp",
-          maxDist = Dedup.AudioMaxDist, nBands = Dedup.AudioBands, bits = 64,
+      val cands = Dedup.audioCandidates(sigs, "doc_id", "afp",
           maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"))
       val planted = docs.where(col("doc_id") % 7 === 0)

@@ -708,6 +708,93 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("scale: char-bigram LM train + score over the skewed corpus (NULLs, 10k-copy cluster) stays balanced", suiteTags: _*) {
+    withScaleConf {
+      import graft.operators.NgramLm
+      val lm = NgramLm.trainCharBigram(docs.where($"doc_id" % 3 === 0), "text")
+      // the model is alphabet-bounded regardless of corpus size — the
+      // broadcast-join scale story stands on this
+      assert(lm.big.count() < 10000, "model must stay alphabet-bounded")
+      var scoredNonNull = 0L; var nullScored = 0L
+      val stages = probe {
+        val out = NgramLm.scoreDocs(docs, "text", "doc_id", lm)
+          .select($"doc_id", $"n_big", $"avg_logp")
+        scoredNonNull = out.where($"avg_logp".isNotNull).count()
+        nullScored = out.where($"n_big" === 0).count()
+      }
+      // every non-NULL text scores (the boilerplate cluster too — same
+      // score, no special casing); NULL texts carry no evidence
+      val nNull = docs.where($"text".isNull).count()
+      assert(nullScored === nNull)
+      assert(scoredNonNull === N - nNull)
+      assertBalanced("ngram-lm", stages)
+    }
+  }
+
+  test("scale: semantic dedup — zero-norm poison keeps itself, planted scaled copies drop, per-cluster pair work stays balanced", suiteTags: _*) {
+    withScaleConf {
+      import graft.operators.Similarity
+      // planted: exact-scaled copies (2x — bit-identical cosine
+      // geometry) of every 1000th vector under offset ids
+      val copies = emb.where($"vec_id" % 1000 === 0 && $"vec_id" % 100 =!= 0)
+        .select(($"vec_id" + 10000000L).as("vec_id"),
+          transform($"embedding", x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val aug = emb.unionByName(copies)
+      var clusters: Map[Long, Long] = null
+      val stages = probe {
+        clusters = Similarity.semanticDupClusters(aug, tau = 0.95,
+            nLists = 64, maxCluster = 4096)
+          .as[(Long, Long)].collect().toMap
+      }
+      // every planted copy collapses onto its original; zero-norm
+      // vectors (NaN against everything) always keep themselves
+      copies.select($"vec_id").as[Long].collect().foreach { id =>
+        assert(clusters(id) === id - 10000000L, s"scaled copy $id survived")
+      }
+      (0L until M.toLong by 100).take(50).foreach { id =>
+        assert(clusters(id) === id, s"zero-norm $id absorbed into a cluster")
+      }
+      assertBalanced("semantic-dedup", stages)
+    }
+  }
+
+  test("scale: audio fingerprint banding — capped buckets sideline a 10k-identical flood, cross-codec copies still pair, stays balanced", suiteTags: _*) {
+    withScaleConf {
+      import graft.operators.Multimodal
+      // audio corpus: distinct melodies, except ids >= N-10000 all
+      // carry seed 7 (the mass-duplicate flood — one fingerprint class
+      // that would go quadratic in every band without the cap)
+      val nAudio = math.min(N, 60000)
+      val seeds = spark.range(nAudio).select($"id".as("doc_id"),
+        when($"id" >= nAudio - 10000, lit(7L)).otherwise($"id").as("__seed"))
+      val originals = Multimodal.syntheticWavPcm16(seeds, "__seed")
+        .select($"doc_id", $"payload")
+      // cross-codec copies of every 997th NON-flood doc
+      val copies = Multimodal.syntheticWavMulawTone(
+          seeds.where($"doc_id" % 997 === 0 && $"doc_id" < nAudio - 10000)
+            .select(($"doc_id" + 10000000L).as("doc_id"), $"__seed"), "__seed")
+        .select($"doc_id", $"payload")
+      var clusters: Map[Long, Long] = null
+      val stages = probe {
+        clusters = Dedup.audioNearDupClusters(
+            originals.unionByName(copies), "payload", "doc_id",
+            maxBucket = 1024)
+          .as[(Long, Long)].collect().toMap
+      }
+      // planted cross-codec pairs survive the cap (their buckets are
+      // small); the flood is sidelined, not exploded. Component
+      // equality, not identity: at 60k seeds the fingerprint space has
+      // natural ≤8-distance neighbors, so a copy's component can have
+      // a minimum below its original — the contract is that copy and
+      // original always land in the SAME component.
+      copies.select($"doc_id").as[Long].collect().foreach { id =>
+        assert(clusters(id) === clusters(id - 10000000L),
+          s"cross-codec copy $id not in its original's component")
+      }
+      assertBalanced("audio-banding", stages)
+    }
+  }
 }
 
 /** Selects the heavy 50× evidence run ([[ScaleSpec50x]]). */
