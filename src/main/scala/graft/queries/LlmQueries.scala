@@ -1115,21 +1115,28 @@ object LlmQueries {
               col("doc_id").as("__seed")), "__seed")
         .select(col("doc_id"), col("payload"))
       val all = originals.unionByName(muCopies).unionByName(adCopies)
+      // one synthesis + fingerprint pass feeds BOTH legs (each WAV is
+      // ~27M sin() evaluations per corpus pass — re-deriving it per leg
+      // tripled the row's cost); candidate pairs likewise computed once
       val sigs = Multimodal.audioFingerprint(all)
         .where(col("afp").isNotNull).select(col("doc_id"), col("afp"))
+        .localCheckpoint(true)
       // uncapped buckets: recall contract (the l02d rationale)
       val cands = Dedup.audioCandidates(sigs, "doc_id", "afp",
           maxBucket = Int.MaxValue)
-        .select(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
       val planted = docs.where(col("doc_id") % 7 === 0)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 200000).as("id_b"))
         .unionByName(docs.where(col("doc_id") % 5 === 0)
           .select(col("doc_id").as("id_a"), (col("doc_id") + 300000).as("id_b")))
       val missed = planted.join(cands, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("missed_planted"))
-      val survivedCopies = Dedup.audioNearDupClusters(all, "payload", "doc_id",
-          maxBucket = Int.MaxValue)
-        .where(col("doc_id") === col("cluster") && col("doc_id") >= 200000)
+      // cluster resolution over the SAME candidate pairs (what
+      // audioNearDupClusters does, minus its second fingerprint pass)
+      val survivedCopies = graft.operators.Graph
+        .connectedComponents(cands, "id_a", "id_b",
+          nodes = Some(sigs.select(col("doc_id"))))
+        .where(col("id") === col("component") && col("id") >= 200000)
         .agg(count(lit(1)).as("copies_survived"))
       missed.crossJoin(survivedCopies)
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
@@ -1172,7 +1179,9 @@ object LlmQueries {
             .select((col("doc_id") + 300000).as("doc_id"),
               col("doc_id").as("__seed")), "__seed")
         .select(col("doc_id"), col("payload"))
+      // one synthesis pass for the whole row (the l28 rationale)
       val batch = fresh.unionByName(vsHist).unionByName(within)
+        .localCheckpoint(true)
       // claim (1): banded history probe == brute-force Hamming over
       // the same signatures (different-id, <= AudioMaxDist)
       val incSurvivors = Dedup.audioIncrementalDelta(s, batch, table,
@@ -1195,11 +1204,16 @@ object LlmQueries {
         .unionByName(incSurvivors.join(refSurvivors, Seq("doc_id"), "left_anti"))
         .agg(count(lit(1)).as("mismatch_hist"))
       // claims (2)+(3): the composed pipeline — within-batch cluster
-      // resolution, then the history probe — kills every planted copy
-      val withinSurvivors = Dedup.audioNearDupClusters(batch, "payload",
-          "doc_id", maxBucket = Int.MaxValue)
-        .where(col("doc_id") === col("cluster"))
-        .select(col("doc_id")).join(batch, Seq("doc_id"))
+      // resolution, then the history probe — kills every planted copy.
+      // Clusters derive from the already-materialized batch signatures
+      // (audioNearDupClusters would re-fingerprint the payloads)
+      val withinSurvivors = graft.operators.Graph
+        .connectedComponents(
+          Dedup.audioCandidates(batchSigs, "doc_id", "afp",
+            maxBucket = Int.MaxValue).select(col("id_a"), col("id_b")),
+          "id_a", "id_b", nodes = Some(batch.select(col("doc_id"))))
+        .where(col("id") === col("component"))
+        .select(col("id").as("doc_id")).join(batch, Seq("doc_id"))
       val pipeSurvivors = Dedup.audioIncrementalDelta(s, withinSurvivors,
           table, "payload", "doc_id")
         .select(col("doc_id")).localCheckpoint(true)
