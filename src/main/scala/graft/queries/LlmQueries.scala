@@ -838,6 +838,47 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some(s"""WITH c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS clean FROM documents), t AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\\s+'), x -> len(x) > 0) ts FROM c), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t), q AS (SELECT doc_id, clean, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m), f AS (SELECT doc_id, clean, quality FROM q WHERE quality >= 0.75), dd AS (SELECT doc_id, clean, quality FROM f QUALIFY row_number() OVER (PARTITION BY clean ORDER BY doc_id) = 1) SELECT doc_id, quality, len(regexp_extract_all(clean, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok FROM dd ORDER BY doc_id""")),
 
+    // ---- L22c: intake composition with BOTH round-12 front-half legs
+    // on — boilerplate extraction AND the CCNet LM gate: page-wrapped
+    // docs (nav/footer/script skeleton) where every 11th doc's text is
+    // alphabet-permuted gibberish, run through extract → strip →
+    // normalize → quality → LM-score ≥ -3.0 → exact dedup → token
+    // count. The gibberish class passes the heuristic quality gate
+    // (translate preserves length/punct/word shape — exactly the class
+    // l05c-style heuristics CANNOT catch) and dies ONLY on the LM gate
+    // (measured corpus scores ≥ -1.92, gibberish ≤ -5.07 — a 3-nat
+    // margin around the threshold). DuckDB replays the ENTIRE chain:
+    // closed-form extraction, quality arithmetic, LM retrain on the
+    // normalized clean reference slice, integer-grid scoring. ----
+    ("l22c_intake_quality_gate", (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mixed = base.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+            "zyxwvutsrqponmlkjihgfedcba"))
+          .otherwise(col("text")).as("text"))
+      val page = concat(
+        lit("""<div class="nav"><ul><li><a href="/">Home</a></li><li><a href="/about">About us</a></li></ul></div><div class="content"><p>"""),
+        col("text"),
+        lit("""</p></div><div class="footer"><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> &#169; 2026 site</div><script>var nav = "<div>menu</div>";</script>"""))
+      val cleaned = mixed.select(col("doc_id"),
+        TF.normalizeText(TF.stripHtml(TF.extractContent(page))).as("clean"))
+      val q = cleaned.withColumn("quality", TF.qualityScore(col("clean")))
+        .where(col("quality") >= 0.75)
+      // the LM's clean reference corpus (CCNet's given target-domain
+      // slice): normalized ORIGINALS, held-out third — never the
+      // gibberish-injected stream itself
+      val lm = graft.operators.NgramLm.trainCharBigram(
+        base.where(col("doc_id") % 3 === 0)
+          .select(TF.normalizeText(col("text")).as("text")), "text")
+      val gated = graft.operators.NgramLm.scoreDocs(q, "clean", "doc_id", lm)
+        .where(col("avg_logp") >= -3.0)
+      Dedup.exact(gated, "clean", "doc_id")
+        .select(col("doc_id"), col("quality"), col("avg_logp"),
+          TF.bpeishTokenCount(col("clean")).as("n_tok"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH mixed AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN translate(text, 'abcdefghijklmnopqrstuvwxyz', 'zyxwvutsrqponmlkjihgfedcba') ELSE text END AS text FROM documents), c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean FROM mixed), t AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0) ts FROM c), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM t), qq AS (SELECT doc_id, clean, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m), qf AS (SELECT doc_id, clean, quality FROM qq WHERE quality >= 0.75), ref AS (SELECT trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS text FROM documents WHERE doc_id % 3 = 0), bgx AS (SELECT unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM ref), bc AS (SELECT bg, COUNT(*) cnt FROM bgx GROUP BY bg), v AS (SELECT COUNT(DISTINCT ch) + 1 AS v FROM (SELECT unnest([substr(bg,1,1), substr(bg,2,1)]) ch FROM bc)), cc AS (SELECT substr(bg,1,1) c1, SUM(cnt) cc FROM bc GROUP BY 1), bigm AS (SELECT bg, CAST(round(ln((cnt + 1.0)/(cc + v)) * 1000000) AS BIGINT) q FROM bc JOIN cc ON substr(bc.bg,1,1) = cc.c1 CROSS JOIN v), ctxm AS (SELECT c1, CAST(round(ln(1.0/(cc + v)) * 1000000) AS BIGINT) q0 FROM cc CROSS JOIN v), toks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(clean)-1), i -> substr(clean, i, 2))) AS bg FROM qf), sc AS (SELECT doc_id, SUM(COALESCE(bigm.q, ctxm.q0, (SELECT CAST(round(ln(1.0/v)*1000000) AS BIGINT) FROM v))) q_sum, COUNT(*) n_big FROM toks LEFT JOIN bigm USING (bg) LEFT JOIN ctxm ON substr(toks.bg,1,1) = ctxm.c1 GROUP BY doc_id), g AS (SELECT qf.doc_id, qf.clean, qf.quality, CAST(sc.q_sum AS DOUBLE)/(sc.n_big*1000000) AS avg_logp FROM qf JOIN sc ON qf.doc_id = sc.doc_id WHERE sc.n_big > 0 AND CAST(sc.q_sum AS DOUBLE)/(sc.n_big*1000000) >= -3.0), dd AS (SELECT doc_id, clean, quality, avg_logp FROM g QUALIFY row_number() OVER (PARTITION BY clean ORDER BY doc_id) = 1) SELECT doc_id, quality, avg_logp, len(regexp_extract_all(clean, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok FROM dd ORDER BY doc_id""")),
+
     // ---- L22b: intake composition + NEAR-dedup leg — real web intake
     // chains exact AND near dedup; this row adds the cluster-resolved
     // stage (minhashCandidates → connected components → keep each

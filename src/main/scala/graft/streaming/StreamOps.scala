@@ -305,20 +305,38 @@ object StreamOps {
     * accumulated corpus. */
   def intakeSink(docs: DataFrame, historyTable: String, numBuckets: Int,
       htmlCol: String, idCol: String, outDir: String, checkpoint: String,
-      minQuality: Double = 0.75, threshold: Double = 0.8): DataStreamWriter[Row] =
+      minQuality: Double = 0.75, threshold: Double = 0.8,
+      extractBoilerplate: Boolean = false,
+      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         intakeBatch(batch, batchId, historyTable, numBuckets,
-          htmlCol, idCol, outDir, minQuality, threshold): Unit
+          htmlCol, idCol, outDir, minQuality, threshold,
+          extractBoilerplate, lmGate): Unit
       }
 
   /** One intake micro-batch (see [[intakeSink]]; also the batch path
     * the registry row and tests drive directly). Returns false if the
-    * batch id is already recorded (full replay: no-op). */
+    * batch id is already recorded (full replay: no-op).
+    *
+    * Optional front-half legs (both default-off, both pure per-row or
+    * broadcast-join work — the loop's shuffle/exactly-once shape is
+    * unchanged):
+    *  - `extractBoilerplate` inserts the jusText block classifier
+    *    ([[graft.functions.TextFunctions.extractContent]]) BEFORE
+    *    strip/normalize, so nav/footer/menu text never reaches the
+    *    quality gate or the histories;
+    *  - `lmGate = Some((lm, minAvgLogp))` scores the cleaned text
+    *    against a char-bigram LM trained ONCE on a clean reference
+    *    corpus ([[graft.operators.NgramLm.trainCharBigram]] — the
+    *    CCNet recipe; the model frames broadcast) and drops docs whose
+    *    mean log-prob falls below the floor. */
   def intakeBatch(batch: DataFrame, batchId: Long, historyTable: String,
       numBuckets: Int, htmlCol: String, idCol: String, outDir: String,
-      minQuality: Double = 0.75, threshold: Double = 0.8): Boolean = {
+      minQuality: Double = 0.75, threshold: Double = 0.8,
+      extractBoilerplate: Boolean = false,
+      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None): Boolean = {
     import graft.operators.Dedup
     import graft.functions.{TextFunctions => TF}
     val spark = batch.sparkSession
@@ -328,11 +346,20 @@ object StreamOps {
     val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
     if (current.contains(batchId)) return false // replayed batch: no-op
     // the clean/score front half: per-row native expressions only
-    val scored = batch
-      .select(col(idCol),
-        TF.normalizeText(TF.stripHtml(col(htmlCol))).as("text"))
+    val cleaned =
+      if (extractBoilerplate) TF.normalizeText(TF.stripHtml(TF.extractContent(col(htmlCol))))
+      else TF.normalizeText(TF.stripHtml(col(htmlCol)))
+    val qualityScored = batch
+      .select(col(idCol), cleaned.as("text"))
       .withColumn("quality", TF.qualityScore(col("text")))
       .where(col("quality") >= minQuality)
+    val scored = lmGate match {
+      case None => qualityScored
+      case Some((lm, minAvgLogp)) =>
+        graft.operators.NgramLm.scoreDocs(qualityScored, "text", idCol, lm)
+          .where(col("avg_logp") >= minAvgLogp)
+          .drop("n_big", "q_sum", "avg_logp")
+    }
     // creates whichever history tables are missing (crash-safe per
     // table — a keyed-on-one-table check would wedge after a crash
     // between creates)

@@ -940,6 +940,39 @@ class StreamingSpec extends SparkSpec {
     } finally Dedup.dropBandHistory(spark, hist)
   }
 
+  test("L23 optional legs: boilerplate extraction + LM gate inside the intake loop — nav text never reaches the corpus, gibberish dies on the LM") {
+    import graft.operators.{Dedup, NgramLm}
+    val hist = "t_legs_hist"
+    val outDir = tmpDir("legs_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      val good = Seq.fill(8)("the table scans rows fast and the query joins the table").mkString(" ")
+      val gib = Seq.fill(25)("qjz xvk wqq zzj pqx").mkString(" ")
+      def page(t: String) =
+        s"""<ul><li><a href="/">Home</a></li><li><a href="/x">About us</a></li></ul><p>$t</p><div><a href="/t">Terms of Service</a> <a href="/p">Privacy Policy</a> (c) site</div>"""
+      val lm = NgramLm.trainCharBigram(
+        Seq.fill(40)(good).toDF("text"), "text")
+      // doc 3 reuses the training vocabulary in a different word order:
+      // LM-clean (all bigrams seen) but shingle-distinct (the within-
+      // batch near-dedup must NOT fire — a same-text-plus-tail doc
+      // correctly would)
+      val good3 = Seq.fill(8)("joins the query fast rows scans table and the table").mkString(" ")
+      val batch = Seq((1L, page(good)), (2L, page(gib)), (3L, page(good3)))
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id", outDir,
+        minQuality = 0.5, extractBoilerplate = true, lmGate = Some((lm, -3.0))))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id", $"text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet === Set(1L, 3L), s"LM gate outcome wrong: ${out.keySet}")
+      // the block classifier ran INSIDE the loop: no nav/footer text
+      // survives into the corpus (what plain strip_html would keep)
+      out.values.foreach { t =>
+        assert(!t.contains("Home") && !t.contains("Privacy"), s"boilerplate leaked: $t")
+      }
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
   test("L23 job budget: one steady-state intakeBatch launches at most 20 Spark jobs (pinned — driver overhead multiplies at production cadence)") {
     // The r11 audit: ~12 batch-sized jobs per micro-batch read as pure
     // driver overhead in l23b's segment table. Measured decomposition
