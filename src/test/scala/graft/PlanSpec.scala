@@ -137,6 +137,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("l26/l22c boilerplate extraction + quality front half is one narrow pass (no exchange, no join)") {
+    // the whole front half — extract, strip, normalize, quality — is
+    // per-row expression work: exactly one projection chain over the
+    // scan. (The block classifier's lambda HOFs are interpreted
+    // expressions — Spark does not codegen lambdafunctions — which is
+    // the same per-row cost class as the existing quality HOFs; what
+    // this pin protects is the SHAPE: nothing about the corpus
+    // shuffles or joins before the dedup stage.)
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val front = docs.select(col("doc_id"),
+      TF.normalizeText(TF.stripHtml(TF.extractContent(col("text")))).as("clean"))
+      .withColumn("q", TF.qualityScore(col("clean")))
+    val plan = fmt(front)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"front half is no longer a narrow per-row pass:\n$plan")
+    front.limit(5).collect() // and it executes (regexes compile)
+  }
+
   test("a01 group-by runs partial (map-side) aggregation before the exchange") {
     val plan = run("a01_groupby").queryExecution.executedPlan.toString
     val firstAgg = plan.indexOf("HashAggregate")
