@@ -294,4 +294,15 @@ object TextFunctions {
       .withColumn(qualityOut, qualityExpr(col(textCol), col("__mwl")))
       .withColumn(fpOut, fingerprintOfTokens(col("__toks")))
       .drop("__toks", "__mwl")
+
+  /** Quality column only, tokenizing once — the intake hot path (the
+    * scalar [[qualityScore]] re-inlines its tokenizer ~7×; this form
+    * skips [[withQuality]]'s fingerprint fold too). Same arithmetic,
+    * same NULL semantics as the scalar form. */
+  def withQualityOnly(df: DataFrame, textCol: String,
+      out: String = "quality"): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__mwl", meanWordLenOfTokens(col("__toks")))
+      .withColumn(out, qualityExpr(col(textCol), col("__mwl")))
+      .drop("__toks", "__mwl")
 }

@@ -115,6 +115,46 @@ object NgramLm {
           col("q_sum").cast("double") / (col("n_big") * Scale).cast("double")))
   }
 
+  /** Persist a trained model as catalog tables — the BPE
+    * [[Bpe.writeVocab]] discipline: train ONCE on the clean reference
+    * corpus, then every scoring job (batch or the streaming intake
+    * gate) loads two alphabet-bounded tables instead of re-training.
+    * Three tables: `<table>_lmb` (bigram rows), `<table>_lmc` (context
+    * rows), `<table>_lmm` (one meta row: vocab + the unseen floor).
+    * Overwrites — a model is a versioned artifact. */
+  def writeLm(spark: org.apache.spark.sql.SparkSession, lm: CharLm,
+      table: String): Unit = {
+    import spark.implicits._
+    lm.big.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_lmb")
+    lm.ctx.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_lmc")
+    Seq((lm.vocab, lm.qUnseen)).toDF("vocab", "q_unseen")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_lmm")
+  }
+
+  /** Load a persisted model ([[writeLm]]). The frames stay lazy table
+    * scans — alphabet-bounded, broadcast at scoring time. */
+  def readLm(spark: org.apache.spark.sql.SparkSession, table: String): CharLm = {
+    val meta = spark.table(s"${table}_lmm")
+      .select(col("vocab"), col("q_unseen")).head()
+    CharLm(spark.table(s"${table}_lmb"), spark.table(s"${table}_lmc"),
+      meta.getLong(1), meta.getLong(0))
+  }
+
+  /** True when all three model tables exist (the session gate the
+    * probe-row pattern uses). */
+  def lmExists(spark: org.apache.spark.sql.SparkSession, table: String): Boolean =
+    Seq("_lmb", "_lmc", "_lmm").forall(s => spark.catalog.tableExists(table + s))
+
+  /** Drop a persisted model — tables AND warehouse locations (a new
+    * session over an old warehouse has no catalog entries, so a bare
+    * overwrite takes the CREATE path and refuses over the surviving
+    * directory — the [[Layout.dropTableAndLocation]] rationale).
+    * Callers re-creating a model after a negative [[lmExists]] must
+    * call this first. */
+  def dropLm(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    Seq("_lmb", "_lmc", "_lmm").foreach(s =>
+      Layout.dropTableAndLocation(spark, table + s))
+
   /** [[scoreDocs]] + `ppl` (perplexity = exp(-avg_logp), rounded to
     * the 1e-6 grid — exp on identical doubles can differ by 1 ulp
     * cross-engine, the same class of exposure as the model's ln, and

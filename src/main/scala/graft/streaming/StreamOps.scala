@@ -349,14 +349,18 @@ object StreamOps {
     val cleaned =
       if (extractBoilerplate) TF.normalizeText(TF.stripHtml(TF.extractContent(col(htmlCol))))
       else TF.normalizeText(TF.stripHtml(col(htmlCol)))
-    val qualityScored = batch
-      .select(col(idCol), cleaned.as("text"))
-      .withColumn("quality", TF.qualityScore(col("text")))
+    val qualityScored = TF.withQualityOnly(
+        batch.select(col(idCol), cleaned.as("text")), "text")
       .where(col("quality") >= minQuality)
     val scored = lmGate match {
       case None => qualityScored
       case Some((lm, minAvgLogp)) =>
-        graft.operators.NgramLm.scoreDocs(qualityScored, "text", idCol, lm)
+        // barrier: scoreDocs references its input on BOTH sides of the
+        // score join — without it the clean/score front half (plus the
+        // block classifier when enabled) runs twice before the exactNew
+        // barrier below even exists. Batch-sized.
+        graft.operators.NgramLm.scoreDocs(
+            qualityScored.localCheckpoint(true), "text", idCol, lm)
           .where(col("avg_logp") >= minAvgLogp)
           .drop("n_big", "q_sum", "avg_logp")
     }

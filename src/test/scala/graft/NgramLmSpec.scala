@@ -66,6 +66,23 @@ class NgramLmSpec extends SparkSpec {
     assert(rows(100L)._2 === math.round(math.exp(-rows(100L)._1) * 1e6) / 1e6)
   }
 
+  test("persisted model: write/read round-trips and scores identically to the in-memory model") {
+    val docs = Seq((1L, "aba"), (2L, "xy"), (3L, "aa")).toDF("doc_id", "text")
+    val direct = NgramLm.scoreDocs(docs, "text", "doc_id", lm)
+      .select($"doc_id", $"q_sum", $"n_big").collect().map(_.toSeq).toSet
+    NgramLm.writeLm(spark, lm, "t_lm_rt")
+    try {
+      assert(NgramLm.lmExists(spark, "t_lm_rt"))
+      val loaded = NgramLm.readLm(spark, "t_lm_rt")
+      assert(loaded.vocab === lm.vocab && loaded.qUnseen === lm.qUnseen)
+      val viaTable = NgramLm.scoreDocs(docs, "text", "doc_id", loaded)
+        .select($"doc_id", $"q_sum", $"n_big").collect().map(_.toSeq).toSet
+      assert(viaTable === direct, "persisted model diverged from in-memory")
+    } finally Seq("_lmb", "_lmc", "_lmm").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_lm_rt$s"))
+    assert(!NgramLm.lmExists(spark, "t_lm_rt"))
+  }
+
   test("plan shape: model joins broadcast; one exchange (doc agg), none for the corpus text") {
     val docs = Seq.tabulate(50)(i => (i.toLong, s"doc $i text sample")).toDF("doc_id", "text")
     val scored = NgramLm.scoreDocs(docs, "text", "doc_id", lm)
