@@ -1201,6 +1201,79 @@ object Dedup {
       .select(col("id").alias(idCol), col("component").alias("cluster"))
   }
 
+  // ---- VIDEO identity family: per-frame dHash + frame voting. A
+  // video's identity is its frame SEQUENCE, so candidates come from
+  // per-frame Hamming matches at aligned frame indices (the SimHash
+  // band machinery with the frame index folded into the bucket key),
+  // and two videos pair only when a qualified FRACTION of their frames
+  // match — one noisy frame neither makes nor breaks identity. ----
+
+  /** Frame-aligned candidate video pairs: per (frame_idx, band,
+    * bucket) join over banded per-frame dHashes, Hamming ≤ `maxDist`
+    * per frame, then a frame VOTE: a pair qualifies when its matching
+    * frame count reaches `minMatchFrac` of the SMALLER video's frame
+    * count. Returns (id_a, id_b, matched_frames, frames_a, frames_b).
+    * Hot (frame_idx, band, bucket) groups beyond `maxBucket` are
+    * sidelined (the LSH cap discipline — a mass-duplicated frame class
+    * must not go quadratic). */
+  def videoCandidates(frameHashes: DataFrame, idCol: String,
+      idxCol: String = "frame_idx", hashCol: String = "fhash",
+      maxDist: Int = 3, nBands: Int = 4, maxBucket: Int = 1024,
+      minMatchFrac: Double = 0.6): DataFrame = {
+    require(maxDist < nBands, "pigeonhole guarantee needs maxDist < nBands")
+    require(64 / nBands <= 63, "band mask overflow")
+    require(minMatchFrac > 0.0 && minMatchFrac <= 1.0,
+      "minMatchFrac must be in (0, 1]")
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1L
+    val banded = frameHashes.select(col(idCol), col(idxCol), col(hashCol),
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    val bounded = dropOversizedBuckets(banded,
+      Seq(idxCol, "__band", "__bucket"), maxBucket)
+    // aliased self-join → one shared exchange (the minhash discipline)
+    val framePairs = bounded.as("a").join(bounded.as("b"),
+        col(s"a.$idxCol") === col(s"b.$idxCol") &&
+          col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .where(hamming(col(s"a.$hashCol"), col(s"b.$hashCol"), bits = 64) <= maxDist)
+      .select(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"),
+        col(s"a.$idxCol").alias("__fidx"))
+      .distinct()
+    val matches = framePairs.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("matched_frames"))
+    val frameCounts = frameHashes.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nf"))
+    matches
+      .join(frameCounts.select(col(idCol).alias("id_a"), col("__nf").alias("frames_a")), Seq("id_a"))
+      .join(frameCounts.select(col(idCol).alias("id_b"), col("__nf").alias("frames_b")), Seq("id_b"))
+      .where(col("matched_frames") >=
+        lit(minMatchFrac) * least(col("frames_a"), col("frames_b")))
+      .select(col("id_a"), col("id_b"), col("matched_frames"),
+        col("frames_a"), col("frames_b"))
+  }
+
+  /** Cluster-resolved VIDEO near-dedup — [[imageNearDupClusters]] for
+    * the third modality: per-frame dHashes ([[Multimodal
+    * .videoFrameHashes]]), frame-aligned banded matches, frame vote,
+    * connected components, keep each cluster's minimum id. Videos that
+    * do not decode contribute no frame rows and keep themselves. */
+  def videoNearDupClusters(df: DataFrame, payloadCol: String, idCol: String,
+      maxDist: Int = 3, maxBucket: Int = 1024,
+      minMatchFrac: Double = 0.6): DataFrame = {
+    val fh = Multimodal.videoFrameHashes(
+      df.select(col(idCol), col(payloadCol)), payloadCol, idCol)
+    val pairs = videoCandidates(fh, idCol, maxDist = maxDist,
+        nBands = maxDist + 1, maxBucket = maxBucket,
+        minMatchFrac = minMatchFrac)
+      .select(col("id_a"), col("id_b"))
+    Graph.connectedComponents(pairs, "id_a", "id_b",
+        nodes = Some(df.select(col(idCol))))
+      .select(col("id").alias(idCol), col("component").alias("cluster"))
+  }
+
   /** SimHash 32-bit signature over token 1-grams: per bit, sum +1/-1
     * weighted by whether the token hash has that bit set; sign → bit.
     * Single-pass fold carrying all bit-votes in one array accumulator —

@@ -1129,36 +1129,193 @@ object Multimodal {
     * None for undecodable payloads or rasters smaller than the grid
     * (a sub-9x8 image has no meaningful gradient field). */
   private[graft] def dHash64(payload: Array[Byte]): Option[Long] =
-    grayRaster(payload).filter { case (w, h, _) => w >= 9 && h >= 8 }
-      .map { case (w, h, g) =>
-        val grid = new Array[Double](9 * 8)
-        var r = 0
-        while (r < 8) {
-          val y0 = r * h / 8; val y1 = (r + 1) * h / 8
-          var c = 0
-          while (c < 9) {
-            val x0 = c * w / 9; val x1 = (c + 1) * w / 9
-            var sum = 0.0
-            var y = y0
-            while (y < y1) {
-              var x = x0
-              while (x < x1) { sum += g(y * w + x); x += 1 }
-              y += 1
-            }
-            grid(r * 9 + c) = sum / ((y1 - y0) * (x1 - x0))
-            c += 1
-          }
-          r += 1
+    grayRaster(payload).flatMap { case (w, h, g) => dHashOfLuma(w, h, g) }
+
+  /** The dHash core over an already-decoded luma plane — shared by the
+    * image path ([[dHash64]]) and the per-frame video path
+    * ([[videoFrameHashes64]]). */
+  private[graft] def dHashOfLuma(w: Int, h: Int,
+      g: Array[Float]): Option[Long] = {
+    if (w < 9 || h < 8) return None
+    val grid = new Array[Double](9 * 8)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += g(y * w + x); x += 1 }
+          y += 1
         }
-        var bits = 0L
-        var i = 0
-        while (i < 64) {
-          val rr = i / 8; val cc = i % 8
-          if (grid(rr * 9 + cc + 1) > grid(rr * 9 + cc)) bits |= 1L << i
-          i += 1
-        }
-        bits
+        grid(r * 9 + c) = sum / ((y1 - y0) * (x1 - x0))
+        c += 1
       }
+      r += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val rr = i / 8; val cc = i % 8
+      if (grid(rr * 9 + cc + 1) > grid(rr * 9 + cc)) bits |= 1L << i
+      i += 1
+    }
+    Some(bits)
+  }
+
+  /** Per-frame dHash sequence of a VIDEO payload — the identity the
+    * video codecs decode but nothing consumed (the l24/l28 gap, closed
+    * for the third modality): Y4M (mono/420/444 — the Y plane IS the
+    * luma) and AVI/MJPEG (each frame through the baseline JPEG decoder,
+    * then BT.601 luma) land on per-frame rasters, each dHashed. The
+    * SAME frame content re-encoded across the two containers hashes
+    * identically when the JPEG leg decodes exactly (block-constant
+    * unit-quant frames — the fixture family) and within a few bits for
+    * lossy content — which the per-frame Hamming match + frame-vote
+    * aggregation in [[Dedup.videoNearDupClusters]] absorbs. None for
+    * non-video payloads, sub-grid frames, or zero decodable frames. */
+  private[graft] def videoFrameHashes64(payload: Array[Byte]): Option[Array[Long]] =
+    decodeY4m(payload).flatMap { v =>
+      val lumaLen = v.width * v.height
+      val frameBytes =
+        if (v.colorspace == "mono") lumaLen
+        else if (v.colorspace == "444") lumaLen * 3
+        else lumaLen + 2 * (v.width / 2) * (v.height / 2)
+      val hs = (0 until v.nFrames).flatMap { f =>
+        val g = new Array[Float](lumaLen)
+        val base = f * frameBytes
+        var p = 0
+        while (p < lumaLen) { g(p) = (v.raster(base + p) & 0xff).toFloat; p += 1 }
+        dHashOfLuma(v.width, v.height, g)
+      }
+      if (hs.isEmpty) None else Some(hs.toArray)
+    }.orElse(decodeAviMjpeg(payload).flatMap { v =>
+      val hs = v.frames.flatMap { fb =>
+        Jpeg.decode(fb).flatMap { im =>
+          val g = new Array[Float](im.width * im.height)
+          var p = 0
+          if (im.channels >= 3) {
+            while (p < g.length) {
+              val o = p * im.channels
+              g(p) = ((im.pixels(o) & 0xff) * 299 + (im.pixels(o + 1) & 0xff) * 587 +
+                (im.pixels(o + 2) & 0xff) * 114) / 1000f
+              p += 1
+            }
+          } else {
+            while (p < g.length) { g(p) = (im.pixels(p) & 0xff).toFloat; p += 1 }
+          }
+          dHashOfLuma(im.width, im.height, g)
+        }
+      }
+      if (hs.isEmpty) None else Some(hs.toArray)
+    })
+
+  /** DataFrame form of [[videoFrameHashes64]]: one row per decodable
+    * frame — (idCol, `idxCol` int, `outCol` long). Videos that do not
+    * decode contribute NO rows ("no identity"); the per-frame rows are
+    * what the banded frame-match join consumes, 12 bytes per frame
+    * regardless of payload size. */
+  def videoFrameHashes(df: DataFrame, payloadCol: String = "payload",
+      idCol: String = "doc_id", idxCol: String = "frame_idx",
+      outCol: String = "fhash"): DataFrame = {
+    val base = df.select(col(idCol), col(payloadCol))
+    val outSchema = StructType(Seq(base.schema.head,
+      StructField(idxCol, IntegerType), StructField(outCol, LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val hs = if (payload == null) None else videoFrameHashes64(payload)
+        hs.iterator.flatMap(_.iterator.zipWithIndex.map { case (h, i) =>
+          Row(r.get(0), i, h)
+        })
+      }
+    }(enc)
+  }
+
+  /** Splitmix-valued BLOCK-CONSTANT gray frames for a (seed, frame):
+    * 8×8 block `b` of frame `f` holds `splitmix(seed·4096 + f·bpf + b)
+    * mod 251` — hash-diverse across seeds AND frames (the [[mixedRgb]]
+    * rationale: the ramp formula collapses identity fixtures; worse,
+    * seeds 251 apart are byte-identical under it), while staying
+    * block-constant so the unit-quant JPEG leg decodes EXACTLY and the
+    * two containers carry bit-identical rasters. */
+  private[graft] def blockGray(seed: Long, width: Int, height: Int,
+      frame: Int, blocksPerFrame: Int): Array[Byte] = {
+    val blocksX = width / 8
+    val gray = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val b = frame * blocksPerFrame + (y / 8) * blocksX + x / 8
+        var z = (seed * 4096 + b) * 0x9E3779B97F4A7C15L
+        z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 29
+        gray(y * width + x) = (((z % 251) + 251) % 251).toByte
+        x += 1
+      }
+      y += 1
+    }
+    gray
+  }
+
+  /** Per-seed block-gray video as Y4M mono — the raw-container half of
+    * the video identity fixture pair. */
+  def syntheticY4mBlocks(df: DataFrame, seedCol: String, width: Int,
+      height: Int, nFrames: Int): DataFrame = {
+    require(width >= 16 && height >= 8 && width % 8 == 0 && height % 8 == 0,
+      "syntheticY4mBlocks needs dims that are multiples of 8 (and width >= 16 for the dHash grid)")
+    require(nFrames >= 1, "syntheticY4mBlocks needs at least one frame")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Cmono\n".getBytes(ascii)
+    val marker = "FRAME\n".getBytes(ascii)
+    val bpf = (width / 8) * (height / 8)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(header)
+        var f = 0
+        while (f < nFrames) {
+          out.write(marker)
+          out.write(blockGray(seed, width, height, f, bpf))
+          f += 1
+        }
+        Row.fromSeq(r.toSeq :+ out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** The SAME per-seed block-gray frames re-encoded as AVI/MJPEG (unit
+    * quant — block-constant frames decode exactly, so the cross-codec
+    * rasters are bit-identical). */
+  def syntheticAviMjpegBlocks(df: DataFrame, seedCol: String, width: Int,
+      height: Int, nFrames: Int): DataFrame = {
+    require(width >= 16 && height >= 8 && width % 8 == 0 && height % 8 == 0,
+      "syntheticAviMjpegBlocks needs dims that are multiples of 8 (and width >= 16 for the dHash grid)")
+    require(nFrames >= 1, "syntheticAviMjpegBlocks needs at least one frame")
+    require(!df.columns.contains("payload"), "input already has a 'payload' column")
+    val outSchema = df.schema.add(StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val bpf = (width / 8) * (height / 8)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val frames = (0 until nFrames).map(f =>
+          Jpeg.encodeGray(width, height,
+            blockGray(seed, width, height, f, bpf), Jpeg.UnitQuant))
+        Row.fromSeq(r.toSeq :+ aviMjpegContainer(width, height, frames))
+      }
+    }(enc)
+  }
 
   /** Column form of [[dHash64]]: adds `<outCol> long` (null for
     * undecodable payloads — filter upstream of the banded join, a null

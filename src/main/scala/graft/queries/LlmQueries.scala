@@ -1283,6 +1283,51 @@ object LlmQueries {
           .agg(count(lit(1)).as("n_planted_within")))
     }, Some("""SELECT 0 AS mismatch_hist, 0 AS missed_hist, 0 AS missed_within, (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 1 AND doc_id % 5 = 0) AS n_planted_hist, (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 1 AND doc_id % 7 = 0) AS n_planted_within""")),
 
+    // ---- L30: VIDEO near-dedup via per-frame perceptual hashes — the
+    // third modality's identity leg (images l24, audio l28): every
+    // decodable frame dHashes (Y4M's Y plane directly; AVI/MJPEG
+    // through the baseline JPEG decoder), candidates come from
+    // frame-ALIGNED banded Hamming matches, and a pair qualifies only
+    // by frame VOTE (>= 60% of the shorter video's frames). Contract
+    // (l24 pattern): planted cross-container copies — the SAME
+    // block-gray frames as raw Y4M and as unit-quant MJPEG, which
+    // decode to bit-identical rasters — must pair with ALL frames
+    // matched at distance 0, and no copy survives cluster resolution. ----
+    ("l30_video_dedup", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val originals = Multimodal.syntheticY4mBlocks(docs, "doc_id", 64, 32, 4)
+        .select(col("doc_id"), col("payload"))
+      val copies = Multimodal.syntheticAviMjpegBlocks(
+          docs.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              col("doc_id").as("__seed")), "__seed", 64, 32, 4)
+        .select(col("doc_id"), col("payload"))
+      val all = originals.unionByName(copies)
+      // one decode+hash pass for both legs (the l28 rationale)
+      val fh = Multimodal.videoFrameHashes(all).localCheckpoint(true)
+      // uncapped buckets: recall contract (the l02d rationale)
+      val cands = Dedup.videoCandidates(fh, "doc_id",
+          maxBucket = Int.MaxValue).localCheckpoint(true)
+      val planted = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 200000).as("id_b"))
+      val missed = planted
+        .join(cands.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("missed_planted"))
+      // cross-container rasters are bit-identical → every planted pair
+      // must match on ALL 4 frames, never a partial vote
+      val partial = planted
+        .join(cands.where(col("matched_frames") =!= 4)
+          .select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("planted_partial_votes"))
+      val survivedCopies = graft.operators.Graph
+        .connectedComponents(cands.select(col("id_a"), col("id_b")),
+          "id_a", "id_b", nodes = Some(all.select(col("doc_id"))))
+        .where(col("id") === col("component") && col("id") >= 200000)
+        .agg(count(lit(1)).as("copies_survived"))
+      missed.crossJoin(partial).crossJoin(survivedCopies)
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    }, Some("""SELECT 0 AS missed_planted, 0 AS planted_partial_votes, 0 AS copies_survived, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
+
     // ---- L29: SEMANTIC dedup (SemDeDup) — cluster-first embedding
     // dedup: the deterministic k-means quantizer assigns every vector
     // to a list, within-cluster pairs at cos >= 0.95 collapse to their

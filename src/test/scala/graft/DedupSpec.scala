@@ -135,6 +135,38 @@ class DedupSpec extends SparkSpec {
     } finally Dedup.dropAudioHistory(spark, table)
   }
 
+  test("L30: video frame vote — shared-prefix clips pair on the shorter length, half-overlap stays distinct, copies never survive") {
+    import graft.operators.Multimodal
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def y4m(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("YUV4MPEG2 W64 H32 F25:1 Cmono\n".getBytes(ascii))
+      frames.foreach { f => out.write("FRAME\n".getBytes(ascii)); out.write(f) }
+      out.toByteArray
+    }
+    def g(seed: Long, f: Int) = Multimodal.blockGray(seed, 64, 32, f, 32)
+    val fA = (0 until 4).map(f => g(1L, f))
+    val vids = Seq(
+      (1L, y4m(fA)),                                  // A: 4 frames
+      // B shares A's SUFFIX frames (aligned at idx 2,3) — 0.5 < 0.6;
+      // sharing the prefix would legitimately chain through D (a clip
+      // of the same prefix) under transitive resolution
+      (2L, y4m(Seq(g(99L, 0), g(99L, 1)) ++ fA.drop(2))),
+      (3L, y4m(fA.take(3) :+ g(77L, 0))),             // C: 3/4 shared (0.75 ≥ 0.6)
+      (4L, y4m(fA.take(2))),                          // D: A's 2-frame prefix clip (2/2 of min)
+      (5L, "not a video".getBytes))                   // no identity
+      .toDF("doc_id", "payload")
+    val clusters = Dedup.videoNearDupClusters(vids, "payload", "doc_id",
+        maxBucket = Int.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(2L) === 2L, "half-overlap must stay a distinct video")
+    assert(clusters(3L) === 1L, "3/4-frame overlap must collapse")
+    assert(clusters(4L) === 1L,
+      "a prefix clip matches 100% of ITS OWN frames — the vote uses the shorter length")
+    assert(clusters(5L) === 5L, "undecodable keeps itself")
+    assert(clusters(1L) === 1L)
+  }
+
   test("L23 auto-compaction: byte-ratio trigger folds when earned, probe's delta legs vanish, replay stays safe across an auto fold") {
     import graft.operators.Layout
     import graft.streaming.StreamOps

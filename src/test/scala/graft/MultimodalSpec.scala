@@ -1122,6 +1122,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint64(wav16(mono.take(200), 1)).isEmpty)
   }
 
+  test("videoFrameHashes64: Y4M and MJPEG of the same block-gray frames hash bit-identically per frame; lossy and None paths") {
+    val ids = Seq(3L, 4L).toDF("doc_id")
+    def hashes(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Long] =
+      Multimodal.videoFrameHashes(df.select($"doc_id", $"payload"))
+        .as[(Long, Int, Long)].collect()
+        .map { case (id, i, h) => (id, i) -> h }.toMap
+    val y4m = hashes(Multimodal.syntheticY4mBlocks(ids, "doc_id", 64, 32, 4))
+    val mj = hashes(Multimodal.syntheticAviMjpegBlocks(ids, "doc_id", 64, 32, 4))
+    assert(y4m.size === 8 && mj.size === 8)
+    // block-constant + unit quant → the JPEG leg decodes exactly → the
+    // cross-container frame hashes are IDENTICAL (the l24 PPM/PNG
+    // discipline, third modality)
+    assert(y4m === mj, "cross-container frame hashes diverged")
+    // frames are hash-diverse across (seed, frame)
+    assert(y4m.values.toSet.size === 8, s"frame-hash collision: $y4m")
+    // the 420 colorspace path hashes the same LUMA as mono would (the
+    // existing ramp generator exercises the 420 layout)
+    val v420 = Multimodal.videoFrameHashes(
+      Multimodal.syntheticY4m(ids, "doc_id", 32, 16, 2)
+        .select($"doc_id", $"payload"))
+    assert(v420.count() === 4)
+    // None paths: not video, and a video whose frames are sub-grid
+    assert(Multimodal.videoFrameHashes64("not video".getBytes).isEmpty)
+    val tiny = Multimodal.syntheticY4m(Seq(1L).toDF("doc_id"), "doc_id", 8, 8, 1)
+      .select($"payload").collect()(0).getAs[Array[Byte]](0)
+    assert(Multimodal.videoFrameHashes64(tiny).isEmpty)
+  }
+
   test("dHash64: undecodable and sub-grid payloads yield None / null column, never garbage") {
     assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
     assert(Multimodal.dHash64(ppm(4, 4, Array.fill(48)(7))).isEmpty, "sub-9x8 raster must have no hash")
