@@ -1255,6 +1255,155 @@ object Dedup {
         col("frames_a"), col("frames_b"))
   }
 
+  /** Default banding for per-frame video hashes (frame matches use the
+    * image-dHash tolerance class: a lossy re-encode moves a frame a few
+    * bits; the frame VOTE absorbs the occasional outlier frame). */
+  val VideoMaxDist = 3
+  val VideoBands = 4
+  /** Default qualified fraction of the SHORTER video's frames. */
+  val VideoMinMatchFrac = 0.6
+
+  /** The video-history row shapes: `<table>_vb` — banded frame rows
+    * (__fidx, __band, __bucket, __pid, __fh), bucketed on exactly the
+    * probe join's keys; `<table>_vn` — per-video frame counts
+    * (__pid, __nf), the vote denominators. */
+  private def videoBandFrame(df: DataFrame, payloadCol: String,
+      idCol: String): DataFrame = {
+    val bandBits = 64 / VideoBands
+    val mask = (1L << bandBits) - 1L
+    Multimodal.videoFrameHashes(df.select(col(idCol), col(payloadCol)),
+        payloadCol, idCol, "__fidx", "__fh")
+      .select(col(idCol).alias("__pid"), col("__fidx"), col("__fh"),
+        posexplode(array((0 until VideoBands).map(b =>
+          shiftright(col("__fh"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+      .select(col("__fidx"), col("__band"), col("__bucket"), col("__pid"), col("__fh"))
+  }
+
+  private def videoCountFrame(df: DataFrame, payloadCol: String,
+      idCol: String): DataFrame =
+    Multimodal.videoFrameHashes(df.select(col(idCol), col(payloadCol)),
+        payloadCol, idCol, "__fidx", "__fh")
+      .groupBy(col(idCol).alias("__pid")).agg(count(lit(1)).as("__nf"))
+
+  /** Create whichever half of a video history is missing (the
+    * [[ensureBandHistory]] crash-safe per-table contract). */
+  def ensureVideoHistory(spark: org.apache.spark.sql.SparkSession,
+      like: DataFrame, payloadCol: String, idCol: String, table: String,
+      numBuckets: Int): Unit = {
+    def create(t: String)(frame: DataFrame, keys: Seq[String]): Unit =
+      if (!spark.catalog.tableExists(t)) {
+        val delta = Layout.deltaDirOf(spark, t)
+        Layout.dropTableAndLocation(spark, t)
+        Layout.deleteDeltaState(spark, delta)
+        Layout.writeBucketed(frame, t, keys, numBuckets)
+      }
+    val empty = like.select(col(idCol), col(payloadCol)).limit(0)
+    create(s"${table}_vn")(videoCountFrame(empty, payloadCol, idCol), Seq("__pid"))
+    create(s"${table}_vb")(videoBandFrame(empty, payloadCol, idCol),
+      Seq("__fidx", "__band", "__bucket"))
+  }
+
+  /** Replay-safe delta append to a video history — band rows first,
+    * counts second: a crash between the two leaves band rows whose
+    * vote denominator is missing, so those rows match NOTHING (the
+    * inner count join drops them) — a probe can only UNDER-drop in the
+    * window, never wrongly drop, and the replayed batch overwrites
+    * both dirs identically. */
+  def appendVideoHistoryDelta(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, payloadCol: String, idCol: String, table: String,
+      batchId: Long): Unit = {
+    val tb = s"${table}_vb"; val tn = s"${table}_vn"
+    if (!Layout.isBatchFolded(spark, tb, batchId))
+      videoBandFrame(df, payloadCol, idCol).write.mode("overwrite")
+        .parquet(s"${Layout.deltaDirOf(spark, tb)}/batch-$batchId")
+    if (!Layout.isBatchFolded(spark, tn, batchId))
+      videoCountFrame(df, payloadCol, idCol).write.mode("overwrite")
+        .parquet(s"${Layout.deltaDirOf(spark, tn)}/batch-$batchId")
+  }
+
+  /** Fold both video-history deltas (band first — the append order's
+    * crash-window rationale in reverse leaves probes correct). */
+  def compactVideoDelta(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    Layout.foldDeltaIntoBucketed(spark, s"${table}_vb",
+      noSpecHint = "not an ensureVideoHistory table")
+    Layout.foldDeltaIntoBucketed(spark, s"${table}_vn",
+      noSpecHint = "not an ensureVideoHistory table")
+  }
+
+  /** Drop a video history (both tables + locations + delta state). */
+  def dropVideoHistory(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Seq(s"${table}_vb", s"${table}_vn").foreach { t =>
+      val delta = Layout.deltaDirOf(spark, t)
+      Layout.dropTableAndLocation(spark, t)
+      Layout.deleteDeltaState(spark, delta)
+    }
+
+  /** Incremental video dedup against a persisted history (main ∪
+    * delta): batch videos whose frame VOTE against some history video
+    * (different id) reaches [[VideoMinMatchFrac]] of the shorter
+    * video's frames are dropped. Same-id exclusion is the replay
+    * guard; undecodable payloads carry no frame rows and pass through.
+    *
+    * Scale shape: the batch's banded frame rows broadcast; the MAIN
+    * band leg joins the bucketed (__fidx, __band, __bucket) layout
+    * with no history-side exchange; the vote aggregates candidate-pair
+    * rows only; frame counts are two tiny joins. */
+  def videoIncrementalDelta(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, table: String, payloadCol: String, idCol: String,
+      includeDelta: Boolean = true, maxBucket: Int = 1024): DataFrame = {
+    val tb = s"${table}_vb"; val tn = s"${table}_vn"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bDelta = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, tb))
+    val nDelta = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, tn))
+    val fs = bDelta.getFileSystem(hconf)
+    // one decode+hash pass; counts come from the UNCAPPED frame rows
+    // (a capped bucket must not shrink a vote denominator)
+    val fh = Multimodal.videoFrameHashes(
+        newDf.select(col(idCol), col(payloadCol)), payloadCol, idCol,
+        "__fidx", "__fh")
+      .select(col(idCol).alias("__pid"), col("__fidx"), col("__fh"))
+      .localCheckpoint(eager = true)
+    val bandBits = 64 / VideoBands
+    val mask = (1L << bandBits) - 1L
+    val batchBands = dropOversizedBuckets(
+        fh.select(col("__pid"), col("__fidx"), col("__fh"),
+            posexplode(array((0 until VideoBands).map(b =>
+              shiftright(col("__fh"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+          .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket"),
+        Seq("__fidx", "__band", "__bucket"), maxBucket)
+      .select(col("__fidx").alias("__bfidx"), col("__band").alias("__bband"),
+        col("__bucket").alias("__bbucket"), col("__pid").alias("__bid"),
+        col("__fh").alias("__bfh"))
+    val batchCounts = fh.groupBy(col("__pid").alias("__bid"))
+      .agg(count(lit(1)).as("__bnf"))
+    def frameMatches(hist: DataFrame): DataFrame =
+      hist.join(broadcast(batchBands),
+          col("__fidx") === col("__bfidx") && col("__band") === col("__bband") &&
+            col("__bucket") === col("__bbucket") && col("__pid") =!= col("__bid"))
+        .where(hamming(col("__fh"), col("__bfh"), bits = 64) <= VideoMaxDist)
+        .select(col("__bid"), col("__pid"), col("__fidx"))
+    val mainMatches = frameMatches(spark.table(tb))
+    val matches =
+      if (includeDelta && fs.exists(bDelta))
+        mainMatches.unionByName(frameMatches(
+          Layout.readDelta(spark, tb, bDelta.toString)))
+      else mainMatches
+    val histCounts =
+      if (includeDelta && fs.exists(nDelta))
+        spark.table(tn).unionByName(Layout.readDelta(spark, tn, nDelta.toString))
+      else spark.table(tn)
+    val hits = matches.distinct()
+      .groupBy(col("__bid"), col("__pid")).agg(count(lit(1)).as("__m"))
+      .join(histCounts.select(col("__pid"), col("__nf")), Seq("__pid"))
+      .join(broadcast(batchCounts), Seq("__bid"))
+      .where(col("__m") >= lit(VideoMinMatchFrac) * least(col("__nf"), col("__bnf")))
+      .select(col("__bid")).distinct()
+    newDf.join(broadcast(hits), col(idCol) === col("__bid"), "left_anti")
+  }
+
   /** Cluster-resolved VIDEO near-dedup — [[imageNearDupClusters]] for
     * the third modality: per-frame dHashes ([[Multimodal
     * .videoFrameHashes]]), frame-aligned banded matches, frame vote,

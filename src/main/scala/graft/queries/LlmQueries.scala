@@ -1328,6 +1328,54 @@ object LlmQueries {
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
     }, Some("""SELECT 0 AS missed_planted, 0 AS planted_partial_votes, 0 AS copies_survived, COUNT(*) AS n_planted FROM documents WHERE doc_id % 7 = 0""")),
 
+    // ---- L30b: INCREMENTAL video dedup vs a persisted frame-hash
+    // history — the intake discipline's video leg (images `_ph`, audio
+    // `_ab`): the `_vb` table holds banded per-frame hashes bucketed
+    // on the probe join's keys, `_vn` the per-video frame counts (the
+    // vote denominators). History = two thirds of the corpus as Y4M;
+    // the batch = the fresh third as Y4M, MJPEG re-encodes of history
+    // videos (cross-container, die on the history vote) and MJPEG
+    // re-encodes of in-batch videos (die on the within-batch cluster
+    // resolution). Survivors are exactly the fresh third — the
+    // block-gray frames are splitmix-diverse, so no natural
+    // cross-video frame ever votes. ----
+    ("l30b_video_incremental", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val table = s"l30bp_hist_${sfTag(d)}"
+      val hist = docs.where(col("doc_id") % 3 =!= 1)
+      val histVids = Multimodal.syntheticY4mBlocks(hist, "doc_id", 64, 32, 4)
+        .select(col("doc_id"), col("payload"))
+      if (!s.catalog.tableExists(s"${table}_vb") ||
+          !s.catalog.tableExists(s"${table}_vn")) {
+        Dedup.dropVideoHistory(s, table) // orphaned location from a prior session
+        Dedup.ensureVideoHistory(s, histVids, "payload", "doc_id", table, 8)
+        Dedup.appendVideoHistoryDelta(s, histVids, "payload", "doc_id", table, 0L)
+        Dedup.compactVideoDelta(s, table) // steady state: folded main
+      }
+      val freshIds = docs.where(col("doc_id") % 3 === 1)
+      val fresh = Multimodal.syntheticY4mBlocks(freshIds, "doc_id", 64, 32, 4)
+        .select(col("doc_id"), col("payload"))
+      val vsHist = Multimodal.syntheticAviMjpegBlocks(
+          hist.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              col("doc_id").as("__seed")), "__seed", 64, 32, 4)
+        .select(col("doc_id"), col("payload"))
+      val within = Multimodal.syntheticAviMjpegBlocks(
+          freshIds.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 300000).as("doc_id"),
+              col("doc_id").as("__seed")), "__seed", 64, 32, 4)
+        .select(col("doc_id"), col("payload"))
+      val batch = fresh.unionByName(vsHist).unionByName(within)
+        .localCheckpoint(true)
+      val withinSurvivors = Dedup.videoNearDupClusters(batch, "payload",
+          "doc_id", maxBucket = Int.MaxValue)
+        .where(col("doc_id") === col("cluster"))
+        .select(col("doc_id")).join(batch, Seq("doc_id"))
+      Dedup.videoIncrementalDelta(s, withinSurvivors, table,
+          "payload", "doc_id", maxBucket = Int.MaxValue)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""")),
+
     // ---- L29: SEMANTIC dedup (SemDeDup) — cluster-first embedding
     // dedup: the deterministic k-means quantizer assigns every vector
     // to a list, within-cluster pairs at cos >= 0.95 collapse to their

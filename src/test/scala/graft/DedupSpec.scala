@@ -167,6 +167,59 @@ class DedupSpec extends SparkSpec {
     assert(clusters(1L) === 1L)
   }
 
+  test("L30b: video history lifecycle — delta-visible vote probe, same-id replay, fold, missing-denominator crash window under-drops") {
+    import graft.operators.{Layout, Multimodal}
+    val table = "t_vid_hist"
+    def y4m(ids: Seq[Long]) = Multimodal.syntheticY4mBlocks(
+      ids.toDF("doc_id"), "doc_id", 64, 32, 4).select($"doc_id", $"payload")
+    def mjpeg(pairs: Seq[(Long, Long)]) = Multimodal.syntheticAviMjpegBlocks(
+      pairs.toDF("doc_id", "__seed"), "__seed", 64, 32, 4)
+      .select($"doc_id", $"payload")
+    Dedup.dropVideoHistory(spark, table)
+    try {
+      val b0 = y4m(1L to 10L)
+      Dedup.ensureVideoHistory(spark, b0, "payload", "doc_id", table, 4)
+      Dedup.appendVideoHistoryDelta(spark, b0, "payload", "doc_id", table, 0)
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select($"doc_id").as[Long].collect().toSet
+      // BEFORE compaction: the cross-container copy of history video 3
+      // dies on the delta-side frame vote, fresh 20/21 survive
+      val b1 = y4m(Seq(20L, 21L)).unionByName(mjpeg(Seq((103L, 3L))))
+      assert(ids(Dedup.videoIncrementalDelta(spark, b1, table, "payload", "doc_id"))
+        === Set(20L, 21L), "delta-side cross-container vote missed")
+      // same-id replay: the batch probing its own appended frames
+      // recomputes the identical survivor set
+      assert(ids(Dedup.videoIncrementalDelta(spark, b0, table, "payload", "doc_id"))
+        === (1L to 10L).toSet, "replay guard dropped a batch's own rows")
+      // fold, probes hold against the bucketed mains
+      Dedup.compactVideoDelta(spark, table)
+      assert(spark.table(s"${table}_vb").count() === 10L * 4 * Dedup.VideoBands)
+      assert(spark.table(s"${table}_vn").count() === 10L)
+      assert(ids(Dedup.videoIncrementalDelta(spark, b1, table, "payload", "doc_id"))
+        === Set(20L, 21L), "post-fold vote missed")
+      // crash window: band rows appended, vote denominators NOT (the
+      // appendVideoHistoryDelta order) — the probe must UNDER-drop
+      // (copy of 30 survives), never error or wrongly drop
+      Dedup.appendVideoHistoryDelta(spark, y4m(Seq(30L)), "payload", "doc_id", table, 1)
+      val nDelta = new org.apache.hadoop.fs.Path(
+        Layout.deltaDirOf(spark, s"${table}_vn"), "batch-1")
+      nDelta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(nDelta, true)
+      val probe30 = mjpeg(Seq((130L, 30L))).unionByName(y4m(Seq(40L)))
+      assert(ids(Dedup.videoIncrementalDelta(spark, probe30, table, "payload", "doc_id"))
+        === Set(130L, 40L),
+        "missing vote denominator must under-drop, not error")
+      // re-append (replay) completes the pair → the copy now dies
+      Dedup.appendVideoHistoryDelta(spark, y4m(Seq(30L)), "payload", "doc_id", table, 1)
+      assert(ids(Dedup.videoIncrementalDelta(spark, probe30, table, "payload", "doc_id"))
+        === Set(40L))
+      // undecodable passthrough
+      val junk = Seq((300L, "not video".getBytes)).toDF("doc_id", "payload")
+      assert(ids(Dedup.videoIncrementalDelta(spark, junk, table, "payload", "doc_id"))
+        === Set(300L))
+    } finally Dedup.dropVideoHistory(spark, table)
+  }
+
   test("L23 auto-compaction: byte-ratio trigger folds when earned, probe's delta legs vanish, replay stays safe across an auto fold") {
     import graft.operators.Layout
     import graft.streaming.StreamOps
