@@ -759,6 +759,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: video frame-vote banding — a 10k-identical flood sidelined, cross-container copies still pair, stays balanced", suiteTags: _*) {
+    withScaleConf {
+      import graft.operators.Multimodal
+      val nVid = math.min(N, 60000) / 4 // 4 frames each: same decode volume as the image case
+      val seeds = spark.range(nVid).select($"id".as("doc_id"),
+        when($"id" >= nVid - 2500, lit(7L)).otherwise($"id").as("__seed"))
+      val originals = Multimodal.syntheticY4mBlocks(seeds, "__seed", 64, 32, 4)
+        .select($"doc_id", $"payload")
+      val copies = Multimodal.syntheticAviMjpegBlocks(
+          seeds.where($"doc_id" % 499 === 0 && $"doc_id" < nVid - 2500)
+            .select(($"doc_id" + 10000000L).as("doc_id"), $"__seed"), "__seed", 64, 32, 4)
+        .select($"doc_id", $"payload")
+      var clusters: Map[Long, Long] = null
+      val stages = probe {
+        clusters = Dedup.videoNearDupClusters(
+            originals.unionByName(copies), "payload", "doc_id",
+            maxBucket = 1024)
+          .as[(Long, Long)].collect().toMap
+      }
+      copies.select($"doc_id").as[Long].collect().foreach { id =>
+        assert(clusters(id) === clusters(id - 10000000L),
+          s"cross-container copy $id not in its original's component")
+      }
+      assertBalanced("video-banding", stages)
+    }
+  }
+
   test("scale: audio fingerprint banding — capped buckets sideline a 10k-identical flood, cross-codec copies still pair, stays balanced", suiteTags: _*) {
     withScaleConf {
       import graft.operators.Multimodal
