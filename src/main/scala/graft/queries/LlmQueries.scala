@@ -1376,6 +1376,71 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, Some("""SELECT doc_id FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""")),
 
+    // ---- L31: the MULTIMODAL intake loop end-to-end — ONE exactly-
+    // once micro-batch pipeline over a MIXED binary corpus: each doc is
+    // an image (doc_id%3=0, mixed PPM), an audio clip (%3=1, PCM16
+    // melody) or a video (%3=2, block-gray Y4M); the history holds the
+    // even ids, the batch carries the odd ids plus planted re-encodes
+    // of history items (PNG / μ-law / MJPEG, +200000 — die on their
+    // modality's history) and of in-batch items (+300000 — die
+    // within-batch). No modality detector anywhere: every identity
+    // stage passes foreign payloads through as "no identity". The
+    // survivor set is exactly the odd ids, restated in SQL; the
+    // per-rep pointer rollback takes the crash-replay path. ----
+    ("l31_multimodal_intake", (s, d) => {
+      import graft.streaming.StreamOps
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      def modal(ids: DataFrame, reencode: Boolean): DataFrame = {
+        val m0 = col("__seed") % 3 === 0
+        val m1 = col("__seed") % 3 === 1
+        val m2 = col("__seed") % 3 === 2
+        val img =
+          if (reencode) Multimodal.syntheticPngMixed(ids.where(m0), "__seed", 16, 16)
+          else Multimodal.syntheticPpmMixed(ids.where(m0), "__seed", 16, 16)
+        val aud =
+          if (reencode) Multimodal.syntheticWavMulawTone(ids.where(m1), "__seed")
+          else Multimodal.syntheticWavPcm16(ids.where(m1), "__seed")
+        val vid =
+          if (reencode) Multimodal.syntheticAviMjpegBlocks(ids.where(m2), "__seed", 64, 32, 4)
+          else Multimodal.syntheticY4mBlocks(ids.where(m2), "__seed", 64, 32, 4)
+        img.select(col("doc_id"), col("payload"))
+          .unionByName(aud.select(col("doc_id"), col("payload")))
+          .unionByName(vid.select(col("doc_id"), col("payload")))
+      }
+      val table = s"l31p_hist_${sfTag(d)}"
+      val outDir = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + s"/l31p_out_${sfTag(d)}"
+      val outP = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val histIds = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("doc_id").as("__seed"))
+      if (!Seq("_ph", "_ab", "_vb", "_vn")
+          .forall(x => s.catalog.tableExists(table + x))) {
+        StreamOps.dropMultimodalHistory(s, table) // orphaned prior-session state
+        fs.delete(outP, true)
+        StreamOps.multimodalIntakeBatch(modal(histIds, reencode = false),
+          0L, table, 8, "payload", "doc_id", outDir)
+        graft.operators.Dedup.compactImageDelta(s, table)
+        graft.operators.Dedup.compactAudioDelta(s, table)
+        graft.operators.Dedup.compactVideoDelta(s, table) // steady state
+      }
+      // roll the pointer back so every rep replays batch 1 for real
+      fs.delete(new org.apache.hadoop.fs.Path(outP, "_LATEST"), false)
+      val fresh = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("doc_id").as("__seed"))
+      val vsHist = docs.where(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("doc_id").as("__seed"))
+      val within = docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("doc_id").as("__seed"))
+      val batch = modal(fresh, reencode = false)
+        .unionByName(modal(vsHist, reencode = true))
+        .unionByName(modal(within, reencode = true))
+      StreamOps.multimodalIntakeBatch(batch, 1L, table, 8, "payload",
+        "doc_id", outDir)
+      s.read.parquet(s"$outDir/batch-1")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""")),
+
     // ---- L29: SEMANTIC dedup (SemDeDup) — cluster-first embedding
     // dedup: the deterministic k-means quantizer assigns every vector
     // to a list, within-cluster pairs at cos >= 0.95 collapse to their

@@ -407,6 +407,100 @@ object StreamOps {
     true
   }
 
+  /** The MULTIMODAL intake loop — one exactly-once micro-batch
+    * pipeline over a MIXED binary corpus (images, audio clips, video
+    * clips in one payload column), composing the three identity
+    * families end-to-end with NO modality detector: every identity
+    * extractor returns "no identity" for payloads it cannot decode,
+    * and every dedup stage passes no-identity rows through untouched —
+    * so chaining image → audio → video dedup routes each payload to
+    * exactly the stage that can see it. Per micro-batch:
+    *
+    *  1. image: within-batch keep-min per dHash ([[graft.operators
+    *     .Dedup.imageExact]]), then vs the `_ph` history;
+    *  2. audio: within-batch cluster resolution over spectral
+    *     fingerprints, then the banded `_ab` history vote;
+    *  3. video: within-batch cluster resolution over frame votes,
+    *     then the `_vb`/`_vn` history probe;
+    *  4. survivors written exactly-once to `outDir/batch-<id>/` (the
+    *     write IS the stage barrier — the intakeBatch job-budget
+    *     rationale), appended to all three history deltas
+    *     (overwrite-own-dir + fold-manifest replay safety, each
+    *     history independent so the crash prefix leaves every probe
+    *     correct), then the `_LATEST` pointer flips.
+    *
+    * Delivery contract: identical to [[intakeBatch]] — every leg
+    * exactly-once, full replays skipped by the pointer, partial
+    * replays recompute identical survivors (every history probe
+    * excludes same-id matches). Scale shape: payloads never cross a
+    * shuffle anywhere — each identity is 8 bytes (image, audio) or
+    * 12 bytes/frame (video) into its banded join, batch sides
+    * broadcast, history sides never exchange. */
+  def multimodalIntakeBatch(batch: DataFrame, batchId: Long,
+      historyTable: String, numBuckets: Int, payloadCol: String,
+      idCol: String, outDir: String): Boolean = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(outDir)
+    val pointer = new Path(root, "_LATEST")
+    val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
+    if (current.contains(batchId)) return false // replayed batch: no-op
+    val like = batch.select(col(idCol), col(payloadCol)).limit(0)
+    Dedup.ensureImageHistory(spark, like, payloadCol, idCol, historyTable, numBuckets)
+    Dedup.ensureAudioHistory(spark, like, payloadCol, idCol, historyTable, numBuckets)
+    Dedup.ensureVideoHistory(spark, like, payloadCol, idCol, historyTable, numBuckets)
+    def keepMin(df: DataFrame, clusters: DataFrame): DataFrame =
+      clusters.where(col(idCol) === col("cluster")).select(col(idCol))
+        .join(df, Seq(idCol))
+    // stage barriers: each identity pipeline re-reads its input
+    // several times (banded sides, counts, anti-join), and six stages
+    // of lazy payload plans would multiply decodes — one batch-sized
+    // checkpoint per stage keeps every decode pass single
+    val s1 = Dedup.imageExact(batch, payloadCol, idCol).localCheckpoint(true)
+    val s2 = Dedup.imageIncrementalDelta(spark, s1, historyTable,
+      payloadCol, idCol).localCheckpoint(true)
+    val s3 = keepMin(s2, Dedup.audioNearDupClusters(s2, payloadCol, idCol))
+      .localCheckpoint(true)
+    val s4 = Dedup.audioIncrementalDelta(spark, s3, historyTable,
+      payloadCol, idCol).localCheckpoint(true)
+    val s5 = keepMin(s4, Dedup.videoNearDupClusters(s4, payloadCol, idCol))
+      .localCheckpoint(true)
+    val survivorsPath = new Path(root, s"batch-$batchId").toString
+    val outFrame = Dedup.videoIncrementalDelta(spark, s5, historyTable,
+      payloadCol, idCol)
+    outFrame.write.mode("overwrite").parquet(survivorsPath)
+    val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
+    Dedup.appendImageHistoryDelta(spark, survivors, payloadCol, idCol,
+      historyTable, batchId)
+    Dedup.appendAudioHistoryDelta(spark, survivors, payloadCol, idCol,
+      historyTable, batchId)
+    Dedup.appendVideoHistoryDelta(spark, survivors, payloadCol, idCol,
+      historyTable, batchId)
+    graft.sources.AtomicPointer.write(hconf,
+      new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
+    true
+  }
+
+  /** [[multimodalIntakeBatch]] as a streaming sink. */
+  def multimodalIntakeSink(docs: DataFrame, historyTable: String,
+      numBuckets: Int, payloadCol: String, idCol: String, outDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        multimodalIntakeBatch(batch, batchId, historyTable, numBuckets,
+          payloadCol, idCol, outDir): Unit
+      }
+
+  /** Drop all three modality histories of a multimodal intake. */
+  def dropMultimodalHistory(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    graft.operators.Dedup.dropImageHistory(spark, table)
+    graft.operators.Dedup.dropAudioHistory(spark, table)
+    graft.operators.Dedup.dropVideoHistory(spark, table)
+  }
+
   /** Read the current CDC state (empty frame with `schema` if none). */
   def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {

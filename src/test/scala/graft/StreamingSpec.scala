@@ -973,6 +973,56 @@ class StreamingSpec extends SparkSpec {
     } finally Dedup.dropIntakeHistory(spark, hist)
   }
 
+  test("L31 multimodal intake: one loop dedups a mixed binary batch per modality, junk passes through, exactly-once across a replay") {
+    import graft.operators.Multimodal
+    val hist = "t_mm_hist"
+    val outDir = tmpDir("mm_out")
+    StreamOps.dropMultimodalHistory(spark, hist)
+    try {
+      def img(pairs: (Long, Long)*) = Multimodal.syntheticPpmMixed(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed", 16, 16)
+        .select($"doc_id", $"payload")
+      def imgPng(pairs: (Long, Long)*) = Multimodal.syntheticPngMixed(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed", 16, 16)
+        .select($"doc_id", $"payload")
+      def aud(pairs: (Long, Long)*) = Multimodal.syntheticWavPcm16(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed")
+        .select($"doc_id", $"payload")
+      def audMu(pairs: (Long, Long)*) = Multimodal.syntheticWavMulawTone(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed")
+        .select($"doc_id", $"payload")
+      def vid(pairs: (Long, Long)*) = Multimodal.syntheticY4mBlocks(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed", 64, 32, 4)
+        .select($"doc_id", $"payload")
+      def vidMj(pairs: (Long, Long)*) = Multimodal.syntheticAviMjpegBlocks(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed", 64, 32, 4)
+        .select($"doc_id", $"payload")
+      val b0 = img((30L, 30L)).unionByName(aud((31L, 31L))).unionByName(vid((32L, 32L)))
+      assert(StreamOps.multimodalIntakeBatch(b0, 0L, hist, 4, "payload", "doc_id", outDir))
+      // batch 1: fresh per modality, re-encoded copies of HISTORY items
+      // (each must die on ITS modality's history), a within-batch
+      // re-encode pair (PPM 63 + PNG 163 — min id survives), and junk
+      val junk = Seq((999L, "no modality".getBytes)).toDF("doc_id", "payload")
+      val b1 = img((60L, 60L), (63L, 63L)).unionByName(imgPng((163L, 63L)))
+        .unionByName(aud((61L, 61L))).unionByName(audMu((131L, 31L)))
+        .unionByName(vid((62L, 62L))).unionByName(vidMj((132L, 32L)))
+        .unionByName(imgPng((130L, 30L))).unionByName(junk)
+      assert(StreamOps.multimodalIntakeBatch(b1, 1L, hist, 4, "payload", "doc_id", outDir))
+      def out1: Set[Long] = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out1 === Set(60L, 61L, 62L, 63L, 999L),
+        s"multimodal routing broke: $out1")
+      // partial replay (pointer rolled back): identical survivors
+      // against the loop's own appended identities
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_LATEST"), false)
+      assert(StreamOps.multimodalIntakeBatch(b1, 1L, hist, 4, "payload", "doc_id", outDir))
+      assert(out1 === Set(60L, 61L, 62L, 63L, 999L), "replay changed the survivor set")
+      // full replay: pointer already records batch 1 → no-op
+      assert(!StreamOps.multimodalIntakeBatch(b1, 1L, hist, 4, "payload", "doc_id", outDir))
+    } finally StreamOps.dropMultimodalHistory(spark, hist)
+  }
+
   test("L23 job budget: one steady-state intakeBatch launches at most 20 Spark jobs (pinned — driver overhead multiplies at production cadence)") {
     // The r11 audit: ~12 batch-sized jobs per micro-batch read as pure
     // driver overhead in l23b's segment table. Measured decomposition
