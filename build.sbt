@@ -19,6 +19,17 @@ Test / parallelExecution := false
 // still select it (a -l exclude would veto the -n include).
 Test / test / testOptions += Tests.Filter(_ != "graft.ScaleSpec50x")
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two rounds of "parsed": null traced to sbt's logger: the default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] " (so the JSON line never parses), and the "[success] Total
+// time" banner prints after it (so it is never last either). StdoutOutput
+// passes the forked JVM's stdout/stderr through verbatim; showSuccess
+// drops the banner. Both are cosmetic to humans, load-bearing to the
+// driver.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

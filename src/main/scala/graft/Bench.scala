@@ -157,10 +157,23 @@ object Bench {
       .sortBy(-_._2).take(10).map { case (k, v) => k -> r3(v) }
     val famRatios = BenchMath.familyRatios(familyMicro.toSeq, microEff)
     val maxFam = if (famRatios.isEmpty) 0.0 else famRatios.map(_._2).max
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - errors.size},"queries":${kvJson(slowest)},"n_errors":${errors.size},"control_ratio":${r3(controlRatio)},"control_ratio_end":${r3(controlRatioEnd)},"family_ratio_max":${r3(maxFam)},"control_baseline_sec":$controlBaselineSec,"full":${JsonText.quote(outFile)},"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
-    println(compact)
+    // "slowest_queries", NOT "queries": the full file uses "queries" for
+    // the complete per-query map; reusing the same key here for a
+    // truncated top-10 would let a consumer silently read 10 rows as 155
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - errors.size},"slowest_queries":${kvJson(slowest)},"n_errors":${errors.size},"control_ratio":${r3(controlRatio)},"control_ratio_end":${r3(controlRatioEnd)},"family_ratio_max":${r3(maxFam)},"control_baseline_sec":$controlBaselineSec,"full":${JsonText.quote(outFile)},"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
+    // a second stable copy of the exact line the driver should have
+    // parsed — if the stdout path breaks again, the evidence is on disk
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/BENCH_LINE.json"), compact + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    // stop() BEFORE the compact line: Spark's shutdown chatter lands on
+    // stderr first, so in a combined stdout+stderr tail capture the JSON
+    // really is the final line (the driver parses exactly that)
     spark.stop()
+    System.err.flush()
+    println(compact)
+    System.out.flush()
   }
 }

@@ -989,9 +989,10 @@ object Dedup {
   // re-encode decodes to the IDENTICAL raster and exact hash equality
   // is the probe — audio re-encodes are lossy (μ-law, ADPCM), so the
   // persisted history stores BANDED signatures and the probe is the
-  // Hamming band join, with the calibrated tolerance AudioMaxDist
-  // (probe-measured: cross-codec re-encodes of one signal land ≤ 8
-  // bits apart; AudioBands = 9 keeps the pigeonhole guarantee). ----
+  // Hamming band join, with the calibrated tolerance AudioMaxDist = 9
+  // (probe-measured: cross-codec re-encodes of one signal land ≤ 9
+  // bits apart) under the AudioBands = 5 × AudioBandBits = 12
+  // wide-band + 1-bit-flip-probe geometry below. ----
 
   /** Calibrated Hamming tolerance for cross-codec audio identity
     * (probe-measured re-encode ceiling over the full sf0.1 seed range:
@@ -1006,11 +1007,29 @@ object Dedup {
     * sub-fingerprints probed with bit flips. Here: 5 bands × 12 bits
     * (4096 buckets per band), probe side expands each band value to
     * its 13-element 1-bit-flip ball. Guarantee: if every band held ≥2
-    * errors the distance would be ≥10 > AudioMaxDist, so a pair within
-    * tolerance always shares a band within one bit — which the flip
-    * ball covers exactly. */
+    * errors the BANDED distance alone would be ≥ 2*AudioBands = 10 >
+    * AudioMaxDist, so a pair within tolerance always shares a band
+    * within one bit — which the flip ball covers exactly. Two boundary
+    * conditions the constants must respect:
+    *   - the 5 × 12-bit bands cover only bits 0..59 of the 64-bit
+    *     signature; errors in the uncovered top 4 bits consume distance
+    *     budget WITHOUT landing in any band, which only strengthens the
+    *     guarantee (fewer banded errors for the same total distance) —
+    *     but it means the probe can also MATCH pairs differing
+    *     arbitrarily in those 4 bits, so AudioMaxDist is enforced by
+    *     the exact 64-bit Hamming recheck in the join condition, never
+    *     by the banding alone;
+    *   - the pigeonhole needs AudioMaxDist <= 2*AudioBands - 1 (the
+    *     require below): bumping AudioMaxDist to 10 without widening
+    *     the probe ball or adding a band would SILENTLY void recall. */
   val AudioBands = 5
   val AudioBandBits = 12
+  // static guard for the pigeonhole boundary documented above — a
+  // constant bump that voids recall must fail at class-load, not in a
+  // silently-lossy production sweep
+  require(AudioMaxDist <= 2 * AudioBands - 1,
+    s"AudioMaxDist=$AudioMaxDist breaks the $AudioBands-band 1-bit-flip " +
+      s"recall guarantee (needs <= ${2 * AudioBands - 1})")
 
   /** The audio-history row shape: (__pid, __asig). Payloads that do not
     * decode (or are too short to frame) carry no identity and are
@@ -1140,7 +1159,8 @@ object Dedup {
     * dropped. Same-id exclusion is the replay guard; undecodable
     * payloads (null fingerprint) pass through by construction.
     *
-    * Scale shape: the batch's banded rows broadcast (9 small rows per
+    * Scale shape: the batch's flip-ball probe rows broadcast
+    * (AudioBands × (AudioBandBits+1) = 5 × 13 = 65 small rows per
     * item); the MAIN history leg joins them against the bucketed
     * (__band, __bucket) layout with no history-side exchange, the
     * delta leg is small×small; only (id, long) pairs ever move. */

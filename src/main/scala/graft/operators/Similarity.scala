@@ -238,7 +238,7 @@ object Similarity {
     * index, id-sorted — the same order as the build, so the
     * nearest-list fold and probe sort reproduce the build's
     * tie-breaks. */
-  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
       table: String): Array[(Long, Seq[Float])] =
     spark.table(s"${table}_centroids")
       .select(col("list"), col("centroid")).collect()
@@ -772,6 +772,79 @@ object Similarity {
     Graph.connectedComponents(pairs, "id_a", "id_b",
         nodes = Some(all.select(col(idCol))))
       .select(col("id").alias(idCol), col("component").alias("cluster"))
+  }
+
+  /** Incremental SEMANTIC dedup — the persisted-history leg SemDeDup
+    * lacks in batch form ([[semanticDupClusters]]): batch vectors whose
+    * cosine to ANY history vector in the SAME frozen-quantizer list
+    * reaches `tau` under a DIFFERENT id are dropped. This is the image
+    * `_ph` / audio `_ab` / video `_vb` incremental discipline applied
+    * to the embedding modality, with the persisted IVF index ITSELF as
+    * the history — no second persisted structure: seed with
+    * [[writeIvfIndex]], append each survivor batch with
+    * [[appendToIvfDelta]] (exactly-once, fold-manifest replay safety),
+    * fold with [[compactIvfDelta]]; probes see main ∪ delta.
+    *
+    * Same-id exclusion is the replay guard (a batch meeting its own
+    * crashed append is a replay artifact, not a duplicate). Vectors
+    * with no identity — null, or zero-norm scoring NaN against every
+    * centroid and history row — pass through by construction (the
+    * multimodal "no evidence" convention). A τ-pair straddling a
+    * quantizer-list boundary can be missed: SemDeDup's documented
+    * recall trade-off, identical to the batch operator's, priced
+    * against never joining the batch to the whole history.
+    *
+    * Scale shape: the batch assigns against broadcast centroids and
+    * BROADCASTS into the history join; the main-table leg prunes its
+    * scan to the batch's list ids (a driver-side `isin` over ≤ nLists
+    * values — that filter is what turns the bucketed layout into
+    * bucket pruning) and never exchanges; the delta leg is
+    * small × small. Only (id, cos) pairs come back. Batch lists over
+    * `maxList` batch rows are SIDELINED (members pass through — the
+    * under-drop direction): the LSH hot-bucket discipline — a
+    * batch-side mass-duplicate class must not star-join a 100 TB
+    * history list. Recall contracts pass `Int.MaxValue`. */
+  def semanticIncrementalDelta(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, table: String, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cId: String = "vec_id", cVec: String = "embedding",
+      includeDelta: Boolean = true, maxList: Int = 4096): DataFrame = {
+    val centRows = readCentroids(spark, table) // build order → same tie-breaks
+    val cents = typedLit(centRows.toSeq)
+    val bid = graft.Cols.fresh(newDf.columns ++ Seq(cId, cVec), "__bid")
+    val bvec = graft.Cols.fresh(newDf.columns ++ Seq(cId, cVec, bid), "__bvec")
+    // the probe frame feeds the sideline count, the driver-side list
+    // pull AND the history join — materialize the assignment once
+    // (batch-sized; the ivfTopKIndexed barrier rationale)
+    val assigned = newDf
+      .select(col(idCol).alias(bid), col(vecCol).alias(bvec),
+        nearestAgainst(cents, col(vecCol)).alias("__list"))
+      .where(col("__list").isNotNull)
+      .localCheckpoint(eager = true)
+    val small = assigned.groupBy(col("__list"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxList)
+      .select(col("__list"))
+    val probes = assigned.join(broadcast(small), Seq("__list"), "left_semi")
+    // bounded by nLists — the isin literal is what prunes bucket files
+    val lists = probes.select(col("__list")).distinct().collect().map(_.getLong(0))
+    val main = spark.table(table)
+    val deltaPath = new org.apache.hadoop.fs.Path(ivfDeltaDir(spark, table))
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist =
+      if (includeDelta && fs.exists(deltaPath))
+        main.unionByName(readIvfDelta(spark, table, deltaPath.toString)
+          .select(main.columns.map(col): _*))
+      else main
+    val pruned = hist.where(col("__list").isin(lists.toSeq: _*))
+    val dropped = pruned.join(broadcast(probes), Seq("__list"))
+      .select(col(bid),
+        VF.cosineNative(col(bvec), col(cVec)).alias("__cos"), col(cId))
+      // NaN guard (the semanticOverAssigned rationale): a zero-norm
+      // vector scores NaN > tau under Spark ordering
+      .where(!isnan(col("__cos")) && col("__cos") >= tau &&
+        col(cId) =!= col(bid))
+      .select(col(bid)).distinct()
+    newDf.join(broadcast(dropped), col(idCol) === col(bid), "left_anti")
   }
 
   /** ANN: bucket corpus by hyperplane signature; probe the query's own

@@ -649,7 +649,7 @@ object LlmQueries {
       graft.operators.NgramLm.scoreDocs(docs, "text", "doc_id", lm)
         .select(col("doc_id"), col("n_big"), col("q_sum"), col("avg_logp"))
         .orderBy(col("doc_id"))
-    }, Some("""WITH clean AS (SELECT text FROM documents WHERE doc_id % 3 = 0), bgx AS (SELECT unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM clean), bc AS (SELECT bg, COUNT(*) c FROM bgx GROUP BY bg), v AS (SELECT COUNT(DISTINCT ch) + 1 AS v FROM (SELECT unnest([substr(bg,1,1), substr(bg,2,1)]) ch FROM bc)), cc AS (SELECT substr(bg,1,1) c1, SUM(c) cc FROM bc GROUP BY 1), bigm AS (SELECT bg, CAST(round(ln((c + 1.0)/(cc + v)) * 1000000) AS BIGINT) q FROM bc JOIN cc ON substr(bc.bg,1,1) = cc.c1 CROSS JOIN v), ctxm AS (SELECT c1, CAST(round(ln(1.0/(cc + v)) * 1000000) AS BIGINT) q0 FROM cc CROSS JOIN v), toks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM documents), sc AS (SELECT doc_id, SUM(COALESCE(bigm.q, ctxm.q0, (SELECT CAST(round(ln(1.0/v)*1000000) AS BIGINT) FROM v))) q_sum, COUNT(*) n_big FROM toks LEFT JOIN bigm USING (bg) LEFT JOIN ctxm ON substr(toks.bg,1,1) = ctxm.c1 GROUP BY doc_id) SELECT d.doc_id, COALESCE(sc.n_big, 0) AS n_big, sc.q_sum, CASE WHEN sc.n_big > 0 THEN CAST(sc.q_sum AS DOUBLE)/(sc.n_big*1000000) END AS avg_logp FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""")),
+    }, Some("""WITH clean AS (SELECT text FROM documents WHERE doc_id % 3 = 0), bgx AS (SELECT unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM clean), bc AS (SELECT bg, COUNT(*) c FROM bgx GROUP BY bg), v AS (SELECT COUNT(DISTINCT ch) + 1 AS v FROM (SELECT unnest([substr(bg,1,1), substr(bg,2,1)]) ch FROM bc)), cc AS (SELECT substr(bg,1,1) c1, SUM(c) cc FROM bc GROUP BY 1), bigm AS (SELECT bg, CAST(round(ln((c + 1.0)/(cc + v)) * 1000000) AS BIGINT) q FROM bc JOIN cc ON substr(bc.bg,1,1) = cc.c1 CROSS JOIN v), ctxm AS (SELECT c1, CAST(round(ln(1.0/(cc + v)) * 1000000) AS BIGINT) q0 FROM cc CROSS JOIN v), toks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM documents), sc AS (SELECT doc_id, SUM(COALESCE(bigm.q, ctxm.q0, (SELECT CAST(round(ln(1.0/v)*1000000) AS BIGINT) FROM v))) q_sum, COUNT(*) n_big FROM toks LEFT JOIN bigm USING (bg) LEFT JOIN ctxm ON substr(toks.bg,1,1) = ctxm.c1 GROUP BY doc_id) SELECT d.doc_id, COALESCE(sc.n_big, 0) AS n_big, CAST(sc.q_sum AS BIGINT) AS q_sum, CASE WHEN sc.n_big > 0 THEN CAST(sc.q_sum AS DOUBLE)/(sc.n_big*1000000) END AS avg_logp FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""")),
 
     // ---- L27b: perplexity CONTRAST contract — the l02d planted
     // pattern: every document's alphabet-permuted gibberish sibling
@@ -1148,7 +1148,7 @@ object LlmQueries {
     // energies of a Haar filterbank, sign bits of temporal + spectral
     // ratios) over every decoded clip, fed into the SAME Hamming band
     // machinery as image dHash / text SimHash, at the calibrated
-    // tolerance AudioMaxDist=8 (probe-measured re-encode ceiling over
+    // tolerance AudioMaxDist=9 (probe-measured re-encode ceiling over
     // the full sf0.1 seed range). Contract (l24 pattern): every
     // planted cross-codec re-encode of a doc's tone — the SAME signal
     // re-encoded PCM16→μ-law and PCM16→ADPCM under fresh ids — must
@@ -1239,8 +1239,13 @@ object LlmQueries {
         .localCheckpoint(true)
       // claim (1): banded history probe == brute-force Hamming over
       // the same signatures (different-id, <= AudioMaxDist)
+      // maxBucket UNCAPPED on both probes: the brute-force reference
+      // below is uncapped, so a capped probe would fail the claim-(1)
+      // equality spuriously the first time a hot (band,bucket) group
+      // appears at a larger scale factor (the l28/l30 recall-contract
+      // discipline; production callers keep the default cap)
       val incSurvivors = Dedup.audioIncrementalDelta(s, batch, table,
-          "payload", "doc_id")
+          "payload", "doc_id", maxBucket = Int.MaxValue)
         .select(col("doc_id")).localCheckpoint(true)
       val batchSigs = Multimodal.audioFingerprint(batch)
         .where(col("afp").isNotNull).select(col("doc_id"), col("afp"))
@@ -1270,7 +1275,7 @@ object LlmQueries {
         .where(col("id") === col("component"))
         .select(col("id").as("doc_id")).join(batch, Seq("doc_id"))
       val pipeSurvivors = Dedup.audioIncrementalDelta(s, withinSurvivors,
-          table, "payload", "doc_id")
+          table, "payload", "doc_id", maxBucket = Int.MaxValue)
         .select(col("doc_id")).localCheckpoint(true)
       val missedHist = pipeSurvivors.where(col("doc_id") >= 200000 && col("doc_id") < 300000)
         .agg(count(lit(1)).as("missed_hist"))
@@ -1441,6 +1446,108 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, Some("""SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""")),
 
+    // ---- L32: the MIXED-corpus intake loop — text AND binary rows in
+    // ONE exactly-once micro-batch pipeline (StreamOps.mixedIntakeBatch):
+    // a real crawl batch is mixed, so the l23 text legs (strip →
+    // normalize → quality gate → exact + near dedup vs the text
+    // histories) and the l31 modality legs (image → audio → video vs
+    // the binary histories) run over ONE batch frame, routed by which
+    // column a row populates (null-based, no content detector), with
+    // ONE survivor write, ONE pointer, and all five history deltas
+    // appended in crash-prefix order. Fixture: even ids carry the l23
+    // deterministic synthesized text (batch by %4: 0 seeds, 2 fresh),
+    // odd ids carry the l31 modality-by-%3 payloads (%4: 1 seeds,
+    // 3 fresh). Batch 1 adds planted text exact (+300000) and near
+    // (+200000) copies of seeded text and planted re-encode copies
+    // (+400000) of seeded payloads — every plant dies on its own
+    // family's history, so the survivor set is closed-form: quality-
+    // passing fresh text + all fresh payload rows. The per-rep pointer
+    // rollback takes the crash-replay path. ----
+    ("l32_mixed_intake", (s, d) => {
+      import graft.streaming.StreamOps
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val cleanT = when(col("doc_id") % 11 === 0, lit("tiny low quality"))
+        .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+          i => concat(lit("tok"), col("doc_id").cast("string"),
+            lit("word"), i.cast("string"))), " "))
+      def wrap(c: org.apache.spark.sql.Column) = concat(lit("<p class=\"x\">"), c,
+        lit("</p><script>var j = \"<q>\";</script>"))
+      def textFrame(ids: DataFrame) = ids
+        .select(col("doc_id"), wrap(cleanT).as("html"),
+          lit(null).cast("binary").as("payload"))
+      def modal(ids: DataFrame, reencode: Boolean): DataFrame = {
+        val m0 = col("__seed") % 3 === 0
+        val m1 = col("__seed") % 3 === 1
+        val m2 = col("__seed") % 3 === 2
+        val img =
+          if (reencode) Multimodal.syntheticPngMixed(ids.where(m0), "__seed", 16, 16)
+          else Multimodal.syntheticPpmMixed(ids.where(m0), "__seed", 16, 16)
+        val aud =
+          if (reencode) Multimodal.syntheticWavMulawTone(ids.where(m1), "__seed")
+          else Multimodal.syntheticWavPcm16(ids.where(m1), "__seed")
+        val vid =
+          if (reencode) Multimodal.syntheticAviMjpegBlocks(ids.where(m2), "__seed", 64, 32, 4)
+          else Multimodal.syntheticY4mBlocks(ids.where(m2), "__seed", 64, 32, 4)
+        img.select(col("doc_id"), col("payload"))
+          .unionByName(aud.select(col("doc_id"), col("payload")))
+          .unionByName(vid.select(col("doc_id"), col("payload")))
+      }
+      def binFrame(ids: DataFrame, reencode: Boolean) =
+        modal(ids, reencode)
+          .select(col("doc_id"), lit(null).cast("string").as("html"),
+            col("payload"))
+      val table = s"l32p_hist_${sfTag(d)}"
+      val outDir = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + s"/l32p_out_${sfTag(d)}"
+      val outP = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // ALL five histories gated (crash between creates, l02h rationale)
+      if (!Seq("", "_sh", "_xh", "_ph", "_ab", "_vb", "_vn")
+          .forall(x => s.catalog.tableExists(table + x))) {
+        StreamOps.dropMixedHistory(s, table) // orphaned prior-session state
+        fs.delete(outP, true)
+        val seed = textFrame(docs.where(col("doc_id") % 4 === 0))
+          .unionByName(binFrame(docs.where(col("doc_id") % 4 === 1)
+            .select(col("doc_id"), col("doc_id").as("__seed")), reencode = false))
+        StreamOps.mixedIntakeBatch(seed, 0L, table, 8, "html", "payload",
+          "doc_id", outDir)
+        Dedup.compactIntakeDelta(s, table) // steady state: folded mains
+        Dedup.compactImageDelta(s, table)
+        Dedup.compactAudioDelta(s, table)
+        Dedup.compactVideoDelta(s, table)
+      }
+      // roll the pointer back so every rep replays batch 1 for real
+      fs.delete(new org.apache.hadoop.fs.Path(outP, "_LATEST"), false)
+      // text plants synthesize from the ORIGINAL id's text, then remap
+      // the id (the l23 pattern — text generated from the plant id
+      // would be a fresh doc, not a copy)
+      def textPlant(ids: DataFrame, bump: Int, suffix: String) = ids
+        .select(col("doc_id"), cleanT.as("__clean"))
+        .select((col("doc_id") + bump).as("doc_id"),
+          wrap(concat(col("__clean"), lit(suffix))).as("html"),
+          lit(null).cast("binary").as("payload"))
+      val b1 = textFrame(docs.where(col("doc_id") % 4 === 2))
+        .unionByName(binFrame(docs.where(col("doc_id") % 4 === 3)
+          .select(col("doc_id"), col("doc_id").as("__seed")), reencode = false))
+        .unionByName(textPlant(docs // exact copies → hash-history drop
+          .where(col("doc_id") % 4 === 0 && col("doc_id") % 5 === 0),
+          300000, ""))
+        .unionByName(textPlant(docs // near copies → band-history drop
+          .where(col("doc_id") % 4 === 0 && col("doc_id") % 7 === 0),
+          200000, " zzextra"))
+        .unionByName(binFrame(docs // re-encode copies → modality drops
+          .where(col("doc_id") % 4 === 1 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            col("doc_id").as("__seed")), reencode = true))
+      StreamOps.mixedIntakeBatch(b1, 1L, table, 8, "html", "payload",
+        "doc_id", outDir)
+      s.read.parquet(s"$outDir/batch-1")
+        .select(col("doc_id"), col("quality"),
+          when(col("text").isNotNull, lit("text")).otherwise(lit("binary"))
+            .as("kind"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'tiny low quality' ELSE array_to_string(list_transform(generate_series(0, 39), i -> 'tok' || doc_id || 'word' || i), ' ') END AS clean FROM documents WHERE doc_id % 4 = 2), tok AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0) ts FROM t), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM tok), q AS (SELECT doc_id, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m) SELECT doc_id, quality, kind FROM (SELECT doc_id, quality, 'text' AS kind FROM q WHERE quality >= 0.75 UNION ALL SELECT doc_id, CAST(NULL AS DOUBLE) AS quality, 'binary' AS kind FROM documents WHERE doc_id % 4 = 3) ORDER BY doc_id""")),
+
     // ---- L29: SEMANTIC dedup (SemDeDup) — cluster-first embedding
     // dedup: the deterministic k-means quantizer assigns every vector
     // to a list, within-cluster pairs at cos >= 0.95 collapse to their
@@ -1477,6 +1584,95 @@ object LlmQueries {
         .crossJoin(emb.where(col("vec_id") % 5 === 0)
           .agg(count(lit(1)).as("n_planted")))
     }, Some("""SELECT 0 AS missed_planted, 0 AS controls_dropped, (SELECT COUNT(*) FROM embeddings) + (SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 0) AS n_survivors, (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_planted""")),
+
+    // ---- L29b: INCREMENTAL semantic dedup vs a persisted EMBEDDING
+    // history — the modality leg embeddings lacked (images `_ph`,
+    // audio `_ab`, video `_vb` all have one): the persisted IVF index
+    // IS the history (frozen quantizer + bucketed main + delta, so the
+    // probe exercises main ∪ delta with the delta deliberately left
+    // UNfolded). Three claims (the l28b pattern): (1) the pruned/
+    // bucketed/sidelined history probe equals the plain same-list
+    // cosine cross-join over the same vectors (machinery differential
+    // — mismatch_hist = 0 unconditionally); (2) planted 2x-scaled
+    // copies of HISTORY vectors (power-of-two scaling → bit-identical
+    // cosines, provably same list — the l29 rationale) die on the
+    // history probe; (3) planted 2x copies of IN-BATCH vectors die on
+    // the within-batch cluster resolution, and negated controls
+    // (cos = -1) survive everything. ----
+    ("l29b_semantic_incremental", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val table = s"l29bp_hist_${sfTag(d)}"
+      val hist = emb.where(col("vec_id") % 3 =!= 1)
+      if (!s.catalog.tableExists(table)) {
+        Similarity.dropIvfIndex(s, table) // orphaned location from a prior session
+        // seed main from part of the history, append the rest as an
+        // UNfolded delta — the probe must see both legs
+        Similarity.writeIvfIndex(s, hist.where(col("vec_id") % 4 =!= 0),
+          table, nLists = 16)
+        Similarity.appendToIvfDelta(s, hist.where(col("vec_id") % 4 === 0),
+          table, 0L)
+      }
+      def x2(df: DataFrame, bump: Int) = df.select(
+        (col("vec_id") + bump).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+          .as("embedding"))
+      val fresh = emb.where(col("vec_id") % 3 === 1)
+      val vsHist = x2(hist.where(col("vec_id") % 5 === 0), 200000)
+      val within = x2(fresh.where(col("vec_id") % 7 === 0), 300000)
+      val negated = fresh.where(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 400000).as("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float")).as("embedding"))
+      val batch = fresh.unionByName(vsHist).unionByName(within)
+        .unionByName(negated).localCheckpoint(true)
+      // claim (1): history probe == plain same-list cosine cross-join
+      val incSurvivors = Similarity.semanticIncrementalDelta(s, batch,
+          table, tau = 0.95, maxList = Int.MaxValue)
+        .select(col("vec_id")).localCheckpoint(true)
+      val cents = typedLit(Similarity.readCentroids(s, table).toSeq)
+      val assignB = batch.select(col("vec_id"), col("embedding"),
+        graft.operators.Similarity.nearestAgainst(cents, col("embedding"))
+          .as("__blist"))
+      val assignH = hist.select(col("vec_id").as("__hid"),
+        col("embedding").as("__hvec"),
+        graft.operators.Similarity.nearestAgainst(cents, col("__hvec"))
+          .as("__hlist"))
+      val refCos = VF.cosineNative(col("embedding"), col("__hvec"))
+      val refDropped = assignB.crossJoin(assignH)
+        .where(col("__blist") === col("__hlist") &&
+          !isnan(refCos) && refCos >= 0.95 && col("__hid") =!= col("vec_id"))
+        .select(col("vec_id")).distinct()
+      val refSurvivors = batch.select(col("vec_id"))
+        .join(refDropped, Seq("vec_id"), "left_anti")
+      val mismatch = refSurvivors
+        .join(incSurvivors, Seq("vec_id"), "left_anti")
+        .unionByName(incSurvivors.join(refSurvivors, Seq("vec_id"), "left_anti"))
+        .agg(count(lit(1)).as("mismatch_hist"))
+      // claims (2)+(3): the composed pipeline — within-batch cluster
+      // resolution under the SAME frozen quantizer, then the history
+      // probe — kills every planted copy and spares every control
+      val withinSurvivors = Similarity.semanticDupClustersIndexed(s, batch,
+          table, tau = 0.95, maxCluster = Int.MaxValue)
+        .where(col("vec_id") === col("cluster"))
+        .select(col("vec_id")).join(batch, Seq("vec_id"))
+      val pipeSurvivors = Similarity.semanticIncrementalDelta(s,
+          withinSurvivors, table, tau = 0.95, maxList = Int.MaxValue)
+        .select(col("vec_id")).localCheckpoint(true)
+      val missedHist = pipeSurvivors
+        .where(col("vec_id") >= 200000 && col("vec_id") < 300000)
+        .agg(count(lit(1)).as("missed_hist"))
+      val missedWithin = pipeSurvivors
+        .where(col("vec_id") >= 300000 && col("vec_id") < 400000)
+        .agg(count(lit(1)).as("missed_within"))
+      val controlsDropped = negated.select(col("vec_id"))
+        .join(pipeSurvivors, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("controls_dropped"))
+      mismatch.crossJoin(missedHist).crossJoin(missedWithin)
+        .crossJoin(controlsDropped)
+        .crossJoin(hist.where(col("vec_id") % 5 === 0)
+          .agg(count(lit(1)).as("n_planted_hist")))
+        .crossJoin(fresh.where(col("vec_id") % 7 === 0)
+          .agg(count(lit(1)).as("n_planted_within")))
+    }, Some("""SELECT 0 AS mismatch_hist, 0 AS missed_hist, 0 AS missed_within, 0 AS controls_dropped, (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 1 AND vec_id % 5 = 0) AS n_planted_hist, (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 1 AND vec_id % 7 = 0) AS n_planted_within""")),
 
     // ---- L10: corpus vocabulary — token frequencies, top-k. Partial
     // aggregation map-side; ties broken on token so the LIMIT cut is a

@@ -338,13 +338,42 @@ object StreamOps {
       extractBoilerplate: Boolean = false,
       lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None): Boolean = {
     import graft.operators.Dedup
-    import graft.functions.{TextFunctions => TF}
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(outDir)
     val pointer = new Path(root, "_LATEST")
     val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
     if (current.contains(batchId)) return false // replayed batch: no-op
+    val outFrame = textSurvivorFrame(batch, historyTable, numBuckets,
+      htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate)
+    val survivorsPath = new Path(root, s"batch-$batchId").toString
+    outFrame.write.mode("overwrite").parquet(survivorsPath)
+    // explicit schema: a schema-discovery pass over the just-written
+    // footers would spend the job the write just saved
+    val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
+    Dedup.appendBandHistoryDelta(spark, survivors, "text", idCol,
+      historyTable, batchId)
+    Dedup.appendHashHistoryDelta(spark, survivors, "text", idCol,
+      historyTable, batchId)
+    graft.sources.AtomicPointer.write(hconf,
+      new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
+    true
+  }
+
+  /** The text front half + dedup chain of [[intakeBatch]], ending at
+    * the UNWRITTEN survivor frame (idCol, text, quality) — the
+    * exactly-once write (which doubles as the plan barrier, the
+    * job-budget rationale) stays with the caller: the text loop writes
+    * this frame alone; the mixed loop ([[mixedIntakeBatch]]) unions it
+    * with the payload legs' frame and writes ONCE. */
+  private def textSurvivorFrame(batch: DataFrame, historyTable: String,
+      numBuckets: Int, htmlCol: String, idCol: String,
+      minQuality: Double, threshold: Double,
+      extractBoilerplate: Boolean,
+      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)]): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.{TextFunctions => TF}
+    val spark = batch.sparkSession
     // the clean/score front half: per-row native expressions only
     val cleaned =
       if (extractBoilerplate) TF.normalizeText(TF.stripHtml(TF.extractContent(col(htmlCol))))
@@ -361,7 +390,13 @@ object StreamOps {
         // barrier below even exists. Batch-sized.
         graft.operators.NgramLm.scoreDocs(
             qualityScored.localCheckpoint(true), "text", idCol, lm)
-          .where(col("avg_logp") >= minAvgLogp)
+          // evidence-free docs (n_big = 0 → avg_logp NULL) PASS: the
+          // gate's job is to drop text the model scores as gibberish,
+          // and a doc with no bigrams gave the model nothing to score —
+          // same "no evidence passes through" convention as the
+          // multimodal identity legs. (A bare `avg_logp >= x` would
+          // silently drop them via NULL-comparison semantics.)
+          .where(col("n_big") === 0 || col("avg_logp") >= minAvgLogp)
           .drop("n_big", "q_sum", "avg_logp")
     }
     // creates whichever history tables are missing (crash-safe per
@@ -383,28 +418,16 @@ object StreamOps {
       // survivor checkpoint below.
       .localCheckpoint(eager = true)
     val nearWithin = Dedup.nearDedupMinhash(exactNew, "text", idCol, threshold)
-    // barrier: the output write and BOTH delta appends must see the
-    // SAME survivor set, computed once (not three LSH pipeline runs).
-    // The exactly-once survivor WRITE is that barrier — it runs the
-    // plan once, and the appends re-read the written batch directory
-    // (one tiny bounded scan each) instead of a checkpoint's block
-    // copy. One fewer job per micro-batch and no duplicate
-    // materialization (the r11 job-budget audit; count pinned in
-    // StreamingSpec).
-    val survivorsPath = new Path(root, s"batch-$batchId").toString
-    val outFrame = Dedup.nearDedupIncremental(spark, nearWithin, historyTable,
+    // NO barrier here: the output write and BOTH delta appends must
+    // see the SAME survivor set, computed once (not three LSH pipeline
+    // runs) — the caller's exactly-once survivor WRITE is that barrier
+    // (it runs this plan once, and the appends re-read the written
+    // batch directory — one tiny bounded scan each — instead of a
+    // checkpoint's block copy). One fewer job per micro-batch and no
+    // duplicate materialization (the r11 job-budget audit; count
+    // pinned in StreamingSpec).
+    Dedup.nearDedupIncremental(spark, nearWithin, historyTable,
       "text", idCol, threshold)
-    outFrame.write.mode("overwrite").parquet(survivorsPath)
-    // explicit schema: a schema-discovery pass over the just-written
-    // footers would spend the job the write just saved
-    val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
-    Dedup.appendBandHistoryDelta(spark, survivors, "text", idCol,
-      historyTable, batchId)
-    Dedup.appendHashHistoryDelta(spark, survivors, "text", idCol,
-      historyTable, batchId)
-    graft.sources.AtomicPointer.write(hconf,
-      new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
-    true
   }
 
   /** The MULTIMODAL intake loop — one exactly-once micro-batch
@@ -435,7 +458,10 @@ object StreamOps {
     * excludes same-id matches). Scale shape: payloads never cross a
     * shuffle anywhere — each identity is 8 bytes (image, audio) or
     * 12 bytes/frame (video) into its banded join, batch sides
-    * broadcast, history sides never exchange. */
+    * broadcast, history sides never exchange — and the batch's binary
+    * blobs are resident exactly ONCE (the single batch checkpoint;
+    * stage boundaries persist id sets only and semi-join the payload
+    * back, so six stages do not mean six block-manager copies). */
   def multimodalIntakeBatch(batch: DataFrame, batchId: Long,
       historyTable: String, numBuckets: Int, payloadCol: String,
       idCol: String, outDir: String): Boolean = {
@@ -446,29 +472,9 @@ object StreamOps {
     val pointer = new Path(root, "_LATEST")
     val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
     if (current.contains(batchId)) return false // replayed batch: no-op
-    val like = batch.select(col(idCol), col(payloadCol)).limit(0)
-    Dedup.ensureImageHistory(spark, like, payloadCol, idCol, historyTable, numBuckets)
-    Dedup.ensureAudioHistory(spark, like, payloadCol, idCol, historyTable, numBuckets)
-    Dedup.ensureVideoHistory(spark, like, payloadCol, idCol, historyTable, numBuckets)
-    def keepMin(df: DataFrame, clusters: DataFrame): DataFrame =
-      clusters.where(col(idCol) === col("cluster")).select(col(idCol))
-        .join(df, Seq(idCol))
-    // stage barriers: each identity pipeline re-reads its input
-    // several times (banded sides, counts, anti-join), and six stages
-    // of lazy payload plans would multiply decodes — one batch-sized
-    // checkpoint per stage keeps every decode pass single
-    val s1 = Dedup.imageExact(batch, payloadCol, idCol).localCheckpoint(true)
-    val s2 = Dedup.imageIncrementalDelta(spark, s1, historyTable,
-      payloadCol, idCol).localCheckpoint(true)
-    val s3 = keepMin(s2, Dedup.audioNearDupClusters(s2, payloadCol, idCol))
-      .localCheckpoint(true)
-    val s4 = Dedup.audioIncrementalDelta(spark, s3, historyTable,
-      payloadCol, idCol).localCheckpoint(true)
-    val s5 = keepMin(s4, Dedup.videoNearDupClusters(s4, payloadCol, idCol))
-      .localCheckpoint(true)
-    val survivorsPath = new Path(root, s"batch-$batchId").toString
-    val outFrame = Dedup.videoIncrementalDelta(spark, s5, historyTable,
+    val outFrame = multimodalSurvivorFrame(batch, historyTable, numBuckets,
       payloadCol, idCol)
+    val survivorsPath = new Path(root, s"batch-$batchId").toString
     outFrame.write.mode("overwrite").parquet(survivorsPath)
     val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
     Dedup.appendImageHistoryDelta(spark, survivors, payloadCol, idCol,
@@ -480,6 +486,45 @@ object StreamOps {
     graft.sources.AtomicPointer.write(hconf,
       new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
     true
+  }
+
+  /** The three modality legs of [[multimodalIntakeBatch]], ending at
+    * the UNWRITTEN survivor frame (the [[textSurvivorFrame]] split:
+    * the exactly-once write stays with the caller — alone in the
+    * binary loop, unioned with the text legs in the mixed loop). */
+  private def multimodalSurvivorFrame(batch: DataFrame, historyTable: String,
+      numBuckets: Int, payloadCol: String, idCol: String): DataFrame = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val like = batch.select(col(idCol), col(payloadCol)).limit(0)
+    Dedup.ensureImageHistory(spark, like, payloadCol, idCol, historyTable, numBuckets)
+    Dedup.ensureAudioHistory(spark, like, payloadCol, idCol, historyTable, numBuckets)
+    Dedup.ensureVideoHistory(spark, like, payloadCol, idCol, historyTable, numBuckets)
+    def keepMinIds(clusters: DataFrame): DataFrame =
+      clusters.where(col(idCol) === col("cluster")).select(col(idCol))
+    // stage barriers: each identity pipeline re-reads its input
+    // several times (banded sides, counts, anti-join), and six stages
+    // of lazy payload plans would multiply decodes. But checkpointing
+    // each stage's payload-carrying frame kept ~5 copies of the
+    // batch's binary blobs resident in the block manager — at
+    // production batch sizes, the loop's whole memory footprint. So:
+    // ONE payload-carrying checkpoint for the batch, and every stage
+    // boundary persists only its surviving ID SET (bytes per row, not
+    // payloads) and re-joins the payload from that single frame. A
+    // stage re-reading its input re-runs only a broadcast semi-join
+    // over materialized blocks — never an upstream identity pipeline.
+    val batch0 = batch.localCheckpoint(eager = true)
+    def rejoin(survivorIds: DataFrame): DataFrame =
+      batch0.join(broadcast(survivorIds.select(col(idCol))
+        .localCheckpoint(eager = true)), Seq(idCol), "left_semi")
+    val s1 = rejoin(Dedup.imageExact(batch0, payloadCol, idCol))
+    val s2 = rejoin(Dedup.imageIncrementalDelta(spark, s1, historyTable,
+      payloadCol, idCol))
+    val s3 = rejoin(keepMinIds(Dedup.audioNearDupClusters(s2, payloadCol, idCol)))
+    val s4 = rejoin(Dedup.audioIncrementalDelta(spark, s3, historyTable,
+      payloadCol, idCol))
+    val s5 = rejoin(keepMinIds(Dedup.videoNearDupClusters(s4, payloadCol, idCol)))
+    Dedup.videoIncrementalDelta(spark, s5, historyTable, payloadCol, idCol)
   }
 
   /** [[multimodalIntakeBatch]] as a streaming sink. */
@@ -499,6 +544,99 @@ object StreamOps {
     graft.operators.Dedup.dropImageHistory(spark, table)
     graft.operators.Dedup.dropAudioHistory(spark, table)
     graft.operators.Dedup.dropVideoHistory(spark, table)
+  }
+
+  /** The MIXED-corpus intake loop — ONE exactly-once micro-batch
+    * pipeline over a real crawl batch, where a row carries text
+    * (`htmlCol`), a binary payload (`payloadCol`), or both: text rows
+    * run the [[intakeBatch]] legs (boilerplate → strip → normalize →
+    * quality → LM gate → exact + near dedup vs the text histories),
+    * payload rows run the [[multimodalIntakeBatch]] legs (image →
+    * audio → video identity vs the three binary histories), and the
+    * two survivor frames merge by id into ONE survivor write + ONE
+    * `_LATEST` pointer. Routing is null-based — no content detector:
+    * whichever columns a row populates decide which legs see it, and a
+    * row carrying both participates in both (its text and payload
+    * survive or die independently; the merged row keeps whatever
+    * survived).
+    *
+    * Delivery contract: identical to both parents — full replays
+    * no-op on the pointer, partial replays recompute identical
+    * survivors (every history probe excludes same-id matches), and
+    * ALL FIVE history deltas append in a fixed crash-prefix order —
+    * band first, hash LAST among the text pair (the [[intakeBatch]]
+    * contract: a crashed prefix must never leave the exact-hash
+    * history ahead of the band history), image → audio → video
+    * between (each independent) — so a crash after any prefix leaves
+    * every probe correct and the replay converges.
+    *
+    * Scale shape: the union of the parents' — payloads resident once
+    * and never shuffled, text legs broadcast batch hashes only, all
+    * history sides zero-exchange. The merged write is a full-outer
+    * join of two batch-sized frames on id: batch-sized, broadcast. */
+  def mixedIntakeBatch(batch: DataFrame, batchId: Long, historyTable: String,
+      numBuckets: Int, htmlCol: String, payloadCol: String, idCol: String,
+      outDir: String, minQuality: Double = 0.75, threshold: Double = 0.8,
+      extractBoilerplate: Boolean = false,
+      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None): Boolean = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(outDir)
+    val pointer = new Path(root, "_LATEST")
+    val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
+    if (current.contains(batchId)) return false // replayed batch: no-op
+    val textRows = batch.where(col(htmlCol).isNotNull)
+      .select(col(idCol), col(htmlCol))
+    val payloadRows = batch.where(col(payloadCol).isNotNull)
+      .select(col(idCol), col(payloadCol))
+    val textOut = textSurvivorFrame(textRows, historyTable, numBuckets,
+      htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate)
+    val payOut = multimodalSurvivorFrame(payloadRows, historyTable,
+      numBuckets, payloadCol, idCol)
+    // merge by id: (id, text, quality, payload) — absent legs NULL
+    val outFrame = textOut.join(payOut, Seq(idCol), "full_outer")
+    val survivorsPath = new Path(root, s"batch-$batchId").toString
+    outFrame.write.mode("overwrite").parquet(survivorsPath)
+    val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
+    val textSurv = survivors.where(col("text").isNotNull)
+    val paySurv = survivors.where(col(payloadCol).isNotNull)
+    Dedup.appendBandHistoryDelta(spark, textSurv, "text", idCol,
+      historyTable, batchId)
+    Dedup.appendImageHistoryDelta(spark, paySurv, payloadCol, idCol,
+      historyTable, batchId)
+    Dedup.appendAudioHistoryDelta(spark, paySurv, payloadCol, idCol,
+      historyTable, batchId)
+    Dedup.appendVideoHistoryDelta(spark, paySurv, payloadCol, idCol,
+      historyTable, batchId)
+    Dedup.appendHashHistoryDelta(spark, textSurv, "text", idCol,
+      historyTable, batchId)
+    graft.sources.AtomicPointer.write(hconf,
+      new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
+    true
+  }
+
+  /** [[mixedIntakeBatch]] as a streaming sink. */
+  def mixedIntakeSink(docs: DataFrame, historyTable: String,
+      numBuckets: Int, htmlCol: String, payloadCol: String, idCol: String,
+      outDir: String, checkpoint: String,
+      minQuality: Double = 0.75, threshold: Double = 0.8,
+      extractBoilerplate: Boolean = false,
+      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mixedIntakeBatch(batch, batchId, historyTable, numBuckets,
+          htmlCol, payloadCol, idCol, outDir, minQuality, threshold,
+          extractBoilerplate, lmGate): Unit
+      }
+
+  /** Drop all five histories (text pair + three modalities) of a
+    * mixed intake. */
+  def dropMixedHistory(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    graft.operators.Dedup.dropIntakeHistory(spark, table)
+    dropMultimodalHistory(spark, table)
   }
 
   /** Read the current CDC state (empty frame with `schema` if none). */

@@ -1538,6 +1538,61 @@ class DedupSpec extends SparkSpec {
     Similarity.dropIvfIndex(spark, "l29_sem_ivf")
   }
 
+  test("L29b: embedding history lifecycle — delta-visible probe, same-id replay, fold, no-identity passthrough, hot-list sideline") {
+    val table = "t_emb_hist"
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    def x2(a: Array[Float]) = a.map(_ * 2.0f)
+    val e1 = v(1, 0, 0, 0); val e2 = v(0, 1, 0, 0)
+    val e3 = v(0, 0, 1, 0); val e4 = v(0, 0, 0, 1)
+    val v5 = v(1, 1, 0, 0); val v6 = v(1, 0, 1, 0) // cos 0.5-0.71 to axes
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"vec_id").as[Long].collect().toSet
+    Similarity.dropIvfIndex(spark, table)
+    try {
+      val b0 = Seq((1L, e1), (2L, e2), (3L, e3), (4L, e4))
+        .toDF("vec_id", "embedding")
+      Similarity.writeIvfIndex(spark, b0, table, nLists = 1)
+      val b5 = Seq((5L, v5), (6L, v6)).toDF("vec_id", "embedding")
+      Similarity.appendToIvfDelta(spark, b5, table, batchId = 0)
+      // BEFORE compaction the probe must see the delta: a 2x copy of
+      // delta vector 5 (bit-identical cosines) dies, fresh 20 survives
+      val b1 = Seq((20L, v(0, 1, 1, 0)), (105L, x2(v5)))
+        .toDF("vec_id", "embedding")
+      assert(ids(Similarity.semanticIncrementalDelta(spark, b1, table, 0.95))
+        === Set(20L), "delta-side history identity missed")
+      // same-id replay: appended batches probing their own history rows
+      // recompute the identical (full) survivor set
+      assert(ids(Similarity.semanticIncrementalDelta(spark,
+        b0.unionByName(b5), table, 0.95)) === (1L to 6L).toSet,
+        "replay guard dropped a batch's own rows")
+      // fold, then the same probes hold against the bucketed main
+      Similarity.compactIvfDelta(spark, table)
+      assert(spark.table(table).count() === 6L)
+      assert(ids(Similarity.semanticIncrementalDelta(spark, b1, table, 0.95))
+        === Set(20L), "post-fold history identity missed")
+      // no-identity passthrough (zero-norm → NaN, null → no list) and
+      // within-batch keep-min under the frozen quantizer
+      val batch = Seq((30L, v(0, 1, 0, 1)), (130L, x2(v(0, 1, 0, 1))),
+          (300L, v(0, 0, 0, 0)), (301L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding")
+      val within = Similarity.semanticDupClustersIndexed(spark, batch,
+          table, tau = 0.95)
+        .where($"vec_id" === $"cluster").select($"vec_id")
+        .join(batch, Seq("vec_id"))
+      assert(ids(within) === Set(30L, 300L, 301L),
+        "within-batch keep-min or passthrough broke")
+      assert(ids(Similarity.semanticIncrementalDelta(spark, within, table, 0.95))
+        === Set(30L, 300L, 301L))
+      // hot-list sideline under-drops (members pass through): two
+      // history copies in one over-cap list both survive
+      val flood = Seq((105L, x2(v5)), (106L, x2(v6)))
+        .toDF("vec_id", "embedding")
+      assert(ids(Similarity.semanticIncrementalDelta(spark, flood, table,
+        0.95, maxList = 1)) === Set(105L, 106L),
+        "sideline must pass members through, not drop them")
+    } finally Similarity.dropIvfIndex(spark, table)
+  }
+
   test("A4 claim: approx_count_distinct within rsd bound of exact") {
     val o = Tables.orders(spark, sf0001)
     val exact = o.agg(countDistinct($"o_custkey")).as[Long].head()

@@ -709,6 +709,111 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: MIXED intake — one loop routes the skewed text corpus + a three-modality payload stripe, no-content rows vanish, plants die, stays balanced", suiteTags: _*) {
+    withScaleConf {
+      import graft.streaming.StreamOps
+      import graft.functions.{TextFunctions => TF}
+      import graft.operators.Multimodal
+      val table = "t_scale_mixed"
+      val outDir = spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/t_scale_mixed_out"
+      val outP = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      StreamOps.dropMixedHistory(spark, table)
+      fs.delete(outP, true)
+      def wrap(c: org.apache.spark.sql.Column) =
+        concat(lit("""<div class="d"><p>"""), c,
+          lit("</p><script>track()</script></div>"))
+      def modal(ids: DataFrame, reencode: Boolean): DataFrame = {
+        val m0 = col("__seed") % 3 === 0
+        val m1 = col("__seed") % 3 === 1
+        val m2 = col("__seed") % 3 === 2
+        val img =
+          if (reencode) Multimodal.syntheticPngMixed(ids.where(m0), "__seed", 16, 16)
+          else Multimodal.syntheticPpmMixed(ids.where(m0), "__seed", 16, 16)
+        val aud =
+          if (reencode) Multimodal.syntheticWavMulawTone(ids.where(m1), "__seed")
+          else Multimodal.syntheticWavPcm16(ids.where(m1), "__seed")
+        val vid =
+          if (reencode) Multimodal.syntheticAviMjpegBlocks(ids.where(m2), "__seed", 64, 32, 4)
+          else Multimodal.syntheticY4mBlocks(ids.where(m2), "__seed", 64, 32, 4)
+        img.select(col("doc_id"), lit(null).cast("string").as("html"), col("payload"))
+          .unionByName(aud.select(col("doc_id"), lit(null).cast("string").as("html"), col("payload")))
+          .unionByName(vid.select(col("doc_id"), lit(null).cast("string").as("html"), col("payload")))
+      }
+      try {
+        // text side: the full skewed corpus as html — the NULL-text
+        // stripe wraps to a NULL html, so those rows carry NO content
+        // and must be routed to NEITHER leg (vanish from survivors);
+        // within-batch near-copy plants per the intake case's AQE
+        // empty-relation rationale
+        val textSide = docs.select($"doc_id", wrap($"text").as("html"),
+          lit(null).cast("binary").as("payload"))
+        val withins = docs
+          .where($"doc_id" % 64 =!= 0 && $"doc_id" < 800 && $"doc_id" % 2 === 1)
+          .select(($"doc_id" + 500000).as("doc_id"),
+            wrap(concat($"text", lit(" zz"))).as("html"),
+            lit(null).cast("binary").as("payload"))
+        // binary stripe: ~N/10 payloads, modality by seed % 3, plus
+        // within-batch re-encode plants (same raster/signal, different
+        // container — each must die on its modality's keep-min)
+        val binSide = modal(docs.where($"doc_id" % 10 === 3)
+          .select(($"doc_id" + 5000000).as("doc_id"), $"doc_id".as("__seed")),
+          reencode = false)
+        val binPlants = modal(docs.where($"doc_id" % 30 === 3)
+          .select(($"doc_id" + 6000000).as("doc_id"), $"doc_id".as("__seed")),
+          reencode = true)
+        val b0 = textSide.unionByName(withins).unionByName(binSide)
+          .unionByName(binPlants)
+          .repartition(16).localCheckpoint(eager = true) // scaffolding outside the probe
+        val nWithins = withins.count()
+        val expected0 = docs.where($"text".isNotNull)
+          .select($"text").distinct()
+          .where(TF.qualityScore(TF.normalizeText($"text")) >= 0.5)
+          .count()
+        var ran = false
+        val stages0 = probe {
+          ran = StreamOps.mixedIntakeBatch(b0, 0L, table, 8, "html",
+            "payload", "doc_id", outDir, minQuality = 0.5)
+        }
+        assert(ran)
+        val out0 = spark.read.parquet(s"$outDir/batch-0")
+        assert(out0.where($"text".isNotNull && $"doc_id" < 500000).count()
+          === expected0, "text-leg survivors diverged from the closed form")
+        assert(out0.where($"doc_id" >= 500000 && $"doc_id" < 5000000).count()
+          <= nWithins / 100, "within-batch planted near-copies survived")
+        // per-modality survivor contracts. Image identity is EXACT
+        // dHash equality → hash-derived distinct images never collide
+        // (equality holds at any scale). Audio/video identity is
+        // BANDED NEAR-dup: on a splitmix-derived corpus the natural
+        // within-tolerance pair density is quadratic in the stripe
+        // size (measured: ~0.3% drops at 12x), and dropping a genuine
+        // within-tolerance pair is the operator doing its job — so
+        // those legs get a tolerance, not equality (their exact
+        // recall/differential contracts live in the per-modality
+        // cases and the l28b/l30b registry rows).
+        def binSurv(m: Int) = out0.where($"payload".isNotNull &&
+          $"doc_id" >= 5000000 && $"doc_id" < 6000000 &&
+          ($"doc_id" - 5000000) % 3 === m).count()
+        def binIn(m: Int) = docs.where($"doc_id" % 10 === 3 &&
+          $"doc_id" % 3 === m).count()
+        val (si, sa, sv) = (binSurv(0), binSurv(1), binSurv(2))
+        info(s"mixed binary survivors: img $si/${binIn(0)} aud $sa/${binIn(1)} vid $sv/${binIn(2)}")
+        assert(si === binIn(0), "a distinct image was wrongly deduped (exact dHash)")
+        assert(sa >= binIn(1) * 95 / 100, s"audio leg dropped too many distinct clips: $sa")
+        assert(sv >= binIn(2) * 95 / 100, s"video leg dropped too many distinct clips: $sv")
+        assert(out0.where($"doc_id" >= 6000000).count() === 0L,
+          "a planted re-encode copy survived its modality's keep-min")
+        // NULL-content rows vanished (neither text nor payload leg)
+        assert(out0.where($"text".isNull && $"payload".isNull).count() === 0L)
+        assertBalanced("mixed-b0", stages0)
+      } finally {
+        StreamOps.dropMixedHistory(spark, table)
+        fs.delete(outP, true)
+      }
+    }
+  }
+
   test("scale: char-bigram LM train + score over the skewed corpus (NULLs, 10k-copy cluster) stays balanced", suiteTags: _*) {
     withScaleConf {
       import graft.operators.NgramLm

@@ -1023,6 +1023,87 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.dropMultimodalHistory(spark, hist)
   }
 
+  test("L32 mixed intake: one loop routes text and binary rows by null-ness, merges one survivor write, both-rows keep independent legs, exactly-once across a replay") {
+    import graft.operators.Multimodal
+    val hist = "t_mixed_hist"
+    val outDir = tmpDir("mixed_out")
+    StreamOps.dropMixedHistory(spark, hist)
+    try {
+      // text synthesized from a SEED id (so copies share tokens), with
+      // an optional payload column riding along for "both" rows
+      def html(seed: org.apache.spark.sql.Column, suffix: String) =
+        concat(lit("<p>"), array_join(transform(sequence(lit(0), lit(39)),
+          i => concat(lit("tok"), seed, lit("w"), i)), " "), lit(suffix), lit("</p>"))
+      def text(pairs: (Long, Long)*) = pairs.toSeq.toDF("doc_id", "__seed")
+        .select($"doc_id", html($"__seed", "").as("html"),
+          lit(null).cast("binary").as("payload"))
+      def textNear(pairs: (Long, Long)*) = pairs.toSeq.toDF("doc_id", "__seed")
+        .select($"doc_id", html($"__seed", " zzextra").as("html"),
+          lit(null).cast("binary").as("payload"))
+      def noHtml(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", lit(null).cast("string").as("html"), $"payload")
+      def img(pairs: (Long, Long)*) = noHtml(Multimodal.syntheticPpmMixed(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed", 16, 16))
+      def imgPng(pairs: (Long, Long)*) = noHtml(Multimodal.syntheticPngMixed(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed", 16, 16))
+      def aud(pairs: (Long, Long)*) = noHtml(Multimodal.syntheticWavPcm16(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed"))
+      def audMu(pairs: (Long, Long)*) = noHtml(Multimodal.syntheticWavMulawTone(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed"))
+      val b0 = text((1L to 20L).map(i => (i, i)): _*)
+        .unionByName(img((100L, 100L))).unionByName(aud((101L, 101L)))
+      assert(StreamOps.mixedIntakeBatch(b0, 0L, hist, 4, "html", "payload",
+        "doc_id", outDir))
+      val out0 = spark.read.parquet(s"$outDir/batch-0")
+      assert(out0.select($"doc_id").as[Long].collect().toSet
+        === ((1L to 20L).toSet ++ Set(100L, 101L)), "seed survivors wrong")
+      // batch 1: fresh text, a text exact copy (hash history) and near
+      // copy (band history), fresh + re-encoded binary (modality
+      // histories), junk (passes — no identity), and two BOTH rows:
+      // 70 fresh on both legs, 71 fresh text + payload copy of history
+      // image 100 (text survives, payload dies — legs independent)
+      val junk = Seq((999L, "no modality".getBytes))
+        .toDF("doc_id", "payload")
+      val b1 = text((40L to 49L).map(i => (i, i)): _*)
+        .unionByName(text((1005L, 5L)))        // exact copy of seeded 5
+        .unionByName(textNear((1006L, 6L)))    // near copy of seeded 6
+        .unionByName(img((160L, 160L)))
+        .unionByName(imgPng((1100L, 100L)))    // re-encode of history 100
+        .unionByName(audMu((1101L, 101L)))     // re-encode of history 101
+        .unionByName(noHtml(junk))
+        .unionByName(text((70L, 70L))
+          .select($"doc_id", $"html").crossJoin(
+            Multimodal.syntheticPpmMixed(Seq((70L, 700L)).toDF("d", "__seed"),
+              "__seed", 16, 16).select($"payload")))
+        .unionByName(text((71L, 71L))
+          .select($"doc_id", $"html").crossJoin(
+            Multimodal.syntheticPngMixed(Seq((71L, 100L)).toDF("d", "__seed"),
+              "__seed", 16, 16).select($"payload")))
+      assert(StreamOps.mixedIntakeBatch(b1, 1L, hist, 4, "html", "payload",
+        "doc_id", outDir))
+      def out1 = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id", $"text".isNotNull.as("t"), $"payload".isNotNull.as("p"))
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+      val o1 = out1
+      assert(o1.keySet === ((40L to 49L).toSet ++ Set(70L, 71L, 160L, 999L)),
+        s"mixed routing broke: ${o1.keySet}")
+      assert(o1(70L) === ((true, true)), "both-legs row must keep both")
+      assert(o1(71L) === ((true, false)),
+        "payload leg must die independently of the text leg")
+      assert(o1(160L) === ((false, true)) && o1(999L) === ((false, true)))
+      // partial replay (pointer rolled back): identical survivors
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_LATEST"), false)
+      assert(StreamOps.mixedIntakeBatch(b1, 1L, hist, 4, "html", "payload",
+        "doc_id", outDir))
+      assert(out1.keySet === ((40L to 49L).toSet ++ Set(70L, 71L, 160L, 999L)),
+        "replay changed the survivor set")
+      // full replay: pointer already records batch 1 → no-op
+      assert(!StreamOps.mixedIntakeBatch(b1, 1L, hist, 4, "html", "payload",
+        "doc_id", outDir))
+    } finally StreamOps.dropMixedHistory(spark, hist)
+  }
+
   test("L23 job budget: one steady-state intakeBatch launches at most 20 Spark jobs (pinned — driver overhead multiplies at production cadence)") {
     // The r11 audit: ~12 batch-sized jobs per micro-batch read as pure
     // driver overhead in l23b's segment table. Measured decomposition

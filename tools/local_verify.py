@@ -67,7 +67,18 @@ def main():
                 av, bv = a[c], b[c]
                 try:
                     import numpy as np
-                    if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                    # Driver hashes stringified values, so an int64 Spark
+                    # column vs a float64 oracle column (DuckDB HUGEINT →
+                    # pandas float) hash-mismatches even when values are
+                    # numerically equal (5 vs 5.0). Mirror that: a kind
+                    # mismatch between integer and float is a FAIL here too.
+                    kinds = {av.dtype.kind, bv.dtype.kind}
+                    if kinds == {'i', 'f'} or kinds == {'u', 'f'}:
+                        print(f"  [dtype-kind-mismatch] {name}.{c}: "
+                              f"spark={av.dtype} oracle={bv.dtype} "
+                              f"(driver hash WILL differ even if values match)")
+                        eq = False
+                    elif av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                         eq = ((av.isna() & bv.isna()) | (av == bv)).all()
                     else:
                         eq = av.astype(str).equals(bv.astype(str))
