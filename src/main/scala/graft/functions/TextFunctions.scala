@@ -67,7 +67,7 @@ object TextFunctions {
     * removes MARKUP but keeps nav/footer TEXT; this stage drops whole
     * low-content blocks before any of that text reaches the corpus.
     *
-    * Method — the standard public recipe, built entirely from codegen'd
+    * Method — the standard public recipe, built entirely from built-in
     * regex/array expressions (no UDF, no parser state):
     *
     *  1. delete script/style bodies and comments (never visible);
@@ -85,7 +85,15 @@ object TextFunctions {
     * Output still carries entities (&amp; etc.) — compose as
     * `normalizeText(stripHtml(extractContent(html)))`, the intake
     * front half with the boilerplate leg on. NULL html → NULL. Pure
-    * per-row projection; no shuffle, parallelizes trivially. */
+    * per-row projection; no shuffle, parallelizes trivially.
+    *
+    * Codegen (r13 audit): the regexp legs compile into whole-stage
+    * codegen; the per-block `transform`/`filter` lambdas evaluate via
+    * CodegenFallback because every Spark higher-order function does
+    * (`ArrayTransform implements CodegenFallback`, verified against
+    * the 4.1.2 jar). The per-row cost is the regex engine over the
+    * HTML, not the lambda dispatch — a custom Expression would only
+    * inline the block loop, so the built-in form stays. */
   def extractContent(html: Column, minChars: Int = 20,
       maxLinkDensity: Double = 0.33): Column = {
     val noInvisible = regexp_replace(

@@ -1146,4 +1146,50 @@ class StreamingSpec extends SparkSpec {
           "to attribute it and either fuse it or re-justify the budget")
     } finally Dedup.dropIntakeHistory(spark, hist)
   }
+
+  test("L31 job budget: one steady-state multimodalIntakeBatch launches at most 50 Spark jobs (pinned)") {
+    // Measured decomposition at the pin (JobCountProbe multimodal,
+    // r13): 47 jobs — 4 parquet writes (survivors + three deltas,
+    // crash-prefix ordered so they cannot merge), 6 checkpoint
+    // barriers (ONE payload batch + five id-set stage boundaries — the
+    // r12 slimming traded 5 payload-copy checkpoints for id-only
+    // ones), and ~37 broadcast/subquery jobs across the six banded
+    // identity joins (each a distinct bounded exchange: band sides,
+    // vote denominators, hot-bucket counts, anti-joins). Three banded
+    // modality pipelines cost ~2.5x the text loop's 20 — pinned so the
+    // count cannot silently grow.
+    import graft.operators.{Dedup, Multimodal}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val hist = "t_budget_mm_hist"
+    val outDir = tmpDir("budget_mm_out")
+    StreamOps.dropMultimodalHistory(spark, hist)
+    try {
+      def mixed(ids: Range) = {
+        val f = ids.map(_.toLong).toDF("doc_id")
+          .select($"doc_id", $"doc_id".as("__seed"))
+        Multimodal.syntheticPpmMixed(f.where($"doc_id" % 3 === 0), "__seed", 16, 16)
+          .unionByName(Multimodal.syntheticWavPcm16(f.where($"doc_id" % 3 === 1), "__seed"))
+          .unionByName(Multimodal.syntheticY4mBlocks(f.where($"doc_id" % 3 === 2), "__seed", 64, 32, 4))
+          .select($"doc_id", $"payload")
+      }
+      StreamOps.multimodalIntakeBatch(mixed(0 until 90), 0L, hist, 4,
+        "payload", "doc_id", outDir)
+      Dedup.compactImageDelta(spark, hist)
+      Dedup.compactAudioDelta(spark, hist)
+      Dedup.compactVideoDelta(spark, hist) // steady state: folded mains
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = { n.incrementAndGet(): Unit }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        StreamOps.multimodalIntakeBatch(mixed(90 until 135), 1L, hist, 4,
+          "payload", "doc_id", outDir)
+        Thread.sleep(1500) // the listener bus is async
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(n.get() <= 50,
+        s"steady-state multimodalIntakeBatch launched ${n.get()} jobs (pinned at 50) — " +
+          "re-run 'Test/runMain graft.tools.JobCountProbe multimodal' to attribute")
+    } finally StreamOps.dropMultimodalHistory(spark, hist)
+  }
 }
