@@ -63,16 +63,17 @@ object Bench {
     // baseline sum so a reader can normalize per-query rows before
     // flagging regressions. Three straight rounds of judge adjudication
     // (r7 p04, r8 f07, r9 p04/p05/s16b/l16) went to driver-box co-tenant
-    // noise that an in-run control would have disclosed up front. The
-    // denominator is the round-12 canonical record (BASELINE.md
-    // "Recorded baseline — round 12": p01 1.671 + a01 0.938 + w03 0.613);
-    // re-pin it (or override via SPARK_GRAFT_CONTROL_BASELINE, in
-    // seconds) whenever a new baseline table is promoted. A ratio far
-    // from 1 at BENCH time means the box was loaded — judge per-query
-    // rows divided by it (the read protocol in BASELINE.md).
+    // noise that an in-run control would have disclosed up front.
+    // Re-pin the denominator (or override via
+    // SPARK_GRAFT_CONTROL_BASELINE, in seconds) whenever a new
+    // baseline table is promoted. A ratio far from 1 at BENCH time
+    // means the box was loaded — judge per-query rows divided by it
+    // (the read protocol in BASELINE.md). Pinned from the round-13
+    // canonical record (BASELINE.md "Recorded baseline — round 13":
+    // p01 1.659 + a01 1.004 + w03 0.545).
     val controlNames = Seq("p01_project", "a01_groupby", "w03_running")
     val controlBaselineSec =
-      sys.env.get("SPARK_GRAFT_CONTROL_BASELINE").map(_.toDouble).getOrElse(3.222)
+      sys.env.get("SPARK_GRAFT_CONTROL_BASELINE").map(_.toDouble).getOrElse(3.208)
     // one untimed warmup pass before the controls: the canonical
     // denominators were recorded mid-sweep in a hot JVM, so a control
     // measured as the very first query of a cold JVM carries JIT/

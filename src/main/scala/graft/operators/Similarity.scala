@@ -329,6 +329,48 @@ object Similarity {
     IvfMeta(r.getDouble(0), r.getLong(1), r.getInt(2), r.getInt(3))
   }
 
+  /** Train the coarse quantizer on `trainOn` but write an EMPTY main
+    * corpus — the ensure-shape for an IVF index used as an APPEND-ONLY
+    * history ([[semanticIncrementalDelta]]): every vector enters
+    * through [[appendToIvfDelta]]'s exactly-once delta batches (and
+    * folds in via [[compactIvfDelta]]), so seeding the main table with
+    * the training vectors would double-count the first batch. The
+    * quantizer is frozen from whatever first batch trains it — the
+    * production SemDeDup seeding; [[reclusterIfDrifted]] owns drift. */
+  def writeEmptyIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      trainOn: DataFrame, table: String, nLists: Int = 16,
+      lloydIters: Int = 1, numBuckets: Int = 16,
+      cId: String = "vec_id", cVec: String = "embedding"): Unit = {
+    val centRows = buildCentroids(trainOn, nLists, lloydIters, cId, cVec)
+    import spark.implicits._
+    centRows.toSeq.toDF("list", "centroid")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    val cents = typedLit(centRows.toSeq)
+    val assigned = trainOn.limit(0).select(col(cId), col(cVec),
+      nearestAgainst(cents, col(cVec)).alias("__list"))
+    Layout.writeBucketed(assigned, table, Seq("__list"), numBuckets)
+    writeIvfMeta(spark, table, nLists, lloydIters, cVec)
+  }
+
+  /** Create the embedding-history index `${table}_ei` if missing —
+    * the [[graft.operators.Dedup.ensureImageHistory]] discipline for
+    * the embedding modality (crash-safe: a half-created index is
+    * dropped whole and rebuilt; callers must pass the SAME first-batch
+    * vectors on a replay, which foreachBatch guarantees). */
+  def ensureSemanticHistory(spark: org.apache.spark.sql.SparkSession,
+      firstVectors: DataFrame, table: String, nLists: Int = 16,
+      numBuckets: Int = 16,
+      cId: String = "vec_id", cVec: String = "embedding"): Unit = {
+    val t = s"${table}_ei"
+    if (!spark.catalog.tableExists(t) ||
+        !spark.catalog.tableExists(s"${t}_centroids")) {
+      dropIvfIndex(spark, t) // orphaned locations / half-created index
+      writeEmptyIvfIndex(spark, firstVectors, t, nLists,
+        numBuckets = numBuckets, cId = cId, cVec = cVec)
+    }
+  }
+
   /** Drop a persisted IVF index (both tables AND their warehouse
     * locations — see [[Layout.dropTableAndLocation]] for why the
     * location matters across sessions). */

@@ -1548,6 +1548,119 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'tiny low quality' ELSE array_to_string(list_transform(generate_series(0, 39), i -> 'tok' || doc_id || 'word' || i), ' ') END AS clean FROM documents WHERE doc_id % 4 = 2), tok AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0) ts FROM t), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM tok), q AS (SELECT doc_id, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m) SELECT doc_id, quality, kind FROM (SELECT doc_id, quality, 'text' AS kind FROM q WHERE quality >= 0.75 UNION ALL SELECT doc_id, CAST(NULL AS DOUBLE) AS quality, 'binary' AS kind FROM documents WHERE doc_id % 4 = 3) ORDER BY doc_id""")),
 
+    // ---- L33: the FIVE-FAMILY intake loop — text, image, audio,
+    // video AND embedding rows in ONE exactly-once micro-batch
+    // (mixedIntakeBatch with the embCol leg): SemDeDup runs AT INTAKE
+    // against a persisted IVF embedding history (`_ei`, quantizer
+    // frozen from the seed batch), alongside the l23 text legs and the
+    // l31 modality legs — six history deltas, one survivor write, one
+    // pointer. Fixture: text = documents %4∈{0 seed, 2 fresh} (the l23
+    // recipe); payloads = documents %4∈{1 seed, 3 fresh} by modality,
+    // ids +500000; vectors = embeddings %4∈{1 seed, 3 fresh}, ids
+    // +1000000. Batch 1 plants: text exact (+300000) / near (+200000)
+    // copies, payload re-encodes (+700000), 2x-scaled copies of SEED
+    // vectors (+2000000 — die on the `_ei` history probe) and of FRESH
+    // vectors (+3000000 — die within batch under the frozen
+    // quantizer), and NEGATED controls (+4000000, cos −1 — must
+    // survive everything). Survivor set closed-form in SQL. ----
+    ("l33_five_family_intake", (s, d) => {
+      import graft.streaming.StreamOps
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cleanT = when(col("doc_id") % 11 === 0, lit("tiny low quality"))
+        .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+          i => concat(lit("tok"), col("doc_id").cast("string"),
+            lit("word"), i.cast("string"))), " "))
+      def wrap(c: org.apache.spark.sql.Column) = concat(lit("<p class=\"x\">"), c,
+        lit("</p><script>var j = \"<q>\";</script>"))
+      val nullPay = lit(null).cast("binary").as("payload")
+      val nullEmb = lit(null).cast("array<float>").as("embedding")
+      def textFrame(ids: DataFrame) = ids.select(col("doc_id"),
+        wrap(cleanT).as("html"), nullPay, nullEmb)
+      def textPlant(ids: DataFrame, bump: Int, suffix: String) = ids
+        .select(col("doc_id"), cleanT.as("__clean"))
+        .select((col("doc_id") + bump).as("doc_id"),
+          wrap(concat(col("__clean"), lit(suffix))).as("html"), nullPay, nullEmb)
+      def modal(ids: DataFrame, reencode: Boolean): DataFrame = {
+        val m0 = col("__seed") % 3 === 0
+        val m1 = col("__seed") % 3 === 1
+        val m2 = col("__seed") % 3 === 2
+        val img =
+          if (reencode) Multimodal.syntheticPngMixed(ids.where(m0), "__seed", 16, 16)
+          else Multimodal.syntheticPpmMixed(ids.where(m0), "__seed", 16, 16)
+        val aud =
+          if (reencode) Multimodal.syntheticWavMulawTone(ids.where(m1), "__seed")
+          else Multimodal.syntheticWavPcm16(ids.where(m1), "__seed")
+        val vid =
+          if (reencode) Multimodal.syntheticAviMjpegBlocks(ids.where(m2), "__seed", 64, 32, 4)
+          else Multimodal.syntheticY4mBlocks(ids.where(m2), "__seed", 64, 32, 4)
+        img.select(col("doc_id"), col("payload"))
+          .unionByName(aud.select(col("doc_id"), col("payload")))
+          .unionByName(vid.select(col("doc_id"), col("payload")))
+          .select(col("doc_id"), lit(null).cast("string").as("html"),
+            col("payload"), nullEmb)
+      }
+      def binOf(sel: org.apache.spark.sql.Column, bump: Int, reencode: Boolean) =
+        modal(docs.where(sel)
+          .select((col("doc_id") + bump).as("doc_id"), col("doc_id").as("__seed")),
+          reencode)
+      def vecFrame(ids: DataFrame, bump: Int,
+          f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = ids
+        .select((col("vec_id") + bump).as("doc_id"),
+          lit(null).cast("string").as("html"), nullPay,
+          transform(col("embedding"), f).as("embedding"))
+      val idF = (x: org.apache.spark.sql.Column) => x
+      val x2F = (x: org.apache.spark.sql.Column) => (x * lit(2.0f)).cast("float")
+      val negF = (x: org.apache.spark.sql.Column) => (-x).cast("float")
+      val table = s"l33p_hist_${sfTag(d)}"
+      val outDir = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + s"/l33p_out_${sfTag(d)}"
+      val outP = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!(Seq("", "_sh", "_xh", "_ph", "_ab", "_vb", "_vn")
+            .forall(x => s.catalog.tableExists(table + x)) &&
+          s.catalog.tableExists(s"${table}_ei"))) {
+        StreamOps.dropMixedHistory(s, table) // orphaned prior-session state
+        fs.delete(outP, true)
+        val seed = textFrame(docs.where(col("doc_id") % 4 === 0))
+          .unionByName(binOf(col("doc_id") % 4 === 1, 500000, reencode = false))
+          .unionByName(vecFrame(emb.where(col("vec_id") % 4 === 1), 1000000, idF))
+        StreamOps.mixedIntakeBatch(seed, 0L, table, 8, "html", "payload",
+          "doc_id", outDir, embCol = Some("embedding"))
+        Dedup.compactIntakeDelta(s, table) // steady state: folded mains
+        Dedup.compactImageDelta(s, table)
+        Dedup.compactAudioDelta(s, table)
+        Dedup.compactVideoDelta(s, table)
+        Similarity.compactIvfDelta(s, s"${table}_ei")
+      }
+      // roll the pointer back so every rep replays batch 1 for real
+      fs.delete(new org.apache.hadoop.fs.Path(outP, "_LATEST"), false)
+      val freshV = emb.where(col("vec_id") % 4 === 3)
+      val b1 = textFrame(docs.where(col("doc_id") % 4 === 2))
+        .unionByName(binOf(col("doc_id") % 4 === 3, 500000, reencode = false))
+        .unionByName(vecFrame(freshV, 1000000, idF))
+        .unionByName(textPlant(docs
+          .where(col("doc_id") % 4 === 0 && col("doc_id") % 5 === 0), 300000, ""))
+        .unionByName(textPlant(docs
+          .where(col("doc_id") % 4 === 0 && col("doc_id") % 7 === 0), 200000, " zzextra"))
+        .unionByName(binOf(col("doc_id") % 4 === 1 && col("doc_id") % 5 === 0,
+          700000, reencode = true))
+        .unionByName(vecFrame(emb // scaled copies of SEED vectors → _ei drop
+          .where(col("vec_id") % 4 === 1 && col("vec_id") % 5 === 0), 2000000, x2F))
+        .unionByName(vecFrame(freshV // scaled copies of FRESH → within drop
+          .where(col("vec_id") % 7 === 0), 3000000, x2F))
+        .unionByName(vecFrame(freshV // negated controls → survive
+          .where(col("vec_id") % 11 === 0), 4000000, negF))
+      StreamOps.mixedIntakeBatch(b1, 1L, table, 8, "html", "payload",
+        "doc_id", outDir, embCol = Some("embedding"))
+      s.read.parquet(s"$outDir/batch-1")
+        .select(col("doc_id"), col("quality"),
+          when(col("text").isNotNull, lit("text"))
+            .when(col("payload").isNotNull, lit("binary"))
+            .otherwise(lit("vector")).as("kind"))
+        .orderBy(col("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'tiny low quality' ELSE array_to_string(list_transform(generate_series(0, 39), i -> 'tok' || doc_id || 'word' || i), ' ') END AS clean FROM documents WHERE doc_id % 4 = 2), tok AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0) ts FROM t), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM tok), q AS (SELECT doc_id, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m) SELECT doc_id, quality, kind FROM (SELECT doc_id, quality, 'text' AS kind FROM q WHERE quality >= 0.75 UNION ALL SELECT doc_id + 500000 AS doc_id, CAST(NULL AS DOUBLE) AS quality, 'binary' AS kind FROM documents WHERE doc_id % 4 = 3 UNION ALL SELECT vec_id + 1000000 AS doc_id, CAST(NULL AS DOUBLE) AS quality, 'vector' AS kind FROM embeddings WHERE vec_id % 4 = 3 UNION ALL SELECT vec_id + 4000000 AS doc_id, CAST(NULL AS DOUBLE) AS quality, 'vector' AS kind FROM embeddings WHERE vec_id % 4 = 3 AND vec_id % 11 = 0) ORDER BY doc_id""")),
+
     // ---- L29: SEMANTIC dedup (SemDeDup) — cluster-first embedding
     // dedup: the deterministic k-means quantizer assigns every vector
     // to a list, within-cluster pairs at cos >= 0.95 collapse to their

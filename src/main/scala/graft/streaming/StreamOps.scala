@@ -548,38 +548,45 @@ object StreamOps {
 
   /** The MIXED-corpus intake loop — ONE exactly-once micro-batch
     * pipeline over a real crawl batch, where a row carries text
-    * (`htmlCol`), a binary payload (`payloadCol`), or both: text rows
-    * run the [[intakeBatch]] legs (boilerplate → strip → normalize →
-    * quality → LM gate → exact + near dedup vs the text histories),
-    * payload rows run the [[multimodalIntakeBatch]] legs (image →
-    * audio → video identity vs the three binary histories), and the
-    * two survivor frames merge by id into ONE survivor write + ONE
-    * `_LATEST` pointer. Routing is null-based — no content detector:
-    * whichever columns a row populates decide which legs see it, and a
-    * row carrying both participates in both (its text and payload
-    * survive or die independently; the merged row keeps whatever
-    * survived).
+    * (`htmlCol`), a binary payload (`payloadCol`), an embedding
+    * (`embCol`, optional leg), or any combination: text rows run the
+    * [[intakeBatch]] legs (boilerplate → strip → normalize → quality →
+    * LM gate → exact + near dedup vs the text histories), payload rows
+    * run the [[multimodalIntakeBatch]] legs (image → audio → video
+    * identity vs the three binary histories), embedding rows run
+    * SemDeDup at intake (within-batch cluster resolution under the
+    * history's frozen quantizer, then
+    * [[graft.operators.Similarity.semanticIncrementalDelta]] vs the
+    * persisted IVF history `_ei`), and the survivor frames merge by id
+    * into ONE survivor write + ONE `_LATEST` pointer. Routing is
+    * null-based — no content detector: whichever columns a row
+    * populates decide which legs see it, and a row carrying several
+    * families participates in each independently (the merged row keeps
+    * whatever survived).
     *
-    * Delivery contract: identical to both parents — full replays
-    * no-op on the pointer, partial replays recompute identical
-    * survivors (every history probe excludes same-id matches), and
-    * ALL FIVE history deltas append in a fixed crash-prefix order —
-    * band first, hash LAST among the text pair (the [[intakeBatch]]
-    * contract: a crashed prefix must never leave the exact-hash
-    * history ahead of the band history), image → audio → video
-    * between (each independent) — so a crash after any prefix leaves
-    * every probe correct and the replay converges.
+    * Delivery contract: identical to the parents — full replays no-op
+    * on the pointer, partial replays recompute identical survivors
+    * (every history probe excludes same-id matches; the IVF append is
+    * overwrite-own-dir + fold-manifest safe), and ALL history deltas
+    * (five, six with the embedding leg) append in a fixed crash-prefix
+    * order — band first, hash LAST among the text pair (the
+    * [[intakeBatch]] contract: a crashed prefix must never leave the
+    * exact-hash history ahead of the band history), image → audio →
+    * video → ivf between (each independent) — so a crash after any
+    * prefix leaves every probe correct and the replay converges.
     *
     * Scale shape: the union of the parents' — payloads resident once
-    * and never shuffled, text legs broadcast batch hashes only, all
-    * history sides zero-exchange. The merged write is a full-outer
-    * join of two batch-sized frames on id: batch-sized, broadcast. */
+    * and never shuffled, text legs broadcast batch hashes only,
+    * embeddings broadcast into a bucket-pruned probe, all history
+    * sides zero-exchange. The merged write is a full-outer join of
+    * batch-sized frames on id: batch-sized, broadcast. */
   def mixedIntakeBatch(batch: DataFrame, batchId: Long, historyTable: String,
       numBuckets: Int, htmlCol: String, payloadCol: String, idCol: String,
       outDir: String, minQuality: Double = 0.75, threshold: Double = 0.8,
       extractBoilerplate: Boolean = false,
-      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None): Boolean = {
-    import graft.operators.Dedup
+      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None,
+      embCol: Option[String] = None, embTau: Double = 0.95): Boolean = {
+    import graft.operators.{Dedup, Similarity}
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(outDir)
@@ -594,8 +601,29 @@ object StreamOps {
       htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate)
     val payOut = multimodalSurvivorFrame(payloadRows, historyTable,
       numBuckets, payloadCol, idCol)
-    // merge by id: (id, text, quality, payload) — absent legs NULL
-    val outFrame = textOut.join(payOut, Seq(idCol), "full_outer")
+    // optional EMBEDDING leg (SemDeDup at intake, the l29b machinery):
+    // within-batch cluster resolution under the history's frozen
+    // quantizer, then the incremental probe vs the persisted IVF
+    // history (main ∪ delta). The quantizer seeds from the FIRST
+    // batch's vectors (ensureSemanticHistory) — deterministic on
+    // replay because foreachBatch redelivers identical content.
+    val embOut = embCol.map { e =>
+      val t = s"${historyTable}_ei"
+      val embRows = batch.where(col(e).isNotNull).select(col(idCol), col(e))
+      Similarity.ensureSemanticHistory(spark, embRows, historyTable,
+        numBuckets = numBuckets, cId = idCol, cVec = e)
+      val within = Similarity.semanticDupClustersIndexed(spark, embRows, t,
+          embTau, idCol = idCol, vecCol = e)
+        .where(col(idCol) === col("cluster")).select(col(idCol))
+        .join(embRows, Seq(idCol))
+      Similarity.semanticIncrementalDelta(spark, within, t, embTau,
+        idCol = idCol, vecCol = e, cId = idCol, cVec = e)
+    }
+    // merge by id: (id, text, quality, payload[, emb]) — absent legs
+    // NULL; a row carrying several content families keeps whatever
+    // survived each leg independently
+    val merged = textOut.join(payOut, Seq(idCol), "full_outer")
+    val outFrame = embOut.fold(merged)(eo => merged.join(eo, Seq(idCol), "full_outer"))
     val survivorsPath = new Path(root, s"batch-$batchId").toString
     outFrame.write.mode("overwrite").parquet(survivorsPath)
     val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
@@ -609,6 +637,11 @@ object StreamOps {
       historyTable, batchId)
     Dedup.appendVideoHistoryDelta(spark, paySurv, payloadCol, idCol,
       historyTable, batchId)
+    embCol.foreach { e =>
+      Similarity.appendToIvfDelta(spark,
+        survivors.where(col(e).isNotNull).select(col(idCol), col(e)),
+        s"${historyTable}_ei", batchId, cId = idCol, cVec = e): Unit
+    }
     Dedup.appendHashHistoryDelta(spark, textSurv, "text", idCol,
       historyTable, batchId)
     graft.sources.AtomicPointer.write(hconf,
@@ -622,21 +655,23 @@ object StreamOps {
       outDir: String, checkpoint: String,
       minQuality: Double = 0.75, threshold: Double = 0.8,
       extractBoilerplate: Boolean = false,
-      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None): DataStreamWriter[Row] =
+      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None,
+      embCol: Option[String] = None, embTau: Double = 0.95): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mixedIntakeBatch(batch, batchId, historyTable, numBuckets,
           htmlCol, payloadCol, idCol, outDir, minQuality, threshold,
-          extractBoilerplate, lmGate): Unit
+          extractBoilerplate, lmGate, embCol, embTau): Unit
       }
 
-  /** Drop all five histories (text pair + three modalities) of a
-    * mixed intake. */
+  /** Drop all histories of a mixed intake (text pair + three
+    * modalities + the embedding-leg IVF index if one was created). */
   def dropMixedHistory(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     graft.operators.Dedup.dropIntakeHistory(spark, table)
     dropMultimodalHistory(spark, table)
+    graft.operators.Similarity.dropIvfIndex(spark, s"${table}_ei")
   }
 
   /** Read the current CDC state (empty frame with `schema` if none). */

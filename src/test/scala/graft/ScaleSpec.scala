@@ -763,8 +763,23 @@ class ScaleSpec extends SparkSpec {
         val binPlants = modal(docs.where($"doc_id" % 30 === 3)
           .select(($"doc_id" + 6000000).as("doc_id"), $"doc_id".as("__seed")),
           reencode = true)
-        val b0 = textSide.unionByName(withins).unionByName(binSide)
-          .unionByName(binPlants)
+        // embedding stripe (the l33 leg): ~M/10 vectors, plus 2x-scaled
+        // within-batch copies (bit-identical cosine geometry — each must
+        // die on the frozen-quantizer keep-min). The stripe contains no
+        // zero-norm rows by residue arithmetic (id ≡ 7 mod 10 excludes
+        // id ≡ 0 mod 100), so the survivor count is exact.
+        def vecSide(sel: org.apache.spark.sql.Column, bump: Long, scale: Float) =
+          emb.where(sel).select(($"vec_id" + bump).as("doc_id"),
+            lit(null).cast("string").as("html"),
+            lit(null).cast("binary").as("payload"),
+            transform($"embedding", x => (x * lit(scale)).cast("float")).as("embedding"))
+        val embSide = vecSide($"vec_id" % 10 === 7, 7000000L, 1.0f)
+        val embPlants = vecSide($"vec_id" % 50 === 7, 8000000L, 2.0f)
+        val withEmb = (df: DataFrame) => df.select($"doc_id", $"html",
+          $"payload", lit(null).cast("array<float>").as("embedding"))
+        val b0 = withEmb(textSide).unionByName(withEmb(withins))
+          .unionByName(withEmb(binSide)).unionByName(withEmb(binPlants))
+          .unionByName(embSide).unionByName(embPlants)
           .repartition(16).localCheckpoint(eager = true) // scaffolding outside the probe
         val nWithins = withins.count()
         val expected0 = docs.where($"text".isNotNull)
@@ -774,7 +789,8 @@ class ScaleSpec extends SparkSpec {
         var ran = false
         val stages0 = probe {
           ran = StreamOps.mixedIntakeBatch(b0, 0L, table, 8, "html",
-            "payload", "doc_id", outDir, minQuality = 0.5)
+            "payload", "doc_id", outDir, minQuality = 0.5,
+            embCol = Some("embedding"))
         }
         assert(ran)
         val out0 = spark.read.parquet(s"$outDir/batch-0")
@@ -802,10 +818,19 @@ class ScaleSpec extends SparkSpec {
         assert(si === binIn(0), "a distinct image was wrongly deduped (exact dHash)")
         assert(sa >= binIn(1) * 95 / 100, s"audio leg dropped too many distinct clips: $sa")
         assert(sv >= binIn(2) * 95 / 100, s"video leg dropped too many distinct clips: $sv")
-        assert(out0.where($"doc_id" >= 6000000).count() === 0L,
+        assert(out0.where($"doc_id" >= 6000000 && $"doc_id" < 7000000).count() === 0L,
           "a planted re-encode copy survived its modality's keep-min")
-        // NULL-content rows vanished (neither text nor payload leg)
-        assert(out0.where($"text".isNull && $"payload".isNull).count() === 0L)
+        // embedding stripe: hash-derived dim-32 vectors never reach
+        // cos 0.95 naturally (P ≈ (1−τ²)^15 per pair), so survivor
+        // equality is exact; every 2x-scaled copy dies on keep-min
+        assert(out0.where($"doc_id" >= 7000000 && $"doc_id" < 8000000).count()
+          === emb.where($"vec_id" % 10 === 7).count(),
+          "a distinct embedding was wrongly deduped")
+        assert(out0.where($"doc_id" >= 8000000).count() === 0L,
+          "a planted scaled embedding copy survived the frozen-quantizer keep-min")
+        // NULL-content rows vanished (no leg saw them)
+        assert(out0.where($"text".isNull && $"payload".isNull &&
+          $"embedding".isNull).count() === 0L)
         assertBalanced("mixed-b0", stages0)
       } finally {
         StreamOps.dropMixedHistory(spark, table)

@@ -1104,6 +1104,52 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.dropMixedHistory(spark, hist)
   }
 
+  test("L33 embedding leg: mixed intake seeds the _ei quantizer from batch 0, drops semantic dups within-batch and vs history, no-identity passes, replays exactly-once") {
+    val hist = "t_mixed_emb_hist"
+    val outDir = tmpDir("mixed_emb_out")
+    StreamOps.dropMixedHistory(spark, hist)
+    try {
+      def v(xs: Double*) = xs.map(_.toFloat).toArray
+      def x2(a: Array[Float]) = a.map(_ * 2.0f)
+      def vecs(rows: (Long, Array[Float])*) = rows.toSeq.toDF("doc_id", "embedding")
+        .select($"doc_id", lit(null).cast("string").as("html"),
+          lit(null).cast("binary").as("payload"), $"embedding")
+      def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+        StreamOps.mixedIntakeBatch(b, id, hist, 4, "html", "payload",
+          "doc_id", outDir, embCol = Some("embedding"))
+      def ids(b: Long): Set[Long] = spark.read.parquet(s"$outDir/batch-$b")
+        .select($"doc_id").as[Long].collect().toSet
+      val e1 = v(1, 0, 0, 0)
+      // batch 0 trains the frozen quantizer AND seeds the history —
+      // its own vectors must all survive (nothing to collide with)
+      val b0 = vecs((1L, e1), (2L, v(0, 1, 0, 0)), (3L, v(0, 0, 1, 0)))
+      assert(run(b0, 0L))
+      assert(ids(0L) === Set(1L, 2L, 3L), "seed batch lost a vector")
+      // batch 1: fresh 4 survives; 101 (2x copy of HISTORY vector 1)
+      // dies on the _ei probe; the in-batch pair (5, 105=2x5) resolves
+      // keep-min under the frozen quantizer; zero-norm 300 has no
+      // identity and passes
+      val v5 = v(1, 0, 1, 0)
+      val b1 = vecs((4L, v(0, 1, 1, 0)), (101L, x2(e1)), (5L, v5),
+        (105L, x2(v5)), (300L, v(0, 0, 0, 0)))
+      assert(run(b1, 1L))
+      assert(ids(1L) === Set(4L, 5L, 300L), s"embedding routing broke: ${ids(1L)}")
+      // partial replay (pointer rolled back): identical survivors —
+      // 4 and 5 now meet their OWN appended _ei rows (same-id guard)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_LATEST"), false)
+      assert(run(b1, 1L))
+      assert(ids(1L) === Set(4L, 5L, 300L), "replay changed the survivor set")
+      // full replay: no-op
+      assert(!run(b1, 1L))
+      // fold the _ei delta, then a copy of a FOLDED vector still dies
+      graft.operators.Similarity.compactIvfDelta(spark, s"${hist}_ei")
+      val b2 = vecs((201L, x2(v(0, 1, 1, 0))), (6L, v(0, 0, 1, 1)))
+      assert(run(b2, 2L))
+      assert(ids(2L) === Set(6L), "post-fold history identity missed")
+    } finally StreamOps.dropMixedHistory(spark, hist)
+  }
+
   test("L23 job budget: one steady-state intakeBatch launches at most 20 Spark jobs (pinned — driver overhead multiplies at production cadence)") {
     // The r11 audit: ~12 batch-sized jobs per micro-batch read as pure
     // driver overhead in l23b's segment table. Measured decomposition
