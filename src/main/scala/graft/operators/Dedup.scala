@@ -780,6 +780,20 @@ object Dedup {
     fold
   }
 
+  /** [[compactIntakeIfNeeded]] for a video history (`_vb` band table +
+    * `_vn` vote-denominator table, folded as one unit — the
+    * [[compactVideoDelta]] crash-window ordering). */
+  def compactVideoIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxDeltaRatio: Double = 0.10): Boolean = {
+    require(maxDeltaRatio > 0, "maxDeltaRatio must be positive")
+    val (d, m) = Seq(s"${table}_vb", s"${table}_vn")
+      .map(Layout.deltaMainBytes(spark, _))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val fold = d > 0 && d >= maxDeltaRatio * m
+    if (fold) compactVideoDelta(spark, table)
+    fold
+  }
+
   /** L2 incremental, applied — drop every batch row near-duplicating the
     * persisted history above `threshold` (compose with
     * [[nearDedupMinhash]] for within-batch dups, then

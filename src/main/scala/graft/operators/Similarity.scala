@@ -540,6 +540,20 @@ object Similarity {
     Layout.foldDeltaIntoBucketed(spark, table,
       noSpecHint = "build the index with writeIvfIndex first")
 
+  /** [[graft.operators.Dedup.compactIntakeIfNeeded]]'s byte-ratio
+    * auto-fold policy for a persisted IVF index / embedding history:
+    * fold when the delta directory reaches `maxDeltaRatio` of the
+    * bucketed main's bytes (fs metadata only, no jobs — safe per
+    * micro-batch). Returns true when a fold ran. */
+  def compactIvfIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxDeltaRatio: Double = 0.10): Boolean = {
+    require(maxDeltaRatio > 0, "maxDeltaRatio must be positive")
+    val (d, m) = Layout.deltaMainBytes(spark, table)
+    val fold = d > 0 && d >= maxDeltaRatio * m
+    if (fold) compactIvfDelta(spark, table)
+    fold
+  }
+
   /** The aging report behind the persisted index's re-clustering
     * policy: build-time tightness (recorded by [[writeIvfIndex]] in the
     * `_meta` table) vs the CURRENT tightness of main ∪ delta under the

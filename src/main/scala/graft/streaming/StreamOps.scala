@@ -674,6 +674,35 @@ object StreamOps {
     graft.operators.Similarity.dropIvfIndex(spark, s"${table}_ei")
   }
 
+  /** ONE maintenance call for a mixed intake's histories — the
+    * byte-ratio auto-fold ([[graft.operators.Dedup
+    * .compactIntakeIfNeeded]]'s measured-trigger policy) across every
+    * family the loop maintains: text (band + `_sh` + `_xh`), image
+    * `_ph`, audio `_ab`, video `_vb`/`_vn`, and the embedding `_ei`
+    * index when the [[mixedIntakeBatch]] embedding leg created one.
+    * Each check is filesystem metadata only (no jobs), so this is safe
+    * to call between every micro-batch; folds run only where the
+    * accumulated delta has earned one. Returns the families folded —
+    * log it, alert on it, or feed a fold-cadence dashboard.
+    *
+    * Embedding drift is deliberately NOT handled here: a recluster
+    * rewrites the whole index ([[graft.operators.Similarity
+    * .reclusterIfDrifted]]), which belongs on a maintenance cadence an
+    * operator chooses, not inside the ingest loop's hot path. */
+  def maintainMixedHistories(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxDeltaRatio: Double = 0.10): Seq[String] = {
+    import graft.operators.{Dedup, Similarity}
+    val folded = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (Dedup.compactIntakeIfNeeded(spark, table, maxDeltaRatio)) folded += "text"
+    if (Dedup.compactImageIfNeeded(spark, table, maxDeltaRatio)) folded += "image"
+    if (Dedup.compactAudioIfNeeded(spark, table, maxDeltaRatio)) folded += "audio"
+    if (Dedup.compactVideoIfNeeded(spark, table, maxDeltaRatio)) folded += "video"
+    if (spark.catalog.tableExists(s"${table}_ei") &&
+        Similarity.compactIvfIfNeeded(spark, s"${table}_ei", maxDeltaRatio))
+      folded += "embedding"
+    folded.toSeq
+  }
+
   /** Read the current CDC state (empty frame with `schema` if none). */
   def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {

@@ -1150,6 +1150,55 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.dropMixedHistory(spark, hist)
   }
 
+  test("Mixed history maintenance: one byte-ratio auto-fold call covers all five families, folds only where earned, replay stays exactly-once across the fold") {
+    import graft.operators.Multimodal
+    val hist = "t_mixed_maint"
+    val outDir = tmpDir("mixed_maint_out")
+    StreamOps.dropMixedHistory(spark, hist)
+    try {
+      def html(seed: org.apache.spark.sql.Column) =
+        concat(lit("<p>"), array_join(transform(sequence(lit(0), lit(39)),
+          i => concat(lit("tok"), seed, lit("w"), i)), " "), lit("</p>"))
+      val nullPay = lit(null).cast("binary").as("payload")
+      val nullEmb = lit(null).cast("array<float>").as("embedding")
+      val text = (1L to 8L).toDF("doc_id")
+        .select($"doc_id", html($"doc_id").as("html"), nullPay, nullEmb)
+      def noHtml(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
+        lit(null).cast("string").as("html"), $"payload", nullEmb)
+      val pay = noHtml(Multimodal.syntheticPpmMixed(
+          Seq((20L, 20L)).toDF("doc_id", "__seed"), "__seed", 16, 16))
+        .unionByName(noHtml(Multimodal.syntheticWavPcm16(
+          Seq((21L, 21L)).toDF("doc_id", "__seed"), "__seed")))
+        .unionByName(noHtml(Multimodal.syntheticY4mBlocks(
+          Seq((22L, 22L)).toDF("doc_id", "__seed"), "__seed", 64, 32, 4)))
+      def v(xs: Double*) = xs.map(_.toFloat).toArray
+      val vecs = Seq((30L, v(1, 0, 0, 0)), (31L, v(0, 1, 0, 0)))
+        .toDF("doc_id", "embedding")
+        .select($"doc_id", lit(null).cast("string").as("html"), nullPay, $"embedding")
+      val b0 = text.unionByName(pay).unionByName(vecs)
+      assert(StreamOps.mixedIntakeBatch(b0, 0L, hist, 4, "html", "payload",
+        "doc_id", outDir, embCol = Some("embedding")))
+      val expected = ((1L to 8L) ++ Seq(20L, 21L, 22L, 30L, 31L)).toSet
+      def ids0: Set[Long] = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids0 === expected)
+      // every family appended a delta in batch 0 → a tiny ratio folds all
+      assert(StreamOps.maintainMixedHistories(spark, hist, 1e-9).toSet
+        === Set("text", "image", "audio", "video", "embedding"))
+      // nothing left to fold — the measured trigger must not re-fire
+      assert(StreamOps.maintainMixedHistories(spark, hist, 1e-9).isEmpty)
+      // replay ACROSS the fold: the fold manifest keeps the appends
+      // from duplicating, the probes (now main-side) keep same-id rows
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_LATEST"), false)
+      assert(StreamOps.mixedIntakeBatch(b0, 0L, hist, 4, "html", "payload",
+        "doc_id", outDir, embCol = Some("embedding")))
+      assert(ids0 === expected, "replay across the fold changed the survivor set")
+      assert(StreamOps.maintainMixedHistories(spark, hist, 1e-9).isEmpty,
+        "a replayed (manifest-skipped) append must not re-create deltas")
+    } finally StreamOps.dropMixedHistory(spark, hist)
+  }
+
   test("L23 job budget: one steady-state intakeBatch launches at most 20 Spark jobs (pinned — driver overhead multiplies at production cadence)") {
     // The r11 audit: ~12 batch-sized jobs per micro-batch read as pure
     // driver overhead in l23b's segment table. Measured decomposition
