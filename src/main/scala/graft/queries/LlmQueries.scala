@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1660,6 +1660,28 @@ object LlmQueries {
             .otherwise(lit("vector")).as("kind"))
         .orderBy(col("doc_id"))
     }, Some("""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'tiny low quality' ELSE array_to_string(list_transform(generate_series(0, 39), i -> 'tok' || doc_id || 'word' || i), ' ') END AS clean FROM documents WHERE doc_id % 4 = 2), tok AS (SELECT doc_id, clean, list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0) ts FROM t), m AS (SELECT doc_id, clean, CASE WHEN len(clean)=0 THEN 0.0 ELSE CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(clean) END pr, CASE WHEN len(ts)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts) END mwl FROM tok), q AS (SELECT doc_id, round(least(CAST(len(clean) AS DOUBLE)/400.0, 1.0)*0.5 + (1.0 - least(pr*5.0, 1.0))*0.3 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2, 6) AS quality FROM m) SELECT doc_id, quality, kind FROM (SELECT doc_id, quality, 'text' AS kind FROM q WHERE quality >= 0.75 UNION ALL SELECT doc_id + 500000 AS doc_id, CAST(NULL AS DOUBLE) AS quality, 'binary' AS kind FROM documents WHERE doc_id % 4 = 3 UNION ALL SELECT vec_id + 1000000 AS doc_id, CAST(NULL AS DOUBLE) AS quality, 'vector' AS kind FROM embeddings WHERE vec_id % 4 = 3 UNION ALL SELECT vec_id + 4000000 AS doc_id, CAST(NULL AS DOUBLE) AS quality, 'vector' AS kind FROM embeddings WHERE vec_id % 4 = 3 AND vec_id % 11 = 0) ORDER BY doc_id""")),
+
+    // ---- L34: train/eval DECONTAMINATION vs a frozen eval-gram table
+    // (the intake-side counterpart of l11's batch check): the eval
+    // slice's distinct token 5-grams persist once, bucketed on gram;
+    // the probe drops every train-side doc sharing ANY gram with it.
+    // Differential like l11: NATURAL contamination among real document
+    // texts counts too — DuckDB restates the whole gram-membership
+    // computation in SQL, so the bucketed/broadcast machinery is
+    // checked against the plain set statement. Short docs (< 5
+    // tokens) carry no grams and pass by construction. ----
+    ("l34_decontaminate", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val table = s"l34p_eval_${sfTag(d)}"
+      if (!s.catalog.tableExists(table)) {
+        Decontaminate.dropEvalGrams(s, table) // orphaned prior-session location
+        Decontaminate.writeEvalGrams(s, docs.where(col("doc_id") % 7 === 3),
+          "text", table, n = 5)
+      }
+      Decontaminate.dropContaminated(s, docs.where(col("doc_id") % 7 =!= 3),
+          "text", "doc_id", table, n = 5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) ts FROM documents), g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ts)-4), i -> array_to_string(ts[i:i+4], ' ')))) gram FROM t WHERE len(ts) >= 5), evg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 3), bad AS (SELECT DISTINCT doc_id FROM g WHERE doc_id % 7 <> 3 AND gram IN (SELECT gram FROM evg)) SELECT doc_id FROM documents WHERE doc_id % 7 <> 3 AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id""")),
 
     // ---- L29: SEMANTIC dedup (SemDeDup) — cluster-first embedding
     // dedup: the deterministic k-means quantizer assigns every vector

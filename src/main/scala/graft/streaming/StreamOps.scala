@@ -307,13 +307,14 @@ object StreamOps {
       htmlCol: String, idCol: String, outDir: String, checkpoint: String,
       minQuality: Double = 0.75, threshold: Double = 0.8,
       extractBoilerplate: Boolean = false,
-      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None): DataStreamWriter[Row] =
+      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None,
+      decontaminate: Option[(String, Int)] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         intakeBatch(batch, batchId, historyTable, numBuckets,
           htmlCol, idCol, outDir, minQuality, threshold,
-          extractBoilerplate, lmGate): Unit
+          extractBoilerplate, lmGate, decontaminate): Unit
       }
 
   /** One intake micro-batch (see [[intakeSink]]; also the batch path
@@ -331,12 +332,17 @@ object StreamOps {
     *    against a char-bigram LM trained ONCE on a clean reference
     *    corpus ([[graft.operators.NgramLm.trainCharBigram]] — the
     *    CCNet recipe; the model frames broadcast) and drops docs whose
-    *    mean log-prob falls below the floor. */
+    *    mean log-prob falls below the floor;
+    *  - `decontaminate = Some((evalGramTable, n))` drops docs sharing
+    *    any token n-gram with a frozen eval set
+    *    ([[graft.operators.Decontaminate]] — batch grams broadcast
+    *    into the bucketed table, eval side never exchanges). */
   def intakeBatch(batch: DataFrame, batchId: Long, historyTable: String,
       numBuckets: Int, htmlCol: String, idCol: String, outDir: String,
       minQuality: Double = 0.75, threshold: Double = 0.8,
       extractBoilerplate: Boolean = false,
-      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None): Boolean = {
+      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None,
+      decontaminate: Option[(String, Int)] = None): Boolean = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -345,7 +351,8 @@ object StreamOps {
     val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
     if (current.contains(batchId)) return false // replayed batch: no-op
     val outFrame = textSurvivorFrame(batch, historyTable, numBuckets,
-      htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate)
+      htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate,
+      decontaminate)
     val survivorsPath = new Path(root, s"batch-$batchId").toString
     outFrame.write.mode("overwrite").parquet(survivorsPath)
     // explicit schema: a schema-discovery pass over the just-written
@@ -370,8 +377,9 @@ object StreamOps {
       numBuckets: Int, htmlCol: String, idCol: String,
       minQuality: Double, threshold: Double,
       extractBoilerplate: Boolean,
-      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)]): DataFrame = {
-    import graft.operators.Dedup
+      lmGate: Option[(graft.operators.NgramLm.CharLm, Double)],
+      decontaminate: Option[(String, Int)] = None): DataFrame = {
+    import graft.operators.{Decontaminate, Dedup}
     import graft.functions.{TextFunctions => TF}
     val spark = batch.sparkSession
     // the clean/score front half: per-row native expressions only
@@ -399,12 +407,22 @@ object StreamOps {
           .where(col("n_big") === 0 || col("avg_logp") >= minAvgLogp)
           .drop("n_big", "q_sum", "avg_logp")
     }
+    // optional decontamination leg: drop docs sharing any token n-gram
+    // with the frozen eval set BEFORE they can reach the histories (a
+    // contaminated doc must not even leave its near-dup band rows
+    // behind). Gram probe is over the CLEANED text — the same form the
+    // corpus will train on.
+    val decon = decontaminate match {
+      case None => scored
+      case Some((t, n)) =>
+        Decontaminate.dropContaminated(spark, scored, "text", idCol, t, n)
+    }
     // creates whichever history tables are missing (crash-safe per
     // table — a keyed-on-one-table check would wedge after a crash
     // between creates)
-    Dedup.ensureIntakeHistory(spark, scored, "text", idCol, historyTable,
+    Dedup.ensureIntakeHistory(spark, decon, "text", idCol, historyTable,
       numBuckets)
-    val exactWithin = Dedup.exact(scored, "text", idCol)
+    val exactWithin = Dedup.exact(decon, "text", idCol)
     val exactNew = Dedup.exactIncrementalDelta(spark, exactWithin,
       historyTable, "text", idCol)
       // barrier: everything below re-reads the batch several times —
@@ -585,7 +603,8 @@ object StreamOps {
       outDir: String, minQuality: Double = 0.75, threshold: Double = 0.8,
       extractBoilerplate: Boolean = false,
       lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None,
-      embCol: Option[String] = None, embTau: Double = 0.95): Boolean = {
+      embCol: Option[String] = None, embTau: Double = 0.95,
+      decontaminate: Option[(String, Int)] = None): Boolean = {
     import graft.operators.{Dedup, Similarity}
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -598,7 +617,8 @@ object StreamOps {
     val payloadRows = batch.where(col(payloadCol).isNotNull)
       .select(col(idCol), col(payloadCol))
     val textOut = textSurvivorFrame(textRows, historyTable, numBuckets,
-      htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate)
+      htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate,
+      decontaminate)
     val payOut = multimodalSurvivorFrame(payloadRows, historyTable,
       numBuckets, payloadCol, idCol)
     // optional EMBEDDING leg (SemDeDup at intake, the l29b machinery):
@@ -656,13 +676,14 @@ object StreamOps {
       minQuality: Double = 0.75, threshold: Double = 0.8,
       extractBoilerplate: Boolean = false,
       lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None,
-      embCol: Option[String] = None, embTau: Double = 0.95): DataStreamWriter[Row] =
+      embCol: Option[String] = None, embTau: Double = 0.95,
+      decontaminate: Option[(String, Int)] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mixedIntakeBatch(batch, batchId, historyTable, numBuckets,
           htmlCol, payloadCol, idCol, outDir, minQuality, threshold,
-          extractBoilerplate, lmGate, embCol, embTau): Unit
+          extractBoilerplate, lmGate, embCol, embTau, decontaminate): Unit
       }
 
   /** Drop all histories of a mixed intake (text pair + three

@@ -1150,6 +1150,53 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.dropMixedHistory(spark, hist)
   }
 
+  test("L34 decontamination leg: intakeBatch drops docs sharing an eval n-gram, short docs pass, the eval set itself never enters the corpus") {
+    import graft.operators.{Decontaminate, Dedup}
+    val hist = "t_decon_hist"
+    val evalT = "t_decon_eval"
+    val outDir = tmpDir("decon_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    Decontaminate.dropEvalGrams(spark, evalT)
+    try {
+      def page(body: String) = s"<p>$body</p>"
+      def toks(seed: Long) = (0 until 40).map(i => s"tok${seed}w$i").mkString(" ")
+      // frozen eval set: two held-out benchmark docs
+      val eval = Seq((9001L, toks(9001)), (9002L, toks(9002)))
+        .toDF("doc_id", "text")
+      Decontaminate.writeEvalGrams(spark, eval, "text", evalT, n = 5)
+      // batch: fresh 1/2; 3 quotes five eval tokens verbatim (one
+      // 5-gram hit → dropped); 4 has < 5 tokens (no grams → passes
+      // decon; generous quality floor keeps it); 5 shares only FOUR
+      // consecutive eval tokens (no 5-gram → survives)
+      val evalQuote = (0 until 5).map(i => s"tok9001w$i").mkString(" ")
+      val fourGram = (0 until 4).map(i => s"tok9002w$i").mkString(" ")
+      val batch = Seq(
+        (1L, page(toks(1))),
+        (2L, page(toks(2))),
+        (3L, page(s"${toks(3)} $evalQuote")),
+        (4L, page("four tokens only here")),
+        (5L, page(s"${toks(5)} $fourGram")))
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.1, decontaminate = Some((evalT, 5))))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out === Set(1L, 2L, 4L, 5L), s"decontamination outcome wrong: $out")
+      // the contaminated doc left nothing behind in the histories: a
+      // replay of its exact text under a fresh id (decon OFF) must be
+      // treated as NEW, not deduped against ghost rows
+      assert(StreamOps.intakeBatch(
+        Seq((13L, page(s"${toks(3)} $evalQuote"))).toDF("doc_id", "html"),
+        1L, hist, 4, "html", "doc_id", outDir, minQuality = 0.1))
+      val out1 = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out1 === Set(13L), "contaminated doc left ghost history rows")
+    } finally {
+      Dedup.dropIntakeHistory(spark, hist)
+      Decontaminate.dropEvalGrams(spark, evalT)
+    }
+  }
+
   test("Mixed history maintenance: one byte-ratio auto-fold call covers all five families, folds only where earned, replay stays exactly-once across the fold") {
     import graft.operators.Multimodal
     val hist = "t_mixed_maint"
