@@ -16,28 +16,37 @@ import org.apache.spark.sql.functions._
   * so there is no delta/fold machinery here, just a bucketed table and
   * a probe.
   *
+  * Grams are stored and probed as 64-bit hashes (`xxhash64`), the
+  * standard production form (Dolma uses a Bloom filter over hashed
+  * grams): 8 bytes per gram cross the shuffle instead of the gram
+  * string, and the only cost is a 2^-64-per-pair false-positive rate —
+  * astronomically below the fixture's and any real corpus's pair
+  * counts (a false positive merely over-drops one doc).
+  *
   * Scale shape (the probe, per micro-batch): the batch explodes to its
-  * distinct per-doc grams (bounded by batch tokens), those BROADCAST
-  * into a semi-join against the bucketed gram table (eval side never
-  * exchanges), the matching grams broadcast back to tag contaminated
-  * doc ids, and a final broadcast anti-join drops them. At 100 TB of
-  * accumulated corpus the eval set stays eval-sized (thousands of
-  * benchmark docs), so every join side that moves is batch-bounded. */
+  * distinct per-doc gram HASHES and shuffles those (id, hash) pairs —
+  * uniform key, 16 bytes a row — into a semi-join against the
+  * hash-bucketed eval table, which reads its bucket files with NO
+  * exchange; the surviving ids (≤ batch docs) broadcast into the final
+  * anti-join. One pass over the batch, nothing driver-side, and the
+  * eval side never moves no matter how large the accumulated corpus
+  * gets. */
 object Decontaminate {
 
-  /** Persist the eval corpus's DISTINCT token n-grams, bucketed on the
-    * gram — one pass over the (eval-sized) corpus; rebuild whenever the
-    * eval set itself changes. Tokens are the portable lowercase
-    * whitespace split ([[TF.tokens]]), grams space-joined — the exact
-    * representation the l11 oracle restates in SQL. */
+  /** Persist the eval corpus's DISTINCT token n-gram hashes, bucketed
+    * on the hash — one pass over the (eval-sized) corpus; rebuild
+    * whenever the eval set itself changes. Tokens are the portable
+    * lowercase whitespace split ([[TF.tokens]]), grams space-joined —
+    * the exact representation the l11 oracle restates in SQL. */
   def writeEvalGrams(spark: org.apache.spark.sql.SparkSession,
       evalDocs: DataFrame, textCol: String, table: String, n: Int = 5,
       numBuckets: Int = 16): Unit = {
     val grams = evalDocs
       .select(explode(array_distinct(
-        TF.ngramsOfTokens(TF.tokens(col(textCol)), n))).as("gram"))
+        TF.ngramsOfTokens(TF.tokens(col(textCol)), n))).as("__g"))
+      .select(xxhash64(col("__g")).as("gramh"))
       .distinct()
-    Layout.writeBucketed(grams, table, Seq("gram"), numBuckets)
+    Layout.writeBucketed(grams, table, Seq("gramh"), numBuckets)
   }
 
   /** Drop every `docs` row sharing at least one token n-gram with the
@@ -47,18 +56,13 @@ object Decontaminate {
   def dropContaminated(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, textCol: String, idCol: String, table: String,
       n: Int = 5): DataFrame = {
-    val g = graft.Cols.fresh(docs.columns :+ "gram", "__gram")
-    val batchGrams = docs.select(col(idCol), explode(array_distinct(
+    val g = graft.Cols.fresh(docs.columns :+ "gramh", "__gramh")
+    val batchGrams = docs
+      .select(col(idCol), explode(array_distinct(
         TF.ngramsOfTokens(TF.tokens(col(textCol)), n))).as(g))
-      // barrier: the gram frame feeds the eval semi-join AND the
-      // contaminated-id tagging — without it the tokenizer + explode
-      // run once per consumer. Batch-sized (distinct grams per doc).
-      .localCheckpoint(eager = true)
-    val hits = spark.table(table)
-      .join(broadcast(batchGrams.select(col(g)).distinct()),
-        col("gram") === col(g), "left_semi")
+      .select(col(idCol), xxhash64(col(g)).as(g))
     val contaminated = batchGrams
-      .join(broadcast(hits), col(g) === col("gram"), "left_semi")
+      .join(spark.table(table), col(g) === col("gramh"), "left_semi")
       .select(col(idCol)).distinct()
     docs.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }

@@ -1673,8 +1673,13 @@ object LlmQueries {
     ("l34_decontaminate", (s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val table = s"l34p_eval_${sfTag(d)}"
-      if (!s.catalog.tableExists(table)) {
-        Decontaminate.dropEvalGrams(s, table) // orphaned prior-session location
+      // gate on SCHEMA, not just existence: a persisted gram table in an
+      // older format (or an orphaned location) must rebuild, not wedge
+      val ok = s.catalog.tableExists(table) &&
+        scala.util.Try(s.table(table).columns.sameElements(Array("gramh")))
+          .getOrElse(false)
+      if (!ok) {
+        Decontaminate.dropEvalGrams(s, table) // stale/orphaned prior state
         Decontaminate.writeEvalGrams(s, docs.where(col("doc_id") % 7 === 3),
           "text", table, n = 5)
       }
