@@ -163,4 +163,57 @@ object NgramLm {
       lm: CharLm): DataFrame =
     scoreDocs(df, textCol, idCol, lm)
       .withColumn("ppl", round(exp(-col("avg_logp")), 6))
+
+  /** CCNet-style perplexity BUCKETING — the step after [[scoreDocs]]:
+    * split the corpus into `head` (lowest perplexity = highest
+    * avg_logp; the slice CCNet keeps outright), `middle`, and `tail`
+    * thirds, plus `unscored` for evidence-free docs (n_big = 0 — the
+    * intake gate's passthrough convention).
+    *
+    * Thresholds are tercile boundaries over a DETERMINISTIC sample:
+    * rows whose portable hash-ring bucket ([[Sampling.hashBucket]], the
+    * l09 split machinery) falls below `ringPct`. Sample-exact, not
+    * approximate — any engine recomputing the same ring gets the same
+    * sample, the same nearest-rank boundary rows, and therefore
+    * bit-identical buckets (ties at a boundary value break on id
+    * against the boundary row's own id). CCNet itself draws thresholds
+    * from a sample; choosing the ring instead of rand() is what makes
+    * the result reproducible across runs, engines and partitionings.
+    *
+    * Scale shape: the sample is ring-bounded (pick `ringPct` so a
+    * corpus-fraction sample is selection-manageable); each boundary is
+    * a k-th-smallest pull via orderBy+limit — TakeOrderedAndProject,
+    * per-partition bounded heaps and a k-row merge, never a global
+    * sort — and the two boundary rows broadcast as literals into a
+    * pure per-row CASE. Requires a numeric/long id column. */
+  def perplexityBuckets(scored: DataFrame, idCol: String,
+      ringPct: Int = 20): DataFrame = {
+    require(ringPct > 0 && ringPct <= 100, s"ringPct in (0,100], got $ringPct")
+    val sample = scored
+      .where(col("n_big") > 0 &&
+        graft.operators.Sampling.hashBucket(idCol) < ringPct)
+      .select(col(idCol), col("avg_logp"))
+      // the sample feeds a count and two selections — materialize once
+      // (ring-bounded by the caller's ringPct choice)
+      .localCheckpoint(eager = true)
+    val n = sample.count()
+    require(n >= 3, s"perplexity sample has $n rows — raise ringPct")
+    // nearest-rank k-th smallest (avg_logp, id): TakeOrdered(k) then
+    // the reverse top-1 of those k rows
+    def kth(k: Long): (Double, Long) = {
+      val r = sample.orderBy(col("avg_logp"), col(idCol)).limit(k.toInt)
+        .orderBy(col("avg_logp").desc, col(idCol).desc).limit(1)
+        .select(col("avg_logp"), col(idCol).cast("long")).head()
+      (r.getDouble(0), r.getLong(1))
+    }
+    val (b1a, b1d) = kth((n + 2) / 3)
+    val (b2a, b2d) = kth((2 * n + 2) / 3)
+    def le(a: Double, d: Long) = col("avg_logp") < a ||
+      (col("avg_logp") === a && col(idCol).cast("long") <= d)
+    scored.withColumn("bucket",
+      when(col("n_big") === 0, lit("unscored"))
+        .when(le(b1a, b1d), lit("tail"))
+        .when(le(b2a, b2d), lit("middle"))
+        .otherwise(lit("head")))
+  }
 }

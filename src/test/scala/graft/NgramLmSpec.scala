@@ -83,6 +83,40 @@ class NgramLmSpec extends SparkSpec {
     assert(!NgramLm.lmExists(spark, "t_lm_rt"))
   }
 
+  test("L27c buckets: ring-sampled terciles split roughly in thirds, unscored routes evidence-free docs, result is partitioning-invariant") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .unionByName(Seq((90001L, ""), (90002L, "x"),
+        (90003L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val lmBig = NgramLm.trainCharBigram(docs.where($"doc_id" % 3 === 0), "text")
+    val scored = NgramLm.scoreDocs(docs, "text", "doc_id", lmBig)
+    val buckets = NgramLm.perplexityBuckets(scored, "doc_id", ringPct = 50)
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    // evidence-free docs (empty / 1-char / NULL text) route to unscored
+    assert(Seq(90001L, 90002L, 90003L).forall(buckets(_) == "unscored"),
+      s"${buckets.view.filterKeys(_ >= 90000L).toMap}")
+    // thresholds from a 50% ring sample split the scored corpus into
+    // rough thirds — each bucket holds at least a sixth of the docs
+    val counts = buckets.values.groupBy(identity).view.mapValues(_.size).toMap
+    val scoredN = buckets.size - 3
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(counts.getOrElse(b, 0) >= scoredN / 6,
+        s"bucket $b degenerate: $counts")
+    }
+    // head really is the highest-avg_logp (lowest-perplexity) slice
+    val lp = scored.where($"n_big" > 0).select($"doc_id", $"avg_logp")
+      .as[(Long, Double)].collect().toMap
+    val minHead = lp.collect { case (id, v) if buckets(id) == "head" => v }.min
+    val maxTail = lp.collect { case (id, v) if buckets(id) == "tail" => v }.max
+    assert(minHead > maxTail, s"head/tail overlap: $minHead <= $maxTail")
+    // partitioning-invariant: same buckets from a 7-way repartition
+    val re = NgramLm.perplexityBuckets(
+        NgramLm.scoreDocs(docs.repartition(7), "text", "doc_id", lmBig),
+        "doc_id", ringPct = 50)
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    assert(re === buckets, "buckets changed under repartitioning")
+  }
+
   test("plan shape: model joins broadcast; one exchange (doc agg), none for the corpus text") {
     val docs = Seq.tabulate(50)(i => (i.toLong, s"doc $i text sample")).toDF("doc_id", "text")
     val scored = NgramLm.scoreDocs(docs, "text", "doc_id", lm)
