@@ -198,6 +198,11 @@ object NgramLm {
       .localCheckpoint(eager = true)
     val n = sample.count()
     require(n >= 3, s"perplexity sample has $n rows — raise ringPct")
+    // the nearest-rank pull below runs limit(k.toInt); a ring sample
+    // beyond ~2^31 rows would overflow to a negative limit and fail
+    // mid-job instead of pointing at the documented knob
+    require((2 * n + 2) / 3 <= Int.MaxValue.toLong,
+      s"perplexity ring sample too large ($n rows) — lower ringPct")
     // nearest-rank k-th smallest (avg_logp, id): TakeOrdered(k) then
     // the reverse top-1 of those k rows
     def kth(k: Long): (Double, Long) = {

@@ -342,6 +342,14 @@ object Similarity {
       lloydIters: Int = 1, numBuckets: Int = 16,
       cId: String = "vec_id", cVec: String = "embedding"): Unit = {
     val centRows = buildCentroids(trainOn, nLists, lloydIters, cId, cVec)
+    // a quantizer trained on zero vectors would freeze forever (ensure
+    // skips once the tables exist): every later vector assigns to list
+    // -1, SemDeDup collapses to one list, and the NaN built_mean_sim
+    // keeps drift-recovery from ever retraining. Fail loudly instead —
+    // callers must defer seeding to the first batch carrying vectors.
+    require(centRows.nonEmpty,
+      s"writeEmptyIvfIndex($table): training set has no vectors — " +
+        "defer index creation to the first batch that carries some")
     import spark.implicits._
     centRows.toSeq.toDF("list", "centroid")
       .write.mode("overwrite").format("parquet")
@@ -363,8 +371,15 @@ object Similarity {
       numBuckets: Int = 16,
       cId: String = "vec_id", cVec: String = "embedding"): Unit = {
     val t = s"${table}_ei"
+    // all THREE tables must exist: writeEmptyIvfIndex writes centroids
+    // → main → meta, so a crash after the main-table write leaves both
+    // earlier tables present with `_meta` missing — without the meta
+    // check that half-state would go undetected until ivfAging /
+    // reclusterIfDrifted throw on their own require, long after intake
+    // resumed on the crippled index
     if (!spark.catalog.tableExists(t) ||
-        !spark.catalog.tableExists(s"${t}_centroids")) {
+        !spark.catalog.tableExists(s"${t}_centroids") ||
+        !spark.catalog.tableExists(s"${t}_meta")) {
       dropIvfIndex(spark, t) // orphaned locations / half-created index
       writeEmptyIvfIndex(spark, firstVectors, t, nLists,
         numBuckets = numBuckets, cId = cId, cVec = cVec)

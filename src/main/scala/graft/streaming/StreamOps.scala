@@ -630,14 +630,28 @@ object StreamOps {
     val embOut = embCol.map { e =>
       val t = s"${historyTable}_ei"
       val embRows = batch.where(col(e).isNotNull).select(col(idCol), col(e))
-      Similarity.ensureSemanticHistory(spark, embRows, historyTable,
-        numBuckets = numBuckets, cId = idCol, cVec = e)
-      val within = Similarity.semanticDupClustersIndexed(spark, embRows, t,
-          embTau, idCol = idCol, vecCol = e)
-        .where(col(idCol) === col("cluster")).select(col(idCol))
-        .join(embRows, Seq(idCol))
-      Similarity.semanticIncrementalDelta(spark, within, t, embTau,
-        idCol = idCol, vecCol = e, cId = idCol, cVec = e)
+      // seeding guard: a first micro-batch with ZERO vectors must NOT
+      // train the quantizer — an empty centroid table freezes forever
+      // (ensure skips once tables exist), every later vector assigns
+      // to list -1, and semantic dedup silently collapses to one
+      // (instantly-sidelined) list. Defer index creation to the first
+      // batch that actually carries vectors: the isEmpty probe (one
+      // limit-1 job over the batch) runs ONLY while the index does not
+      // exist yet, so the steady-state loop pays catalog checks alone.
+      val indexExists = spark.catalog.tableExists(t) &&
+        spark.catalog.tableExists(s"${t}_centroids") &&
+        spark.catalog.tableExists(s"${t}_meta")
+      if (!indexExists && embRows.isEmpty) embRows.limit(0)
+      else {
+        Similarity.ensureSemanticHistory(spark, embRows, historyTable,
+          numBuckets = numBuckets, cId = idCol, cVec = e)
+        val within = Similarity.semanticDupClustersIndexed(spark, embRows, t,
+            embTau, idCol = idCol, vecCol = e)
+          .where(col(idCol) === col("cluster")).select(col(idCol))
+          .join(embRows, Seq(idCol))
+        Similarity.semanticIncrementalDelta(spark, within, t, embTau,
+          idCol = idCol, vecCol = e, cId = idCol, cVec = e)
+      }
     }
     // merge by id: (id, text, quality, payload[, emb]) — absent legs
     // NULL; a row carrying several content families keeps whatever
@@ -658,9 +672,13 @@ object StreamOps {
     Dedup.appendVideoHistoryDelta(spark, paySurv, payloadCol, idCol,
       historyTable, batchId)
     embCol.foreach { e =>
-      Similarity.appendToIvfDelta(spark,
-        survivors.where(col(e).isNotNull).select(col(idCol), col(e)),
-        s"${historyTable}_ei", batchId, cId = idCol, cVec = e): Unit
+      // the seeding guard above may have deferred index creation (a
+      // vector-free stream prefix) — nothing to append and no centroid
+      // table to assign against until the first vector batch seeds it
+      if (spark.catalog.tableExists(s"${historyTable}_ei"))
+        Similarity.appendToIvfDelta(spark,
+          survivors.where(col(e).isNotNull).select(col(idCol), col(e)),
+          s"${historyTable}_ei", batchId, cId = idCol, cVec = e): Unit
     }
     Dedup.appendHashHistoryDelta(spark, textSurv, "text", idCol,
       historyTable, batchId)

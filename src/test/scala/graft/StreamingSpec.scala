@@ -1150,6 +1150,49 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.dropMixedHistory(spark, hist)
   }
 
+  test("L33 seeding guard: a vector-free first batch defers _ei creation — the quantizer trains on the first batch that carries vectors, never on zero") {
+    val hist = "t_mixed_seedguard"
+    val outDir = tmpDir("mixed_seedguard_out")
+    StreamOps.dropMixedHistory(spark, hist)
+    try {
+      def v(xs: Double*) = xs.map(_.toFloat).toArray
+      def x2(a: Array[Float]) = a.map(_ * 2.0f)
+      def vecs(rows: (Long, Array[Float])*) = rows.toSeq.toDF("doc_id", "embedding")
+        .select($"doc_id", lit(null).cast("string").as("html"),
+          lit(null).cast("binary").as("payload"), $"embedding")
+      def textRows(ids: Long*) = ids.toSeq.toDF("doc_id")
+        .select($"doc_id", concat(lit("<p>"),
+            array_join(transform(sequence(lit(0), lit(39)),
+              i => concat(lit("tok"), $"doc_id", lit("w"), i)), " "),
+            lit("</p>")).as("html"),
+          lit(null).cast("binary").as("payload"),
+          lit(null).cast("array<float>").as("embedding"))
+      def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+        StreamOps.mixedIntakeBatch(b, id, hist, 4, "html", "payload",
+          "doc_id", outDir, embCol = Some("embedding"))
+      def ids(b: Long): Set[Long] = spark.read.parquet(s"$outDir/batch-$b")
+        .select($"doc_id").as[Long].collect().toSet
+      // batch 0 carries TEXT only — before the guard this trained an
+      // EMPTY quantizer (frozen forever; every later vector → list -1)
+      assert(run(textRows(1L, 2L), 0L))
+      assert(ids(0L) === Set(1L, 2L))
+      assert(!spark.catalog.tableExists(s"${hist}_ei"),
+        "a vector-free batch must not create the _ei index")
+      // batch 1 carries the first vectors: THIS batch seeds the
+      // quantizer; its in-batch 2x pair resolves keep-min
+      val e1 = v(1, 0, 0, 0)
+      assert(run(vecs((10L, e1), (11L, v(0, 1, 0, 0)), (110L, x2(e1))), 1L))
+      assert(ids(1L) === Set(10L, 11L), s"late seeding broke: ${ids(1L)}")
+      assert(spark.catalog.tableExists(s"${hist}_ei_centroids"))
+      assert(spark.table(s"${hist}_ei_centroids").count() > 0,
+        "seeded quantizer must have non-empty centroids")
+      // batch 2: a copy of a HISTORY vector dies on the (late-seeded)
+      // _ei probe — semantic dedup was not silently disabled
+      assert(run(vecs((20L, x2(v(0, 1, 0, 0))), (21L, v(0, 0, 1, 0))), 2L))
+      assert(ids(2L) === Set(21L), s"history probe dead after deferral: ${ids(2L)}")
+    } finally StreamOps.dropMixedHistory(spark, hist)
+  }
+
   test("L34 decontamination leg: intakeBatch drops docs sharing an eval n-gram, short docs pass, the eval set itself never enters the corpus") {
     import graft.operators.{Decontaminate, Dedup}
     val hist = "t_decon_hist"
