@@ -53,6 +53,24 @@ object TextFunctions {
         "[\\u0000-\\u0008\\u000E-\\u001F\\u007F]", ""),
       "[ \\t\\n\\r\\f\\u000B]+", " "))
 
+  /** [[normalizeText]] preserving PARAGRAPH boundaries — the cleaning
+    * pass for the paragraph-dedup intake leg, where '\n' is the
+    * paragraph separator ([[graft.operators.Dedup.paragraphDedup]])
+    * and must survive: horizontal whitespace runs collapse to one
+    * space, newline runs (with any flanking whitespace) collapse to
+    * ONE '\n', leading/trailing whitespace and newlines strip. Same
+    * Unicode-normalize + control-strip front as [[normalizeText]];
+    * the control strip excludes U+0009-U+000D so it runs first. */
+  def normalizeTextKeepNewlines(text: Column, form: String = "NFC"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(unicodeNormalize(text, form),
+            "[\\u0000-\\u0008\\u000E-\\u001F\\u007F]", ""),
+          "[ \\t\\f\\u000B]+", " "),
+        "[ ]*[\\r\\n]+[ \\r\\n]*", "\n"),
+      "^[\\n ]+|[\\n ]+$", "")
+
   /** HTML-to-text via the native [[StripHtml]] expression (tags → one
     * space, script/style content dropped, entities decoded; malformed
     * markup passes through literally). Compose with [[normalizeText]]
@@ -94,15 +112,30 @@ object TextFunctions {
     * the 4.1.2 jar). The per-row cost is the regex engine over the
     * HTML, not the lambda dispatch — a custom Expression would only
     * inline the block loop, so the built-in form stays. */
+  /** Block-level (flow-content) HTML tag boundary — the segmentation
+    * class [[extractContent]] splits on and
+    * [[blockTagsToNewlines]] rewrites to paragraph breaks. */
+  private val BlockTagRe =
+    "(?i)</?(?:p|div|li|ul|ol|dl|dt|dd|td|th|tr|table|h[1-6]|header|footer|nav|section|article|aside|main|blockquote|pre|form|figure|figcaption|br|hr)(?:\\s[^>]*)?/?>"
+
+  /** Rewrite block-level HTML tags to '\n' so BLOCK structure becomes
+    * PARAGRAPH structure before [[stripHtml]] — the paragraph-dedup
+    * intake leg's pre-pass: `normalizeTextKeepNewlines(stripHtml(
+    * blockTagsToNewlines(html)))` yields one '\n'-separated paragraph
+    * per rendering block (raw newlines in the source survive too).
+    * Inline tags are left for stripHtml; newlines this inserts inside
+    * script/style bodies are dropped with those bodies. */
+  def blockTagsToNewlines(html: Column): Column =
+    regexp_replace(html, BlockTagRe, "\n")
+
   def extractContent(html: Column, minChars: Int = 20,
-      maxLinkDensity: Double = 0.33): Column = {
+      maxLinkDensity: Double = 0.33, blockSep: String = " "): Column = {
     val noInvisible = regexp_replace(
       regexp_replace(
         regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
         "(?is)<style[^>]*>.*?</style>", " "),
       "(?s)<!--.*?-->", " ")
-    val blocks = split(noInvisible,
-      "(?i)</?(?:p|div|li|ul|ol|dl|dt|dd|td|th|tr|table|h[1-6]|header|footer|nav|section|article|aside|main|blockquote|pre|form|figure|figcaption|br|hr)(?:\\s[^>]*)?/?>")
+    val blocks = split(noInvisible, BlockTagRe)
     def visibleOf(b: Column): Column =
       trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "),
         "[ \\t\\n\\r\\f\\u000B]+", " "))
@@ -116,7 +149,7 @@ object TextFunctions {
         s.getField("ll").cast("double") <=
           lit(maxLinkDensity) * length(s.getField("v")).cast("double"))
     when(html.isNull, lit(null).cast("string"))
-      .otherwise(array_join(transform(kept, s => s.getField("v")), " "))
+      .otherwise(array_join(transform(kept, s => s.getField("v")), blockSep))
   }
 
   /** Character n-grams of the whole string, as an array — the native

@@ -724,10 +724,12 @@ object Dedup {
   }
 
   /** Drop an intake history: all three tables + locations + delta
-    * state. */
+    * state, plus the optional paragraph-leg `_pg` table when the loop
+    * ran with paragraph dedup on (a no-op otherwise). */
   def dropIntakeHistory(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     dropBandHistory(spark, table)
     dropHashHistory(spark, table)
+    dropParagraphHistory(spark, table)
   }
 
   /** AUTO-compaction policy for intake histories — the measured-trigger
@@ -1546,6 +1548,203 @@ object Dedup {
         hamming(col("a.__sig"), col("b.__sig"), bits).alias("hamming_dist"))
       .where(col("hamming_dist") <= maxDist)
       .distinct()
+  }
+
+  // ================== PARAGRAPH-level dedup (L39) ==================
+  // The CCNet/Dolma granularity: a boilerplate paragraph repeated
+  // across millions of otherwise-distinct pages survives every
+  // DOC-level leg (l01 hashes whole documents; MinHash needs high
+  // whole-doc overlap), so dedup must also run at the paragraph level.
+  // Paragraph = newline-separated segment (the published convention:
+  // CCNet and Dolma both split on '\n'), reassembly joins survivors
+  // back with '\n' in original order.
+
+  /** Exploded paragraph positions of non-NULL docs: one row per
+    * (id, __pidx, __para). `limit = -1` keeps trailing empty segments
+    * so position indexes are exact under any content. */
+  private def explodeParas(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
+      .withColumnRenamed("pos", "__pidx").withColumnRenamed("col", "__para")
+
+  /** Identity hash of a DEDUP-ELIGIBLE paragraph, NULL otherwise —
+    * paragraphs whose trimmed length is below `minChars` (default:
+    * empty/whitespace-only lines) are never identities: they are
+    * trivially shared by every document and deduping them would strip
+    * a corpus of its blank lines for no information gain. A NULL hash
+    * falls out of every equi-join below, which is exactly the
+    * pass-through the family contract wants. */
+  private def paraHash(para: Column, minChars: Int): Column =
+    when(length(trim(para)) >= minChars, sha2(para, 256))
+
+  /** L39 — within-corpus paragraph dedup: for every distinct paragraph
+    * string, the occurrence with the smallest (id, position) survives;
+    * all other occurrences — across documents AND repeats within one —
+    * are removed, and each document is reassembled from its surviving
+    * paragraphs in original order. Documents losing every paragraph
+    * (all-boilerplate pages) drop entirely; NULL-text rows pass
+    * through untouched (family contract).
+    *
+    * Scale shape: explode is narrow; the canonical occurrence per
+    * paragraph comes from a partial-agg groupBy on the 256-bit hash —
+    * NOT a window: a boilerplate paragraph repeated on millions of
+    * pages would funnel every occurrence through one window-sort task,
+    * while map-side combine collapses each partition to one candidate
+    * row per distinct hash before the exchange. The join back on the
+    * hash sees the same hot key only as a probe-side skew (build side
+    * is one row per hash), which AQE's skew-join split handles;
+    * reassembly shuffles once on the uniform doc id.
+    *
+    * Determinism requirement (the [[exact]] note): the NULL branch and
+    * the non-NULL pipeline re-evaluate `df` with complementary
+    * filters, and the rebuilt text joins back to `df` by id — persist
+    * or localCheckpoint a nondeterministic input first. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+      minChars: Int = 1): DataFrame = {
+    val withH = explodeParas(df, textCol, idCol)
+      .withColumn("__ph", paraHash(col("__para"), minChars))
+    val canon = withH.where(col("__ph").isNotNull)
+      .groupBy(col("__ph"))
+      .agg(min(struct(col(idCol), col("__pidx"))).alias("__m"))
+    // left join: ineligible rows carry a NULL hash, match nothing, and
+    // keep a NULL __m — i.e. they always survive in place
+    val kept = withH.join(canon, Seq("__ph"), "left")
+      .where(col("__m").isNull ||
+        (col("__m").getField(idCol) === col(idCol) &&
+         col("__m").getField("__pidx") === col("__pidx")))
+    reassemble(df, kept, textCol, idCol)
+  }
+
+  /** Surviving (id, __pidx, __para) rows → documents: paragraphs
+    * rejoined with '\n' in original order, non-text columns restored
+    * from `df` by id (inner join — documents with zero surviving
+    * paragraphs drop), NULL-text rows passed through. */
+  private def reassemble(df: DataFrame, kept: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pidx"), col("__para")))),
+        s => s.getField("__para")), "\n").alias(textCol))
+    df.where(col(textCol).isNotNull).drop(textCol)
+      .join(rebuilt, Seq(idCol))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+      .unionByName(df.where(col(textCol).isNull))
+  }
+
+  /** The paragraph-history row shape: (__pid, __ph) — one row per
+    * eligible paragraph occurrence, renamed so probe join conditions
+    * never collide with batch columns (the [[hashFrame]] discipline). */
+  private def paragraphFrame(df: DataFrame, textCol: String, idCol: String,
+      minChars: Int = 1): DataFrame =
+    explodeParas(df, textCol, idCol)
+      .select(col(idCol).alias("__pid"),
+        paraHash(col("__para"), minChars).alias("__ph"))
+      .where(col("__ph").isNotNull)
+
+  /** Create the paragraph-hash history `<table>_pg` if missing —
+    * bucketed on the hash, under the same delta-subdirectory +
+    * fold-manifest discipline as `_xh` ([[ensureHashHistory]]'s
+    * crash-safe shape, including stale-delta clearing). The table is
+    * two narrow columns regardless of corpus text volume. */
+  def ensureParagraphHistory(spark: org.apache.spark.sql.SparkSession,
+      like: DataFrame, textCol: String, idCol: String, table: String,
+      numBuckets: Int): Unit = {
+    val t = s"${table}_pg"
+    if (!spark.catalog.tableExists(t)) {
+      val delta = Layout.deltaDirOf(spark, t)
+      Layout.dropTableAndLocation(spark, t)
+      Layout.deleteDeltaState(spark, delta)
+      Layout.writeBucketed(paragraphFrame(like, textCol, idCol).limit(0),
+        t, Seq("__ph"), numBuckets)
+    }
+  }
+
+  /** Build a paragraph history from an existing corpus in one bucketed
+    * write (the batch-bootstrap path; streaming appends go through
+    * [[appendParagraphHistoryDelta]]). */
+  def writeParagraphHistory(df: DataFrame, textCol: String, idCol: String,
+      table: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    val t = s"${table}_pg"
+    Layout.deleteDeltaState(spark, Layout.deltaDirOf(spark, t))
+    Layout.writeBucketed(paragraphFrame(df, textCol, idCol), t,
+      Seq("__ph"), numBuckets)
+  }
+
+  /** Replay-safe delta append to a paragraph history (the
+    * [[appendHashHistoryDelta]] discipline: overwrite-own-dir per
+    * batch, fold-manifest skip). */
+  def appendParagraphHistoryDelta(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, textCol: String, idCol: String, table: String,
+      batchId: Long): Unit = {
+    val t = s"${table}_pg"
+    if (Layout.isBatchFolded(spark, t, batchId)) return
+    paragraphFrame(df, textCol, idCol).write.mode("overwrite")
+      .parquet(s"${Layout.deltaDirOf(spark, t)}/batch-$batchId")
+  }
+
+  /** Fold the paragraph-history delta into its bucketed table. */
+  def compactParagraphDelta(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Layout.foldDeltaIntoBucketed(spark, s"${table}_pg",
+      noSpecHint = "not an ensureParagraphHistory table")
+
+  /** Byte-ratio auto-fold for a paragraph history (the
+    * [[compactIntakeIfNeeded]] measured-trigger policy; filesystem
+    * metadata only). Returns true if a fold ran. */
+  def compactParagraphIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxDeltaRatio: Double = 0.10): Boolean = {
+    require(maxDeltaRatio > 0, "maxDeltaRatio must be positive")
+    if (!spark.catalog.tableExists(s"${table}_pg")) return false
+    val (d, m) = Layout.deltaMainBytes(spark, s"${table}_pg")
+    val fold = d > 0 && d >= maxDeltaRatio * m
+    if (fold) compactParagraphDelta(spark, table)
+    fold
+  }
+
+  /** Drop a paragraph history (table + location + delta state). */
+  def dropParagraphHistory(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val t = s"${table}_pg"
+    val delta = Layout.deltaDirOf(spark, t)
+    Layout.dropTableAndLocation(spark, t)
+    Layout.deleteDeltaState(spark, delta)
+  }
+
+  /** L39 incremental — remove batch paragraphs whose hash a persisted
+    * paragraph history (main ∪ delta) holds under a DIFFERENT id, then
+    * reassemble the batch's documents from their surviving paragraphs.
+    * The same-id exclusion is the replay guard ([[exactIncrementalDelta]]
+    * contract): a replayed batch meeting its own appended paragraph
+    * rows must rebuild identical documents, not empty ones. Compose
+    * with [[paragraphDedup]] for within-batch duplicates (family
+    * contract: incremental operators never dedup within the batch).
+    *
+    * Scale shape (the zero-exchange probe): the batch's paragraph
+    * hashes broadcast, the history is semi-FILTERED map-side to
+    * matching (__pid, __ph) rows, and those broadcast back for the
+    * anti-join — the history never exchanges. The hit set is bounded
+    * by the batch's paragraph count whenever the history holds each
+    * hash once, which is the intake-loop invariant (only
+    * paragraph-deduped survivors append). */
+  def paragraphIncrementalDelta(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, table: String, textCol: String, idCol: String,
+      minChars: Int = 1, includeDelta: Boolean = true): DataFrame = {
+    val t = s"${table}_pg"
+    val deltaP = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
+    val fs = deltaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist =
+      if (includeDelta && fs.exists(deltaP))
+        spark.table(t).unionByName(Layout.readDelta(spark, t, deltaP.toString))
+      else spark.table(t)
+    val withH = explodeParas(newDf, textCol, idCol)
+      .withColumn("__bh", paraHash(col("__para"), minChars))
+    val batchKeys = withH.where(col("__bh").isNotNull).select(col("__bh"))
+    val hits = hist.join(broadcast(batchKeys),
+      col("__ph") === col("__bh"), "left_semi")
+    val kept = withH.join(broadcast(hits),
+      col("__ph") === col("__bh") && col("__pid") =!= col(idCol), "left_anti")
+    reassemble(newDf, kept, textCol, idCol)
   }
 
   /** Embedding-cosine near-dup pairs via hyperplane-LSH buckets: vectors

@@ -188,6 +188,25 @@ object NgramLm {
     * pure per-row CASE. Requires a numeric/long id column. */
   def perplexityBuckets(scored: DataFrame, idCol: String,
       ringPct: Int = 20): DataFrame = {
+    val th = bucketThresholds(scored, idCol, ringPct)
+    scored.withColumn("bucket",
+      bucketColumn(col("avg_logp"), col(idCol).cast("long"), col("n_big"), th))
+  }
+
+  /** The two tercile boundary rows of [[perplexityBuckets]] — (avg_logp,
+    * id) of the nearest-rank 1/3 and 2/3 sample rows. Draw ONCE per
+    * session from a scored reference corpus, then route any stream of
+    * scored rows through the pure per-row [[bucketColumn]] CASE — the
+    * intake loop's shape (CCNet freezes its thresholds the same way:
+    * computed on a reference slice, applied to everything after). */
+  final case class PplThresholds(b1Logp: Double, b1Id: Long,
+      b2Logp: Double, b2Id: Long)
+
+  /** Compute [[PplThresholds]] from a scored frame (the threshold half
+    * of [[perplexityBuckets]]; see that scaladoc for the ring-sample
+    * determinism and TakeOrdered scale story). */
+  def bucketThresholds(scored: DataFrame, idCol: String,
+      ringPct: Int = 20): PplThresholds = {
     require(ringPct > 0 && ringPct <= 100, s"ringPct in (0,100], got $ringPct")
     val sample = scored
       .where(col("n_big") > 0 &&
@@ -213,12 +232,19 @@ object NgramLm {
     }
     val (b1a, b1d) = kth((n + 2) / 3)
     val (b2a, b2d) = kth((2 * n + 2) / 3)
-    def le(a: Double, d: Long) = col("avg_logp") < a ||
-      (col("avg_logp") === a && col(idCol).cast("long") <= d)
-    scored.withColumn("bucket",
-      when(col("n_big") === 0, lit("unscored"))
-        .when(le(b1a, b1d), lit("tail"))
-        .when(le(b2a, b2d), lit("middle"))
-        .otherwise(lit("head")))
+    PplThresholds(b1a, b1d, b2a, b2d)
+  }
+
+  /** Pure per-row bucket CASE over frozen [[PplThresholds]] — 'tail' /
+    * 'middle' / 'head', 'unscored' for evidence-free rows (n_big = 0);
+    * ties at a boundary value break on id against the boundary row's
+    * own id (the bit-identical cross-engine rule). */
+  def bucketColumn(avgLogp: Column, id: Column, nBig: Column,
+      th: PplThresholds): Column = {
+    def le(a: Double, d: Long) = avgLogp < a || (avgLogp === a && id <= d)
+    when(nBig === 0, lit("unscored"))
+      .when(le(th.b1Logp, th.b1Id), lit("tail"))
+      .when(le(th.b2Logp, th.b2Id), lit("middle"))
+      .otherwise(lit("head"))
   }
 }

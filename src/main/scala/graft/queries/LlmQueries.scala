@@ -1704,6 +1704,51 @@ object LlmQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) ts FROM documents), g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ts)-4), i -> array_to_string(ts[i:i+4], ' ')))) gram FROM t WHERE len(ts) >= 5), evg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 3), bad AS (SELECT DISTINCT doc_id FROM g WHERE doc_id % 7 <> 3 AND gram IN (SELECT gram FROM evg)) SELECT doc_id FROM documents WHERE doc_id % 7 <> 3 AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id""")),
 
+    // ---- L39: PARAGRAPH-level dedup (the CCNet/Dolma granularity) —
+    // the dedup family doc-level legs cannot see: a boilerplate
+    // paragraph repeated across otherwise-distinct pages survives l01
+    // (whole-doc hash) and l02 (needs high whole-doc overlap) but dies
+    // here. Fixture: every even doc gets a SHARED nav paragraph
+    // prepended, every 10th a shared footer appended; after dedup the
+    // smallest carrier keeps each shared paragraph, every other page
+    // sheds it, and each doc reassembles from its surviving paragraphs
+    // in order. Differential: DuckDB restates split → keep-first (by
+    // (doc_id, idx) per distinct paragraph string) → reassemble, so
+    // natural cross-doc paragraph repeats count too. ----
+    ("l35_paragraph_dedup", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val fix = docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0,
+            lit("shared navigation boilerplate paragraph\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 10 === 0,
+            lit("\nshared footer paragraph")).otherwise(lit(""))).as("text"))
+      Dedup.paragraphDedup(fix, "text", "doc_id").orderBy(col("doc_id"))
+    }, Some("""WITH fix AS (SELECT src AS doc_id, CASE WHEN src % 2 = 0 THEN 'shared navigation boilerplate paragraph' || chr(10) ELSE '' END || t || CASE WHEN src % 10 = 0 THEN chr(10) || 'shared footer paragraph' ELSE '' END AS text FROM (SELECT doc_id AS src, text AS t FROM documents)), p AS (SELECT doc_id, generate_subscripts(ps, 1) AS idx, unnest(ps) AS para FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM fix)), r AS (SELECT doc_id, idx, para, row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM p) SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text FROM r WHERE len(trim(para)) < 1 OR rn = 1 GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- L39 incremental: batch paragraphs vs a PERSISTED `_pg`
+    // paragraph-hash history (the `_xh` delta/fold discipline at
+    // paragraph granularity). Batch = every 4th doc re-submitted with
+    // a fresh intro line prepended: the body paragraphs all exist in
+    // the history and die on the zero-exchange probe; only the fresh
+    // intro survives reassembly. DuckDB restates the membership test
+    // over the paragraph STRINGS (the hash is engine machinery). ----
+    ("l35b_paragraph_incremental", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val table = s"l35bp_hist_${sfTag(d)}"
+      if (!s.catalog.tableExists(s"${table}_pg")) {
+        Dedup.dropParagraphHistory(s, table) // orphaned prior location
+        Dedup.writeParagraphHistory(docs, "text", "doc_id", table, numBuckets = 8)
+      }
+      val batch = docs.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(lit("fresh intro "), col("doc_id").cast("string"),
+            lit("\n"), col("text")).as("text"))
+      Dedup.paragraphIncrementalDelta(s, batch, table, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }, Some("""WITH hp AS (SELECT DISTINCT unnest(string_split(text, chr(10))) AS para FROM documents), nb AS (SELECT src + 400000 AS doc_id, 'fresh intro ' || src || chr(10) || t AS text FROM (SELECT doc_id AS src, text AS t FROM documents WHERE doc_id % 4 = 0)), p AS (SELECT doc_id, generate_subscripts(ps, 1) AS idx, unnest(ps) AS para FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM nb)) SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text FROM p WHERE len(trim(para)) < 1 OR para NOT IN (SELECT para FROM hp WHERE len(trim(para)) >= 1) GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- L29: SEMANTIC dedup (SemDeDup) — cluster-first embedding
     // dedup: the deterministic k-means quantizer assigns every vector
     // to a list, within-cluster pairs at cos >= 0.95 collapse to their

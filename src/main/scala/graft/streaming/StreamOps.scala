@@ -308,13 +308,17 @@ object StreamOps {
       minQuality: Double = 0.75, threshold: Double = 0.8,
       extractBoilerplate: Boolean = false,
       lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None,
-      decontaminate: Option[(String, Int)] = None): DataStreamWriter[Row] =
+      decontaminate: Option[(String, Int)] = None,
+      paragraphDedup: Boolean = false,
+      lmBuckets: Option[(graft.operators.NgramLm.CharLm,
+        graft.operators.NgramLm.PplThresholds, Set[String])] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         intakeBatch(batch, batchId, historyTable, numBuckets,
           htmlCol, idCol, outDir, minQuality, threshold,
-          extractBoilerplate, lmGate, decontaminate): Unit
+          extractBoilerplate, lmGate, decontaminate, paragraphDedup,
+          lmBuckets): Unit
       }
 
   /** One intake micro-batch (see [[intakeSink]]; also the batch path
@@ -336,13 +340,26 @@ object StreamOps {
     *  - `decontaminate = Some((evalGramTable, n))` drops docs sharing
     *    any token n-gram with a frozen eval set
     *    ([[graft.operators.Decontaminate]] — batch grams broadcast
-    *    into the bucketed table, eval side never exchanges). */
+    *    into the bucketed table, eval side never exchanges);
+    *  - `paragraphDedup` inserts the CCNet/Dolma paragraph legs right
+    *    after clean and BEFORE quality scoring (boilerplate paragraphs
+    *    removed before anything scores or hashes the doc):
+    *    within-batch keep-first ([[graft.operators.Dedup
+    *    .paragraphDedup]]) then the persisted `_pg` history probe
+    *    ([[graft.operators.Dedup.paragraphIncrementalDelta]], main ∪
+    *    delta, zero history exchange); survivors' paragraph hashes
+    *    append to the `_pg` delta between the band and hash appends
+    *    (each history independent, so any crash prefix leaves every
+    *    probe correct). */
   def intakeBatch(batch: DataFrame, batchId: Long, historyTable: String,
       numBuckets: Int, htmlCol: String, idCol: String, outDir: String,
       minQuality: Double = 0.75, threshold: Double = 0.8,
       extractBoilerplate: Boolean = false,
       lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None,
-      decontaminate: Option[(String, Int)] = None): Boolean = {
+      decontaminate: Option[(String, Int)] = None,
+      paragraphDedup: Boolean = false,
+      lmBuckets: Option[(graft.operators.NgramLm.CharLm,
+        graft.operators.NgramLm.PplThresholds, Set[String])] = None): Boolean = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -352,7 +369,7 @@ object StreamOps {
     if (current.contains(batchId)) return false // replayed batch: no-op
     val outFrame = textSurvivorFrame(batch, historyTable, numBuckets,
       htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate,
-      decontaminate)
+      decontaminate, paragraphDedup, lmBuckets)
     val survivorsPath = new Path(root, s"batch-$batchId").toString
     outFrame.write.mode("overwrite").parquet(survivorsPath)
     // explicit schema: a schema-discovery pass over the just-written
@@ -360,6 +377,9 @@ object StreamOps {
     val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
     Dedup.appendBandHistoryDelta(spark, survivors, "text", idCol,
       historyTable, batchId)
+    if (paragraphDedup)
+      Dedup.appendParagraphHistoryDelta(spark, survivors, "text", idCol,
+        historyTable, batchId)
     Dedup.appendHashHistoryDelta(spark, survivors, "text", idCol,
       historyTable, batchId)
     graft.sources.AtomicPointer.write(hconf,
@@ -378,34 +398,84 @@ object StreamOps {
       minQuality: Double, threshold: Double,
       extractBoilerplate: Boolean,
       lmGate: Option[(graft.operators.NgramLm.CharLm, Double)],
-      decontaminate: Option[(String, Int)] = None): DataFrame = {
+      decontaminate: Option[(String, Int)] = None,
+      paragraphDedup: Boolean = false,
+      lmBuckets: Option[(graft.operators.NgramLm.CharLm,
+        graft.operators.NgramLm.PplThresholds, Set[String])] = None): DataFrame = {
     import graft.operators.{Decontaminate, Dedup}
     import graft.functions.{TextFunctions => TF}
     val spark = batch.sparkSession
-    // the clean/score front half: per-row native expressions only
-    val cleaned =
-      if (extractBoilerplate) TF.normalizeText(TF.stripHtml(TF.extractContent(col(htmlCol))))
-      else TF.normalizeText(TF.stripHtml(col(htmlCol)))
-    val qualityScored = TF.withQualityOnly(
-        batch.select(col(idCol), cleaned.as("text")), "text")
+    // the clean/score front half: per-row native expressions only.
+    // Paragraph mode preserves paragraph BOUNDARIES through cleaning
+    // ('\n' is the dedup unit separator): block tags become newlines
+    // before stripHtml (or the block classifier joins its surviving
+    // blocks with '\n'), and the normalize pass collapses whitespace
+    // without crossing newlines.
+    val cleaned = (extractBoilerplate, paragraphDedup) match {
+      case (true, false) =>
+        TF.normalizeText(TF.stripHtml(TF.extractContent(col(htmlCol))))
+      case (false, false) =>
+        TF.normalizeText(TF.stripHtml(col(htmlCol)))
+      case (true, true) =>
+        TF.normalizeTextKeepNewlines(TF.stripHtml(
+          TF.extractContent(col(htmlCol), blockSep = "\n")))
+      case (false, true) =>
+        TF.normalizeTextKeepNewlines(TF.stripHtml(
+          TF.blockTagsToNewlines(col(htmlCol))))
+    }
+    val cleanedDf = batch.select(col(idCol), cleaned.as("text"))
+    // optional paragraph legs (CCNet order: paragraph dedup BEFORE
+    // quality/LM scoring, so shed boilerplate never biases a doc's
+    // score): within-batch keep-first, then the `_pg` history probe.
+    // Both passes explode and re-reference their input several times
+    // (canon groupBy + join-back + reassembly; probe broadcasts), so
+    // the cleaned batch materializes once — the same barrier class as
+    // the exactNew checkpoint below, batch-sized by construction.
+    val paraed =
+      if (!paragraphDedup) cleanedDf
+      else {
+        Dedup.ensureParagraphHistory(spark, cleanedDf, "text", idCol,
+          historyTable, numBuckets)
+        // the within-result checkpoint keeps the probe's ~4 references
+        // from re-running the within pass's two shuffles each time
+        Dedup.paragraphIncrementalDelta(spark,
+          Dedup.paragraphDedup(cleanedDf.localCheckpoint(eager = true),
+            "text", idCol).localCheckpoint(eager = true),
+          historyTable, "text", idCol)
+      }
+    val qualityScored = TF.withQualityOnly(paraed, "text")
       .where(col("quality") >= minQuality)
-    val scored = lmGate match {
-      case None => qualityScored
-      case Some((lm, minAvgLogp)) =>
+    val scored = (lmGate, lmBuckets) match {
+      case (None, None) => qualityScored
+      case _ =>
+        val lm = lmGate.map(_._1).orElse(lmBuckets.map(_._1)).get
+        require(lmGate.forall(_._1 eq lm) && lmBuckets.forall(_._1 eq lm),
+          "lmGate and lmBuckets must share one CharLm (one scoring pass)")
         // barrier: scoreDocs references its input on BOTH sides of the
         // score join — without it the clean/score front half (plus the
         // block classifier when enabled) runs twice before the exactNew
         // barrier below even exists. Batch-sized.
-        graft.operators.NgramLm.scoreDocs(
-            qualityScored.localCheckpoint(true), "text", idCol, lm)
-          // evidence-free docs (n_big = 0 → avg_logp NULL) PASS: the
-          // gate's job is to drop text the model scores as gibberish,
-          // and a doc with no bigrams gave the model nothing to score —
-          // same "no evidence passes through" convention as the
-          // multimodal identity legs. (A bare `avg_logp >= x` would
-          // silently drop them via NULL-comparison semantics.)
-          .where(col("n_big") === 0 || col("avg_logp") >= minAvgLogp)
-          .drop("n_big", "q_sum", "avg_logp")
+        val sc = graft.operators.NgramLm.scoreDocs(
+          qualityScored.localCheckpoint(true), "text", idCol, lm)
+        // evidence-free docs (n_big = 0 → avg_logp NULL) PASS both
+        // forms: the gate's job is to drop text the model scores as
+        // gibberish, and a doc with no bigrams gave the model nothing
+        // to score — same "no evidence passes through" convention as
+        // the multimodal identity legs. (A bare `avg_logp >= x` would
+        // silently drop them via NULL-comparison semantics; the bucket
+        // CASE routes them to 'unscored', which always survives.)
+        val gated = lmGate.fold(sc) { case (_, minAvgLogp) =>
+          sc.where(col("n_big") === 0 || col("avg_logp") >= minAvgLogp)
+        }
+        val bucketed = lmBuckets.fold(gated) { case (_, th, keep) =>
+          // CCNet's published recipe: bucket on FROZEN reference-corpus
+          // thresholds, keep head+middle (or whatever the caller set) —
+          // a pure per-row CASE in the hot loop, no per-batch sampling
+          gated.where(graft.operators.NgramLm.bucketColumn(
+              col("avg_logp"), col(idCol).cast("long"), col("n_big"), th)
+            .isin(keep.toSeq :+ "unscored": _*))
+        }
+        bucketed.drop("n_big", "q_sum", "avg_logp")
     }
     // optional decontamination leg: drop docs sharing any token n-gram
     // with the frozen eval set BEFORE they can reach the histories (a
@@ -604,7 +674,10 @@ object StreamOps {
       extractBoilerplate: Boolean = false,
       lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None,
       embCol: Option[String] = None, embTau: Double = 0.95,
-      decontaminate: Option[(String, Int)] = None): Boolean = {
+      decontaminate: Option[(String, Int)] = None,
+      paragraphDedup: Boolean = false,
+      lmBuckets: Option[(graft.operators.NgramLm.CharLm,
+        graft.operators.NgramLm.PplThresholds, Set[String])] = None): Boolean = {
     import graft.operators.{Dedup, Similarity}
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -618,7 +691,7 @@ object StreamOps {
       .select(col(idCol), col(payloadCol))
     val textOut = textSurvivorFrame(textRows, historyTable, numBuckets,
       htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate,
-      decontaminate)
+      decontaminate, paragraphDedup, lmBuckets)
     val payOut = multimodalSurvivorFrame(payloadRows, historyTable,
       numBuckets, payloadCol, idCol)
     // optional EMBEDDING leg (SemDeDup at intake, the l29b machinery):
@@ -665,6 +738,9 @@ object StreamOps {
     val paySurv = survivors.where(col(payloadCol).isNotNull)
     Dedup.appendBandHistoryDelta(spark, textSurv, "text", idCol,
       historyTable, batchId)
+    if (paragraphDedup)
+      Dedup.appendParagraphHistoryDelta(spark, textSurv, "text", idCol,
+        historyTable, batchId)
     Dedup.appendImageHistoryDelta(spark, paySurv, payloadCol, idCol,
       historyTable, batchId)
     Dedup.appendAudioHistoryDelta(spark, paySurv, payloadCol, idCol,
@@ -695,13 +771,17 @@ object StreamOps {
       extractBoilerplate: Boolean = false,
       lmGate: Option[(graft.operators.NgramLm.CharLm, Double)] = None,
       embCol: Option[String] = None, embTau: Double = 0.95,
-      decontaminate: Option[(String, Int)] = None): DataStreamWriter[Row] =
+      decontaminate: Option[(String, Int)] = None,
+      paragraphDedup: Boolean = false,
+      lmBuckets: Option[(graft.operators.NgramLm.CharLm,
+        graft.operators.NgramLm.PplThresholds, Set[String])] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mixedIntakeBatch(batch, batchId, historyTable, numBuckets,
           htmlCol, payloadCol, idCol, outDir, minQuality, threshold,
-          extractBoilerplate, lmGate, embCol, embTau, decontaminate): Unit
+          extractBoilerplate, lmGate, embCol, embTau, decontaminate,
+          paragraphDedup, lmBuckets): Unit
       }
 
   /** Drop all histories of a mixed intake (text pair + three
@@ -716,7 +796,8 @@ object StreamOps {
   /** ONE maintenance call for a mixed intake's histories — the
     * byte-ratio auto-fold ([[graft.operators.Dedup
     * .compactIntakeIfNeeded]]'s measured-trigger policy) across every
-    * family the loop maintains: text (band + `_sh` + `_xh`), image
+    * family the loop maintains: text (band + `_sh` + `_xh`), the
+    * paragraph `_pg` table when the paragraph leg created one, image
     * `_ph`, audio `_ab`, video `_vb`/`_vn`, and the embedding `_ei`
     * index when the [[mixedIntakeBatch]] embedding leg created one.
     * Each check is filesystem metadata only (no jobs), so this is safe
@@ -733,6 +814,7 @@ object StreamOps {
     import graft.operators.{Dedup, Similarity}
     val folded = scala.collection.mutable.ArrayBuffer.empty[String]
     if (Dedup.compactIntakeIfNeeded(spark, table, maxDeltaRatio)) folded += "text"
+    if (Dedup.compactParagraphIfNeeded(spark, table, maxDeltaRatio)) folded += "paragraph"
     if (Dedup.compactImageIfNeeded(spark, table, maxDeltaRatio)) folded += "image"
     if (Dedup.compactAudioIfNeeded(spark, table, maxDeltaRatio)) folded += "audio"
     if (Dedup.compactVideoIfNeeded(spark, table, maxDeltaRatio)) folded += "video"

@@ -93,6 +93,81 @@ class DedupSpec extends SparkSpec {
     } finally Dedup.dropImageHistory(spark, table)
   }
 
+  test("L39: within-corpus paragraph dedup — keep-first across docs and within one, blank lines exempt, all-boilerplate docs drop, NULL passthrough") {
+    def doc(id: Long, text: String) = (id, text)
+    val corpus = Seq(
+      doc(1L, "alpha one\nshared nav bar\nbody of one"),
+      doc(2L, "shared nav bar\nbody of two"),          // loses the nav (doc 1 idx 1 is canonical)
+      doc(3L, "repeat me\nrepeat me\nunique three"),   // in-doc repeat: first kept
+      doc(4L, "shared nav bar"),                       // all-boilerplate: drops entirely
+      doc(5L, "top five\n\nafter blank"),              // blank line survives in place
+      doc(6L, null.asInstanceOf[String]))              // NULL passthrough
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 5L, 6L), s"wrong survivors: ${out.keySet}")
+    assert(out(1L) === "alpha one\nshared nav bar\nbody of one")
+    assert(out(2L) === "body of two", "shared paragraph not removed from doc 2")
+    assert(out(3L) === "repeat me\nunique three", "in-doc repeat not collapsed")
+    assert(out(5L) === "top five\n\nafter blank", "blank line must survive in place")
+    assert(out(6L) === null, "NULL text must pass through")
+    // idempotent: a second pass changes nothing (no cross-doc dups left)
+    val again = Dedup.paragraphDedup(
+      corpus.where($"doc_id" =!= 6L).join(
+        Seq(1L, 2L, 3L, 5L).toDF("doc_id"), Seq("doc_id"), "left_semi")
+        .select($"doc_id", when($"doc_id" === 1L, out(1L))
+          .when($"doc_id" === 2L, out(2L)).when($"doc_id" === 3L, out(3L))
+          .otherwise(out(5L)).as("text")), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === out.removed(6L), "paragraph dedup must be idempotent")
+  }
+
+  test("L39: paragraph history lifecycle — delta-visible probe, same-id replay, fold, auto-fold trigger") {
+    val table = "t_pg_hist"
+    Dedup.dropParagraphHistory(spark, table)
+    try {
+      val b0 = Seq(
+        (1L, "seed intro one\ncommon footer text"),
+        (2L, "seed intro two\nsecond body line"))
+        .toDF("doc_id", "text")
+      Dedup.ensureParagraphHistory(spark, b0, "text", "doc_id", table, 4)
+      Dedup.appendParagraphHistoryDelta(spark, b0, "text", "doc_id", table, 0)
+      def probe(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+        Dedup.paragraphIncrementalDelta(spark, df, table, "text", "doc_id")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // BEFORE fold the probe must see the delta: the copied footer
+      // dies, the fresh line survives; a doc of only-history
+      // paragraphs drops entirely
+      val b1 = Seq(
+        (10L, "fresh ten line\ncommon footer text"),
+        (11L, "common footer text\nseed intro one"))
+        .toDF("doc_id", "text")
+      val o1 = probe(b1)
+      assert(o1 === Map(10L -> "fresh ten line"),
+        s"delta-side paragraph identity missed: $o1")
+      // same-id replay: the appended batch probing its own rows
+      // rebuilds IDENTICAL docs, not empty ones
+      val replay = probe(b0)
+      assert(replay === Map(1L -> "seed intro one\ncommon footer text",
+        2L -> "seed intro two\nsecond body line"),
+        s"replay guard dropped a batch's own paragraphs: $replay")
+      // fold, then the same probes hold against the bucketed main
+      Dedup.compactParagraphDelta(spark, table)
+      assert(spark.table(s"${table}_pg").count() === 4L)
+      assert(probe(b1) === Map(10L -> "fresh ten line"),
+        "post-fold paragraph identity missed")
+      // auto-fold trigger: a new delta earns a fold at a tiny ratio,
+      // and the trigger does not re-fire once folded
+      Dedup.appendParagraphHistoryDelta(spark,
+        Seq((20L, "late delta paragraph")).toDF("doc_id", "text"),
+        "text", "doc_id", table, 1)
+      assert(Dedup.compactParagraphIfNeeded(spark, table, 1e-9))
+      assert(!Dedup.compactParagraphIfNeeded(spark, table, 1e-9))
+      assert(probe(Seq((30L, "late delta paragraph\nbrand new line"))
+        .toDF("doc_id", "text")) === Map(30L -> "brand new line"))
+    } finally Dedup.dropParagraphHistory(spark, table)
+  }
+
   test("L28b: audio history lifecycle — delta-visible banded probe, same-id replay, fold, undecodable passthrough") {
     import graft.operators.Multimodal
     val table = "t_aud_hist"

@@ -324,6 +324,44 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("l35b paragraph probe: the _pg history side flows scan → join with NO exchange") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def pathTo(p: SparkPlan, pred: SparkPlan => Boolean): Option[List[SparkPlan]] =
+      if (pred(p)) Some(List(p))
+      else p.children.iterator.flatMap(c => pathTo(c, pred)).nextOption().map(p :: _)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val table = "t_plan_pg"
+    Dedup.dropParagraphHistory(spark, table)
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      Dedup.writeParagraphHistory(docs, "text", "doc_id", table, numBuckets = 4)
+      val batch = docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat(lit("fresh line\n"), col("text")).as("text"))
+      val out = Dedup.paragraphIncrementalDelta(spark, batch, table, "text", "doc_id")
+      val plan = out.queryExecution.executedPlan
+      val path = pathTo(plan,
+          p => p.children.isEmpty && p.toString.contains(s"default.${table}_pg["))
+        .getOrElse(fail(s"no scan of ${table}_pg in plan:\n$plan"))
+      val joinIdx = path.lastIndexWhere(_.nodeName.toLowerCase.contains("join"))
+      assert(joinIdx >= 0, s"no join above the ${table}_pg scan:\n$plan")
+      val histSide = path.drop(joinIdx + 1)
+      assert(!histSide.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"exchange on the history side above ${table}_pg:\n${histSide.mkString("\n")}")
+      // and the probe behaves: history bodies die, fresh lines survive
+      val texts = out.collect().map(r => r.getString(1))
+      assert(texts.nonEmpty && texts.forall(_ == "fresh line"))
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      Dedup.dropParagraphHistory(spark, table)
+    }
+  }
+
   test("l01c broadcastable-batch incremental dedup: ZERO shuffle exchanges end-to-end") {
     import graft.operators.Dedup
     val docs = graft.sources.Tables.documents(spark, sf0001)

@@ -175,6 +175,37 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: paragraph dedup — a 50%-shared paragraph and a 10k-identical body both collapse to one carrier, stays balanced", suiteTags: _*) {
+    withScaleConf {
+      // every even doc carries the SAME boilerplate paragraph ahead of
+      // its body — the doc-level legs cannot see it (whole-doc hashes
+      // all differ), and at 100 TB this is the hot-hash shape: the
+      // canonical-occurrence aggregation must partial-agg (never a
+      // window), which is exactly what the balance contract probes
+      val paraDocs = docs.select($"doc_id",
+        when($"text".isNull, lit(null).cast("string"))
+          .when(pmod($"doc_id", lit(2)) === 0,
+            concat(lit("shared boilerplate paragraph for the scale probe\n"), $"text"))
+          .otherwise($"text").as("text")).persist()
+      paraDocs.count()
+      var out: DataFrame = null
+      val stages = probe {
+        out = Dedup.paragraphDedup(paraDocs, "text", "doc_id").persist()
+        out.count(): Unit
+      }
+      // the 50%-shared paragraph survives on exactly one doc…
+      assert(out.where($"text".contains("shared boilerplate paragraph")).count() === 1L)
+      // …and the 10k-copy BODY cluster collapses to one carrier too
+      // (paragraph dedup subsumes the doc-level exact collapse)
+      assert(out.where($"text".contains("click here to unsubscribe")).count() === 1L)
+      // NULL rows all pass through
+      assert(out.where($"text".isNull).count() ===
+        paraDocs.where($"text".isNull).count())
+      assertBalanced("paragraph-dedup", stages)
+      out.unpersist(); paraDocs.unpersist(): Unit
+    }
+  }
+
   test("scale: capped MinHash LSH sidelines the boilerplate cluster, keeps planted recall, stays balanced", suiteTags: _*) {
     withScaleConf {
       // plant near-dups in NORMAL content: copies of docs 1..799 (odd ids

@@ -1150,6 +1150,62 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.dropMixedHistory(spark, hist)
   }
 
+  test("L39 intake leg: paragraph dedup before scoring — shared paragraphs die within-batch and vs the _pg history, survivors reassemble, replay exactly-once") {
+    import graft.operators.Dedup
+    val hist = "t_para_intake"
+    val outDir = tmpDir("para_intake_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      def toks(seed: Long) = (0 until 40).map(i => s"tok${seed}w$i").mkString(" ")
+      val footer = "shared footer paragraph repeated on every page of the site"
+      def page(id: Long, paras: String*) =
+        (id, paras.map(p => s"<p>$p</p>").mkString("\n"))
+      // batch 0: docs 1/2 both carry the footer — doc 1 (min id) keeps
+      // it, doc 2 sheds it and reassembles from its own body alone
+      val b0 = Seq(
+        page(1L, toks(1), footer),
+        page(2L, footer, toks(2))).toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(b0, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.1, paragraphDedup = true))
+      def texts(b: Long): Map[Long, String] = spark.read.parquet(s"$outDir/batch-$b")
+        .select($"doc_id", $"text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val t0 = texts(0L)
+      assert(t0.keySet === Set(1L, 2L))
+      assert(t0(1L).contains("shared footer paragraph") &&
+        t0(1L).contains("tok1w0"), s"canonical carrier lost a paragraph: ${t0(1L)}")
+      assert(!t0(2L).contains("shared footer") && t0(2L).contains("tok2w0"),
+        "within-batch shared paragraph must die in the later doc")
+      // batch 1: doc 10 repeats the footer (history kill — only its
+      // fresh body survives); doc 11 is ONLY the footer (drops whole)
+      val b1 = Seq(
+        page(10L, toks(10), footer),
+        page(11L, footer)).toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(b1, 1L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.1, paragraphDedup = true))
+      val t1 = texts(1L)
+      assert(t1.keySet === Set(10L), s"history paragraph leg broke: ${t1.keySet}")
+      assert(!t1(10L).contains("shared footer") && t1(10L).contains("tok10w0"))
+      // partial replay (pointer rolled back): same-id _pg guard keeps
+      // the batch's own paragraphs — identical survivors
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_LATEST"), false)
+      assert(StreamOps.intakeBatch(b1, 1L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.1, paragraphDedup = true))
+      assert(texts(1L) === t1, "replay changed the paragraph survivors")
+      // fold via the one-call maintenance (paragraph family included),
+      // then the history kill still holds main-side
+      assert(StreamOps.maintainMixedHistories(spark, hist, 1e-9)
+        .contains("paragraph"))
+      val b2 = Seq(page(20L, footer, toks(20))).toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(b2, 2L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.1, paragraphDedup = true))
+      val t2 = texts(2L)
+      assert(t2.keySet === Set(20L) && !t2(20L).contains("shared footer"),
+        s"post-fold paragraph identity missed: $t2")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
   test("L33 seeding guard: a vector-free first batch defers _ei creation — the quantizer trains on the first batch that carries vectors, never on zero") {
     val hist = "t_mixed_seedguard"
     val outDir = tmpDir("mixed_seedguard_out")
