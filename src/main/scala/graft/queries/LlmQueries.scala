@@ -667,6 +667,25 @@ object LlmQueries {
         .select(col("doc_id"), col("bucket")).orderBy(col("doc_id"))
     }, Some("""WITH clean AS (SELECT text FROM documents WHERE doc_id % 3 = 0), bgx AS (SELECT unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM clean), bc AS (SELECT bg, COUNT(*) c FROM bgx GROUP BY bg), v AS (SELECT COUNT(DISTINCT ch) + 1 AS v FROM (SELECT unnest([substr(bg,1,1), substr(bg,2,1)]) ch FROM bc)), cc AS (SELECT substr(bg,1,1) c1, SUM(c) cc FROM bc GROUP BY 1), bigm AS (SELECT bg, CAST(round(ln((c + 1.0)/(cc + v)) * 1000000) AS BIGINT) q FROM bc JOIN cc ON substr(bc.bg,1,1) = cc.c1 CROSS JOIN v), ctxm AS (SELECT c1, CAST(round(ln(1.0/(cc + v)) * 1000000) AS BIGINT) q0 FROM cc CROSS JOIN v), toks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM documents), sc AS (SELECT doc_id, SUM(COALESCE(bigm.q, ctxm.q0, (SELECT CAST(round(ln(1.0/v)*1000000) AS BIGINT) FROM v))) q_sum, COUNT(*) n_big FROM toks LEFT JOIN bigm USING (bg) LEFT JOIN ctxm ON substr(toks.bg,1,1) = ctxm.c1 GROUP BY doc_id), sdoc AS (SELECT d.doc_id, COALESCE(sc.n_big, 0) AS n_big, CASE WHEN sc.n_big > 0 THEN CAST(sc.q_sum AS DOUBLE)/(sc.n_big*1000000) END AS avg_logp FROM documents d LEFT JOIN sc USING (doc_id)), samp AS (SELECT doc_id, avg_logp FROM sdoc WHERE n_big > 0 AND ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 100 < 20), r AS (SELECT doc_id, avg_logp, row_number() OVER (ORDER BY avg_logp, doc_id) rn, COUNT(*) OVER () n FROM samp), b1 AS (SELECT avg_logp a, doc_id di FROM r WHERE rn = (n + 2) // 3), b2 AS (SELECT avg_logp a, doc_id di FROM r WHERE rn = (2*n + 2) // 3) SELECT sdoc.doc_id, CASE WHEN sdoc.n_big = 0 THEN 'unscored' WHEN sdoc.avg_logp < b1.a OR (sdoc.avg_logp = b1.a AND sdoc.doc_id <= b1.di) THEN 'tail' WHEN sdoc.avg_logp < b2.a OR (sdoc.avg_logp = b2.a AND sdoc.doc_id <= b2.di) THEN 'middle' ELSE 'head' END AS bucket FROM sdoc CROSS JOIN b1 CROSS JOIN b2 ORDER BY sdoc.doc_id""")),
 
+    // ---- L36: perplexity-bucket ROUTING (the CCNet keep rule) — the
+    // intake-facing form of l27c: tercile thresholds drawn ONCE from
+    // the ring sample (NgramLm.bucketThresholds — frozen boundary
+    // rows), then a pure per-row CASE (NgramLm.bucketColumn, the
+    // intakeBatch lmBuckets hot-loop shape) keeps head+middle and
+    // evidence-free docs, drops the tail third. DuckDB restates the
+    // whole train → score → boundary → CASE → keep-filter chain. ----
+    ("l36_perplexity_route", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val lm = graft.operators.NgramLm.trainCharBigram(
+        docs.where(col("doc_id") % 3 === 0), "text")
+      val scored = graft.operators.NgramLm.scoreDocs(docs, "text", "doc_id", lm)
+      val th = graft.operators.NgramLm.bucketThresholds(scored, "doc_id", ringPct = 20)
+      scored.where(graft.operators.NgramLm.bucketColumn(
+          col("avg_logp"), col("doc_id").cast("long"), col("n_big"), th)
+        .isin("head", "middle", "unscored"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some("""WITH clean AS (SELECT text FROM documents WHERE doc_id % 3 = 0), bgx AS (SELECT unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM clean), bc AS (SELECT bg, COUNT(*) c FROM bgx GROUP BY bg), v AS (SELECT COUNT(DISTINCT ch) + 1 AS v FROM (SELECT unnest([substr(bg,1,1), substr(bg,2,1)]) ch FROM bc)), cc AS (SELECT substr(bg,1,1) c1, SUM(c) cc FROM bc GROUP BY 1), bigm AS (SELECT bg, CAST(round(ln((c + 1.0)/(cc + v)) * 1000000) AS BIGINT) q FROM bc JOIN cc ON substr(bc.bg,1,1) = cc.c1 CROSS JOIN v), ctxm AS (SELECT c1, CAST(round(ln(1.0/(cc + v)) * 1000000) AS BIGINT) q0 FROM cc CROSS JOIN v), toks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(text)-1), i -> substr(text, i, 2))) AS bg FROM documents), sc AS (SELECT doc_id, SUM(COALESCE(bigm.q, ctxm.q0, (SELECT CAST(round(ln(1.0/v)*1000000) AS BIGINT) FROM v))) q_sum, COUNT(*) n_big FROM toks LEFT JOIN bigm USING (bg) LEFT JOIN ctxm ON substr(toks.bg,1,1) = ctxm.c1 GROUP BY doc_id), sdoc AS (SELECT d.doc_id, COALESCE(sc.n_big, 0) AS n_big, CASE WHEN sc.n_big > 0 THEN CAST(sc.q_sum AS DOUBLE)/(sc.n_big*1000000) END AS avg_logp FROM documents d LEFT JOIN sc USING (doc_id)), samp AS (SELECT doc_id, avg_logp FROM sdoc WHERE n_big > 0 AND ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 100 < 20), r AS (SELECT doc_id, avg_logp, row_number() OVER (ORDER BY avg_logp, doc_id) rn, COUNT(*) OVER () n FROM samp), b1 AS (SELECT avg_logp a, doc_id di FROM r WHERE rn = (n + 2) // 3), b2 AS (SELECT avg_logp a, doc_id di FROM r WHERE rn = (2*n + 2) // 3) SELECT doc_id FROM (SELECT sdoc.doc_id, CASE WHEN sdoc.n_big = 0 THEN 'unscored' WHEN sdoc.avg_logp < b1.a OR (sdoc.avg_logp = b1.a AND sdoc.doc_id <= b1.di) THEN 'tail' WHEN sdoc.avg_logp < b2.a OR (sdoc.avg_logp = b2.a AND sdoc.doc_id <= b2.di) THEN 'middle' ELSE 'head' END AS bucket FROM sdoc CROSS JOIN b1 CROSS JOIN b2) WHERE bucket IN ('head','middle','unscored') ORDER BY doc_id""")),
+
     // ---- L27b: perplexity CONTRAST contract — the l02d planted
     // pattern: every document's alphabet-permuted gibberish sibling
     // (a→z … z→a; letter bigram statistics scrambled, spaces kept) must

@@ -1249,6 +1249,58 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.dropMixedHistory(spark, hist)
   }
 
+  test("L36 perplexity-bucket routing: intakeBatch keeps head+middle on frozen thresholds, drops tail, unscored passes") {
+    import graft.operators.{Dedup, NgramLm}
+    val hist = "t_lmb_hist"
+    val outDir = tmpDir("lmb_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      // the CCNet shape: LM trained on a CLEAN reference (pure "ab"
+      // docs — every "zq"/"bz"/"qz" bigram is unseen and penalized),
+      // thresholds drawn from a scored crawl-like spread whose score
+      // strictly decreases as the bad-bigram suffix grows — terciles
+      // are i<=9 head, 10..19 middle, 20..29 tail
+      def body(i: Int) = "ab" * 20 + "zq" * i
+      val cleanRef = (900L until 905L).map(id => (id, "ab" * 20)).toDF("doc_id", "text")
+      val lm = NgramLm.trainCharBigram(cleanRef, "text")
+      val spread = (0 until 30).map(i => (i.toLong, body(i))).toDF("doc_id", "text")
+      val th = NgramLm.bucketThresholds(
+        NgramLm.scoreDocs(spread, "text", "doc_id", lm), "doc_id", ringPct = 100)
+      // batch: one doc per bucket + an evidence-free single char
+      val batch = Seq(
+        (105L, s"<p>${body(5)}</p>"),   // head    → kept
+        (115L, s"<p>${body(15)}</p>"),  // middle  → kept
+        (125L, s"<p>${body(25)}</p>"),  // tail    → dropped
+        (130L, "<p>a</p>"))             // unscored → passes
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0,
+        lmBuckets = Some((lm, th, Set("head", "middle")))))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out === Set(105L, 115L, 130L), s"bucket routing broke: $out")
+      // head-only routing drops the middle doc too (fresh ids so the
+      // hash history cannot interfere)
+      val batch2 = Seq(
+        (205L, s"<p>${body(6)}</p>"),
+        (215L, s"<p>${body(16)}</p>")).toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch2, 1L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0, lmBuckets = Some((lm, th, Set("head")))))
+      val out2 = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out2 === Set(205L), s"head-only routing broke: $out2")
+      // composing with the scalar lmGate shares one scoring pass and
+      // must demand the same CharLm instance
+      val thrown = intercept[IllegalArgumentException] {
+        StreamOps.intakeBatch(batch2, 2L, hist, 4, "html", "doc_id",
+          outDir, minQuality = 0.0,
+          lmGate = Some((NgramLm.trainCharBigram(cleanRef, "text"), -99.0)),
+          lmBuckets = Some((lm, th, Set("head"))))
+      }
+      assert(thrown.getMessage.contains("share one CharLm"))
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
   test("L34 decontamination leg: intakeBatch drops docs sharing an eval n-gram, short docs pass, the eval set itself never enters the corpus") {
     import graft.operators.{Decontaminate, Dedup}
     val hist = "t_decon_hist"
