@@ -71,4 +71,86 @@ object Decontaminate {
   def dropEvalGrams(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit =
     Layout.dropTableAndLocation(spark, table)
+
+  // ============ MULTIMODAL / EMBEDDING decontamination ============
+  // Eval-set leakage in a multimodal corpus also arrives as images,
+  // audio, video, and embeddings — a benchmark image re-encoded into a
+  // crawl defeats the n-gram check completely. The machinery is the
+  // modality families' own identity probes (`_ph` dHash band, `_ab`
+  // fingerprint band, `_vb`/`_vn` frame vote, `_ei` IVF cosine), but
+  // probing FROZEN EVAL-side identity tables instead of corpus
+  // histories: written once from the eval set, never appended.
+
+  /** Persist the frozen eval set's multimodal identity tables under
+    * `table` (the modality-history layout: `_ph`, `_ab`, `_vb`/`_vn`,
+    * and — when `embCol` is set and the eval set carries vectors — an
+    * `_ei` IVF index whose MAIN table holds the eval vectors). Each
+    * identity extractor ignores payloads it cannot decode, so one
+    * mixed eval frame (payload and/or embedding columns, the
+    * mixed-intake row shape) builds every table in one call. Identity
+    * bytes only — 8 bytes per image/audio, 12 per video frame, the
+    * vectors themselves — so even a large benchmark suite stays tiny.
+    * Rebuild whenever the eval set changes. */
+  def writeEvalIdentities(spark: org.apache.spark.sql.SparkSession,
+      evalRows: DataFrame, payloadCol: String, idCol: String,
+      table: String, numBuckets: Int = 8,
+      embCol: Option[String] = None, nLists: Int = 16): Unit = {
+    dropEvalIdentities(spark, table)
+    val pay = evalRows.where(col(payloadCol).isNotNull)
+      .select(col(idCol), col(payloadCol))
+    Dedup.ensureImageHistory(spark, pay, payloadCol, idCol, table, numBuckets)
+    Dedup.ensureAudioHistory(spark, pay, payloadCol, idCol, table, numBuckets)
+    Dedup.ensureVideoHistory(spark, pay, payloadCol, idCol, table, numBuckets)
+    Dedup.appendImageHistoryDelta(spark, pay, payloadCol, idCol, table, 0L)
+    Dedup.appendAudioHistoryDelta(spark, pay, payloadCol, idCol, table, 0L)
+    Dedup.appendVideoHistoryDelta(spark, pay, payloadCol, idCol, table, 0L)
+    Dedup.compactImageDelta(spark, table)
+    Dedup.compactAudioDelta(spark, table)
+    Dedup.compactVideoDelta(spark, table)
+    embCol.foreach { e =>
+      val vecs = evalRows.where(col(e).isNotNull).select(col(idCol), col(e))
+      // an eval set without vectors simply skips the `_ei` table (the
+      // probe skips it symmetrically) — never train a zero-vector
+      // quantizer (the writeEmptyIvfIndex degenerate-freeze rationale)
+      if (!vecs.isEmpty)
+        Similarity.writeIvfIndex(spark, vecs, s"${table}_ei", nLists,
+          numBuckets = numBuckets, cId = idCol, cVec = e)
+    }
+  }
+
+  /** Drop every batch row whose payload matches an eval-set identity
+    * (image within the dHash Hamming band, audio within the
+    * fingerprint vote, video within the frame vote) or whose embedding
+    * scores cosine ≥ `embTau` against an eval vector. Rows with no
+    * identity in a family pass through it untouched (the multimodal
+    * convention), so one call covers a mixed batch. Batch ids must be
+    * DISJOINT from eval ids: the probes' same-id replay guard would
+    * otherwise pass a row sharing an eval row's id.
+    *
+    * Scale shape: each leg is the corresponding incremental probe's —
+    * batch identities broadcast, the eval tables (tiny by nature)
+    * never exchange; the eval vectors probe bucket-pruned under the
+    * eval-trained frozen quantizer. Chain the probes on a materialized
+    * batch (the caller's barrier) when payloads are heavy. */
+  def dropContaminatedMultimodal(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, payloadCol: String, idCol: String, table: String,
+      embCol: Option[String] = None, embTau: Double = 0.95): DataFrame = {
+    val s1 = Dedup.imageIncrementalDelta(spark, batch, table, payloadCol, idCol)
+    val s2 = Dedup.audioIncrementalDelta(spark, s1, table, payloadCol, idCol)
+    val s3 = Dedup.videoIncrementalDelta(spark, s2, table, payloadCol, idCol)
+    embCol.filter(_ => spark.catalog.tableExists(s"${table}_ei")).fold(s3) { e =>
+      Similarity.semanticIncrementalDelta(spark, s3, s"${table}_ei", embTau,
+        idCol = idCol, vecCol = e, cId = idCol, cVec = e)
+    }
+  }
+
+  /** Drop an eval identity-table set (all modality tables + the
+    * optional `_ei` index). */
+  def dropEvalIdentities(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    Dedup.dropImageHistory(spark, table)
+    Dedup.dropAudioHistory(spark, table)
+    Dedup.dropVideoHistory(spark, table)
+    Similarity.dropIvfIndex(spark, s"${table}_ei")
+  }
 }

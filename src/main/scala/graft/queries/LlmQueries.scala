@@ -1768,6 +1768,75 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""WITH hp AS (SELECT DISTINCT unnest(string_split(text, chr(10))) AS para FROM documents), nb AS (SELECT src + 400000 AS doc_id, 'fresh intro ' || src || chr(10) || t AS text FROM (SELECT doc_id AS src, text AS t FROM documents WHERE doc_id % 4 = 0)), p AS (SELECT doc_id, generate_subscripts(ps, 1) AS idx, unnest(ps) AS para FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM nb)) SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text FROM p WHERE len(trim(para)) < 1 OR para NOT IN (SELECT para FROM hp WHERE len(trim(para)) >= 1) GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- L40: MULTIMODAL + EMBEDDING decontamination — eval-set
+    // leakage also arrives as images/audio/video/vectors, where the
+    // n-gram check (l34) is blind. Frozen EVAL identity tables (the
+    // modality families' own probes over an eval-built `_ph`/`_ab`/
+    // `_vb`/`_ei` set, written once): batch rows whose payload
+    // re-encodes an eval item (PNG of an eval PPM, μ-law of an eval
+    // PCM16 clip, MJPEG of an eval Y4M — each decoding to the eval
+    // item's identity) and rows whose vector scores cos ≥ 0.95 against
+    // an eval vector (2x scaling: bit-identical cosine) are dropped;
+    // fresh payloads, negated vector controls (cos −1) and junk (no
+    // identity) pass. Survivor set in closed form. ----
+    ("l37_decontaminate_mm", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      def modal(ids: DataFrame, reencode: Boolean): DataFrame = {
+        val m0 = col("__seed") % 3 === 0
+        val m1 = col("__seed") % 3 === 1
+        val m2 = col("__seed") % 3 === 2
+        val img =
+          if (reencode) Multimodal.syntheticPngMixed(ids.where(m0), "__seed", 16, 16)
+          else Multimodal.syntheticPpmMixed(ids.where(m0), "__seed", 16, 16)
+        val aud =
+          if (reencode) Multimodal.syntheticWavMulawTone(ids.where(m1), "__seed")
+          else Multimodal.syntheticWavPcm16(ids.where(m1), "__seed")
+        val vid =
+          if (reencode) Multimodal.syntheticAviMjpegBlocks(ids.where(m2), "__seed", 64, 32, 4)
+          else Multimodal.syntheticY4mBlocks(ids.where(m2), "__seed", 64, 32, 4)
+        img.select(col("doc_id"), col("payload"))
+          .unionByName(aud.select(col("doc_id"), col("payload")))
+          .unionByName(vid.select(col("doc_id"), col("payload")))
+          .select(col("doc_id"), col("payload"),
+            lit(null).cast("array<float>").as("embedding"))
+      }
+      def vecRows(ids: DataFrame, off: Long, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        ids.select((col("vec_id") + off).as("doc_id"),
+          lit(null).cast("binary").as("payload"),
+          transform(col("embedding"), x => f(x).cast("float")).as("embedding"))
+      val evalT = s"l37p_eval_${sfTag(d)}"
+      if (!Seq("_ph", "_ab", "_vb", "_vn", "_ei")
+          .forall(x => s.catalog.tableExists(evalT + x))) {
+        Decontaminate.dropEvalIdentities(s, evalT) // orphaned prior state
+        val evalPay = modal(docs.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            col("doc_id").as("__seed")), reencode = false)
+        val evalVec = vecRows(emb.where(col("vec_id") % 9 === 0), 800000, x => x)
+        Decontaminate.writeEvalIdentities(s, evalPay.unionByName(evalVec),
+          "payload", "doc_id", evalT, embCol = Some("embedding"))
+      }
+      val freshPay = modal(docs.where(col("doc_id") % 9 === 1)
+        .select(col("doc_id"), col("doc_id").as("__seed")), reencode = false)
+      val plantPay = modal(docs.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          col("doc_id").as("__seed")), reencode = true)
+      val freshVec = vecRows(emb.where(col("vec_id") % 9 === 1), 1000000, x => x)
+      val plantVec = vecRows(emb.where(col("vec_id") % 9 === 0), 2000000,
+        x => x * lit(2.0f))
+      val negVec = vecRows(emb.where(col("vec_id") % 9 === 0), 3000000, x => -x)
+      import s.implicits._
+      val junk = Seq((9999999L, "no modality".getBytes)).toDF("doc_id", "payload")
+        .select(col("doc_id"), col("payload"),
+          lit(null).cast("array<float>").as("embedding"))
+      val batch = freshPay.unionByName(plantPay).unionByName(freshVec)
+        .unionByName(plantVec).unionByName(negVec).unionByName(junk)
+        .localCheckpoint(true)
+      Decontaminate.dropContaminatedMultimodal(s, batch, "payload", "doc_id",
+          evalT, embCol = Some("embedding"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id FROM (SELECT doc_id FROM documents WHERE doc_id % 9 = 1 UNION ALL SELECT vec_id + 1000000 AS doc_id FROM embeddings WHERE vec_id % 9 = 1 UNION ALL SELECT vec_id + 3000000 AS doc_id FROM embeddings WHERE vec_id % 9 = 0 UNION ALL SELECT 9999999 AS doc_id) ORDER BY doc_id""")),
+
     // ---- L29: SEMANTIC dedup (SemDeDup) — cluster-first embedding
     // dedup: the deterministic k-means quantizer assigns every vector
     // to a list, within-cluster pairs at cos >= 0.95 collapse to their

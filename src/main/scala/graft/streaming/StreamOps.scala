@@ -552,7 +552,8 @@ object StreamOps {
     * back, so six stages do not mean six block-manager copies). */
   def multimodalIntakeBatch(batch: DataFrame, batchId: Long,
       historyTable: String, numBuckets: Int, payloadCol: String,
-      idCol: String, outDir: String): Boolean = {
+      idCol: String, outDir: String,
+      decontaminateMm: Option[String] = None): Boolean = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -561,7 +562,7 @@ object StreamOps {
     val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
     if (current.contains(batchId)) return false // replayed batch: no-op
     val outFrame = multimodalSurvivorFrame(batch, historyTable, numBuckets,
-      payloadCol, idCol)
+      payloadCol, idCol, decontaminateMm)
     val survivorsPath = new Path(root, s"batch-$batchId").toString
     outFrame.write.mode("overwrite").parquet(survivorsPath)
     val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
@@ -581,7 +582,8 @@ object StreamOps {
     * the exactly-once write stays with the caller — alone in the
     * binary loop, unioned with the text legs in the mixed loop). */
   private def multimodalSurvivorFrame(batch: DataFrame, historyTable: String,
-      numBuckets: Int, payloadCol: String, idCol: String): DataFrame = {
+      numBuckets: Int, payloadCol: String, idCol: String,
+      decontaminateMm: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val like = batch.select(col(idCol), col(payloadCol)).limit(0)
@@ -605,7 +607,15 @@ object StreamOps {
     def rejoin(survivorIds: DataFrame): DataFrame =
       batch0.join(broadcast(survivorIds.select(col(idCol))
         .localCheckpoint(eager = true)), Seq(idCol), "left_semi")
-    val s1 = rejoin(Dedup.imageExact(batch0, payloadCol, idCol))
+    // optional eval decontamination, BEFORE the dedup legs (the text
+    // leg's placement rationale: a contaminated payload must never
+    // leave history rows behind); each probe returns surviving rows,
+    // re-joined as id sets so payloads stay resident once
+    val base = decontaminateMm.fold(batch0) { t =>
+      rejoin(graft.operators.Decontaminate.dropContaminatedMultimodal(
+        spark, batch0, payloadCol, idCol, t))
+    }
+    val s1 = rejoin(Dedup.imageExact(base, payloadCol, idCol))
     val s2 = rejoin(Dedup.imageIncrementalDelta(spark, s1, historyTable,
       payloadCol, idCol))
     val s3 = rejoin(keepMinIds(Dedup.audioNearDupClusters(s2, payloadCol, idCol)))
@@ -618,12 +628,13 @@ object StreamOps {
   /** [[multimodalIntakeBatch]] as a streaming sink. */
   def multimodalIntakeSink(docs: DataFrame, historyTable: String,
       numBuckets: Int, payloadCol: String, idCol: String, outDir: String,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String,
+      decontaminateMm: Option[String] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         multimodalIntakeBatch(batch, batchId, historyTable, numBuckets,
-          payloadCol, idCol, outDir): Unit
+          payloadCol, idCol, outDir, decontaminateMm): Unit
       }
 
   /** Drop all three modality histories of a multimodal intake. */
@@ -677,7 +688,8 @@ object StreamOps {
       decontaminate: Option[(String, Int)] = None,
       paragraphDedup: Boolean = false,
       lmBuckets: Option[(graft.operators.NgramLm.CharLm,
-        graft.operators.NgramLm.PplThresholds, Set[String])] = None): Boolean = {
+        graft.operators.NgramLm.PplThresholds, Set[String])] = None,
+      decontaminateMm: Option[String] = None): Boolean = {
     import graft.operators.{Dedup, Similarity}
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -693,7 +705,7 @@ object StreamOps {
       htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate,
       decontaminate, paragraphDedup, lmBuckets)
     val payOut = multimodalSurvivorFrame(payloadRows, historyTable,
-      numBuckets, payloadCol, idCol)
+      numBuckets, payloadCol, idCol, decontaminateMm)
     // optional EMBEDDING leg (SemDeDup at intake, the l29b machinery):
     // within-batch cluster resolution under the history's frozen
     // quantizer, then the incremental probe vs the persisted IVF
@@ -702,7 +714,17 @@ object StreamOps {
     // replay because foreachBatch redelivers identical content.
     val embOut = embCol.map { e =>
       val t = s"${historyTable}_ei"
-      val embRows = batch.where(col(e).isNotNull).select(col(idCol), col(e))
+      val embRows0 = batch.where(col(e).isNotNull).select(col(idCol), col(e))
+      // eval-embedding decontamination BEFORE the dedup legs (and
+      // before seeding: a contaminated first batch must not train the
+      // quantizer on leaked vectors, nor append them to the history)
+      val embRows = decontaminateMm
+        .filter(dt => spark.catalog.tableExists(s"${dt}_ei"))
+        .fold(embRows0) { dt =>
+          graft.operators.Similarity.semanticIncrementalDelta(spark,
+            embRows0, s"${dt}_ei", embTau, idCol = idCol, vecCol = e,
+            cId = idCol, cVec = e)
+        }
       // seeding guard: a first micro-batch with ZERO vectors must NOT
       // train the quantizer — an empty centroid table freezes forever
       // (ensure skips once tables exist), every later vector assigns
@@ -774,14 +796,15 @@ object StreamOps {
       decontaminate: Option[(String, Int)] = None,
       paragraphDedup: Boolean = false,
       lmBuckets: Option[(graft.operators.NgramLm.CharLm,
-        graft.operators.NgramLm.PplThresholds, Set[String])] = None): DataStreamWriter[Row] =
+        graft.operators.NgramLm.PplThresholds, Set[String])] = None,
+      decontaminateMm: Option[String] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mixedIntakeBatch(batch, batchId, historyTable, numBuckets,
           htmlCol, payloadCol, idCol, outDir, minQuality, threshold,
           extractBoilerplate, lmGate, embCol, embTau, decontaminate,
-          paragraphDedup, lmBuckets): Unit
+          paragraphDedup, lmBuckets, decontaminateMm): Unit
       }
 
   /** Drop all histories of a mixed intake (text pair + three

@@ -1348,6 +1348,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("L40 multimodal decontamination leg: eval image/audio/vector copies die at intake and leave no ghost history rows; controls and junk pass") {
+    import graft.operators.{Decontaminate, Multimodal}
+    val hist = "t_mmdecon_hist"
+    val evalT = "t_mmdecon_eval"
+    val outDir = tmpDir("mmdecon_out")
+    StreamOps.dropMixedHistory(spark, hist)
+    Decontaminate.dropEvalIdentities(spark, evalT)
+    try {
+      def v(xs: Double*) = xs.map(_.toFloat).toArray
+      def x2(a: Array[Float]) = a.map(_ * 2.0f)
+      def neg(a: Array[Float]) = a.map(x => -x)
+      val nullEmb = lit(null).cast("array<float>").as("embedding")
+      def img(pairs: (Long, Long)*) = Multimodal.syntheticPpmMixed(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed", 16, 16)
+        .select($"doc_id", lit(null).cast("string").as("html"), $"payload", nullEmb)
+      def imgPng(pairs: (Long, Long)*) = Multimodal.syntheticPngMixed(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed", 16, 16)
+        .select($"doc_id", lit(null).cast("string").as("html"), $"payload", nullEmb)
+      def aud(pairs: (Long, Long)*) = Multimodal.syntheticWavPcm16(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed")
+        .select($"doc_id", lit(null).cast("string").as("html"), $"payload", nullEmb)
+      def audMu(pairs: (Long, Long)*) = Multimodal.syntheticWavMulawTone(
+        pairs.toSeq.toDF("doc_id", "__seed"), "__seed")
+        .select($"doc_id", lit(null).cast("string").as("html"), $"payload", nullEmb)
+      def vecs(rows: (Long, Array[Float])*) = rows.toSeq.toDF("doc_id", "embedding")
+        .select($"doc_id", lit(null).cast("string").as("html"),
+          lit(null).cast("binary").as("payload"), $"embedding")
+      // frozen eval set: one image, one audio clip, one vector
+      val e1 = v(1, 0, 0, 0)
+      val evalRows = img((9001L, 42L)).unionByName(aud((9002L, 43L)))
+        .unionByName(vecs((9003L, e1)))
+      Decontaminate.writeEvalIdentities(spark, evalRows, "payload", "doc_id",
+        evalT, embCol = Some("embedding"))
+      // batch: fresh image/audio/vector survive; a PNG re-encode of the
+      // eval image, a μ-law re-encode of the eval clip and a 2x copy of
+      // the eval vector die; a negated control and junk pass
+      val batch = img((10L, 100L)).unionByName(aud((11L, 101L)))
+        .unionByName(vecs((12L, v(0, 1, 0, 0))))
+        .unionByName(imgPng((20L, 42L)))   // eval image leak
+        .unionByName(audMu((21L, 43L)))    // eval audio leak
+        .unionByName(vecs((22L, x2(e1)))) // eval vector leak
+        .unionByName(vecs((23L, neg(e1)))) // control: cos -1 → passes
+        .unionByName(Seq((24L, "junk".getBytes)).toDF("doc_id", "payload")
+          .select($"doc_id", lit(null).cast("string").as("html"), $"payload", nullEmb))
+      assert(StreamOps.mixedIntakeBatch(batch, 0L, hist, 4, "html", "payload",
+        "doc_id", outDir, embCol = Some("embedding"),
+        decontaminateMm = Some(evalT)))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out === Set(10L, 11L, 12L, 23L, 24L),
+        s"multimodal decontamination outcome wrong: $out")
+      // the leaked items left NO ghost history rows: replaying their
+      // exact content under fresh ids with decon OFF must see them as
+      // NEW (nothing in _ph/_ab/_ei to collide with)
+      assert(StreamOps.mixedIntakeBatch(
+        imgPng((30L, 42L)).unionByName(vecs((31L, x2(e1)))),
+        1L, hist, 4, "html", "payload", "doc_id", outDir,
+        embCol = Some("embedding")))
+      val out1 = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out1 === Set(30L, 31L), "contaminated payloads left ghost history rows")
+    } finally {
+      StreamOps.dropMixedHistory(spark, hist)
+      Decontaminate.dropEvalIdentities(spark, evalT)
+    }
+  }
+
   test("Mixed history maintenance: one byte-ratio auto-fold call covers all five families, folds only where earned, replay stays exactly-once across the fold") {
     import graft.operators.Multimodal
     val hist = "t_mixed_maint"
