@@ -131,7 +131,21 @@ object Bench {
     val famJson = kvJson(familyMicro.toSeq)
     val famRatioJson =
       kvJson(BenchMath.familyRatios(familyMicro.toSeq, microEff))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"controls":$ctrlJson,"control_ratio":$controlRatio,"controls_end":$ctrlEndJson,"control_ratio_end":$controlRatioEnd,"micro_base_sec":$microEff,"family_micro":$famJson,"family_ratio":$famRatioJson,"control_baseline_sec":$controlBaselineSec,"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
+    // the QUIET-run family signature ships with every run (VERDICT r13
+    // ask #6): divide this run's family ratios by the canonical
+    // promotion's, so an episode read is a field comparison — a family
+    // at vs-quiet >= 2 ran hotter than its own documented teardown
+    // residue — instead of BASELINE-prose archaeology. Missing/foreign
+    // canonical file → empty map → raw ratios pass through.
+    val quietFile = sys.env.getOrElse("SPARK_GRAFT_QUIET_BENCH", "BENCH_FULL.json")
+    val quiet =
+      try BenchMath.parseFamilyRatio(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(quietFile)))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    val famVsQuiet = BenchMath.familyVsQuiet(
+      BenchMath.familyRatios(familyMicro.toSeq, microEff), quiet)
+    val famVsQuietJson = kvJson(famVsQuiet)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"controls":$ctrlJson,"control_ratio":$controlRatio,"controls_end":$ctrlEndJson,"control_ratio_end":$controlRatioEnd,"micro_base_sec":$microEff,"family_micro":$famJson,"family_ratio":$famRatioJson,"family_ratio_vs_quiet":$famVsQuietJson,"control_baseline_sec":$controlBaselineSec,"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
     // the driver's stdout capture keeps only the last ~2000 chars, so
     // the full line (8+ KB at 145 queries) must NEVER be the final
     // stdout line — r11's per-query 2x gate went blind exactly this way
@@ -158,10 +172,11 @@ object Bench {
       .sortBy(-_._2).take(10).map { case (k, v) => k -> r3(v) }
     val famRatios = BenchMath.familyRatios(familyMicro.toSeq, microEff)
     val maxFam = if (famRatios.isEmpty) 0.0 else famRatios.map(_._2).max
+    val maxFamVsQuiet = if (famVsQuiet.isEmpty) 0.0 else famVsQuiet.map(_._2).max
     // "slowest_queries", NOT "queries": the full file uses "queries" for
     // the complete per-query map; reusing the same key here for a
     // truncated top-10 would let a consumer silently read 10 rows as 155
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - errors.size},"slowest_queries":${kvJson(slowest)},"n_errors":${errors.size},"control_ratio":${r3(controlRatio)},"control_ratio_end":${r3(controlRatioEnd)},"family_ratio_max":${r3(maxFam)},"control_baseline_sec":$controlBaselineSec,"full":${JsonText.quote(outFile)},"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - errors.size},"slowest_queries":${kvJson(slowest)},"n_errors":${errors.size},"control_ratio":${r3(controlRatio)},"control_ratio_end":${r3(controlRatioEnd)},"family_ratio_max":${r3(maxFam)},"family_vs_quiet_max":${r3(maxFamVsQuiet)},"control_baseline_sec":$controlBaselineSec,"full":${JsonText.quote(outFile)},"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
     // a second stable copy of the exact line the driver should have
     // parsed — if the stdout path breaks again, the evidence is on disk
     try java.nio.file.Files.writeString(

@@ -67,4 +67,33 @@ object BenchMath {
     val pos = (startBase +: observations).filter(_ > 0.0)
     if (pos.isEmpty) 0.0 else median(pos)
   }
+
+  /** Extract the `"family_ratio":{...}` map from a canonical
+    * BENCH_FULL.json line. No JSON library on the classpath, so this
+    * targets exactly the shape [[Bench]] itself writes (flat string →
+    * number pairs, no nesting inside the object); anything else —
+    * missing file content, missing key, foreign format — parses to
+    * empty, which downgrades the vs-quiet comparison to neutral rather
+    * than failing the bench. */
+  def parseFamilyRatio(json: String): Map[String, Double] = {
+    val obj = "\"family_ratio\":\\{([^}]*)\\}".r
+    obj.findFirstMatchIn(json).map(_.group(1)) match {
+      case None => Map.empty
+      case Some(body) =>
+        val pair = "\"([A-Za-z0-9_]+)\":(-?[0-9][-+0-9.eE]*)".r
+        pair.findAllMatchIn(body)
+          .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+    }
+  }
+
+  /** This run's family micro ratios divided by the QUIET (canonical)
+    * run's — the field a judge diffs instead of re-deriving the stable
+    * teardown signature from BASELINE prose: ~1 means the family ran
+    * under the same residual load as the canonical promotion, >= 2
+    * flags a disclosed episode over that family's stretch. Families
+    * with no quiet reading (added since the promotion) divide by 1.0 —
+    * their raw ratio IS the comparison until the next promotion. */
+  def familyVsQuiet(current: Seq[(String, Double)],
+      quiet: Map[String, Double]): Seq[(String, Double)] =
+    current.map { case (f, r) => f -> ratio(r, quiet.getOrElse(f, 1.0)) }
 }

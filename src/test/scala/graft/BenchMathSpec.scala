@@ -51,6 +51,35 @@ class BenchMathSpec extends AnyFunSuite {
     assert(ratios.filter(_._2 > 2.0).keySet === Set("l13", "l14"))
   }
 
+  test("parseFamilyRatio: extracts exactly the Bench-written shape, degrades to empty on anything else") {
+    val line = """{"metric":"total","value":1.0,"family_micro":{"a01":0.1},"family_ratio":{"a01":1.25,"l02":2.0,"w03":0.9},"sf":"x"}"""
+    assert(BenchMath.parseFamilyRatio(line) ===
+      Map("a01" -> 1.25, "l02" -> 2.0, "w03" -> 0.9))
+    // missing key / empty object / foreign content → empty, not a throw
+    assert(BenchMath.parseFamilyRatio("""{"metric":"total"}""") === Map.empty)
+    assert(BenchMath.parseFamilyRatio("""{"family_ratio":{}}""") === Map.empty)
+    assert(BenchMath.parseFamilyRatio("not json at all") === Map.empty)
+    // scientific notation round-trips
+    assert(BenchMath.parseFamilyRatio("""{"family_ratio":{"a01":1.5E-1}}""")
+      === Map("a01" -> 0.15))
+  }
+
+  test("familyVsQuiet: quiet signature divides out the stable teardown residue; new families pass raw") {
+    // the canonical quiet run already read l14 at 2.0x (the documented
+    // post-heavy-boundary teardown) — a fresh run reading l14 at 2.2x
+    // is ~1.1 vs quiet (NOT an episode), while l16 jumping from a
+    // quiet 1.0 to 4.0 IS one; l99 is new since the promotion and
+    // passes through raw
+    val quiet = Map("a01" -> 1.0, "l14" -> 2.0, "l16" -> 1.0)
+    val current = Seq("a01" -> 1.1, "l14" -> 2.2, "l16" -> 4.0, "l99" -> 1.3)
+    val vs = BenchMath.familyVsQuiet(current, quiet).toMap
+    assert(math.abs(vs("a01") - 1.1) < 1e-9)
+    assert(math.abs(vs("l14") - 1.1) < 1e-9)
+    assert(math.abs(vs("l16") - 4.0) < 1e-9)
+    assert(math.abs(vs("l99") - 1.3) < 1e-9)
+    assert(vs.filter(_._2 >= 2.0).keySet === Set("l16"))
+  }
+
   test("calibratedBase: median of all observations — neither the warm-up start nor one lucky minimum skews it") {
     // start median read 0.24 (JIT still warming), quiet sweep micros
     // center on 0.08 with one lucky 0.04 and a real 3x episode at 0.24:
