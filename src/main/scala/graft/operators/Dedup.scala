@@ -1747,6 +1747,81 @@ object Dedup {
     reassemble(newDf, kept, textCol, idCol)
   }
 
+  // ================ REPEATED-SUBSTRING (span) dedup =================
+  // Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  // Models Better") removes exact token substrings of >= ~50 tokens
+  // duplicated anywhere in the corpus — inside one document or across
+  // documents — using a corpus-global suffix array. The bounded,
+  // shuffle-honest form here: anchor every token position with the
+  // 64-bit hash of its k-token gram, resolve one canonical occurrence
+  // per distinct gram (the paragraph family's partial-agg groupBy-min,
+  // never a window), and cut every NON-canonical occurrence's k-token
+  // window out of its document. Detection threshold IS k: a shared
+  // span of >= k tokens shares its k-grams (all of them), a span of
+  // k-1 shares none — no suffix array, no global sort, nothing
+  // corpus-global but the gram-hash exchange.
+
+  /** L41 — repeated-span dedup: for every k-token gram duplicated
+    * anywhere in the corpus (across documents or within one), the
+    * occurrence with the smallest (id, position) survives; every
+    * other occurrence's k-token window is removed from its document,
+    * and each document is rebuilt from its surviving tokens
+    * (space-joined — span dedup is a TOKEN-level operator, so rebuild
+    * normalizes token separators; documents untouched by any cut keep
+    * their text byte-identical). Overlapping cut windows union, docs
+    * losing every token drop, NULL texts pass through.
+    *
+    * Identity is the gram's xxhash64 (the [[Decontaminate]] 8-bytes-
+    * per-gram rationale: 2^-64 collision per pair, and a collision
+    * merely over-cuts one window), with tokens joined on U+0001 so
+    * token-boundary shifts cannot alias.
+    *
+    * Scale shape: the per-doc anchor pass is narrow O(n·k) character
+    * hashing (k ≈ 50 — a constant factor over tokenization, linear in
+    * corpus size); the canonical-occurrence aggregation partial-aggs
+    * on the gram hash (a mass-duplicated span collapses map-side);
+    * the join back is probe-side skew only (one build row per gram,
+    * AQE-splittable); the rebuild is one shuffle on the uniform doc
+    * id plus a per-doc O(n · cuts) coverage scan. The determinism
+    * note of [[exact]] applies (complementary NULL branches + the
+    * id join). */
+  def repeatedSpanDedup(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 2, s"span threshold k must be >= 2 tokens, got $k")
+    val toks = TF.tokens(col(textCol))
+    val ghs = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => xxhash64(concat_ws("\u0001", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val anchors = df.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(ghs))
+      .withColumnRenamed("pos", "__apos").withColumnRenamed("col", "__agh")
+    val canon = anchors.groupBy(col("__agh"))
+      .agg(min(struct(col(idCol), col("__apos"))).alias("__m"),
+        count(lit(1)).alias("__n"))
+      // grams occurring once have nothing to cut — dropping them here
+      // keeps the join-back build side at one row per DUPLICATED gram
+      .where(col("__n") > 1).drop("__n")
+    val cuts = anchors.join(canon, Seq("__agh"))
+      .where(!(col("__m").getField(idCol) === col(idCol) &&
+        col("__m").getField("__apos") === col("__apos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__apos"))).alias("__cuts"))
+    val rebuilt = df.where(col(textCol).isNotNull)
+      .join(cuts, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__cuts").isNull, col(textCol)) // untouched: byte-identical
+          .otherwise(array_join(filter(
+            transform(toks, (t, i) => when(
+              !exists(col("__cuts"), s => i >= s && i < s + k), t)),
+            t => t.isNotNull), " ")))
+      // a doc whose every token was cut drops; an untouched doc passes
+      // whatever its text is (an originally-empty text is not a cut)
+      .where(col("__cuts").isNull || length(col(textCol)) > 0)
+      .drop("__cuts")
+    rebuilt.unionByName(df.where(col(textCol).isNull))
+  }
+
   /** Embedding-cosine near-dup pairs via hyperplane-LSH buckets: vectors
     * sharing a signature bucket are compared exactly; no global O(n²).
     * Oversized buckets (e.g. a mass of zero/constant vectors all landing

@@ -1768,6 +1768,30 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""WITH hp AS (SELECT DISTINCT unnest(string_split(text, chr(10))) AS para FROM documents), nb AS (SELECT src + 400000 AS doc_id, 'fresh intro ' || src || chr(10) || t AS text FROM (SELECT doc_id AS src, text AS t FROM documents WHERE doc_id % 4 = 0)), p AS (SELECT doc_id, generate_subscripts(ps, 1) AS idx, unnest(ps) AS para FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM nb)) SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text FROM p WHERE len(trim(para)) < 1 OR para NOT IN (SELECT para FROM hp WHERE len(trim(para)) >= 1) GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- L41: REPEATED-SPAN dedup (the bounded Lee et al. 2022
+    // exact-substring family): every doc gets 80 own tokens; every
+    // 10th additionally embeds a SHARED 60-token span mid-document
+    // (detected at k=50 — eleven shared 50-grams — and cut from every
+    // doc but the smallest carrier, which stays byte-identical), and
+    // every doc_id%10==5 embeds a shared 40-token NEAR-MISS (no
+    // shared 50-gram — untouched). Survivor texts in closed form. ----
+    ("l38_span_dedup", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      def own(a: Int, b: Int) = array_join(transform(sequence(lit(a), lit(b)),
+        i => concat(lit("tok"), col("doc_id").cast("string"),
+          lit("w"), i.cast("string"))), " ")
+      val sp = (0 until 60).map(j => s"spanw$j").mkString(" ")
+      val ct = (0 until 40).map(j => s"ctrlw$j").mkString(" ")
+      val fix = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(own(0, 39), lit(s" $sp "), own(40, 79)))
+          .when(col("doc_id") % 10 === 5,
+            concat(own(0, 39), lit(s" $ct "), own(40, 79)))
+          .otherwise(own(0, 79)).as("text"))
+      Dedup.repeatedSpanDedup(fix, "text", "doc_id", k = 50)
+        .orderBy(col("doc_id"))
+    }, Some("""WITH base AS (SELECT doc_id, array_to_string(list_transform(generate_series(0,79), i -> 'tok' || doc_id || 'w' || i), ' ') AS own, array_to_string(list_transform(generate_series(0,39), i -> 'tok' || doc_id || 'w' || i), ' ') AS pre, array_to_string(list_transform(generate_series(40,79), i -> 'tok' || doc_id || 'w' || i), ' ') AS post FROM documents), sp AS (SELECT array_to_string(list_transform(generate_series(0,59), j -> 'spanw' || j), ' ') AS sp, array_to_string(list_transform(generate_series(0,39), j -> 'ctrlw' || j), ' ') AS ct) SELECT doc_id, CASE WHEN doc_id % 10 = 0 AND doc_id = (SELECT min(doc_id) FROM documents WHERE doc_id % 10 = 0) THEN pre || ' ' || sp || ' ' || post WHEN doc_id % 10 = 0 THEN pre || ' ' || post WHEN doc_id % 10 = 5 THEN pre || ' ' || ct || ' ' || post ELSE own END AS text FROM base CROSS JOIN sp ORDER BY doc_id""")),
+
     // ---- L40: MULTIMODAL + EMBEDDING decontamination — eval-set
     // leakage also arrives as images/audio/video/vectors, where the
     // n-gram check (l34) is blind. Frozen EVAL identity tables (the

@@ -122,6 +122,42 @@ class DedupSpec extends SparkSpec {
     assert(again === out.removed(6L), "paragraph dedup must be idempotent")
   }
 
+  test("L41: repeated-span dedup — k-token spans cut keep-first across and within docs, k-1 near-miss untouched, all-span docs drop, NULL passthrough") {
+    val span5 = "s1 s2 s3 s4 s5"            // shared 5-token span
+    val near4 = "n1 n2 n3 n4"               // 4-token near-miss control
+    val corpus = Seq(
+      (1L, s"a1 a2 $span5 a3 a4"),          // canonical carrier: untouched
+      (2L, s"b1 b2 b3 $span5 b4"),          // later doc: span cut
+      (3L, s"c1 $near4 c2"),
+      (4L, s"d1 $near4 d2"),                // 4-gram shared → below k → kept
+      (5L, span5),                          // nothing but the span → drops
+      // self-repeat of a doc-6-unique span: first occurrence kept,
+      // second cut (a span shared with an EARLIER doc would lose both
+      // — the canonical copy lives in the earlier doc)
+      (6L, "e1 e2 r1 r2 r3 r4 r5 e3 r1 r2 r3 r4 r5 e4"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanDedup(corpus, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 6L, 7L), s"wrong survivors: ${out.keySet}")
+    assert(out(1L) === s"a1 a2 $span5 a3 a4", "canonical doc must stay byte-identical")
+    assert(out(2L) === "b1 b2 b3 b4", s"span not cut from the later doc: ${out(2L)}")
+    assert(out(3L) === s"c1 $near4 c2" && out(4L) === s"d1 $near4 d2",
+      "a k-1 shared span must not be cut")
+    assert(out(6L) === "e1 e2 r1 r2 r3 r4 r5 e3 e4",
+      s"self-repeat not trimmed keep-first: ${out(6L)}")
+    assert(out(7L) === null, "NULL text must pass through")
+    // overlapping duplicated grams union into one cut: a 6-token span
+    // shared with doc 1's (5-token-extended) content cuts whole
+    val longSpan = s"$span5 s6"
+    val more = Seq((10L, s"x1 $longSpan x2"), (11L, s"y1 y2 $longSpan y3"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.repeatedSpanDedup(more, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(10L) === s"x1 $longSpan x2")
+    assert(out2(11L) === "y1 y2 y3", s"overlapping windows must union: ${out2(11L)}")
+  }
+
   test("L39: paragraph history lifecycle — delta-visible probe, same-id replay, fold, auto-fold trigger") {
     val table = "t_pg_hist"
     Dedup.dropParagraphHistory(spark, table)

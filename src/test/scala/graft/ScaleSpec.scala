@@ -206,6 +206,45 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: repeated-span dedup — a 50%-shared mid-doc span cuts to one carrier, short docs skip anchoring, stays balanced", suiteTags: _*) {
+    withScaleConf {
+      // half the corpus embeds the SAME 15-token span mid-document —
+      // at k=12 that is 4 shared grams per carrier, the mass-duplicated
+      // gram shape whose canonical resolution must partial-agg (the
+      // paragraph rationale); the 10k-copy boilerplate docs are 9
+      // tokens (below k) and must skip anchoring entirely
+      val span = (0 until 15).map(j => s"sp$j").mkString(" ")
+      val spanDocs = docs.select($"doc_id",
+        when($"text".isNull, lit(null).cast("string"))
+          .when(pmod($"doc_id", lit(2)) === 0,
+            concat(substring($"text", 1, 90), lit(s" $span "),
+              substring($"text", 91, 10000)))
+          .otherwise($"text").as("text")).persist()
+      spanDocs.count()
+      var out: DataFrame = null
+      val stages = probe {
+        out = Dedup.repeatedSpanDedup(spanDocs, "text", "doc_id", k = 12)
+          .persist()
+        out.count(): Unit
+      }
+      // the span survives on very few docs: its canonical carrier plus
+      // any doc whose cut windows merely overlap differently — with
+      // identical span content the cut is exact, so expect exactly one
+      assert(out.where($"text".contains("sp0 sp1 sp2")).count() === 1L,
+        "shared span must survive on exactly one carrier")
+      // ODD boilerplate docs (9 tokens < k) skip anchoring and pass
+      // byte-identical (~N/12 of them; the even half carries the span,
+      // making those 24-token texts identical to each other — they cut
+      // to one carrier like any mass-duplicate)
+      assert(out.where($"text" === lit(
+        "click here to unsubscribe from this mailing list today")).count() >= 4000L)
+      assert(out.where($"text".isNull).count() ===
+        spanDocs.where($"text".isNull).count())
+      assertBalanced("span-dedup", stages)
+      out.unpersist(); spanDocs.unpersist(): Unit
+    }
+  }
+
   test("scale: capped MinHash LSH sidelines the boilerplate cluster, keeps planted recall, stays balanced", suiteTags: _*) {
     withScaleConf {
       // plant near-dups in NORMAL content: copies of docs 1..799 (odd ids
