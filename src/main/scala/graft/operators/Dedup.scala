@@ -1784,7 +1784,17 @@ object Dedup {
     * AQE-splittable); the rebuild is one shuffle on the uniform doc
     * id plus a per-doc O(n · cuts) coverage scan. The determinism
     * note of [[exact]] applies (complementary NULL branches + the
-    * id join). */
+    * id join).
+    *
+    * Deliberately NO incremental/history form: a span history is one
+    * 8-byte hash per TOKEN of the accumulated corpus — tens of TB of
+    * index against a 100 TB corpus, which is also what Lee et al.'s
+    * suffix array costs. Public practice matches: exact-substring
+    * dedup runs as a periodic batch pass over the accumulated corpus,
+    * while the streaming path is carried by the paragraph
+    * ([[paragraphIncrementalDelta]]) and document
+    * ([[exactIncrementalDelta]], [[minhashIncremental]]) legs, whose
+    * histories are per-paragraph/per-document, not per-token. */
   def repeatedSpanDedup(df: DataFrame, textCol: String, idCol: String,
       k: Int = 50): DataFrame = {
     require(k >= 2, s"span threshold k must be >= 2 tokens, got $k")
