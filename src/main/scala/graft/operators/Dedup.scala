@@ -1798,12 +1798,22 @@ object Dedup {
   def repeatedSpanDedup(df: DataFrame, textCol: String, idCol: String,
       k: Int = 50): DataFrame = {
     require(k >= 2, s"span threshold k must be >= 2 tokens, got $k")
-    val toks = TF.tokens(col(textCol))
+    // materialize the token array in its OWN projection before any
+    // lambda references it: lambda bodies re-evaluate per ELEMENT and
+    // subexpression elimination skips lambda-containing trees (the
+    // minhashSignature scale note), so an inlined tokens(text) inside
+    // the gram lambda would tokenize each doc once PER POSITION —
+    // measured ~3x on the l38 fixture (18 s in-sweep -> 4.5 s solo
+    // steady after this hoist). CollapseProject keeps
+    // the non-cheap alias because it is referenced several times.
+    val tcol = graft.Cols.fresh(df.columns, "__toks")
+    val toks = col(tcol)
     val ghs = when(size(toks) >= k,
         transform(sequence(lit(0), size(toks) - k),
           i => xxhash64(concat_ws("\u0001", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<bigint>"))
     val anchors = df.where(col(textCol).isNotNull)
+      .withColumn(tcol, TF.tokens(col(textCol)))
       .select(col(idCol), posexplode(ghs))
       .withColumnRenamed("pos", "__apos").withColumnRenamed("col", "__agh")
     val canon = anchors.groupBy(col("__agh"))
@@ -1819,6 +1829,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("__apos"))).alias("__cuts"))
     val rebuilt = df.where(col(textCol).isNotNull)
       .join(cuts, Seq(idCol), "left")
+      .withColumn(tcol, TF.tokens(col(textCol)))
       .withColumn(textCol,
         when(col("__cuts").isNull, col(textCol)) // untouched: byte-identical
           .otherwise(array_join(filter(
@@ -1828,7 +1839,7 @@ object Dedup {
       // a doc whose every token was cut drops; an untouched doc passes
       // whatever its text is (an originally-empty text is not a cut)
       .where(col("__cuts").isNull || length(col(textCol)) > 0)
-      .drop("__cuts")
+      .drop("__cuts", tcol)
     rebuilt.unionByName(df.where(col(textCol).isNull))
   }
 
