@@ -362,6 +362,37 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("l38 span dedup: canonical-occurrence resolution is a partial-agg groupBy, never a window") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false") // plain tree walk
+      val out = Dedup.repeatedSpanDedup(docs, "text", "doc_id", k = 12)
+      val plan = out.queryExecution.executedPlan
+      // a window over the gram hash would funnel a mass-duplicated
+      // span's every occurrence through one sort task — the operator
+      // must use map-side-combining aggregation instead (struct-min
+      // plans as SortAggregate: still Partial before the exchange)
+      assert(!plan.exists(_.nodeName.contains("Window")),
+        s"span dedup must not plan a Window:\n$plan")
+      val partialAggs = plan.collect {
+        case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if h.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => h
+      }
+      assert(partialAggs.nonEmpty,
+        s"canonical resolution must partial-agg before the exchange:\n$plan")
+      // semantics are l38's oracle's job; here just prove the plan runs
+      // (the synthetic word-soup fixture has a few natural 12-gram
+      // repeats, so some docs legitimately shrink or drop)
+      val n = out.count()
+      assert(n > 0 && n <= docs.count())
+    } finally conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("l01c broadcastable-batch incremental dedup: ZERO shuffle exchanges end-to-end") {
     import graft.operators.Dedup
     val docs = graft.sources.Tables.documents(spark, sf0001)
