@@ -1788,6 +1788,11 @@ object LlmQueries {
           .when(col("doc_id") % 10 === 5,
             concat(own(0, 39), lit(s" $ct "), own(40, 79)))
           .otherwise(own(0, 79)).as("text"))
+        // barrier: the operator references its input ~4x (anchors, two
+        // rebuild branches, NULL union) — price the operator, not four
+        // synthetic-text rebuilds (also the exact/paragraph
+        // determinism-note requirement)
+        .localCheckpoint(true)
       Dedup.repeatedSpanDedup(fix, "text", "doc_id", k = 50)
         .orderBy(col("doc_id"))
     }, Some("""WITH base AS (SELECT doc_id, array_to_string(list_transform(generate_series(0,79), i -> 'tok' || doc_id || 'w' || i), ' ') AS own, array_to_string(list_transform(generate_series(0,39), i -> 'tok' || doc_id || 'w' || i), ' ') AS pre, array_to_string(list_transform(generate_series(40,79), i -> 'tok' || doc_id || 'w' || i), ' ') AS post FROM documents), sp AS (SELECT array_to_string(list_transform(generate_series(0,59), j -> 'spanw' || j), ' ') AS sp, array_to_string(list_transform(generate_series(0,39), j -> 'ctrlw' || j), ' ') AS ct) SELECT doc_id, CASE WHEN doc_id % 10 = 0 AND doc_id = (SELECT min(doc_id) FROM documents WHERE doc_id % 10 = 0) THEN pre || ' ' || sp || ' ' || post WHEN doc_id % 10 = 0 THEN pre || ' ' || post WHEN doc_id % 10 = 5 THEN pre || ' ' || ct || ' ' || post ELSE own END AS text FROM base CROSS JOIN sp ORDER BY doc_id""")),
