@@ -1591,24 +1591,56 @@ object Dedup {
     * pages would funnel every occurrence through one window-sort task,
     * while map-side combine collapses each partition to one candidate
     * row per distinct hash before the exchange. The join back on the
-    * hash sees the same hot key only as a probe-side skew (build side
-    * is one row per hash), which AQE's skew-join split handles;
-    * reassembly shuffles once on the uniform doc id.
+    * hash isolates hot keys LOSSLESSLY: canonical rows of hashes with
+    * more than `hotOccurrences` occurrences broadcast (map-side join,
+    * skew impossible; the set is bounded by total/hotOccurrences
+    * rows), the cold rest shuffles with no key above the threshold —
+    * deterministic, not dependent on AQE's byte-threshold skew split
+    * (which cannot see this join anyway: OptimizeSkewedJoin matches
+    * only joins whose children are bare shuffle stages, and canon's
+    * aggregate hides it — measured 5.1x unsplit at 50x). Reassembly
+    * shuffles once on the uniform doc id.
     *
     * Determinism requirement (the [[exact]] note): the NULL branch and
     * the non-NULL pipeline re-evaluate `df` with complementary
     * filters, and the rebuilt text joins back to `df` by id — persist
     * or localCheckpoint a nondeterministic input first. */
   def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
-      minChars: Int = 1): DataFrame = {
+      minChars: Int = 1, hotOccurrences: Int = 65536): DataFrame = {
     val withH = explodeParas(df, textCol, idCol)
       .withColumn("__ph", paraHash(col("__para"), minChars))
-    val canon = withH.where(col("__ph").isNotNull)
+    val canonAll = withH.where(col("__ph").isNotNull)
       .groupBy(col("__ph"))
-      .agg(min(struct(col(idCol), col("__pidx"))).alias("__m"))
-    // left join: ineligible rows carry a NULL hash, match nothing, and
-    // keep a NULL __m — i.e. they always survive in place
-    val kept = withH.join(canon, Seq("__ph"), "left")
+      .agg(min(struct(col(idCol), col("__pidx"))).alias("__m"),
+        count(lit(1)).alias("__n"))
+    // HOT-KEY ISOLATION (lossless, unlike the LSH caps): a paragraph
+    // on millions of pages would funnel its every occurrence into one
+    // shuffle-join partition, and AQE's skew split cannot see it here
+    // (OptimizeSkewedJoin matches only joins whose children are bare
+    // shuffle stages — canon's aggregate hides it; measured 5.1x
+    // unsplit at 50x). Instead: canonical rows of hashes ABOVE
+    // `hotOccurrences` broadcast (map-side join, skew impossible; the
+    // set is bounded by totalOccurrences / hotOccurrences rows), the
+    // cold rest joins by shuffle where no key exceeds the threshold.
+    val canonHot = canonAll.where(col("__n") > hotOccurrences)
+      .select(col("__ph"), col("__m").alias("__mh"))
+    val canonCold = canonAll.where(col("__n") <= hotOccurrences)
+      .select(col("__ph"), col("__m").alias("__mc"))
+    // hot occurrences must BYPASS the cold shuffle, not merely find
+    // no match in it (a left join still routes every probe row through
+    // the exchange — the hot hash would straggle exactly as before):
+    // the broadcast join is map-side, its matches peel off before the
+    // cold side ever shuffles. The broadcast-join plan is evaluated
+    // once per branch — narrow map work over the explode, no barrier
+    // needed. Ineligible rows carry a NULL hash, match nothing on
+    // either side, and keep a NULL __m — they always survive in place.
+    val hotJoined = withH.join(broadcast(canonHot), Seq("__ph"), "left")
+    val hotKept = hotJoined.where(col("__mh").isNotNull)
+      .withColumn("__m", col("__mh")).drop("__mh")
+    val coldKept = hotJoined.where(col("__mh").isNull).drop("__mh")
+      .join(canonCold, Seq("__ph"), "left")
+      .withColumn("__m", col("__mc")).drop("__mc")
+    val kept = hotKept.unionByName(coldKept)
       .where(col("__m").isNull ||
         (col("__m").getField(idCol) === col(idCol) &&
          col("__m").getField("__pidx") === col("__pidx")))
@@ -1796,7 +1828,7 @@ object Dedup {
     * ([[exactIncrementalDelta]], [[minhashIncremental]]) legs, whose
     * histories are per-paragraph/per-document, not per-token. */
   def repeatedSpanDedup(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 50): DataFrame = {
+      k: Int = 50, hotOccurrences: Int = 65536): DataFrame = {
     require(k >= 2, s"span threshold k must be >= 2 tokens, got $k")
     // materialize the token array in its OWN projection before any
     // lambda references it: lambda bodies re-evaluate per ELEMENT and
@@ -1821,10 +1853,26 @@ object Dedup {
         count(lit(1)).alias("__n"))
       // grams occurring once have nothing to cut — dropping them here
       // keeps the join-back build side at one row per DUPLICATED gram
-      .where(col("__n") > 1).drop("__n")
-    val cuts = anchors.join(canon, Seq("__agh"))
-      .where(!(col("__m").getField(idCol) === col(idCol) &&
-        col("__m").getField("__apos") === col("__apos")))
+      .where(col("__n") > 1)
+    // hot-key isolation, the paragraphDedup rationale: mass-duplicated
+    // grams' canonical rows broadcast, the cold rest shuffles with no
+    // key above the threshold — lossless, AQE-independent
+    val canonHot = canon.where(col("__n") > hotOccurrences)
+      .select(col("__agh"), col("__m").alias("__mh"))
+    val canonCold = canon.where(col("__n") <= hotOccurrences)
+      .select(col("__agh"), col("__m").alias("__mc"))
+    // hot anchors bypass the cold shuffle (the paragraphDedup branch
+    // rationale — a left join would still route them through it)
+    val hotJoined = anchors.join(broadcast(canonHot), Seq("__agh"), "left")
+    val hotCut = hotJoined.where(col("__mh").isNotNull)
+      .withColumn("__m", col("__mh")).drop("__mh")
+    val coldCut = hotJoined.where(col("__mh").isNull).drop("__mh")
+      .join(canonCold, Seq("__agh"), "left")
+      .withColumn("__m", col("__mc")).drop("__mc")
+    val cuts = hotCut.unionByName(coldCut)
+      .where(col("__m").isNotNull &&
+        !(col("__m").getField(idCol) === col(idCol) &&
+          col("__m").getField("__apos") === col("__apos")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__apos"))).alias("__cuts"))
     val rebuilt = df.where(col(textCol).isNotNull)

@@ -188,9 +188,16 @@ class ScaleSpec extends SparkSpec {
             concat(lit("shared boilerplate paragraph for the scale probe\n"), $"text"))
           .otherwise($"text").as("text")).persist()
       paraDocs.count()
+      // hotOccurrences scaled to the harness (production default 65536
+      // assumes real cluster memory): both the 50%-shared paragraph
+      // (~N/2 occurrences) and the 10k boilerplate cluster cross 4096,
+      // so their canonical rows take the broadcast leg and the cold
+      // shuffle join has no key above the threshold at either 12x or
+      // 50x — the operator's lossless hot-key isolation, probed here
       var out: DataFrame = null
       val stages = probe {
-        out = Dedup.paragraphDedup(paraDocs, "text", "doc_id").persist()
+        out = Dedup.paragraphDedup(paraDocs, "text", "doc_id",
+          hotOccurrences = 4096).persist()
         out.count(): Unit
       }
       // the 50%-shared paragraph survives on exactly one doc…
@@ -223,8 +230,8 @@ class ScaleSpec extends SparkSpec {
       spanDocs.count()
       var out: DataFrame = null
       val stages = probe {
-        out = Dedup.repeatedSpanDedup(spanDocs, "text", "doc_id", k = 12)
-          .persist()
+        out = Dedup.repeatedSpanDedup(spanDocs, "text", "doc_id", k = 12,
+          hotOccurrences = 4096).persist()
         out.count(): Unit
       }
       // the span survives on very few docs: its canonical carrier plus
