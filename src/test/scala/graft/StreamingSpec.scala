@@ -1507,6 +1507,44 @@ class StreamingSpec extends SparkSpec {
     } finally Dedup.dropIntakeHistory(spark, hist)
   }
 
+  test("L39 job budget: the paragraph-enabled intakeBatch stays within 34 jobs (two barriers, one append, two dedup passes over the default path)") {
+    import graft.operators.Dedup
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val hist = "t_budget_pg_hist"
+    val outDir = tmpDir("budget_pg_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      def docs(ids: Range) = ids.map(_.toLong).toDF("doc_id")
+        .select($"doc_id", concat(lit("<p>"),
+          array_join(transform(sequence(lit(0), lit(39)),
+            i => concat(lit("tok"), $"doc_id", lit("w"), i)), " "),
+          lit("</p><p>shared footer paragraph on every page</p>")).as("html"))
+      StreamOps.intakeBatch(docs(0 until 300), 0L, hist, 4, "html", "doc_id",
+        outDir, paragraphDedup = true)
+      Dedup.compactIntakeDelta(spark, hist)
+      Dedup.compactParagraphDelta(spark, hist) // steady state: folded mains
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = { n.incrementAndGet(): Unit }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        StreamOps.intakeBatch(docs(300 until 450), 1L, hist, 4, "html", "doc_id",
+          outDir, paragraphDedup = true)
+        Thread.sleep(1500)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // measured 33 at the pin: the leg adds ~13 jobs over the default
+      // path's 20 — 2 localCheckpoint barriers (cleaned batch + within
+      // result), 1 _pg delta write, and ~10 broadcast/exchange jobs
+      // across the TWO dedup passes (within: hot-canon broadcast +
+      // reassembly join; probe: batch-keys broadcast, hits broadcast,
+      // reassembly join — each a distinct bounded exchange). Pinned so
+      // growth is loud, like the parent.
+      assert(n.get() <= 34,
+        s"paragraph-enabled intakeBatch launched ${n.get()} jobs (pinned at 34)")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
   test("L31 job budget: one steady-state multimodalIntakeBatch launches at most 50 Spark jobs (pinned)") {
     // Measured decomposition at the pin (JobCountProbe multimodal,
     // r13): 47 jobs — 4 parquet writes (survivors + three deltas,
