@@ -92,8 +92,13 @@ object BenchMath {
     * under the same residual load as the canonical promotion, >= 2
     * flags a disclosed episode over that family's stretch. Families
     * with no quiet reading (added since the promotion) divide by 1.0 —
-    * their raw ratio IS the comparison until the next promotion. */
+    * their raw ratio IS the comparison until the next promotion. A
+    * STORED quiet value <= 0.0 is [[ratio]]'s own "no reading" sentinel
+    * (parseFamilyRatio happily parses it) and counts as missing too:
+    * dividing by it would make ratio() return 0.0 and a genuinely hot
+    * family read as "no reading", masking the episode. */
   def familyVsQuiet(current: Seq[(String, Double)],
       quiet: Map[String, Double]): Seq[(String, Double)] =
-    current.map { case (f, r) => f -> ratio(r, quiet.getOrElse(f, 1.0)) }
+    current.map { case (f, r) =>
+      f -> ratio(r, quiet.get(f).filter(_ > 0.0).getOrElse(1.0)) }
 }

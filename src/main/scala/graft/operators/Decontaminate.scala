@@ -125,7 +125,12 @@ object Decontaminate {
     * identity in a family pass through it untouched (the multimodal
     * convention), so one call covers a mixed batch. Batch ids must be
     * DISJOINT from eval ids: the probes' same-id replay guard would
-    * otherwise pass a row sharing an eval row's id.
+    * otherwise pass a row sharing an eval row's id — and with
+    * `checkIds` on (default) a collision now fails LOUDLY instead of
+    * silently letting the leakage through: the tiny eval id set
+    * broadcasts into a left join whose match arm is `raise_error`, so
+    * enforcement costs no extra action (one small broadcast build, no
+    * count job) and fires exactly when a colliding row is evaluated.
     *
     * Scale shape: each leg is the corresponding incremental probe's —
     * batch identities broadcast, the eval tables (tiny by nature)
@@ -134,8 +139,35 @@ object Decontaminate {
     * batch (the caller's barrier) when payloads are heavy. */
   def dropContaminatedMultimodal(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, payloadCol: String, idCol: String, table: String,
-      embCol: Option[String] = None, embTau: Double = 0.95): DataFrame = {
-    val s1 = Dedup.imageIncrementalDelta(spark, batch, table, payloadCol, idCol)
+      embCol: Option[String] = None, embTau: Double = 0.95,
+      checkIds: Boolean = true): DataFrame = {
+    val guarded = if (!checkIds) batch else {
+      val sources =
+        Seq(s"${table}_ph" -> "__pid", s"${table}_ab" -> "__pid",
+          s"${table}_vn" -> "__pid", s"${table}_ei" -> idCol)
+      val idFrames = sources.collect {
+        case (t, c) if spark.catalog.tableExists(t) =>
+          spark.table(t).select(col(c).alias("__eval_id"))
+      }
+      if (idFrames.isEmpty) batch else {
+        val e = graft.Cols.fresh(batch.columns, "__eval_id")
+        // distinct is load-bearing: duplicate build-side keys in the
+        // left join would silently MULTIPLY colliding batch rows
+        val evalIds = idFrames.reduce(_ unionByName _).distinct()
+          .select(col("__eval_id").alias(e))
+        batch.join(broadcast(evalIds), col(e) === col(idCol), "left")
+          .withColumn(idCol, when(col(e).isNotNull,
+            raise_error(concat(
+              lit("dropContaminatedMultimodal: batch id "),
+              col(e).cast("string"),
+              lit(s" collides with an eval id in '$table' — batch ids" +
+                " must be disjoint from eval ids (the same-id replay" +
+                " guard would otherwise pass a contaminated row)"))))
+            .otherwise(col(idCol)))
+          .drop(e)
+      }
+    }
+    val s1 = Dedup.imageIncrementalDelta(spark, guarded, table, payloadCol, idCol)
     val s2 = Dedup.audioIncrementalDelta(spark, s1, table, payloadCol, idCol)
     val s3 = Dedup.videoIncrementalDelta(spark, s2, table, payloadCol, idCol)
     embCol.filter(_ => spark.catalog.tableExists(s"${table}_ei")).fold(s3) { e =>

@@ -1673,6 +1673,23 @@ object Dedup {
         paraHash(col("__para"), minChars).alias("__ph"))
       .where(col("__ph").isNotNull)
 
+  /** [[paragraphFrame]] reduced to ONE row per hash — the min __pid,
+    * the family's keep-min canonical. Every history WRITE goes through
+    * this (bootstrap and per-batch append), which is what makes the
+    * "history holds each hash once" bound a structural property rather
+    * than a caller precondition: bootstrapping from a corpus that was
+    * NOT paragraph-deduped first (PlanSpec does exactly that) would
+    * otherwise store one row per occurrence of a mass-duplicated
+    * paragraph, and [[paragraphIncrementalDelta]]'s broadcast hit set —
+    * bounded by batch hashes × rows per hash — would grow with corpus
+    * duplication instead of batch size. Partial-agg groupBy, the
+    * [[paragraphDedup]] canon shape: a hot hash collapses map-side. */
+  private def canonicalParagraphFrame(df: DataFrame, textCol: String,
+      idCol: String, minChars: Int = 1): DataFrame =
+    paragraphFrame(df, textCol, idCol, minChars)
+      .groupBy(col("__ph")).agg(min(col("__pid")).alias("__pid"))
+      .select(col("__pid"), col("__ph"))
+
   /** Create the paragraph-hash history `<table>_pg` if missing —
     * bucketed on the hash, under the same delta-subdirectory +
     * fold-manifest discipline as `_xh` ([[ensureHashHistory]]'s
@@ -1699,7 +1716,7 @@ object Dedup {
     val spark = df.sparkSession
     val t = s"${table}_pg"
     Layout.deleteDeltaState(spark, Layout.deltaDirOf(spark, t))
-    Layout.writeBucketed(paragraphFrame(df, textCol, idCol), t,
+    Layout.writeBucketed(canonicalParagraphFrame(df, textCol, idCol), t,
       Seq("__ph"), numBuckets)
   }
 
@@ -1711,7 +1728,7 @@ object Dedup {
       batchId: Long): Unit = {
     val t = s"${table}_pg"
     if (Layout.isBatchFolded(spark, t, batchId)) return
-    paragraphFrame(df, textCol, idCol).write.mode("overwrite")
+    canonicalParagraphFrame(df, textCol, idCol).write.mode("overwrite")
       .parquet(s"${Layout.deltaDirOf(spark, t)}/batch-$batchId")
   }
 
@@ -1756,9 +1773,12 @@ object Dedup {
     * hashes broadcast, the history is semi-FILTERED map-side to
     * matching (__pid, __ph) rows, and those broadcast back for the
     * anti-join — the history never exchanges. The hit set is bounded
-    * by the batch's paragraph count whenever the history holds each
-    * hash once, which is the intake-loop invariant (only
-    * paragraph-deduped survivors append). */
+    * by the batch's paragraph count: every history write path
+    * ([[writeParagraphHistory]] bootstrap, [[appendParagraphHistoryDelta]])
+    * goes through [[canonicalParagraphFrame]] and stores at most one
+    * row per hash, so the bound is structural, not a caller
+    * precondition (a same-id replay can duplicate a hash between main
+    * and its own delta file, which at most doubles it). */
   def paragraphIncrementalDelta(spark: org.apache.spark.sql.SparkSession,
       newDf: DataFrame, table: String, textCol: String, idCol: String,
       minChars: Int = 1, includeDelta: Boolean = true): DataFrame = {
@@ -1798,10 +1818,13 @@ object Dedup {
     * occurrence with the smallest (id, position) survives; every
     * other occurrence's k-token window is removed from its document,
     * and each document is rebuilt from its surviving tokens
-    * (space-joined — span dedup is a TOKEN-level operator, so rebuild
-    * normalizes token separators; documents untouched by any cut keep
-    * their text byte-identical). Overlapping cut windows union, docs
-    * losing every token drop, NULL texts pass through.
+    * (space-joined and CASE-PRESERVING — span dedup is a TOKEN-level
+    * operator, so rebuild normalizes token separators but keeps the
+    * original bytes of every surviving token; span IDENTITY stays
+    * case-insensitive via the lower-casing anchor tokenizer; documents
+    * untouched by any cut keep their text byte-identical). Overlapping
+    * cut windows union, docs losing every token drop, NULL texts pass
+    * through.
     *
     * Identity is the gram's xxhash64 (the [[Decontaminate]] 8-bytes-
     * per-gram rationale: 2^-64 collision per pair, and a collision
@@ -1814,7 +1837,10 @@ object Dedup {
     * on the gram hash (a mass-duplicated span collapses map-side);
     * the join back is probe-side skew only (one build row per gram,
     * AQE-splittable); the rebuild is one shuffle on the uniform doc
-    * id plus a per-doc O(n · cuts) coverage scan. The determinism
+    * id plus a per-doc O(n + cuts) sorted gap-walk over the cut list
+    * (the cuts arrive sorted; uncovered ranges are the gaps between
+    * consecutive cuts — no per-token membership scan, so even a doc
+    * that is one giant repeated span stays linear). The determinism
     * note of [[exact]] applies (complementary NULL branches + the
     * id join).
     *
@@ -1875,15 +1901,41 @@ object Dedup {
           col("__m").getField("__apos") === col("__apos")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__apos"))).alias("__cuts"))
+    // Rebuild tokenizer is CASE-PRESERVING: TF.tokens lower-cases (its
+    // job is identity/anchor normalization), but rebuilding the
+    // SURVIVING text from lower-cased tokens would silently destroy
+    // case corpus-wide on every cut document. split on the same
+    // whitespace class aligns positionally with TF.tokens — Unicode
+    // lower-casing never turns a non-whitespace char into whitespace
+    // (it can change a token's LENGTH, e.g. U+0130, never the token
+    // COUNT or positions), so anchor positions index this array
+    // exactly. Anchors stay lower-cased: span identity remains
+    // case-insensitive, only the rebuild output keeps the bytes.
+    val toksCase = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    // Coverage walk over the SORTED cut list, O(n + cuts) instead of
+    // the per-token `exists` O(n·cuts) scan (quadratic for a
+    // pathological doc that is one giant repeated span): every cut
+    // covers [s, s+k) and cuts are ascending, so the UNCOVERED index
+    // ranges are exactly the gaps [0, c_1), [c_j + k, c_{j+1}) for
+    // consecutive cuts, and [c_last + k, n) — an earlier cut c_i < c_j
+    // covers at most up to c_i + k <= c_j + k, never past a gap start,
+    // and each gap ends where its next cut begins. Overlapping cuts
+    // make a gap empty (length clamped to 0); gaps never overlap
+    // (gap j+1 starts k past where gap j ended). slice is 1-based.
+    val cutsArr = col("__cuts")
+    val nCuts = size(cutsArr)
+    val gaps = transform(sequence(lit(0), nCuts), j => struct(
+      when(j === 0, lit(0)).otherwise(element_at(cutsArr, j) + k).as("s"),
+      when(j === nCuts, size(toks)).otherwise(element_at(cutsArr, j + 1)).as("e")))
+    val survivors = flatten(transform(gaps, g => slice(toks,
+      g.getField("s") + 1,
+      greatest(g.getField("e") - g.getField("s"), lit(0)))))
     val rebuilt = df.where(col(textCol).isNotNull)
       .join(cuts, Seq(idCol), "left")
-      .withColumn(tcol, TF.tokens(col(textCol)))
+      .withColumn(tcol, toksCase)
       .withColumn(textCol,
         when(col("__cuts").isNull, col(textCol)) // untouched: byte-identical
-          .otherwise(array_join(filter(
-            transform(toks, (t, i) => when(
-              !exists(col("__cuts"), s => i >= s && i < s + k), t)),
-            t => t.isNotNull), " ")))
+          .otherwise(array_join(survivors, " ")))
       // a doc whose every token was cut drops; an untouched doc passes
       // whatever its text is (an originally-empty text is not a cut)
       .where(col("__cuts").isNull || length(col(textCol)) > 0)

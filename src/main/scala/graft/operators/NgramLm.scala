@@ -204,14 +204,43 @@ object NgramLm {
 
   /** Compute [[PplThresholds]] from a scored frame (the threshold half
     * of [[perplexityBuckets]]; see that scaladoc for the ring-sample
-    * determinism and TakeOrdered scale story). */
+    * determinism and TakeOrdered scale story).
+    *
+    * `exact = true` (default) is the nearest-rank pull — bit-identical
+    * buckets across engines/runs, but each boundary routes the whole
+    * ring sample through one k-row TakeOrdered heap merge: at a true
+    * 100 TB corpus even a 0.1% ring is millions of rows into one
+    * final-merge task. `exact = false` trades that for
+    * `approxQuantile` (Greenwald-Khanna, `approxErr` relative rank
+    * error): a bounded per-partition summary merge, two doubles to the
+    * driver, no id tie-break (the boundary id degrades to
+    * Long.MaxValue, so value-ties all route to the LOWER bucket).
+    * Probabilities target the same nearest-rank positions ((k−0.5)/n,
+    * centered so any consistent rank rounding lands on rank k), so on
+    * a sample where `approxErr × n < 1` the two paths agree row for
+    * row (NgramLmSpec pins this on the fixture); at scale the approx
+    * path is approximate by construction — CCNet's own thresholds are
+    * sample-drawn anyway. */
   def bucketThresholds(scored: DataFrame, idCol: String,
-      ringPct: Int = 20): PplThresholds = {
+      ringPct: Int = 20, exact: Boolean = true,
+      approxErr: Double = 0.001): PplThresholds = {
     require(ringPct > 0 && ringPct <= 100, s"ringPct in (0,100], got $ringPct")
-    val sample = scored
+    require(approxErr >= 0 && approxErr < 1,
+      s"approxErr in [0,1), got $approxErr")
+    val sampleLazy = scored
       .where(col("n_big") > 0 &&
         graft.operators.Sampling.hashBucket(idCol) < ringPct)
       .select(col(idCol), col("avg_logp"))
+    if (!exact) {
+      val n = sampleLazy.count()
+      require(n >= 3, s"perplexity sample has $n rows — raise ringPct")
+      val k1 = (n + 2) / 3
+      val k2 = (2 * n + 2) / 3
+      val qs = sampleLazy.stat.approxQuantile("avg_logp",
+        Array((k1 - 0.5) / n, (k2 - 0.5) / n), approxErr)
+      return PplThresholds(qs(0), Long.MaxValue, qs(1), Long.MaxValue)
+    }
+    val sample = sampleLazy
       // the sample feeds a count and two selections — materialize once
       // (ring-bounded by the caller's ringPct choice)
       .localCheckpoint(eager = true)

@@ -54,6 +54,46 @@ object LlmQueries {
   private val tokensSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
+  /** Deterministic URL fixture for l40/l40b: five variants per
+    * (host, path) congruence class of doc_id, exercising every
+    * canonicalization step; doc_id % 31 rows carry NULL (passthrough). */
+  private def urlFixture(ids: DataFrame): DataFrame = {
+    val base = concat(lit("Site"), (col("doc_id") % 20).cast("string"),
+      lit(".Example.com"))
+    val path = concat(lit("/p"), (col("doc_id") % 7).cast("string"))
+    val v = col("doc_id") % 5
+    ids.select(col("doc_id"),
+      when(col("doc_id") % 31 === 0, lit(null).cast("string"))
+        .when(v === 0, concat(lit("http://"), base, path))
+        .when(v === 1, concat(lit("HTTP://"), upper(base), path, lit("/")))
+        .when(v === 2, concat(lit("http://"), base, lit(":80"), path,
+          lit("?utm_medium=m&gclid=g")))
+        .when(v === 3, concat(lit("http://"), base, path,
+          lit("?a=1&utm_campaign=c#x")))
+        .otherwise(concat(lit("http://"), base, path, lit("#frag")))
+        .as("url"))
+  }
+
+  /** DuckDB restatement of [[urlFixture]] (reads `documents`). */
+  private val urlFixtureSql =
+    """SELECT doc_id, CASE WHEN doc_id % 31 = 0 THEN NULL WHEN doc_id % 5 = 0 THEN 'http://Site' || (doc_id % 20) || '.Example.com/p' || (doc_id % 7) WHEN doc_id % 5 = 1 THEN 'HTTP://' || upper('Site' || (doc_id % 20) || '.Example.com') || '/p' || (doc_id % 7) || '/' WHEN doc_id % 5 = 2 THEN 'http://Site' || (doc_id % 20) || '.Example.com:80/p' || (doc_id % 7) || '?utm_medium=m&gclid=g' WHEN doc_id % 5 = 3 THEN 'http://Site' || (doc_id % 20) || '.Example.com/p' || (doc_id % 7) || '?a=1&utm_campaign=c#x' ELSE 'http://Site' || (doc_id % 20) || '.Example.com/p' || (doc_id % 7) || '#frag' END AS url FROM documents"""
+
+  /** DuckDB restatement of [[graft.operators.UrlOps.canonicalizeUrl]]
+    * over a column named `url` — the same 7 regex steps, `||` (never
+    * `concat`, whose DuckDB form SKIPS nulls and would turn a NULL url
+    * into ''). */
+  private val canonUrlSql: String = {
+    // raw interpolator: the s-interpolator processes escape sequences
+    // even inside triple quotes, and '\1' / '\?' are not valid escapes
+    val pre = """regexp_extract(trim(url), '^[^:/?#]+://[^/?#]*')"""
+    val lowered = raw"""(lower($pre) || substr(trim(url), len($pre) + 1))"""
+    val noFrag = raw"""regexp_replace($lowered, '#.*$$', '')"""
+    val noPort = raw"""regexp_replace(regexp_replace($noFrag, '^(http://[^/:?#]*):80([/?#].*)?$$', '\1\2'), '^(https://[^/:?#]*):443([/?#].*)?$$', '\1\2')"""
+    val noTrack = raw"""regexp_replace($noPort, '[?&](utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid)=[^&#]*', '', 'g')"""
+    val reanchored = raw"""regexp_replace(regexp_replace($noTrack, '^([^?&]*)&', '\1?'), '\?$$', '')"""
+    raw"""regexp_replace(regexp_replace($reanchored, '/+\?', '?'), '([^:/])/+$$', '\1')"""
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- L1: exact dedup — smallest doc_id survives per sha256(text) ----
@@ -1777,11 +1817,15 @@ object LlmQueries {
     // shared 50-gram — untouched). Survivor texts in closed form. ----
     ("l38_span_dedup", (s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
+      // MIXED-CASE token prefixes are load-bearing: span IDENTITY is
+      // case-insensitive (anchor tokenizer lower-cases) but the
+      // REBUILD must preserve the original bytes — a rebuild that
+      // lower-cased cut documents would hash-mismatch this oracle
       def own(a: Int, b: Int) = array_join(transform(sequence(lit(a), lit(b)),
-        i => concat(lit("tok"), col("doc_id").cast("string"),
+        i => concat(lit("Tok"), col("doc_id").cast("string"),
           lit("w"), i.cast("string"))), " ")
-      val sp = (0 until 60).map(j => s"spanw$j").mkString(" ")
-      val ct = (0 until 40).map(j => s"ctrlw$j").mkString(" ")
+      val sp = (0 until 60).map(j => s"SpanW$j").mkString(" ")
+      val ct = (0 until 40).map(j => s"CtrlW$j").mkString(" ")
       val fix = docs.select(col("doc_id"),
         when(col("doc_id") % 10 === 0,
           concat(own(0, 39), lit(s" $sp "), own(40, 79)))
@@ -1795,7 +1839,7 @@ object LlmQueries {
         .localCheckpoint(true)
       Dedup.repeatedSpanDedup(fix, "text", "doc_id", k = 50)
         .orderBy(col("doc_id"))
-    }, Some("""WITH base AS (SELECT doc_id, array_to_string(list_transform(generate_series(0,79), i -> 'tok' || doc_id || 'w' || i), ' ') AS own, array_to_string(list_transform(generate_series(0,39), i -> 'tok' || doc_id || 'w' || i), ' ') AS pre, array_to_string(list_transform(generate_series(40,79), i -> 'tok' || doc_id || 'w' || i), ' ') AS post FROM documents), sp AS (SELECT array_to_string(list_transform(generate_series(0,59), j -> 'spanw' || j), ' ') AS sp, array_to_string(list_transform(generate_series(0,39), j -> 'ctrlw' || j), ' ') AS ct) SELECT doc_id, CASE WHEN doc_id % 10 = 0 AND doc_id = (SELECT min(doc_id) FROM documents WHERE doc_id % 10 = 0) THEN pre || ' ' || sp || ' ' || post WHEN doc_id % 10 = 0 THEN pre || ' ' || post WHEN doc_id % 10 = 5 THEN pre || ' ' || ct || ' ' || post ELSE own END AS text FROM base CROSS JOIN sp ORDER BY doc_id""")),
+    }, Some("""WITH base AS (SELECT doc_id, array_to_string(list_transform(generate_series(0,79), i -> 'Tok' || doc_id || 'w' || i), ' ') AS own, array_to_string(list_transform(generate_series(0,39), i -> 'Tok' || doc_id || 'w' || i), ' ') AS pre, array_to_string(list_transform(generate_series(40,79), i -> 'Tok' || doc_id || 'w' || i), ' ') AS post FROM documents), sp AS (SELECT array_to_string(list_transform(generate_series(0,59), j -> 'SpanW' || j), ' ') AS sp, array_to_string(list_transform(generate_series(0,39), j -> 'CtrlW' || j), ' ') AS ct) SELECT doc_id, CASE WHEN doc_id % 10 = 0 AND doc_id = (SELECT min(doc_id) FROM documents WHERE doc_id % 10 = 0) THEN pre || ' ' || sp || ' ' || post WHEN doc_id % 10 = 0 THEN pre || ' ' || post WHEN doc_id % 10 = 5 THEN pre || ' ' || ct || ' ' || post ELSE own END AS text FROM base CROSS JOIN sp ORDER BY doc_id""")),
 
     // ---- L40: MULTIMODAL + EMBEDDING decontamination — eval-set
     // leakage also arrives as images/audio/video/vectors, where the
@@ -2530,6 +2574,92 @@ object LlmQueries {
             lit(0L), (a, x) => a + x).as("n_chars"),
           (size(col("bpe_tokens")).cast("long") + col("bpe_merge_events")).as("n_units"))
         .orderBy(col("doc_id"))
-    }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_units FROM documents ORDER BY doc_id"""))
+    }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_units FROM documents ORDER BY doc_id""")),
+
+    // ---- L42: TRAINED quality classifier (the GPT-3 appendix-A /
+    // DCLM corpus recipe): logistic regression over hashed token
+    // features, positives = the clean originals, negatives = their
+    // alphabet-permuted gibberish siblings (the l27b plant — letter
+    // statistics scrambled, token shapes kept). Two full-batch GD
+    // epochs on the 1e-6 integer grid; the feature hash is an explicit
+    // per-char polynomial fold, so DuckDB RETRAINS the identical
+    // quantized model and rescores from scratch — and the two engines
+    // score via DIFFERENT strategies (Spark: per-row map-literal fold,
+    // the 100 TB hot path; DuckDB: explode + join + groupBy) that must
+    // agree bit-for-bit on every integer micro-probability. ----
+    ("l39_quality_classifier", (s, d) => {
+      import graft.operators.{QualityClassifier => QC}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pos = docs.select((col("doc_id") * 2).as("id"), col("text"),
+        lit(1).as("y"))
+      val neg = docs.select((col("doc_id") * 2 + 1).as("id"),
+        translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+          "zyxwvutsrqponmlkjihgfedcba").as("text"), lit(0).as("y"))
+      val train = pos.unionByName(neg)
+      val model = QC.train(train, "text", "id", "y",
+        dim = 512, epochs = 2, lr = 0.5)
+      train.select(col("id"), col("y"),
+          QC.scoreMicroColumn(col("text"), model).as("p_micro"))
+        .orderBy(col("id"))
+    }, Some("""WITH train AS (SELECT doc_id*2 AS id, text, 1 AS y FROM documents UNION ALL SELECT doc_id*2+1 AS id, translate(text, 'abcdefghijklmnopqrstuvwxyz', 'zyxwvutsrqponmlkjihgfedcba') AS text, 0 AS y FROM documents), lab AS (SELECT id, y FROM train WHERE text IS NOT NULL), nn AS (SELECT COUNT(*) AS n FROM lab), tok AS (SELECT id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS t FROM train WHERE text IS NOT NULL), fb0 AS (SELECT id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(generate_series(1, len(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))), (a, v) -> (a*31 + v) % 1000003) % 512 AS INTEGER) AS fb FROM tok), feat AS (SELECT id, fb, COUNT(*) AS fx FROM fb0 GROUP BY 1, 2), e1 AS (SELECT id, CAST(500000 - y*1000000 AS BIGINT) AS err FROM lab), w1 AS (SELECT fb, -CAST(round(0.5 * SUM(err*fx) / MAX(nn.n)) AS BIGINT) AS w FROM feat JOIN e1 USING (id) CROSS JOIN nn GROUP BY fb), b1 AS (SELECT -CAST(round(0.5 * SUM(err) / MAX(nn.n)) AS BIGINT) AS b FROM e1 CROSS JOIN nn), s2 AS (SELECT f.id, SUM(f.fx * COALESCE(w1.w, 0)) AS z FROM feat f LEFT JOIN w1 USING (fb) GROUP BY 1), e2 AS (SELECT l.id, CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(s2.z, 0) + b1.b AS DOUBLE) / 1000000.0))) AS BIGINT) - l.y*1000000 AS err FROM lab l LEFT JOIN s2 USING (id) CROSS JOIN b1), w2 AS (SELECT fb, MAX(w1.w) - CAST(round(0.5 * SUM(e2.err*feat.fx) / MAX(nn.n)) AS BIGINT) AS w FROM feat JOIN e2 USING (id) JOIN w1 USING (fb) CROSS JOIN nn GROUP BY fb), b2 AS (SELECT MAX(b1.b) - CAST(round(0.5 * SUM(err) / MAX(nn.n)) AS BIGINT) AS b FROM e2 CROSS JOIN b1 CROSS JOIN nn), sf AS (SELECT f.id, SUM(f.fx * w2.w) AS z FROM feat f JOIN w2 USING (fb) GROUP BY 1) SELECT t.id, t.y, CASE WHEN t.text IS NULL THEN NULL ELSE CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(sf.z, 0) + b2.b AS DOUBLE) / 1000000.0))) AS BIGINT) END AS p_micro FROM train t LEFT JOIN sf ON t.id = sf.id CROSS JOIN b2 ORDER BY t.id""")),
+
+    // ---- L42b: classifier CONTRAST contract — the l27b planted
+    // pattern: after training, every document's gibberish sibling must
+    // score strictly BELOW the original (pairs where the involution
+    // actually changed the text — a letterless doc is its own sibling
+    // and scores identically by construction). Closed-form oracle;
+    // measured margin at sf0.01: negatives max 0.14, positives min
+    // 0.83 on the probability scale. ----
+    ("l39b_classifier_contrast", (s, d) => {
+      import graft.operators.{QualityClassifier => QC}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pos = docs.select((col("doc_id") * 2).as("id"), col("text"),
+        lit(1).as("y"))
+      val neg = docs.select((col("doc_id") * 2 + 1).as("id"),
+        translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+          "zyxwvutsrqponmlkjihgfedcba").as("text"), lit(0).as("y"))
+      val train = pos.unionByName(neg)
+      val model = QC.train(train, "text", "id", "y",
+        dim = 512, epochs = 2, lr = 0.5)
+      val scored = train.where(col("text").isNotNull)
+        .select(col("id"), col("y"), col("text"),
+          QC.scoreMicroColumn(col("text"), model).as("p"))
+      val pairs = scored.where(col("y") === 1)
+        .select(col("id").as("oid"), col("p").as("p_orig"),
+          col("text").as("t_orig"))
+        .join(scored.where(col("y") === 0)
+          .select((col("id") - 1).as("oid"), col("p").as("p_gib"),
+            col("text").as("t_gib")), Seq("oid"))
+        .where(col("t_orig") =!= col("t_gib"))
+      pairs.agg(
+        count(when(col("p_gib") >= col("p_orig"), 1)).as("violations"),
+        count(lit(1)).as("n_pairs"))
+    }, Some("""SELECT 0 AS violations, COUNT(*) AS n_pairs FROM documents WHERE text IS NOT NULL AND regexp_matches(text, '[a-z]')""")),
+
+    // ---- L43: URL canonicalization + dedup (RefinedWeb §3.1 / CCNet
+    // practice — dedup by canonicalized URL BEFORE content costs
+    // anything). Deterministic URL fixture off doc_id: five variants
+    // per (host, path) class — plain, cased + trailing slash, default
+    // port + tracking params, kept param + tracking + fragment,
+    // fragment — of which four collapse to one canonical form and the
+    // kept-param variant forms its own; NULL urls pass through. The
+    // oracle restates the ENTIRE regex chain and the keep-min rule. ----
+    ("l40_url_dedup", (s, d) => {
+      import graft.operators.{UrlOps => U}
+      val u = urlFixture(Tables.documents(s, d).select(col("doc_id")))
+      U.urlDedup(u, "url", "doc_id")
+        .select(col("doc_id"), U.canonicalizeUrl(col("url")).as("curl"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""WITH u0 AS ($urlFixtureSql), c AS (SELECT doc_id, url, $canonUrlSql AS curl FROM u0), k AS (SELECT curl, MIN(doc_id) AS m FROM c WHERE curl IS NOT NULL GROUP BY 1) SELECT c.doc_id, c.curl FROM c LEFT JOIN k ON c.curl = k.curl WHERE c.curl IS NULL OR c.doc_id = k.m ORDER BY doc_id""")),
+
+    // ---- L43b: host-level aggregates over canonical URLs (the
+    // blocklist / host-quality filtering input — RefinedWeb URL
+    // scoring, Dolma domain filters): per host, total rows, distinct
+    // canonical URLs, duplicated rows. ----
+    ("l40b_host_agg", (s, d) => {
+      import graft.operators.{UrlOps => U}
+      val u = urlFixture(Tables.documents(s, d).select(col("doc_id")))
+      U.hostAggregates(u, "url", "doc_id").orderBy(col("host"))
+    }, Some(s"""WITH u0 AS ($urlFixtureSql), c AS (SELECT doc_id, $canonUrlSql AS curl FROM u0), pu AS (SELECT regexp_extract(curl, '^[^:/?#]+://([^/:?#]*)', 1) AS host, curl, COUNT(*) AS nu FROM c WHERE curl IS NOT NULL GROUP BY 1, 2) SELECT host, CAST(SUM(nu) AS BIGINT) AS n_rows, COUNT(*) AS n_urls, CAST(SUM(nu) AS BIGINT) - COUNT(*) AS n_dup_rows FROM pu GROUP BY host ORDER BY host"""))
   )
 }

@@ -311,14 +311,17 @@ object StreamOps {
       decontaminate: Option[(String, Int)] = None,
       paragraphDedup: Boolean = false,
       lmBuckets: Option[(graft.operators.NgramLm.CharLm,
-        graft.operators.NgramLm.PplThresholds, Set[String])] = None): DataStreamWriter[Row] =
+        graft.operators.NgramLm.PplThresholds, Set[String])] = None,
+      urlDedupCol: Option[String] = None,
+      qualityModel: Option[(graft.operators.QualityClassifier.LrModel,
+        Long)] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         intakeBatch(batch, batchId, historyTable, numBuckets,
           htmlCol, idCol, outDir, minQuality, threshold,
           extractBoilerplate, lmGate, decontaminate, paragraphDedup,
-          lmBuckets): Unit
+          lmBuckets, urlDedupCol, qualityModel): Unit
       }
 
   /** One intake micro-batch (see [[intakeSink]]; also the batch path
@@ -350,7 +353,16 @@ object StreamOps {
     *    delta, zero history exchange); survivors' paragraph hashes
     *    append to the `_pg` delta between the band and hash appends
     *    (each history independent, so any crash prefix leaves every
-    *    probe correct). */
+    *    probe correct);
+    *  - `urlDedupCol = Some(url)` runs canonical-URL keep-first dedup
+    *    ([[graft.operators.UrlOps.urlDedup]]) as the VERY FIRST leg,
+    *    before any content cleaning — the RefinedWeb/CCNet order: a
+    *    URL-duplicate row is shed before its content costs anything
+    *    (NULL-url rows pass through);
+    *  - `qualityModel = Some((model, minPMicro))` gates on the TRAINED
+    *    quality classifier ([[graft.operators.QualityClassifier]], the
+    *    GPT-3/DCLM recipe) right after the heuristic quality gate — a
+    *    pure per-row map-literal fold, no join, no extra job. */
   def intakeBatch(batch: DataFrame, batchId: Long, historyTable: String,
       numBuckets: Int, htmlCol: String, idCol: String, outDir: String,
       minQuality: Double = 0.75, threshold: Double = 0.8,
@@ -359,7 +371,10 @@ object StreamOps {
       decontaminate: Option[(String, Int)] = None,
       paragraphDedup: Boolean = false,
       lmBuckets: Option[(graft.operators.NgramLm.CharLm,
-        graft.operators.NgramLm.PplThresholds, Set[String])] = None): Boolean = {
+        graft.operators.NgramLm.PplThresholds, Set[String])] = None,
+      urlDedupCol: Option[String] = None,
+      qualityModel: Option[(graft.operators.QualityClassifier.LrModel,
+        Long)] = None): Boolean = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -369,7 +384,7 @@ object StreamOps {
     if (current.contains(batchId)) return false // replayed batch: no-op
     val outFrame = textSurvivorFrame(batch, historyTable, numBuckets,
       htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate,
-      decontaminate, paragraphDedup, lmBuckets)
+      decontaminate, paragraphDedup, lmBuckets, urlDedupCol, qualityModel)
     val survivorsPath = new Path(root, s"batch-$batchId").toString
     outFrame.write.mode("overwrite").parquet(survivorsPath)
     // explicit schema: a schema-discovery pass over the just-written
@@ -393,7 +408,7 @@ object StreamOps {
     * job-budget rationale) stays with the caller: the text loop writes
     * this frame alone; the mixed loop ([[mixedIntakeBatch]]) unions it
     * with the payload legs' frame and writes ONCE. */
-  private def textSurvivorFrame(batch: DataFrame, historyTable: String,
+  private def textSurvivorFrame(batchRaw: DataFrame, historyTable: String,
       numBuckets: Int, htmlCol: String, idCol: String,
       minQuality: Double, threshold: Double,
       extractBoilerplate: Boolean,
@@ -401,9 +416,17 @@ object StreamOps {
       decontaminate: Option[(String, Int)] = None,
       paragraphDedup: Boolean = false,
       lmBuckets: Option[(graft.operators.NgramLm.CharLm,
-        graft.operators.NgramLm.PplThresholds, Set[String])] = None): DataFrame = {
+        graft.operators.NgramLm.PplThresholds, Set[String])] = None,
+      urlDedupCol: Option[String] = None,
+      qualityModel: Option[(graft.operators.QualityClassifier.LrModel,
+        Long)] = None): DataFrame = {
     import graft.operators.{Decontaminate, Dedup}
     import graft.functions.{TextFunctions => TF}
+    // URL dedup is the FIRST leg by design (RefinedWeb/CCNet run it
+    // before content ever downloads): a canonical-URL duplicate row
+    // never reaches cleaning, scoring, or any history
+    val batch = urlDedupCol.fold(batchRaw)(u =>
+      graft.operators.UrlOps.urlDedup(batchRaw, u, idCol))
     val spark = batch.sparkSession
     // the clean/score front half: per-row native expressions only.
     // Paragraph mode preserves paragraph BOUNDARIES through cleaning
@@ -443,8 +466,15 @@ object StreamOps {
             "text", idCol).localCheckpoint(eager = true),
           historyTable, "text", idCol)
       }
-    val qualityScored = TF.withQualityOnly(paraed, "text")
+    val heuristicScored = TF.withQualityOnly(paraed, "text")
       .where(col("quality") >= minQuality)
+    // optional TRAINED classifier gate (the GPT-3/DCLM keep rule):
+    // pure per-row map-literal fold — same hot-loop class as the
+    // heuristic gate, no join/shuffle/job added
+    val qualityScored = qualityModel.fold(heuristicScored) {
+      case (model, minP) => heuristicScored.where(
+        graft.operators.QualityClassifier.keeps(col("text"), model, minP))
+    }
     val scored = (lmGate, lmBuckets) match {
       case (None, None) => qualityScored
       case _ =>
@@ -689,7 +719,10 @@ object StreamOps {
       paragraphDedup: Boolean = false,
       lmBuckets: Option[(graft.operators.NgramLm.CharLm,
         graft.operators.NgramLm.PplThresholds, Set[String])] = None,
-      decontaminateMm: Option[String] = None): Boolean = {
+      decontaminateMm: Option[String] = None,
+      urlDedupCol: Option[String] = None,
+      qualityModel: Option[(graft.operators.QualityClassifier.LrModel,
+        Long)] = None): Boolean = {
     import graft.operators.{Dedup, Similarity}
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -697,13 +730,17 @@ object StreamOps {
     val pointer = new Path(root, "_LATEST")
     val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
     if (current.contains(batchId)) return false // replayed batch: no-op
+    // URL dedup is a TEXT-leg concern (the crawl-row granularity): the
+    // url column rides into the text frame so the leg can run first;
+    // payload/embedding legs key on content identity, not provenance
     val textRows = batch.where(col(htmlCol).isNotNull)
-      .select(col(idCol), col(htmlCol))
+      .select((col(idCol) +: col(htmlCol) +:
+        urlDedupCol.toSeq.map(col)): _*)
     val payloadRows = batch.where(col(payloadCol).isNotNull)
       .select(col(idCol), col(payloadCol))
     val textOut = textSurvivorFrame(textRows, historyTable, numBuckets,
       htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate,
-      decontaminate, paragraphDedup, lmBuckets)
+      decontaminate, paragraphDedup, lmBuckets, urlDedupCol, qualityModel)
     val payOut = multimodalSurvivorFrame(payloadRows, historyTable,
       numBuckets, payloadCol, idCol, decontaminateMm)
     // optional EMBEDDING leg (SemDeDup at intake, the l29b machinery):
@@ -797,14 +834,18 @@ object StreamOps {
       paragraphDedup: Boolean = false,
       lmBuckets: Option[(graft.operators.NgramLm.CharLm,
         graft.operators.NgramLm.PplThresholds, Set[String])] = None,
-      decontaminateMm: Option[String] = None): DataStreamWriter[Row] =
+      decontaminateMm: Option[String] = None,
+      urlDedupCol: Option[String] = None,
+      qualityModel: Option[(graft.operators.QualityClassifier.LrModel,
+        Long)] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mixedIntakeBatch(batch, batchId, historyTable, numBuckets,
           htmlCol, payloadCol, idCol, outDir, minQuality, threshold,
           extractBoilerplate, lmGate, embCol, embTau, decontaminate,
-          paragraphDedup, lmBuckets, decontaminateMm): Unit
+          paragraphDedup, lmBuckets, decontaminateMm, urlDedupCol,
+          qualityModel): Unit
       }
 
   /** Drop all histories of a mixed intake (text pair + three

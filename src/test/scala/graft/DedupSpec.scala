@@ -158,6 +158,64 @@ class DedupSpec extends SparkSpec {
     assert(out2(11L) === "y1 y2 y3", s"overlapping windows must union: ${out2(11L)}")
   }
 
+  test("L41b: span rebuild preserves CASE — identity is case-insensitive, surviving bytes are the originals") {
+    val span = "S1 s2 S3 s4 S5" // mixed-case 5-token span
+    val corpus = Seq(
+      (1L, s"A1 a2 $span a3 A4"), // canonical carrier
+      // case-VARIANT of the span: the lower-casing anchor tokenizer
+      // gives it the same identity, so it must be cut — and the doc's
+      // own surviving tokens must keep their original case (the
+      // all-lowercase fixtures above could never catch a rebuild that
+      // lower-cased cut documents)
+      (2L, s"B1 b2 b3 ${span.toLowerCase} B4"),
+      (3L, s"C1 $span c2"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanDedup(corpus, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === s"A1 a2 $span a3 A4", "untouched doc must stay byte-identical")
+    assert(out(2L) === "B1 b2 b3 B4",
+      s"case-variant span must cut and survivors keep case: ${out(2L)}")
+    assert(out(3L) === "C1 c2", s"mixed-case span must cut keep-first: ${out(3L)}")
+  }
+
+  test("L39c: paragraph history writes are one-row-per-hash even from a NON-deduped corpus (bounded probe hits)") {
+    val table = "t_pg_boot"
+    Dedup.dropParagraphHistory(spark, table)
+    try {
+      // the footer paragraph appears in all three docs — a bootstrap
+      // from this corpus used to store three occurrence rows for it,
+      // making the probe's broadcast hit set grow with corpus
+      // duplication instead of batch size
+      val corpus = Seq(
+        (3L, "own three\ncommon footer text"),
+        (1L, "own one\ncommon footer text"),
+        (2L, "own two\ncommon footer text"))
+        .toDF("doc_id", "text")
+      Dedup.writeParagraphHistory(corpus, "text", "doc_id", table, 4)
+      val hist = spark.table(s"${table}_pg")
+      assert(hist.count() === hist.select("__ph").distinct().count(),
+        "history must hold each paragraph hash exactly once")
+      // 3 own lines + 1 footer; the footer's stored canonical is the
+      // MIN id (the family's keep-min), so the pid multiset is {1,1,2,3}
+      assert(hist.count() === 4)
+      val pids = hist.select("__pid").as[Long].collect().sorted.toSeq
+      assert(pids === Seq(1L, 1L, 2L, 3L), s"stored pids: $pids")
+      // probe: a fresh batch's footer copy dies, its own line survives
+      val out = Dedup.paragraphIncrementalDelta(spark,
+        Seq((9L, "fresh intro\ncommon footer text")).toDF("doc_id", "text"),
+        table, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out(9L) === "fresh intro")
+      // same-id replay guard vs the stored canonical: the canonical
+      // id's own footer survives the probe
+      val replay = Dedup.paragraphIncrementalDelta(spark,
+        Seq((1L, "common footer text")).toDF("doc_id", "text"),
+        table, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(replay(1L) === "common footer text")
+    } finally Dedup.dropParagraphHistory(spark, table)
+  }
+
   test("L39: paragraph history lifecycle — delta-visible probe, same-id replay, fold, auto-fold trigger") {
     val table = "t_pg_hist"
     Dedup.dropParagraphHistory(spark, table)

@@ -117,6 +117,28 @@ class NgramLmSpec extends SparkSpec {
     assert(re === buckets, "buckets changed under repartitioning")
   }
 
+  test("L27c escape hatch: approxQuantile thresholds bucket identically to the exact nearest-rank path on the fixture") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val lmBig = NgramLm.trainCharBigram(docs.where($"doc_id" % 3 === 0), "text")
+    val scored = NgramLm.scoreDocs(docs, "text", "doc_id", lmBig)
+      .localCheckpoint(true)
+    val thExact = NgramLm.bucketThresholds(scored, "doc_id", ringPct = 50)
+    val thApprox = NgramLm.bucketThresholds(scored, "doc_id", ringPct = 50,
+      exact = false)
+    // on a sample where approxErr × n < 1 the GK summary is exact and
+    // the centered probabilities land on the same nearest-rank rows
+    assert(thApprox.b1Logp === thExact.b1Logp &&
+      thApprox.b2Logp === thExact.b2Logp,
+      s"approx ($thApprox) vs exact ($thExact) boundary values differ")
+    def bucketsOf(th: NgramLm.PplThresholds) = scored
+      .withColumn("bucket", NgramLm.bucketColumn(
+        $"avg_logp", $"doc_id".cast("long"), $"n_big", th))
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    assert(bucketsOf(thApprox) === bucketsOf(thExact),
+      "both threshold paths must bucket the fixture identically")
+  }
+
   test("plan shape: model joins broadcast; one exchange (doc agg), none for the corpus text") {
     val docs = Seq.tabulate(50)(i => (i.toLong, s"doc $i text sample")).toDF("doc_id", "text")
     val scored = NgramLm.scoreDocs(docs, "text", "doc_id", lm)

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{QualityClassifier => QC}
+import org.apache.spark.sql.functions._
+
+/** Planted contracts for the trained quality classifier (the l39
+  * registry row carries the cross-engine train+score differential;
+  * these pin the CLASSIFICATION behavior itself): clean text must
+  * outscore its alphabet-permuted gibberish sibling AND repeated
+  * boilerplate — including on HELD-OUT documents the model never
+  * trained on — plus determinism and the NULL conventions. */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val clean = Seq(
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "a short story about the history of science and the people in it",
+    "many readers enjoy long books that explain ideas in plain words",
+    "the weather in the north was cold and the days were short",
+    "good food and good friends make the evening pass quickly",
+    "she walked to the market in the morning to buy fresh bread",
+    "the teacher explained the lesson and the students asked questions",
+    "music from the old radio filled the quiet room with warmth")
+
+  private val boiler =
+    Iterator.fill(5)("home login search menu copyright contact").mkString(" ")
+
+  private def gibberish(t: String): String =
+    t.map(c => if (c >= 'a' && c <= 'z') ('z' - (c - 'a')).toChar else c)
+
+  /** Train on the first 6 clean docs (y=1) vs their gibberish siblings
+    * and two boilerplate rows (y=0). */
+  private def trainModel(): QC.LrModel = {
+    val pos = clean.take(6).zipWithIndex.map { case (t, i) => (i * 10L, t, 1) }
+    val neg = clean.take(6).zipWithIndex.map { case (t, i) =>
+      (i * 10L + 1, gibberish(t), 0) }
+    val bp = Seq((900L, boiler, 0), (901L, boiler + " home login", 0))
+    val train = (pos ++ neg ++ bp).toDF("id", "text", "y")
+    QC.train(train, "text", "id", "y", dim = 256, epochs = 2, lr = 0.5)
+  }
+
+  test("L42: held-out clean outscores its gibberish sibling and boilerplate") {
+    val model = trainModel()
+    val holdout = clean.drop(6)
+    val rows = (holdout.zipWithIndex.map { case (t, i) => (1000L + i, t) } ++
+      holdout.zipWithIndex.map { case (t, i) => (2000L + i, gibberish(t)) } ++
+      Seq((3000L, boiler)))
+      .toDF("id", "text")
+      .select($"id", QC.scoreMicroColumn($"text", model).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    holdout.indices.foreach { i =>
+      assert(rows(1000L + i) > rows(2000L + i),
+        s"held-out clean $i (${rows(1000L + i)}) must outscore its gibberish sibling (${rows(2000L + i)})")
+    }
+    assert(holdout.indices.forall(i => rows(1000L + i) > rows(3000L)),
+      s"held-out clean must outscore boilerplate (${rows(3000L)})")
+  }
+
+  test("L42: training is deterministic and the model is bounded by dim") {
+    val m1 = trainModel()
+    val m2 = trainModel()
+    assert(m1 === m2, "same input must train the identical quantized model")
+    assert(m1.wMicro.keys.forall(b => b >= 0 && b < m1.dim))
+    assert(m1.wMicro.nonEmpty && m1.wMicro.values.exists(_ != 0L))
+  }
+
+  test("L42: NULL conventions — score NULL on NULL text, keeps() passes it") {
+    val model = trainModel()
+    val out = Seq((1L, "the quick brown fox"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select($"id", QC.scoreMicroColumn($"text", model).as("p"),
+        QC.keeps($"text", model, 500000L).as("k"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2))).toMap
+    assert(out(2L)._1.isEmpty, "NULL text must score NULL")
+    assert(out(2L)._2, "NULL text must pass keeps() (no-evidence convention)")
+    assert(out(1L)._1.nonEmpty)
+  }
+
+  test("L42: empty-weight model scores sigmoid(bias) and survives the map-literal path") {
+    val model = QC.LrModel(dim = 8, biasMicro = 0L, wMicro = Map.empty)
+    val p = Seq((1L, "anything at all")).toDF("id", "text")
+      .select(QC.scoreMicroColumn($"text", model).as("p"))
+      .head().getLong(0)
+    assert(p === 500000L) // sigmoid(0) = 0.5 exactly on the grid
+  }
+}

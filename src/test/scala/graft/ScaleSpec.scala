@@ -916,6 +916,88 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: trained quality classifier — train on a labeled slice, per-row score the full skewed corpus, stays balanced", suiteTags: _*) {
+    import graft.operators.{QualityClassifier => QC}
+    def gib(c: org.apache.spark.sql.Column) =
+      translate(c, "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba")
+    withScaleConf {
+      val stages = probe {
+        // labeled slice (public practice trains on a curated SAMPLE):
+        // positives = natural docs of one ring slice, negatives = the
+        // gibberish siblings of another — ids kept disjoint by parity
+        val pos = docs.where($"text".isNotNull && $"doc_id" % 12 === 1)
+          .select(($"doc_id" * 2).as("id"), $"text", lit(1).as("y"))
+        val neg = docs.where($"text".isNotNull && $"doc_id" % 12 === 2)
+          .select(($"doc_id" * 2 + 1).as("id"), gib($"text").as("text"),
+            lit(0).as("y"))
+        val model = QC.train(pos.unionByName(neg), "text", "id", "y",
+          dim = 512, epochs = 2, lr = 0.5)
+        // the 100 TB path: score EVERY doc (incl. the 10k-copy cluster
+        // and NULLs) through the per-row map-literal fold — no explode,
+        // no join, nothing to skew; assert separation on a HELD-OUT
+        // slice the model never saw
+        val scored = docs.select($"doc_id", $"text",
+            QC.scoreMicroColumn($"text", model).as("p"))
+          .localCheckpoint(true)
+        val held = scored.where($"text".isNotNull && $"doc_id" % 12 === 5)
+        val cleanMean = held.agg(avg($"p")).head().getDouble(0)
+        val gibMean = docs.where($"text".isNotNull && $"doc_id" % 12 === 5)
+          .select(QC.scoreMicroColumn(gib($"text"), model).as("p"))
+          .agg(avg($"p")).head().getDouble(0)
+        assert(cleanMean > gibMean,
+          s"held-out separation lost: clean $cleanMean <= gibberish $gibMean")
+        assert(scored.where($"text".isNull && $"p".isNotNull).count() === 0)
+      }
+      assertBalanced("quality classifier", stages)
+    }
+  }
+
+  test("scale: URL dedup — one URL duplicated 10k times peels off through the lossless hot branch, stays balanced", suiteTags: _*) {
+    import graft.operators.{UrlOps => U}
+    withScaleConf {
+      // ONE url on ~10k interleaved rows (a crawler hammering a single
+      // page — the mass-duplicated key; interleaved like a real crawl,
+      // not a contiguous block: a contiguous cluster makes any
+      // post-filter record count concentrate in its input partition,
+      // which is an input-LAYOUT property, not an operator stage); the
+      // rest spread over ~N distinct canonical urls via tracking-param
+      // and case noise that canonicalization must fold
+      val urls = docs.select($"doc_id",
+        when($"doc_id" % 64 === 0, lit(null).cast("string"))
+          .when($"doc_id" % 6 === 3,
+            lit("http://Hot.example.com/index?utm_source=crawl"))
+          .otherwise(concat(lit("http://site"), $"doc_id" % 97,
+            lit(".example.com/p"), ($"doc_id" / 8).cast("long"),
+            when($"doc_id" % 2 === 0, lit("/")).otherwise(lit("#f"))))
+          .as("url")).persist()
+      urls.count()
+      // expected survivors, derived from the data BEFORE the probe:
+      // one row per distinct canonical url + every NULL
+      val nulls = urls.where($"url".isNull).count()
+      val distinctCanon = urls.where($"url".isNotNull)
+        .select(U.canonicalizeUrl($"url")).distinct().count()
+      val expectedHotMin = urls
+        .where($"url".isNotNull && $"doc_id" % 6 === 3)
+        .agg(min($"doc_id")).head().getLong(0)
+      var out: DataFrame = null
+      // hotOccurrences far below the 10k cluster forces the broadcast
+      // peel-off; correctness must be unchanged (lossless)
+      val stages = probe {
+        out = U.urlDedup(urls, "url", "doc_id", hotOccurrences = 1000)
+          .persist()
+        out.count(): Unit
+      }
+      assert(out.count() === distinctCanon + nulls)
+      val hotSurvivor = out
+        .where(U.canonicalizeUrl($"url") === "http://hot.example.com/index")
+        .select($"doc_id").as[Long].collect().toSeq
+      assert(hotSurvivor === Seq(expectedHotMin),
+        s"hot url must keep exactly its min id: $hotSurvivor")
+      assertBalanced("url dedup", stages)
+      out.unpersist(); urls.unpersist(): Unit
+    }
+  }
+
   test("scale: char-bigram LM train + score over the skewed corpus (NULLs, 10k-copy cluster) stays balanced", suiteTags: _*) {
     withScaleConf {
       import graft.operators.NgramLm

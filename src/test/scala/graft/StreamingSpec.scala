@@ -1590,4 +1590,200 @@ class StreamingSpec extends SparkSpec {
           "re-run 'Test/runMain graft.tools.JobCountProbe multimodal' to attribute")
     } finally StreamOps.dropMultimodalHistory(spark, hist)
   }
+
+  test("L40 guard: a batch id colliding with an eval identity id fails LOUDLY, not silently passing leakage") {
+    import graft.operators.{Decontaminate, Multimodal}
+    val evalT = "t_guard_eval"
+    Decontaminate.dropEvalIdentities(spark, evalT)
+    try {
+      val evalRows = Multimodal.syntheticPpmMixed(
+          Seq((7000L, 7000L)).toDF("doc_id", "__seed"), "__seed", 16, 16)
+        .select($"doc_id", $"payload")
+      Decontaminate.writeEvalIdentities(spark, evalRows, "payload",
+        "doc_id", evalT)
+      // a FRESH payload under the EVAL id: the same-id replay guard in
+      // the probes would silently pass it — the guard must raise
+      val collide = Multimodal.syntheticPpmMixed(
+          Seq((7000L, 1L)).toDF("doc_id", "__seed"), "__seed", 16, 16)
+        .select($"doc_id", $"payload")
+      val e = intercept[Exception] {
+        Decontaminate.dropContaminatedMultimodal(spark, collide,
+          "payload", "doc_id", evalT).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("collides")),
+        s"expected the id-collision raise, got: ${msgs(e).mkString(" | ")}")
+      // disjoint ids pass the guard untouched; checkIds=false opts out
+      val fresh = Multimodal.syntheticPpmMixed(
+          Seq((1L, 1L)).toDF("doc_id", "__seed"), "__seed", 16, 16)
+        .select($"doc_id", $"payload")
+      assert(Decontaminate.dropContaminatedMultimodal(spark, fresh,
+        "payload", "doc_id", evalT).count() === 1)
+      assert(Decontaminate.dropContaminatedMultimodal(spark, collide,
+        "payload", "doc_id", evalT, checkIds = false).count() === 1)
+    } finally Decontaminate.dropEvalIdentities(spark, evalT)
+  }
+
+  test("L44 all-legs composition: url dedup + paragraph + classifier + buckets + gram-decontaminate + mm-decontaminate + embeddings in ONE mixedIntakeBatch — every leg's plant dies with every other leg on, replay exactly-once") {
+    import graft.operators.{Decontaminate, Multimodal, NgramLm, QualityClassifier => QC}
+    val hist = "t_allleg_hist"
+    val evalG = "t_allleg_evalg"
+    val evalM = "t_allleg_evalmm"
+    val outDir = tmpDir("allleg_out")
+    StreamOps.dropMixedHistory(spark, hist)
+    Decontaminate.dropEvalGrams(spark, evalG)
+    Decontaminate.dropEvalIdentities(spark, evalM)
+    try {
+      // ---- frozen reference state (built once, before any batch) ----
+      def toks(seed: Long) = (0 until 40).map(i => s"tok${seed}w$i").mkString(" ")
+      def gib(t: String) =
+        t.map(c => if (c >= 'a' && c <= 'z') ('z' - (c - 'a')).toChar else c)
+      val footer = "shared footer paragraph repeated on every page"
+      val evalQuote = "evalquote alpha beta gamma delta"
+      Decontaminate.writeEvalGrams(spark,
+        Seq((1L, s"an eval benchmark item containing $evalQuote verbatim"))
+          .toDF("id", "text"), "text", evalG, n = 5)
+      def v(xs: Double*) = xs.map(_.toFloat).toArray
+      val evalRows = Multimodal.syntheticPpmMixed(
+          Seq((7000L, 7000L)).toDF("doc_id", "__seed"), "__seed", 16, 16)
+        .select($"doc_id", $"payload",
+          lit(null).cast("array<float>").as("embedding"))
+        .unionByName(Seq((7001L, v(1, 0, 0, 0)), (7002L, v(0, 1, 0, 0)),
+            (7003L, v(0, 0, 1, 0)), (7004L, v(0, 0, 0, 1)))
+          .toDF("doc_id", "embedding")
+          .select($"doc_id", lit(null).cast("binary").as("payload"),
+            $"embedding"))
+      Decontaminate.writeEvalIdentities(spark, evalRows, "payload",
+        "doc_id", evalM, embCol = Some("embedding"), nLists = 2)
+      // LM on the corpus' own token language; thresholds HAND-frozen
+      // around the measured clean/gibberish scores (threshold
+      // derivation itself is pinned in NgramLmSpec/L36 — this test is
+      // about the COMPOSITION)
+      val lm = NgramLm.trainCharBigram(
+        (900L to 905L).map(s => (s, toks(s))).toDF("doc_id", "text"), "text")
+      def scoreOf(t: String) = NgramLm.scoreDocs(
+          Seq((1L, t)).toDF("doc_id", "text"), "text", "doc_id", lm)
+        .select($"avg_logp").head().getDouble(0)
+      val cScore = scoreOf(toks(40))
+      val gScore = scoreOf(gib(toks(41)))
+      assert(gScore < cScore, "fixture broken: gibberish must score below clean")
+      val th = NgramLm.PplThresholds((cScore + gScore) / 2, 0L, cScore + 1.0, 0L)
+      // trained classifier: positives + negatives in the SAME char
+      // language as the clean docs (so the LM bucket router would PASS
+      // the classifier's plant — the kill below is attributable to the
+      // classifier leg alone); unknown-vocab docs score ~bias ≈ 0.5,
+      // above the 0.3 gate, so only trained-negative vocabulary dies
+      val clf = QC.train(
+        ((960L to 962L).map(s => (s, toks(s), 1)) ++
+          (963L to 965L).map(s => (s, toks(s), 0))).toDF("id", "text", "y"),
+        "text", "id", "y", dim = 256, epochs = 2, lr = 0.5)
+      // ---- row builders (mixed schema: html | url | payload | embedding) ----
+      def textRow(id: Long, seed: Long, extraPara: String = "",
+          gibberish: Boolean = false, suffix: String = "",
+          url: Option[String] = None) = {
+        val body = (if (gibberish) gib(toks(seed)) else toks(seed)) + suffix
+        val html = s"<p>$body</p>" +
+          (if (extraPara.nonEmpty) s"<p>$extraPara</p>" else "") +
+          s"<p>$footer</p>"
+        Seq((id, html, url.getOrElse(s"http://d$id.example.com/x")))
+          .toDF("doc_id", "html", "url")
+          .select($"doc_id", $"html", $"url",
+            lit(null).cast("binary").as("payload"),
+            lit(null).cast("array<float>").as("embedding"))
+      }
+      def payRow(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", lit(null).cast("string").as("html"),
+          lit(null).cast("string").as("url"), $"payload",
+          lit(null).cast("array<float>").as("embedding"))
+      def img(id: Long, seed: Long) = payRow(Multimodal.syntheticPpmMixed(
+        Seq((id, seed)).toDF("doc_id", "__seed"), "__seed", 16, 16))
+      def imgPng(id: Long, seed: Long) = payRow(Multimodal.syntheticPngMixed(
+        Seq((id, seed)).toDF("doc_id", "__seed"), "__seed", 16, 16))
+      def vec(id: Long, e: Array[Float]) = Seq((id, e))
+        .toDF("doc_id", "embedding")
+        .select($"doc_id", lit(null).cast("string").as("html"),
+          lit(null).cast("string").as("url"),
+          lit(null).cast("binary").as("payload"), $"embedding")
+      def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+        StreamOps.mixedIntakeBatch(b, id, hist, 4, "html", "payload",
+          "doc_id", outDir, minQuality = 0.0,
+          embCol = Some("embedding"), decontaminate = Some((evalG, 5)),
+          paragraphDedup = true,
+          lmBuckets = Some((lm, th, Set("head", "middle"))),
+          decontaminateMm = Some(evalM),
+          urlDedupCol = Some("url"),
+          qualityModel = Some((clf, 300000L)))
+      def ids(b: Long): Set[Long] = spark.read.parquet(s"$outDir/batch-$b")
+        .select($"doc_id").as[Long].collect().toSet
+      // ---- batch 0: seeds every history through the full chain ----
+      val b0 = (1L to 10L).map(s => textRow(s, s)).reduce(_ unionByName _)
+        .unionByName(img(100L, 100L))
+        .unionByName(vec(200L, v(0, 1, 1, 0)))
+        .unionByName(vec(201L, v(1, 1, 0, 0)))
+      assert(run(b0, 0L))
+      assert(ids(0L) === ((1L to 10L).toSet ++ Set(100L, 200L, 201L)),
+        s"seed survivors wrong: ${ids(0L)}")
+      // within-batch paragraph keep-first: only the min doc kept the
+      // shared footer
+      val texts0 = spark.read.parquet(s"$outDir/batch-0")
+        .where($"text".isNotNull).select($"doc_id", $"text")
+        .as[(Long, String)].collect().toMap
+      assert(texts0(1L) === s"${toks(1L)}\n$footer")
+      assert(texts0(2L) === toks(2L))
+      // ---- batch 1: one planted kill PER LEG, all legs on ----
+      val b1 = textRow(40L, 40L) // fresh: survives, footer dies on _pg
+        .unionByName(textRow(1005L, 5L)) // full copy of doc 5: every
+        // paragraph is in _pg → drops at the paragraph probe (the legs
+        // MASK each other by design — earliest leg fires first)
+        .unionByName(textRow(1006L, 6L, suffix = " zzextra")) // near copy
+        // of doc 6's survivor text → past paragraphs, dies on the band
+        .unionByName(textRow(777L, 777L, extraPara = evalQuote)) // eval
+        // 5-gram in an otherwise-fresh doc → past paragraphs + LM,
+        // dies on the gram table
+        .unionByName(textRow(778L, 778L,
+          extraPara = "alpha beta gamma delta surrounded by own words"))
+        // 4-of-5 overlap control: no shared 5-gram → survives
+        .unionByName(textRow(41L, 41L, gibberish = true)) // scores below
+        // b1 → tail → dropped by the bucket router
+        .unionByName(textRow(42L, 963L)) // body in the clean CHAR
+        // language (LM passes it) but trained-NEGATIVE vocabulary →
+        // dies on the classifier gate alone
+        .unionByName(textRow(43L, 43L,
+          url = Some("HTTP://D40.example.com/x#frag"))) // canonical-URL
+        // duplicate of doc 40 → dies at the url leg BEFORE cleaning
+        .unionByName(img(160L, 160L)) // fresh image
+        .unionByName(imgPng(1100L, 100L)) // re-encode of history image
+        .unionByName(imgPng(1700L, 7000L)) // re-encode of EVAL image
+        .unionByName(payRow(Seq((999L, "no modality".getBytes))
+          .toDF("doc_id", "payload"))) // junk: no identity anywhere
+        .unionByName(vec(205L, v(0, 0, 1, 1))) // fresh vector
+        .unionByName(vec(1200L, v(0, 2, 2, 0))) // 2x of history vector
+        .unionByName(vec(1201L, v(2, 0, 0, 0))) // 2x of EVAL vector
+        .unionByName(vec(210L, v(1, 0, 1, 0))) // in-batch pair:
+        .unionByName(vec(211L, v(2, 0, 2, 0))) //   keep-min under _ei
+      assert(run(b1, 1L))
+      assert(ids(1L) === Set(40L, 778L, 160L, 999L, 205L, 210L),
+        s"composed survivor set wrong: ${ids(1L)}")
+      val texts1 = spark.read.parquet(s"$outDir/batch-1")
+        .where($"text".isNotNull).select($"doc_id", $"text")
+        .as[(Long, String)].collect().toMap
+      assert(texts1(40L) === toks(40L),
+        s"footer must die on the _pg history: '${texts1(40L)}'")
+      // ---- partial replay: identical survivors on every leg ----
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_LATEST"), false)
+      assert(run(b1, 1L))
+      assert(ids(1L) === Set(40L, 778L, 160L, 999L, 205L, 210L),
+        "replay changed the composed survivor set")
+      // full replay: no-op
+      assert(!run(b1, 1L))
+    } finally {
+      StreamOps.dropMixedHistory(spark, hist)
+      Decontaminate.dropEvalGrams(spark, evalG)
+      Decontaminate.dropEvalIdentities(spark, evalM)
+    }
+  }
 }
