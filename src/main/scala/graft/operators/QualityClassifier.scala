@@ -164,4 +164,44 @@ object QualityClassifier {
     * empty/NULL handling). */
   def keeps(text: Column, model: LrModel, minPMicro: Long): Column =
     text.isNull || scoreMicroColumn(text, model) >= minPMicro
+
+  // ---- persistence: train once, gate forever (the writeLm/writeVocab
+  // discipline — a production intake loop loads the frozen model from
+  // the catalog instead of retraining per session) ----
+
+  /** Persist a model as two managed tables: `<table>_qcw` (bucket,
+    * weight) — at most `dim` rows — and the one-row `<table>_qcm`
+    * (dim, bias). Integer micro-units round-trip exactly. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: LrModel,
+      table: String): Unit = {
+    import spark.implicits._
+    model.wMicro.toSeq.toDF("bucket", "w_micro")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_qcw")
+    Seq((model.dim, model.biasMicro)).toDF("dim", "bias_micro")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_qcm")
+  }
+
+  /** Load a persisted model ([[writeModel]]) — one bounded driver pull
+    * of ≤ dim+1 rows; the weights become the scoring map literal. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      table: String): LrModel = {
+    val meta = spark.table(s"${table}_qcm").select(col("dim"), col("bias_micro")).head()
+    val w = spark.table(s"${table}_qcw").select(col("bucket"), col("w_micro"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    LrModel(meta.getInt(0), meta.getLong(1), w)
+  }
+
+  /** True when both model tables exist (the session gate the probe-row
+    * pattern uses). */
+  def modelExists(spark: org.apache.spark.sql.SparkSession,
+      table: String): Boolean =
+    Seq("_qcw", "_qcm").forall(s => spark.catalog.tableExists(table + s))
+
+  /** Drop a persisted model — tables AND warehouse locations (the
+    * [[Layout.dropTableAndLocation]] rationale: a new session over an
+    * old warehouse otherwise refuses the CREATE path). */
+  def dropModel(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Seq("_qcw", "_qcm").foreach(s =>
+      Layout.dropTableAndLocation(spark, table + s))
 }

@@ -94,6 +94,14 @@ object LlmQueries {
     raw"""regexp_replace(regexp_replace($reanchored, '/+\?', '?'), '([^:/])/+$$', '\1')"""
   }
 
+  /** The l39/l39c DuckDB oracle: retrain the identical quantized LR
+    * model as unrolled CTEs and rescore via explode + join + groupBy
+    * (Spark scores via the per-row map-literal fold — a genuine
+    * cross-strategy differential; the persisted row shares it, the
+    * write->read round-trip being exact on the integer grid). */
+  private val l39OracleSql =
+    """WITH train AS (SELECT doc_id*2 AS id, text, 1 AS y FROM documents UNION ALL SELECT doc_id*2+1 AS id, translate(text, 'abcdefghijklmnopqrstuvwxyz', 'zyxwvutsrqponmlkjihgfedcba') AS text, 0 AS y FROM documents), lab AS (SELECT id, y FROM train WHERE text IS NOT NULL), nn AS (SELECT COUNT(*) AS n FROM lab), tok AS (SELECT id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS t FROM train WHERE text IS NOT NULL), fb0 AS (SELECT id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(generate_series(1, len(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))), (a, v) -> (a*31 + v) % 1000003) % 512 AS INTEGER) AS fb FROM tok), feat AS (SELECT id, fb, COUNT(*) AS fx FROM fb0 GROUP BY 1, 2), e1 AS (SELECT id, CAST(500000 - y*1000000 AS BIGINT) AS err FROM lab), w1 AS (SELECT fb, -CAST(round(0.5 * SUM(err*fx) / MAX(nn.n)) AS BIGINT) AS w FROM feat JOIN e1 USING (id) CROSS JOIN nn GROUP BY fb), b1 AS (SELECT -CAST(round(0.5 * SUM(err) / MAX(nn.n)) AS BIGINT) AS b FROM e1 CROSS JOIN nn), s2 AS (SELECT f.id, SUM(f.fx * COALESCE(w1.w, 0)) AS z FROM feat f LEFT JOIN w1 USING (fb) GROUP BY 1), e2 AS (SELECT l.id, CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(s2.z, 0) + b1.b AS DOUBLE) / 1000000.0))) AS BIGINT) - l.y*1000000 AS err FROM lab l LEFT JOIN s2 USING (id) CROSS JOIN b1), w2 AS (SELECT fb, MAX(w1.w) - CAST(round(0.5 * SUM(e2.err*feat.fx) / MAX(nn.n)) AS BIGINT) AS w FROM feat JOIN e2 USING (id) JOIN w1 USING (fb) CROSS JOIN nn GROUP BY fb), b2 AS (SELECT MAX(b1.b) - CAST(round(0.5 * SUM(err) / MAX(nn.n)) AS BIGINT) AS b FROM e2 CROSS JOIN b1 CROSS JOIN nn), sf AS (SELECT f.id, SUM(f.fx * w2.w) AS z FROM feat f JOIN w2 USING (fb) GROUP BY 1) SELECT t.id, t.y, CASE WHEN t.text IS NULL THEN NULL ELSE CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(sf.z, 0) + b2.b AS DOUBLE) / 1000000.0))) AS BIGINT) END AS p_micro FROM train t LEFT JOIN sf ON t.id = sf.id CROSS JOIN b2 ORDER BY t.id"""
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- L1: exact dedup — smallest doc_id survives per sha256(text) ----
@@ -2601,7 +2609,35 @@ object LlmQueries {
       train.select(col("id"), col("y"),
           QC.scoreMicroColumn(col("text"), model).as("p_micro"))
         .orderBy(col("id"))
-    }, Some("""WITH train AS (SELECT doc_id*2 AS id, text, 1 AS y FROM documents UNION ALL SELECT doc_id*2+1 AS id, translate(text, 'abcdefghijklmnopqrstuvwxyz', 'zyxwvutsrqponmlkjihgfedcba') AS text, 0 AS y FROM documents), lab AS (SELECT id, y FROM train WHERE text IS NOT NULL), nn AS (SELECT COUNT(*) AS n FROM lab), tok AS (SELECT id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS t FROM train WHERE text IS NOT NULL), fb0 AS (SELECT id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(generate_series(1, len(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))), (a, v) -> (a*31 + v) % 1000003) % 512 AS INTEGER) AS fb FROM tok), feat AS (SELECT id, fb, COUNT(*) AS fx FROM fb0 GROUP BY 1, 2), e1 AS (SELECT id, CAST(500000 - y*1000000 AS BIGINT) AS err FROM lab), w1 AS (SELECT fb, -CAST(round(0.5 * SUM(err*fx) / MAX(nn.n)) AS BIGINT) AS w FROM feat JOIN e1 USING (id) CROSS JOIN nn GROUP BY fb), b1 AS (SELECT -CAST(round(0.5 * SUM(err) / MAX(nn.n)) AS BIGINT) AS b FROM e1 CROSS JOIN nn), s2 AS (SELECT f.id, SUM(f.fx * COALESCE(w1.w, 0)) AS z FROM feat f LEFT JOIN w1 USING (fb) GROUP BY 1), e2 AS (SELECT l.id, CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(s2.z, 0) + b1.b AS DOUBLE) / 1000000.0))) AS BIGINT) - l.y*1000000 AS err FROM lab l LEFT JOIN s2 USING (id) CROSS JOIN b1), w2 AS (SELECT fb, MAX(w1.w) - CAST(round(0.5 * SUM(e2.err*feat.fx) / MAX(nn.n)) AS BIGINT) AS w FROM feat JOIN e2 USING (id) JOIN w1 USING (fb) CROSS JOIN nn GROUP BY fb), b2 AS (SELECT MAX(b1.b) - CAST(round(0.5 * SUM(err) / MAX(nn.n)) AS BIGINT) AS b FROM e2 CROSS JOIN b1 CROSS JOIN nn), sf AS (SELECT f.id, SUM(f.fx * w2.w) AS z FROM feat f JOIN w2 USING (fb) GROUP BY 1) SELECT t.id, t.y, CASE WHEN t.text IS NULL THEN NULL ELSE CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(sf.z, 0) + b2.b AS DOUBLE) / 1000000.0))) AS BIGINT) END AS p_micro FROM train t LEFT JOIN sf ON t.id = sf.id CROSS JOIN b2 ORDER BY t.id""")),
+    }, Some(l39OracleSql)),
+
+    // ---- L42c: PERSISTED classifier — train once, save as managed
+    // tables (the writeLm/l17c discipline), score from the catalog:
+    // ≤ dim+1 rows load in one bounded pull and broadcast with the
+    // plan, the corpus never shuffles. Same oracle as l39 — the
+    // write→read round-trip is exact on the integer grid, so the
+    // catalog-loaded model must reproduce the in-memory scores
+    // bit-for-bit. Per-SF table names (the sfTag discipline). ----
+    ("l39c_classifier_persisted", (s, d) => {
+      import graft.operators.{QualityClassifier => QC}
+      val table = s"l39c_model_${sfTag(d)}"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pos = docs.select((col("doc_id") * 2).as("id"), col("text"),
+        lit(1).as("y"))
+      val neg = docs.select((col("doc_id") * 2 + 1).as("id"),
+        translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+          "zyxwvutsrqponmlkjihgfedcba").as("text"), lit(0).as("y"))
+      val train = pos.unionByName(neg)
+      if (!QC.modelExists(s, table)) {
+        QC.dropModel(s, table) // stale location from a prior session
+        QC.writeModel(s, QC.train(train, "text", "id", "y",
+          dim = 512, epochs = 2, lr = 0.5), table)
+      }
+      val model = QC.readModel(s, table)
+      train.select(col("id"), col("y"),
+          QC.scoreMicroColumn(col("text"), model).as("p_micro"))
+        .orderBy(col("id"))
+    }, Some(l39OracleSql)),
 
     // ---- L42b: classifier CONTRAST contract — the l27b planted
     // pattern: after training, every document's gibberish sibling must

@@ -393,6 +393,51 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
+  test("l39 classifier scoring is a pure projection: ZERO exchanges, no join, model as a literal") {
+    import graft.operators.{QualityClassifier => QC}
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    // a representative trained-shape model (weights sparse, bias set)
+    val model = QC.LrModel(512, 12345L,
+      Map(3 -> 250000L, 17 -> -310000L, 400 -> 90000L))
+    val plan = docs.select(col("doc_id"),
+        QC.scoreMicroColumn(col("text"), model).as("p"))
+      .queryExecution.executedPlan
+    // the 100 TB contract: scoring must never explode, join, or
+    // shuffle — the weights ride as a map literal inside one projection
+    assert(!plan.exists(n => n.nodeName.contains("Exchange") ||
+      n.nodeName.contains("Join") || n.nodeName.contains("Generate")),
+      s"classifier scoring must stay a narrow projection:\n$plan")
+  }
+
+  test("l40 url dedup: canonical resolution is a partial-agg groupBy; the hot branch plans a broadcast join") {
+    import graft.operators.{UrlOps => U}
+    val urls = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        concat(lit("http://h"), col("doc_id") % 5, lit(".example.com/p"))
+          .as("url"))
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false") // plain tree walk
+      val plan = U.urlDedup(urls, "url", "doc_id")
+        .queryExecution.executedPlan
+      assert(!plan.exists(_.nodeName.contains("Window")),
+        s"url dedup must not plan a Window:\n$plan")
+      val partialAggs = plan.collect {
+        case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if h.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => h
+      }
+      assert(partialAggs.nonEmpty,
+        s"canonical resolution must partial-agg before the exchange:\n$plan")
+      // the lossless hot-key isolation's hot leg is a broadcast join —
+      // a mass-crawled URL peels off map-side, never through a shuffle
+      assert(plan.exists(_.nodeName.contains("BroadcastHashJoin")),
+        s"hot branch must plan a broadcast join:\n$plan")
+    } finally conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("l01c broadcastable-batch incremental dedup: ZERO shuffle exchanges end-to-end") {
     import graft.operators.Dedup
     val docs = graft.sources.Tables.documents(spark, sf0001)

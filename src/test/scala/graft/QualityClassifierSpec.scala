@@ -76,6 +76,22 @@ class QualityClassifierSpec extends SparkSpec {
     assert(out(1L)._1.nonEmpty)
   }
 
+  test("L42: persisted model round-trips exactly and scores identically from the catalog") {
+    val table = "t_qc_model"
+    QC.dropModel(spark, table)
+    try {
+      val m = trainModel()
+      QC.writeModel(spark, m, table)
+      assert(QC.modelExists(spark, table))
+      val back = QC.readModel(spark, table)
+      assert(back === m, "integer-grid model must round-trip bit-exact")
+      val probe = Seq((1L, clean.head)).toDF("id", "text")
+      val a = probe.select(QC.scoreMicroColumn($"text", m)).head().getLong(0)
+      val b = probe.select(QC.scoreMicroColumn($"text", back)).head().getLong(0)
+      assert(a === b)
+    } finally QC.dropModel(spark, table)
+  }
+
   test("L42: empty-weight model scores sigmoid(bias) and survives the map-literal path") {
     val model = QC.LrModel(dim = 8, biasMicro = 0L, wMicro = Map.empty)
     val p = Seq((1L, "anything at all")).toDF("id", "text")

@@ -1780,6 +1780,36 @@ class StreamingSpec extends SparkSpec {
         "replay changed the composed survivor set")
       // full replay: no-op
       assert(!run(b1, 1L))
+      // ---- composed job budget (the all-legs steady state): fold
+      // every history, then one small fresh batch through all seven
+      // legs — pinned so growth in any leg's job count is loud, like
+      // the per-loop pins (L23 ≤20, L39 ≤34, L31 ≤50) ----
+      StreamOps.maintainMixedHistories(spark, hist, maxDeltaRatio = 1e-9)
+      val b2 = textRow(50L, 50L)
+        .unionByName(img(170L, 170L))
+        .unionByName(vec(220L, v(1, 0, 0, 1)))
+      val nJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          nJobs.incrementAndGet(): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(run(b2, 2L))
+        Thread.sleep(1500) // the listener bus is async
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(ids(2L) === Set(50L, 170L, 220L), s"steady batch broke: ${ids(2L)}")
+      // measured 149 at the pin: roughly the sum of the per-loop pins
+      // (text+paragraph ≤34, multimodal ≤50) plus the embedding
+      // within+probe+append legs, the four eval-identity probes with
+      // their broadcast builds and the id guard, the gram probe, the
+      // url-leg canonical broadcast, and the LM score pass — every one
+      // a batch-sized or broadcast-bounded job. Pinned so growth in
+      // any leg is loud, like the per-loop pins.
+      assert(nJobs.get() <= 155,
+        s"all-legs mixedIntakeBatch launched ${nJobs.get()} jobs (pinned at 155)")
     } finally {
       StreamOps.dropMixedHistory(spark, hist)
       Decontaminate.dropEvalGrams(spark, evalG)

@@ -63,25 +63,39 @@ object IntakeDemo {
         .select($"doc_id", lit(null).cast("binary").as("payload"), $"embedding"))
     Decontaminate.writeEvalIdentities(spark, evalRows, "payload", "doc_id",
       evalIds, embCol = Some("embedding"))
-    println("  eval gram table + eval identity tables written\n")
+    // trained quality classifier (the GPT-3/DCLM leg): positives = the
+    // clean "ab"-run vocabulary, negatives = a spam vocabulary; docs of
+    // unknown vocabulary score ~0.5 (bias) and pass the 0.3 gate
+    val clf = graft.operators.QualityClassifier.train(
+      ((970L to 975L).map(id => (id, "ab" * 30, 1)) ++
+        (980L to 985L).map(id => (id, "spam offer click " * 10, 0)))
+        .toDF("id", "text", "y"), "text", "id", "y",
+      dim = 256, epochs = 2, lr = 0.5)
+    println("  eval gram table + eval identity tables + quality classifier ready\n")
 
     // ---- the mixed batches (step 2: the stream) --------------------
     def page(paras: String*) = paras.map(p => s"<p>$p</p>").mkString
-    def textRow(id: Long, html: String) = Seq((id, html)).toDF("doc_id", "html")
-      .select($"doc_id", $"html", lit(null).cast("binary").as("payload"),
-        lit(null).cast("array<float>").as("embedding"))
+    def textRow(id: Long, html: String, url: String = null) =
+      Seq((id, html, Option(url).getOrElse(s"http://demo$id.example.com/")))
+        .toDF("doc_id", "html", "url")
+        .select($"doc_id", $"html", $"url",
+          lit(null).cast("binary").as("payload"),
+          lit(null).cast("array<float>").as("embedding"))
     def payRow(df: DataFrame) = df.select($"doc_id",
-      lit(null).cast("string").as("html"), $"payload",
+      lit(null).cast("string").as("html"),
+      lit(null).cast("string").as("url"), $"payload",
       lit(null).cast("array<float>").as("embedding"))
     def vecRow(id: Long, e: Array[Float]) = Seq((id, e)).toDF("doc_id", "embedding")
       .select($"doc_id", lit(null).cast("string").as("html"),
+        lit(null).cast("string").as("url"),
         lit(null).cast("binary").as("payload"), $"embedding")
     def runBatch(n: Long, b: DataFrame): Set[Long] = {
       StreamOps.mixedIntakeBatch(b, n, hist, 4, "html", "payload", "doc_id",
         outDir, minQuality = 0.1, extractBoilerplate = true,
         paragraphDedup = true, lmBuckets = Some((lm, th, Set("head", "middle"))),
         decontaminate = Some((evalGrams, 5)), embCol = Some("embedding"),
-        decontaminateMm = Some(evalIds))
+        decontaminateMm = Some(evalIds), urlDedupCol = Some("url"),
+        qualityModel = Some((clf, 300000L)))
       spark.read.parquet(s"$outDir/batch-$n")
         .select($"doc_id").as[Long].collect().toSet
     }
@@ -112,9 +126,14 @@ object IntakeDemo {
       .unionByName(vecRow(18L, v(0f, 2f, 0f, 0f)))          // 2x of history vector → _ei
       .unionByName(vecRow(19L, v(18f, 0f, 0f, 0f)))         // 2x of the EVAL vector
       .unionByName(vecRow(20L, v(0f, 0f, 3f, 0f)))          // fresh vector → survives
+      .unionByName(textRow(21L, page("ab" * 36),            // canonical-URL dup of
+        url = "HTTP://Demo10.example.com/#frag"))           //  doc 10 → url leg
+      .unionByName(textRow(22L, page("spam offer click " * 12))) // trained-negative
+                                                            //  vocabulary → classifier
     report("batch 1", runBatch(1L, b1), Set(10L, 12L, 17L, 20L))
     println("  (11 exact-dup, 13 tail-bucket, 14 eval-gram, 15 image-dup," +
-      " 16 eval-image, 18 vector-dup, 19 eval-vector all dropped)\n")
+      " 16 eval-image, 18 vector-dup, 19 eval-vector, 21 url-dup," +
+      " 22 classifier-negative all dropped)\n")
 
     println("== maintenance (steps 3-4 of the runbook) ==")
     val folded = StreamOps.maintainMixedHistories(spark, hist, maxDeltaRatio = 1e-9)
