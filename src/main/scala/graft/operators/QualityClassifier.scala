@@ -165,6 +165,29 @@ object QualityClassifier {
   def keeps(text: Column, model: LrModel, minPMicro: Long): Column =
     text.isNull || scoreMicroColumn(text, model) >= minPMicro
 
+  /** GPT-3's Pareto-NOISY keep rule (appendix A): a document is kept
+    * iff `β > 1 − score` with `β ~ Pareto(α)` — low-scoring documents
+    * still enter the corpus with probability `(2 − score)^{−α}`, which
+    * preserves tail diversity a hard threshold destroys. The noise
+    * here is DETERMINISTIC: `u` comes from the portable hash ring on
+    * the id (the [[Sampling.shuffleKey]] integer recipe, exact in a
+    * double), `β = (1−u)^{−1/α} − 1` (the standard inverse-CDF Pareto
+    * draw), and β is quantized to the 1e-6 grid so the final compare
+    * is integer vs integer — reproducible across runs, engines and
+    * partitionings, and restatable in the DuckDB oracle (`pow` is the
+    * same 1-ulp exposure class as the model's ln/exp). NULL text
+    * passes (the no-evidence convention). Pure per-row projection. */
+  def paretoKeeps(text: Column, id: Column, model: LrModel,
+      alpha: Double = 9.0): Column = {
+    require(alpha > 0, s"Pareto alpha must be positive, got $alpha")
+    val p = 2147483647L
+    val u = Sampling.shuffleKeyOf(id).cast("double") / p.toDouble
+    val betaMicro = round(
+      (pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)) * 1000000.0)
+      .cast("long")
+    text.isNull || betaMicro > (lit(Micro) - scoreMicroColumn(text, model))
+  }
+
   // ---- persistence: train once, gate forever (the writeLm/writeVocab
   // discipline — a production intake loop loads the frozen model from
   // the catalog instead of retraining per session) ----

@@ -39,9 +39,14 @@ object Sampling {
     * `((id % p + p) % p * 2654435761 + 104729) % p` with p = 2147483647
     * (inner term non-negative ⇒ the outer `%` needs no correction) —
     * the oracle queries spell exactly that. */
-  def shuffleKey(idCol: String): org.apache.spark.sql.Column = {
+  def shuffleKey(idCol: String): org.apache.spark.sql.Column =
+    shuffleKeyOf(col(idCol))
+
+  /** [[shuffleKey]] over an arbitrary id EXPRESSION (callers composing
+    * the ring into a larger per-row formula, e.g. the Pareto keep). */
+  def shuffleKeyOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val p = 2147483647L
-    pmod(pmod(col(idCol), lit(p)) * 2654435761L + 104729L, lit(p))
+    pmod(pmod(id, lit(p)) * 2654435761L + 104729L, lit(p))
   }
 
   /** Deterministic corpus shuffle: total order by the portable key, id

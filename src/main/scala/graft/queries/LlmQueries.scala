@@ -2639,6 +2639,28 @@ object LlmQueries {
         .orderBy(col("id"))
     }, Some(l39OracleSql)),
 
+    // ---- L42d: Pareto-NOISY thresholding — GPT-3's exact keep rule
+    // (appendix A: keep iff β > 1 − score, β ~ Pareto(9); low scorers
+    // still enter with probability (2−score)^−9, preserving tail
+    // diversity). β is drawn deterministically from the portable hash
+    // ring and quantized to the grid, so DuckDB restates the ENTIRE
+    // rule — retrain, rescore, draw, compare — on top of the l39
+    // oracle. ----
+    ("l39d_pareto_keep", (s, d) => {
+      import graft.operators.{QualityClassifier => QC}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pos = docs.select((col("doc_id") * 2).as("id"), col("text"),
+        lit(1).as("y"))
+      val neg = docs.select((col("doc_id") * 2 + 1).as("id"),
+        translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+          "zyxwvutsrqponmlkjihgfedcba").as("text"), lit(0).as("y"))
+      val train = pos.unionByName(neg)
+      val model = QC.train(train, "text", "id", "y",
+        dim = 512, epochs = 2, lr = 0.5)
+      train.where(QC.paretoKeeps(col("text"), col("id"), model))
+        .select(col("id"), col("y")).orderBy(col("id"))
+    }, Some(s"""WITH scored AS ($l39OracleSql) SELECT id, y FROM scored WHERE p_micro IS NULL OR CAST(round((power(1.0 - ((((id % 2147483647 + 2147483647) % 2147483647) * 2654435761 + 104729) % 2147483647) / 2147483647.0, -1.0/9.0) - 1.0) * 1000000) AS BIGINT) > 1000000 - p_micro ORDER BY id""")),
+
     // ---- L42b: classifier CONTRAST contract — the l27b planted
     // pattern: after training, every document's gibberish sibling must
     // score strictly BELOW the original (pairs where the involution
