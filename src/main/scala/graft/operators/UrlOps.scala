@@ -102,6 +102,74 @@ object UrlOps {
       .unionByName(df.where(col(urlCol).isNull))
   }
 
+  // ---- persisted canonical-URL history (cross-batch URL dedup — the
+  // CCNet shape: a crawl sees the same URL across fetches/batches, so
+  // production URL dedup is incremental). The history IS the exact-hash
+  // machinery ([[Dedup.ensureHashHistory]] et al.) applied to the
+  // CANONICAL url string, under its own `<table>_url` base name so it
+  // can live next to the same intake table's text-hash `_xh` history.
+  // All the `_xh` properties carry over verbatim: bucketed main +
+  // overwrite-own-dir deltas + fold manifest, zero-exchange probe
+  // (batch hashes broadcast, history never exchanges), same-id replay
+  // guard, NULL urls pass (NULL canonical → NULL hash → no match). ----
+
+  private def withCanonCol(df: DataFrame, urlCol: String): (DataFrame, String) = {
+    val cu = graft.Cols.fresh(df.columns, "__curl")
+    (df.withColumn(cu, canonicalizeUrl(col(urlCol))), cu)
+  }
+
+  /** Create the canonical-URL history `<table>_url_xh` if missing. */
+  def ensureUrlHistory(spark: org.apache.spark.sql.SparkSession,
+      like: DataFrame, urlCol: String, idCol: String, table: String,
+      numBuckets: Int): Unit = {
+    val (withC, cu) = withCanonCol(like, urlCol)
+    Dedup.ensureHashHistory(spark, withC, cu, idCol, s"${table}_url", numBuckets)
+  }
+
+  /** Replay-safe delta append of a batch's canonical-URL hashes. */
+  def appendUrlHistoryDelta(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, urlCol: String, idCol: String, table: String,
+      batchId: Long): Unit = {
+    val (withC, cu) = withCanonCol(df, urlCol)
+    Dedup.appendHashHistoryDelta(spark, withC, cu, idCol, s"${table}_url", batchId)
+  }
+
+  /** Fold the URL-history delta into its bucketed table. */
+  def compactUrlDelta(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Dedup.compactHashDelta(spark, s"${table}_url")
+
+  /** Byte-ratio auto-fold (the measured-trigger policy; fs metadata
+    * only). Returns true if a fold ran. */
+  def compactUrlIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxDeltaRatio: Double = 0.10): Boolean = {
+    require(maxDeltaRatio > 0, "maxDeltaRatio must be positive")
+    if (!spark.catalog.tableExists(s"${table}_url_xh")) return false
+    val (d, m) = Layout.deltaMainBytes(spark, s"${table}_url_xh")
+    val fold = d > 0 && d >= maxDeltaRatio * m
+    if (fold) compactUrlDelta(spark, table)
+    fold
+  }
+
+  /** Drop a URL history (table + location + delta state). */
+  def dropUrlHistory(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Dedup.dropHashHistory(spark, s"${table}_url")
+
+  /** Drop batch rows whose CANONICAL url the history (main ∪ delta)
+    * holds under a DIFFERENT id — [[Dedup.exactIncrementalDelta]] over
+    * the canonical column (see its scaladoc for the zero-exchange
+    * probe shape and the same-id replay guard). Compose with
+    * [[urlDedup]] for within-batch duplicates (the incremental family
+    * contract: probes never dedup within the batch). NULL urls pass. */
+  def urlIncrementalDelta(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, table: String, urlCol: String,
+      idCol: String): DataFrame = {
+    val (withC, cu) = withCanonCol(newDf, urlCol)
+    Dedup.exactIncrementalDelta(spark, withC, s"${table}_url", cu, idCol)
+      .drop(cu)
+  }
+
   /** Host-level aggregates over canonicalized URLs — the blocklist /
     * host-quality filtering input (RefinedWeb URL scoring, Dolma
     * domain filters): per host, total rows, distinct canonical URLs,

@@ -2718,6 +2718,34 @@ object LlmQueries {
       import graft.operators.{UrlOps => U}
       val u = urlFixture(Tables.documents(s, d).select(col("doc_id")))
       U.hostAggregates(u, "url", "doc_id").orderBy(col("host"))
-    }, Some(s"""WITH u0 AS ($urlFixtureSql), c AS (SELECT doc_id, $canonUrlSql AS curl FROM u0), pu AS (SELECT regexp_extract(curl, '^[^:/?#]+://([^/:?#]*)', 1) AS host, curl, COUNT(*) AS nu FROM c WHERE curl IS NOT NULL GROUP BY 1, 2) SELECT host, CAST(SUM(nu) AS BIGINT) AS n_rows, COUNT(*) AS n_urls, CAST(SUM(nu) AS BIGINT) - COUNT(*) AS n_dup_rows FROM pu GROUP BY host ORDER BY host"""))
+    }, Some(s"""WITH u0 AS ($urlFixtureSql), c AS (SELECT doc_id, $canonUrlSql AS curl FROM u0), pu AS (SELECT regexp_extract(curl, '^[^:/?#]+://([^/:?#]*)', 1) AS host, curl, COUNT(*) AS nu FROM c WHERE curl IS NOT NULL GROUP BY 1, 2) SELECT host, CAST(SUM(nu) AS BIGINT) AS n_rows, COUNT(*) AS n_urls, CAST(SUM(nu) AS BIGINT) - COUNT(*) AS n_dup_rows FROM pu GROUP BY host ORDER BY host""")),
+
+    // ---- L43c: INCREMENTAL URL dedup vs a persisted canonical-URL
+    // history (the CCNet cross-batch shape — the exact-hash `_xh`
+    // machinery over the canonical string, own `<table>_url` base).
+    // History built once per (session, SF) from the l40 fixture; the
+    // probe batch re-presents every base class under SHIFTED ids (all
+    // die unless their class never produced a non-NULL base url — the
+    // oracle restates membership over the canonical STRINGS, so that
+    // edge is priced in) plus fresh hosts and NULLs (all survive). ----
+    ("l40c_url_incremental", (s, d) => {
+      import graft.operators.{UrlOps => U}
+      val table = s"l40c_hist_${sfTag(d)}"
+      val base = urlFixture(Tables.documents(s, d).select(col("doc_id")))
+      if (!s.catalog.tableExists(s"${table}_url_xh")) {
+        U.dropUrlHistory(s, table) // stale location from a prior session
+        U.ensureUrlHistory(s, base, "url", "doc_id", table, 8)
+        U.appendUrlHistoryDelta(s, base, "url", "doc_id", table, 0L)
+        U.compactUrlDelta(s, table)
+      }
+      val batch = base
+        .select((col("doc_id") + 500000).as("doc_id"), col("url"))
+        .unionByName(Tables.documents(s, d)
+          .select((col("doc_id") + 900000).as("doc_id"),
+            concat(lit("http://fresh"), col("doc_id").cast("string"),
+              lit(".example.com/")).as("url")))
+      U.urlIncrementalDelta(s, batch, table, "url", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some(s"""WITH u0 AS ($urlFixtureSql), c AS (SELECT DISTINCT $canonUrlSql AS curl FROM u0 WHERE url IS NOT NULL), b AS (SELECT doc_id + 500000 AS doc_id, url FROM u0 UNION ALL SELECT doc_id + 900000 AS doc_id, 'http://fresh' || doc_id || '.example.com/' AS url FROM documents), bc AS (SELECT doc_id, $canonUrlSql AS curl FROM b) SELECT doc_id FROM bc WHERE curl IS NULL OR curl NOT IN (SELECT curl FROM c) ORDER BY doc_id"""))
   )
 }

@@ -76,6 +76,39 @@ class UrlOpsSpec extends SparkSpec {
     assert(out === Set(1L, 100L), s"survivors: $out")
   }
 
+  test("L43c: url history lifecycle — delta-visible probe, same-id replay, fold, auto-fold trigger, NULL passthrough") {
+    val table = "t_url_hist"
+    U.dropUrlHistory(spark, table)
+    try {
+      val b0 = Seq((1L, "http://a.example.com/x"), (2L, "http://b.example.com/y"))
+        .toDF("id", "url")
+      U.ensureUrlHistory(spark, b0, "url", "id", table, 4)
+      U.appendUrlHistoryDelta(spark, b0, "url", "id", table, 0)
+      def probe(rows: (Long, String)*): Set[Long] =
+        U.urlIncrementalDelta(spark, rows.toDF("id", "url"), table, "url", "id")
+          .select($"id").as[Long].collect().toSet
+      // BEFORE fold the probe must see the delta: a canonical VARIANT
+      // of a history url dies, fresh and NULL pass
+      assert(probe((10L, "HTTP://A.example.com/x#f"),
+        (11L, "http://c.example.com/z"),
+        (12L, null.asInstanceOf[String])) === Set(11L, 12L))
+      // same-id replay guard: id 1 meeting its own appended hash survives
+      assert(probe((1L, "http://a.example.com/x")) === Set(1L))
+      // fold, then a folded identity still kills (trailing-slash variant)
+      U.appendUrlHistoryDelta(spark,
+        Seq((11L, "http://c.example.com/z")).toDF("id", "url"),
+        "url", "id", table, 1)
+      U.compactUrlDelta(spark, table)
+      assert(probe((20L, "http://c.example.com/z/")) === Set.empty)
+      // auto-fold: fires on an unfolded delta, not again after
+      U.appendUrlHistoryDelta(spark,
+        Seq((30L, "http://d.example.com/w")).toDF("id", "url"),
+        "url", "id", table, 2)
+      assert(U.compactUrlIfNeeded(spark, table, 1e-9))
+      assert(!U.compactUrlIfNeeded(spark, table, 1e-9))
+    } finally U.dropUrlHistory(spark, table)
+  }
+
   test("L43: host aggregates count rows, distinct canonical urls, dup rows") {
     val df = Seq(
       (1L, "http://a.com/x"), (2L, "http://A.com/x#f"), // same canonical
