@@ -1809,7 +1809,8 @@ class StreamingSpec extends SparkSpec {
       // a batch-sized or broadcast-bounded job. Pinned so growth in
       // any leg is loud, like the per-loop pins.
       assert(nJobs.get() <= 155,
-        s"all-legs mixedIntakeBatch launched ${nJobs.get()} jobs (pinned at 155)")
+        s"all-legs mixedIntakeBatch launched ${nJobs.get()} jobs (pinned at 155) — " +
+          "re-run 'Test/runMain graft.tools.JobCountProbe alllegs' to attribute")
     } finally {
       StreamOps.dropMixedHistory(spark, hist)
       Decontaminate.dropEvalGrams(spark, evalG)

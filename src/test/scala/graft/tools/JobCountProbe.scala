@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object JobCountProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("multimodal")) { multimodal(); return }
+    if (args.headOption.contains("alllegs")) { allLegs(); return }
     val spark = graft.GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -90,6 +91,88 @@ object JobCountProbe {
     println(f"[jobcount] resident checkpoint blocks = ${cached.length}, bytes = $bytes%,d")
     cached.sortBy(-_.memSize).take(12).foreach(i =>
       println(f"[jobcount]   rdd ${i.id}: ${i.memSize + i.diskSize}%,d B  ${i.name}"))
+    names.foreach(n => println(s"[jobcount]   $n"))
+    spark.stop()
+  }
+
+  /** `main("alllegs")` — attribute the StreamingSpec L44 composed pin:
+    * one steady-state [[StreamOps.mixedIntakeBatch]] with EVERY leg on
+    * (url dedup, boilerplate off/paragraph on, classifier, buckets,
+    * gram + multimodal decontamination, embeddings), per-job names. */
+  private def allLegs(): Unit = {
+    val spark = graft.GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.{Decontaminate, Multimodal, NgramLm, QualityClassifier => QC}
+    val table = "jcp_all_hist"
+    val evalG = "jcp_all_evalg"
+    val evalM = "jcp_all_evalmm"
+    val outDir = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/jcp_all_out"
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    outP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(outP, true)
+    StreamOps.dropMixedHistory(spark, table)
+    Decontaminate.dropEvalGrams(spark, evalG)
+    Decontaminate.dropEvalIdentities(spark, evalM)
+    def toks(seed: Long) = (0 until 40).map(i => s"tok${seed}w$i").mkString(" ")
+    Decontaminate.writeEvalGrams(spark,
+      Seq((1L, "an eval item alpha beta gamma delta epsilon")).toDF("id", "text"),
+      "text", evalG, n = 5)
+    Decontaminate.writeEvalIdentities(spark,
+      Multimodal.syntheticPpmMixed(Seq((7000L, 7000L)).toDF("doc_id", "__seed"),
+          "__seed", 16, 16)
+        .select($"doc_id", $"payload",
+          lit(null).cast("array<float>").as("embedding"))
+        .unionByName(Seq((7001L, Array(1f, 0f, 0f, 0f)))
+          .toDF("doc_id", "embedding")
+          .select($"doc_id", lit(null).cast("binary").as("payload"), $"embedding")),
+      "payload", "doc_id", evalM, embCol = Some("embedding"), nLists = 2)
+    val lm = NgramLm.trainCharBigram(
+      (900L to 905L).map(s => (s, toks(s))).toDF("doc_id", "text"), "text")
+    val th = NgramLm.PplThresholds(-99.0, 0L, 99.0, 0L) // routing CASE on, never drops
+    val clf = QC.train(
+      ((960L to 962L).map(s => (s, toks(s), 1)) ++
+        (963L to 965L).map(s => (s, toks(s), 0))).toDF("id", "text", "y"),
+      "text", "id", "y", dim = 256, epochs = 2, lr = 0.5)
+    def batch(ids: Range) = {
+      val f = ids.map(_.toLong).toDF("doc_id")
+      f.where($"doc_id" % 3 === 0).select($"doc_id",
+          concat(lit("<p>tokens "), $"doc_id", lit(" body</p>")).as("html"),
+          concat(lit("http://h"), $"doc_id", lit(".example.com/")).as("url"),
+          lit(null).cast("binary").as("payload"),
+          lit(null).cast("array<float>").as("embedding"))
+        .unionByName(Multimodal.syntheticPpmMixed(
+            f.where($"doc_id" % 3 === 1).select($"doc_id", $"doc_id".as("__seed")),
+            "__seed", 16, 16)
+          .select($"doc_id", lit(null).cast("string").as("html"),
+            lit(null).cast("string").as("url"), $"payload",
+            lit(null).cast("array<float>").as("embedding")))
+        .unionByName(f.where($"doc_id" % 3 === 2).select($"doc_id",
+          lit(null).cast("string").as("html"),
+          lit(null).cast("string").as("url"),
+          lit(null).cast("binary").as("payload"),
+          transform(sequence(lit(0), lit(7)),
+            j => (pmod(hash($"doc_id", j), lit(1000)) / lit(500.0) - 1.0)
+              .cast("float")).as("embedding")))
+    }
+    def run(ids: Range, b: Long) = StreamOps.mixedIntakeBatch(batch(ids), b,
+      table, 8, "html", "payload", "doc_id", outDir, minQuality = 0.0,
+      embCol = Some("embedding"), decontaminate = Some((evalG, 5)),
+      paragraphDedup = true, lmBuckets = Some((lm, th, Set("head", "middle"))),
+      decontaminateMm = Some(evalM), urlDedupCol = Some("url"),
+      qualityModel = Some((clf, 300000L)))
+    run(0 until 900, 0L)
+    StreamOps.maintainMixedHistories(spark, table, maxDeltaRatio = 1e-9)
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = names.synchronized {
+        names += s"job ${js.jobId}: [${js.stageInfos.map(si => si.name.takeWhile(_ != '(')).mkString(" | ")}] desc=${Option(js.properties.getProperty("spark.job.description")).getOrElse("").take(80)}"
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    run(900 until 1350, 1L)
+    Thread.sleep(2000)
+    spark.sparkContext.removeSparkListener(listener)
+    println(s"[jobcount] all-legs mixedIntakeBatch steady-state jobs = ${names.size}")
     names.foreach(n => println(s"[jobcount]   $n"))
     spark.stop()
   }
