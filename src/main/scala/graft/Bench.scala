@@ -68,12 +68,13 @@ object Bench {
     // SPARK_GRAFT_CONTROL_BASELINE, in seconds) whenever a new
     // baseline table is promoted. A ratio far from 1 at BENCH time
     // means the box was loaded — judge per-query rows divided by it
-    // (the read protocol in BASELINE.md). Pinned from the round-13
-    // canonical record (BASELINE.md "Recorded baseline — round 13":
-    // p01 1.659 + a01 1.004 + w03 0.545).
+    // (the read protocol in BASELINE.md). Pinned from the round-16
+    // canonical record (BASELINE.md "Recorded baseline — round 16":
+    // END controls p01 1.756 + a01 0.999 + w03 0.489 — the warm-JVM
+    // state the r13 pin was also taken in).
     val controlNames = Seq("p01_project", "a01_groupby", "w03_running")
     val controlBaselineSec =
-      sys.env.get("SPARK_GRAFT_CONTROL_BASELINE").map(_.toDouble).getOrElse(3.208)
+      sys.env.get("SPARK_GRAFT_CONTROL_BASELINE").map(_.toDouble).getOrElse(3.244)
     // one untimed warmup pass before the controls: the canonical
     // denominators were recorded mid-sweep in a hot JVM, so a control
     // measured as the very first query of a cold JVM carries JIT/
