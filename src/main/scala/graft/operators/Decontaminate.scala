@@ -142,12 +142,27 @@ object Decontaminate {
       embCol: Option[String] = None, embTau: Double = 0.95,
       checkIds: Boolean = true): DataFrame = {
     val guarded = if (!checkIds) batch else {
+      // the `_ei` IVF main table stores its id under the NAME the
+      // writeEvalIdentities caller used — which need not match this
+      // probe call's idCol. Resolve it structurally (the one column
+      // that is neither the list assignment nor the vector), so a
+      // probe with a different id name guards correctly instead of
+      // failing with an unresolved-column AnalysisException.
+      def eiIdCol(t: String): String = {
+        val f = spark.table(t).schema.fields
+          .find(f => f.name != "__list" &&
+            !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        require(f.isDefined, s"$t: no scalar id column found")
+        f.get.name
+      }
       val sources =
-        Seq(s"${table}_ph" -> "__pid", s"${table}_ab" -> "__pid",
-          s"${table}_vn" -> "__pid", s"${table}_ei" -> idCol)
+        Seq(s"${table}_ph" -> (() => "__pid"),
+          s"${table}_ab" -> (() => "__pid"),
+          s"${table}_vn" -> (() => "__pid"),
+          s"${table}_ei" -> (() => eiIdCol(s"${table}_ei")))
       val idFrames = sources.collect {
         case (t, c) if spark.catalog.tableExists(t) =>
-          spark.table(t).select(col(c).alias("__eval_id"))
+          spark.table(t).select(col(c()).alias("__eval_id"))
       }
       if (idFrames.isEmpty) batch else {
         val e = graft.Cols.fresh(batch.columns, "__eval_id")

@@ -1722,13 +1722,26 @@ object Dedup {
 
   /** Replay-safe delta append to a paragraph history (the
     * [[appendHashHistoryDelta]] discipline: overwrite-own-dir per
-    * batch, fold-manifest skip). */
+    * batch, fold-manifest skip). `assumeCanonical = true` skips the
+    * [[canonicalParagraphFrame]] groupBy — ONLY for callers whose
+    * batch is already paragraph-deduped (the intake loop: its
+    * survivors went through [[paragraphDedup]] +
+    * [[paragraphIncrementalDelta]], so each hash appears in exactly
+    * one surviving doc and the groupBy would collapse nothing while
+    * adding one shuffle exchange per micro-batch). Default false
+    * keeps the "history holds each hash once" bound STRUCTURAL for
+    * every other caller. */
   def appendParagraphHistoryDelta(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, textCol: String, idCol: String, table: String,
-      batchId: Long): Unit = {
+      batchId: Long, assumeCanonical: Boolean = false): Unit = {
     val t = s"${table}_pg"
     if (Layout.isBatchFolded(spark, t, batchId)) return
-    canonicalParagraphFrame(df, textCol, idCol).write.mode("overwrite")
+    val frame =
+      if (assumeCanonical)
+        paragraphFrame(df, textCol, idCol)
+          .select(col("__pid"), col("__ph"))
+      else canonicalParagraphFrame(df, textCol, idCol)
+    frame.write.mode("overwrite")
       .parquet(s"${Layout.deltaDirOf(spark, t)}/batch-$batchId")
   }
 

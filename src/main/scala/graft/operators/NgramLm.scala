@@ -227,23 +227,28 @@ object NgramLm {
     require(ringPct > 0 && ringPct <= 100, s"ringPct in (0,100], got $ringPct")
     require(approxErr >= 0 && approxErr < 1,
       s"approxErr in [0,1), got $approxErr")
-    val sampleLazy = scored
+    // BOTH paths materialize the ring sample once, BEFORE counting:
+    // the sample feeds a count plus either two nearest-rank selections
+    // (exact) or one approxQuantile summary pass (approx) — without
+    // the barrier the upstream scored plan (scoring joins + filter)
+    // would execute once per pass, which on the very 100 TB-scale
+    // input the approx flag exists for costs more than the
+    // materialization it was meant to avoid. Ring-bounded by the
+    // caller's ringPct choice (two narrow columns).
+    val sample = scored
       .where(col("n_big") > 0 &&
         graft.operators.Sampling.hashBucket(idCol) < ringPct)
       .select(col(idCol), col("avg_logp"))
+      .localCheckpoint(eager = true)
     if (!exact) {
-      val n = sampleLazy.count()
+      val n = sample.count()
       require(n >= 3, s"perplexity sample has $n rows — raise ringPct")
       val k1 = (n + 2) / 3
       val k2 = (2 * n + 2) / 3
-      val qs = sampleLazy.stat.approxQuantile("avg_logp",
+      val qs = sample.stat.approxQuantile("avg_logp",
         Array((k1 - 0.5) / n, (k2 - 0.5) / n), approxErr)
       return PplThresholds(qs(0), Long.MaxValue, qs(1), Long.MaxValue)
     }
-    val sample = sampleLazy
-      // the sample feeds a count and two selections — materialize once
-      // (ring-bounded by the caller's ringPct choice)
-      .localCheckpoint(eager = true)
     val n = sample.count()
     require(n >= 3, s"perplexity sample has $n rows — raise ringPct")
     // the nearest-rank pull below runs limit(k.toInt); a ring sample

@@ -71,11 +71,14 @@ object QualityClassifier {
 
   /** (id, __fb, __fx) term-frequency rows of the hashed features —
     * one partial-agg groupBy at (doc, bucket) grain; NULL texts carry
-    * no rows (they score NULL and never train). */
+    * no rows (they score NULL and never train). `featsOf` maps the
+    * text column to the feature-string array (word tokens by default;
+    * [[LangId]] passes char n-grams — the fastText/CCNet feature
+    * space) — each feature string then buckets via [[tokenBucket]]. */
   private def docFeatures(docs: DataFrame, textCol: String, idCol: String,
-      dim: Int): DataFrame =
+      dim: Int, featsOf: Column => Column): DataFrame =
     docs.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(TF.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), explode(featsOf(col(textCol))).as("__tok"))
       .select(col(idCol), tokenBucket(col("__tok"), dim).as("__fb"))
       .groupBy(col(idCol), col("__fb")).agg(count(lit(1)).as("__fx"))
 
@@ -95,13 +98,14 @@ object QualityClassifier {
     * excluded; docs with no tokens train on the bias alone. */
   def train(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, dim: Int = 512, epochs: Int = 2,
-      lr: Double = 0.5): LrModel = {
+      lr: Double = 0.5,
+      featsOf: Column => Column = TF.tokens): LrModel = {
     require(dim > 0 && epochs >= 1, s"dim=$dim epochs=$epochs")
     val spark = docs.sparkSession
     import spark.implicits._
     // labeled-set-sized by contract (curated sample, not the corpus):
     // features and labels are re-read every epoch — materialize once
-    val feats = docFeatures(docs, textCol, idCol, dim)
+    val feats = docFeatures(docs, textCol, idCol, dim, featsOf)
       .localCheckpoint(eager = true)
     val labeled = docs.where(col(textCol).isNotNull)
       .select(col(idCol), col(labelCol).cast("long").as("__y"))
@@ -145,14 +149,15 @@ object QualityClassifier {
     * corpus-scale path: weights as a map literal, margin = one fold
     * over the token array, sigmoid quantized. No explode, no join, no
     * shuffle; NULL text scores NULL. */
-  def scoreMicroColumn(text: Column, model: LrModel): Column = {
+  def scoreMicroColumn(text: Column, model: LrModel,
+      featsOf: Column => Column = TF.tokens): Column = {
     val wMap: Column =
       if (model.wMicro.isEmpty) lit(null).cast("map<int,bigint>")
       else typedLit(model.wMicro)
     // try_element_at, not element_at: ANSI mode (this engine's default)
     // makes element_at THROW on a missing map key, and untouched
     // buckets are missing by design (sparse weights)
-    val z = aggregate(TF.tokens(text), lit(model.biasMicro),
+    val z = aggregate(featsOf(text), lit(model.biasMicro),
       (acc, t) => acc +
         coalesce(try_element_at(wMap, tokenBucket(t, model.dim)), lit(0L)))
     when(text.isNull, lit(null).cast("bigint")).otherwise(pMicro(z))
@@ -174,9 +179,18 @@ object QualityClassifier {
     * double), `β = (1−u)^{−1/α} − 1` (the standard inverse-CDF Pareto
     * draw), and β is quantized to the 1e-6 grid so the final compare
     * is integer vs integer — reproducible across runs, engines and
-    * partitionings, and restatable in the DuckDB oracle (`pow` is the
-    * same 1-ulp exposure class as the model's ln/exp). NULL text
-    * passes (the no-evidence convention). Pure per-row projection. */
+    * partitionings, and restatable in the DuckDB oracle. One caveat
+    * beyond the model's ln/exp class (ADVICE r15): `u` is an arbitrary
+    * ring value (not integer-derived like the sigmoid's input), so the
+    * pre-round `pow` double CAN land arbitrarily close to a .5 micro
+    * tie, where a 1-ulp cross-engine `pow` difference would flip that
+    * row's keep decision. Deterministic within one engine (the
+    * property production replay needs); if strict cross-engine
+    * bit-parity ever matters, derive β from an integer-only
+    * approximation or widen the oracle's tie margin — no fixture row
+    * has landed within 2 micro of a tie (checked when the l39d oracle
+    * was cut). NULL text passes (the no-evidence convention). Pure
+    * per-row projection. */
   def paretoKeeps(text: Column, id: Column, model: LrModel,
       alpha: Double = 9.0): Column = {
     require(alpha > 0, s"Pareto alpha must be positive, got $alpha")

@@ -82,21 +82,29 @@ object UrlOps {
     * deterministic, not byte-threshold dependent). */
   def urlDedup(df: DataFrame, urlCol: String, idCol: String,
       hotOccurrences: Int = 65536): DataFrame = {
+    // EVERY temp column joined back against the full user frame goes
+    // through Cols.fresh — a caller column literally named __mh/__mc
+    // would otherwise make the post-join reference ambiguous and fail
+    // the query (the __curl discipline, applied uniformly)
     val cu = graft.Cols.fresh(df.columns, "__curl")
+    val m = graft.Cols.fresh(df.columns :+ cu, "__m")
+    val n = graft.Cols.fresh(df.columns :+ cu :+ m, "__n")
+    val mh = graft.Cols.fresh(df.columns :+ cu :+ m :+ n, "__mh")
+    val mc = graft.Cols.fresh(df.columns :+ cu :+ m :+ n :+ mh, "__mc")
     val withC = df.where(col(urlCol).isNotNull)
       .withColumn(cu, canonicalizeUrl(col(urlCol)))
     val canonAll = withC.groupBy(col(cu))
-      .agg(min(col(idCol)).alias("__m"), count(lit(1)).alias("__n"))
-    val canonHot = canonAll.where(col("__n") > hotOccurrences)
-      .select(col(cu), col("__m").alias("__mh"))
-    val canonCold = canonAll.where(col("__n") <= hotOccurrences)
-      .select(col(cu), col("__m").alias("__mc"))
+      .agg(min(col(idCol)).alias(m), count(lit(1)).alias(n))
+    val canonHot = canonAll.where(col(n) > hotOccurrences)
+      .select(col(cu), col(m).alias(mh))
+    val canonCold = canonAll.where(col(n) <= hotOccurrences)
+      .select(col(cu), col(m).alias(mc))
     val hotJoined = withC.join(broadcast(canonHot), Seq(cu), "left")
-    val hotKept = hotJoined.where(col("__mh").isNotNull)
-      .where(col("__mh") === col(idCol)).drop("__mh")
-    val coldKept = hotJoined.where(col("__mh").isNull).drop("__mh")
+    val hotKept = hotJoined.where(col(mh).isNotNull)
+      .where(col(mh) === col(idCol)).drop(mh)
+    val coldKept = hotJoined.where(col(mh).isNull).drop(mh)
       .join(canonCold, Seq(cu))
-      .where(col("__mc") === col(idCol)).drop("__mc")
+      .where(col(mc) === col(idCol)).drop(mc)
     hotKept.unionByName(coldKept)
       .select(df.columns.map(col).toIndexedSeq: _*)
       .unionByName(df.where(col(urlCol).isNull))
@@ -187,5 +195,24 @@ object UrlOps {
       .agg(sum(col("__nu")).alias("n_rows"),
         count(lit(1)).alias("n_urls"),
         (sum(col("__nu")) - count(lit(1))).alias("n_dup_rows"))
+  }
+
+  /** Drop rows whose canonical-URL host is in a frozen blocklist
+    * (RefinedWeb §3.1's URL filtering — a curated host blocklist or a
+    * [[hostAggregates]]-derived score cut applied at intake, right
+    * after [[urlDedup]] and BEFORE any content work). `blocked` is one
+    * host string column (`hostCol`); rows with NULL url or an
+    * unextractable host PASS (no evidence — NULL join keys never match
+    * an anti join, so the convention is structural). Scale shape: a
+    * blocklist is list-sized (RefinedWeb's was ~4.6M domains — tiny
+    * next to the corpus), so it BROADCASTS into one anti join; the
+    * corpus side never exchanges. */
+  def hostFilter(df: DataFrame, urlCol: String, blocked: DataFrame,
+      hostCol: String = "host"): DataFrame = {
+    val h = graft.Cols.fresh(df.columns, "__host")
+    df.withColumn(h, hostOf(canonicalizeUrl(col(urlCol))))
+      .join(broadcast(blocked.select(col(hostCol).alias(h))), Seq(h),
+        "left_anti")
+      .drop(h)
   }
 }

@@ -94,6 +94,146 @@ object LlmQueries {
     raw"""regexp_replace(regexp_replace($reanchored, '/+\?', '?'), '([^:/])/+$$', '\1')"""
   }
 
+  /** Gopher planted fixture (l41): one doc per rule class — (id, unit,
+    * reps), text = unit repeated reps times; the exact same strings
+    * render into the oracle via [[gopherPlantsSql]]. Each unit is
+    * crafted to violate ONE Gopher rule loudly (asserted per-flag in
+    * GopherRulesSpec); 7000011 passes every rule. No single quotes in
+    * units (SQL literal safety). */
+  private val gopherPlants: Seq[(Long, String, Int)] = Seq(
+    (7000001L, "• buy the thing now\n", 20), // bullet_frac 1.0 > 0.9
+    (7000002L, "we kept going and then stopped...\n", 20), // ellipsis 1.0
+    (7000003L, "the same line of text repeated here\n", 30), // dup lines
+    (7000004L, "one paragraph of text that repeats with many same words\n\n",
+      10), // dup paragraphs
+    (7000005L, "tag # marker # thing of the lot ", 20), // symbol ratio
+    (7000006L, "1234 5678 9012 3456 7890 of the ", 20), // alpha frac
+    (7000007L, "click here ", 40), // top-2-gram coverage 1.0
+    (7000008L, "too short", 1), // word count < 50
+    (7000009L, "pneumonoultramicroscopicsilicovolcanoconiosis" +
+      " supercalifragilistic of the and that ", 15), // mean word len > 10
+    (7000010L, "lorem ipsum dolor sit amet consectetur ", 15), // no stops
+    (7000011L, // compliant: passes all fourteen rules
+      "the quick brown fox jumps over a lazy dog\n" +
+        "every good sentence should have some different words\n" +
+        "people write many things about the wide world\n" +
+        "reading takes time and gives back useful knowledge\n" +
+        "rivers flow down from tall mountains into the sea\n" +
+        "builders design strong houses with solid stone walls\n" +
+        "farmers grow fresh food across wide open fields\n" +
+        "children learn new games during long summer days\n", 1))
+
+  private def gopherPlantDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    gopherPlants.map { case (id, u, r) => (id, u * r) }.toDF("doc_id", "text")
+  }
+
+  /** One unit string as a DuckDB literal ('' has no escapes; newlines
+    * render as chr(10) concatenations). */
+  private def gopherSqlStr(s: String): String =
+    s.split("\n", -1).map(seg => "'" + seg.replace("'", "''") + "'")
+      .mkString(" || chr(10) || ")
+
+  private def gopherPlantsSql: String =
+    "SELECT * FROM (VALUES " + gopherPlants.map { case (id, u, r) =>
+      s"(CAST($id AS BIGINT), repeat(${gopherSqlStr(u)}, $r))"
+    }.mkString(", ") + ") AS plant(doc_id, text)"
+
+  /** Top word-n-gram CTEs for one n: counts, per-doc max count, and
+    * the (best count, best word-char length) pair with count ties
+    * resolved to the longest n-gram — the same argmax
+    * GopherRules.topRunStats folds in-row. */
+  private def gopherTopSql(n: Int): String =
+    s"g$n AS (SELECT doc_id, unnest(list_transform(generate_series(1, " +
+      s"len(ts)-${n - 1}), i -> array_to_string(ts[i:i+${n - 1}], ' '))) " +
+      s"AS g FROM base WHERE len(ts) >= $n), " +
+      s"c$n AS (SELECT doc_id, g, COUNT(*) AS c FROM g$n GROUP BY 1, 2), " +
+      s"m$n AS (SELECT doc_id, MAX(c) AS mc FROM c$n GROUP BY 1), " +
+      s"t$n AS (SELECT c$n.doc_id, MAX(c$n.c) AS bc, " +
+      s"MAX(len(c$n.g) - ${n - 1}) AS bl FROM c$n JOIN m$n ON " +
+      s"c$n.doc_id = m$n.doc_id AND c$n.c = m$n.mc GROUP BY 1)"
+
+  /** The l41 DuckDB oracle: every Gopher rule restated relationally
+    * (unnest + per-doc regroup) over documents ∪ the planted fixture —
+    * a cross-strategy differential against Spark's in-row sorted-run
+    * folds. Every fraction is one IEEE division of engine-exact
+    * integers; NULL-denominator metrics are NULL and pass their rule
+    * via COALESCE (the no-evidence convention). */
+  private def gopherOracleSql: String = {
+    val linesSql =
+      "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0)"
+    val parasSql =
+      raw"list_filter(list_transform(string_split_regex(text, '\n{2,}'), p -> trim(p)), p -> len(p) > 0)"
+    raw"""WITH plant AS ($gopherPlantsSql), docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM plant), base AS (SELECT doc_id, text, $tokensSql AS ts, $linesSql AS ls, $parasSql AS ps FROM docs WHERE text IS NOT NULL), scal AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS nw, CAST(COALESCE(list_sum(list_transform(ts, t -> len(t))), 0) AS BIGINT) AS wc, CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS aw, CAST(len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(ts, w))) AS BIGINT) AS nstop, CAST(len(text) - len(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS sym FROM base), lf AS (SELECT doc_id, unnest(ls) AS l FROM base), lcnt AS (SELECT doc_id, l, COUNT(*) AS c FROM lf GROUP BY 1, 2), lstat AS (SELECT doc_id, SUM(c) AS n_l, SUM(c * len(l)) AS l_chars, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup_l, COALESCE(SUM(c * len(l)) FILTER (WHERE c > 1), 0) AS dup_l_chars, COALESCE(SUM(c) FILTER (WHERE substr(l, 1, 1) IN ('•', '●', '-', '*')), 0) AS bul, COALESCE(SUM(c) FILTER (WHERE l LIKE '%...' OR l LIKE '%…'), 0) AS ell FROM lcnt GROUP BY 1), pf AS (SELECT doc_id, unnest(ps) AS p FROM base), pcnt AS (SELECT doc_id, p, COUNT(*) AS c FROM pf GROUP BY 1, 2), pstat AS (SELECT doc_id, SUM(c) AS n_p, SUM(c * len(p)) AS p_chars, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup_p, COALESCE(SUM(c * len(p)) FILTER (WHERE c > 1), 0) AS dup_p_chars FROM pcnt GROUP BY 1), ${gopherTopSql(2)}, ${gopherTopSql(3)}, ${gopherTopSql(4)}, met AS (SELECT s.doc_id, s.nw AS n_words, CASE WHEN s.nw > 0 THEN CAST(s.wc AS DOUBLE) / s.nw END AS mean_word_len, CASE WHEN s.nw > 0 THEN CAST(s.aw AS DOUBLE) / s.nw END AS alpha_frac, s.nstop AS n_stop, CASE WHEN s.nw > 0 THEN CAST(s.sym AS DOUBLE) / s.nw END AS symbol_ratio, CASE WHEN COALESCE(l.n_l, 0) > 0 THEN CAST(l.bul AS DOUBLE) / l.n_l END AS bullet_frac, CASE WHEN COALESCE(l.n_l, 0) > 0 THEN CAST(l.ell AS DOUBLE) / l.n_l END AS ellipsis_frac, CASE WHEN COALESCE(l.n_l, 0) > 0 THEN CAST(l.dup_l AS DOUBLE) / l.n_l END AS dup_line_frac, CASE WHEN COALESCE(l.l_chars, 0) > 0 THEN CAST(l.dup_l_chars AS DOUBLE) / l.l_chars END AS dup_line_char_frac, CASE WHEN COALESCE(p.n_p, 0) > 0 THEN CAST(p.dup_p AS DOUBLE) / p.n_p END AS dup_para_frac, CASE WHEN COALESCE(p.p_chars, 0) > 0 THEN CAST(p.dup_p_chars AS DOUBLE) / p.p_chars END AS dup_para_char_frac, CASE WHEN t2.bc IS NOT NULL AND s.wc > 0 THEN CAST(t2.bc * t2.bl AS DOUBLE) / s.wc END AS top2_char_frac, CASE WHEN t3.bc IS NOT NULL AND s.wc > 0 THEN CAST(t3.bc * t3.bl AS DOUBLE) / s.wc END AS top3_char_frac, CASE WHEN t4.bc IS NOT NULL AND s.wc > 0 THEN CAST(t4.bc * t4.bl AS DOUBLE) / s.wc END AS top4_char_frac FROM scal s LEFT JOIN lstat l USING (doc_id) LEFT JOIN pstat p USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)) SELECT d.doc_id, m.n_words, m.mean_word_len, m.alpha_frac, m.n_stop, m.symbol_ratio, m.bullet_frac, m.ellipsis_frac, m.dup_line_frac, m.dup_line_char_frac, m.dup_para_frac, m.dup_para_char_frac, m.top2_char_frac, m.top3_char_frac, m.top4_char_frac, CASE WHEN d.text IS NULL THEN TRUE ELSE (m.n_words >= 50 AND m.n_words <= 100000) AND COALESCE(m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0, TRUE) AND COALESCE(m.alpha_frac >= 0.8, TRUE) AND (m.n_stop >= 2) AND COALESCE(m.symbol_ratio <= 0.1, TRUE) AND COALESCE(m.bullet_frac <= 0.9, TRUE) AND COALESCE(m.ellipsis_frac <= 0.3, TRUE) AND COALESCE(m.dup_line_frac <= 0.3, TRUE) AND COALESCE(m.dup_line_char_frac <= 0.2, TRUE) AND COALESCE(m.dup_para_frac <= 0.3, TRUE) AND COALESCE(m.dup_para_char_frac <= 0.2, TRUE) AND COALESCE(m.top2_char_frac <= 0.2, TRUE) AND COALESCE(m.top3_char_frac <= 0.18, TRUE) AND COALESCE(m.top4_char_frac <= 0.16, TRUE) END AS keep FROM docs d LEFT JOIN met m USING (doc_id) ORDER BY d.doc_id"""
+  }
+
+  // ---- l42 language-ID fixture + oracle (the l39 retrain-differential
+  // pattern, one-vs-rest over char bigrams) ----
+
+  private val Abc = "abcdefghijklmnopqrstuvwxyz"
+  /** Per-language character permutations: the corpus texts share one
+    * vocabulary regardless of their `lang` tag, so separable
+    * "languages" are SYNTHESIZED deterministically — es = reversed
+    * alphabet (the l39 involution), zh = shift-by-one. Char-bigram
+    * statistics differ completely between the three, which is exactly
+    * the fastText/CCNet feature signal. */
+  private val LangPerms = Seq("es" -> Abc.reverse, "zh" -> (Abc.tail + Abc.head))
+  private val LangIdLangs = Seq("en", "es", "zh")
+
+  private def langFixture(s: SparkSession, d: String): DataFrame = {
+    val perm = LangPerms.foldLeft(when(lit(false), col("text"))) {
+      case (acc, (l, p)) => acc.when(col("lang") === l, translate(col("text"), Abc, p))
+    }.otherwise(col("text"))
+    Tables.documents(s, d)
+      .where(col("lang").isin(LangIdLangs: _*))
+      .select(col("doc_id"), col("lang"), perm.as("text"))
+  }
+
+  private val langFixtureSql: String = {
+    val cases = LangPerms.map { case (l, p) =>
+      s"WHEN lang = '$l' THEN translate(text, '$Abc', '$p')"
+    }.mkString(" ")
+    s"SELECT doc_id AS id, lang, CASE $cases ELSE text END AS text FROM documents WHERE lang IN (${LangIdLangs.map("'" + _ + "'").mkString(", ")})"
+  }
+
+  /** One one-vs-rest head's CTE chain (the l39 unrolled two-epoch GD,
+    * label = (lang == `l`), suffix-disambiguated) — emits p_`l` with
+    * the head's integer micro-probability per doc. */
+  private def langHeadSql(l: String, dim: Int): String = {
+    val y = s"(CASE WHEN l.lang = '$l' THEN 1 ELSE 0 END)"
+    s"e1_$l AS (SELECT l.id, CAST(500000 - $y*1000000 AS BIGINT) AS err FROM lab l), " +
+      s"w1_$l AS (SELECT fb, -CAST(round(0.5 * SUM(err*fx) / MAX(nn.n)) AS BIGINT) AS w FROM feat JOIN e1_$l USING (id) CROSS JOIN nn GROUP BY fb), " +
+      s"b1_$l AS (SELECT -CAST(round(0.5 * SUM(err) / MAX(nn.n)) AS BIGINT) AS b FROM e1_$l CROSS JOIN nn), " +
+      s"s2_$l AS (SELECT f.id, SUM(f.fx * COALESCE(w.w, 0)) AS z FROM feat f LEFT JOIN w1_$l w USING (fb) GROUP BY 1), " +
+      s"e2_$l AS (SELECT l.id, CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(s.z, 0) + b.b AS DOUBLE) / 1000000.0))) AS BIGINT) - $y*1000000 AS err FROM lab l LEFT JOIN s2_$l s USING (id) CROSS JOIN b1_$l b), " +
+      s"w2_$l AS (SELECT fb, MAX(w.w) - CAST(round(0.5 * SUM(e.err*feat.fx) / MAX(nn.n)) AS BIGINT) AS w FROM feat JOIN e2_$l e USING (id) JOIN w1_$l w USING (fb) CROSS JOIN nn GROUP BY fb), " +
+      s"b2_$l AS (SELECT MAX(b.b) - CAST(round(0.5 * SUM(err) / MAX(nn.n)) AS BIGINT) AS b FROM e2_$l CROSS JOIN b1_$l b CROSS JOIN nn), " +
+      s"sf_$l AS (SELECT f.id, SUM(f.fx * w.w) AS z FROM feat f JOIN w2_$l w USING (fb) GROUP BY 1), " +
+      s"p_$l AS (SELECT t.id, CASE WHEN t.text IS NULL THEN NULL ELSE CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(s.z, 0) + b.b AS DOUBLE) / 1000000.0))) AS BIGINT) END AS p FROM train t LEFT JOIN sf_$l s ON t.id = s.id CROSS JOIN b2_$l b)"
+  }
+
+  /** The l42 DuckDB oracle: retrain ALL one-vs-rest heads from scratch
+    * over char-bigram hashed features (shared feat CTE — labels are
+    * the only per-head difference) and re-derive the argmax routing
+    * with the earliest-class tie-break. Spark scores via K per-row
+    * map-literal folds; integer micro-probabilities AND the predicted
+    * language must agree bit-for-bit. */
+  private def langIdOracleSql(dim: Int): String = {
+    val heads = LangIdLangs.map(langHeadSql(_, dim)).mkString(", ")
+    // argmax fold, earliest class wins ties: best = l0; if p_l1 > best
+    // then l1; if p_l2 > best then l2 — unrolled innermost-last
+    def bestP(ls: Seq[String]): String = ls match {
+      case Seq(one) => s"p_$one.p"
+      case more => s"(CASE WHEN p_${more.last}.p > ${bestP(more.init)} THEN p_${more.last}.p ELSE ${bestP(more.init)} END)"
+    }
+    val pred = LangIdLangs.tail.reverse.zipWithIndex.map { case (l, i) =>
+      val prior = LangIdLangs.take(LangIdLangs.size - 1 - i)
+      s"WHEN p_$l.p > ${bestP(prior)} THEN '$l'"
+    }.mkString(" ") + s" ELSE '${LangIdLangs.head}'"
+    val joins = LangIdLangs.map(l => s"LEFT JOIN p_$l ON t.id = p_$l.id").mkString(" ")
+    s"""WITH train AS ($langFixtureSql), lab AS (SELECT id, lang FROM train WHERE text IS NOT NULL), nn AS (SELECT COUNT(*) AS n FROM lab), cg AS (SELECT id, unnest(list_transform(generate_series(1, len(lower(text)) - 1), i -> substr(lower(text), i, 2))) AS t FROM train WHERE text IS NOT NULL), fb0 AS (SELECT id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(generate_series(1, len(t)), j -> CAST(ascii(substr(t, j, 1)) AS BIGINT))), (a, v) -> (a*31 + v) % 1000003) % $dim AS INTEGER) AS fb FROM cg), feat AS (SELECT id, fb, COUNT(*) AS fx FROM fb0 GROUP BY 1, 2), $heads SELECT t.id AS doc_id, t.lang, ${LangIdLangs.map(l => s"p_$l.p AS p_$l").mkString(", ")}, CASE WHEN t.text IS NULL THEN NULL $pred END AS pred FROM train t $joins ORDER BY doc_id"""
+  }
+
   /** The l39/l39c DuckDB oracle: retrain the identical quantized LR
     * model as unrolled CTEs and rescore via explode + join + groupBy
     * (Spark scores via the per-row map-literal fold — a genuine
@@ -2746,6 +2886,87 @@ object LlmQueries {
               lit(".example.com/")).as("url")))
       U.urlIncrementalDelta(s, batch, table, "url", "doc_id")
         .select(col("doc_id")).orderBy(col("doc_id"))
-    }, Some(s"""WITH u0 AS ($urlFixtureSql), c AS (SELECT DISTINCT $canonUrlSql AS curl FROM u0 WHERE url IS NOT NULL), b AS (SELECT doc_id + 500000 AS doc_id, url FROM u0 UNION ALL SELECT doc_id + 900000 AS doc_id, 'http://fresh' || doc_id || '.example.com/' AS url FROM documents), bc AS (SELECT doc_id, $canonUrlSql AS curl FROM b) SELECT doc_id FROM bc WHERE curl IS NULL OR curl NOT IN (SELECT curl FROM c) ORDER BY doc_id"""))
+    }, Some(s"""WITH u0 AS ($urlFixtureSql), c AS (SELECT DISTINCT $canonUrlSql AS curl FROM u0 WHERE url IS NOT NULL), b AS (SELECT doc_id + 500000 AS doc_id, url FROM u0 UNION ALL SELECT doc_id + 900000 AS doc_id, 'http://fresh' || doc_id || '.example.com/' AS url FROM documents), bc AS (SELECT doc_id, $canonUrlSql AS curl FROM b) SELECT doc_id FROM bc WHERE curl IS NULL OR curl NOT IN (SELECT curl FROM c) ORDER BY doc_id""")),
+
+    // ---- L43d: frozen host-blocklist filtering (RefinedWeb §3.1 URL
+    // filtering — the leg that APPLIES what hostAggregates computes):
+    // a curated blocklist broadcasts into one anti join on the
+    // canonical host; NULL urls pass. The membership is restated over
+    // the URL strings in SQL. ----
+    ("l40d_host_filter", (s, d) => {
+      import graft.operators.{UrlOps => U}
+      val u = urlFixture(Tables.documents(s, d).select(col("doc_id")))
+      import s.implicits._
+      val blocked = Seq("site0.example.com", "site7.example.com",
+        "site13.example.com").toDF("host")
+      U.hostFilter(u, "url", blocked)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some(s"""WITH u0 AS ($urlFixtureSql), c AS (SELECT doc_id, url, $canonUrlSql AS curl FROM u0) SELECT doc_id FROM c WHERE url IS NULL OR regexp_extract(curl, '^[^:/?#]+://([^/:?#]*)', 1) NOT IN ('site0.example.com', 'site7.example.com', 'site13.example.com') ORDER BY doc_id""")),
+
+    // ---- L45: the Gopher repetition/quality rule pack (Rae et al.
+    // 2021 table A1 — the full published filter family Dolma/RefinedWeb
+    // reuse; l12 proves the top-n-gram sub-piece). Spark computes all
+    // fourteen metrics as IN-ROW sorted-run folds (zero exchanges —
+    // fifteen metrics via the l12 explode+groupBy shape would be
+    // fifteen shuffles); DuckDB regroups relationally per doc — a
+    // genuine cross-strategy differential. Planted fixture: one doc
+    // per rule class, each violating exactly the rule its spec flag
+    // asserts; real corpus docs flow through both engines too. ----
+    ("l41_gopher_rules", (s, d) => {
+      import graft.operators.{GopherRules => G}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(gopherPlantDf(s))
+      val withM = docs.select(col("doc_id"), col("text"),
+        G.metrics(col("text")).as("__m"))
+      val fields = Seq("n_words", "mean_word_len", "alpha_frac", "n_stop",
+        "symbol_ratio", "bullet_frac", "ellipsis_frac", "dup_line_frac",
+        "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+        "top2_char_frac", "top3_char_frac", "top4_char_frac")
+      withM.select(col("doc_id") +:
+          fields.map(x => col("__m").getField(x).as(x)) :+
+          (col("text").isNull ||
+            G.allOk(G.ruleFlags(col("__m"), G.Config()))).as("keep"): _*)
+        .orderBy(col("doc_id"))
+    }, Some(gopherOracleSql)),
+
+    // ---- L46: TRAINED language ID (CCNet stage 1 — fastText-style
+    // one-vs-rest linear heads over hashed char bigrams; l05b is the
+    // heuristic this supersedes). Languages are synthesized via
+    // deterministic alphabet permutations keyed off the corpus `lang`
+    // tag (the texts share one vocabulary, so the permutations ARE the
+    // separable signal). The oracle retrains all three heads from
+    // scratch (shared feature CTE, per-head label chains) and
+    // re-derives the argmax routing — integer micro-probabilities AND
+    // the predicted language bit-equal. ----
+    ("l42_langid", (s, d) => {
+      import graft.operators.{LangId => LI}
+      val fx = langFixture(s, d)
+      val model = LI.train(fx, "text", "doc_id", "lang", LangIdLangs,
+        dim = 256, epochs = 2, lr = 0.5, ngram = 2)
+      fx.select(col("doc_id"), col("lang"),
+          LI.scoresMicro(col("text"), model).as("__p"),
+          LI.predict(col("text"), model).as("pred"))
+        .select(col("doc_id") +: col("lang") +:
+          LangIdLangs.map(l => col(s"__p.$l").as(s"p_$l")) :+ col("pred"): _*)
+        .orderBy(col("doc_id"))
+    }, Some(langIdOracleSql(256))),
+
+    // ---- L46b: held-out routing contract — train on the 80% hash
+    // ring ([[graft.operators.Sampling.hashBucket]], the l02i split),
+    // predict the held-out 20%: every held-out doc must route home
+    // (the permutations make the classes linearly separable with wide
+    // margin; measured micro-probability gap at sf0.01 ≫ the 1-ulp
+    // exposure). Closed-form oracle restates the ring split. ----
+    ("l42b_langid_holdout", (s, d) => {
+      import graft.operators.{LangId => LI, Sampling}
+      val fx = langFixture(s, d)
+      val trainFx = fx.where(Sampling.hashBucket("doc_id") < 80)
+      val evalFx = fx.where(Sampling.hashBucket("doc_id") >= 80)
+      val model = LI.train(trainFx, "text", "doc_id", "lang", LangIdLangs,
+        dim = 256, epochs = 2, lr = 0.5, ngram = 2)
+      evalFx.select(col("lang"), LI.predict(col("text"), model).as("pred"))
+        .agg(count(when(col("pred") =!= col("lang"), 1)).as("violations"),
+          count(lit(1)).as("n_eval"))
+    }, Some(s"""WITH fx AS ($langFixtureSql) SELECT 0 AS violations, COUNT(*) AS n_eval FROM fx WHERE ((id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 100 >= 80"""))
   )
 }

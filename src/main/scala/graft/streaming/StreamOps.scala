@@ -23,6 +23,30 @@ import org.apache.hadoop.fs.Path
   */
 object StreamOps {
 
+  /** The optional text-front-half gate pack (one trailing parameter
+    * instead of four more positional Options on every intake
+    * signature). All default-off; all pure per-row or broadcast-join
+    * work — none changes the loop's shuffle/exactly-once shape:
+    *  - `gopherRules` applies [[graft.operators.GopherRules]] (Rae et
+    *    al. 2021 table A1) right before the heuristic quality gate;
+    *  - `qualityPareto = Some((model, alpha))` applies the GPT-3
+    *    appendix-A Pareto-noisy keep
+    *    ([[graft.operators.QualityClassifier.paretoKeeps]]) after the
+    *    hard-threshold gate (compose or use either alone);
+    *  - `hostBlocklist` (one `host` string column) anti-joins the
+    *    canonical-URL host right after the URL-dedup leg (RefinedWeb
+    *    URL filtering; requires `urlDedupCol`);
+    *  - `langIdKeep = Some((model, keepLangs))` routes on the trained
+    *    language ID ([[graft.operators.LangId]], CCNet stage 1) before
+    *    any quality/LM scoring. */
+  final case class TextGates(
+      gopherRules: Option[graft.operators.GopherRules.Config] = None,
+      qualityPareto: Option[(graft.operators.QualityClassifier.LrModel,
+        Double)] = None,
+      hostBlocklist: Option[DataFrame] = None,
+      langIdKeep: Option[(graft.operators.LangId.Model,
+        Set[String])] = None)
+
   /** T1 — watermark (streaming only; identity on batch frames). */
   def withWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
     if (df.isStreaming) df.withWatermark(tsCol, delay) else df
@@ -314,14 +338,15 @@ object StreamOps {
         graft.operators.NgramLm.PplThresholds, Set[String])] = None,
       urlDedupCol: Option[String] = None,
       qualityModel: Option[(graft.operators.QualityClassifier.LrModel,
-        Long)] = None): DataStreamWriter[Row] =
+        Long)] = None,
+      gates: TextGates = TextGates()): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         intakeBatch(batch, batchId, historyTable, numBuckets,
           htmlCol, idCol, outDir, minQuality, threshold,
           extractBoilerplate, lmGate, decontaminate, paragraphDedup,
-          lmBuckets, urlDedupCol, qualityModel): Unit
+          lmBuckets, urlDedupCol, qualityModel, gates): Unit
       }
 
   /** One intake micro-batch (see [[intakeSink]]; also the batch path
@@ -374,7 +399,8 @@ object StreamOps {
         graft.operators.NgramLm.PplThresholds, Set[String])] = None,
       urlDedupCol: Option[String] = None,
       qualityModel: Option[(graft.operators.QualityClassifier.LrModel,
-        Long)] = None): Boolean = {
+        Long)] = None,
+      gates: TextGates = TextGates()): Boolean = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -384,7 +410,8 @@ object StreamOps {
     if (current.contains(batchId)) return false // replayed batch: no-op
     val outFrame = textSurvivorFrame(batch, historyTable, numBuckets,
       htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate,
-      decontaminate, paragraphDedup, lmBuckets, urlDedupCol, qualityModel)
+      decontaminate, paragraphDedup, lmBuckets, urlDedupCol, qualityModel,
+      gates)
     val survivorsPath = new Path(root, s"batch-$batchId").toString
     outFrame.write.mode("overwrite").parquet(survivorsPath)
     // explicit schema: a schema-discovery pass over the just-written
@@ -393,8 +420,12 @@ object StreamOps {
     Dedup.appendBandHistoryDelta(spark, survivors, "text", idCol,
       historyTable, batchId)
     if (paragraphDedup)
+      // assumeCanonical: survivors went through paragraphDedup +
+      // the history probe, so each hash appears in exactly one doc —
+      // the canonicalization groupBy would add a shuffle per
+      // micro-batch and collapse nothing (ADVICE r15)
       Dedup.appendParagraphHistoryDelta(spark, survivors, "text", idCol,
-        historyTable, batchId)
+        historyTable, batchId, assumeCanonical = true)
     Dedup.appendHashHistoryDelta(spark, survivors, "text", idCol,
       historyTable, batchId)
     graft.sources.AtomicPointer.write(hconf,
@@ -419,14 +450,22 @@ object StreamOps {
         graft.operators.NgramLm.PplThresholds, Set[String])] = None,
       urlDedupCol: Option[String] = None,
       qualityModel: Option[(graft.operators.QualityClassifier.LrModel,
-        Long)] = None): DataFrame = {
+        Long)] = None,
+      gates: TextGates = TextGates()): DataFrame = {
     import graft.operators.{Decontaminate, Dedup}
     import graft.functions.{TextFunctions => TF}
     // URL dedup is the FIRST leg by design (RefinedWeb/CCNet run it
     // before content ever downloads): a canonical-URL duplicate row
     // never reaches cleaning, scoring, or any history
-    val batch = urlDedupCol.fold(batchRaw)(u =>
+    val batchU = urlDedupCol.fold(batchRaw)(u =>
       graft.operators.UrlOps.urlDedup(batchRaw, u, idCol))
+    // host-blocklist filtering right after URL dedup (the RefinedWeb
+    // order: URL-level filtering before content costs anything) — one
+    // broadcast anti join, list-sized build side
+    val batch = gates.hostBlocklist.fold(batchU) { bl =>
+      require(urlDedupCol.isDefined, "hostBlocklist requires urlDedupCol")
+      graft.operators.UrlOps.hostFilter(batchU, urlDedupCol.get, bl)
+    }
     val spark = batch.sparkSession
     // the clean/score front half: per-row native expressions only.
     // Paragraph mode preserves paragraph BOUNDARIES through cleaning
@@ -466,14 +505,32 @@ object StreamOps {
             "text", idCol).localCheckpoint(eager = true),
           historyTable, "text", idCol)
       }
-    val heuristicScored = TF.withQualityOnly(paraed, "text")
+    // optional TRAINED language-ID routing (CCNet stage 1 — language
+    // first, so no LM/quality signal ever scores a wrong-language
+    // doc): K per-row map-literal folds, no join/shuffle/job added
+    val langed = gates.langIdKeep.fold(paraed) { case (m, keep) =>
+      paraed.where(graft.operators.LangId.keeps(col("text"), m, keep))
+    }
+    // optional Gopher rule pack (Rae et al. 2021 table A1) — pure
+    // per-row in-row folds, the same hot-loop class
+    val gophered = gates.gopherRules.fold(langed)(cfg =>
+      langed.where(graft.operators.GopherRules.keeps(col("text"), cfg)))
+    val heuristicScored = TF.withQualityOnly(gophered, "text")
       .where(col("quality") >= minQuality)
     // optional TRAINED classifier gate (the GPT-3/DCLM keep rule):
     // pure per-row map-literal fold — same hot-loop class as the
     // heuristic gate, no join/shuffle/job added
-    val qualityScored = qualityModel.fold(heuristicScored) {
+    val qualityHard = qualityModel.fold(heuristicScored) {
       case (model, minP) => heuristicScored.where(
         graft.operators.QualityClassifier.keeps(col("text"), model, minP))
+    }
+    // optional Pareto-NOISY classifier keep (GPT-3 appendix A's actual
+    // corpus rule) — shares the same per-row scoring-fold class; both
+    // forms may be on at once (threshold floor + noisy tail keep)
+    val qualityScored = gates.qualityPareto.fold(qualityHard) {
+      case (model, alpha) => qualityHard.where(
+        graft.operators.QualityClassifier.paretoKeeps(
+          col("text"), col(idCol), model, alpha))
     }
     val scored = (lmGate, lmBuckets) match {
       case (None, None) => qualityScored
@@ -722,7 +779,8 @@ object StreamOps {
       decontaminateMm: Option[String] = None,
       urlDedupCol: Option[String] = None,
       qualityModel: Option[(graft.operators.QualityClassifier.LrModel,
-        Long)] = None): Boolean = {
+        Long)] = None,
+      gates: TextGates = TextGates()): Boolean = {
     import graft.operators.{Dedup, Similarity}
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -740,7 +798,8 @@ object StreamOps {
       .select(col(idCol), col(payloadCol))
     val textOut = textSurvivorFrame(textRows, historyTable, numBuckets,
       htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate,
-      decontaminate, paragraphDedup, lmBuckets, urlDedupCol, qualityModel)
+      decontaminate, paragraphDedup, lmBuckets, urlDedupCol, qualityModel,
+      gates)
     val payOut = multimodalSurvivorFrame(payloadRows, historyTable,
       numBuckets, payloadCol, idCol, decontaminateMm)
     // optional EMBEDDING leg (SemDeDup at intake, the l29b machinery):
@@ -798,8 +857,10 @@ object StreamOps {
     Dedup.appendBandHistoryDelta(spark, textSurv, "text", idCol,
       historyTable, batchId)
     if (paragraphDedup)
+      // assumeCanonical: the text leg's survivors are paragraph-deduped
+      // (same rationale as the text-loop append)
       Dedup.appendParagraphHistoryDelta(spark, textSurv, "text", idCol,
-        historyTable, batchId)
+        historyTable, batchId, assumeCanonical = true)
     Dedup.appendImageHistoryDelta(spark, paySurv, payloadCol, idCol,
       historyTable, batchId)
     Dedup.appendAudioHistoryDelta(spark, paySurv, payloadCol, idCol,
@@ -837,7 +898,8 @@ object StreamOps {
       decontaminateMm: Option[String] = None,
       urlDedupCol: Option[String] = None,
       qualityModel: Option[(graft.operators.QualityClassifier.LrModel,
-        Long)] = None): DataStreamWriter[Row] =
+        Long)] = None,
+      gates: TextGates = TextGates()): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -845,7 +907,7 @@ object StreamOps {
           htmlCol, payloadCol, idCol, outDir, minQuality, threshold,
           extractBoilerplate, lmGate, embCol, embTau, decontaminate,
           paragraphDedup, lmBuckets, decontaminateMm, urlDedupCol,
-          qualityModel): Unit
+          qualityModel, gates): Unit
       }
 
   /** Drop all histories of a mixed intake (text pair + three

@@ -1817,4 +1817,151 @@ class StreamingSpec extends SparkSpec {
       Decontaminate.dropEvalIdentities(spark, evalM)
     }
   }
+
+  test("L45 intake leg: the Gopher rule pack gates the cleaned text — each planted violation dies, the compliant doc survives") {
+    import graft.operators.{Dedup, GopherRules}
+    val hist = "t_gopher_hist"
+    val outDir = tmpDir("gopher_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      // the cleaning pass collapses newlines, so the planted
+      // violations here are ones that survive single-line form
+      // (bullet-start, symbol ratio, word count, top-2-gram coverage);
+      // line-granular rules are pinned in GopherRulesSpec
+      val ok = "the quick brown fox jumps over a lazy dog " +
+        "every good sentence should have some different words " +
+        "people write many things about the wide world " +
+        "reading takes time and gives back useful knowledge " +
+        "rivers flow down from tall mountains into the sea " +
+        "builders design strong houses with solid stone walls " +
+        "farmers grow fresh food across wide open fields " +
+        "children learn new games during long summer days"
+      val batch = Seq(
+        (1L, s"<p>$ok</p>"),
+        (2L, "<p>" + "• buy the thing now " * 20 + "</p>"), // bullet start
+        (3L, "<p>" + "tag # marker # thing of the lot " * 20 + "</p>"),
+        (4L, "<p>too short</p>"),
+        (5L, "<p>" + "click here " * 40 + "</p>")) // top-2-gram dominance
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0,
+        gates = StreamOps.TextGates(gopherRules = Some(GopherRules.Config()))))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out === Set(1L), s"gopher gate broke: $out")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
+  test("L43d intake leg: host-blocklist filtering right after URL dedup — blocked hosts leave no output and NO history rows; requires the url leg") {
+    import graft.operators.Dedup
+    val hist = "t_hostf_hist"
+    val outDir = tmpDir("hostf_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      val blocked = Seq("bad.example.com").toDF("host")
+      val gates = StreamOps.TextGates(hostBlocklist = Some(blocked))
+      val batch = Seq(
+        (1L, "<p>alpha beta gamma one</p>", "http://Good.example.com/a"),
+        // canonicalizes to host bad.example.com → blocked
+        (2L, "<p>delta epsilon zeta two</p>", "HTTP://BAD.Example.com:80/x"),
+        // NULL url passes (no evidence)
+        (3L, "<p>eta theta iota three</p>", null.asInstanceOf[String]))
+        .toDF("doc_id", "html", "url")
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0, urlDedupCol = Some("url"), gates = gates))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out === Set(1L, 3L), s"host blocklist broke: $out")
+      // NO ghost history: the blocked doc's EXACT text re-presented
+      // under a fresh id on an unblocked host must survive the hash
+      // probe — a history row from the blocked row would kill it
+      val batch2 = Seq(
+        (10L, "<p>delta epsilon zeta two</p>", "http://good.example.com/b"))
+        .toDF("doc_id", "html", "url")
+      assert(StreamOps.intakeBatch(batch2, 1L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0, urlDedupCol = Some("url"), gates = gates))
+      val out2 = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out2 === Set(10L), s"blocked row left a ghost history row: $out2")
+      // the blocklist without the url leg is a loud contract error
+      val thrown = intercept[IllegalArgumentException] {
+        StreamOps.intakeBatch(batch, 2L, hist, 4, "html", "doc_id",
+          outDir, minQuality = 0.0, gates = gates)
+      }
+      assert(thrown.getMessage.contains("urlDedupCol"))
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
+  test("L42d intake leg: Pareto-noisy classifier keep — survivors equal the closed-form per-row rule, tail docs pass probabilistically, clean docs all pass") {
+    import graft.operators.{Dedup, QualityClassifier => QC}
+    val hist = "t_pareto_hist"
+    val outDir = tmpDir("pareto_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      def toks(seed: Long) = (0 until 30).map(i => s"tok${seed}w$i").mkString(" ")
+      def gib(t: String) =
+        t.map(c => if (c >= 'a' && c <= 'z') ('z' - (c - 'a')).toChar else c)
+      val clf = QC.train(
+        ((900L to 904L).map(s => (s, toks(s), 1)) ++
+          (905L to 909L).map(s => (s, gib(toks(s)), 0))).toDF("id", "text", "y"),
+        "text", "id", "y", dim = 128, epochs = 2)
+      // alpha = 0.5: a zero-score doc keeps with probability ~2^-0.5 ≈
+      // 0.71, so the deterministic ring draw leaves BOTH outcomes
+      // represented across 12 ids — the tail-diversity property a hard
+      // threshold destroys
+      val alpha = 0.5
+      val rows = (0L until 12L).map(i => (i, gib(toks(100 + i)))) ++
+        (20L until 23L).map(i => (i, toks(200 + i)))
+      val batch = rows.map { case (id, t) => (id, s"<p>$t</p>") }
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0,
+        gates = StreamOps.TextGates(qualityPareto = Some((clf, alpha)))))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id").as[Long].collect().toSet
+      // the cleaned text equals the raw text here (plain tokens, single
+      // spaces), so the intake decision must equal the rule applied
+      // directly — the l39d oracle pins the rule itself cross-engine
+      val expected = rows.toDF("doc_id", "text")
+        .where(QC.paretoKeeps($"text", $"doc_id", clf, alpha))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out === expected, s"intake $out != closed-form $expected")
+      // the noise cuts BOTH ways by design (GPT-3 appendix A): a
+      // high-scoring doc with an unlucky tiny β draw can die too
+      // (P ≈ 1 − (2−s)^−α), so assert representation, not unanimity
+      assert(((20L until 23L).toSet & expected).nonEmpty,
+        "high-scoring docs should be represented")
+      val gibIds = (0L until 12L).toSet
+      assert((gibIds & expected).nonEmpty, "Pareto noise should admit SOME tail docs at alpha=0.5")
+      assert((gibIds -- expected).nonEmpty, "…and reject the rest")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
+  test("L46 intake leg: trained language-ID routing — wrong-language docs die before any scoring, keep-set docs survive") {
+    import graft.operators.{Dedup, LangId}
+    val hist = "t_langid_hist"
+    val outDir = tmpDir("langid_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      def toks(seed: Long) = (0 until 25).map(i => s"word${seed}x$i").mkString(" ")
+      def xx(t: String) =
+        t.map(c => if (c >= 'a' && c <= 'z') ('z' - (c - 'a')).toChar else c)
+      val labeled = ((1L to 15L).map(i => (i, toks(i), "en")) ++
+        (16L to 30L).map(i => (i, xx(toks(i)), "xx"))).toDF("id", "text", "lang")
+      val model = LangId.train(labeled, "text", "id", "lang",
+        Seq("en", "xx"), dim = 64, epochs = 2, ngram = 2)
+      val batch = Seq(
+        (100L, s"<p>${toks(40)}</p>"),      // en → kept
+        (101L, s"<p>${xx(toks(41))}</p>"),  // xx → dropped
+        (102L, s"<p>${toks(42)}</p>"),      // en → kept
+        (103L, s"<p>${xx(toks(43))}</p>"))  // xx → dropped
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0,
+        gates = StreamOps.TextGates(langIdKeep = Some((model, Set("en"))))))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out === Set(100L, 102L), s"language routing broke: $out")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
 }
