@@ -212,6 +212,58 @@ object LlmQueries {
       s"p_$l AS (SELECT t.id, CASE WHEN t.text IS NULL THEN NULL ELSE CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(s.z, 0) + b.b AS DOUBLE) / 1000000.0))) AS BIGINT) END AS p FROM train t LEFT JOIN sf_$l s ON t.id = s.id CROSS JOIN b2_$l b)"
   }
 
+  // ---- l43 DSIR helpers (Xie et al. 2023 restated in DuckDB) ----
+
+  /** The portable ring value of an id expression, as a double strictly
+    * inside (0,1) — the Gumbel draw's `u` ([[graft.operators.Dsir]]). */
+  private def ringUSql(idExpr: String): String =
+    s"((($idExpr % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 + 0.5) / 2147483648.0"
+
+  /** Feature rows of one docs relation (`src` must expose `id`, `text`
+    * with text NOT NULL, plus the columns named in `carry`): word
+    * unigrams ∪ bigrams, each hashed by the portable polynomial fold
+    * mod `dim` — the DSIR hashed-n-gram space. */
+  private def dsirFeatSql(src: String, dim: Int,
+      carry: Seq[String] = Nil): String = {
+    val ks = ("id" +: carry).mkString(", ")
+    s"(SELECT $ks, fb, COUNT(*) AS fx FROM (SELECT $ks, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(generate_series(1, len(f)), j -> CAST(ascii(substr(f, j, 1)) AS BIGINT))), (a, v) -> (a*31 + v) % 1000003) % $dim AS INTEGER) AS fb FROM (SELECT $ks, unnest(fs) AS f FROM (SELECT $ks, ts || list_transform(generate_series(1, greatest(len(ts)-1, 0)), i -> array_to_string(ts[i:i+1], ' ')) AS fs FROM (SELECT $ks, $tokensSql AS ts FROM $src)))) GROUP BY ALL)"
+  }
+
+  /** Shared λ CTE chain: Laplace-smoothed quantized log-ratios from
+    * `cp`/`cq` bucket-count CTEs (must exist upstream as (fb, c)). */
+  private def dsirLambdaSql(dim: Int): String =
+    s"tot AS (SELECT (SELECT SUM(c) FROM cp) AS np, (SELECT SUM(c) FROM cq) AS nq), " +
+      s"bk AS (SELECT fb FROM cp UNION SELECT fb FROM cq), " +
+      s"lam AS (SELECT bk.fb, CAST(round((ln((COALESCE(p.c, 0) + 1.0) / (t.np + $dim)) - ln((COALESCE(q.c, 0) + 1.0) / (t.nq + $dim))) * 1000000) AS BIGINT) AS l FROM bk LEFT JOIN cp p USING (fb) LEFT JOIN cq q USING (fb) CROSS JOIN tot t), " +
+      s"l0 AS (SELECT CAST(round((ln(1.0 / (np + $dim)) - ln(1.0 / (nq + $dim))) * 1000000) AS BIGINT) AS l FROM tot)"
+
+  /** The l43 DuckDB oracle: retrain both hashed-n-gram models from
+    * scratch (target = id%5==0, raw = the rest), re-derive every
+    * quantized λ, per-doc log-weight (explode + regroup — the
+    * cross-strategy counterpart of Spark's per-row map fold), the
+    * deterministic ring Gumbel draw, and top-k membership via a rank
+    * window. Zero-feature docs score 0 (the fold's init), NULL text
+    * scores NULL and is never selected. */
+  private val dsirOracleSql: String = {
+    val dim = 256
+    val feat = dsirFeatSql(
+      "(SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL)",
+      dim)
+    val gum = s"CAST(round(-ln(-ln(${ringUSql("d.id")})) * 1000000) AS BIGINT)"
+    s"""WITH feat AS $feat, cp AS (SELECT fb, SUM(fx) AS c FROM feat WHERE id % 5 = 0 GROUP BY 1), cq AS (SELECT fb, SUM(fx) AS c FROM feat WHERE id % 5 <> 0 GROUP BY 1), ${dsirLambdaSql(dim)}, sc AS (SELECT f.id, SUM(f.fx * COALESCE(lam.l, l0.l)) AS s FROM feat f LEFT JOIN lam USING (fb) CROSS JOIN l0 GROUP BY 1), ky AS (SELECT d.id AS doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS lw, CAST(COALESCE(sc.s, 0) AS BIGINT) + $gum AS k FROM (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL) d LEFT JOIN sc ON d.id = sc.id), rk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rn FROM ky) SELECT a.doc_id, ky.lw AS logw_micro, ky.k AS key_micro, COALESCE(rk.rn <= 100, FALSE) AS selected FROM documents a LEFT JOIN ky USING (doc_id) LEFT JOIN rk USING (doc_id) ORDER BY a.doc_id"""
+  }
+
+  /** The l43b DuckDB oracle: the contrast contract's violation count
+    * recomputed through its own retrain — target = clean slice, raw =
+    * held-out originals ∪ alphabet-permuted twins, pairs scored on
+    * both sides. */
+  private val dsirContrastOracleSql: String = {
+    val dim = 1024
+    val fixture = s"(SELECT doc_id AS id, text, 't' AS side FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0 UNION ALL SELECT doc_id AS id, text, 'h' AS side FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0 UNION ALL SELECT doc_id AS id, translate(text, '$Abc', '${Abc.reverse}') AS text, 'g' AS side FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0)"
+    val feat = dsirFeatSql(fixture, dim, carry = Seq("side"))
+    s"""WITH feat AS $feat, cp AS (SELECT fb, SUM(fx) AS c FROM feat WHERE side = 't' GROUP BY 1), cq AS (SELECT fb, SUM(fx) AS c FROM feat WHERE side <> 't' GROUP BY 1), ${dsirLambdaSql(dim)}, sc AS (SELECT f.id, f.side, SUM(f.fx * COALESCE(lam.l, l0.l)) AS s FROM feat f LEFT JOIN lam USING (fb) CROSS JOIN l0 WHERE f.side <> 't' GROUP BY 1, 2), hh AS (SELECT h.doc_id, CAST(COALESCE(sh.s, 0) AS BIGINT) AS lo, CAST(COALESCE(sg.s, 0) AS BIGINT) AS lg FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0) h LEFT JOIN (SELECT id, s FROM sc WHERE side = 'h') sh ON h.doc_id = sh.id LEFT JOIN (SELECT id, s FROM sc WHERE side = 'g') sg ON h.doc_id = sg.id) SELECT COUNT(*) FILTER (WHERE lo <= lg) AS violations, COUNT(*) AS n_pairs FROM hh"""
+  }
+
   /** The l42 DuckDB oracle: retrain ALL one-vs-rest heads from scratch
     * over char-bigram hashed features (shared feat CTE — labels are
     * the only per-head difference) and re-derive the argmax routing
@@ -2967,6 +3019,50 @@ object LlmQueries {
       evalFx.select(col("lang"), LI.predict(col("text"), model).as("pred"))
         .agg(count(when(col("pred") =!= col("lang"), 1)).as("violations"),
           count(lit(1)).as("n_eval"))
-    }, Some(s"""WITH fx AS ($langFixtureSql) SELECT 0 AS violations, COUNT(*) AS n_eval FROM fx WHERE ((id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 100 >= 80"""))
+    }, Some(s"""WITH fx AS ($langFixtureSql) SELECT 0 AS violations, COUNT(*) AS n_eval FROM fx WHERE ((id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 % 100 >= 80""")),
+
+    // ---- L47: DSIR — data selection via importance resampling (Xie
+    // et al. 2023). Spark scores log-weights via the per-row
+    // map-literal fold and selects via TakeOrderedAndProject; DuckDB
+    // RETRAINS both bag-of-hashed-n-gram models from scratch
+    // (explode + regroup), re-derives every λ, every log-weight, every
+    // deterministic Gumbel draw, and the top-k membership via a rank
+    // window — a full cross-strategy differential, integers end to
+    // end. Target sample = doc_id % 5 == 0, raw = the rest. ----
+    ("l43_dsir", (s, d) => {
+      import graft.operators.{Dsir => DS}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m = DS.train(docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0), "text", dim = 256)
+      val top = DS.selectTopK(docs, "text", "doc_id", m, 100)
+        .select(col("doc_id").as("__sid"))
+      docs.select(col("doc_id"),
+          DS.logWeightMicro(col("text"), m).as("logw_micro"),
+          DS.keyMicro(col("text"), col("doc_id"), m).as("key_micro"))
+        .join(broadcast(top), col("doc_id") === col("__sid"), "left")
+        .select(col("doc_id"), col("logw_micro"), col("key_micro"),
+          col("__sid").isNotNull.as("selected"))
+        .orderBy(col("doc_id"))
+    }, Some(dsirOracleSql)),
+
+    // ---- L47b: DSIR contrast contract — with target = the clean
+    // slice and raw = held-out originals ∪ their alphabet-permuted
+    // gibberish twins, every held-out original must out-weigh its twin
+    // (the distribution-matching claim, the l39b pattern). The oracle
+    // recomputes the violation count through its own retrain. ----
+    ("l43b_dsir_contrast", (s, d) => {
+      import graft.operators.{Dsir => DS}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .where(col("text").isNotNull)
+      val held = docs.where(col("doc_id") % 5 =!= 0)
+      val gibText = translate(col("text"), Abc, Abc.reverse)
+      val m = DS.train(docs.where(col("doc_id") % 5 === 0),
+        held.unionByName(held.select(col("doc_id"), gibText.as("text"))),
+        "text", dim = 1024)
+      held.select(DS.logWeightMicro(col("text"), m).as("__lo"),
+          DS.logWeightMicro(gibText, m).as("__lg"))
+        .agg(count(when(col("__lo") <= col("__lg"), 1)).as("violations"),
+          count(lit(1)).as("n_pairs"))
+    }, Some(dsirContrastOracleSql))
   )
 }

@@ -38,14 +38,21 @@ object StreamOps {
     *    URL filtering; requires `urlDedupCol`);
     *  - `langIdKeep = Some((model, keepLangs))` routes on the trained
     *    language ID ([[graft.operators.LangId]], CCNet stage 1) before
-    *    any quality/LM scoring. */
+    *    any quality/LM scoring;
+    *  - `dsir = Some((model, minKeyMicro))` applies DSIR
+    *    distribution-matching selection ([[graft.operators.Dsir]], Xie
+    *    et al. 2023) as the per-row Gumbel-noised threshold — the
+    *    intake analogue of Gumbel top-k (a micro-batch cannot rank
+    *    against unseen documents, so the acceptance bar replaces the
+    *    count), after the quality gates. */
   final case class TextGates(
       gopherRules: Option[graft.operators.GopherRules.Config] = None,
       qualityPareto: Option[(graft.operators.QualityClassifier.LrModel,
         Double)] = None,
       hostBlocklist: Option[DataFrame] = None,
       langIdKeep: Option[(graft.operators.LangId.Model,
-        Set[String])] = None)
+        Set[String])] = None,
+      dsir: Option[(graft.operators.Dsir.Model, Long)] = None)
 
   /** T1 — watermark (streaming only; identity on batch frames). */
   def withWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
@@ -527,10 +534,18 @@ object StreamOps {
     // optional Pareto-NOISY classifier keep (GPT-3 appendix A's actual
     // corpus rule) — shares the same per-row scoring-fold class; both
     // forms may be on at once (threshold floor + noisy tail keep)
-    val qualityScored = gates.qualityPareto.fold(qualityHard) {
+    val qualityPareted = gates.qualityPareto.fold(qualityHard) {
       case (model, alpha) => qualityHard.where(
         graft.operators.QualityClassifier.paretoKeeps(
           col("text"), col(idCol), model, alpha))
+    }
+    // optional DSIR distribution-matching selection (Xie et al. 2023)
+    // in its threshold form — one more per-row map-literal fold in the
+    // same codegen span; the quality gates keep garbage out, DSIR
+    // shapes what remains toward the target distribution
+    val qualityScored = gates.dsir.fold(qualityPareted) {
+      case (model, minKey) => qualityPareted.where(
+        graft.operators.Dsir.keeps(col("text"), col(idCol), model, minKey))
     }
     val scored = (lmGate, lmBuckets) match {
       case (None, None) => qualityScored

@@ -1964,4 +1964,48 @@ class StreamingSpec extends SparkSpec {
       assert(out === Set(100L, 102L), s"language routing broke: $out")
     } finally Dedup.dropIntakeHistory(spark, hist)
   }
+
+  test("L47 intake leg: DSIR threshold keep — the intake decision equals the closed-form noised rule; target-like docs survive, off-distribution docs die") {
+    import graft.operators.{Dedup, Dsir}
+    val hist = "t_dsir_hist"
+    val outDir = tmpDir("dsir_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      // a SHARED clean vocabulary in DISJOINT 30-word slices: batch
+      // docs carry features the models actually saw (the distribution
+      // signal, not hash-collision noise) while staying far from each
+      // other in shingle space (the intake loop's near-dedup leg must
+      // not collapse them)
+      val vocab = (0 until 180).map(i => s"cleanword$i")
+      def slice(j: Int) = vocab.slice(30 * j, 30 * j + 30).mkString(" ")
+      def gib(t: String) =
+        t.map(c => if (c >= 'a' && c <= 'z') ('z' - (c - 'a')).toChar else c)
+      val target = (0 to 5).map(j => (900L + j, slice(j))).toDF("id", "text")
+      val raw = ((0 to 5).map(j => (910L + j, slice(j))) ++
+        (0 to 5).map(j => (920L + j, gib(slice(j))))).toDF("id", "text")
+      val m = Dsir.train(target, raw, "text", dim = 4096)
+      val rows = (0L until 6L).map(i => (i, slice(i.toInt))) ++
+        (10L until 16L).map(i => (i, gib(slice(i.toInt - 10))))
+      val batch = rows.map { case (id, t) => (id, s"<p>$t</p>") }
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0,
+        gates = StreamOps.TextGates(dsir = Some((m, 0L)))))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id").as[Long].collect().toSet
+      // cleaned text == raw text (plain tokens), so the intake decision
+      // must equal the rule applied directly — the l43 oracle pins the
+      // weight+noise arithmetic itself cross-engine
+      val expected = rows.toDF("doc_id", "text")
+        .where(Dsir.keeps($"text", $"doc_id", m, 0L))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out === expected, s"intake $out != closed-form $expected")
+      // direction: 30-token margins dwarf the Gumbel noise here, so the
+      // in-distribution docs all clear 0 and the permuted docs all miss
+      assert((0L until 6L).toSet.subsetOf(expected),
+        s"target-like docs must survive: $expected")
+      assert(((10L until 16L).toSet & expected).isEmpty,
+        s"off-distribution docs must die: $expected")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
 }
