@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgrams, CosineF32, CosineQ64, HilbertKey, StripHtml, UnicodeNormalize}
+import graft.functions.{CharNgrams, CosineF32, CosineQ64, HilbertKey, PolyBucket, SortedRunStats, StripHtml, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -14,6 +14,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * string n-grams) expressions, usable from SQL text and via
   * `expr("cosine_f32(a, b)")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Evaluate a foldable integral argument (1+2, CAST(3 AS INT), 3L…)
+    * — builders run before constant folding, so a bare-Literal match
+    * would reject constants that fold one rule later. */
+  private def foldableInt(fn: String, arg: String, e: Expression): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn(..., $arg): $arg must be an integer constant, got $other")
+    } else throw new IllegalArgumentException(
+      s"$fn(..., $arg): $arg must be a constant, got $e")
 
   private def inject(ext: SparkSessionExtensions, name: String,
       clazz: Class[_], arity: Int)(build: Seq[Expression] => Expression): Unit =
@@ -43,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       } else throw new IllegalArgumentException(
         s"char_ngrams(text, n): n must be a constant, got $nExpr")
       CharNgrams(c.head, n)
+    }
+    inject(ext, "poly_bucket", classOf[PolyBucket], 2) { c =>
+      PolyBucket(c.head, foldableInt("poly_bucket", "dim", c(1)))
+    }
+    inject(ext, "sorted_run_stats", classOf[SortedRunStats], 2) { c =>
+      SortedRunStats(c.head,
+        foldableInt("sorted_run_stats", "extraChars", c(1)))
     }
     inject(ext, "strip_html", classOf[StripHtml], 1)(c => StripHtml(c.head))
     inject(ext, "unicode_normalize", classOf[UnicodeNormalize], 2) { c =>

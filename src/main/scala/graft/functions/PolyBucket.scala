@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native portable feature-hash bucket (SURVEY §2.9 L42/L46/L47,
+  * custom-Expression tier): the explicit per-character polynomial fold
+  * `h = (h·31 + codepoint) mod 1000003` seeded 7, then `mod dim` — the
+  * engine-portable hash every trained operator buckets features with
+  * (QualityClassifier / LangId / Dsir), restated by the DuckDB oracles
+  * as `list_reduce` over `ascii` values.
+  *
+  * The built-in formulation (`aggregate(transform(sequence(1, len),
+  * i => ascii(substr(i, 1))), …)`) evaluates ~30 interpreted expression
+  * nodes per character — all Spark higher-order functions are
+  * CodegenFallback — which multiplied across a few hundred features per
+  * document made the hash the dominant cost of every trained gate's
+  * scoring fold (the l42/l43 attempt-log lesson). This kernel is one
+  * statically-compiled code-point loop.
+  *
+  * Semantics match the fold exactly: Spark's `ascii` is
+  * `toString.codePointAt(0)` of the 1-char (= 1-code-point) substring,
+  * so the loop walks `String.codePointAt` with `Character.charCount`
+  * strides. NULL in → NULL out. (The fold and the kernel differ only on
+  * the EMPTY string — `sequence(1, 0)` counts DOWN, folding two phantom
+  * zeros — but no caller hashes an empty feature: tokens and n-grams
+  * are non-empty by construction.)
+  */
+case class PolyBucket(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim > 0, s"poly_bucket needs dim > 0, got $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"poly_bucket requires a string column, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "poly_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyBucketKernel.compute(input.asInstanceOf[UTF8String], dim)
+
+  // one static call from generated code — stays inside whole-stage
+  // codegen, no row boxing
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyBucketKernel.compute($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyBucket =
+    copy(child = newChild)
+}
+
+object PolyBucketKernel {
+  /** Seed-7 polynomial code-point fold mod 1000003, then mod dim. */
+  def compute(s: UTF8String, dim: Int): Int = {
+    val str = s.toString
+    var h = 7L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % 1000003L
+      i += Character.charCount(cp)
+    }
+    (h % dim).toInt
+  }
+}

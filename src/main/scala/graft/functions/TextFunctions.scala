@@ -160,6 +160,25 @@ object TextFunctions {
     ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
   }
 
+  /** Portable polynomial feature-hash bucket — the native single-pass
+    * [[PolyBucket]] kernel (the `aggregate`-over-`ascii(substr)` form
+    * evaluates ~30 interpreted nodes per character; see the
+    * expression's scaladoc). */
+  def polyBucket(text: Column, dim: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(PolyBucket(ColumnBridge.expression(text), dim))
+  }
+
+  /** Equal-run statistics of a string list — the native one-pass
+    * [[SortedRunStats]] kernel returning (occ, chars, bc, bl); replaces
+    * the interpreted `aggregate(array_sort(…))` struct folds (see the
+    * expression's scaladoc). */
+  def sortedRunStats(arr: Column, extraChars: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      SortedRunStats(ColumnBridge.expression(arr), extraChars))
+  }
+
   /** Built-in-only form of [[charNgrams]] — kept as the semantic
     * reference for the native kernel's parity property test. */
   def charNgramsHof(text: Column, n: Int): Column =
@@ -176,6 +195,24 @@ object TextFunctions {
   def ngramsOfTokens(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(ts) - n), i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+
+  /** Evaluate `c` ONCE per row and compute `f` over the bound value —
+    * the in-expression form of the l02 "materialize it as its own
+    * projected column" rule, for Column-in/Column-out operators that
+    * cannot stage projections. Two re-evaluation traps make this
+    * necessary: (a) an HOF lambda re-evaluates an expression-valued
+    * argument PER ELEMENT (`slice(tokens(text), i, n)` inside
+    * `transform` re-tokenizes per n-gram — O(k²); the [[ngramsOfTokens]]
+    * caveat), and (b) whole-stage codegen's subexpression elimination
+    * SKIPS lambda-containing trees, so a composite referenced by k
+    * struct fields/flags evaluates k times (the l02 16× signature
+    * lesson, BASELINE.md round-4 notes). A lambda VARIABLE is a cheap
+    * slot read in both cases: wrapping `c` in a one-element transform
+    * binds it once per row. Measured on the Gopher pack at sf0.1:
+    * 128-150 s/rep unbound → 11.5 s bound → 6 s once the folds moved
+    * into the [[SortedRunStats]] kernel (the l41 attempt log). */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
 
   /** Distinct token-shingle set (for Jaccard / MinHash). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(tokenNgrams(text, n))

@@ -64,12 +64,12 @@ object Dsir {
   }
 
   /** The paper's feature space: word unigrams ∪ word bigrams (hashed
-    * n-grams, n ≤ 2). Tokens materialize once; the bigram list reuses
-    * them. NULL text → NULL (no features; scores NULL, never trains). */
-  def featsOf(text: Column): Column = {
-    val ts = TF.tokens(text)
-    concat(ts, TF.ngramsOfTokens(ts, 2))
-  }
+    * n-grams, n ≤ 2). The token list BINDS once ([[TF.bindOnce]]) —
+    * `ngramsOfTokens` over an unbound token expression re-tokenizes
+    * per bigram (the documented O(tokens²) HOF trap). NULL text →
+    * NULL (no features; scores NULL, never trains). */
+  def featsOf(text: Column): Column =
+    TF.bindOnce(TF.tokens(text))(ts => concat(ts, TF.ngramsOfTokens(ts, 2)))
 
   /** One side's bucket counts: explode features → hash → one
     * partial-agg groupBy, collected — ≤ dim rows, bounded by the model

@@ -97,60 +97,25 @@ object GopherRules {
   private def charSum(arr: Column): Column =
     aggregate(arr, lit(0L), (a, x) => a + length(x))
 
-  /** In-row duplicate-run stats over a string list: sort, fold adjacent
-    * runs, emit (dup_occurrences, dup_chars) where a value occurring
-    * c > 1 times contributes c occurrences and c·len chars — exactly
-    * what the oracle's `SUM(c) FILTER (c > 1)` regroup computes. The
-    * "" sentinel is safe: inputs are trimmed non-empty strings. */
-  private def dupStats(arr: Column): Column = {
-    val init = struct(lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("occ"), lit(0L).as("chars"))
-    def flushOcc(acc: Column) =
-      when(acc.getField("run") > 1,
-        acc.getField("occ") + acc.getField("run"))
-        .otherwise(acc.getField("occ"))
-    def flushChars(acc: Column) =
-      when(acc.getField("run") > 1, acc.getField("chars") +
-        acc.getField("run") * length(acc.getField("prev")))
-        .otherwise(acc.getField("chars"))
-    aggregate(array_sort(arr), init,
-      (acc, x) => when(x === acc.getField("prev"),
-        struct(x.as("prev"), (acc.getField("run") + 1).as("run"),
-          acc.getField("occ").as("occ"), acc.getField("chars").as("chars")))
-        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
-          flushOcc(acc).as("occ"), flushChars(acc).as("chars"))),
-      acc => struct(flushOcc(acc).as("occ"), flushChars(acc).as("chars")))
-  }
+  /** In-row duplicate-run stats over a string list — (dup_occurrences,
+    * dup_chars) where a value occurring c > 1 times contributes c
+    * occurrences and c·len chars, exactly what the oracle's
+    * `SUM(c) FILTER (c > 1)` regroup computes. One call into the native
+    * [[graft.functions.SortedRunStats]] kernel (the interpreted
+    * `aggregate(array_sort(…))` struct fold cost ~40 expression-node
+    * evaluations per element — the l41 attempt-log lesson). */
+  private def dupStats(arr: Column): Column =
+    TF.sortedRunStats(arr, 0)
 
   /** In-row most-frequent-run stats over a string list: (top count,
     * char length of the winner) with count ties resolved to the LONGEST
     * value — the deterministic argmax both engines reproduce
     * (`MAX(len) over values at MAX(count)` in the oracle). `extraChars`
-    * is subtracted from each value's length (the n-gram's n−1 joining
-    * spaces, so coverage counts word chars only). */
-  private def topRunStats(arr: Column, extraChars: Int): Column = {
-    val init = struct(lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("bc"), lit(0L).as("bl"))
-    // flush prev's run into the (best count, best len) pair
-    def flush(acc: Column): (Column, Column) = {
-      val len = length(acc.getField("prev")) - extraChars
-      val bc = acc.getField("bc")
-      val bl = acc.getField("bl")
-      val run = acc.getField("run")
-      (when(run > bc, run).otherwise(bc),
-        when(run > bc, len)
-          .when(run === bc, greatest(bl, len)).otherwise(bl))
-    }
-    aggregate(array_sort(arr), init,
-      (acc, x) => when(x === acc.getField("prev"),
-        struct(x.as("prev"), (acc.getField("run") + 1).as("run"),
-          acc.getField("bc").as("bc"), acc.getField("bl").as("bl")))
-        .otherwise {
-          val (bc, bl) = flush(acc)
-          struct(x.as("prev"), lit(1L).as("run"), bc.as("bc"), bl.as("bl"))
-        },
-      acc => { val (bc, bl) = flush(acc); struct(bc.as("bc"), bl.as("bl")) })
-  }
+    * is subtracted from the winner's length (the n-gram's n−1 joining
+    * spaces, so coverage counts word chars only). Same native kernel
+    * call as [[dupStats]] — the bc/bl half of the struct. */
+  private def topRunStats(arr: Column, extraChars: Int): Column =
+    TF.sortedRunStats(arr, extraChars)
 
   /** NULL-safe integer-ratio → double (NULL when the denominator is 0:
     * the metric had nothing to measure). */
@@ -163,53 +128,85 @@ object GopherRules {
     * n_words, mean_word_len, alpha_frac, n_stop, symbol_ratio,
     * bullet_frac, ellipsis_frac, dup_line_frac, dup_line_char_frac,
     * dup_para_frac, dup_para_char_frac, top2_char_frac, top3_char_frac,
-    * top4_char_frac. */
+    * top4_char_frac.
+    *
+    * Evaluation discipline ([[TF.bindOnce]] — the l41 attempt log's
+    * 130 s → 6 s lesson): the token/line/paragraph lists bind ONCE at
+    * level 1 (fourteen metric fields otherwise re-derive them per
+    * reference — codegen subexpression elimination skips lambda trees
+    * — and `ngramsOfTokens` over an UNBOUND token expression
+    * re-tokenizes per n-gram, O(k²)); every sorted-run FOLD result
+    * binds once at level 2 (each feeds two final fields); the final
+    * struct assembly is pure arithmetic over the bound slots. */
   def metrics(text: Column): Column = {
-    val toks = TF.tokens(text)
-    val nW = size(toks).cast("long")
-    val wChars = charSum(toks)
-    val alphaW = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
-    val nStop = size(filter(
-      typedLit(StopWords), w => array_contains(toks, w))).cast("long")
-    val hashes = (length(text) - length(replace(text, lit("#"), lit("")))).cast("long")
-    val ellipses = regexp_count(text, lit("\\.\\.\\.|…")).cast("long")
-    val lines = linesOf(text)
-    val nL = size(lines).cast("long")
-    val lChars = charSum(lines)
-    val bulletL = size(filter(lines, l =>
-      Bullets.map(b => l.startsWith(b)).reduce(_ || _))).cast("long")
-    val ellipsisL = size(filter(lines, l =>
-      l.endsWith("...") || l.endsWith("…"))).cast("long")
-    val dLine = dupStats(lines)
-    val paras = parasOf(text)
-    val nP = size(paras).cast("long")
-    val pChars = charSum(paras)
-    val dPara = dupStats(paras)
-    def topFrac(n: Int): Column = {
-      // size guard: the fold over an EMPTY n-gram list yields (0, 0)
-      // and 0/chars = 0.0 — but "no n-grams" is no evidence, and the
-      // rule must PASS, not read "zero coverage" (NULL metric)
-      val ng = TF.ngramsOfTokens(toks, n)
-      val st = topRunStats(ng, n - 1)
-      when(size(ng) > 0,
-        frac(st.getField("bc") * st.getField("bl"), wChars))
-        .otherwise(lit(null).cast("double"))
+    val bound = TF.bindOnce(struct(TF.tokens(text).as("ts"),
+        linesOf(text).as("ls"), parasOf(text).as("ps"))) { v =>
+      val toks = v.getField("ts")
+      val lines = v.getField("ls")
+      val paras = v.getField("ps")
+      // n-gram top-run stats: the n-gram list builds from the BOUND
+      // token slot (per-element slice of a lambda variable — linear),
+      // feeds its fold once, and carries its own size for the
+      // no-evidence guard
+      def topStats(n: Int): Column =
+        TF.bindOnce(TF.ngramsOfTokens(toks, n)) { ng =>
+          val st = topRunStats(ng, n - 1)
+          struct(st.getField("bc").as("bc"), st.getField("bl").as("bl"),
+            size(ng).cast("long").as("n"))
+        }
+      val stats = struct(
+        size(toks).cast("long").as("nw"),
+        charSum(toks).as("wc"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("aw"),
+        size(filter(typedLit(StopWords),
+          w => array_contains(toks, w))).cast("long").as("nstop"),
+        ((length(text) - length(replace(text, lit("#"), lit("")))).cast("long")
+          + regexp_count(text, lit("\\.\\.\\.|…")).cast("long")).as("sym"),
+        size(lines).cast("long").as("nl"),
+        charSum(lines).as("lchars"),
+        size(filter(lines, l =>
+          Bullets.map(b => l.startsWith(b)).reduce(_ || _)))
+          .cast("long").as("bul"),
+        size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+          .cast("long").as("ell"),
+        dupStats(lines).as("dl"),
+        size(paras).cast("long").as("np"),
+        charSum(paras).as("pchars"),
+        dupStats(paras).as("dp"),
+        topStats(2).as("t2"), topStats(3).as("t3"), topStats(4).as("t4"))
+      TF.bindOnce(stats) { s =>
+        def topFrac(t: String): Column = {
+          val st = s.getField(t)
+          // size guard: the fold over an EMPTY n-gram list yields
+          // (0, 0) and 0/chars = 0.0 — but "no n-grams" is no
+          // evidence, and the rule must PASS, not read "zero
+          // coverage" (NULL metric)
+          when(st.getField("n") > 0,
+            frac(st.getField("bc") * st.getField("bl"), s.getField("wc")))
+            .otherwise(lit(null).cast("double"))
+        }
+        struct(
+          s.getField("nw").as("n_words"),
+          frac(s.getField("wc"), s.getField("nw")).as("mean_word_len"),
+          frac(s.getField("aw"), s.getField("nw")).as("alpha_frac"),
+          s.getField("nstop").as("n_stop"),
+          frac(s.getField("sym"), s.getField("nw")).as("symbol_ratio"),
+          frac(s.getField("bul"), s.getField("nl")).as("bullet_frac"),
+          frac(s.getField("ell"), s.getField("nl")).as("ellipsis_frac"),
+          frac(s.getField("dl").getField("occ"),
+            s.getField("nl")).as("dup_line_frac"),
+          frac(s.getField("dl").getField("chars"),
+            s.getField("lchars")).as("dup_line_char_frac"),
+          frac(s.getField("dp").getField("occ"),
+            s.getField("np")).as("dup_para_frac"),
+          frac(s.getField("dp").getField("chars"),
+            s.getField("pchars")).as("dup_para_char_frac"),
+          topFrac("t2").as("top2_char_frac"),
+          topFrac("t3").as("top3_char_frac"),
+          topFrac("t4").as("top4_char_frac"))
+      }
     }
-    when(text.isNull, lit(null)).otherwise(struct(
-      nW.as("n_words"),
-      frac(wChars, nW).as("mean_word_len"),
-      frac(alphaW, nW).as("alpha_frac"),
-      nStop.as("n_stop"),
-      frac(hashes + ellipses, nW).as("symbol_ratio"),
-      frac(bulletL, nL).as("bullet_frac"),
-      frac(ellipsisL, nL).as("ellipsis_frac"),
-      frac(dLine.getField("occ"), nL).as("dup_line_frac"),
-      frac(dLine.getField("chars"), lChars).as("dup_line_char_frac"),
-      frac(dPara.getField("occ"), nP).as("dup_para_frac"),
-      frac(dPara.getField("chars"), pChars).as("dup_para_char_frac"),
-      topFrac(2).as("top2_char_frac"),
-      topFrac(3).as("top3_char_frac"),
-      topFrac(4).as("top4_char_frac")))
+    when(text.isNull, lit(null)).otherwise(bound)
   }
 
   /** Per-rule pass flags over a metrics struct (NULL metric → pass,
@@ -249,7 +246,10 @@ object GopherRules {
 
   /** Keep-filter form (the intake-gate shape): true iff every rule
     * passes; NULL text PASSES (no-evidence — upstream gates own
-    * NULL/empty handling, matching [[QualityClassifier.keeps]]). */
+    * NULL/empty handling, matching [[QualityClassifier.keeps]]). The
+    * metric struct binds once — fourteen flag reads would otherwise
+    * each re-run the whole computation ([[TF.bindOnce]]). */
   def keeps(text: Column, cfg: Config = Config()): Column =
-    text.isNull || allOk(ruleFlags(metrics(text), cfg))
+    text.isNull ||
+      TF.bindOnce(metrics(text))(m => allOk(ruleFlags(m, cfg)))
 }

@@ -37,15 +37,14 @@ object LangId {
   }
 
   /** Char n-grams of the lower-cased text — the fastText feature
-    * space. 1-based `substr` (the proven cross-engine indexing);
-    * shorter-than-n texts yield the empty list (no features: the doc
-    * trains/scores on the bias alone). */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    when(length(t) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
-  }
+    * space, via the native single-pass [[graft.functions.CharNgrams]]
+    * kernel (the `substr`-per-position HOF form re-evaluates the
+    * lower-cased text per element AND re-scans char offsets — O(len²)
+    * per row per head, the l42 attempt log's 100 s lesson; the kernel
+    * is O(len), semantics identical: shorter-than-n texts yield the
+    * empty list, so the doc trains/scores on the bias alone). */
+  def charNgrams(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.charNgrams(lower(text), n)
 
   /** Train one head per language: label = (langCol == lang). `docs`
     * is the labeled sample (CCNet trains on Wikipedia-class corpora,
@@ -55,10 +54,21 @@ object LangId {
       epochs: Int = 2, lr: Double = 0.5, ngram: Int = 2): Model = {
     require(langs.nonEmpty && langs.distinct.size == langs.size,
       s"langs must be nonempty and distinct: $langs")
+    // ONE feature pass shared by every head — the explode over the
+    // labeled sample dominates training, and labels are the only
+    // per-head difference (l42 attempt log: K× re-explosion was the
+    // bulk of the row's cost)
+    val feats = QualityClassifier.docFeatures(docs, textCol, idCol, dim,
+        charNgrams(_, ngram))
+      .localCheckpoint(eager = true)
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), col(langCol).as("__lang"))
+      .localCheckpoint(eager = true)
     val heads = langs.map { l =>
-      l -> QualityClassifier.train(
-        docs.withColumn("__y", when(col(langCol) === l, 1).otherwise(0)),
-        textCol, idCol, "__y", dim, epochs, lr, charNgrams(_, ngram))
+      val labeled = base.select(col(idCol),
+        when(col("__lang") === l, 1L).otherwise(0L).as("__y"))
+      l -> QualityClassifier.trainOnFeatures(feats, labeled, idCol, dim,
+        epochs, lr)
     }
     Model(ngram, heads)
   }
@@ -72,21 +82,34 @@ object LangId {
         charNgrams(_, m.ngram)).as(l)
     }: _*)
 
-  /** Predicted language: argmax over the heads' micro-probabilities,
-    * ties to the earliest class (strictly-greater fold). NULL text →
-    * NULL. */
-  def predict(text: Column, m: Model): Column = {
-    val scored = m.classes.map { case (l, head) =>
-      (l, QualityClassifier.scoreMicroColumn(text, head,
-        charNgrams(_, m.ngram)))
-    }
+  /** Argmax routing over an ALREADY-SCORED [[scoresMicro]] struct
+    * column (ties to the earliest class, the strictly-greater fold) —
+    * callers that project the scores struct anyway (the l42 row, a
+    * diagnostics sink) derive the prediction from it for free instead
+    * of running the K scoring folds a second time. NULL scores (NULL
+    * text) → NULL. */
+  def predictFromScores(scores: Column, m: Model): Column = {
+    val scored = m.classes.map { case (l, _) => (l, scores.getField(l)) }
     val best = scored.tail.foldLeft(
       struct(lit(scored.head._1).as("l"), scored.head._2.as("p"))) {
       case (acc, (l, p)) =>
         when(p > acc.getField("p"),
           struct(lit(l).as("l"), p.as("p"))).otherwise(acc)
     }
-    when(text.isNull, lit(null).cast("string")).otherwise(best.getField("l"))
+    when(scored.map(_._2.isNull).reduce(_ && _), lit(null).cast("string"))
+      .otherwise(best.getField("l"))
+  }
+
+  /** Predicted language: argmax over the heads' micro-probabilities,
+    * ties to the earliest class. NULL text → NULL. The K head scores
+    * bind once before the argmax — the fold's accumulator appears
+    * twice per step (condition + otherwise), so an UNBOUND fold
+    * re-evaluates earlier heads' scoring passes exponentially in K
+    * ([[graft.functions.TextFunctions.bindOnce]]). */
+  def predict(text: Column, m: Model): Column = {
+    val best = graft.functions.TextFunctions.bindOnce(
+      scoresMicro(text, m))(s => predictFromScores(s, m))
+    when(text.isNull, lit(null).cast("string")).otherwise(best)
   }
 
   /** Keep-filter form (the intake-gate shape): true when the predicted

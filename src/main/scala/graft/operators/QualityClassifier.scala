@@ -60,10 +60,19 @@ object QualityClassifier {
 
   /** Portable feature bucket of one token: explicit polynomial fold
     * over its characters (seed 7, ·31 + codepoint, mod [[FoldMod]]),
-    * then mod `dim`. Characters via 1-based `substr` — the proven
-    * cross-engine indexing (l06b/l27) — not `split("")`, whose
-    * code-unit behavior differs between engines on non-BMP input. */
+    * then mod `dim` — the native [[graft.functions.PolyBucket]] kernel
+    * (one compiled code-point loop; the HOF `aggregate` form evaluated
+    * ~30 interpreted nodes per character, the dominant cost of every
+    * trained gate's scoring fold — l42/l43 attempt log). Code points,
+    * not code units: the kernel matches `ascii(substr(i, 1))`
+    * semantics exactly (PolyBucketSpec pins parity on non-BMP input),
+    * so the DuckDB oracles' `list_reduce` restatement is unchanged. */
   def tokenBucket(tok: Column, dim: Int): Column =
+    graft.functions.TextFunctions.polyBucket(tok, dim)
+
+  /** Built-in-only form of [[tokenBucket]] — kept as the semantic
+    * reference for the native kernel's parity property test. */
+  private[graft] def tokenBucketHof(tok: Column, dim: Int): Column =
     (aggregate(
       transform(sequence(lit(1), length(tok)),
         i => ascii(tok.substr(i, lit(1))).cast("long")),
@@ -75,8 +84,8 @@ object QualityClassifier {
     * text column to the feature-string array (word tokens by default;
     * [[LangId]] passes char n-grams — the fastText/CCNet feature
     * space) — each feature string then buckets via [[tokenBucket]]. */
-  private def docFeatures(docs: DataFrame, textCol: String, idCol: String,
-      dim: Int, featsOf: Column => Column): DataFrame =
+  private[operators] def docFeatures(docs: DataFrame, textCol: String,
+      idCol: String, dim: Int, featsOf: Column => Column): DataFrame =
     docs.where(col(textCol).isNotNull)
       .select(col(idCol), explode(featsOf(col(textCol))).as("__tok"))
       .select(col(idCol), tokenBucket(col("__tok"), dim).as("__fb"))
@@ -100,9 +109,6 @@ object QualityClassifier {
       labelCol: String, dim: Int = 512, epochs: Int = 2,
       lr: Double = 0.5,
       featsOf: Column => Column = TF.tokens): LrModel = {
-    require(dim > 0 && epochs >= 1, s"dim=$dim epochs=$epochs")
-    val spark = docs.sparkSession
-    import spark.implicits._
     // labeled-set-sized by contract (curated sample, not the corpus):
     // features and labels are re-read every epoch — materialize once
     val feats = docFeatures(docs, textCol, idCol, dim, featsOf)
@@ -110,6 +116,20 @@ object QualityClassifier {
     val labeled = docs.where(col(textCol).isNotNull)
       .select(col(idCol), col(labelCol).cast("long").as("__y"))
       .localCheckpoint(eager = true)
+    trainOnFeatures(feats, labeled, idCol, dim, epochs, lr)
+  }
+
+  /** GD loop over PREPARED (id, __fb, __fx) features and (id, __y)
+    * labels — both already materialized. One-vs-rest trainers
+    * ([[LangId]]) share one feature pass across K heads through this
+    * (labels are the only per-head difference; re-exploding the corpus
+    * per head cost K× the dominant training scan — l42 attempt log). */
+  private[operators] def trainOnFeatures(feats: DataFrame,
+      labeled: DataFrame, idCol: String, dim: Int, epochs: Int,
+      lr: Double): LrModel = {
+    require(dim > 0 && epochs >= 1, s"dim=$dim epochs=$epochs")
+    val spark = feats.sparkSession
+    import spark.implicits._
     val n = labeled.count()
     require(n >= 2, s"classifier training set has $n rows")
     var bias = 0L

@@ -2996,10 +2996,12 @@ object LlmQueries {
       val model = LI.train(fx, "text", "doc_id", "lang", LangIdLangs,
         dim = 256, epochs = 2, lr = 0.5, ngram = 2)
       fx.select(col("doc_id"), col("lang"),
-          LI.scoresMicro(col("text"), model).as("__p"),
-          LI.predict(col("text"), model).as("pred"))
+          LI.scoresMicro(col("text"), model).as("__p"))
         .select(col("doc_id") +: col("lang") +:
-          LangIdLangs.map(l => col(s"__p.$l").as(s"p_$l")) :+ col("pred"): _*)
+          LangIdLangs.map(l => col(s"__p.$l").as(s"p_$l")) :+
+          // routing derived from the projected scores struct — the
+          // scoring folds run once, not twice
+          LI.predictFromScores(col("__p"), model).as("pred"): _*)
         .orderBy(col("doc_id"))
     }, Some(langIdOracleSql(256))),
 

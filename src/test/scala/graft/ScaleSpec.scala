@@ -1111,6 +1111,57 @@ class ScaleSpec extends SparkSpec {
       assertBalanced("audio-banding", stages)
     }
   }
+
+  test("scale: text-front gates — Gopher pack, trained language ID, DSIR select over the skewed corpus (NULLs, 10k-copy cluster), stay balanced", suiteTags: _*) {
+    import graft.operators.{Dsir, GopherRules => G, LangId}
+    def gib(c: org.apache.spark.sql.Column) =
+      translate(c, "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba")
+    withScaleConf {
+      val stages = probe {
+        // Gopher: ONE per-row pass over every doc — NULLs, the hot
+        // language, the 10k-copy cluster; nothing leaves the row, so
+        // the only distribution that matters is the scan's
+        val flags = docs.select($"doc_id", $"text",
+            G.keeps($"text").as("keep")).localCheckpoint(true)
+        assert(flags.where($"keep".isNull).count() === 0,
+          "keep must never be NULL")
+        assert(flags.where($"text".isNull && !$"keep").count() === 0,
+          "NULL text must pass (no evidence)")
+        // language ID: train one-vs-rest heads on a ring SLICE
+        // (natural = en, alphabet-permuted = xx), then route the FULL
+        // corpus through the K per-row scoring folds
+        val slice = docs.where($"text".isNotNull && $"doc_id" % 12 === 1)
+        val labeled = slice
+          .select(($"doc_id" * 2).as("id"), $"text", lit("en").as("lang"))
+          .unionByName(slice.select(($"doc_id" * 2 + 1).as("id"),
+            gib($"text").as("text"), lit("xx").as("lang")))
+        val lm = LangId.train(labeled, "text", "id", "lang",
+          Seq("en", "xx"), dim = 256, epochs = 2, ngram = 2)
+        val routed = docs.select($"doc_id", $"text",
+            LangId.predict($"text", lm).as("pred"))
+          .localCheckpoint(true)
+        assert(routed.where($"text".isNotNull && $"pred".isNull).count() === 0)
+        assert(routed.where($"text".isNull && $"pred".isNotNull).count() === 0)
+        // DSIR: fit target/raw on disjoint slices, per-row log-weight
+        // the full corpus, Gumbel top-k (bounded heaps, never a global
+        // sort — the TakeOrderedAndProject pin lives in DsirSpec)
+        val rawSlice = docs.where($"text".isNotNull && $"doc_id" % 12 === 4)
+          .select($"doc_id", $"text")
+        val m = Dsir.train(
+          docs.where($"text".isNotNull && $"doc_id" % 12 === 3)
+            .select($"doc_id", $"text"),
+          rawSlice.unionByName(rawSlice.select(
+            ($"doc_id" + 10000000L).as("doc_id"), gib($"text").as("text"))),
+          "text", dim = 2048)
+        val top = Dsir.selectTopK(docs, "text", "doc_id", m, 500)
+          .localCheckpoint(true)
+        assert(top.count() === 500)
+        assert(top.where($"text".isNull).count() === 0,
+          "NULL text must never be selected")
+      }
+      assertBalanced("text-front gates", stages)
+    }
+  }
 }
 
 /** Selects the heavy 50× evidence run ([[ScaleSpec50x]]). */
