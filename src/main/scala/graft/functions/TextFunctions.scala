@@ -283,23 +283,74 @@ object TextFunctions {
 
   /** Language-ID heuristic: argmax of stopword hits per language, 'und'
     * when nothing matches. Deterministic tie-break: list order above. */
-  def langId(text: Column): Column = {
-    val ts = tokens(text)
-    val hits = langStopwords.map { case (lang, sws) =>
-      val sw = array(sws.map(lit): _*)
-      lang -> size(filter(ts, t => array_contains(sw, t)))
+  def langId(text: Column): Column =
+    // token list and per-language hit counts each bind ONCE: the
+    // argmax when-chain references `best` K times and `best` references
+    // every hit, so the unbound form re-ran filter(tokens(text)) ~K²
+    // times per row (the bindOnce round-16 audit)
+    bindOnce(tokens(text)) { ts =>
+      val hitExprs = langStopwords.map { case (lang, sws) =>
+        val sw = array(sws.map(lit): _*)
+        size(filter(ts, t => array_contains(sw, t))).as(lang)
+      }
+      bindOnce(struct(hitExprs: _*)) { hs =>
+        val hits = langStopwords.map { case (lang, _) =>
+          lang -> hs.getField(lang) }
+        val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+        hits.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, h)) =>
+          acc.when(h === best, lit(lang))
+        }.otherwise(lit("und"))
+      }
     }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, h)) =>
-      acc.when(h === best, lit(lang))
-    }.otherwise(lit("und"))
-  }
 
   /** PII masking (L7): emails then digit-runs-of-7+ (phone-ish). */
   def maskPii(text: Column): Column = {
-    val noEmail = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    regexp_replace(noEmail, "[0-9][0-9 ()+-]{5,}[0-9]", "<PHONE>")
+    val noEmail = regexp_replace(text, PiiEmailRe, "<EMAIL>")
+    regexp_replace(noEmail, PiiPhoneRe, "<PHONE>")
+  }
+
+  // ---- L7b: the full Dolma-style PII pack (dolma's pii taggers:
+  // email, phone, IPv4 — detect/count, mask, and the document policy
+  // "drop when PII-dense, mask otherwise"). Patterns stay in the
+  // java.util.regex ∩ RE2 common subset (classes, bounded repeats,
+  // \b, alternation — no lookaround) so the DuckDB oracle runs them
+  // verbatim. ----
+
+  /** Email pattern (the L7 pattern, shared). */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Phone-ish digit run: 7+ chars of digits/separators, digit-fenced.
+    * Dots are deliberately NOT separators — an IPv4 octet run must not
+    * read as a phone. */
+  val PiiPhoneRe = "[0-9][0-9 ()+-]{5,}[0-9]"
+  /** IPv4 with exact octet ranges (the Dolma form), word-fenced. */
+  val PiiIpv4Re = "\\b((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b"
+
+  /** Per-type PII counts over the RAW text (detection before any
+    * masking): struct(n_email, n_phone, n_ip). NULL text → NULL. */
+  def piiCounts(text: Column): Column =
+    when(text.isNull, lit(null)).otherwise(struct(
+      regexp_count(text, lit(PiiEmailRe)).cast("long").as("n_email"),
+      regexp_count(text, lit(PiiPhoneRe)).cast("long").as("n_phone"),
+      regexp_count(text, lit(PiiIpv4Re)).cast("long").as("n_ip")))
+
+  /** Mask all three PII classes: emails, then IPv4 (before phones — a
+    * masked IP can never be re-read as a digit run), then phone runs. */
+  def maskPiiAll(text: Column): Column = {
+    val noEmail = regexp_replace(text, PiiEmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, PiiIpv4Re, "<IP>")
+    regexp_replace(noIp, PiiPhoneRe, "<PHONE>")
+  }
+
+  /** The Dolma document policy's keep half: true when the total PII
+    * instance count is ≤ `maxPii` (PII-dense documents DROP — masking
+    * a page that is mostly addresses leaves no training signal); NULL
+    * text PASSES (the no-evidence gate convention). Survivors are then
+    * masked by [[maskPiiAll]]. */
+  def piiKeeps(text: Column, maxPii: Int): Column = {
+    require(maxPii >= 0, s"maxPii must be >= 0, got $maxPii")
+    text.isNull || bindOnce(piiCounts(text))(c =>
+      c.getField("n_email") + c.getField("n_phone") + c.getField("n_ip") <=
+        maxPii)
   }
 
   /** Polynomial rolling-hash fingerprint over the token stream:

@@ -42,8 +42,8 @@ object Decontaminate {
       evalDocs: DataFrame, textCol: String, table: String, n: Int = 5,
       numBuckets: Int = 16): Unit = {
     val grams = evalDocs
-      .select(explode(array_distinct(
-        TF.ngramsOfTokens(TF.tokens(col(textCol)), n))).as("__g"))
+      .select(explode(array_distinct(TF.bindOnce(TF.tokens(col(textCol)))(
+        ts => TF.ngramsOfTokens(ts, n)))).as("__g"))
       .select(xxhash64(col("__g")).as("gramh"))
       .distinct()
     Layout.writeBucketed(grams, table, Seq("gramh"), numBuckets)
@@ -57,9 +57,12 @@ object Decontaminate {
       docs: DataFrame, textCol: String, idCol: String, table: String,
       n: Int = 5): DataFrame = {
     val g = graft.Cols.fresh(docs.columns :+ "gramh", "__gramh")
+    // tokens BOUND before the n-gram build ([[TF.bindOnce]]): the
+    // slice-per-gram lambda re-evaluates an unbound token expression
+    // per element — O(tokens²) re-tokenization on the intake hot path
     val batchGrams = docs
-      .select(col(idCol), explode(array_distinct(
-        TF.ngramsOfTokens(TF.tokens(col(textCol)), n))).as(g))
+      .select(col(idCol), explode(array_distinct(TF.bindOnce(
+        TF.tokens(col(textCol)))(ts => TF.ngramsOfTokens(ts, n)))).as(g))
       .select(col(idCol), xxhash64(col(g)).as(g))
     val contaminated = batchGrams
       .join(spark.table(table), col(g) === col("gramh"), "left_semi")

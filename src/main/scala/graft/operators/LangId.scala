@@ -74,13 +74,16 @@ object LangId {
   }
 
   /** Per-class micro-probability struct (field per language) — the
-    * scoring pass a router and a diagnostics row share. NULL text →
-    * NULL fields. */
+    * scoring pass a router and a diagnostics row share. The char
+    * n-gram array builds ONCE and every head folds over the bound
+    * slot (K separate builds otherwise — bindOnce). NULL text → NULL
+    * fields. */
   def scoresMicro(text: Column, m: Model): Column =
-    struct(m.classes.map { case (l, head) =>
-      QualityClassifier.scoreMicroColumn(text, head,
-        charNgrams(_, m.ngram)).as(l)
-    }: _*)
+    graft.functions.TextFunctions.bindOnce(charNgrams(text, m.ngram)) { cg =>
+      struct(m.classes.map { case (l, head) =>
+        QualityClassifier.scoreMicroColumn(text, head, _ => cg).as(l)
+      }: _*)
+    }
 
   /** Argmax routing over an ALREADY-SCORED [[scoresMicro]] struct
     * column (ties to the earliest class, the strictly-greater fold) —

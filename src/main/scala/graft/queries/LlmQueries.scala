@@ -981,6 +981,34 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }, Some("""WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com or +1 (555) 0100-' || doc_id AS text FROM documents) SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9][0-9 ()+-]{5,}[0-9]', '<PHONE>', 'g') masked FROM aug ORDER BY doc_id""")),
 
+    // ---- L7b: the full Dolma PII pack — per-type detection counts
+    // (email / phone / IPv4), the three-class mask, and the document
+    // policy (PII-dense docs drop, survivors mask). Patterns live in
+    // the java.regex ∩ RE2 common subset, so the oracle runs them
+    // VERBATIM over the same deterministic fixture: every 7th doc
+    // gains an email, phone, or IP; every doc_id % 7 == 3 gains a
+    // PII-dense tail that must trip the keep policy. ----
+    ("l07b_pii_pack", (s, d) => {
+      val tail = when(col("doc_id") % 7 === 0,
+          concat(lit(" reach user"), col("doc_id"), lit("@mail.example.org")))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit(" call 555 01"), col("doc_id") % 90 + 10, lit(" 2214 now")))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit(" host 10.0."), col("doc_id") % 250, lit(".7 up")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit(" a@x.io b@y.io c@z.io 555 0100 221 and 555 0188 440 d"),
+            col("doc_id"), lit("@dense.example.org")))
+        .otherwise(lit(""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"), tail).as("text"))
+        .select(col("doc_id"), TF.piiCounts(col("text")).as("__c"),
+          TF.piiKeeps(col("text"), maxPii = 4).as("keep"),
+          TF.maskPiiAll(col("text")).as("masked"))
+        .select(col("doc_id"), col("__c.n_email"), col("__c.n_phone"),
+          col("__c.n_ip"), col("keep"), col("masked"))
+        .orderBy(col("doc_id"))
+    }, Some(raw"""WITH aug AS (SELECT doc_id, text || (CASE WHEN doc_id % 7 = 0 THEN ' reach user' || doc_id || '@mail.example.org' WHEN doc_id % 7 = 1 THEN ' call 555 01' || (doc_id % 90 + 10) || ' 2214 now' WHEN doc_id % 7 = 2 THEN ' host 10.0.' || (doc_id % 250) || '.7 up' WHEN doc_id % 7 = 3 THEN ' a@x.io b@y.io c@z.io 555 0100 221 and 555 0188 440 d' || doc_id || '@dense.example.org' ELSE '' END) AS text FROM documents), cnt AS (SELECT doc_id, text, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(text, '[0-9][0-9 ()+-]{5,}[0-9]')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(text, '\b((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b')) AS BIGINT) AS n_ip FROM aug) SELECT doc_id, n_email, n_phone, n_ip, (text IS NULL OR n_email + n_phone + n_ip <= 4) AS keep, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b', '<IP>', 'g'), '[0-9][0-9 ()+-]{5,}[0-9]', '<PHONE>', 'g') AS masked FROM cnt ORDER BY doc_id""")),
+
     // ---- L9: deterministic train/eval split — portable multiplicative
     // hash on the stable id, so the split is reproducible across runs,
     // engines and data growth (an eval doc never drifts into train) ----

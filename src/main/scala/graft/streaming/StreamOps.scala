@@ -44,7 +44,12 @@ object StreamOps {
     *    et al. 2023) as the per-row Gumbel-noised threshold — the
     *    intake analogue of Gumbel top-k (a micro-batch cannot rank
     *    against unseen documents, so the acceptance bar replaces the
-    *    count), after the quality gates. */
+    *    count), after the quality gates;
+    *  - `pii = Some(maxPii)` applies the Dolma PII policy right after
+    *    cleaning and BEFORE every dedup/scoring leg: PII-dense docs
+    *    (more than `maxPii` email/phone/IP instances) drop, survivors
+    *    are masked — so every downstream hash, history row, and score
+    *    sees the masked text and cross-batch dedup stays consistent. */
   final case class TextGates(
       gopherRules: Option[graft.operators.GopherRules.Config] = None,
       qualityPareto: Option[(graft.operators.QualityClassifier.LrModel,
@@ -52,7 +57,8 @@ object StreamOps {
       hostBlocklist: Option[DataFrame] = None,
       langIdKeep: Option[(graft.operators.LangId.Model,
         Set[String])] = None,
-      dsir: Option[(graft.operators.Dsir.Model, Long)] = None)
+      dsir: Option[(graft.operators.Dsir.Model, Long)] = None,
+      pii: Option[Int] = None)
 
   /** T1 — watermark (streaming only; identity on batch frames). */
   def withWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
@@ -492,7 +498,15 @@ object StreamOps {
         TF.normalizeTextKeepNewlines(TF.stripHtml(
           TF.blockTagsToNewlines(col(htmlCol))))
     }
-    val cleanedDf = batch.select(col(idCol), cleaned.as("text"))
+    val cleanedDf0 = batch.select(col(idCol), cleaned.as("text"))
+    // optional Dolma PII policy — FIRST text leg after cleaning, so
+    // every downstream hash, history row, and score sees the MASKED
+    // text (cross-batch dedup would silently break if one batch's
+    // history rows were masked and the next batch's probes were not)
+    val cleanedDf = gates.pii.fold(cleanedDf0) { maxPii =>
+      cleanedDf0.where(TF.piiKeeps(col("text"), maxPii))
+        .withColumn("text", TF.maskPiiAll(col("text")))
+    }
     // optional paragraph legs (CCNet order: paragraph dedup BEFORE
     // quality/LM scoring, so shed boilerplate never biases a doc's
     // score): within-batch keep-first, then the `_pg` history probe.

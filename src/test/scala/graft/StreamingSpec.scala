@@ -2008,4 +2008,157 @@ class StreamingSpec extends SparkSpec {
         s"off-distribution docs must die: $expected")
     } finally Dedup.dropIntakeHistory(spark, hist)
   }
+
+  test("L7b intake leg: Dolma PII policy — PII-dense docs drop, survivors carry MASKED text (and so do their history hashes)") {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Dedup
+    val hist = "t_pii_hist"
+    val outDir = tmpDir("pii_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      def words(seed: Long) = (0 until 30).map(i => s"word${seed}w$i").mkString(" ")
+      val batch = Seq(
+        (1L, s"<p>${words(1)}</p>"), // clean → survives untouched
+        (2L, s"<p>${words(2)} reach me at bob@mail.example.org</p>"), // masked
+        (3L, s"<p>${words(3)} a@x.io b@y.io c@z.io host 10.0.0.7</p>")) // dense → drops
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0,
+        gates = StreamOps.TextGates(pii = Some(2))))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+      val ids = out.select($"doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L), s"PII policy broke: $ids")
+      val masked = out.where($"doc_id" === 2L)
+        .select($"text").as[String].head()
+      assert(masked.contains("<EMAIL>") && !masked.contains("@"),
+        s"survivor must carry the masked text: $masked")
+      // the exact-hash history must hold the MASKED text's hash — a
+      // re-crawl with a DIFFERENT email at the same spot is the same
+      // document after masking and must die against history
+      val batch2 = Seq(
+        (10L, s"<p>${words(2)} reach me at alice@other.example.com</p>"))
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch2, 1L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0,
+        gates = StreamOps.TextGates(pii = Some(2))))
+      val out2 = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out2.isEmpty,
+        s"mask-equal re-crawl must die against the masked history: $out2")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
+  test("L48 all-gates composition: url dedup + host blocklist + PII + language ID + Gopher + classifier + Pareto + DSIR in ONE intakeBatch — one attributable kill per gate, survivors equal the closed-form rule composition") {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{Dedup, Dsir, GopherRules, LangId, QualityClassifier => QC}
+    val hist = "t_allgate_hist"
+    val outDir = tmpDir("allgate_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      // shared 30-word vocab slices (disjoint per doc — near-dedup must
+      // not fire; prefix-shared so char bigrams stay in-language)
+      val vocab = (0 until 420).map(i => s"word$i")
+      def slice(j: Int) = vocab.slice(30 * j, 30 * j + 30).mkString(" ")
+      def gib(t: String) =
+        t.map(c => if (c >= 'a' && c <= 'z') ('z' - (c - 'a')).toChar else c)
+      // junk tokens: same character soup (langid sees 'en') but vocab
+      // DSIR trains as raw-only — the dsir kill must be attributable
+      def junk(j: Int) = vocab.slice(30 * j, 30 * j + 30)
+        .map(w => w + "droj").mkString(" ")
+      // ---- frozen models ----
+      val langModel = LangId.train(
+        ((0 to 3).map(j => (900L + j, slice(j), "en")) ++
+          (0 to 3).map(j => (910L + j, gib(slice(j)), "xx")))
+          .toDF("id", "text", "lang"),
+        "text", "id", "lang", Seq("en", "xx"), dim = 1024, epochs = 2)
+      // positives cover EVERY survivor-destined slice (0-4, 7): an
+      // unseen-vocab doc scores ≈ the bias (p ≈ 0.5), which the Pareto
+      // draw then kills ~97% of the time — the controls must sit at
+      // p ≈ 1 so only the trained-negative plant dies on the clf legs
+      val clf = QC.train(
+        (Seq(0, 1, 2, 3, 4, 7).zipWithIndex.map { case (j, i) =>
+          (920L + i, slice(j), 1) } :+
+          ((930L, slice(12).replace("word", "negword"), 0)))
+          .toDF("id", "text", "y"),
+        "text", "id", "y", dim = 2048, epochs = 2)
+      // DISJOINT samples (target = every survivor-destined slice, raw
+      // = the junk vocabulary only): with target ⊂ raw the shared
+      // tokens carry only the ±ln((nq+dim)/(np+dim)) smoothing sliver
+      // and a couple of hash collisions with raw-only buckets flip an
+      // unseen doc's sign — disjoint samples give every real token
+      // ±0.65 ln-units, a ±38M-micro doc margin no collision or
+      // Gumbel draw can cross
+      val dsirModel = Dsir.train(
+        (0 to 9).map(j => (940L + j, slice(j))).toDF("id", "text"),
+        (4 to 7).map(j => (960L + j, junk(j))).toDF("id", "text"),
+        "text", dim = 8192)
+      // Gopher config relaxed to the synthetic corpus (30-word docs, no
+      // stopwords) — only the planted bullet doc may trip it
+      val gopher = GopherRules.Config(minWords = 5, minStopWords = 0,
+        minAlphaFrac = 0.0, maxMeanWordLen = 20.0, maxBulletFrac = 0.5)
+      val blocked = Seq("blocked.example.com").toDF("host")
+      // ---- the batch: one control + one planted kill per gate ----
+      val rows = Seq(
+        (1L, slice(0), "http://a.example.com/x"),   // control: survives
+        (2L, slice(1), "HTTP://A.example.com/x#f"), // url dup of 1 → url leg
+        (3L, slice(2), "http://blocked.example.com/y"), // host blocklist
+        (4L, slice(3) + " a@x.io b@y.io c@z.io 10.0.0.7 10.0.0.8",
+          "http://d4.example.com/x"),               // PII-dense → drops
+        (5L, slice(4) + " reach bob@mail.example.org",
+          "http://d5.example.com/x"),               // PII-light → masked
+        (6L, gib(slice(5)), "http://d6.example.com/x"), // wrong language
+        (7L, ("• buy now\n" * 12) + slice(6).split(" ").take(8).mkString(" "),
+          "http://d7.example.com/x"),               // Gopher bullet_frac
+        (8L, slice(12).replace("word", "negword"),
+          "http://d8.example.com/x"),               // trained-negative → clf
+        (9L, junk(5), "http://d9.example.com/x"),   // raw-only vocab → dsir
+        (10L, slice(7), "http://d10.example.com/x"),  // second control
+        (13L, slice(9), "http://d13.example.com/x")) // clf-UNSEEN
+        // vocab → p ≈ sigmoid(bias) ≈ 0.61: passes the 0.5 hard
+        // threshold, but id 13's ring draw (u = 0.069, β = 0.154)
+        // demands p > 0.846 — the Pareto leg's own attributable kill
+      val batch = rows.map { case (id, t, u) =>
+        (id, s"<p>$t</p>", u) }.toDF("doc_id", "html", "url")
+      val gates = StreamOps.TextGates(
+        gopherRules = Some(gopher),
+        // alpha 0.5 (the L42d calibration): the trained positives sit at
+        // p ~ 0.85-0.95, which alpha = 9 would kill ~half the time —
+        // the composition needs controls that SURVIVE deterministically
+        qualityPareto = Some((clf, 0.5)),
+        hostBlocklist = Some(blocked),
+        langIdKeep = Some((langModel, Set("en"))),
+        dsir = Some((dsirModel, 0L)),
+        pii = Some(2))
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0, urlDedupCol = Some("url"),
+        // 500000, not 300000: the 6-pos/1-neg training pushes the
+        // trained-negative plant only to p ~ 0.35 (GateProbe-read)
+        qualityModel = Some((clf, 500000L)), gates = gates))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+      val ids = out.select($"doc_id").as[Long].collect().toSet
+      // closed form: the same per-row rules applied directly to the
+      // body text (cleaning is identity on these plain-token bodies),
+      // AFTER the url legs drop 2 (canonical dup) and 3 (blocked host)
+      val expected = rows.toDF("doc_id", "text", "url")
+        .where(!$"doc_id".isin(2L, 3L))
+        .where(TF.piiKeeps($"text", 2))
+        .select($"doc_id", TF.maskPiiAll($"text").as("text"))
+        .where(LangId.keeps($"text", langModel, Set("en")))
+        .where(GopherRules.keeps($"text", gopher))
+        .where(QC.keeps($"text", clf, 500000L))
+        .where(QC.paretoKeeps($"text", $"doc_id", clf, 0.5))
+        .where(Dsir.keeps($"text", $"doc_id", dsirModel, 0L))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids === expected, s"intake $ids != closed-form $expected")
+      // attribution: controls survive, every plant died
+      assert(Set(1L, 10L).subsetOf(ids), s"controls must survive: $ids")
+      assert((Set(2L, 3L, 4L, 6L, 7L, 8L, 9L, 13L) & ids).isEmpty,
+        s"every planted kill must fire: $ids")
+      // the masked survivor carries masked text into the output
+      assert(ids.contains(5L), s"the PII-light doc must survive masked: $ids")
+      val t5 = out.where($"doc_id" === 5L).select($"text").as[String].head()
+      assert(t5.contains("<EMAIL>") && !t5.contains("@"),
+        s"PII survivor must be masked: $t5")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
 }
