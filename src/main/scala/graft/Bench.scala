@@ -69,12 +69,13 @@ object Bench {
     // baseline table is promoted. A ratio far from 1 at BENCH time
     // means the box was loaded — judge per-query rows divided by it
     // (the read protocol in BASELINE.md). Pinned from the round-16
-    // canonical record (BASELINE.md "Recorded baseline — round 16":
-    // END controls p01 1.756 + a01 0.999 + w03 0.489 — the warm-JVM
-    // state the r13 pin was also taken in).
+    // QUIET canonical (BASELINE.md "Recorded baseline — round 16
+    // (r16e)": END controls p01 1.736 + a01 0.965 + w03 0.471 = 3.172
+    // — a sub-1.0 end bracket against the r13 pin, the quietest
+    // window recorded since r13).
     val controlNames = Seq("p01_project", "a01_groupby", "w03_running")
     val controlBaselineSec =
-      sys.env.get("SPARK_GRAFT_CONTROL_BASELINE").map(_.toDouble).getOrElse(3.244)
+      sys.env.get("SPARK_GRAFT_CONTROL_BASELINE").map(_.toDouble).getOrElse(3.172)
     // one untimed warmup pass before the controls: the canonical
     // denominators were recorded mid-sweep in a hot JVM, so a control
     // measured as the very first query of a cold JVM carries JIT/
