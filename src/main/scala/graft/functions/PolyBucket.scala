@@ -53,8 +53,51 @@ case class PolyBucket(child: Expression, dim: Int) extends UnaryExpression {
 }
 
 object PolyBucketKernel {
-  /** Seed-7 polynomial code-point fold mod 1000003, then mod dim. */
+  /** Seed-7 polynomial code-point fold mod 1000003, then mod dim.
+    *
+    * Walks code points directly over the UTF-8 bytes
+    * (`numBytesForFirstByte` strides + `codePointFrom`) — no
+    * per-feature `java.lang.String` allocation/decode on what is the
+    * hottest path of every trained gate's scoring fold. Structurally
+    * malformed UTF-8 (truncated sequence, bad continuation byte) falls
+    * back to the `toString` code-point walk, whose replacement-char
+    * decoding defined the kernel's original semantics — well-formed
+    * text (every real caller) never takes the fallback. */
   def compute(s: UTF8String, dim: Int): Int = {
+    val nb = s.numBytes()
+    var h = 7L
+    var i = 0
+    while (i < nb) {
+      val b0 = s.getByte(i)
+      val len = UTF8String.numBytesForFirstByte(b0)
+      // structural validity: a continuation/invalid lead reports len 1
+      // with its high bit set; >4 never occurs in well-formed UTF-8
+      if (len > 4 || (len == 1 && (b0 & 0x80) != 0) || i + len > nb)
+        return computeFallback(s, dim)
+      var j = i + 1
+      while (j < i + len) {
+        if ((s.getByte(j) & 0xC0) != 0x80) return computeFallback(s, dim)
+        j += 1
+      }
+      val cp = s.codePointFrom(i)
+      // semantic validity: overlong forms, surrogates, and
+      // out-of-range code points decode to U+FFFD on the String path
+      val ok = len match {
+        case 1 => true
+        case 2 => cp >= 0x80
+        case 3 => cp >= 0x800 && !(cp >= 0xD800 && cp <= 0xDFFF)
+        case _ => cp >= 0x10000 && cp <= 0x10FFFF
+      }
+      if (!ok) return computeFallback(s, dim)
+      h = (h * 31L + cp) % 1000003L
+      i += len
+    }
+    (h % dim).toInt
+  }
+
+  /** The original String-decoding walk — exact legacy semantics for
+    * malformed input (Java replaces bad sequences with U+FFFD). */
+  private def computeFallback(s: UTF8String, dim: Int): Int = {
     val str = s.toString
     var h = 7L
     var i = 0

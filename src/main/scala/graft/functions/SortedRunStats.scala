@@ -25,9 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the l41 attempt-log lesson). Semantics are identical: the fold's
   * result depends only on equal-value grouping and per-value char
   * lengths, both engine-exact integers, so the DuckDB regroup oracle
-  * is unchanged. Elements must be non-null (every caller builds the
-  * list from trimmed non-empty segments or token n-grams); a null
-  * element throws rather than silently diverging from the fold.
+  * is unchanged. NULL list elements are ignored (treated as absent —
+  * the `list_filter(.., x -> x IS NOT NULL)` reading); every real
+  * caller builds the list from trimmed non-empty segments or token
+  * n-grams and never produces one, so the skip never fires there.
   */
 case class SortedRunStats(child: Expression, extraChars: Int)
     extends UnaryExpression {
@@ -58,20 +59,22 @@ case class SortedRunStats(child: Expression, extraChars: Int)
 
 object SortedRunStatsKernel {
   /** One sort + one run walk; called from interpreted eval and
-    * generated code (static forwarder). */
-  private val EmptyResult = InternalRow(0L, 0L, 0L, 0L)
-
+    * generated code (static forwarder). The zero result is allocated
+    * per call — consumers are entitled to hold the returned row, and a
+    * shared mutable singleton escaping per-row eval is exactly the
+    * aliasing Spark internals occasionally violate across versions. */
   def compute(arr: ArrayData, extraChars: Int): InternalRow = {
-    val n = arr.numElements()
-    if (n == 0) return EmptyResult
-    val vs = new Array[UTF8String](n)
+    val n0 = arr.numElements()
+    val vs0 = new Array[UTF8String](n0)
+    var n = 0
     var i = 0
-    while (i < n) {
+    while (i < n0) {
       val v = arr.getUTF8String(i)
-      require(v != null, "sorted_run_stats: null list element")
-      vs(i) = v
+      if (v != null) { vs0(n) = v; n += 1 } // nulls absent by contract
       i += 1
     }
+    if (n == 0) return InternalRow(0L, 0L, 0L, 0L)
+    val vs = if (n == n0) vs0 else java.util.Arrays.copyOf(vs0, n)
     // grouping is all that matters (the fold sorted only to make equal
     // values adjacent); UTF8String ordering is cheap byte compare
     java.util.Arrays.sort(vs.asInstanceOf[Array[AnyRef]])

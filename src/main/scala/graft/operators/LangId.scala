@@ -64,13 +64,21 @@ object LangId {
     val base = docs.where(col(textCol).isNotNull)
       .select(col(idCol), col(langCol).as("__lang"))
       .localCheckpoint(eager = true)
-    val heads = langs.map { l =>
-      val labeled = base.select(col(idCol),
-        when(col("__lang") === l, 1L).otherwise(0L).as("__y"))
-      l -> QualityClassifier.trainOnFeatures(feats, labeled, idCol, dim,
-        epochs, lr)
+    try {
+      val heads = langs.map { l =>
+        val labeled = base.select(col(idCol),
+          when(col("__lang") === l, 1L).otherwise(0L).as("__y"))
+        l -> QualityClassifier.trainOnFeatures(feats, labeled, idCol, dim,
+          epochs, lr)
+      }
+      Model(ngram, heads)
+    } finally {
+      // the checkpoints are train-local scratch — free their blocks so
+      // a long-lived session retraining in a loop doesn't accumulate
+      import org.apache.spark.sql.graftshim.CheckpointBridge
+      CheckpointBridge.free(feats)
+      CheckpointBridge.free(base)
     }
-    Model(ngram, heads)
   }
 
   /** Per-class micro-probability struct (field per language) — the

@@ -240,6 +240,16 @@ object NgramLm {
         graft.operators.Sampling.hashBucket(idCol) < ringPct)
       .select(col(idCol), col("avg_logp"))
       .localCheckpoint(eager = true)
+    try thresholdsOfSample(sample, idCol, approxErr, exact)
+    finally {
+      // threshold-local scratch — free the checkpoint blocks once the
+      // two ranks are pulled (long-lived sessions otherwise accumulate)
+      org.apache.spark.sql.graftshim.CheckpointBridge.free(sample)
+    }
+  }
+
+  private def thresholdsOfSample(sample: DataFrame, idCol: String,
+      approxErr: Double, exact: Boolean): PplThresholds = {
     if (!exact) {
       val n = sample.count()
       require(n >= 3, s"perplexity sample has $n rows — raise ringPct")

@@ -116,7 +116,14 @@ object QualityClassifier {
     val labeled = docs.where(col(textCol).isNotNull)
       .select(col(idCol), col(labelCol).cast("long").as("__y"))
       .localCheckpoint(eager = true)
-    trainOnFeatures(feats, labeled, idCol, dim, epochs, lr)
+    try trainOnFeatures(feats, labeled, idCol, dim, epochs, lr)
+    finally {
+      // train-local scratch — free the checkpoint blocks (a long-lived
+      // session retraining in a loop otherwise accumulates them)
+      import org.apache.spark.sql.graftshim.CheckpointBridge
+      CheckpointBridge.free(feats)
+      CheckpointBridge.free(labeled)
+    }
   }
 
   /** GD loop over PREPARED (id, __fb, __fx) features and (id, __y)

@@ -78,4 +78,17 @@ class NativeKernelsSpec extends SparkSpec {
       "SELECT sorted_run_stats(arr, 0).occ o FROM srs_test").collect()
     assert(viaSql.length === lists.size)
   }
+
+  test("sorted_run_stats: NULL list elements are ignored (absent-element contract)") {
+    // no real caller produces element nulls (lists come from trimmed
+    // segments / n-grams); the kernel's documented contract is that a
+    // null contributes nothing — same result as filtering it out
+    val got = spark.sql(
+      "SELECT sorted_run_stats(array('a', CAST(NULL AS STRING), 'a', 'bb'), 0) s, " +
+        "sorted_run_stats(array(CAST(NULL AS STRING)), 0) e").collect()(0)
+    val s = got.getStruct(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) === ((2L, 2L, 2L, 1L)))
+    val e = got.getStruct(1)
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3)) === ((0L, 0L, 0L, 0L)))
+  }
 }

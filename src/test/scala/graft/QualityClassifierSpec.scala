@@ -56,6 +56,19 @@ class QualityClassifierSpec extends SparkSpec {
       s"held-out clean must outscore boilerplate (${rows(3000L)})")
   }
 
+  test("L42: train frees its checkpoint scratch (no block accumulation across retrains)") {
+    // the trainers localCheckpoint their feature/label scratch; the
+    // finally-block must return the session to its pre-train persistent
+    // RDD census, or a long-lived session retraining in a loop leaks
+    // block-manager storage (round-16 advice)
+    trainModel() // warm any lazily-registered session state first
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (1 to 3).foreach(_ => trainModel())
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"retrains left ${(after -- before).size} persistent RDDs behind")
+  }
+
   test("L42: training is deterministic and the model is bounded by dim") {
     val m1 = trainModel()
     val m2 = trainModel()
