@@ -123,11 +123,35 @@ object LangId {
     when(text.isNull, lit(null).cast("string")).otherwise(best)
   }
 
+  /** Top (winning) micro-probability over an ALREADY-SCORED
+    * [[scoresMicro]] struct — `greatest` over the head fields (the max
+    * value is tie-rule-independent, so this pairs exactly with
+    * [[predictFromScores]]'s earliest-class argmax). NULL scores →
+    * NULL. */
+  def bestScoreFromScores(scores: Column, m: Model): Column =
+    m.classes.map { case (l, _) => scores.getField(l) } match {
+      case Seq(one) => one
+      case more => greatest(more: _*)
+    }
+
   /** Keep-filter form (the intake-gate shape): true when the predicted
-    * language is in `keep`; NULL text PASSES (no-evidence — upstream
-    * gates own NULL handling, matching the other trained gates). */
-  def keeps(text: Column, m: Model, keep: Set[String]): Column = {
+    * language is in `keep` AND the winning head's micro-probability
+    * clears `minScoreMicro` — CCNet's actual routing rule drops
+    * documents whose top language score is below a confidence floor
+    * (~0.5), not just wrong-argmax ones (Wenzek et al. 2020 §4.2);
+    * `minScoreMicro = 0` recovers pure argmax routing. NULL text
+    * PASSES (no-evidence — upstream gates own NULL handling, matching
+    * the other trained gates). The scores struct binds once and both
+    * the argmax and the floor read the bound slot. */
+  def keeps(text: Column, m: Model, keep: Set[String],
+      minScoreMicro: Long = 0L): Column = {
     require(keep.nonEmpty, "keep-language set must be nonempty")
-    text.isNull || predict(text, m).isin(keep.toSeq: _*)
+    require(minScoreMicro >= 0L, s"minScoreMicro >= 0, got $minScoreMicro")
+    val ok = graft.functions.TextFunctions.bindOnce(scoresMicro(text, m)) {
+      s =>
+        predictFromScores(s, m).isin(keep.toSeq: _*) &&
+          bestScoreFromScores(s, m) >= minScoreMicro
+    }
+    text.isNull || ok
   }
 }

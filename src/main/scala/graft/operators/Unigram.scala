@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization" —
+  * the SentencePiece unigram model, the OTHER public subword family
+  * next to BPE/[[Bpe]]): a vocabulary of pieces with unigram
+  * probabilities; tokenization is the Viterbi-best segmentation of
+  * each word under the model; training seeds a large candidate set
+  * from frequent substrings, fits probabilities by EM, and prunes
+  * toward a target size.
+  *
+  * From-scratch engineering choices (each deterministic and
+  * documented, the quantized-GD discipline of [[QualityClassifier]]):
+  *  - training runs on the DISTINCT-WORD DICTIONARY with corpus
+  *    counts ([[Bpe.wordDict]] / [[Bpe.wordDictPretokenized]]) — the
+  *    reduction that makes it corpus-scale-independent;
+  *  - the E-step is HARD EM (Viterbi counts, the documented
+  *    simplification of the paper's forward-backward expectations):
+  *    piece log-probabilities live on the 1e-6 integer grid, Viterbi
+  *    sums are exact Long arithmetic, ties prefer the LONGER piece
+  *    then the earlier split — bit-deterministic on any engine and
+  *    any partitioning;
+  *  - pruning keeps every single-character piece (coverage: any word
+  *    always segments) and shrinks the multi-character set by
+  *    `shrink` per round toward `targetSize`, dropping the
+  *    lowest-Viterbi-count pieces (count ties break lexicographic) —
+  *    the paper's likelihood-loss prune replaced by its
+  *    used-mass proxy;
+  *  - characters outside the vocabulary score a fixed UNK penalty 10
+  *    ln-units below the worst piece (apply-time robustness; training
+  *    vocabularies always cover their own dictionary).
+  *
+  * Scale shape (the L17 discipline): seeding is one explode of the
+  * dictionary into bounded substrings (≤ maxPieceLen per position) +
+  * one partial-agg groupBy reduced to candidate grain; every EM round
+  * is ONE distributed Viterbi pass over the dictionary plus a groupBy
+  * partial-agged to ≤ |vocab| rows — the only driver pulls are
+  * model-sized (seed set, then per-round counts). Apply (the 100 TB
+  * path) broadcasts the piece table with the task closure and walks
+  * each word once with a per-partition word→pieces cache
+  * ([[Bpe.applyBpe]]'s reduction); no join, no shuffle.
+  */
+object Unigram {
+
+  /** Quantization grid: ln-probabilities in 1e-6 units. */
+  private val Scale = 1e6
+
+  /** A trained model: piece → quantized ln p (micro), the max piece
+    * length, and the UNK per-character penalty. */
+  final case class Model(pieces: Map[String, Long], maxPieceLen: Int,
+      qUnk: Long) {
+    require(pieces.nonEmpty, "empty unigram vocabulary")
+  }
+
+  private def qln(p: Double): Long = math.round(math.log(p) * Scale)
+
+  /** Viterbi-best segmentation of one word under quantized piece
+    * scores. Exact Long sums; ties prefer the LONGER last piece, then
+    * the earlier split (both fixed by the scan order below). Returns
+    * the piece list; unknown single characters emit themselves at the
+    * UNK penalty, so every word segments and the pieces always
+    * concatenate back to the word (the reconstruction contract). */
+  private[graft] def viterbi(word: String, pieces: Map[String, Long],
+      maxLen: Int, qUnk: Long): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val best = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1) // start index of the winning last piece
+    java.util.Arrays.fill(best, 1, n + 1, Long.MinValue)
+    var i = 1
+    while (i <= n) {
+      // j ascending from the LONGEST candidate: later (shorter) pieces
+      // must be STRICTLY better to win, so equal scores keep the
+      // longest piece and, transitively, the earliest split
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (best(j) != Long.MinValue) {
+          val sub = word.substring(j, i)
+          val q = pieces.get(sub) match {
+            case Some(v) => v
+            case None => if (i - j == 1) qUnk else Long.MinValue
+          }
+          if (q != Long.MinValue && best(j) + q > best(i)) {
+            best(i) = best(j) + q
+            back(i) = j
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // walk back
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = n
+    while (k > 0) { out += word.substring(back(k), k); k = back(k) }
+    out.reverseIterator.toArray
+  }
+
+  /** Seed candidates: every substring of every dictionary word up to
+    * `maxPieceLen` chars, weighted by the word's corpus count — one
+    * bounded explode + one partial-agg groupBy. Single characters are
+    * seeded unconditionally (coverage); multi-char candidates keep the
+    * top `nMulti` by (count·len, piece) — the SentencePiece seed
+    * heuristic (frequent long substrings are the valuable pieces). */
+  private def seed(dict: DataFrame, maxPieceLen: Int,
+      nMulti: Int): (Seq[(String, Long)], Seq[(String, Long)]) = {
+    val subs = dict.select(col("word"), col("count").cast("long").as("c"))
+      .select(explode(transform(
+        sequence(lit(0), length(col("word")) - 1), i =>
+          transform(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("word")) - i)), l =>
+            col("word").substr(i + 1, l)))).as("row"), col("c"))
+      .select(explode(col("row")).as("piece"), col("c"))
+      .groupBy("piece").agg(sum(col("c")).as("freq"))
+    val chars = subs.where(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+    val multi = subs.where(length(col("piece")) > 1)
+      .select(col("piece"), col("freq"),
+        (col("freq") * length(col("piece"))).as("w"))
+      .orderBy(col("w").desc, col("piece"))
+      .limit(nMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (chars, multi)
+  }
+
+  /** Normalize counts into quantized ln-probabilities (+1 smoothing so
+    * kept-but-unused pieces stay finite; deterministic given the
+    * count map). */
+  private def toProbs(counts: Seq[(String, Long)]): Map[String, Long] = {
+    val total = counts.map(_._2 + 1L).sum.toDouble
+    counts.map { case (p, c) => p -> qln((c + 1L) / total) }.toMap
+  }
+
+  private def unkOf(pieces: Map[String, Long]): Long =
+    pieces.values.min - 10L * 1000000L
+
+  /** One distributed hard-EM E-step: Viterbi-segment every dictionary
+    * word under the current model, emit per-piece used mass
+    * (occurrences × word count), partial-agged to ≤ |vocab| rows. */
+  private def viterbiCounts(dict: DataFrame, m: Model): Map[String, Long] = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val pieces = m.pieces; val maxLen = m.maxPieceLen; val qUnk = m.qUnk
+    dict.select(col("word"), col("count").cast("long").as("c"))
+      .as[(String, Long)]
+      .flatMap { case (w, c) =>
+        viterbi(w, pieces, maxLen, qUnk).iterator.map(p => (p, c)) }
+      .toDF("piece", "c")
+      .groupBy("piece").agg(sum(col("c")).as("used"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Train a unigram vocabulary of (about) `targetSize` pieces on a
+    * word dictionary ([[Bpe.wordDict]] shape: word, count). Rounds:
+    * seed `seedMult`× over-complete, then EM-count + prune by `shrink`
+    * until the multi-char set fits the target, then one final
+    * re-estimation — every round one dictionary pass. Single-char
+    * pieces are never pruned, so `targetSize` is a floor at the
+    * alphabet size. */
+  def train(dict: DataFrame, targetSize: Int, maxPieceLen: Int = 8,
+      seedMult: Int = 4, shrink: Double = 0.75): Model = {
+    require(targetSize >= 1 && maxPieceLen >= 2, "bad unigram params")
+    require(shrink > 0 && shrink < 1, s"shrink in (0,1), got $shrink")
+    val (chars, multi0) = seed(dict, maxPieceLen,
+      nMulti = math.max(targetSize * seedMult, 1))
+    var multi = multi0
+    var model = {
+      val p = toProbs(chars ++ multi)
+      Model(p, maxPieceLen, unkOf(p))
+    }
+    val targetMulti = math.max(targetSize - chars.size, 0)
+    var rounds = 0
+    while (multi.size > targetMulti && rounds < 32) {
+      val used = viterbiCounts(dict, model)
+      val keepN = math.max(targetMulti,
+        math.floor(multi.size * shrink).toInt)
+      // prune the least-used multi pieces (never the single chars);
+      // count ties break lexicographic — fully deterministic
+      multi = multi.map { case (p, _) => (p, used.getOrElse(p, 0L)) }
+        .sortBy { case (p, c) => (-c, p) }.take(keepN)
+      val charCounts = chars.map { case (p, _) =>
+        (p, used.getOrElse(p, 0L)) }
+      model = {
+        val p = toProbs(charCounts ++ multi)
+        Model(p, maxPieceLen, unkOf(p))
+      }
+      rounds += 1
+    }
+    // final re-estimation on the pruned vocabulary
+    val used = viterbiCounts(dict, model)
+    val fin = (chars.map(_._1) ++ multi.map(_._1)).distinct
+      .map(p => (p, used.getOrElse(p, 0L)))
+    val probs = toProbs(fin)
+    Model(probs, maxPieceLen, unkOf(probs))
+  }
+
+  /** Viterbi-tokenize `textCol` (whitespace words, the [[Bpe.wordDict]]
+    * tokenizer) — appends `uni_tokens`. The piece table rides the task
+    * closure (model-sized); a per-partition word cache turns repeated
+    * words into lookups ([[Bpe.applyBpe]]'s reduction). */
+  def applyUnigram(df: DataFrame, textCol: String, m: Model): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("uni_tokens", ArrayType(StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val textIdx = df.schema.fieldIndex(textCol)
+    val pieces = m.pieces; val maxLen = m.maxPieceLen; val qUnk = m.qUnk
+    df.mapPartitions { rows =>
+      val cache = new java.util.HashMap[String, Array[String]]()
+      rows.map { r =>
+        val text = r.getString(textIdx)
+        val toks: Seq[String] =
+          if (text == null) null
+          else text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+            var t = cache.get(w)
+            if (t == null) { t = viterbi(w, pieces, maxLen, qUnk); cache.put(w, t) }
+            t
+          }.toSeq
+        Row.fromSeq(r.toSeq :+ toks)
+      }
+    }(enc)
+  }
+
+  /** Persist a vocabulary as a managed table (piece, q_logp,
+    * max_piece_len, q_unk — the [[Bpe.writeVocab]] discipline: train
+    * once, tokenize forever). */
+  def writeVocab(spark: SparkSession, m: Model, table: String): Unit = {
+    import spark.implicits._
+    m.pieces.toSeq.sortBy(_._1)
+      .map { case (p, q) => (p, q, m.maxPieceLen, m.qUnk) }
+      .toDF("piece", "q_logp", "max_piece_len", "q_unk")
+      .write.mode("overwrite").saveAsTable(table)
+  }
+
+  /** Load a [[writeVocab]] table back into a model (exact on the
+    * integer grid — the round trip changes nothing). */
+  def readVocab(spark: SparkSession, table: String): Model = {
+    val rows = spark.table(table)
+      .select(col("piece"), col("q_logp"), col("max_piece_len"), col("q_unk"))
+      .collect()
+    require(rows.nonEmpty, s"empty unigram vocab table $table")
+    Model(rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rows.head.getInt(2), rows.head.getLong(3))
+  }
+}

@@ -167,6 +167,75 @@ object LlmQueries {
     raw"""WITH plant AS ($gopherPlantsSql), docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM plant), base AS (SELECT doc_id, text, $tokensSql AS ts, $linesSql AS ls, $parasSql AS ps FROM docs WHERE text IS NOT NULL), scal AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS nw, CAST(COALESCE(list_sum(list_transform(ts, t -> len(t))), 0) AS BIGINT) AS wc, CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS aw, CAST(len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(ts, w))) AS BIGINT) AS nstop, CAST(len(text) - len(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS sym FROM base), lf AS (SELECT doc_id, unnest(ls) AS l FROM base), lcnt AS (SELECT doc_id, l, COUNT(*) AS c FROM lf GROUP BY 1, 2), lstat AS (SELECT doc_id, SUM(c) AS n_l, SUM(c * len(l)) AS l_chars, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup_l, COALESCE(SUM(c * len(l)) FILTER (WHERE c > 1), 0) AS dup_l_chars, COALESCE(SUM(c) FILTER (WHERE substr(l, 1, 1) IN ('•', '●', '-', '*')), 0) AS bul, COALESCE(SUM(c) FILTER (WHERE l LIKE '%...' OR l LIKE '%…'), 0) AS ell FROM lcnt GROUP BY 1), pf AS (SELECT doc_id, unnest(ps) AS p FROM base), pcnt AS (SELECT doc_id, p, COUNT(*) AS c FROM pf GROUP BY 1, 2), pstat AS (SELECT doc_id, SUM(c) AS n_p, SUM(c * len(p)) AS p_chars, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup_p, COALESCE(SUM(c * len(p)) FILTER (WHERE c > 1), 0) AS dup_p_chars FROM pcnt GROUP BY 1), ${gopherTopSql(2)}, ${gopherTopSql(3)}, ${gopherTopSql(4)}, met AS (SELECT s.doc_id, s.nw AS n_words, CASE WHEN s.nw > 0 THEN CAST(s.wc AS DOUBLE) / s.nw END AS mean_word_len, CASE WHEN s.nw > 0 THEN CAST(s.aw AS DOUBLE) / s.nw END AS alpha_frac, s.nstop AS n_stop, CASE WHEN s.nw > 0 THEN CAST(s.sym AS DOUBLE) / s.nw END AS symbol_ratio, CASE WHEN COALESCE(l.n_l, 0) > 0 THEN CAST(l.bul AS DOUBLE) / l.n_l END AS bullet_frac, CASE WHEN COALESCE(l.n_l, 0) > 0 THEN CAST(l.ell AS DOUBLE) / l.n_l END AS ellipsis_frac, CASE WHEN COALESCE(l.n_l, 0) > 0 THEN CAST(l.dup_l AS DOUBLE) / l.n_l END AS dup_line_frac, CASE WHEN COALESCE(l.l_chars, 0) > 0 THEN CAST(l.dup_l_chars AS DOUBLE) / l.l_chars END AS dup_line_char_frac, CASE WHEN COALESCE(p.n_p, 0) > 0 THEN CAST(p.dup_p AS DOUBLE) / p.n_p END AS dup_para_frac, CASE WHEN COALESCE(p.p_chars, 0) > 0 THEN CAST(p.dup_p_chars AS DOUBLE) / p.p_chars END AS dup_para_char_frac, CASE WHEN t2.bc IS NOT NULL AND s.wc > 0 THEN CAST(t2.bc * t2.bl AS DOUBLE) / s.wc END AS top2_char_frac, CASE WHEN t3.bc IS NOT NULL AND s.wc > 0 THEN CAST(t3.bc * t3.bl AS DOUBLE) / s.wc END AS top3_char_frac, CASE WHEN t4.bc IS NOT NULL AND s.wc > 0 THEN CAST(t4.bc * t4.bl AS DOUBLE) / s.wc END AS top4_char_frac FROM scal s LEFT JOIN lstat l USING (doc_id) LEFT JOIN pstat p USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)) SELECT d.doc_id, m.n_words, m.mean_word_len, m.alpha_frac, m.n_stop, m.symbol_ratio, m.bullet_frac, m.ellipsis_frac, m.dup_line_frac, m.dup_line_char_frac, m.dup_para_frac, m.dup_para_char_frac, m.top2_char_frac, m.top3_char_frac, m.top4_char_frac, CASE WHEN d.text IS NULL THEN TRUE ELSE (m.n_words >= 50 AND m.n_words <= 100000) AND COALESCE(m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0, TRUE) AND COALESCE(m.alpha_frac >= 0.8, TRUE) AND (m.n_stop >= 2) AND COALESCE(m.symbol_ratio <= 0.1, TRUE) AND COALESCE(m.bullet_frac <= 0.9, TRUE) AND COALESCE(m.ellipsis_frac <= 0.3, TRUE) AND COALESCE(m.dup_line_frac <= 0.3, TRUE) AND COALESCE(m.dup_line_char_frac <= 0.2, TRUE) AND COALESCE(m.dup_para_frac <= 0.3, TRUE) AND COALESCE(m.dup_para_char_frac <= 0.2, TRUE) AND COALESCE(m.top2_char_frac <= 0.2, TRUE) AND COALESCE(m.top3_char_frac <= 0.18, TRUE) AND COALESCE(m.top4_char_frac <= 0.16, TRUE) END AS keep FROM docs d LEFT JOIN met m USING (doc_id) ORDER BY d.doc_id"""
   }
 
+  /** C4 planted fixture (l44): one doc per rule class. Line-level
+    * rules show in the surviving `clean_text`; doc-level rules kill.
+    * Built from three shared compliant lines (terminal '.', ≥5 words,
+    * one sentence mark each) plus one rule-tripping line per doc. No
+    * single quotes (SQL literal safety via [[gopherSqlStr]] anyway). */
+  private val c4Good3 =
+    "the cat sat on the mat today.\n" +
+      "the dog ran across the green field.\n" +
+      "many people walk along the river at dawn.\n"
+  private val c4Plants: Seq[(Long, String)] = Seq(
+    (7200001L, // no terminal punctuation → every line dies → 0 sentences
+      "this line has five good words\nanother line with plenty of words here\nmore words that keep going along fine\n"),
+    (7200002L, // < 5 words per line → every line dies
+      "too short a line.\nfour words right here.\nnot enough words.\n"),
+    (7200003L, // javascript boilerplate line dies, doc survives
+      c4Good3 + "please enable javascript to continue reading this page.\n"),
+    (7200004L, // cookie-policy line dies, doc survives
+      c4Good3 + "this site uses cookies to improve your browsing experience.\n"),
+    (7200005L, // lorem ipsum: the line passes line rules, the DOC dies
+      c4Good3 + "the printed sample read lorem ipsum dolor sit amet today.\n"),
+    (7200006L, // curly brace: line passes, doc dies
+      c4Good3 + "the code sample { x } appears in the documentation today.\n"),
+    (7200007L, // blocklist word: line passes, doc dies
+      c4Good3 + "the filter flags porn content in this line today.\n"),
+    (7200008L, // only two sentences survive → dies on minSentences
+      "the cat sat on the mat today.\nthe dog ran across the green field.\n"),
+    (7200009L, c4Good3), // fully compliant
+    (7200010L, // a line may end in a closing quote (C4 end-mark set)
+      "they shouted \"we will go to the hills.\"\n" +
+        "the dog ran across the green field.\n" +
+        "many people walk along the river at dawn.\n"),
+    (7200011L, // partial surgery: bad lines cut, doc survives on the rest
+      "the cat sat on the mat today.\nshort line here\n" +
+        "no punctuation on this line of words\n" +
+        "the dog ran across the green field.\n" +
+        "many people walk along the river at dawn.\n"))
+
+  private def c4PlantDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    c4Plants.toDF("doc_id", "text")
+  }
+
+  private def c4PlantsSql: String =
+    "SELECT * FROM (VALUES " + c4Plants.map { case (id, t) =>
+      s"(CAST($id AS BIGINT), ${gopherSqlStr(t)})"
+    }.mkString(", ") + ") AS plant(doc_id, text)"
+
+  /** The l44 DuckDB oracle: the WHOLE line surgery + doc rules
+    * restated over documents ∪ the planted fixture — every predicate
+    * (end-mark suffix, word count, substring membership, word-boundary
+    * blocklist regex, sentence-mark count) is derived from the SAME
+    * [[graft.operators.C4Rules.Config]] the Spark row uses, so the two
+    * sides cannot drift. */
+  private def c4OracleSql: String = {
+    val cfg = graft.operators.C4Rules.Config()
+    val ends = cfg.endMarks
+      .map(m => s"ends_with(l, ${gopherSqlStr(m)})")
+      .mkString("(", " OR ", ")")
+    val noDrop = cfg.dropLineSubstrings
+      .map(p => s"NOT contains(lower(l), ${gopherSqlStr(p)})")
+      .mkString(" AND ")
+    val wordsOk = raw"len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= ${cfg.minWordsPerLine}"
+    val pred = s"$ends AND $wordsOk AND $noDrop"
+    val badPat = graft.operators.C4Rules.badWordPattern(cfg).get
+    val linesSql =
+      "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0)"
+    s"""WITH plant AS ($c4PlantsSql), docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM plant), base AS (SELECT doc_id, $linesSql AS ls FROM docs WHERE text IS NOT NULL), kk AS (SELECT doc_id, COALESCE(array_to_string(list_filter(ls, l -> $pred), chr(10)), '') AS ct FROM base), met AS (SELECT doc_id, ct, CASE WHEN len(ct) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(string_split(ct, chr(10))) AS BIGINT) END AS n_kept, CAST(len(regexp_extract_all(ct, '[.!?]')) AS BIGINT) AS n_sentences, contains(lower(ct), 'lorem ipsum') AS has_lorem, contains(ct, '{') AS has_brace, regexp_matches(lower(ct), '$badPat') AS has_bad_word FROM kk) SELECT d.doc_id, m.ct AS clean_text, m.n_kept, m.n_sentences, m.has_lorem, m.has_brace, m.has_bad_word, CASE WHEN d.text IS NULL THEN TRUE ELSE m.n_sentences >= ${cfg.minSentences} AND NOT m.has_lorem AND NOT m.has_brace AND NOT m.has_bad_word END AS keep FROM docs d LEFT JOIN met m USING (doc_id) ORDER BY d.doc_id"""
+  }
+
   // ---- l42 language-ID fixture + oracle (the l39 retrain-differential
   // pattern, one-vs-rest over char bigrams) ----
 
@@ -283,8 +352,14 @@ object LlmQueries {
       s"WHEN p_$l.p > ${bestP(prior)} THEN '$l'"
     }.mkString(" ") + s" ELSE '${LangIdLangs.head}'"
     val joins = LangIdLangs.map(l => s"LEFT JOIN p_$l ON t.id = p_$l.id").mkString(" ")
-    s"""WITH train AS ($langFixtureSql), lab AS (SELECT id, lang FROM train WHERE text IS NOT NULL), nn AS (SELECT COUNT(*) AS n FROM lab), cg AS (SELECT id, unnest(list_transform(generate_series(1, len(lower(text)) - 1), i -> substr(lower(text), i, 2))) AS t FROM train WHERE text IS NOT NULL), fb0 AS (SELECT id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(generate_series(1, len(t)), j -> CAST(ascii(substr(t, j, 1)) AS BIGINT))), (a, v) -> (a*31 + v) % 1000003) % $dim AS INTEGER) AS fb FROM cg), feat AS (SELECT id, fb, COUNT(*) AS fx FROM fb0 GROUP BY 1, 2), $heads SELECT t.id AS doc_id, t.lang, ${LangIdLangs.map(l => s"p_$l.p AS p_$l").mkString(", ")}, CASE WHEN t.text IS NULL THEN NULL $pred END AS pred FROM train t $joins ORDER BY doc_id"""
+    val inSet = LangIdLangs.map("'" + _ + "'").mkString(", ")
+    s"""WITH train AS ($langFixtureSql), lab AS (SELECT id, lang FROM train WHERE text IS NOT NULL), nn AS (SELECT COUNT(*) AS n FROM lab), cg AS (SELECT id, unnest(list_transform(generate_series(1, len(lower(text)) - 1), i -> substr(lower(text), i, 2))) AS t FROM train WHERE text IS NOT NULL), fb0 AS (SELECT id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(generate_series(1, len(t)), j -> CAST(ascii(substr(t, j, 1)) AS BIGINT))), (a, v) -> (a*31 + v) % 1000003) % $dim AS INTEGER) AS fb FROM cg), feat AS (SELECT id, fb, COUNT(*) AS fx FROM fb0 GROUP BY 1, 2), $heads, sel AS (SELECT t.id AS doc_id, t.lang, ${LangIdLangs.map(l => s"p_$l.p AS p_$l").mkString(", ")}, greatest(${LangIdLangs.map(l => s"p_$l.p").mkString(", ")}) AS best_micro, CASE WHEN t.text IS NULL THEN NULL $pred END AS pred FROM train t $joins) SELECT doc_id, lang, ${LangIdLangs.map(l => s"p_$l").mkString(", ")}, best_micro, pred, CASE WHEN pred IS NULL THEN TRUE ELSE pred IN ($inSet) AND best_micro >= $LangIdFloorMicro END AS keep FROM sel ORDER BY doc_id"""
   }
+
+  /** The CCNet-style confidence floor the l42 row restates (micro
+    * units): a doc whose WINNING head sits below this is dropped even
+    * when its argmax lands in the keep set. */
+  private val LangIdFloorMicro = 900000L
 
   /** The l39/l39c DuckDB oracle: retrain the identical quantized LR
     * model as unrolled CTEs and rescore via explode + join + groupBy
@@ -294,7 +369,7 @@ object LlmQueries {
   private val l39OracleSql =
     """WITH train AS (SELECT doc_id*2 AS id, text, 1 AS y FROM documents UNION ALL SELECT doc_id*2+1 AS id, translate(text, 'abcdefghijklmnopqrstuvwxyz', 'zyxwvutsrqponmlkjihgfedcba') AS text, 0 AS y FROM documents), lab AS (SELECT id, y FROM train WHERE text IS NOT NULL), nn AS (SELECT COUNT(*) AS n FROM lab), tok AS (SELECT id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS t FROM train WHERE text IS NOT NULL), fb0 AS (SELECT id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(generate_series(1, len(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))), (a, v) -> (a*31 + v) % 1000003) % 512 AS INTEGER) AS fb FROM tok), feat AS (SELECT id, fb, COUNT(*) AS fx FROM fb0 GROUP BY 1, 2), e1 AS (SELECT id, CAST(500000 - y*1000000 AS BIGINT) AS err FROM lab), w1 AS (SELECT fb, -CAST(round(0.5 * SUM(err*fx) / MAX(nn.n)) AS BIGINT) AS w FROM feat JOIN e1 USING (id) CROSS JOIN nn GROUP BY fb), b1 AS (SELECT -CAST(round(0.5 * SUM(err) / MAX(nn.n)) AS BIGINT) AS b FROM e1 CROSS JOIN nn), s2 AS (SELECT f.id, SUM(f.fx * COALESCE(w1.w, 0)) AS z FROM feat f LEFT JOIN w1 USING (fb) GROUP BY 1), e2 AS (SELECT l.id, CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(s2.z, 0) + b1.b AS DOUBLE) / 1000000.0))) AS BIGINT) - l.y*1000000 AS err FROM lab l LEFT JOIN s2 USING (id) CROSS JOIN b1), w2 AS (SELECT fb, MAX(w1.w) - CAST(round(0.5 * SUM(e2.err*feat.fx) / MAX(nn.n)) AS BIGINT) AS w FROM feat JOIN e2 USING (id) JOIN w1 USING (fb) CROSS JOIN nn GROUP BY fb), b2 AS (SELECT MAX(b1.b) - CAST(round(0.5 * SUM(err) / MAX(nn.n)) AS BIGINT) AS b FROM e2 CROSS JOIN b1 CROSS JOIN nn), sf AS (SELECT f.id, SUM(f.fx * w2.w) AS z FROM feat f JOIN w2 USING (fb) GROUP BY 1) SELECT t.id, t.y, CASE WHEN t.text IS NULL THEN NULL ELSE CAST(round(1000000.0 / (1.0 + exp(-CAST(COALESCE(sf.z, 0) + b2.b AS DOUBLE) / 1000000.0))) AS BIGINT) END AS p_micro FROM train t LEFT JOIN sf ON t.id = sf.id CROSS JOIN b2 ORDER BY t.id"""
 
-  val defs: Seq[(String, Q, Option[String])] = Seq(
+  val defs: Seq[(String, Q, Option[String])] = Seq[(String, Q, Option[String])](
 
     // ---- L1: exact dedup — smallest doc_id survives per sha256(text) ----
     ("l01_exact_dedup", (s, d) => {
@@ -3023,13 +3098,18 @@ object LlmQueries {
       val fx = langFixture(s, d)
       val model = LI.train(fx, "text", "doc_id", "lang", LangIdLangs,
         dim = 256, epochs = 2, lr = 0.5, ngram = 2)
-      fx.select(col("doc_id"), col("lang"),
+      fx.select(col("doc_id"), col("lang"), col("text"),
           LI.scoresMicro(col("text"), model).as("__p"))
         .select(col("doc_id") +: col("lang") +:
-          LangIdLangs.map(l => col(s"__p.$l").as(s"p_$l")) :+
-          // routing derived from the projected scores struct — the
-          // scoring folds run once, not twice
-          LI.predictFromScores(col("__p"), model).as("pred"): _*)
+          LangIdLangs.map(l => col(s"__p.$l").as(s"p_$l")) ++:
+          // routing + confidence floor derived from the projected
+          // scores struct — the scoring folds run once, not thrice
+          Seq(LI.bestScoreFromScores(col("__p"), model).as("best_micro"),
+            LI.predictFromScores(col("__p"), model).as("pred"),
+            // the REAL gate rule (argmax membership AND the CCNet
+            // confidence floor), restated relationally by the oracle
+            LI.keeps(col("text"), model, LangIdLangs.toSet,
+              LangIdFloorMicro).as("keep")): _*)
         .orderBy(col("doc_id"))
     }, Some(langIdOracleSql(256))),
 
@@ -3093,6 +3173,130 @@ object LlmQueries {
           DS.logWeightMicro(gibText, m).as("__lg"))
         .agg(count(when(col("__lo") <= col("__lg"), 1)).as("violations"),
           count(lit(1)).as("n_pairs"))
-    }, Some(dsirContrastOracleSql))
+    }, Some(dsirContrastOracleSql)),
+
+    // ---- L49: the C4 line-level rule pack + bad-word blocklist
+    // (Raffel et al. 2020 §2.2 — line surgery: each line passes its
+    // own rules, the doc is REBUILT from survivors, then doc-level
+    // rules judge the rebuilt text). Spark runs the whole surgery as
+    // in-row array folds (zero exchanges); DuckDB restates it with
+    // list_filter + array_to_string from the SAME Config — every
+    // compared quantity an engine-exact integer or membership. Planted
+    // fixture: one doc per rule class; real corpus docs flow too. ----
+    ("l44_c4_rules", (s, d) => {
+      import graft.operators.{C4Rules => C4}
+      val cfg = C4.Config()
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(c4PlantDf(s))
+      docs.select(col("doc_id"), col("text"),
+          // one surgery pass: the rebuilt text binds once and the
+          // metric struct derives from the bound slot (bindOnce)
+          TF.bindOnce(C4.cleanedText(col("text"), cfg)) { ct =>
+            struct(ct.as("ct"), C4.metricsOfCleaned(ct, cfg).as("m"))
+          }.as("__cm"))
+        .select(col("doc_id"),
+          col("__cm.ct").as("clean_text"),
+          col("__cm.m.n_kept").as("n_kept"),
+          col("__cm.m.n_sentences").as("n_sentences"),
+          col("__cm.m.has_lorem").as("has_lorem"),
+          col("__cm.m.has_brace").as("has_brace"),
+          col("__cm.m.has_bad_word").as("has_bad_word"),
+          (col("text").isNull || C4.allOk(col("__cm.m"), cfg)).as("keep"))
+        .orderBy(col("doc_id"))
+    }, Some(c4OracleSql)),
+
+    // ---- L50: WARC/WET container intake (ISO 28500 — the CommonCrawl
+    // record grammar every public pipeline starts from). The row
+    // packs documents into 8 WET containers (odd buckets gzip'd, one
+    // member per record — the CommonCrawl layout), plants a malformed
+    // record on bucket 3, parses everything back through the
+    // from-scratch grammar walk, and the oracle restates the extracted
+    // (url, page_text, type, length, malformed-count) set in CLOSED
+    // FORM from documents — a full pack → (gzip) → parse → extract
+    // round trip whose output must equal never-touched rows. ----
+    ("l45_warc_intake", (s, d) => {
+      import graft.sources.Warc
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("http://w"), col("doc_id"), lit(".example.com/p"))
+            .as("url"),
+          col("text"), (col("doc_id") % 8).as("bucket"))
+      val packed = Warc.packWet(docs, "bucket", "url", "text",
+        gzipOdd = true)
+      // plant: undeclared garbage after bucket 2's records — parsing
+      // must count exactly one malformed unit there and zero elsewhere.
+      // (A PLAIN bucket on purpose: the JDK gzip reader stops silently
+      // at the last valid member, so garbage after a gzip'd container
+      // is unreachable by construction — pinned in WarcSpec.)
+      val planted = packed.withColumn("warc",
+        when(col("bucket") === 2,
+          concat(col("warc"),
+            lit("WARC/1.0\r\nbroken header no terminator".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))))
+          .otherwise(col("warc")))
+      Warc.pages(planted, "warc")
+        .select(col("url"), col("page_text"), col("warc_type"),
+          col("content_length"), col("malformed"))
+        .orderBy(col("url"))
+    }, Some(
+      """SELECT 'http://w' || doc_id || '.example.com/p' AS url, text AS page_text, 'conversion' AS warc_type, CAST(octet_length(encode(text)) AS BIGINT) AS content_length, CAST(CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 0 END AS INTEGER) AS malformed FROM documents WHERE text IS NOT NULL ORDER BY url"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // ---- L51: unigram-LM tokenizer training (Kudo 2018 — the
+    // SentencePiece unigram family, the other public subword scheme
+    // next to BPE/l17). The piece table is rows-only by design (no SQL
+    // engine trains a unigram LM); its oracle-green contract sibling
+    // is l46b. Training: seed substrings + hard-EM Viterbi rounds on
+    // the distinct-word dictionary, every driver pull model-sized. ----
+    ("l46_unigram_vocab", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("text"))
+      val model = graft.operators.Unigram.train(
+        graft.operators.Bpe.wordDict(docs, "text"),
+        targetSize = 60, maxPieceLen = 6)
+      import s.implicits._
+      model.pieces.toSeq.toDF("piece", "q_logp").orderBy(col("piece"))
+    }, None),
+
+    // ---- L51b: unigram reconstruction contract (the l17b pattern) —
+    // Viterbi-tokenize the corpus with the learned vocabulary and
+    // claim, per document, the total CHARACTER length of the produced
+    // pieces; DuckDB computes the whitespace-free character count
+    // directly from the raw text. A segmentation that drops,
+    // duplicates or splits a character shifts the claim and fails the
+    // hash — while the learned vocabulary stays engine-side
+    // (data-dependent). ----
+    ("l46b_unigram_reconstruction", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val model = graft.operators.Unigram.train(
+        graft.operators.Bpe.wordDict(docs.select(col("text")), "text"),
+        targetSize = 60, maxPieceLen = 6)
+      graft.operators.Unigram.applyUnigram(docs, "text", model)
+        .select(col("doc_id"),
+          aggregate(transform(col("uni_tokens"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""")),
+
+    // ---- L51c: PERSISTED unigram vocabulary (the l17c discipline) —
+    // train once, save as a managed table, tokenize from the catalog:
+    // |vocab| rows in, broadcast with the task, corpus never shuffles.
+    // Same reconstruction contract through the write→read→apply path;
+    // per-SF table names keep scales separate. ----
+    ("l46c_unigram_persisted", (s, d) => {
+      val table = s"l46c_vocab_${sfTag(d)}"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (!s.catalog.tableExists(table)) {
+        graft.operators.Layout.dropTableAndLocation(s, table)
+        graft.operators.Unigram.writeVocab(s, graft.operators.Unigram.train(
+          graft.operators.Bpe.wordDict(docs.select(col("text")), "text"),
+          targetSize = 60, maxPieceLen = 6), table)
+      }
+      val model = graft.operators.Unigram.readVocab(s, table)
+      graft.operators.Unigram.applyUnigram(docs, "text", model)
+        .select(col("doc_id"),
+          aggregate(transform(col("uni_tokens"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"""))
   )
 }

@@ -38,7 +38,10 @@ object StreamOps {
     *    URL filtering; requires `urlDedupCol`);
     *  - `langIdKeep = Some((model, keepLangs))` routes on the trained
     *    language ID ([[graft.operators.LangId]], CCNet stage 1) before
-    *    any quality/LM scoring;
+    *    any quality/LM scoring; `langIdMinScoreMicro` adds CCNet's
+    *    confidence floor to that leg (drop when the WINNING head sits
+    *    below it — off-distribution docs whose argmax lands in the
+    *    keep set by luck; 0 = pure argmax routing);
     *  - `dsir = Some((model, minKeyMicro))` applies DSIR
     *    distribution-matching selection ([[graft.operators.Dsir]], Xie
     *    et al. 2023) as the per-row Gumbel-noised threshold — the
@@ -49,14 +52,24 @@ object StreamOps {
     *    cleaning and BEFORE every dedup/scoring leg: PII-dense docs
     *    (more than `maxPii` email/phone/IP instances) drop, survivors
     *    are masked — so every downstream hash, history row, and score
-    *    sees the masked text and cross-batch dedup stays consistent. */
+    *    sees the masked text and cross-batch dedup stays consistent;
+    *  - `c4 = Some(cfg)` applies the C4 line surgery + doc rules
+    *    ([[graft.operators.C4Rules]], Raffel et al. 2020 §2.2) right
+    *    after the PII leg and before every dedup/scoring leg:
+    *    surviving docs are REWRITTEN to their surviving lines, so all
+    *    downstream hashes, history rows, and scores see the surgered
+    *    text (the PII-mask discipline). Turning the gate on switches
+    *    the cleaning pass to the newline-preserving normalize — line
+    *    rules need lines to exist. */
   final case class TextGates(
       gopherRules: Option[graft.operators.GopherRules.Config] = None,
+      c4: Option[graft.operators.C4Rules.Config] = None,
       qualityPareto: Option[(graft.operators.QualityClassifier.LrModel,
         Double)] = None,
       hostBlocklist: Option[DataFrame] = None,
       langIdKeep: Option[(graft.operators.LangId.Model,
         Set[String])] = None,
+      langIdMinScoreMicro: Long = 0L,
       dsir: Option[(graft.operators.Dsir.Model, Long)] = None,
       pii: Option[Int] = None)
 
@@ -486,7 +499,10 @@ object StreamOps {
     // before stripHtml (or the block classifier joins its surviving
     // blocks with '\n'), and the normalize pass collapses whitespace
     // without crossing newlines.
-    val cleaned = (extractBoilerplate, paragraphDedup) match {
+    // C4 line surgery needs lines to exist — its presence forces the
+    // newline-preserving cleaning variants (same as paragraph mode)
+    val keepLines = paragraphDedup || gates.c4.isDefined
+    val cleaned = (extractBoilerplate, keepLines) match {
       case (true, false) =>
         TF.normalizeText(TF.stripHtml(TF.extractContent(col(htmlCol))))
       case (false, false) =>
@@ -503,9 +519,19 @@ object StreamOps {
     // every downstream hash, history row, and score sees the MASKED
     // text (cross-batch dedup would silently break if one batch's
     // history rows were masked and the next batch's probes were not)
-    val cleanedDf = gates.pii.fold(cleanedDf0) { maxPii =>
+    val cleanedDfP = gates.pii.fold(cleanedDf0) { maxPii =>
       cleanedDf0.where(TF.piiKeeps(col("text"), maxPii))
         .withColumn("text", TF.maskPiiAll(col("text")))
+    }
+    // optional C4 line surgery (Raffel et al. 2020 §2.2) — right after
+    // the PII policy, before any dedup/scoring leg, so every history
+    // hash and score sees the SURGERED text (the mask discipline):
+    // docs failing the rebuilt-text rules drop, survivors are
+    // rewritten to their surviving lines. Filter pass + rewrite pass,
+    // both O(len) per-row folds (the accepted PII-leg shape).
+    val cleanedDf = gates.c4.fold(cleanedDfP) { cfg =>
+      cleanedDfP.where(graft.operators.C4Rules.keeps(col("text"), cfg))
+        .withColumn("text", graft.operators.C4Rules.cleanedText(col("text"), cfg))
     }
     // optional paragraph legs (CCNet order: paragraph dedup BEFORE
     // quality/LM scoring, so shed boilerplate never biases a doc's
@@ -530,7 +556,8 @@ object StreamOps {
     // first, so no LM/quality signal ever scores a wrong-language
     // doc): K per-row map-literal folds, no join/shuffle/job added
     val langed = gates.langIdKeep.fold(paraed) { case (m, keep) =>
-      paraed.where(graft.operators.LangId.keeps(col("text"), m, keep))
+      paraed.where(graft.operators.LangId.keeps(col("text"), m, keep,
+        gates.langIdMinScoreMicro))
     }
     // optional Gopher rule pack (Rae et al. 2021 table A1) — pure
     // per-row in-row folds, the same hot-loop class

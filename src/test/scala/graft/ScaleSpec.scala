@@ -1112,12 +1112,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("scale: text-front gates — Gopher pack, trained language ID, DSIR select over the skewed corpus (NULLs, 10k-copy cluster), stay balanced", suiteTags: _*) {
-    import graft.operators.{Dsir, GopherRules => G, LangId}
+  test("scale: text-front gates — C4 surgery, Gopher pack, trained language ID, DSIR select over the skewed corpus (NULLs, 10k-copy cluster), stay balanced", suiteTags: _*) {
+    import graft.operators.{C4Rules, Dsir, GopherRules => G, LangId}
     def gib(c: org.apache.spark.sql.Column) =
       translate(c, "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba")
     withScaleConf {
       val stages = probe {
+        // C4 line surgery: per-row rebuild + verdict over every doc —
+        // same zero-exchange class as Gopher; NULL conventions hold
+        val c4 = docs.select($"doc_id", $"text",
+            C4Rules.cleanedText($"text").as("ct"),
+            C4Rules.keeps($"text").as("keep")).localCheckpoint(true)
+        assert(c4.where($"keep".isNull).count() === 0,
+          "c4 keep must never be NULL")
+        assert(c4.where($"text".isNull && (!$"keep" || $"ct".isNotNull))
+          .count() === 0, "NULL text must pass and rebuild to NULL")
+        assert(c4.where($"text".isNotNull && $"ct".isNull).count() === 0,
+          "non-NULL text must rebuild to a non-NULL (possibly empty) text")
         // Gopher: ONE per-row pass over every doc — NULLs, the hot
         // language, the 10k-copy cluster; nothing leaves the row, so
         // the only distribution that matters is the scan's

@@ -1852,6 +1852,62 @@ class StreamingSpec extends SparkSpec {
     } finally Dedup.dropIntakeHistory(spark, hist)
   }
 
+  test("L49 intake leg: C4 line surgery — per-line kills rewrite the survivor text, doc-level rules kill, history sees the surgered text") {
+    import graft.operators.{C4Rules, Dedup}
+    val hist = "t_c4_hist"
+    val outDir = tmpDir("c4_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      val good3 = Seq(
+        "the cat sat on the mat today.",
+        "the dog ran across the green field.",
+        "many people walk along the river at dawn.")
+      // doc 3's base lines differ from doc 1's: its post-surgery text
+      // must not exact-collide with doc 1 inside the batch
+      val good3b = Seq(
+        "the sun rose over the quiet valley this morning.",
+        "several birds sang from the branches of the old oak.",
+        "a gentle wind moved slowly through the tall grass.")
+      def html(lines: String*) = lines.map(l => s"<p>$l</p>").mkString
+      val batch = Seq(
+        (1L, html(good3: _*)),                       // compliant → survives
+        (2L, html("this line has five good words",   // no terminal punct →
+          "more words that keep going along fine")), // empty rebuild → dies
+        (3L, html(good3b :+                          // js line cut, doc
+          "please enable javascript to continue reading this page.": _*)),
+        (4L, html(good3 :+                           // lorem in a SURVIVING
+          "the printed sample read lorem ipsum dolor sit amet today.": _*)),
+        (5L, html(good3 :+                           // brace line survives →
+          "the code sample { x } appears in the documentation today.": _*)),
+        (6L, html(good3 :+                           // blocklist word
+          "the filter flags porn content in this line today.": _*)),
+        (7L, html(good3.take(2): _*)))               // 2 sentences → dies
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0,
+        gates = StreamOps.TextGates(c4 = Some(C4Rules.Config()))))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+      val ids = out.select($"doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L), s"c4 gate broke: $ids")
+      // the survivor's OUTPUT text is the surgered rebuild — the
+      // javascript line is gone, the three good lines remain
+      val t3 = out.where($"doc_id" === 3L).select($"text").as[String].head()
+      assert(t3 === good3b.mkString("\n"), s"doc 3 must be surgered: $t3")
+      // the history hash was taken on the SURGERED text: re-presenting
+      // doc 3's post-surgery form (no javascript line) under a new id
+      // dies as an exact duplicate against the history
+      val replay = Seq((30L, html(good3b: _*)))
+        .toDF("doc_id", "html")
+      assert(StreamOps.intakeBatch(replay, 1L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0,
+        gates = StreamOps.TextGates(c4 = Some(C4Rules.Config()))))
+      val out1 = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out1.isEmpty,
+        s"surgered-identical replay must die against the history: $out1")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
   test("L43d intake leg: host-blocklist filtering right after URL dedup — blocked hosts leave no output and NO history rows; requires the url leg") {
     import graft.operators.Dedup
     val hist = "t_hostf_hist"
@@ -1948,8 +2004,11 @@ class StreamingSpec extends SparkSpec {
         t.map(c => if (c >= 'a' && c <= 'z') ('z' - (c - 'a')).toChar else c)
       val labeled = ((1L to 15L).map(i => (i, toks(i), "en")) ++
         (16L to 30L).map(i => (i, xx(toks(i)), "xx"))).toDF("id", "text", "lang")
+      // dim 2048, not 64: the confidence-floor plant below relies on
+      // its unseen bigrams landing in UNTRAINED buckets (at dim 64
+      // every bucket is trained and collisions score the plant high)
       val model = LangId.train(labeled, "text", "id", "lang",
-        Seq("en", "xx"), dim = 64, epochs = 2, ngram = 2)
+        Seq("en", "xx"), dim = 2048, epochs = 2, ngram = 2)
       val batch = Seq(
         (100L, s"<p>${toks(40)}</p>"),      // en → kept
         (101L, s"<p>${xx(toks(41))}</p>"),  // xx → dropped
@@ -1962,6 +2021,41 @@ class StreamingSpec extends SparkSpec {
       val out = spark.read.parquet(s"$outDir/batch-0")
         .select($"doc_id").as[Long].collect().toSet
       assert(out === Set(100L, 102L), s"language routing broke: $out")
+      // confidence floor (CCNet §4.2): a doc in NEITHER language —
+      // char bigrams the training never saw — scores ≈ the bias on
+      // every head (p ≈ 0.5). Its argmax STILL lands somewhere in the
+      // keep set half the time, so pure argmax routing admits it; the
+      // floor is what kills it. Same batch re-run with the floor on:
+      // both in-set docs (p ≈ 1) survive, the off-distribution plant
+      // dies on confidence alone.
+      // symbol soup: no char bigram of it ever appears in the training
+      // texts (letters + digits), so every head scores near its bias
+      val soup = (0 until 25).map(_ => "##@@%%^^&&**").mkString(" ")
+      val batch2 = Seq(
+        (200L, s"<p>${toks(50)}</p>"),   // en, p ≈ 1 → survives the floor
+        (201L, s"<p>$soup</p>"))         // unseen alphabet → low top score
+        .toDF("doc_id", "html")
+      import graft.functions.{TextFunctions => TFn}
+      val scores = batch2.select($"doc_id",
+        graft.operators.LangId.scoresMicro(
+          TFn.normalizeText(TFn.stripHtml($"html")), model).as("s"))
+        .select($"doc_id", $"s.en", $"s.xx").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // the plant's top head must actually sit below the floor (and the
+      // control's above) or this test asserts nothing
+      assert(math.max(scores(201L)._1, scores(201L)._2) < 900000L,
+        s"plant not low-confidence: ${scores(201L)}")
+      assert(math.max(scores(200L)._1, scores(200L)._2) >= 900000L,
+        s"control not high-confidence: ${scores(200L)}")
+      assert(StreamOps.intakeBatch(batch2, 1L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0,
+        gates = StreamOps.TextGates(
+          langIdKeep = Some((model, Set("en", "xx"))),
+          langIdMinScoreMicro = 900000L)))
+      val out1 = spark.read.parquet(s"$outDir/batch-1")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out1 === Set(200L),
+        s"the confidence floor must kill the off-distribution doc: $out1")
     } finally Dedup.dropIntakeHistory(spark, hist)
   }
 

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{Bpe, Unigram}
+import org.apache.spark.sql.functions._
+
+/** Unit contracts for the unigram-LM tokenizer (Kudo 2018 / the
+  * SentencePiece unigram family — the l46 registry rows carry the
+  * reconstruction differential; these pin the Viterbi segmentation
+  * arithmetic, tie rules, training determinism, coverage, and the
+  * persistence round trip — the BpeSpec discipline). */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def m(ps: (String, Long)*): Unigram.Model =
+    Unigram.Model(ps.toMap, maxPieceLen = 8, qUnk = -100000000L)
+
+  private def viterbi(w: String, model: Unigram.Model): Seq[String] =
+    Unigram.viterbi(w, model.pieces, model.maxPieceLen, model.qUnk).toSeq
+
+  test("L51: Viterbi picks the max-score segmentation under exact integer sums") {
+    // "abc": ab+c = -3-5 = -8 beats a+b+c = -4-4-4 = -12 and abc = -9
+    val model = m("a" -> -4000000L, "b" -> -4000000L, "c" -> -5000000L,
+      "ab" -> -3000000L, "abc" -> -9000000L)
+    assert(viterbi("abc", model) === Seq("ab", "c"))
+    // flip: make the whole-word piece win
+    val model2 = m("a" -> -4000000L, "b" -> -4000000L, "c" -> -5000000L,
+      "ab" -> -3000000L, "abc" -> -7000000L)
+    assert(viterbi("abc", model2) === Seq("abc"))
+  }
+
+  test("L51: score ties prefer the LONGER piece, then the earlier split") {
+    // ab+c and abc tie at -8 → the longer last piece (abc) wins
+    val model = m("a" -> -4000000L, "b" -> -4000000L, "c" -> -5000000L,
+      "ab" -> -3000000L, "abc" -> -8000000L)
+    assert(viterbi("abc", model) === Seq("abc"))
+    // a+bc ties ab+c at -8 → longer LAST piece bc wins (earlier split)
+    val model3 = m("a" -> -4000000L, "b" -> -4000000L, "c" -> -4000000L,
+      "ab" -> -4000000L, "bc" -> -4000000L)
+    assert(viterbi("abc", model3) === Seq("a", "bc"))
+  }
+
+  test("L51: unknown characters emit themselves at the UNK penalty; coverage never fails") {
+    val model = m("a" -> -1000000L)
+    assert(viterbi("axa", model) === Seq("a", "x", "a"))
+    assert(viterbi("zzz", model) === Seq("z", "z", "z"))
+    assert(viterbi("", model) === Seq.empty)
+    // a known piece always beats the UNK route
+    val model2 = m("a" -> -1000000L, "xy" -> -50000000L)
+    assert(viterbi("xy", model2) === Seq("xy"))
+  }
+
+  private def dictOf(texts: Seq[String]) =
+    Bpe.wordDict(texts.toDF("text"), "text")
+
+  private val corpus = Seq.fill(20)(
+    "internationalization and internationalization again") ++
+    Seq.fill(10)("the nation spoke of nationalization") ++
+    Seq.fill(5)("other words appear here too")
+
+  test("L51: training is deterministic and partition-invariant; single chars always covered") {
+    val d1 = dictOf(corpus)
+    val m1 = Unigram.train(d1, targetSize = 40, maxPieceLen = 6)
+    val m2 = Unigram.train(d1.repartition(7), targetSize = 40, maxPieceLen = 6)
+    assert(m1 === m2, "training must not depend on partitioning")
+    val alphabet = corpus.flatMap(_.split("\\s+")).flatMap(_.toSeq).toSet
+    assert(alphabet.forall(c => m1.pieces.contains(c.toString)),
+      "every corpus character must be a piece")
+    // the over-complete seed pruned down: multi-char pieces fit the target
+    val nMulti = m1.pieces.keys.count(_.length > 1)
+    assert(nMulti <= 40, s"multi pieces must respect the target: $nMulti")
+    assert(nMulti > 0, "frequent substrings must survive as pieces")
+  }
+
+  test("L51: tokenization compresses — frequent words use far fewer pieces than characters") {
+    val model = Unigram.train(dictOf(corpus), targetSize = 40, maxPieceLen = 6)
+    val toks = viterbi("internationalization", model)
+    assert(toks.mkString === "internationalization", "pieces must concatenate back")
+    assert(toks.size <= 6,
+      s"a 20-char word the corpus repeats must compress well: $toks")
+  }
+
+  test("L51: applyUnigram — reconstruction covers every non-space char; NULL text passes through") {
+    val model = Unigram.train(dictOf(corpus), targetSize = 40, maxPieceLen = 6)
+    val df = (corpus.zipWithIndex.map { case (t, i) => (i.toLong, Option(t)) } :+
+      ((999L, Option.empty[String]))).toDF("id", "text")
+    val out = Unigram.applyUnigram(df, "text", model)
+      .select($"id", $"text",
+        aggregate(transform($"uni_tokens", t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_chars"),
+        length(regexp_replace($"text", "\\s", "")).cast("long").as("raw_chars"),
+        $"uni_tokens".isNull.as("null_toks"))
+      .collect()
+    out.foreach { r =>
+      if (r.getBoolean(4)) assert(r.getLong(0) === 999L, "only NULL text yields NULL tokens")
+      else assert(r.getLong(2) === r.getLong(3),
+        s"id ${r.getLong(0)}: piece chars ${r.getLong(2)} != raw ${r.getLong(3)}")
+    }
+  }
+
+  test("L51: persisted vocabulary round-trips exactly (the l17c discipline)") {
+    val table = "t_unigram_vocab"
+    graft.operators.Layout.dropTableAndLocation(spark, table)
+    try {
+      val model = Unigram.train(dictOf(corpus), targetSize = 30, maxPieceLen = 5)
+      Unigram.writeVocab(spark, model, table)
+      val back = Unigram.readVocab(spark, table)
+      assert(back === model, "write→read must be exact on the integer grid")
+    } finally graft.operators.Layout.dropTableAndLocation(spark, table)
+  }
+}
