@@ -134,6 +134,59 @@ object LangId {
       case more => greatest(more: _*)
     }
 
+  // ---- persistence: train once, route forever (the writeModel
+  // discipline shared by NgramLm / QualityClassifier / Dsir) ----
+
+  /** Persist a model as two managed tables: `<table>_liw` (lang,
+    * bucket, w_micro) — at most K·dim rows — and `<table>_lim` (lang,
+    * rank, dim, bias_micro, ngram), one row per head carrying the
+    * routing-priority rank (argmax ties go to the lowest rank).
+    * Integers round-trip exactly. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, m: Model,
+      table: String): Unit = {
+    import spark.implicits._
+    m.classes.flatMap { case (l, h) =>
+      h.wMicro.toSeq.map { case (b, w) => (l, b, w) } }
+      .toDF("lang", "bucket", "w_micro")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_liw")
+    m.classes.zipWithIndex.map { case ((l, h), i) =>
+      (l, i, h.dim, h.biasMicro, m.ngram) }
+      .toDF("lang", "rank", "dim", "bias_micro", "ngram")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_lim")
+  }
+
+  /** Load a persisted model ([[writeModel]]) — one bounded driver pull
+    * of ≤ K·(dim+1) rows, heads restored in routing-priority order. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      table: String): Model = {
+    val meta = spark.table(s"${table}_lim")
+      .select(col("lang"), col("rank"), col("dim"), col("bias_micro"),
+        col("ngram"))
+      .collect().sortBy(_.getInt(1))
+    require(meta.nonEmpty, s"empty language-ID model table $table")
+    val ws = spark.table(s"${table}_liw")
+      .select(col("lang"), col("bucket"), col("w_micro"))
+      .collect().groupBy(_.getString(0))
+    val heads = meta.toSeq.map { r =>
+      val w = ws.getOrElse(r.getString(0), Array.empty)
+        .map(x => x.getInt(1) -> x.getLong(2)).toMap
+      r.getString(0) -> QualityClassifier.LrModel(r.getInt(2),
+        r.getLong(3), w)
+    }
+    Model(meta.head.getInt(4), heads)
+  }
+
+  /** True when both model tables exist. */
+  def modelExists(spark: org.apache.spark.sql.SparkSession,
+      table: String): Boolean =
+    Seq("_liw", "_lim").forall(s => spark.catalog.tableExists(table + s))
+
+  /** Drop a persisted model — tables AND warehouse locations. */
+  def dropModel(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Seq("_liw", "_lim").foreach(s =>
+      Layout.dropTableAndLocation(spark, table + s))
+
   /** Keep-filter form (the intake-gate shape): true when the predicted
     * language is in `keep` AND the winning head's micro-probability
     * clears `minScoreMicro` — CCNet's actual routing rule drops

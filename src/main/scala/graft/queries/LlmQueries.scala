@@ -3242,6 +3242,61 @@ object LlmQueries {
       """SELECT 'http://w' || doc_id || '.example.com/p' AS url, text AS page_text, 'conversion' AS warc_type, CAST(octet_length(encode(text)) AS BIGINT) AS content_length, CAST(CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 0 END AS INTEGER) AS malformed FROM documents WHERE text IS NOT NULL ORDER BY url"""))
   ) ++ Seq[(String, Q, Option[String])](
 
+    // ---- L46c: PERSISTED language-ID model (the l39c discipline —
+    // the l42 row re-pays training per rep BY DESIGN as a retrain
+    // contract; this sibling prices the PRODUCTION path: train once
+    // into the catalog, route from the persisted heads — K·(dim+1)
+    // rows load in one bounded pull and broadcast with the plan, the
+    // corpus never shuffles). Same oracle as l42: the write→read
+    // round trip is exact on the integer grid, so the catalog-loaded
+    // model must reproduce scores, routing, floor verdicts
+    // bit-for-bit. ----
+    ("l42c_langid_persisted", (s, d) => {
+      import graft.operators.{LangId => LI}
+      val table = s"l42c_model_${sfTag(d)}"
+      val fx = langFixture(s, d)
+      if (!LI.modelExists(s, table)) {
+        LI.dropModel(s, table) // stale location from a prior session
+        LI.writeModel(s, LI.train(fx, "text", "doc_id", "lang",
+          LangIdLangs, dim = 256, epochs = 2, lr = 0.5, ngram = 2), table)
+      }
+      val model = LI.readModel(s, table)
+      fx.select(col("doc_id"), col("lang"), col("text"),
+          LI.scoresMicro(col("text"), model).as("__p"))
+        .select(col("doc_id") +: col("lang") +:
+          LangIdLangs.map(l => col(s"__p.$l").as(s"p_$l")) ++:
+          Seq(LI.bestScoreFromScores(col("__p"), model).as("best_micro"),
+            LI.predictFromScores(col("__p"), model).as("pred"),
+            LI.keeps(col("text"), model, LangIdLangs.toSet,
+              LangIdFloorMicro).as("keep")): _*)
+        .orderBy(col("doc_id"))
+    }, Some(langIdOracleSql(256))),
+
+    // ---- L47c: PERSISTED DSIR model (same rationale as l42c — the
+    // l43 row's per-rep retrain is the contract, this prices the
+    // production score-only path through the catalog round trip).
+    // Same oracle as l43. ----
+    ("l43c_dsir_persisted", (s, d) => {
+      import graft.operators.{Dsir => DS}
+      val table = s"l43c_model_${sfTag(d)}"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (!DS.modelExists(s, table)) {
+        DS.dropModel(s, table)
+        DS.writeModel(s, DS.train(docs.where(col("doc_id") % 5 === 0),
+          docs.where(col("doc_id") % 5 =!= 0), "text", dim = 256), table)
+      }
+      val m = DS.readModel(s, table)
+      val top = DS.selectTopK(docs, "text", "doc_id", m, 100)
+        .select(col("doc_id").as("__sid"))
+      docs.select(col("doc_id"),
+          DS.logWeightMicro(col("text"), m).as("logw_micro"),
+          DS.keyMicro(col("text"), col("doc_id"), m).as("key_micro"))
+        .join(broadcast(top), col("doc_id") === col("__sid"), "left")
+        .select(col("doc_id"), col("logw_micro"), col("key_micro"),
+          col("__sid").isNotNull.as("selected"))
+        .orderBy(col("doc_id"))
+    }, Some(dsirOracleSql)),
+
     // ---- L51: unigram-LM tokenizer training (Kudo 2018 — the
     // SentencePiece unigram family, the other public subword scheme
     // next to BPE/l17). The piece table is rows-only by design (no SQL
