@@ -156,6 +156,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     front.limit(5).collect() // and it executes (regexes compile)
   }
 
+  test("C4 line surgery + Gopher pack + langid floor stay a narrow per-row pass (zero exchanges, no joins)") {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{C4Rules, GopherRules}
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    // the full heuristic text-gate chain as wired at intake: surgery
+    // rewrite + keep, then the Gopher verdict — all in-row folds; the
+    // pin protects the SHAPE (nothing shuffles or joins pre-dedup)
+    val gated = docs.select(col("doc_id"),
+        TF.normalizeTextKeepNewlines(TF.stripHtml(col("text"))).as("clean"))
+      .where(C4Rules.keeps(col("clean")))
+      .withColumn("clean", C4Rules.cleanedText(col("clean")))
+      .where(GopherRules.keeps(col("clean")))
+    val plan = fmt(gated)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"gate chain is no longer a narrow per-row pass:\n$plan")
+    gated.limit(5).collect() // and it executes
+  }
+
   test("a01 group-by runs partial (map-side) aggregation before the exchange") {
     val plan = run("a01_groupby").queryExecution.executedPlan.toString
     val firstAgg = plan.indexOf("HashAggregate")

@@ -1908,6 +1908,84 @@ class StreamingSpec extends SparkSpec {
     } finally Dedup.dropIntakeHistory(spark, hist)
   }
 
+  test("L49b composition: PII mask → C4 surgery → langid floor → Gopher in ONE intakeBatch — kills attributable, survivor text masked AND surgered, survivors equal the closed-form composition") {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{C4Rules, Dedup, GopherRules, LangId}
+    val hist = "t_c4comp_hist"
+    val outDir = tmpDir("c4comp_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      // disjoint 50-token slices formatted as 10 six-word lines (a
+      // stop word opens each line, '.' closes it) — C4- and
+      // Gopher-compliant by construction, shingle-disjoint across docs
+      // (the near-dedup leg must not collapse them), char-bigram-alike
+      // (one trained language)
+      val pool = (0 until 1000).map(i => s"tok$i")
+      def docLines(j: Int, extra: Seq[String] = Nil): Seq[String] =
+        (0 until 10).map { i =>
+          (if (i % 2 == 0) "the " else "with ") +
+            pool.slice(50 * j + 5 * i, 50 * j + 5 * i + 5).mkString(" ") + "."
+        } ++ extra
+      def gib(t: String) =
+        t.map(c => if (c >= 'a' && c <= 'z') ('z' - (c - 'a')).toChar else c)
+      def html(lines: Seq[String]) = lines.map(l => s"<p>$l</p>").mkString
+      val langModel = LangId.train(
+        ((10 to 13).map(j => (900L + j, docLines(j).mkString(" "), "en")) ++
+          (10 to 13).map(j => (910L + j, gib(docLines(j).mkString(" ")), "xx")))
+          .toDF("id", "text", "lang"),
+        "text", "id", "lang", Seq("en", "xx"), dim = 2048, epochs = 2)
+      val dupLine = "the tok980 tok981 tok982 tok983 tok984."
+      val soupLines = (0 until 8).map(i =>
+        s"##$i@@ %%$i^^ &&$i** (($i)) ++$i--.")
+      val rows = Seq(
+        (1L, docLines(0)),                                // control
+        (2L, docLines(1, Seq("the a@x.io b@y.io c@z.io now today."))), // PII-dense
+        (3L, docLines(2, Seq("with reach bob@mail.example.org for details today."))), // PII-light → masked
+        (4L, docLines(3, Seq("the printed sample read lorem ipsum dolor sit amet today."))), // C4 doc rule
+        (5L, docLines(4, Seq("the please enable javascript to continue reading page."))), // C4 line cut, survives
+        (6L, docLines(5).map(gib)),                       // wrong language
+        (7L, soupLines),                                  // unseen alphabet → langid FLOOR
+        (8L, Seq.fill(10)(dupLine)),                      // Gopher dup_line_frac
+        (9L, docLines(7)))                                // second control
+      val batch = rows.map { case (id, ls) => (id, html(ls)) }
+        .toDF("doc_id", "html")
+      val gates = StreamOps.TextGates(
+        pii = Some(2),
+        c4 = Some(C4Rules.Config()),
+        langIdKeep = Some((langModel, Set("en"))),
+        langIdMinScoreMicro = 900000L,
+        gopherRules = Some(GopherRules.Config()))
+      assert(StreamOps.intakeBatch(batch, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0, gates = gates))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+      val ids = out.select($"doc_id").as[Long].collect().toSet
+      // closed form: the same per-row rules applied in the intake
+      // order to the same cleaned text (the c4-mode cleaning chain)
+      val cleaned = TF.normalizeTextKeepNewlines(TF.stripHtml(
+        TF.blockTagsToNewlines($"html")))
+      val expected = batch.select($"doc_id", cleaned.as("text"))
+        .where(TF.piiKeeps($"text", 2))
+        .select($"doc_id", TF.maskPiiAll($"text").as("text"))
+        .where(C4Rules.keeps($"text"))
+        .select($"doc_id", C4Rules.cleanedText($"text").as("text"))
+        .where(LangId.keeps($"text", langModel, Set("en"), 900000L))
+        .where(GopherRules.keeps($"text"))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids === expected, s"intake $ids != closed-form $expected")
+      assert(Set(1L, 9L).subsetOf(ids), s"controls must survive: $ids")
+      assert((Set(2L, 4L, 6L, 7L, 8L) & ids).isEmpty,
+        s"every planted kill must fire: $ids")
+      // the PII survivor is masked AND its doc survived surgery intact
+      val t3 = out.where($"doc_id" === 3L).select($"text").as[String].head()
+      assert(t3.contains("<EMAIL>") && !t3.contains("@"),
+        s"survivor 3 must be masked: $t3")
+      // the javascript line is gone from survivor 5's OUTPUT text
+      val t5 = out.where($"doc_id" === 5L).select($"text").as[String].head()
+      assert(!t5.contains("javascript") && t5.split("\n").length === 10,
+        s"survivor 5 must be surgered to its ten good lines: $t5")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
   test("L43d intake leg: host-blocklist filtering right after URL dedup — blocked hosts leave no output and NO history rows; requires the url leg") {
     import graft.operators.Dedup
     val hist = "t_hostf_hist"
