@@ -1908,6 +1908,63 @@ class StreamingSpec extends SparkSpec {
     } finally Dedup.dropIntakeHistory(spark, hist)
   }
 
+  test("L50 front-to-chain: WARC containers → pages() → URL dedup + C4 gates in ONE intakeBatch — the CommonCrawl front feeds the existing chain") {
+    import graft.operators.{C4Rules, Dedup}
+    import graft.sources.Warc
+    val hist = "t_warc_hist"
+    val outDir = tmpDir("warc_out")
+    Dedup.dropIntakeHistory(spark, hist)
+    try {
+      val good3 = Seq(
+        "the cat sat on the mat today.",
+        "the dog ran across the green field.",
+        "many people walk along the river at dawn.")
+      val good3b = Seq(
+        "the sun rose over the quiet valley this morning.",
+        "several birds sang from the branches of the old oak.",
+        "a gentle wind moved slowly through the tall grass.")
+      def page(lines: Seq[String]) = lines.map(l => s"<p>$l</p>").mkString
+      // two containers (one gzip'd), with a planted URL duplicate
+      // across containers and a C4-killed page; one malformed record
+      val c1 = Warc.buildWet(Seq(
+        ("http://a.example.com/x", page(good3)),
+        ("http://b.example.com/y", page(Seq("this line has five good words",
+          "more words that keep going along fine"))))) ++
+        "WARC/1.0\r\nbroken tail".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val good3c = Seq(
+        "the baker set warm bread on the wooden table.",
+        "a small boat drifted past the stone bridge at noon.",
+        "workers stacked heavy crates beside the open gate.")
+      val c2 = Warc.buildWet(Seq(
+        ("HTTP://A.example.com/x#frag", page(good3c)), // canonical dup of /x
+        ("http://c.example.com/z", page(good3b))), gzip = true)
+      val containers = Seq((1L, c1), (2L, c2)).toDF("file_id", "bytes")
+      // the front: explode records, synthesize stable doc ids from the
+      // container id and the record's position hash (url is unique
+      // post-dedup anyway), feed the EXISTING intake chain
+      val pages = Warc.pages(containers, "bytes")
+        .where($"url".isNotNull) // quarantine rows carry no page
+        .select(xxhash64($"url").as("doc_id"), $"url",
+          $"page_text".as("html"))
+      assert(StreamOps.intakeBatch(pages, 0L, hist, 4, "html", "doc_id",
+        outDir, minQuality = 0.0, urlDedupCol = Some("url"),
+        gates = StreamOps.TextGates(c4 = Some(C4Rules.Config()))))
+      val out = spark.read.parquet(s"$outDir/batch-0")
+        .select($"doc_id", $"text").collect()
+      val texts = out.map(_.getString(1)).toSet
+      // survivors: a/x (first canonical occurrence wins the URL leg,
+      // so ONE of the two /x bodies) and c/z; b/y dies at C4
+      assert(out.length === 2, s"expected 2 survivors: ${texts.mkString(" | ")}")
+      assert(texts.contains(good3b.mkString("\n")),
+        s"c/z must survive with its surgered text: $texts")
+      // exactly ONE of the two /x bodies survives the URL leg
+      assert(Seq(good3, good3c).count(g => texts.contains(g.mkString("\n"))) === 1,
+        s"one canonical-/x body must survive: $texts")
+      assert(!texts.exists(_.contains("five good words")),
+        s"the C4-killed page must not survive: $texts")
+    } finally Dedup.dropIntakeHistory(spark, hist)
+  }
+
   test("L49b composition: PII mask → C4 surgery → langid floor → Gopher in ONE intakeBatch — kills attributable, survivor text masked AND surgered, survivors equal the closed-form composition") {
     import graft.functions.{TextFunctions => TF}
     import graft.operators.{C4Rules, Dedup, GopherRules, LangId}
