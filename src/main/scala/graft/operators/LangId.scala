@@ -187,6 +187,19 @@ object LangId {
     Seq("_liw", "_lim").foreach(s =>
       Layout.dropTableAndLocation(spark, table + s))
 
+  /** The keep rule over an ALREADY-SCORED [[scoresMicro]] struct —
+    * argmax membership AND the confidence floor, both reading the
+    * given slot. Callers that project the scores struct anyway (the
+    * l42 rows, a diagnostics sink) compose the verdict from it for
+    * free instead of re-running the K scoring folds. */
+  def keepsFromScores(scores: Column, m: Model, keep: Set[String],
+      minScoreMicro: Long): Column = {
+    require(keep.nonEmpty, "keep-language set must be nonempty")
+    require(minScoreMicro >= 0L, s"minScoreMicro >= 0, got $minScoreMicro")
+    predictFromScores(scores, m).isin(keep.toSeq: _*) &&
+      bestScoreFromScores(scores, m) >= minScoreMicro
+  }
+
   /** Keep-filter form (the intake-gate shape): true when the predicted
     * language is in `keep` AND the winning head's micro-probability
     * clears `minScoreMicro` — CCNet's actual routing rule drops
@@ -198,13 +211,8 @@ object LangId {
     * the argmax and the floor read the bound slot. */
   def keeps(text: Column, m: Model, keep: Set[String],
       minScoreMicro: Long = 0L): Column = {
-    require(keep.nonEmpty, "keep-language set must be nonempty")
-    require(minScoreMicro >= 0L, s"minScoreMicro >= 0, got $minScoreMicro")
-    val ok = graft.functions.TextFunctions.bindOnce(scoresMicro(text, m)) {
-      s =>
-        predictFromScores(s, m).isin(keep.toSeq: _*) &&
-          bestScoreFromScores(s, m) >= minScoreMicro
-    }
+    val ok = graft.functions.TextFunctions.bindOnce(scoresMicro(text, m))(
+      s => keepsFromScores(s, m, keep, minScoreMicro))
     text.isNull || ok
   }
 }

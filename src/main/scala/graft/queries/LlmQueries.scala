@@ -3106,10 +3106,12 @@ object LlmQueries {
           // scores struct — the scoring folds run once, not thrice
           Seq(LI.bestScoreFromScores(col("__p"), model).as("best_micro"),
             LI.predictFromScores(col("__p"), model).as("pred"),
-            // the REAL gate rule (argmax membership AND the CCNet
-            // confidence floor), restated relationally by the oracle
-            LI.keeps(col("text"), model, LangIdLangs.toSet,
-              LangIdFloorMicro).as("keep")): _*)
+            // the gate rule (argmax membership AND the CCNet
+            // confidence floor) composed from the PROJECTED scores —
+            // the K scoring folds run once, not twice; restated
+            // relationally by the oracle
+            (col("text").isNull || LI.keepsFromScores(col("__p"), model,
+              LangIdLangs.toSet, LangIdFloorMicro)).as("keep")): _*)
         .orderBy(col("doc_id"))
     }, Some(langIdOracleSql(256))),
 
@@ -3267,8 +3269,8 @@ object LlmQueries {
           LangIdLangs.map(l => col(s"__p.$l").as(s"p_$l")) ++:
           Seq(LI.bestScoreFromScores(col("__p"), model).as("best_micro"),
             LI.predictFromScores(col("__p"), model).as("pred"),
-            LI.keeps(col("text"), model, LangIdLangs.toSet,
-              LangIdFloorMicro).as("keep")): _*)
+            (col("text").isNull || LI.keepsFromScores(col("__p"), model,
+              LangIdLangs.toSet, LangIdFloorMicro)).as("keep")): _*)
         .orderBy(col("doc_id"))
     }, Some(langIdOracleSql(256))),
 
