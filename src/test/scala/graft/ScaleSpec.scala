@@ -1173,6 +1173,36 @@ class ScaleSpec extends SparkSpec {
       assertBalanced("text-front gates", stages)
     }
   }
+
+  test("scale: WARC pack → parse over the skewed corpus — container-parallel record walk, lossless round trip, stays balanced", suiteTags: _*) {
+    import graft.sources.Warc
+    withScaleConf {
+      val pages0 = docs.where($"text".isNotNull)
+        .select($"doc_id",
+          concat(lit("http://w"), $"doc_id", lit(".example.com/p")).as("url"),
+          $"text", pmod($"doc_id", lit(64)).as("bucket"))
+      val nIn = pages0.count()
+      val stages = probe {
+        // 64 containers over the skewed corpus (incl. the 10k-copy
+        // boilerplate cluster — identical bodies pack like any other);
+        // odd buckets gzip. One groupBy to container grain, then the
+        // per-row imperative grammar walk — container count is the
+        // parallelism unit, so balance = the bucketing choice
+        val packed = Warc.packWet(pages0, "bucket", "url", "text",
+          gzipOdd = true).localCheckpoint(true)
+        // 63, not 64: bucket 0 is exactly the NULL-text congruence
+        // class (id % 64 == 0), which the non-null filter emptied
+        assert(packed.count() === 63)
+        val back = Warc.pages(packed, "warc").localCheckpoint(true)
+        // lossless: every non-null doc returns as exactly one page,
+        // zero malformed units anywhere
+        assert(back.count() === nIn)
+        assert(back.where($"malformed" =!= 0).count() === 0)
+        assert(back.where($"page_text".isNull).count() === 0)
+      }
+      assertBalanced("warc pack/parse", stages)
+    }
+  }
 }
 
 /** Selects the heavy 50× evidence run ([[ScaleSpec50x]]). */
