@@ -105,7 +105,10 @@ class WarcSpec extends SparkSpec {
       "software: test\r\n".getBytes(UTF_8))
     val good = Warc.buildWet(Seq(("http://p.example.com/1", "one"),
       ("http://p.example.com/2", "two")))
-    val mixed = warcinfo ++ good ++
+    // a response record (the raw-crawl form): page_text = the HTTP body
+    val resp = Warc.writeRecord("response", "http://p.example.com/3",
+      "application/http; msgtype=response", http("<p>three</p>"))
+    val mixed = warcinfo ++ good ++ resp ++
       "WARC/1.0\r\nbroken".getBytes(UTF_8) // malformed tail
     val dead = "not a warc at all".getBytes(UTF_8)
     val df = Seq((1L, mixed), (2L, dead)).toDF("file_id", "bytes")
@@ -114,10 +117,12 @@ class WarcSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3), r.getInt(4)))
     val byFile = out.groupBy(_._1)
-    // container 1: warcinfo filtered, two conversion pages, count 1
+    // container 1: warcinfo filtered, two conversion pages + the
+    // header-stripped response body, count 1
     assert(byFile(1L).map(x => (x._2, x._3, x._4, x._5)).toSet === Set(
       ("http://p.example.com/1", "one", "conversion", 1),
-      ("http://p.example.com/2", "two", "conversion", 1)))
+      ("http://p.example.com/2", "two", "conversion", 1),
+      ("http://p.example.com/3", "<p>three</p>", "response", 1)))
     // container 2: one all-NULL quarantine row carrying the count
     assert(byFile(2L).toSeq === Seq((2L, null, null, null, 1)))
   }
