@@ -487,6 +487,22 @@ object Bpe {
     applyBpeCore(df, textCol, merges, pretokLen = Some(maxWordLen))
   }
 
+  /** Split a word into single CODE-POINT symbols — the executor-side
+    * mirror of training's `split(word, "")` (Java regex boundaries are
+    * code-point-grained, so a supplementary character is ONE symbol on
+    * both sides; a UTF-16 `toCharArray` split would hand apply lone
+    * surrogates that never match any learned merge — ADVICE r17). */
+  private def codePointSymbols(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var k = 0
+    while (i < w.length) {
+      val c = Character.charCount(w.codePointAt(i))
+      out(k) = w.substring(i, i + c); i += c; k += 1
+    }
+    out
+  }
+
   private def applyBpeCore(df: DataFrame, textCol: String,
       merges: Seq[Merge], pretokLen: Option[Int]): DataFrame = {
     validateMinRankSafe(merges)
@@ -527,7 +543,15 @@ object Bpe {
             }
             def next(): String = {
               if (!hasNext) throw new NoSuchElementException
-              val end = math.min(off + maxLen, run.length)
+              // stride by CODE POINTS: the Column-side preTokens chunks
+              // with substr (code-point-grained), so a UTF-16 stride
+              // here could cut a surrogate pair at a chunk boundary and
+              // diverge from training segmentation (ADVICE r17)
+              var end = off
+              var k = 0
+              while (k < maxLen && end < run.length) {
+                end += Character.charCount(run.codePointAt(end)); k += 1
+              }
               val w = run.substring(off, end); off = end; w
             }
           }
@@ -540,7 +564,7 @@ object Bpe {
           if (w.nonEmpty) {
             var hit = cache.get(w)
             if (hit == null) {
-              var syms = w.toCharArray.map(_.toString)
+              var syms = codePointSymbols(w)
               var e = 0L
               var more = syms.length >= 2
               while (more) {

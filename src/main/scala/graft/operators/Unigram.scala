@@ -63,23 +63,42 @@ object Unigram {
     * the earlier split (both fixed by the scan order below). Returns
     * the piece list; unknown single characters emit themselves at the
     * UNK penalty, so every word segments and the pieces always
-    * concatenate back to the word (the reconstruction contract). */
+    * concatenate back to the word (the reconstruction contract).
+    *
+    * Positions are CODE POINTS, not UTF-16 units (ADVICE r17): the
+    * split positions come from the code-point boundary table below,
+    * so a supplementary character (emoji, rare CJK) is one atomic
+    * position — never two lone-surrogate "pieces", which would be
+    * invalid UTF-8 in [[writeVocab]] and would break the l46b
+    * piece-char-count oracle (Spark's `length`/`substr` and DuckDB's
+    * `length` all count code points; the seed explode is therefore
+    * code-point-grained already, and this keeps apply aligned with
+    * it). On BMP-only text the boundary table is the identity and
+    * the walk is unchanged. */
   private[graft] def viterbi(word: String, pieces: Map[String, Long],
       maxLen: Int, qUnk: Long): Array[String] = {
-    val n = word.length
-    if (n == 0) return Array.empty
-    val best = new Array[Long](n + 1)
-    val back = new Array[Int](n + 1) // start index of the winning last piece
-    java.util.Arrays.fill(best, 1, n + 1, Long.MinValue)
+    val nu = word.length
+    if (nu == 0) return Array.empty
+    // offs(k) = UTF-16 index of code point k; offs(m) = word end
+    val offs = new Array[Int](nu + 1)
+    var m = 0
+    var u = 0
+    while (u < nu) {
+      offs(m) = u; u += Character.charCount(word.codePointAt(u)); m += 1
+    }
+    offs(m) = nu
+    val best = new Array[Long](m + 1)
+    val back = new Array[Int](m + 1) // start position of the winning last piece
+    java.util.Arrays.fill(best, 1, m + 1, Long.MinValue)
     var i = 1
-    while (i <= n) {
+    while (i <= m) {
       // j ascending from the LONGEST candidate: later (shorter) pieces
       // must be STRICTLY better to win, so equal scores keep the
       // longest piece and, transitively, the earliest split
       var j = math.max(0, i - maxLen)
       while (j < i) {
         if (best(j) != Long.MinValue) {
-          val sub = word.substring(j, i)
+          val sub = word.substring(offs(j), offs(i))
           val q = pieces.get(sub) match {
             case Some(v) => v
             case None => if (i - j == 1) qUnk else Long.MinValue
@@ -95,8 +114,8 @@ object Unigram {
     }
     // walk back
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var k = n
-    while (k > 0) { out += word.substring(back(k), k); k = back(k) }
+    var k = m
+    while (k > 0) { out += word.substring(offs(back(k)), offs(k)); k = back(k) }
     out.reverseIterator.toArray
   }
 

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.{DataFrame, Row}
@@ -21,10 +20,22 @@ import org.apache.spark.sql.types._
   * lines `Name: value` CRLF (continuation lines folded per the spec),
   * an empty line, then a `Content-Length`-delimited octet block,
   * then CRLF CRLF. Containers may be gzip'd — CommonCrawl writes ONE
-  * GZIP MEMBER PER RECORD so readers can split on member boundaries;
-  * the JDK inflater consumes concatenated members transparently, so
-  * one decompression pass yields the same record stream (the PNG path
-  * already rides the same zlib).
+  * GZIP MEMBER PER RECORD so readers can split on member boundaries.
+  *
+  * MEMORY BOUND (the member-wise discipline): the gzip walk inflates
+  * one member at a time ([[GzipMembers]] — a from-scratch RFC 1952
+  * header walk over one reused `Inflater`, trailer CRC/ISIZE checked
+  * with the JDK's concatenated-member tolerance), and the record
+  * grammar runs as an incremental scanner ([[RecordScanner]]) whose
+  * carry buffer holds only the one in-flight record. Peak working
+  * memory is therefore `compressed container + largest record +
+  * largest inflated member`, NEVER the whole inflated container —
+  * CommonCrawl's one-member-per-record layout exists precisely so
+  * readers can do this, and a ~1 GB container with a ~4x text ratio
+  * would otherwise demand a ~4 GB contiguous inflation buffer per
+  * task. The buffered single-pass form is kept as
+  * [[parseAllBuffered]], the differential oracle WarcSpec holds the
+  * streaming path to, bit-for-bit, on every fixture class.
   *
   * Malformed-record tolerance (the S16 convention): a record that
   * violates the grammar — bad version line, unparseable or missing
@@ -33,15 +44,17 @@ import org.apache.spark.sql.types._
   * `\r\nWARC/` boundary; everything before and after still parses.
   * A container whose gzip stream is corrupt beyond the first good
   * members yields the records already decompressed plus one malformed
-  * count.
+  * count. Declared Content-Length values are validated in Long
+  * arithmetic (a crafted length near Long.MaxValue must die as one
+  * malformed unit, not overflow into an accepted record — ADVICE r17).
   *
   * Scale shape: one container row = one WARC chunk (CommonCrawl ships
-  * ~1 GB files; re-chunk upstream to executor-memory-sized pieces).
-  * Parsing is pure per-row imperative byte work via `mapPartitions`
-  * (the genuine per-partition-imperative tier — there is no
-  * declarative form of a byte-grammar walk), embarrassingly parallel,
-  * no shuffle; the records explode in place and downstream legs
-  * (L43 URL dedup → L21 strip/clean → the gate chain) consume the
+  * ~1 GB files; the member-wise bound above is what makes that chunk
+  * size safe). Parsing is pure per-row imperative byte work via
+  * `mapPartitions` (the genuine per-partition-imperative tier — there
+  * is no declarative form of a byte-grammar walk), embarrassingly
+  * parallel, no shuffle; the records explode in place and downstream
+  * legs (L43 URL dedup → L21 strip/clean → the gate chain) consume the
   * (url, html) rows exactly as before.
   */
 object Warc {
@@ -57,16 +70,16 @@ object Warc {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
-  /** Decompress every gzip member (CommonCrawl: one per record),
-    * tolerating a corrupt tail: returns the bytes that did inflate
-    * plus whether the stream died early (counted as one malformed
-    * record by [[parseAll]]). */
-  private[sources] def gunzipAll(bytes: Array[Byte]): (Array[Byte], Boolean) = {
+  /** Decompress every gzip member in one pass (the buffered reference
+    * path — [[parseAllBuffered]] only), tolerating a corrupt tail:
+    * returns the bytes that did inflate plus whether the stream died
+    * early (counted as one malformed record). */
+  private[graft] def gunzipAll(bytes: Array[Byte]): (Array[Byte], Boolean) = {
     val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
     val buf = new Array[Byte](64 * 1024)
     try {
       val in = new java.util.zip.GZIPInputStream(
-        new ByteArrayInputStream(bytes), 64 * 1024)
+        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       (out.toByteArray, false)
@@ -75,9 +88,320 @@ object Warc {
     }
   }
 
+  /** Iterate the gzip members of a container ONE AT A TIME — the
+    * member-wise half of the memory bound. From-scratch RFC 1952
+    * header walk (magic, CM=8, FEXTRA/FNAME/FCOMMENT/FHCRC fields,
+    * header CRC16 verified when declared) over one reused raw
+    * `Inflater`; each member's trailer CRC32 + ISIZE is checked.
+    * Tolerance mirrors the JDK reader's documented semantics (pinned
+    * in WarcSpec, relied on by the l45 plant): a malformed FIRST
+    * header marks the stream truncated; malformed bytes after a
+    * complete member are trailing garbage, absorbed silently; a
+    * member dying mid-inflate or missing/failing its trailer yields
+    * the bytes that did inflate plus the truncated flag. */
+  private[graft] final class GzipMembers(bytes: Array[Byte])
+      extends Iterator[Array[Byte]] {
+    private val n = bytes.length
+    private var off = 0
+    private var first = true
+    private var dead = false
+    private var truncatedFlag = false
+    private var nextChunk: Array[Byte] = null
+    private val inf = new java.util.zip.Inflater(true)
+
+    /** Valid only after the iterator is exhausted. */
+    def truncated: Boolean = truncatedFlag
+
+    /** Data start of the member header at `off`, or -1 if not a valid
+      * member header (RFC 1952 §2.3; CRC16 verified iff FHCRC). */
+    private def headerEnd(): Int = {
+      var p = off
+      if (p + 10 > n) return -1
+      if ((bytes(p) & 0xff) != 0x1f || (bytes(p + 1) & 0xff) != 0x8b ||
+        (bytes(p + 2) & 0xff) != 8) return -1
+      val flg = bytes(p + 3) & 0xff
+      p += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > n) return -1
+        p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+        if (p > n) return -1
+      }
+      if ((flg & 8) != 0) { // FNAME, zero-terminated
+        while (p < n && bytes(p) != 0) p += 1
+        if (p >= n) return -1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT, zero-terminated
+        while (p < n && bytes(p) != 0) p += 1
+        if (p >= n) return -1
+        p += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC: CRC16 of the header bytes so far
+        if (p + 2 > n) return -1
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes, off, p - off)
+        val stored = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        if ((crc.getValue & 0xffffL).toInt != stored) return -1
+        p += 2
+      }
+      p
+    }
+
+    private def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+
+    private def advance(): Unit = {
+      if (dead) return
+      if (off >= n) { dead = true; return }
+      val ds = headerEnd()
+      if (ds < 0) {
+        // bad first header = truncated stream (the JDK constructor
+        // throw); bad later header = trailing garbage, clean end
+        if (first) truncatedFlag = true
+        dead = true; return
+      }
+      first = false
+      inf.reset()
+      inf.setInput(bytes, ds, n - ds)
+      val out = new java.io.ByteArrayOutputStream(64 * 1024)
+      val b = new Array[Byte](64 * 1024)
+      val crc = new java.util.zip.CRC32
+      try {
+        while (!inf.finished()) {
+          val k = inf.inflate(b)
+          if (k > 0) { out.write(b, 0, k); crc.update(b, 0, k) }
+          else if (!inf.finished()) { // needs input, none left: truncated
+            truncatedFlag = true; dead = true
+            nextChunk = out.toByteArray; return
+          }
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException =>
+          truncatedFlag = true; dead = true
+          nextChunk = out.toByteArray; return
+      }
+      val trailerAt = ds.toLong + inf.getBytesRead
+      if (trailerAt + 8 > n) { // trailer cut off
+        truncatedFlag = true; dead = true
+        nextChunk = out.toByteArray; return
+      }
+      val t = trailerAt.toInt
+      if (u32(t) != crc.getValue ||
+        u32(t + 4) != (inf.getBytesWritten & 0xffffffffL)) {
+        truncatedFlag = true; dead = true
+        nextChunk = out.toByteArray; return
+      }
+      off = t + 8
+      nextChunk = out.toByteArray
+    }
+
+    def hasNext: Boolean = {
+      if (nextChunk == null && !dead) advance()
+      if (nextChunk == null) { inf.end(); false } else true
+    }
+    def next(): Array[Byte] = {
+      if (!hasNext) throw new NoSuchElementException("gzip members")
+      val c = nextChunk; nextChunk = null; c
+    }
+  }
+
+  /** Incremental WARC record scanner — the record-grain half of the
+    * memory bound. Feed inflated chunks in stream order; complete
+    * records come out of each [[feed]] as soon as their terminator is
+    * buffered, and [[finish]] applies the end-of-stream rules (the
+    * EOF-at-block-end tolerance, the trailing-garbage count). The
+    * carry buffer holds only the bytes of the ONE in-flight record
+    * (plus ≤6 boundary look-around bytes while skipping malformed
+    * spans), so peak carry ≤ largest record + largest fed chunk —
+    * [[maxCarry]] reports the high-water mark and WarcSpec asserts it
+    * against a container whose inflated size dwarfs it. Grammar and
+    * malformed-counting are bit-identical to [[parseAllBuffered]]
+    * (the differential the spec pins). */
+  private[graft] final class RecordScanner {
+    private var buf = new Array[Byte](8 * 1024)
+    private var len = 0      // valid bytes in buf
+    private var pos = 0      // first unconsumed byte
+    private var absStart = 0L // absolute stream offset of buf(0)
+    private var skipping = false // scanning for the next record boundary
+    private var peak = 0
+    var malformed = 0
+    private var pending: Record = null
+
+    /** High-water mark of buffered-and-unconsumed bytes (the carry,
+      * measured after each chunk append). */
+    def maxCarry: Int = peak
+
+    private def startsWithAt(at: Int, pat: Array[Byte]): Boolean =
+      at + pat.length <= len && {
+        var j = 0
+        while (j < pat.length && buf(at + j) == pat(j)) j += 1
+        j == pat.length
+      }
+
+    /** Record boundary: `WARC/` at the stream start or preceded by
+      * CRLF (same predicate as the buffered walk — a bare `WARC/`
+      * inside a block must not split records). */
+    private def boundary(i: Int): Boolean =
+      startsWithAt(i, Magic) && (absStart + i == 0L ||
+        (i >= 2 && buf(i - 1) == '\n' && buf(i - 2) == '\r'))
+
+    /** Index just past the next CRLF at/after `from`, or -1. */
+    private def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < len && !(buf(i) == '\r' && buf(i + 1) == '\n')) i += 1
+      if (i + 1 < len) i + 2 else -1
+    }
+
+    private def compact(): Unit = {
+      // keep 2 look-behind bytes so boundary() can see a preceding
+      // CRLF across compactions
+      val lookback = math.min(pos, 2)
+      val from = pos - lookback
+      if (from > 0) {
+        System.arraycopy(buf, from, buf, 0, len - from)
+        absStart += from; len -= from; pos = lookback
+      }
+    }
+
+    def feed(chunk: Array[Byte]): Seq[Record] = {
+      if (len + chunk.length > buf.length) {
+        compact()
+        if (len + chunk.length > buf.length) {
+          var cap = buf.length
+          while (cap < len + chunk.length) cap *= 2
+          buf = java.util.Arrays.copyOf(buf, cap)
+        }
+      }
+      System.arraycopy(chunk, 0, buf, len, chunk.length)
+      len += chunk.length
+      if (len - pos > peak) peak = len - pos
+      drain(eof = false)
+    }
+
+    def finish(): Seq[Record] = drain(eof = true)
+
+    private val NeedMore = 0; private val Bad = 1; private val Good = 2
+
+    private def drain(eof: Boolean): Seq[Record] = {
+      val out = Seq.newBuilder[Record]
+      var more = true
+      while (more) {
+        more = false
+        if (skipping) {
+          // scan for the next complete boundary; a partial `WARC`
+          // prefix at the buffer tail must wait for the next chunk
+          var i = pos
+          var found = -1
+          while (found < 0 && i + Magic.length <= len) {
+            if (boundary(i)) found = i else i += 1
+          }
+          if (found >= 0) { pos = found; skipping = false; more = true }
+          else if (eof) pos = len // garbage to end-of-stream: consumed
+          else pos = math.max(pos, len - (Magic.length + 1))
+        } else if (pos < len) {
+          tryRecord(eof) match {
+            case NeedMore => // wait for the next feed / finish
+            case Bad =>
+              malformed += 1
+              skipping = true
+              pos = math.min(pos + 1, len)
+              more = true
+            case Good =>
+              out += pending; pending = null
+              more = true
+          }
+        }
+      }
+      out.result()
+    }
+
+    /** Attempt one record at `pos`. Sets `pending` + advances `pos` on
+      * Good; Bad means one malformed unit starting here; NeedMore only
+      * when !eof. Mirrors the buffered walk clause for clause. */
+    private def tryRecord(eof: Boolean): Int = {
+      val i = pos
+      if (len - i < Magic.length && !eof) return NeedMore
+      if (!startsWithAt(i, Magic)) return Bad
+      var p = lineEnd(i) // past the WARC/x.y version line
+      if (p < 0) return if (eof) Bad else NeedMore
+      var headers = Map.empty[String, String]
+      var lastKey: String = null
+      var open = true
+      while (open) {
+        if (p + 1 < len && buf(p) == '\r' && buf(p + 1) == '\n') {
+          p += 2; open = false // blank line: block follows
+        } else {
+          val e = lineEnd(p)
+          if (e < 0) return if (eof) Bad else NeedMore
+          val line = new String(buf, p, e - 2 - p, UTF_8)
+          if ((line.startsWith(" ") || line.startsWith("\t")) &&
+              lastKey != null) // spec line folding
+            headers += lastKey -> (headers(lastKey) + " " + line.trim)
+          else line.indexOf(':') match {
+            case -1 => return Bad
+            case c =>
+              lastKey = line.substring(0, c).trim.toLowerCase
+              headers += lastKey -> line.substring(c + 1).trim
+          }
+          p = e
+        }
+      }
+      val cl = headers.get("content-length").flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(-1L)
+      // Long-domain bound check — a crafted length near Long.MaxValue
+      // must not wrap (ADVICE r17)
+      if (cl < 0) return Bad
+      if (cl > (len - p).toLong) return if (eof) Bad else NeedMore
+      val t = p + cl.toInt // cl ≤ len - p, so exact in Int
+      // the record terminator: CRLF CRLF after the block
+      if (t.toLong + 4 <= len && buf(t) == '\r' && buf(t + 1) == '\n' &&
+        buf(t + 2) == '\r' && buf(t + 3) == '\n') {
+        emit(headers, cl, p, t); pos = t + 4; Good
+      } else if (!eof && t.toLong + 4 > len) NeedMore
+      else if (eof && t == len) { // EOF right at block end is tolerated
+        emit(headers, cl, p, t); pos = len; Good
+      } else Bad
+    }
+
+    private def emit(headers: Map[String, String], cl: Long,
+        from: Int, until: Int): Unit = {
+      val uri = headers.getOrElse("warc-target-uri", "")
+      pending = Record(
+        headers.getOrElse("warc-type", ""),
+        if (uri.length >= 2 && uri.head == '<' && uri.last == '>')
+          uri.substring(1, uri.length - 1) else uri,
+        headers.getOrElse("content-type", ""),
+        cl,
+        java.util.Arrays.copyOfRange(buf, from, until))
+    }
+  }
+
   /** Parse every record of one (possibly gzip'd) container; returns
-    * (records, malformedCount). Never throws on content. */
+    * (records, malformedCount). Never throws on content. Member-wise:
+    * working memory stays at record grain (see the object scaladoc),
+    * the output record list is the only container-sized allocation. */
   def parseAll(container: Array[Byte]): (Seq[Record], Int) = {
+    if (container == null) return (Nil, 0)
+    val sc = new RecordScanner
+    val recs = Seq.newBuilder[Record]
+    var gzTruncated = false
+    if (isGzip(container)) {
+      val members = new GzipMembers(container)
+      while (members.hasNext) recs ++= sc.feed(members.next())
+      gzTruncated = members.truncated
+    } else recs ++= sc.feed(container)
+    recs ++= sc.finish()
+    (recs.result(), sc.malformed + (if (gzTruncated) 1 else 0))
+  }
+
+  /** The original whole-buffer parse (gunzip everything, one pass) —
+    * kept as the DIFFERENTIAL ORACLE for [[parseAll]]'s member-wise
+    * scanner: WarcSpec holds the two bit-identical on every fixture
+    * class (good, malformed, gzip'd, corrupt-tail, adversarial
+    * Content-Length). Not for production use: it materializes the
+    * whole inflated container. */
+  private[graft] def parseAllBuffered(container: Array[Byte]): (Seq[Record], Int) = {
     if (container == null) return (Nil, 0)
     val (bytes, gzTruncated) = if (isGzip(container))
       gunzipAll(container) else (container, false)
@@ -91,14 +415,11 @@ object Warc {
         while (j < pat.length && bytes(at + j) == pat(j)) j += 1
         j == pat.length
       }
-    /** Index just past the next CRLF at/after `from`, or -1. */
     def lineEnd(from: Int): Int = {
       var i = from
       while (i + 1 < n && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
       if (i + 1 < n) i + 2 else -1
     }
-    /** Next record boundary strictly after `from`: a `\r\nWARC/`, or
-      * end-of-stream. */
     def nextBoundary(from: Int): Int = {
       var i = from
       while (i < n && !((i == 0 || (bytes(i - 1) == '\n' &&
@@ -107,26 +428,24 @@ object Warc {
     }
 
     var i = 0
-    // leading garbage before the first record is one malformed unit
     if (n > 0 && !startsWith(i, Magic)) { malformed += 1; i = nextBoundary(i + 1) }
     while (i < n) {
       var bad = false
       var headers = Map.empty[String, String]
       var lastKey: String = null
-      var p = lineEnd(i) // past the WARC/x.y version line
+      var p = lineEnd(i)
       if (p < 0 || !startsWith(i, Magic)) bad = true
-      // header lines until the empty CRLF line
       var open = !bad
       while (open) {
         if (p + 1 < n && bytes(p) == '\r' && bytes(p + 1) == '\n') {
-          p += 2; open = false // blank line: block follows
+          p += 2; open = false
         } else {
           val e = lineEnd(p)
           if (e < 0) { bad = true; open = false }
           else {
             val line = new String(bytes, p, e - 2 - p, UTF_8)
             if ((line.startsWith(" ") || line.startsWith("\t")) &&
-                lastKey != null) // spec line folding
+                lastKey != null)
               headers += lastKey -> (headers(lastKey) + " " + line.trim)
             else line.indexOf(':') match {
               case -1 => bad = true; open = false
@@ -140,13 +459,14 @@ object Warc {
       }
       val len = headers.get("content-length").flatMap(v =>
         scala.util.Try(v.toLong).toOption).getOrElse(-1L)
-      if (!bad && (len < 0 || p + len > n)) bad = true
-      // the record terminator: CRLF CRLF after the block
+      // Long-domain bound check (ADVICE r17): `p + len > n` wraps for a
+      // crafted length near Long.MaxValue and accepts the record
+      if (!bad && (len < 0 || len > (n - p).toLong)) bad = true
       if (!bad) {
         val t = p + len.toInt
         if (!(t + 4 <= n && bytes(t) == '\r' && bytes(t + 1) == '\n' &&
             bytes(t + 2) == '\r' && bytes(t + 3) == '\n') &&
-          t != n) bad = true // EOF right at block end is tolerated
+          t != n) bad = true
       }
       if (bad) { malformed += 1; i = nextBoundary(i + 1) }
       else {
@@ -159,7 +479,6 @@ object Warc {
           len,
           java.util.Arrays.copyOfRange(bytes, p, p + len.toInt))
         i = (p + len.toInt + 4) min n
-        // inter-record garbage: skip to the next boundary, counted
         if (i < n && !startsWith(i, Magic)) {
           malformed += 1
           i = nextBoundary(i)
@@ -246,7 +565,11 @@ object Warc {
     * odd buckets optionally gzip (one member per record, the
     * CommonCrawl layout) so both container forms stay exercised.
     * Output schema: (bucketCol, warc binary). Scale: one groupBy on
-    * the bucket key, container size = the caller's bucketing choice. */
+    * the bucket key, container size = the caller's bucketing choice —
+    * each bucket's rows materialize on one task via `collect_list`,
+    * which makes this FIXTURE-GRADE (a registry-row and test writer);
+    * the production write side with bounded container sizes and the
+    * exactly-once streaming leg is [[graft.streaming.WetSink]]. */
   def packWet(df: DataFrame, bucketCol: String, urlCol: String,
       textCol: String, gzipOdd: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -262,9 +585,11 @@ object Warc {
       rows.map { r =>
         val bucket = r.get(0)
         val recs = r.getSeq[Row](1).map(x => (x.getString(0), x.getString(1)))
+        // any integral-ish bucket column gzips its odd values — a
+        // short/byte/decimal bucket must not silently degrade to
+        // all-plain output (ADVICE r17)
         val gz = gzipOdd && (bucket match {
-          case l: java.lang.Long => l % 2 != 0
-          case i: java.lang.Integer => i % 2 != 0
+          case nb: java.lang.Number => nb.longValue % 2 != 0
           case _ => false
         })
         Row(bucket, buildWet(recs, gz))
@@ -282,7 +607,11 @@ object Warc {
         text.getBytes(UTF_8))
       if (gzip) {
         val gz = new java.util.zip.GZIPOutputStream(out)
-        gz.write(rec); gz.finish()
+        gz.write(rec)
+        // close(), not just finish(): releases the Deflater's native
+        // buffers now instead of at GC finalization (ADVICE r17); the
+        // underlying ByteArrayOutputStream ignores close
+        gz.close()
       } else out.write(rec)
     }
     out.toByteArray

@@ -62,6 +62,35 @@ class BpeSpec extends SparkSpec {
     assert(out.getLong(1) == 4L) // 6 chars → 2 tokens in 4 merge events
   }
 
+  test("supplementary characters: apply-side symbols are code points, matching training's split (ADVICE r17)") {
+    // training splits words Spark-side with split(word, '') — Java
+    // regex boundaries are code-point-grained — so the executor-side
+    // splitter must stride code points too, or merges learned over
+    // '𝄞' never match apply's lone-surrogate halves
+    val clef = "𝄞" // U+1D11E, two UTF-16 units
+    val docs = Seq.fill(8)(s"$clef$clef$clef$clef").toDF("content")
+    val merges = Bpe.learnMerges(Bpe.wordDict(docs, "content"), k = 2)
+    assert(merges.nonEmpty, "a merge over the supplementary char must be learnable")
+    assert(merges.head.left === clef && merges.head.right === clef)
+    val out = Bpe.applyBpe(Seq((1L, s"$clef$clef ab")).toDF("id", "content"),
+      "content", merges)
+      .select($"bpe_tokens").as[Seq[String]].collect().head
+    assert(out.contains(s"$clef$clef"),
+      s"the learned merge must fire at apply time: $out")
+    out.foreach { t =>
+      assert(!(t.length == 1 && Character.isSurrogate(t.charAt(0))),
+        s"token '$t' is a lone surrogate")
+    }
+    // pretokenized chunking strides code points: a maxWordLen boundary
+    // must not cut a surrogate pair in half
+    val longRun = clef * 10
+    val outP = Bpe.applyBpePretokenized(
+      Seq((1L, longRun)).toDF("id", "content"), "content", merges, maxWordLen = 3)
+      .select($"bpe_tokens").as[Seq[String]].collect().head
+    assert(outP.mkString === longRun, s"chunked tokens must reconstruct: $outP")
+    outP.foreach(t => assert(new String(t.getBytes("UTF-8"), "UTF-8") === t))
+  }
+
   test("reconstruction contract: token chars and tokens+events both equal the whitespace-free char count") {
     val docs = Seq(
       (1L, corpus.mkString(" ")),

@@ -49,6 +49,44 @@ class UnigramSpec extends SparkSpec {
     assert(viterbi("xy", model2) === Seq("xy"))
   }
 
+  test("L51: supplementary characters segment as whole code points — never lone surrogates (ADVICE r17)") {
+    // U+1D11E (𝄞) and U+1F600 (😀) are two UTF-16 units each; a
+    // unit-indexed walk would emit invalid lone-surrogate "pieces"
+    val clef = "𝄞"
+    val smile = "😀"
+    val model = m("a" -> -1000000L, "b" -> -1000000L)
+    // unknown supplementary chars: ONE UNK piece per code point
+    assert(viterbi(s"a${clef}b", model) === Seq("a", clef, "b"))
+    assert(viterbi(s"$smile$smile", model) === Seq(smile, smile))
+    // every emitted piece is a valid UTF-8 round trip (writeVocab safety)
+    viterbi(s"a$clef$smile", model).foreach { p =>
+      assert(new String(p.getBytes("UTF-8"), "UTF-8") === p,
+        s"piece '$p' must survive a UTF-8 round trip")
+    }
+    // a known multi-char piece containing a supplementary char wins,
+    // and maxLen counts CODE POINTS (matching the seed side's substr)
+    val model2 = m("a" -> -1000000L, s"$clef$clef" -> -1500000L)
+    assert(viterbi(s"$clef${clef}a", model2) === Seq(s"$clef$clef", "a"))
+    // reconstruction contract holds on non-BMP text
+    val word = s"ab$clef${smile}ba"
+    assert(viterbi(word, model).mkString === word)
+    // end-to-end: train + apply on a non-BMP corpus — pieces are
+    // valid code-point strings and concatenate back per word
+    val texts = Seq.fill(6)(s"$clef$clef $clef$clef $smile") :+ s"ab $smile$clef"
+    val trained = Unigram.train(dictOf(texts), targetSize = 8, maxPieceLen = 4)
+    trained.pieces.keys.foreach { p =>
+      assert(!(p.length == 1 && Character.isSurrogate(p.charAt(0))),
+        s"vocab piece '$p' is a lone surrogate")
+      assert(new String(p.getBytes("UTF-8"), "UTF-8") === p)
+    }
+    val toks = Unigram.applyUnigram(texts.toDF("text"), "text", trained)
+      .select(col("uni_tokens")).as[Seq[String]].collect()
+    toks.zip(texts).foreach { case (ts, t) =>
+      assert(ts.mkString === t.replaceAll("\\s+", ""),
+        s"pieces must reconstruct '$t'")
+    }
+  }
+
   private def dictOf(texts: Seq[String]) =
     Bpe.wordDict(texts.toDF("text"), "text")
 
