@@ -3241,7 +3241,33 @@ object LlmQueries {
           col("content_length"), col("malformed"))
         .orderBy(col("url"))
     }, Some(
-      """SELECT 'http://w' || doc_id || '.example.com/p' AS url, text AS page_text, 'conversion' AS warc_type, CAST(octet_length(encode(text)) AS BIGINT) AS content_length, CAST(CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 0 END AS INTEGER) AS malformed FROM documents WHERE text IS NOT NULL ORDER BY url"""))
+      """SELECT 'http://w' || doc_id || '.example.com/p' AS url, text AS page_text, 'conversion' AS warc_type, CAST(octet_length(encode(text)) AS BIGINT) AS content_length, CAST(CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 0 END AS INTEGER) AS malformed FROM documents WHERE text IS NOT NULL ORDER BY url""")),
+
+    // ---- L50b: the PRODUCTION write side ([[graft.streaming.WetSink]]
+    // — byte-bounded containers via the packSequences start-div cut,
+    // deterministic bytes, the l45 fixture packer's collect-a-bucket
+    // replaced by a configured per-container bound). The row packs
+    // documents into gzip'd containers bounded at 4 KB (small enough
+    // that sf0.01 forces many containers per shard), parses every
+    // container back, and the oracle is the SAME closed form as l45:
+    // the round trip must reproduce never-touched documents rows with
+    // ZERO malformed units, no matter where the cuts fell. ----
+    ("l45b_wet_sink_bounded", (s, d) => {
+      import graft.sources.Warc
+      import graft.streaming.WetSink
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(
+          concat(lit("http://w"), col("doc_id"), lit(".example.com/p"))
+            .as("url"),
+          col("text"))
+      val packed = WetSink.packBounded(docs, "url", "text",
+        maxContainerBytes = 4096, shards = 8, gzip = true)
+      Warc.pages(packed, "warc")
+        .select(col("url"), col("page_text"), col("warc_type"),
+          col("content_length"), col("malformed"))
+        .orderBy(col("url"))
+    }, Some(
+      """SELECT 'http://w' || doc_id || '.example.com/p' AS url, text AS page_text, 'conversion' AS warc_type, CAST(octet_length(encode(text)) AS BIGINT) AS content_length, CAST(0 AS INTEGER) AS malformed FROM documents WHERE text IS NOT NULL ORDER BY url"""))
   ) ++ Seq[(String, Q, Option[String])](
 
     // ---- L46c: PERSISTED language-ID model (the l39c discipline —

@@ -1965,6 +1965,185 @@ class StreamingSpec extends SparkSpec {
     } finally Dedup.dropIntakeHistory(spark, hist)
   }
 
+  test("L50+L51 composed loop: WARC containers → pages() → mixedIntakeBatch, survivors costed by the PERSISTED unigram vocab as the packing currency — exactly-once across a replay, packing identical") {
+    import graft.operators.{Bpe, Multimodal, Packing, Unigram}
+    import graft.sources.Warc
+    val hist = "t_warc_uni_hist"
+    val outDir = tmpDir("warc_uni_out")
+    val vocabTable = "t_warc_uni_vocab"
+    StreamOps.dropMixedHistory(spark, hist)
+    spark.sql(s"DROP TABLE IF EXISTS $vocabTable")
+    try {
+      def htmlOf(seed: Long): String =
+        "<p>" + (0 until 40).map(w => s"tok${seed}w$w").mkString(" ") + "</p>"
+      def url(i: Int): String = s"http://u$i.example.com/p"
+      // the CommonCrawl front: two containers (one gzip'd), a
+      // cross-container canonical-URL dup, a same-text dup under a
+      // fresh url, and a malformed tail on the plain container
+      val c1 = Warc.buildWet(Seq(
+        (url(1), htmlOf(1)), (url(2), htmlOf(2)), (url(3), htmlOf(3)))) ++
+        "WARC/1.0\r\nbroken tail".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val c2 = Warc.buildWet(Seq(
+        (s"HTTP://U3.example.com/p#frag", htmlOf(33)), // canonical dup of url(3)
+        (url(4), htmlOf(4)),
+        (url(5), htmlOf(2))), gzip = true) // exact text copy of page 2
+      val containers0 = Seq((1L, c1), (2L, c2)).toDF("file_id", "bytes")
+      def pagesOf(cs: org.apache.spark.sql.DataFrame) =
+        Warc.pages(cs, "bytes").where($"url".isNotNull)
+          .select(xxhash64($"url").as("doc_id"), $"url",
+            $"page_text".as("html"), lit(null).cast("binary").as("payload"))
+      // one binary row rides the same batch — the mixed loop's point
+      val img = Multimodal.syntheticPpmMixed(
+        Seq((9000L, 77L)).toDF("doc_id", "__seed"), "__seed", 16, 16)
+        .select($"doc_id", lit(null).cast("string").as("html"),
+          lit(null).cast("string").as("url"), $"payload")
+      val b0 = pagesOf(containers0)
+        .select($"doc_id", $"html", $"url", $"payload").unionByName(img)
+      assert(StreamOps.mixedIntakeBatch(b0, 0L, hist, 4, "html", "payload",
+        "doc_id", outDir, urlDedupCol = Some("url")))
+      val s0 = spark.read.parquet(s"$outDir/batch-0")
+      val t0 = s0.where($"text".isNotNull).select($"text").as[String]
+        .collect().toSet
+      // url(3)'s canonical pair collapsed to one row; the htmlOf(2)
+      // text copy collapsed at exact dedup; payload row survived
+      assert(t0.size === 4, s"expected 4 text survivors: ${t0.size}")
+      assert(Seq(1L, 2L, 4L).forall(sd =>
+        t0.contains((0 until 40).map(w => s"tok${sd}w$w").mkString(" "))),
+        s"unique pages must survive: $t0")
+      assert(s0.where($"payload".isNotNull).count() === 1L)
+      // the PERSISTED unigram vocab is the costing model (train once
+      // on the front's word dictionary, tokenize forever — l46c)
+      Unigram.writeVocab(spark, Unigram.train(
+        Bpe.wordDict(b0.where($"html".isNotNull).select($"html".as("text")),
+          "text"), targetSize = 96), vocabTable)
+      val model = Unigram.readVocab(spark, vocabTable)
+      def packedOf(upTo: Long = 0L): Set[Seq[Any]] = {
+        val surv = (0L to upTo).map(b =>
+            spark.read.parquet(s"$outDir/batch-$b"))
+          .reduce(_.unionByName(_))
+          .where($"text".isNotNull).select($"doc_id", $"text")
+        val costed = Unigram.applyUnigram(surv, "text", model)
+          .select($"doc_id", size($"uni_tokens").cast("long").as("n_tok"))
+        Packing.packSequences(costed, "doc_id", "n_tok", seqLen = 64,
+            shards = 4)
+          .select($"doc_id", $"n_tok", $"shard", $"seq_in_shard",
+            $"start_in_seq")
+          .collect().map(_.toSeq).toSet
+      }
+      val packed0 = packedOf()
+      assert(packed0.nonEmpty && packed0.forall(r =>
+        r(1).asInstanceOf[Long] > 0L), "every survivor must carry tokens")
+      // batch 1: fresh pages + an exact copy of a batch-0 survivor
+      // (hash history) + a near copy (band history) — both must die
+      val c3 = Warc.buildWet(Seq(
+        (url(11), htmlOf(11)), (url(12), htmlOf(12)),
+        (url(13), htmlOf(1)), // exact copy of survivor 1
+        (url(14), htmlOf(2).replace("</p>", " zzextra</p>")))) // near copy
+      val b1 = pagesOf(Seq((3L, c3)).toDF("file_id", "bytes"))
+        .select($"doc_id", $"html", $"url", $"payload")
+      assert(StreamOps.mixedIntakeBatch(b1, 1L, hist, 4, "html", "payload",
+        "doc_id", outDir, urlDedupCol = Some("url")))
+      def s1Texts = spark.read.parquet(s"$outDir/batch-1")
+        .where($"text".isNotNull).select($"text").as[String].collect().toSet
+      val before = s1Texts
+      assert(before.size === 2 && Seq(11L, 12L).forall(sd =>
+        before.contains((0 until 40).map(w => s"tok${sd}w$w").mkString(" "))),
+        s"history probes must kill the copies: $before")
+      val packed1 = packedOf(1L)
+      // CRASH between the survivor write and the pointer flip
+      graft.sources.AtomicPointer.write(spark.sparkContext.hadoopConfiguration,
+        new org.apache.hadoop.fs.Path(outDir, "_LATEST.tmp-crash"),
+        new org.apache.hadoop.fs.Path(outDir, "_LATEST"), "0")
+      assert(StreamOps.mixedIntakeBatch(b1, 1L, hist, 4, "html", "payload",
+        "doc_id", outDir, urlDedupCol = Some("url")))
+      assert(s1Texts === before, "replay changed the survivor set")
+      // the packing currency — persisted-vocab token counts — and the
+      // layout derived from it are REPLAY-INVARIANT
+      assert(packedOf(1L) === packed1, "replay changed the packed layout")
+      // full replay: no-op on the pointer
+      assert(!StreamOps.mixedIntakeBatch(b1, 1L, hist, 4, "html", "payload",
+        "doc_id", outDir, urlDedupCol = Some("url")))
+    } finally {
+      StreamOps.dropMixedHistory(spark, hist)
+      spark.sql(s"DROP TABLE IF EXISTS $vocabTable")
+    }
+  }
+
+  test("L50 WET sink: byte-bounded containers, bit-identical replay across a crashed pointer flip, exactly-once read view, live foreachBatch leg") {
+    import graft.sources.Warc
+    import graft.streaming.WetSink
+    val out = tmpDir("wet_sink_out")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def docs(from: Int, until: Int) = (from until until)
+      .map(i => (f"http://w.example.com/$i%03d", s"document number $i " * 12))
+      .toDF("url", "text")
+    // batch 0 publishes: containers byte-bounded, many per shard
+    assert(WetSink.writeBatch(docs(0, 40), 0L, out, "url", "text",
+      maxContainerBytes = 1200, shards = 2, gzip = true))
+    val c0 = spark.read.parquet(s"$out/batch-0")
+    val st = c0.agg(max($"n_bytes"), count(lit(1)), sum($"n_records"))
+      .collect().head
+    // bound + at most ONE record of overshoot (record ≈ 128 overhead +
+    // 23 url + ~240 text ≈ 400 bytes)
+    assert(st.getLong(0) <= 1200 + 450,
+      s"container payload ${st.getLong(0)} must respect the bound")
+    assert(st.getLong(1) >= 8, s"the bound must force many containers: ${st.getLong(1)}")
+    assert(st.getLong(2) === 40L)
+    // round trip through the published read view
+    val back0 = Warc.pages(WetSink.readContainers(spark, out), "warc")
+      .select($"url", $"page_text", $"malformed").collect()
+    assert(back0.map(_.getInt(2)).forall(_ === 0))
+    assert(back0.map(r => (r.getString(0), r.getString(1))).toSet ===
+      docs(0, 40).collect().map(r => (r.getString(0), r.getString(1))).toSet)
+    // batch 1 fully written, then CRASH before the pointer flip
+    // (simulated by rewinding _LATEST — the line the flip publishes)
+    assert(WetSink.writeBatch(docs(40, 70), 1L, out, "url", "text",
+      maxContainerBytes = 1200, shards = 2, gzip = true))
+    val crashed = spark.read.parquet(s"$out/batch-1")
+      .orderBy($"shard", $"seq").select($"warc")
+      .as[Array[Byte]].collect()
+    graft.sources.AtomicPointer.write(hconf,
+      new org.apache.hadoop.fs.Path(out, "_LATEST.tmp-crash"),
+      new org.apache.hadoop.fs.Path(out, "_LATEST"), "0")
+    // the unpublished batch is INVISIBLE to consumers (the FileSink
+    // _spark_metadata lesson: directory listings lie, the log decides)
+    assert(WetSink.readContainers(spark, out)
+      .where($"batch_id" === 1L).count() === 0L)
+    // replay rebuilds BIT-IDENTICAL containers, then flips
+    assert(WetSink.writeBatch(docs(40, 70), 1L, out, "url", "text",
+      maxContainerBytes = 1200, shards = 2, gzip = true))
+    val replayed = spark.read.parquet(s"$out/batch-1")
+      .orderBy($"shard", $"seq").select($"warc")
+      .as[Array[Byte]].collect()
+    assert(crashed.length === replayed.length)
+    crashed.zip(replayed).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b),
+        "replayed container bytes must be bit-identical")
+    }
+    // a FULL replay no-ops on the pointer
+    assert(!WetSink.writeBatch(docs(40, 70), 1L, out, "url", "text",
+      maxContainerBytes = 1200, shards = 2, gzip = true))
+    // exactly-once read view across both batches
+    val all = Warc.pages(WetSink.readContainers(spark, out), "warc")
+    assert(all.count() === 70L)
+    assert(all.select($"url").distinct().count() === 70L)
+    // live leg: the same batches through a real foreachBatch stream
+    val out2 = tmpDir("wet_live_out"); val ckpt = tmpDir("wet_live_ckpt")
+    val ms = MemoryStream[(String, String)]
+    val q = WetSink.sink(ms.toDF().toDF("url", "text"), out2, ckpt,
+      "url", "text", maxContainerBytes = 1200, shards = 2).start()
+    ms.addData((0 until 6).map(i => (s"http://live.example.com/$i", s"live $i")): _*)
+    q.processAllAvailable()
+    ms.addData((6 until 10).map(i => (s"http://live.example.com/$i", s"live $i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val live = Warc.pages(WetSink.readContainers(spark, out2), "warc")
+      .select($"url", $"page_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(live === (0 until 10).map(i =>
+      (s"http://live.example.com/$i", s"live $i")).toSet)
+  }
+
   test("L49b composition: PII mask → C4 surgery → langid floor → Gopher in ONE intakeBatch — kills attributable, survivor text masked AND surgered, survivors equal the closed-form composition") {
     import graft.functions.{TextFunctions => TF}
     import graft.operators.{C4Rules, Dedup, GopherRules, LangId}
