@@ -182,11 +182,21 @@ object Unigram {
     * pieces are never pruned, so `targetSize` is a floor at the
     * alphabet size. */
   def train(dict: DataFrame, targetSize: Int, maxPieceLen: Int = 8,
-      seedMult: Int = 4, shrink: Double = 0.75): Model = {
+      seedMult: Int = 4, shrink: Double = 0.75): Model =
+    trainCounted(dict, targetSize, maxPieceLen, seedMult, shrink)._1
+
+  /** [[train]] with probe instrumentation: also returns the number of
+    * EM prune rounds and the LARGEST driver pull (rows) any step made
+    * — the quantity that must stay model-sized for the 100 TB story
+    * (UnigramProbe records it in BASELINE at realistic vocab sizes).
+    * Identical arithmetic to the uninstrumented path (train IS this). */
+  def trainCounted(dict: DataFrame, targetSize: Int, maxPieceLen: Int = 8,
+      seedMult: Int = 4, shrink: Double = 0.75): (Model, Int, Long) = {
     require(targetSize >= 1 && maxPieceLen >= 2, "bad unigram params")
     require(shrink > 0 && shrink < 1, s"shrink in (0,1), got $shrink")
     val (chars, multi0) = seed(dict, maxPieceLen,
       nMulti = math.max(targetSize * seedMult, 1))
+    var maxPull = chars.size.toLong + multi0.size
     var multi = multi0
     var model = {
       val p = toProbs(chars ++ multi)
@@ -196,6 +206,7 @@ object Unigram {
     var rounds = 0
     while (multi.size > targetMulti && rounds < 32) {
       val used = viterbiCounts(dict, model)
+      maxPull = math.max(maxPull, used.size.toLong)
       val keepN = math.max(targetMulti,
         math.floor(multi.size * shrink).toInt)
       // prune the least-used multi pieces (never the single chars);
@@ -212,10 +223,11 @@ object Unigram {
     }
     // final re-estimation on the pruned vocabulary
     val used = viterbiCounts(dict, model)
+    maxPull = math.max(maxPull, used.size.toLong)
     val fin = (chars.map(_._1) ++ multi.map(_._1)).distinct
       .map(p => (p, used.getOrElse(p, 0L)))
     val probs = toProbs(fin)
-    Model(probs, maxPieceLen, unkOf(probs))
+    (Model(probs, maxPieceLen, unkOf(probs)), rounds, maxPull)
   }
 
   /** Viterbi-tokenize `textCol` (whitespace words, the [[Bpe.wordDict]]
