@@ -18,12 +18,13 @@ import org.apache.spark.sql.types._
   *  - training runs on the DISTINCT-WORD DICTIONARY with corpus
   *    counts ([[Bpe.wordDict]] / [[Bpe.wordDictPretokenized]]) — the
   *    reduction that makes it corpus-scale-independent;
-  *  - the E-step is HARD EM (Viterbi counts, the documented
-  *    simplification of the paper's forward-backward expectations):
-  *    piece log-probabilities live on the 1e-6 integer grid, Viterbi
-  *    sums are exact Long arithmetic, ties prefer the LONGER piece
-  *    then the earlier split — bit-deterministic on any engine and
-  *    any partitioning;
+  *  - BOTH E-steps are available: [[train]] runs HARD EM (Viterbi
+  *    counts — piece log-probabilities on the 1e-6 integer grid,
+  *    exact Long Viterbi sums, ties prefer the LONGER piece then the
+  *    earlier split, bit-deterministic on any engine and any
+  *    partitioning); [[trainSoft]] runs the paper's forward-backward
+  *    expectations ([[expectedPieces]] — partition-invariant, masses
+  *    quantized to the same grid before the distributed sum);
   *  - pruning keeps every single-character piece (coverage: any word
   *    always segments) and shrinks the multi-character set by
   *    `shrink` per round toward `targetSize`, dropping the
@@ -174,6 +175,118 @@ object Unigram {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /** Forward-backward expected piece counts for one word under the
+    * model — the paper's ACTUAL E-step (Kudo 2018 §3.2 marginalizes
+    * over every segmentation; [[viterbi]] counts only the best one).
+    * Lattice positions are code points, edges are pieces (unknown
+    * single code points ride the UNK penalty, so Z is always finite
+    * and coverage never fails); posteriors come from one forward and
+    * one backward log-sum-exp pass over the same bounded edge set the
+    * Viterbi walk scans (≤ maxLen per position). Per-word arithmetic
+    * runs in a FIXED order, so the result is partition-invariant;
+    * cross-engine bit-identity is not claimed for the Double
+    * transcendentals (same caveat as [[qln]]) — the distributed sum
+    * quantizes each word's masses to the 1e-6 grid first. Pairs
+    * return sorted by piece for deterministic downstream folds. */
+  private[graft] def expectedPieces(word: String, pieces: Map[String, Long],
+      maxLen: Int, qUnk: Long): Seq[(String, Double)] = {
+    val nu = word.length
+    if (nu == 0) return Nil
+    val offs = new Array[Int](nu + 1)
+    var m = 0
+    var u = 0
+    while (u < nu) {
+      offs(m) = u; u += Character.charCount(word.codePointAt(u)); m += 1
+    }
+    offs(m) = nu
+    val NegInf = Double.NegativeInfinity
+    def lp(j: Int, i: Int): Double = {
+      val sub = word.substring(offs(j), offs(i))
+      pieces.get(sub) match {
+        case Some(v) => v / Scale
+        case None => if (i - j == 1) qUnk / Scale else NegInf
+      }
+    }
+    def lse(a: Double, b: Double): Double =
+      if (a == NegInf) b else if (b == NegInf) a
+      else {
+        val hi = math.max(a, b)
+        hi + math.log1p(math.exp(math.min(a, b) - hi))
+      }
+    val alpha = new Array[Double](m + 1)
+    java.util.Arrays.fill(alpha, NegInf); alpha(0) = 0.0
+    var i = 1
+    while (i <= m) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (alpha(j) != NegInf) {
+          val l = lp(j, i)
+          if (l != NegInf) alpha(i) = lse(alpha(i), alpha(j) + l)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val z = alpha(m) // finite: UNK single-char edges always connect
+    val beta = new Array[Double](m + 1)
+    java.util.Arrays.fill(beta, NegInf); beta(m) = 0.0
+    var j = m - 1
+    while (j >= 0) {
+      var i2 = j + 1
+      val hi = math.min(m, j + maxLen)
+      while (i2 <= hi) {
+        if (beta(i2) != NegInf) {
+          val l = lp(j, i2)
+          if (l != NegInf) beta(j) = lse(beta(j), l + beta(i2))
+        }
+        i2 += 1
+      }
+      j -= 1
+    }
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    i = 1
+    while (i <= m) {
+      var j2 = math.max(0, i - maxLen)
+      while (j2 < i) {
+        if (alpha(j2) != NegInf && beta(i) != NegInf) {
+          val l = lp(j2, i)
+          if (l != NegInf) {
+            val w = math.exp(alpha(j2) + l + beta(i) - z)
+            if (w > 0.0) {
+              val p = word.substring(offs(j2), offs(i))
+              acc.update(p, acc.getOrElse(p, 0.0) + w)
+            }
+          }
+        }
+        j2 += 1
+      }
+      i += 1
+    }
+    acc.toSeq.sortBy(_._1)
+  }
+
+  /** One distributed SOFT E-step: forward-backward expectations per
+    * dictionary word ([[expectedPieces]]) × corpus count, quantized to
+    * the 1e-6 grid per (word, piece) emission, partial-agged to
+    * ≤ |vocab| rows — the same model-sized pull as the hard step.
+    * Mass headroom: the Long micro grid caps total expected
+    * occurrences near 9 × 10^12 per vocabulary; normalization is
+    * scale-free, so a corpus beyond that re-grids the masses, not the
+    * algorithm. */
+  private def softCounts(dict: DataFrame, m: Model): Map[String, Long] = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val pieces = m.pieces; val maxLen = m.maxPieceLen; val qUnk = m.qUnk
+    dict.select(col("word"), col("count").cast("long").as("c"))
+      .as[(String, Long)]
+      .flatMap { case (w, c) =>
+        expectedPieces(w, pieces, maxLen, qUnk).iterator.map { case (p, e) =>
+          (p, math.round(e * c * Scale)) } }
+      .toDF("piece", "cmicro")
+      .groupBy("piece").agg(sum(col("cmicro")).as("used"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Train a unigram vocabulary of (about) `targetSize` pieces on a
     * word dictionary ([[Bpe.wordDict]] shape: word, count). Rounds:
     * seed `seedMult`× over-complete, then EM-count + prune by `shrink`
@@ -191,7 +304,36 @@ object Unigram {
     * (UnigramProbe records it in BASELINE at realistic vocab sizes).
     * Identical arithmetic to the uninstrumented path (train IS this). */
   def trainCounted(dict: DataFrame, targetSize: Int, maxPieceLen: Int = 8,
-      seedMult: Int = 4, shrink: Double = 0.75): (Model, Int, Long) = {
+      seedMult: Int = 4, shrink: Double = 0.75): (Model, Int, Long) =
+    trainLoop(dict, targetSize, maxPieceLen, seedMult, shrink, viterbiCounts)
+
+  /** [[train]] with the paper's SOFT E-step ([[expectedPieces]] —
+    * forward-backward expectations instead of Viterbi counts): pieces
+    * that lose every argmax tie still accumulate the marginal mass
+    * the paper's likelihood-loss prune would see, so plausible
+    * alternatives survive pruning where hard EM starves them
+    * (UnigramSpec plants exactly that case). Same seeding, same
+    * deterministic prune order, same quantized output grid, same
+    * model-sized driver pulls; the l46 reconstruction/persistence
+    * contracts hold for both trainers (`l46e` is the soft sibling).
+    * Cost: one extra lattice pass per word per round — priced next to
+    * the hard trainer in BASELINE (UnigramProbe). */
+  def trainSoft(dict: DataFrame, targetSize: Int, maxPieceLen: Int = 8,
+      seedMult: Int = 4, shrink: Double = 0.75): Model =
+    trainSoftCounted(dict, targetSize, maxPieceLen, seedMult, shrink)._1
+
+  /** [[trainSoft]] with the [[trainCounted]] instrumentation. */
+  def trainSoftCounted(dict: DataFrame, targetSize: Int, maxPieceLen: Int = 8,
+      seedMult: Int = 4, shrink: Double = 0.75): (Model, Int, Long) =
+    trainLoop(dict, targetSize, maxPieceLen, seedMult, shrink, softCounts)
+
+  /** The shared EM skeleton: seed, count-prune rounds under the given
+    * E-step, final re-estimation. The hard path ([[trainCounted]])
+    * goes through here unchanged — the E-step is the only moving
+    * part, so hard/soft differ in nothing else. */
+  private def trainLoop(dict: DataFrame, targetSize: Int, maxPieceLen: Int,
+      seedMult: Int, shrink: Double,
+      counts: (DataFrame, Model) => Map[String, Long]): (Model, Int, Long) = {
     require(targetSize >= 1 && maxPieceLen >= 2, "bad unigram params")
     require(shrink > 0 && shrink < 1, s"shrink in (0,1), got $shrink")
     val (chars, multi0) = seed(dict, maxPieceLen,
@@ -205,7 +347,7 @@ object Unigram {
     val targetMulti = math.max(targetSize - chars.size, 0)
     var rounds = 0
     while (multi.size > targetMulti && rounds < 32) {
-      val used = viterbiCounts(dict, model)
+      val used = counts(dict, model)
       maxPull = math.max(maxPull, used.size.toLong)
       val keepN = math.max(targetMulti,
         math.floor(multi.size * shrink).toInt)
@@ -222,7 +364,7 @@ object Unigram {
       rounds += 1
     }
     // final re-estimation on the pruned vocabulary
-    val used = viterbiCounts(dict, model)
+    val used = counts(dict, model)
     maxPull = math.max(maxPull, used.size.toLong)
     val fin = (chars.map(_._1) ++ multi.map(_._1)).distinct
       .map(p => (p, used.getOrElse(p, 0L)))

@@ -3380,6 +3380,38 @@ object LlmQueries {
           aggregate(transform(col("uni_tokens"), t => length(t).cast("long")),
             lit(0L), (a, x) => a + x).as("n_chars"))
         .orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""")),
+
+    // ---- L51d: SOFT-EM unigram training (Kudo 2018 §3.2's actual
+    // forward-backward E-step — the hard-EM rows' documented
+    // simplification, removed: marginal expectations instead of
+    // Viterbi counts, so argmax-tie losers keep their mass through
+    // pruning). Piece table rows-only by design like l46; its
+    // oracle-green contract sibling is l46e. ----
+    ("l46d_unigram_soft", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("text"))
+      val model = graft.operators.Unigram.trainSoft(
+        graft.operators.Bpe.wordDict(docs, "text"),
+        targetSize = 60, maxPieceLen = 6)
+      import s.implicits._
+      model.pieces.toSeq.toDF("piece", "q_logp").orderBy(col("piece"))
+    }, None),
+
+    // ---- L51e: soft-EM reconstruction contract — the l46b claim
+    // verbatim, under the SOFT-trained vocabulary: apply is always
+    // Viterbi argmax (SentencePiece's contract too), so per-doc piece
+    // char totals must equal DuckDB's whitespace-free counts no
+    // matter which E-step fit the probabilities. ----
+    ("l46e_unigram_soft_reconstruction", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val model = graft.operators.Unigram.trainSoft(
+        graft.operators.Bpe.wordDict(docs.select(col("text")), "text"),
+        targetSize = 60, maxPieceLen = 6)
+      graft.operators.Unigram.applyUnigram(docs, "text", model)
+        .select(col("doc_id"),
+          aggregate(transform(col("uni_tokens"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_chars"))
+        .orderBy(col("doc_id"))
     }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"""))
   )
 }

@@ -489,19 +489,73 @@ object Warc {
   }
 
   /** Page payload of a record as text: `application/http` blocks strip
-    * the HTTP status line + headers (body after the first CRLF CRLF —
-    * chunked transfer encoding is out of scope, CommonCrawl stores
-    * identity bodies); anything else (WET `text/plain` conversions)
-    * is the block verbatim. */
+    * the HTTP status line + headers; a `Transfer-Encoding: chunked`
+    * body (RFC 9112 §7.1 — CommonCrawl stores identity bodies, but
+    * verbatim-captured crawls from other fetchers do carry chunked
+    * framing) is de-chunked, falling back to the raw body verbatim if
+    * the chunk grammar is violated (the S16 tolerance posture: crawl
+    * bytes are untrusted, a bad frame must not throw). Anything else
+    * (WET `text/plain` conversions) is the block verbatim. */
   def payloadText(r: Record): String = {
     val b = r.block
-    if (r.contentType.startsWith("application/http")) {
-      var i = 0
-      while (i + 3 < b.length && !(b(i) == '\r' && b(i + 1) == '\n' &&
-        b(i + 2) == '\r' && b(i + 3) == '\n')) i += 1
-      if (i + 3 < b.length) new String(b, i + 4, b.length - i - 4, UTF_8)
-      else ""
-    } else new String(b, UTF_8)
+    if (!r.contentType.startsWith("application/http"))
+      return new String(b, UTF_8)
+    var i = 0
+    var lineStart = 0
+    var bodyStart = -1
+    var chunked = false
+    while (bodyStart < 0 && i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') {
+        if (i == lineStart) bodyStart = i + 2 // blank line: body follows
+        else {
+          if (lineStart > 0) { // header lines (the status line is first)
+            val line = new String(b, lineStart, i - lineStart, UTF_8)
+            val c = line.indexOf(':')
+            if (c > 0 &&
+              line.substring(0, c).trim.equalsIgnoreCase("transfer-encoding") &&
+              line.substring(c + 1).toLowerCase.contains("chunked"))
+              chunked = true
+          }
+          lineStart = i + 2
+        }
+        i += 2
+      } else i += 1
+    }
+    if (bodyStart < 0) ""
+    else if (chunked) decodeChunked(b, bodyStart) match {
+      case Some(d) => new String(d, UTF_8)
+      case None => new String(b, bodyStart, b.length - bodyStart, UTF_8)
+    }
+    else new String(b, bodyStart, b.length - bodyStart, UTF_8)
+  }
+
+  /** Decode a chunked transfer body from `b(from..)`: hex size line
+    * (extensions after ';' ignored), chunk octets, CRLF, repeated to
+    * the zero chunk; trailer headers ignored. None on any framing
+    * violation — the caller falls back to the raw body. */
+  private def decodeChunked(b: Array[Byte], from: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, b.length - from))
+    var p = from
+    while (p >= 0) { // each iteration consumes one chunk; returns inside
+      var e = p
+      while (e + 1 < b.length && !(b(e) == '\r' && b(e + 1) == '\n')) e += 1
+      if (e + 1 >= b.length) return None
+      var line = new String(b, p, e - p, UTF_8)
+      val semi = line.indexOf(';')
+      if (semi >= 0) line = line.substring(0, semi)
+      line = line.trim
+      if (line.isEmpty || line.length > 8 ||
+        !line.forall(ch => Character.digit(ch, 16) >= 0)) return None
+      val size = java.lang.Long.parseLong(line, 16)
+      p = e + 2
+      if (size == 0L) return Some(out.toByteArray)
+      if (size > (b.length - p).toLong - 2) return None // data + CRLF must fit
+      out.write(b, p, size.toInt)
+      p += size.toInt
+      if (!(b(p) == '\r' && b(p + 1) == '\n')) return None
+      p += 2
+    }
+    None
   }
 
   /** Explode a container column into page rows `(url, page_text,

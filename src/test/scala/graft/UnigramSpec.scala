@@ -87,6 +87,64 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  // ---- soft EM (the paper's forward-backward E-step; round 18) ----
+
+  private def expected(w: String, model: Unigram.Model): Map[String, Double] =
+    Unigram.expectedPieces(w, model.pieces, model.maxPieceLen, model.qUnk).toMap
+
+  test("L51d: forward-backward posteriors — hand-computed two-path lattice") {
+    // "ab": path {ab} has ln-score -1.5, path {a,b} has -2.0; the
+    // posterior splits exp(-1.5) : exp(-2.0)
+    val model = m("a" -> -1000000L, "b" -> -1000000L, "ab" -> -1500000L)
+    val e = expected("ab", model)
+    val pAb = math.exp(-1.5) / (math.exp(-1.5) + math.exp(-2.0))
+    assert(math.abs(e("ab") - pAb) < 1e-9)
+    assert(math.abs(e("a") - (1 - pAb)) < 1e-9)
+    assert(math.abs(e("b") - (1 - pAb)) < 1e-9)
+  }
+
+  test("L51d: expectations conserve coverage — Σ count·len(piece) equals the word's code-point length") {
+    val model = m("a" -> -1000000L, "b" -> -2000000L, "ab" -> -1800000L,
+      "ba" -> -2500000L, "aba" -> -4000000L)
+    for (w <- Seq("a", "ab", "aba", "abab", "ababa", "xqz", "a𝄞b😀")) {
+      val e = expected(w, model)
+      val covered = e.map { case (p, c) =>
+        c * p.codePointCount(0, p.length) }.sum
+      assert(math.abs(covered - w.codePointCount(0, w.length)) < 1e-9,
+        s"'$w': covered $covered")
+    }
+  }
+
+  test("L51d: an argmax-tie loser keeps marginal mass under soft EM where hard EM starves it") {
+    // q(ab) == q(a) + q(b): Viterbi's longer-piece tie rule ALWAYS
+    // picks 'ab', so hard counts for a and b are zero; the true
+    // marginal gives each path half the mass
+    val model = m("a" -> -1000000L, "b" -> -1000000L, "ab" -> -2000000L)
+    assert(viterbi("ab", model) === Seq("ab"))
+    val e = expected("ab", model)
+    assert(math.abs(e("ab") - 0.5) < 1e-9 &&
+      math.abs(e("a") - 0.5) < 1e-9 && math.abs(e("b") - 0.5) < 1e-9,
+      s"soft mass must split the tie: $e")
+  }
+
+  test("L51d: trainSoft is deterministic, partition-invariant, covered, and reconstructs") {
+    val a = Unigram.trainSoft(dictOf(corpus), targetSize = 24, maxPieceLen = 6)
+    val b = Unigram.trainSoft(dictOf(corpus).repartition(7),
+      targetSize = 24, maxPieceLen = 6)
+    assert(a.pieces === b.pieces && a.qUnk === b.qUnk)
+    // single chars all covered (the prune floor), target respected
+    val chars = corpus.flatMap(_.replaceAll("\\s+", "").toSeq).toSet
+    assert(chars.forall(c => a.pieces.contains(c.toString)))
+    assert(a.pieces.size <= math.max(24, chars.size))
+    // apply is Viterbi argmax under the soft-fit probabilities: the
+    // reconstruction contract is E-step-independent
+    val toks = Unigram.applyUnigram(corpus.toDF("text"), "text", a)
+      .select(col("uni_tokens")).as[Seq[String]].collect()
+    toks.zip(corpus).foreach { case (ts, t) =>
+      assert(ts.mkString === t.replaceAll("\\s+", ""))
+    }
+  }
+
   private def dictOf(texts: Seq[String]) =
     Bpe.wordDict(texts.toDF("text"), "text")
 

@@ -296,6 +296,43 @@ class WarcSpec extends SparkSpec {
       rb.map(Warc.payloadText) === Seq("delta"))
   }
 
+  test("L50: chunked HTTP transfer bodies decode (RFC 9112 §7.1); malformed chunk framing falls back to the raw body") {
+    def respRec(headers: String, body: String) = Warc.writeRecord(
+      "response", "http://ch.example.com/1",
+      "application/http; msgtype=response",
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n" + body).getBytes(UTF_8))
+    def payloadOf(rec: Array[Byte]): String = {
+      val (rs, bad) = Warc.parseAll(rec)
+      assert(bad === 0 && rs.size === 1)
+      Warc.payloadText(rs.head)
+    }
+    val te = "Content-Type: text/html\r\nTransfer-Encoding: chunked"
+    // three chunks reassemble
+    assert(payloadOf(respRec(te,
+      "5\r\nhello\r\n8\r\n, chunke\r\n7\r\nd world\r\n0\r\n\r\n")) ===
+      "hello, chunked world")
+    // chunk extensions ignored; trailer headers ignored; CRLF inside
+    // chunk DATA is payload, not framing
+    assert(payloadOf(respRec(te,
+      "c;ext=1\r\nab\r\ncdefghij\r\n0\r\nX-Trail: v\r\n\r\n")) ===
+      "ab\r\ncdefghij")
+    // header name/value match is case-insensitive
+    assert(payloadOf(respRec(
+      "transfer-encoding: Chunked", "3\r\nxyz\r\n0\r\n\r\n")) === "xyz")
+    // malformed framings fall back to the raw body verbatim
+    for (bad <- Seq(
+      "ZZ\r\nhello\r\n0\r\n\r\n",         // non-hex size
+      "5\r\nhello",                       // missing chunk CRLF
+      "ff\r\nshort\r\n0\r\n\r\n",         // size past the body
+      "5\r\nhelloXY6\r\n0\r\n\r\n"))      // data not CRLF-terminated
+      assert(payloadOf(respRec(te, bad)) === bad,
+        s"must fall back verbatim: $bad")
+    // identity bodies (no Transfer-Encoding) are untouched — the
+    // CommonCrawl default path
+    assert(payloadOf(respRec("Content-Type: text/html",
+      "5\r\nhello\r\n0\r\n\r\n")) === "5\r\nhello\r\n0\r\n\r\n")
+  }
+
   test("L50: pages() explodes containers, filters framing records, stamps the malformed count; a dead container leaves a quarantine row") {
     val warcinfo = Warc.writeRecord("warcinfo", "", "application/warc-fields",
       "software: test\r\n".getBytes(UTF_8))

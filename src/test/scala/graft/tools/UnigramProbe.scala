@@ -32,16 +32,19 @@ object UnigramProbe {
       .groupBy("word").agg(sum("count").as("count"))
       .localCheckpoint(eager = true)
     val rows = synth.count()
-    for (dictLabel <- Seq("real", "synth"); t <- targets) {
+    for (dictLabel <- Seq("real", "synth"); t <- targets;
+         em <- Seq("hard", "soft")) {
       val dict = if (dictLabel == "real") real else synth
       val t0 = System.nanoTime()
       val (m, rounds, maxPull) =
-        graft.operators.Unigram.trainCounted(dict, targetSize = t)
+        if (em == "hard")
+          graft.operators.Unigram.trainCounted(dict, targetSize = t)
+        else graft.operators.Unigram.trainSoftCounted(dict, targetSize = t)
       val sec = (System.nanoTime() - t0) / 1e9
       // rounds + seed + final re-estimation = the distributed passes
       val passes = rounds + 2
       println(f"[unigram] dict=$dictLabel%-5s rows=${if (dictLabel == "real") real.count() else rows}%-7d " +
-        f"target=$t%-6d pieces=${m.pieces.size}%-6d em_rounds=$rounds " +
+        f"em=$em%-4s target=$t%-6d pieces=${m.pieces.size}%-6d em_rounds=$rounds " +
         f"max_driver_pull_rows=$maxPull total=$sec%.1f s " +
         f"per_pass=${sec / passes}%.2f s")
       require(maxPull <= 4L * t + 64,
