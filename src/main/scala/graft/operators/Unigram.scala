@@ -372,6 +372,135 @@ object Unigram {
     (Model(probs, maxPieceLen, unkOf(probs)), rounds, maxPull)
   }
 
+  /** SplitMix64 step — the deterministic uniform stream behind
+    * [[sampleSegmentation]] (the l09 hash-derived-randomness
+    * discipline: no JVM RNG state, same draw on any executor). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Sample ONE segmentation of `word` from q(seg) ∝ P(seg)^alpha —
+    * the subword-regularization draw that is Kudo 2018's actual
+    * namesake (§3.1: training-data augmentation samples segmentations
+    * instead of always taking the argmax). Forward-filtering
+    * backward-sampling over the same bounded lattice as
+    * [[expectedPieces]], with every edge score scaled by `alpha`:
+    * alpha → ∞ concentrates on the Viterbi best, alpha = 1 samples the
+    * true posterior, alpha = 0 is uniform over segmentations. Unknown
+    * single code points ride the UNK penalty, so every draw still
+    * concatenates back to the word (the reconstruction contract holds
+    * for ANY sample — that is what makes l46f oracle-able).
+    * Deterministic given (word, seed): uniforms come from a SplitMix64
+    * stream keyed by both, so replays and retries reproduce the same
+    * corpus. */
+  private[graft] def sampleSegmentation(word: String,
+      pieces: Map[String, Long], maxLen: Int, qUnk: Long,
+      alpha: Double, seed: Long): Array[String] = {
+    val nu = word.length
+    if (nu == 0) return Array.empty
+    val offs = new Array[Int](nu + 1)
+    var m = 0
+    var u = 0
+    while (u < nu) {
+      offs(m) = u; u += Character.charCount(word.codePointAt(u)); m += 1
+    }
+    offs(m) = nu
+    val NegInf = Double.NegativeInfinity
+    def lp(j: Int, i: Int): Double = {
+      val sub = word.substring(offs(j), offs(i))
+      pieces.get(sub) match {
+        case Some(v) => alpha * (v / Scale)
+        case None => if (i - j == 1) alpha * (qUnk / Scale) else NegInf
+      }
+    }
+    def lse(a: Double, b: Double): Double =
+      if (a == NegInf) b else if (b == NegInf) a
+      else {
+        val hi = math.max(a, b)
+        hi + math.log1p(math.exp(math.min(a, b) - hi))
+      }
+    val fwd = new Array[Double](m + 1)
+    java.util.Arrays.fill(fwd, NegInf); fwd(0) = 0.0
+    var i = 1
+    while (i <= m) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (fwd(j) != NegInf) {
+          val l = lp(j, i)
+          if (l != NegInf) fwd(i) = lse(fwd(i), fwd(j) + l)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // backward sampling: at position i, edge (j, i) has posterior
+    // exp(fwd(j) + lp(j,i) - fwd(i)) — the weights sum to 1 by the
+    // forward recurrence, so one uniform walks the cumulative sum
+    var state = mix64(seed ^ ((word.##.toLong << 32) | word.length.toLong))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    i = m
+    while (i > 0) {
+      state = mix64(state)
+      val u01 = (state >>> 11).toDouble / (1L << 53).toDouble
+      var acc = 0.0
+      var pick = -1
+      var j = math.max(0, i - maxLen)
+      while (pick < 0 && j < i) {
+        if (fwd(j) != NegInf) {
+          val l = lp(j, i)
+          if (l != NegInf) {
+            acc += math.exp(fwd(j) + l - fwd(i))
+            if (u01 < acc) pick = j
+          }
+        }
+        j += 1
+      }
+      if (pick < 0) pick = i - 1 // fp round-off tail: the last edge
+      out += word.substring(offs(pick), offs(i))
+      i = pick
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** Sample-tokenize `textCol` (the subword-regularization apply:
+    * each word OCCURRENCE draws its own segmentation from
+    * q ∝ P^alpha) — appends `uni_tokens`. `seedCol` keys the draw per
+    * row (a doc id: stable across replays, different across docs);
+    * the occurrence index within the row extends the key, so repeated
+    * words in one doc sample independently. No word cache — sampling
+    * is the point; the piece table still rides the closure and the
+    * corpus never shuffles. */
+  def applyUnigramSampled(df: DataFrame, textCol: String, m: Model,
+      alpha: Double, seedCol: String): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val outSchema = df.schema
+      .add(StructField("uni_tokens", ArrayType(StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val textIdx = df.schema.fieldIndex(textCol)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val pieces = m.pieces; val maxLen = m.maxPieceLen; val qUnk = m.qUnk
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val text = r.getString(textIdx)
+        val rowSeed = if (r.isNullAt(seedIdx)) 0L else r.getLong(seedIdx)
+        val toks: Seq[String] =
+          if (text == null) null
+          else {
+            var k = 0L
+            text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+              k += 1
+              sampleSegmentation(w, pieces, maxLen, qUnk, alpha,
+                mix64(rowSeed * 31L + k))
+            }.toSeq
+          }
+        Row.fromSeq(r.toSeq :+ toks)
+      }
+    }(enc)
+  }
+
   /** Viterbi-tokenize `textCol` (whitespace words, the [[Bpe.wordDict]]
     * tokenizer) — appends `uni_tokens`. The piece table rides the task
     * closure (model-sized); a per-partition word cache turns repeated

@@ -3412,6 +3412,27 @@ object LlmQueries {
           aggregate(transform(col("uni_tokens"), t => length(t).cast("long")),
             lit(0L), (a, x) => a + x).as("n_chars"))
         .orderBy(col("doc_id"))
+    }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""")),
+
+    // ---- L51f: subword-regularization SAMPLING (Kudo 2018 §3.1 —
+    // the paper's namesake: each word occurrence draws a segmentation
+    // from q ∝ P^alpha via forward-filtering backward-sampling,
+    // deterministic per (word, doc seed) through a SplitMix64 stream).
+    // The reconstruction contract holds for ANY draw — pieces always
+    // concatenate back to the word — so the SAME closed-form oracle
+    // as l46b pins the sampled path: the claim is engine-exact even
+    // though the segmentations themselves are randomized. ----
+    ("l46f_unigram_sampled", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val model = graft.operators.Unigram.train(
+        graft.operators.Bpe.wordDict(docs.select(col("text")), "text"),
+        targetSize = 60, maxPieceLen = 6)
+      graft.operators.Unigram.applyUnigramSampled(docs, "text", model,
+          alpha = 0.5, seedCol = "doc_id")
+        .select(col("doc_id"),
+          aggregate(transform(col("uni_tokens"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_chars"))
+        .orderBy(col("doc_id"))
     }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"""))
   )
 }

@@ -127,6 +127,44 @@ class UnigramSpec extends SparkSpec {
       s"soft mass must split the tie: $e")
   }
 
+  test("L51f: subword-regularization sampling — every draw reconstructs; frequencies track the posterior^alpha; deterministic per seed") {
+    def sample(w: String, model: Unigram.Model, alpha: Double, seed: Long) =
+      Unigram.sampleSegmentation(w, model.pieces, model.maxPieceLen,
+        model.qUnk, alpha, seed).toSeq
+    // two-path lattice: {ab} at -1.5, {a,b} at -2.0
+    val model = m("a" -> -1000000L, "b" -> -1000000L, "ab" -> -1500000L)
+    // 1) ANY draw reconstructs (incl. unknown and non-BMP words)
+    for (w <- Seq("ab", "abab", "xyz", "a𝄞b"); s <- 0L until 50L)
+      assert(sample(w, model, 0.7, s).mkString === w, s"'$w' seed $s")
+    // 2) determinism: same (word, seed) → same draw
+    assert(sample("abab", model, 1.0, 7L) === sample("abab", model, 1.0, 7L))
+    // 3) frequency of the {ab} path over many seeds ≈ its posterior:
+    //    alpha=1 → exp(-1.5)/(exp(-1.5)+exp(-2)) ≈ 0.622
+    val n = 4000
+    def fracAb(alpha: Double) = (0 until n).count(s =>
+      sample("ab", model, alpha, s.toLong) == Seq("ab")).toDouble / n
+    val p1 = math.exp(-1.5) / (math.exp(-1.5) + math.exp(-2.0))
+    assert(math.abs(fracAb(1.0) - p1) < 0.03, s"alpha=1: ${fracAb(1.0)} vs $p1")
+    //    alpha=0 → uniform over the two segmentations
+    assert(math.abs(fracAb(0.0) - 0.5) < 0.03, s"alpha=0: ${fracAb(0.0)}")
+    //    alpha large → concentrates on the Viterbi best
+    assert(fracAb(16.0) > 0.99, s"alpha=16: ${fracAb(16.0)}")
+    // 4) the DataFrame apply: per-occurrence draws, reconstruction per
+    //    doc, replay-deterministic via the seed column
+    val docs = Seq((1L, "ab ab ab ab"), (2L, "abab ab"), (3L, null))
+      .toDF("doc_id", "text")
+    val trained = m("a" -> -1000000L, "b" -> -1000000L, "ab" -> -1500000L)
+    def run() = Unigram.applyUnigramSampled(docs, "text", trained,
+        alpha = 1.0, seedCol = "doc_id")
+      .select(col("doc_id"), col("uni_tokens")).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    val a = run(); val b = run()
+    assert(a === b, "sampling must be replay-deterministic")
+    assert(a(3L) === None) // NULL passthrough
+    assert(a(1L).get.mkString === "abababab")
+    assert(a(2L).get.mkString === "ababab")
+  }
+
   test("L51d: trainSoft is deterministic, partition-invariant, covered, and reconstructs") {
     val a = Unigram.trainSoft(dictOf(corpus), targetSize = 24, maxPieceLen = 6)
     val b = Unigram.trainSoft(dictOf(corpus).repartition(7),
