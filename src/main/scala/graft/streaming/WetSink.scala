@@ -135,6 +135,48 @@ object WetSink {
           maxContainerBytes, shards, gzip): Unit
       }
 
+  /** Materialize the PUBLISHED containers as CommonCrawl-layout files
+    * (`batch-B-shard-S-seq-Q.warc.wet[.gz]`) under `fileDir` — the
+    * transfer half of the S13 FileSink lesson applied here: ship only
+    * what the `_LATEST` pointer published, never a directory listing
+    * (a crashed batch's parquet is invisible to [[readContainers]],
+    * so it cannot leak into the export). Idempotent by construction:
+    * every file stages to a tmp sibling and overwrite-renames (the
+    * [[graft.sources.AtomicPointer]] flip, binary form), and container
+    * bytes are deterministic, so a re-export after any crash rewrites
+    * identical files. Executor-side `foreachPartition` — container
+    * bytes never visit the driver; one file per container, sized by
+    * the packer's `maxContainerBytes`. Returns the file count. */
+  def exportFiles(spark: SparkSession, outDir: String,
+      fileDir: String): Long = {
+    val rows = readContainers(spark, outDir)
+      .select(col("batch_id"), col("shard"), col("seq"), col("warc"))
+    val n = spark.sparkContext.longAccumulator("wet_files")
+    rows.foreachPartition { it: Iterator[Row] =>
+      // executor-side conf: loads the site files from the classpath,
+      // the standard cluster posture; local mode resolves the local FS
+      val hconf = new org.apache.hadoop.conf.Configuration()
+      var fs: org.apache.hadoop.fs.FileSystem = null
+      it.foreach { r =>
+        val warc = r.getAs[Array[Byte]](3)
+        val gz = warc.length >= 2 && (warc(0) & 0xff) == 0x1f &&
+          (warc(1) & 0xff) == 0x8b
+        val name = f"batch-${r.getLong(0)}%d-shard-${r.getInt(1)}%04d-" +
+          f"seq-${r.getLong(2)}%06d.warc.wet" + (if (gz) ".gz" else "")
+        val dest = new Path(fileDir, name)
+        if (fs == null) fs = dest.getFileSystem(hconf)
+        val tmp = new Path(fileDir, s".$name.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(warc) finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dest.toUri, hconf)
+        fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        n.add(1)
+      }
+    }
+    n.value
+  }
+
   /** Every PUBLISHED container (batches 0..pointer, the exactly-once
     * read view — an unflipped crashed batch directory is invisible
     * here, the FileSink `_spark_metadata` lesson), with the batch id

@@ -2069,7 +2069,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("L50 WET sink: byte-bounded containers, bit-identical replay across a crashed pointer flip, exactly-once read view, live foreachBatch leg") {
+  test("L50 WET sink: byte-bounded containers, bit-identical replay across a crashed pointer flip, exactly-once read view, idempotent file export, live foreachBatch leg") {
     import graft.sources.Warc
     import graft.streaming.WetSink
     val out = tmpDir("wet_sink_out")
@@ -2127,6 +2127,26 @@ class StreamingSpec extends SparkSpec {
     val all = Warc.pages(WetSink.readContainers(spark, out), "warc")
     assert(all.count() === 70L)
     assert(all.select($"url").distinct().count() === 70L)
+    // file export: published containers land as CommonCrawl-layout
+    // files, one per container, idempotent re-export, parse-back equal
+    val fileDir = tmpDir("wet_files")
+    val nFiles = WetSink.exportFiles(spark, out, fileDir)
+    val nContainers = WetSink.readContainers(spark, out).count()
+    assert(nFiles === nContainers, s"$nFiles files vs $nContainers containers")
+    def fileBytes(): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(fileDir)
+      d.listFiles().filter(_.getName.endsWith(".gz")).map(f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val files1 = fileBytes()
+    assert(files1.size === nFiles.toInt, "every container gzips in this fixture")
+    val fromFiles = files1.values.flatMap(b =>
+      Warc.parseAll(b.toArray)._1.map(r => (r.targetUri, Warc.payloadText(r)))).toSet
+    assert(fromFiles === (docs(0, 70).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet),
+      "exported files must parse back to the exactly-once page set")
+    assert(WetSink.exportFiles(spark, out, fileDir) === nFiles)
+    assert(fileBytes() === files1, "re-export must rewrite identical files")
     // live leg: the same batches through a real foreachBatch stream
     val out2 = tmpDir("wet_live_out"); val ckpt = tmpDir("wet_live_ckpt")
     val ms = MemoryStream[(String, String)]
