@@ -102,6 +102,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("Generate"), s"epoch replication not an explode:\n$plan")
   }
 
+  test("WetSink.packBounded is ONE shuffle: the container-cut aggregate reuses the window's shard partitioning") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .where(col("text").isNotNull)
+      .select(concat(lit("http://w"), col("doc_id"),
+        lit(".example.com/p")).as("url"), col("text"))
+    val packed = graft.streaming.WetSink.packBounded(
+      docs, "url", "text", maxContainerBytes = 4096, shards = 8)
+    packed.collect() // force the AQE final plan
+    // hashpartitioning(__shard) from the cumulative-cut window SATISFIES
+    // the (shard, seq) aggregate's clustered distribution — a second
+    // exchange here would re-shuffle every container byte at 100 TB
+    val exchanges = collectWithSubqueries(packed.queryExecution.executedPlan) {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(exchanges.size === 1,
+      s"expected one shuffle, got ${exchanges.size}:\n${packed.queryExecution.executedPlan}")
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"packer must not join:\n$plan")
+    // the read side is narrow: pages() explodes containers with ZERO
+    // exchanges (per-partition byte work, the member-wise walk)
+    val back = graft.sources.Warc.pages(packed.localCheckpoint(true), "warc")
+    val backEx = collectWithSubqueries(back.queryExecution.executedPlan) {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(backEx.isEmpty,
+      s"pages() must be exchange-free:\n${back.queryExecution.executedPlan}")
+  }
+
   test("j01 dim join is a broadcast hash join, not a shuffle join") {
     val df = run("j01_broadcast")
     df.collect()

@@ -1174,6 +1174,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: WET sink bounded packer — byte bound holds on the skewed corpus, lossless round trip, one shuffle, stays balanced", suiteTags: _*) {
+    import graft.sources.Warc
+    import graft.streaming.WetSink
+    withScaleConf {
+      val pages0 = docs.where($"text".isNotNull)
+        .select(
+          concat(lit("http://w"), $"doc_id", lit(".example.com/p")).as("url"),
+          $"text")
+      val nIn = pages0.count()
+      val bound = 64L * 1024
+      // the largest single record the bound may overshoot by
+      val maxRec = pages0.select(max(octet_length($"text").cast("long") +
+        octet_length($"url") + 128L)).head.getLong(0)
+      val stages = probe {
+        val packed = WetSink.packBounded(pages0, "url", "text",
+          maxContainerBytes = bound, shards = 32, gzip = true)
+          .localCheckpoint(true)
+        val st = packed.agg(max($"n_bytes"), sum($"n_records"),
+          count(lit(1))).head
+        assert(st.getLong(0) <= bound + maxRec,
+          s"container ${st.getLong(0)} bytes vs bound $bound + rec $maxRec")
+        assert(st.getLong(1) === nIn, "every row packs exactly once")
+        // the 10k-copy cluster spreads by url hash, so the bound forces
+        // MANY containers — not one giant row per shard
+        assert(st.getLong(2) > 32, s"bound must cut containers: ${st.getLong(2)}")
+        val back = Warc.pages(packed, "warc").localCheckpoint(true)
+        assert(back.count() === nIn)
+        assert(back.where($"malformed" =!= 0).count() === 0)
+      }
+      assertBalanced("wet sink bounded pack", stages)
+    }
+  }
+
   test("scale: WARC pack → parse over the skewed corpus — container-parallel record walk, lossless round trip, stays balanced", suiteTags: _*) {
     import graft.sources.Warc
     withScaleConf {
