@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * runs at 100 TB:
   *
   *  - **Bounded containers.** Rows are sharded by url hash, ordered by
-  *    url within the shard, and cut into containers by CUMULATIVE
+  *    (url, text) within the shard, and cut into containers by CUMULATIVE
   *    payload bytes — the [[graft.operators.Packing.packSequences]]
   *    start-div discipline, so every container carries at most
   *    `maxContainerBytes` plus one record of overshoot (CommonCrawl
@@ -75,7 +75,14 @@ object WetSink {
       gzip: Boolean = false): DataFrame = {
     require(maxContainerBytes > 0, "maxContainerBytes must be positive")
     require(shards > 0, "shards must be positive")
-    val w = Window.partitionBy(col("__shard")).orderBy(col("__url"))
+    // total order inside the shard: url, then text (ADVICE r18) — with
+    // url alone, two distinct texts under a duplicate url tie, and a
+    // container cut falling between them would pick members
+    // nondeterministically across replays, breaking bit-identical
+    // replay. Identical (url, text) pairs are interchangeable bytes, so
+    // the pair IS a total order for every observable purpose.
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__url"), col("__text"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cut = df
       .select(col(urlCol).as("__url"), col(textCol).as("__text"))
@@ -116,7 +123,21 @@ object WetSink {
     val root = new Path(outDir)
     val pointer = new Path(root, "_LATEST")
     val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
-    if (current.exists(_ >= batchId)) return false // replayed: no-op
+    current.foreach { cur =>
+      if (cur == batchId) return false // full replay of this batch: no-op
+      if (cur > batchId)
+        // NOT a replay: foreachBatch only ever replays the most recent
+        // uncommitted batch, so a smaller id means the stream restarted
+        // with a FRESH checkpoint (ids reset to 0) against a published
+        // outDir. Silently no-op'ing here would drop every new batch
+        // with no error (ADVICE r18) — fail loudly instead.
+        throw new IllegalStateException(
+          s"WetSink at $outDir has published through batch $cur but " +
+          s"received batch $batchId — the checkpoint and outDir are out " +
+          "of step (fresh checkpoint against an existing sink?). " +
+          "Refusing to drop data: point the stream at a new outDir or " +
+          "restore the matching checkpoint.")
+    }
     packBounded(batch, urlCol, textCol, maxContainerBytes, shards, gzip)
       .write.mode("overwrite").parquet(new Path(root, s"batch-$batchId").toString)
     graft.sources.AtomicPointer.write(hconf,
@@ -152,10 +173,14 @@ object WetSink {
     val rows = readContainers(spark, outDir)
       .select(col("batch_id"), col("shard"), col("seq"), col("warc"))
     val n = spark.sparkContext.longAccumulator("wet_files")
+    // ship the driver's RESOLVED conf (site files + spark.hadoop.*
+    // session settings — object-store credentials, endpoints, fs impls)
+    // rather than rebuilding a bare Configuration on the executor,
+    // which sees only the classpath site files (ADVICE r18)
+    val serConf = new graft.sources.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
     rows.foreachPartition { it: Iterator[Row] =>
-      // executor-side conf: loads the site files from the classpath,
-      // the standard cluster posture; local mode resolves the local FS
-      val hconf = new org.apache.hadoop.conf.Configuration()
+      val hconf = serConf.value
       var fs: org.apache.hadoop.fs.FileSystem = null
       it.foreach { r =>
         val warc = r.getAs[Array[Byte]](3)
@@ -189,11 +214,17 @@ object WetSink {
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withBatch)
       case Some(id) =>
-        (0L to id.toLong).map { b =>
-          spark.read.schema(containerSchema)
-            .parquet(new Path(root, s"batch-$b").toString)
-            .withColumn("batch_id", lit(b))
-        }.reduce(_.union(_))
+        // ONE multi-path scan, not a union of one scan per batch — a
+        // per-batch union builds an O(batches) driver plan on every
+        // read after thousands of micro-batches (ADVICE r18). The
+        // explicit published-path list (not a directory listing) is
+        // still what keeps crashed unpublished batch dirs invisible;
+        // the batch id is recovered per row from the file path.
+        val paths = (0L to id.toLong)
+          .map(b => new Path(root, s"batch-$b").toString)
+        spark.read.schema(containerSchema).parquet(paths: _*)
+          .withColumn("batch_id", regexp_extract(input_file_name(),
+            "batch-(\\d+)/[^/]*$", 1).cast("long"))
     }
   }
 }

@@ -2164,6 +2164,42 @@ class StreamingSpec extends SparkSpec {
       (s"http://live.example.com/$i", s"live $i")).toSet)
   }
 
+  test("L50 WET sink hardening: duplicate-url ties pack deterministically across input order; a regressed batch id fails loudly instead of dropping data") {
+    import graft.streaming.WetSink
+    // ADVICE r18: duplicate urls with DIFFERENT texts — the in-shard
+    // order must totally order them (url, text) so a container cut
+    // falling between ties picks the same members regardless of the
+    // input's physical row order
+    val rows = (0 until 60).map { i =>
+      (s"http://dup.example.com/${i / 4}", s"variant $i " * 10)
+    }
+    def packedBytes(df: org.apache.spark.sql.DataFrame): Seq[Seq[Byte]] =
+      WetSink.packBounded(df, "url", "text", maxContainerBytes = 900,
+        shards = 2)
+        .orderBy($"shard", $"seq").select($"warc")
+        .as[Array[Byte]].collect().toSeq.map(_.toSeq)
+    val forward = packedBytes(rows.toDF("url", "text"))
+    val scrambled = packedBytes(
+      rows.reverse.toDF("url", "text").repartition(7))
+    assert(forward === scrambled,
+      "container bytes must not depend on input row order under duplicate urls")
+    // regressed batch id (fresh checkpoint against a published outDir)
+    // must throw, not silently no-op every future batch
+    val out = tmpDir("wet_guard_out")
+    assert(WetSink.writeBatch(rows.toDF("url", "text"), 0L, out,
+      "url", "text", maxContainerBytes = 900, shards = 2))
+    assert(WetSink.writeBatch(rows.toDF("url", "text"), 1L, out,
+      "url", "text", maxContainerBytes = 900, shards = 2))
+    val ex = intercept[IllegalStateException] {
+      WetSink.writeBatch(rows.toDF("url", "text"), 0L, out,
+        "url", "text", maxContainerBytes = 900, shards = 2)
+    }
+    assert(ex.getMessage.contains("batch"), ex.getMessage)
+    // exact replay of the CURRENT batch stays a quiet no-op
+    assert(!WetSink.writeBatch(rows.toDF("url", "text"), 1L, out,
+      "url", "text", maxContainerBytes = 900, shards = 2))
+  }
+
   test("L49b composition: PII mask → C4 surgery → langid floor → Gopher in ONE intakeBatch — kills attributable, survivor text masked AND surgered, survivors equal the closed-form composition") {
     import graft.functions.{TextFunctions => TF}
     import graft.operators.{C4Rules, Dedup, GopherRules, LangId}
