@@ -750,16 +750,20 @@ object Similarity {
       includeDelta: Boolean = true): DataFrame = {
     val centRows = readCentroids(spark, table) // build order → same tie-breaks
     val cents = typedLit(centRows.toSeq)
-    // materialized once (localCheckpoint): the probe frame feeds BOTH
-    // the driver-side list-id pull and the broadcast join below —
-    // unmaterialized, the per-query centroid scoring would run twice
     val probes = queries.select(col(qId), col(qVec),
       explode(probeListsAgainst(cents, col(qVec), nProbe)).alias("__list"))
-      .localCheckpoint(eager = true)
     // probed list ids, driver-side: bounded by nLists, and the isin
     // filter is what turns the bucketed layout into bucket PRUNING at
-    // the scan (a join alone prunes nothing)
-    val lists = probes.select(col("__list")).distinct().collect().map(_.getLong(0))
+    // the scan (a join alone prunes nothing). ONE bounded job — a
+    // map-side-partial collect_set (each task emits ≤nLists values) —
+    // where the previous shape paid an eager localCheckpoint job PLUS a
+    // distinct+collect job per probe call: driver round-trips are
+    // cluster-scheduler latency at scale, and the probe frame it
+    // checkpointed is broadcast-sized by definition, so recomputing its
+    // nLists-cosine scoring inside the broadcast build is cheaper than
+    // the extra round-trip (ADVICE/VERDICT r18 #2).
+    val lists = probes.agg(collect_set(col("__list")))
+      .head().getSeq[Long](0).toArray
     val main = spark.table(table)
     val deltaPath = new org.apache.hadoop.fs.Path(ivfDeltaDir(spark, table))
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -884,20 +888,24 @@ object Similarity {
     val cents = typedLit(centRows.toSeq)
     val bid = graft.Cols.fresh(newDf.columns ++ Seq(cId, cVec), "__bid")
     val bvec = graft.Cols.fresh(newDf.columns ++ Seq(cId, cVec, bid), "__bvec")
-    // the probe frame feeds the sideline count, the driver-side list
-    // pull AND the history join — materialize the assignment once
-    // (batch-sized; the ivfTopKIndexed barrier rationale)
     val assigned = newDf
       .select(col(idCol).alias(bid), col(vecCol).alias(bvec),
         nearestAgainst(cents, col(vecCol)).alias("__list"))
       .where(col("__list").isNotNull)
-      .localCheckpoint(eager = true)
-    val small = assigned.groupBy(col("__list"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxList)
-      .select(col("__list"))
-    val probes = assigned.join(broadcast(small), Seq("__list"), "left_semi")
-    // bounded by nLists — the isin literal is what prunes bucket files
-    val lists = probes.select(col("__list")).distinct().collect().map(_.getLong(0))
+    // ONE bounded job (≤nLists rows of (list, count)) yields BOTH the
+    // sideline decision and the probed-list literal — the previous
+    // shape paid an eager localCheckpoint job, then a count+semi-join,
+    // then a distinct+collect job, i.e. several driver round-trips per
+    // micro-batch in exactly the many-small-job pattern the composed
+    // loops are budgeted against (VERDICT r18 #2). The batch assignment
+    // is recomputed inside the broadcast build below — it is
+    // broadcast-sized by definition, cheaper than the extra jobs.
+    val lists = assigned.groupBy(col("__list")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxList).select(col("__list"))
+      .collect().map(_.getLong(0))
+    // sideline = drop oversized lists map-side via the SAME literal —
+    // no count-frame semi-join in the plan at all
+    val probes = assigned.where(col("__list").isin(lists.toSeq: _*))
     val main = spark.table(table)
     val deltaPath = new org.apache.hadoop.fs.Path(ivfDeltaDir(spark, table))
     val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

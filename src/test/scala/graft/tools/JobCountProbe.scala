@@ -17,6 +17,7 @@ object JobCountProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("multimodal")) { multimodal(); return }
     if (args.headOption.contains("alllegs")) { allLegs(); return }
+    if (args.headOption.contains("ivf")) { ivf(); return }
     val spark = graft.GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -45,6 +46,52 @@ object JobCountProbe {
     spark.sparkContext.removeSparkListener(listener)
     println(s"[jobcount] intakeBatch steady-state jobs = ${names.size}")
     names.foreach(n => println(s"[jobcount]   $n"))
+    spark.stop()
+  }
+
+  /** `main("ivf")` — jobs per persisted-index probe call (the VERDICT
+    * r18 #2 driver-round-trip number): one warm [[graft.operators
+    * .Similarity.ivfTopKIndexed]] call and one steady-state
+    * [[graft.operators.Similarity.semanticIncrementalDelta]] call,
+    * per-job names. */
+  private def ivf(): Unit = {
+    val spark = graft.GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+    import spark.implicits._
+    val table = "jcp_ivf_idx"
+    Similarity.dropIvfIndex(spark, table)
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        (math.abs((i * 2654435761L + j * 40503L) % 1000) / 500.0 - 1.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(spark, vecs(0 until 4000), table, nLists = 16)
+    val queries = vecs(0 until 64).toDF("q_id", "q_vec")
+    // warm-up (plan caches, codegen) so the measured calls are steady
+    Similarity.ivfTopKIndexed(spark, queries, table, k = 5).count()
+    Similarity.semanticIncrementalDelta(spark, vecs(4000 until 4100), table,
+      tau = 0.999).count()
+    def measure(tag: String)(body: => Unit): Unit = {
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = names.synchronized {
+          names += s"job ${js.jobId}: [${js.stageInfos.map(si => si.name.takeWhile(_ != '(')).mkString(" | ")}]"
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      body
+      Thread.sleep(1500)
+      spark.sparkContext.removeSparkListener(listener)
+      println(s"[jobcount] $tag jobs = ${names.size}")
+      names.foreach(n => println(s"[jobcount]   $n"))
+    }
+    measure("ivfTopKIndexed") {
+      Similarity.ivfTopKIndexed(spark, queries, table, k = 5).count(): Unit
+    }
+    measure("semanticIncrementalDelta") {
+      Similarity.semanticIncrementalDelta(spark, vecs(4100 until 4200), table,
+        tau = 0.999).count(): Unit
+    }
     spark.stop()
   }
 
