@@ -236,6 +236,28 @@ object LlmQueries {
     s"""WITH plant AS ($c4PlantsSql), docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM plant), base AS (SELECT doc_id, $linesSql AS ls FROM docs WHERE text IS NOT NULL), kk AS (SELECT doc_id, COALESCE(array_to_string(list_filter(ls, l -> $pred), chr(10)), '') AS ct FROM base), met AS (SELECT doc_id, ct, CASE WHEN len(ct) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(string_split(ct, chr(10))) AS BIGINT) END AS n_kept, CAST(len(regexp_extract_all(ct, '[.!?]')) AS BIGINT) AS n_sentences, contains(lower(ct), 'lorem ipsum') AS has_lorem, contains(ct, '{') AS has_brace, regexp_matches(lower(ct), '$badPat') AS has_bad_word FROM kk) SELECT d.doc_id, m.ct AS clean_text, m.n_kept, m.n_sentences, m.has_lorem, m.has_brace, m.has_bad_word, CASE WHEN d.text IS NULL THEN TRUE ELSE m.n_sentences >= ${cfg.minSentences} AND NOT m.has_lorem AND NOT m.has_brace AND NOT m.has_bad_word END AS keep FROM docs d LEFT JOIN met m USING (doc_id) ORDER BY d.doc_id"""
   }
 
+  // ---- l45 content-coded plant: a real-crawl response record whose
+  // body arrives gzip'd under Content-Encoding (VERDICT r18 #3). Built
+  // once driver-side; the record bytes feed the Spark fixture and the
+  // BLOCK length feeds the oracle literal — both derive from the same
+  // deterministic JDK gzip in the same JVM, so the two sides cannot
+  // drift. ----
+
+  private val L45CeUrl = "http://ce.example.com/p"
+  private val L45CeText = "a content-coded page body"
+  private lazy val l45CeBlock: Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(L45CeText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    g.close()
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: gzip\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ bo.toByteArray
+  }
+  private lazy val l45CeRecordBlockLen: Int = l45CeBlock.length
+  private lazy val l45CeRecord: Array[Byte] = graft.sources.Warc.writeRecord(
+    "response", L45CeUrl, "application/http; msgtype=response", l45CeBlock)
+
   // ---- l42 language-ID fixture + oracle (the l39 retrain-differential
   // pattern, one-vs-rest over char bigrams) ----
 
@@ -3225,23 +3247,27 @@ object LlmQueries {
           col("text"), (col("doc_id") % 8).as("bucket"))
       val packed = Warc.packWet(docs, "bucket", "url", "text",
         gzipOdd = true)
-      // plant: undeclared garbage after bucket 2's records — parsing
-      // must count exactly one malformed unit there and zero elsewhere.
-      // (A PLAIN bucket on purpose: the JDK gzip reader stops silently
+      // plants: undeclared garbage after bucket 2's records — parsing
+      // must count exactly one malformed unit there and zero elsewhere
+      // (a PLAIN bucket on purpose: the JDK gzip reader stops silently
       // at the last valid member, so garbage after a gzip'd container
-      // is unreachable by construction — pinned in WarcSpec.)
+      // is unreachable by construction — pinned in WarcSpec) — and a
+      // Content-Encoding: gzip response record on bucket 4 whose body
+      // must inflate back to its plaintext (the real-crawl shape,
+      // VERDICT r18 #3).
       val planted = packed.withColumn("warc",
         when(col("bucket") === 2,
           concat(col("warc"),
             lit("WARC/1.0\r\nbroken header no terminator".getBytes(
               java.nio.charset.StandardCharsets.UTF_8))))
+          .when(col("bucket") === 4, concat(col("warc"), lit(l45CeRecord)))
           .otherwise(col("warc")))
       Warc.pages(planted, "warc")
         .select(col("url"), col("page_text"), col("warc_type"),
           col("content_length"), col("malformed"))
         .orderBy(col("url"))
     }, Some(
-      """SELECT 'http://w' || doc_id || '.example.com/p' AS url, text AS page_text, 'conversion' AS warc_type, CAST(octet_length(encode(text)) AS BIGINT) AS content_length, CAST(CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 0 END AS INTEGER) AS malformed FROM documents WHERE text IS NOT NULL ORDER BY url""")),
+      s"""SELECT 'http://w' || doc_id || '.example.com/p' AS url, text AS page_text, 'conversion' AS warc_type, CAST(octet_length(encode(text)) AS BIGINT) AS content_length, CAST(CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 0 END AS INTEGER) AS malformed FROM documents WHERE text IS NOT NULL UNION ALL SELECT '$L45CeUrl' AS url, '$L45CeText' AS page_text, 'response' AS warc_type, CAST(${l45CeRecordBlockLen} AS BIGINT) AS content_length, CAST(0 AS INTEGER) AS malformed ORDER BY url""")),
 
     // ---- L50b: the PRODUCTION write side ([[graft.streaming.WetSink]]
     // — byte-bounded containers via the packSequences start-div cut,

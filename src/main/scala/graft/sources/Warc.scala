@@ -492,10 +492,18 @@ object Warc {
     * the HTTP status line + headers; a `Transfer-Encoding: chunked`
     * body (RFC 9112 §7.1 — CommonCrawl stores identity bodies, but
     * verbatim-captured crawls from other fetchers do carry chunked
-    * framing) is de-chunked, falling back to the raw body verbatim if
-    * the chunk grammar is violated (the S16 tolerance posture: crawl
-    * bytes are untrusted, a bad frame must not throw). Anything else
-    * (WET `text/plain` conversions) is the block verbatim. */
+    * framing) is de-chunked, then a `Content-Encoding: gzip`/`x-gzip`/
+    * `deflate` representation (RFC 9110 §8.4 — real crawl response
+    * records carry content-coded bodies daily; undecoded they reach
+    * `strip_html` as compressed binary, VERDICT r18 #3) is inflated —
+    * transfer framing first, content coding second, the wire's own
+    * layer order. `deflate` accepts both the RFC 1950 zlib wrapping the
+    * spec means and the raw-deflate stream some servers actually send.
+    * Every decode failure — and every coding this engine has no codec
+    * for (`br`, `zstd`, multi-codings) — falls back to the body
+    * verbatim (the S16 tolerance posture: crawl bytes are untrusted, a
+    * bad frame must not throw). Anything else (WET `text/plain`
+    * conversions) is the block verbatim. */
   def payloadText(r: Record): String = {
     val b = r.block
     if (!r.contentType.startsWith("application/http"))
@@ -504,6 +512,7 @@ object Warc {
     var lineStart = 0
     var bodyStart = -1
     var chunked = false
+    var encoding: String = null
     while (bodyStart < 0 && i + 1 < b.length) {
       if (b(i) == '\r' && b(i + 1) == '\n') {
         if (i == lineStart) bodyStart = i + 2 // blank line: body follows
@@ -511,22 +520,88 @@ object Warc {
           if (lineStart > 0) { // header lines (the status line is first)
             val line = new String(b, lineStart, i - lineStart, UTF_8)
             val c = line.indexOf(':')
-            if (c > 0 &&
-              line.substring(0, c).trim.equalsIgnoreCase("transfer-encoding") &&
-              line.substring(c + 1).toLowerCase.contains("chunked"))
-              chunked = true
+            if (c > 0) {
+              val name = line.substring(0, c).trim
+              if (name.equalsIgnoreCase("transfer-encoding") &&
+                line.substring(c + 1).toLowerCase.contains("chunked"))
+                chunked = true
+              else if (name.equalsIgnoreCase("content-encoding"))
+                encoding = line.substring(c + 1).trim.toLowerCase
+            }
           }
           lineStart = i + 2
         }
         i += 2
       } else i += 1
     }
-    if (bodyStart < 0) ""
-    else if (chunked) decodeChunked(b, bodyStart) match {
-      case Some(d) => new String(d, UTF_8)
-      case None => new String(b, bodyStart, b.length - bodyStart, UTF_8)
+    if (bodyStart < 0) return ""
+    // transfer de-framing; a violated chunk grammar keeps the raw body
+    val dechunked: Array[Byte] =
+      if (chunked) decodeChunked(b, bodyStart).orNull else null
+    if (encoding == null || encoding == "identity") {
+      if (dechunked != null) new String(dechunked, UTF_8)
+      else new String(b, bodyStart, b.length - bodyStart, UTF_8)
+    } else {
+      val body = if (dechunked != null) dechunked
+        else java.util.Arrays.copyOfRange(b, bodyStart, b.length)
+      contentDecode(body, encoding) match {
+        case Some(d) => new String(d, UTF_8)
+        case None => new String(body, UTF_8) // malformed/unknown: verbatim
+      }
     }
-    else new String(b, bodyStart, b.length - bodyStart, UTF_8)
+  }
+
+  /** Inflate one `Content-Encoding` representation, or None when the
+    * coding is unknown or the bytes violate it (caller falls back
+    * verbatim). `deflate` tries the zlib wrapping RFC 9110 §8.4.5
+    * specifies first, then the bare stream misconfigured servers send
+    * (both real on crawled traffic). */
+  private def contentDecode(body: Array[Byte], encoding: String): Option[Array[Byte]] =
+    encoding match {
+      case "gzip" | "x-gzip" => gunzipStrict(body)
+      case "deflate" =>
+        inflateStrict(body, nowrap = false)
+          .orElse(inflateStrict(body, nowrap = true))
+      case _ => None // br/zstd/coding lists: no codec here
+    }
+
+  /** All-or-nothing gunzip (unlike [[gunzipAll]]'s tolerant partial
+    * read): a content-coded body either inflates completely or the
+    * caller keeps the raw bytes — a partial inflate would silently
+    * truncate page text. */
+  private def gunzipStrict(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (!isGzip(bytes)) return None
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+      try {
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** All-or-nothing raw/zlib inflate for `Content-Encoding: deflate`. */
+  private def inflateStrict(bytes: Array[Byte], nowrap: Boolean): Option[Array[Byte]] = {
+    if (bytes.isEmpty) return None
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        // no progress and not finished = truncated stream or wrong wrap
+        else if (!inf.finished()) return None
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
   }
 
   /** Decode a chunked transfer body from `b(from..)`: hex size line

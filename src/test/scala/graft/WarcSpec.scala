@@ -333,6 +333,70 @@ class WarcSpec extends SparkSpec {
       "5\r\nhello\r\n0\r\n\r\n")) === "5\r\nhello\r\n0\r\n\r\n")
   }
 
+  test("L50: Content-Encoding gzip/deflate response bodies decode (RFC 9110 §8.4); chunked+gzip stack in wire order; malformed or unknown codings fall back verbatim") {
+    def respRecB(headers: String, body: Array[Byte]) = Warc.writeRecord(
+      "response", "http://ce.example.com/1",
+      "application/http; msgtype=response",
+      s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n".getBytes(UTF_8) ++ body)
+    def payloadOf(rec: Array[Byte]): String = {
+      val (rs, bad) = Warc.parseAll(rec)
+      assert(bad === 0 && rs.size === 1)
+      Warc.payloadText(rs.head)
+    }
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes(UTF_8)); g.close(); bo.toByteArray
+    }
+    def defl(s: String, nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(s.getBytes(UTF_8)); d.finish()
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+      d.end(); bo.toByteArray
+    }
+    val ct = "Content-Type: text/html"
+    // gzip + the x-gzip alias, value match case-insensitive
+    assert(payloadOf(respRecB(s"$ct\r\nContent-Encoding: gzip",
+      gz("<p>gzipped page</p>"))) === "<p>gzipped page</p>")
+    assert(payloadOf(respRecB(s"$ct\r\ncontent-encoding: X-GZIP",
+      gz("aliased"))) === "aliased")
+    // deflate: the zlib wrapping the RFC means AND the bare stream
+    // misconfigured servers send
+    assert(payloadOf(respRecB(s"$ct\r\nContent-Encoding: deflate",
+      defl("zlib-wrapped body", nowrap = false))) === "zlib-wrapped body")
+    assert(payloadOf(respRecB(s"$ct\r\nContent-Encoding: deflate",
+      defl("raw deflate body", nowrap = true))) === "raw deflate body")
+    // chunked + gzip stacked: transfer de-framing first, then the
+    // content coding — the wire's layer order
+    val gzBytes = gz("stacked codings")
+    val chunkedGz = s"${gzBytes.length.toHexString}\r\n".getBytes(UTF_8) ++
+      gzBytes ++ "\r\n0\r\n\r\n".getBytes(UTF_8)
+    assert(payloadOf(respRecB(
+      s"$ct\r\nTransfer-Encoding: chunked\r\nContent-Encoding: gzip",
+      chunkedGz)) === "stacked codings")
+    // malformed codings fall back to the body verbatim (S16 posture)
+    val truncated = gz("will be cut").dropRight(6)
+    assert(payloadOf(respRecB(s"$ct\r\nContent-Encoding: gzip", truncated))
+      === new String(truncated, UTF_8))
+    val notGzip = "plain text, headers lied".getBytes(UTF_8)
+    assert(payloadOf(respRecB(s"$ct\r\nContent-Encoding: gzip", notGzip))
+      === "plain text, headers lied")
+    assert(payloadOf(respRecB(s"$ct\r\nContent-Encoding: deflate", notGzip))
+      === "plain text, headers lied")
+    // codings this engine has no codec for (and coding lists) ride
+    // through verbatim rather than throwing
+    assert(payloadOf(respRecB(s"$ct\r\nContent-Encoding: br", notGzip))
+      === "plain text, headers lied")
+    assert(payloadOf(respRecB(s"$ct\r\nContent-Encoding: gzip, br",
+      gz("listed"))) === new String(gz("listed"), UTF_8))
+    // identity is the explicit spelling of the default path
+    assert(payloadOf(respRecB(s"$ct\r\nContent-Encoding: identity",
+      "just text".getBytes(UTF_8))) === "just text")
+  }
+
   test("L50: pages() explodes containers, filters framing records, stamps the malformed count; a dead container leaves a quarantine row") {
     val warcinfo = Warc.writeRecord("warcinfo", "", "application/warc-fields",
       "software: test\r\n".getBytes(UTF_8))
