@@ -51,11 +51,76 @@ object Unigram {
   private val Scale = 1e6
 
   /** A trained model: piece → quantized ln p (micro), the max piece
-    * length, and the UNK per-character penalty. */
+    * length, and the UNK per-character penalty. With `byteFallback`
+    * (SentencePiece's `byte_fallback`, off by default) an unseen code
+    * point is emitted as its UTF-8 bytes spelled as the 256 reserved
+    * `<0xNN>` tokens instead of as itself — apply becomes TOTAL over
+    * the FIXED vocabulary `pieces ∪ byteTokens`, the property a
+    * downstream trainer's embedding table needs ([[decodePieces]]
+    * restores the original text, so the reconstruction contract
+    * survives in decoded form). The `<0xNN>` spellings are reserved:
+    * a corpus whose TEXT contains that literal 6-char sequence decodes
+    * it as a byte (the SentencePiece meta-piece caveat). */
   final case class Model(pieces: Map[String, Long], maxPieceLen: Int,
-      qUnk: Long) {
+      qUnk: Long, byteFallback: Boolean = false) {
     require(pieces.nonEmpty, "empty unigram vocabulary")
   }
+
+  /** The 256 reserved byte pieces, `<0x00>`..`<0xFF>`. */
+  val byteTokens: IndexedSeq[String] =
+    (0 until 256).map(b => f"<0x$b%02X>")
+
+  /** Turn byte-fallback on for a trained model (train covers its own
+    * corpus, so the flag only changes APPLY-time behavior on novel
+    * characters). */
+  def withByteFallback(m: Model): Model = m.copy(byteFallback = true)
+
+  /** Append `sub` to a REVERSED piece buffer: under byte-fallback an
+    * out-of-vocabulary piece (always a single code point — multi-char
+    * subs never win at Long.MinValue) emits its UTF-8 bytes as
+    * `<0xNN>` tokens, in reverse order so the caller's final reverse
+    * restores byte order. */
+  private def emitReversed(out: scala.collection.mutable.ArrayBuffer[String],
+      sub: String, pieces: Map[String, Long], byteFallback: Boolean): Unit = {
+    if (byteFallback && !pieces.contains(sub)) {
+      val bs = sub.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var b = bs.length - 1
+      while (b >= 0) { out += byteTokens(bs(b) & 0xff); b -= 1 }
+    } else out += sub
+  }
+
+  /** Invert a piece stream back to text: `<0xNN>` byte tokens decode
+    * as UTF-8 (runs are gathered so multi-byte characters reassemble);
+    * every other piece concatenates verbatim. Total: any token
+    * sequence decodes (a lone malformed byte run decodes with the
+    * charset's replacement character — crawl-bytes tolerance, not an
+    * exception). */
+  def decodePieces(tokens: Seq[String]): String = {
+    if (tokens == null) return null
+    val sb = new java.lang.StringBuilder()
+    val run = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = if (run.size() > 0) {
+      sb.append(new String(run.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      run.reset()
+    }
+    tokens.foreach { t =>
+      val b = byteTokenValue(t)
+      if (b >= 0) run.write(b)
+      else { flush(); sb.append(t) }
+    }
+    flush()
+    sb.toString
+  }
+
+  /** `<0xNN>` → NN, else -1. */
+  private def byteTokenValue(t: String): Int =
+    if (t != null && t.length == 6 && t.charAt(0) == '<' &&
+      t.charAt(1) == '0' && t.charAt(2) == 'x' && t.charAt(5) == '>' &&
+      Character.digit(t.charAt(3), 16) >= 0 &&
+      Character.digit(t.charAt(4), 16) >= 0)
+      (Character.digit(t.charAt(3), 16) << 4) | Character.digit(t.charAt(4), 16)
+    else -1
 
   private def qln(p: Double): Long = math.round(math.log(p) * Scale)
 
@@ -77,7 +142,7 @@ object Unigram {
     * it). On BMP-only text the boundary table is the identity and
     * the walk is unchanged. */
   private[graft] def viterbi(word: String, pieces: Map[String, Long],
-      maxLen: Int, qUnk: Long): Array[String] = {
+      maxLen: Int, qUnk: Long, byteFallback: Boolean = false): Array[String] = {
     val nu = word.length
     if (nu == 0) return Array.empty
     // offs(k) = UTF-16 index of code point k; offs(m) = word end
@@ -116,7 +181,11 @@ object Unigram {
     // walk back
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var k = m
-    while (k > 0) { out += word.substring(offs(back(k)), offs(k)); k = back(k) }
+    while (k > 0) {
+      emitReversed(out, word.substring(offs(back(k)), offs(k)), pieces,
+        byteFallback)
+      k = back(k)
+    }
     out.reverseIterator.toArray
   }
 
@@ -398,7 +467,7 @@ object Unigram {
     * corpus. */
   private[graft] def sampleSegmentation(word: String,
       pieces: Map[String, Long], maxLen: Int, qUnk: Long,
-      alpha: Double, seed: Long): Array[String] = {
+      alpha: Double, seed: Long, byteFallback: Boolean = false): Array[String] = {
     val nu = word.length
     if (nu == 0) return Array.empty
     val offs = new Array[Int](nu + 1)
@@ -459,7 +528,8 @@ object Unigram {
         j += 1
       }
       if (pick < 0) pick = i - 1 // fp round-off tail: the last edge
-      out += word.substring(offs(pick), offs(i))
+      emitReversed(out, word.substring(offs(pick), offs(i)), pieces,
+        byteFallback)
       i = pick
     }
     out.reverseIterator.toArray
@@ -482,6 +552,7 @@ object Unigram {
     val textIdx = df.schema.fieldIndex(textCol)
     val seedIdx = df.schema.fieldIndex(seedCol)
     val pieces = m.pieces; val maxLen = m.maxPieceLen; val qUnk = m.qUnk
+    val bf = m.byteFallback
     df.mapPartitions { rows =>
       rows.map { r =>
         val text = r.getString(textIdx)
@@ -493,7 +564,7 @@ object Unigram {
             text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
               k += 1
               sampleSegmentation(w, pieces, maxLen, qUnk, alpha,
-                mix64(rowSeed * 31L + k))
+                mix64(rowSeed * 31L + k), bf)
             }.toSeq
           }
         Row.fromSeq(r.toSeq :+ toks)
@@ -511,6 +582,7 @@ object Unigram {
     val enc = RowEncoder.encoderFor(outSchema)
     val textIdx = df.schema.fieldIndex(textCol)
     val pieces = m.pieces; val maxLen = m.maxPieceLen; val qUnk = m.qUnk
+    val bf = m.byteFallback
     df.mapPartitions { rows =>
       val cache = new java.util.HashMap[String, Array[String]]()
       rows.map { r =>
@@ -519,10 +591,28 @@ object Unigram {
           if (text == null) null
           else text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
             var t = cache.get(w)
-            if (t == null) { t = viterbi(w, pieces, maxLen, qUnk); cache.put(w, t) }
+            if (t == null) {
+              t = viterbi(w, pieces, maxLen, qUnk, bf); cache.put(w, t)
+            }
             t
           }.toSeq
         Row.fromSeq(r.toSeq :+ toks)
+      }
+    }(enc)
+  }
+
+  /** Append `decoded` = [[decodePieces]] of a token-array column —
+    * the inverse apply (mapPartitions like the apply tiers: the walk
+    * is imperative, the frame never shuffles). */
+  def decodeUnigram(df: DataFrame, tokensCol: String,
+      outCol: String = "decoded"): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, StringType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val tokIdx = df.schema.fieldIndex(tokensCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val toks = if (r.isNullAt(tokIdx)) null else r.getSeq[String](tokIdx)
+        Row.fromSeq(r.toSeq :+ decodePieces(toks))
       }
     }(enc)
   }
@@ -533,19 +623,23 @@ object Unigram {
   def writeVocab(spark: SparkSession, m: Model, table: String): Unit = {
     import spark.implicits._
     m.pieces.toSeq.sortBy(_._1)
-      .map { case (p, q) => (p, q, m.maxPieceLen, m.qUnk) }
-      .toDF("piece", "q_logp", "max_piece_len", "q_unk")
+      .map { case (p, q) => (p, q, m.maxPieceLen, m.qUnk, m.byteFallback) }
+      .toDF("piece", "q_logp", "max_piece_len", "q_unk", "byte_fallback")
       .write.mode("overwrite").saveAsTable(table)
   }
 
   /** Load a [[writeVocab]] table back into a model (exact on the
-    * integer grid — the round trip changes nothing). */
+    * integer grid — the round trip changes nothing). Tables written
+    * before the byte-fallback column read back with the flag off. */
   def readVocab(spark: SparkSession, table: String): Model = {
-    val rows = spark.table(table)
-      .select(col("piece"), col("q_logp"), col("max_piece_len"), col("q_unk"))
+    val t = spark.table(table)
+    val hasBf = t.columns.contains("byte_fallback")
+    val rows = t.select(col("piece"), col("q_logp"), col("max_piece_len"),
+        col("q_unk"),
+        (if (hasBf) col("byte_fallback") else lit(false)).as("bf"))
       .collect()
     require(rows.nonEmpty, s"empty unigram vocab table $table")
     Model(rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
-      rows.head.getInt(2), rows.head.getLong(3))
+      rows.head.getInt(2), rows.head.getLong(3), rows.head.getBoolean(4))
   }
 }

@@ -258,6 +258,88 @@ object LlmQueries {
   private lazy val l45CeRecord: Array[Byte] = graft.sources.Warc.writeRecord(
     "response", L45CeUrl, "application/http; msgtype=response", l45CeBlock)
 
+  // ---- l46g fixed-vocabulary Viterbi differential (VERDICT r18 #4):
+  // the l46b/e/f oracles pin character conservation, which a
+  // wrong-but-conserving segmentation passes; this row pins the
+  // SEGMENTATION itself. The piece table is a hand-fixed literal (the
+  // apply path under test — viterbi — is identical for trained and
+  // literal models), shared verbatim with the oracle, which re-runs
+  // the Viterbi DP in DuckDB as unrolled CTE steps (the l39/l42/l43
+  // restate-the-algorithm discipline): per word, position k's best
+  // (score, path) comes from the ≤maxPieceLen previous positions, max
+  // score with ties to the longest last piece (smallest j) — the
+  // engine's exact tie rule. Words are capped at 12 code points so
+  // the unroll is bounded; the cap is applied identically on both
+  // sides. Scores are exact BIGINT micro-lns; the compared columns
+  // are the piece string itself, the piece count, and the path score.
+  // A tie-plant ("ab" scored exactly q(a)+q(b)) keeps the tie rule
+  // load-bearing on every corpus. ----
+
+  private val L46gMaxPieceLen = 3
+  private val L46gWordCap = 12
+  private val L46gQUnk = -30000000L
+  private[graft] val L46gPieces: Seq[(String, Long)] = {
+    val singles = ('a' to 'z').map(c =>
+      c.toString -> (-3000000L - 50000L * (c - 'a')))
+    val multi = Seq(
+      "th" -> -2500000L, "he" -> -2600000L, "in" -> -2700000L,
+      "er" -> -2800000L, "an" -> -2900000L, "re" -> -3000000L,
+      "on" -> -3050000L, "at" -> -3100000L, "en" -> -3150000L,
+      "nd" -> -3200000L, "ti" -> -3250000L, "es" -> -3300000L,
+      "or" -> -3350000L, "te" -> -3400000L, "ed" -> -3450000L,
+      "is" -> -3500000L, "it" -> -3550000L, "al" -> -3600000L,
+      "the" -> -3700000L, "ing" -> -3800000L, "and" -> -3900000L,
+      "ion" -> -4000000L, "ent" -> -4100000L, "for" -> -4200000L,
+      "ati" -> -4300000L, "ter" -> -4400000L,
+      // EXACT tie with a+b (-3000000 + -3050000): the longer piece
+      // must win wherever "ab" occurs — the tie rule stays observable
+      "ab" -> -6050000L)
+    singles ++ multi
+  }
+  private[graft] lazy val l46gModel = graft.operators.Unigram.Model(
+    L46gPieces.toMap, L46gMaxPieceLen, L46gQUnk)
+
+  /** Planted words UNIONed into the word universe on both sides — the
+    * documents fixture has ~31 distinct tokens, too few to exercise the
+    * vocabulary: these force the "ab" exact tie, overlapping-piece
+    * choices, the UNK route (digits, accents, CJK), the 12-code-point
+    * cap (both engines must truncate identically), and a supplementary
+    * character inside a word (code-point substr on both sides). */
+  private val L46gPlantWords = Seq(
+    "ab", "aab", "abab", "abandonment", "theatre", "threading",
+    "internationalization", "forentity", "attrition", "presenting",
+    "zzzz", "xy9q", "a🌍b", "éclair", "中文ab", "ingesting", "tition",
+    "andandand", "entente", "tertiary")
+
+  /** The DuckDB restatement of [[graft.operators.Unigram.viterbi]]
+    * over the [[L46gPieces]] literal: generated, not hand-unrolled. */
+  private[graft] lazy val l46gOracleSql: String = {
+    val k = L46gWordCap
+    val vocabValues = L46gPieces.map { case (p, q) =>
+      s"('$p', CAST($q AS BIGINT))" }.mkString(", ")
+    def cands(i: Int): String = (math.max(0, i - L46gMaxPieceLen) until i)
+      .map { j =>
+        s"SELECT b.word, $j AS j, b.score, b.n, b.seg, substr(b.word, ${j + 1}, ${i - j}) AS sub FROM b$j b WHERE length(b.word) >= $i"
+      }.mkString(" UNION ALL ")
+    val steps = (1 to k).map { i =>
+      s"b$i AS (SELECT word, score, n, seg FROM (SELECT c.word, c.j, c.score + COALESCE(v.q, CASE WHEN length(c.sub) = 1 THEN CAST($L46gQUnk AS BIGINT) END) AS score, c.n + 1 AS n, CASE WHEN c.j = 0 THEN c.sub ELSE c.seg || '|' || c.sub END AS seg FROM (${cands(i)}) c LEFT JOIN vocab v ON v.piece = c.sub) x WHERE score IS NOT NULL QUALIFY row_number() OVER (PARTITION BY word ORDER BY score DESC, j ASC) = 1)"
+    }.mkString(", ")
+    val finals = (1 to k).map(i =>
+      s"SELECT word, n, seg, score FROM b$i WHERE length(word) = $i")
+      .mkString(" UNION ALL ")
+    val plantList = L46gPlantWords.map(w => s"'$w'").mkString(", ")
+    s"WITH toks AS (SELECT unnest($tokensSql) AS token FROM documents WHERE text IS NOT NULL UNION ALL SELECT unnest([$plantList]) AS token), words AS (SELECT DISTINCT substr(token, 1, $k) AS word FROM toks WHERE len(token) > 0), vocab AS (SELECT * FROM (VALUES $vocabValues) AS t(piece, q)), b0 AS (SELECT word, CAST(0 AS BIGINT) AS score, CAST(0 AS BIGINT) AS n, CAST('' AS VARCHAR) AS seg FROM words), $steps SELECT word, n AS n_pieces, seg AS pieces, score AS q_total FROM ($finals) ORDER BY word"
+  }
+
+  // ---- l46h byte-fallback plant: text whose characters the trained
+  // vocabulary has never seen (accented Latin, CJK, a supplementary
+  // emoji) — apply must stay total over the fixed vocabulary and the
+  // decode must restore the text (VERDICT r18 #6). The oracle literal
+  // is derived from the same Scala constant, so the sides cannot
+  // drift. ----
+  private val L46hPlantText = "café résumé 中文 🌍 naïve"
+  private val L46hPlantStripped = L46hPlantText.replaceAll("\\s", "")
+
   // ---- l42 language-ID fixture + oracle (the l39 retrain-differential
   // pattern, one-vs-rest over char bigrams) ----
 
@@ -3459,6 +3541,59 @@ object LlmQueries {
           aggregate(transform(col("uni_tokens"), t => length(t).cast("long")),
             lit(0L), (a, x) => a + x).as("n_chars"))
         .orderBy(col("doc_id"))
-    }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"""))
+    }, Some("""SELECT doc_id, CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""")),
+
+    // ---- L51g: SEGMENTATION-grade Viterbi differential (VERDICT r18
+    // #4 — see the fixture block above l42 for the full rationale):
+    // per distinct corpus word (capped at 12 code points), the engine's
+    // piece string, piece count, and exact path score must equal a
+    // DuckDB re-run of the same DP over the same literal piece table.
+    // A segmentation that conserves characters but splits anywhere
+    // else — or breaks a tie the other way — fails the hash. ----
+    ("l46g_unigram_viterbi", (s, d) => {
+      import s.implicits._
+      val qMap = typedLit(L46gPieces.toMap)
+      val words = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(explode(TF.tokens(col("text"))).as("t"))
+        .unionByName(L46gPlantWords.toDF("t"))
+        .select(substring(col("t"), 1, L46gWordCap).as("word"))
+        .distinct()
+      graft.operators.Unigram.applyUnigram(words, "word", l46gModel)
+        .select(col("word"),
+          size(col("uni_tokens")).cast("long").as("n_pieces"),
+          array_join(col("uni_tokens"), "|").as("pieces"),
+          aggregate(transform(col("uni_tokens"),
+              t => coalesce(element_at(qMap, t), lit(L46gQUnk))),
+            lit(0L), (a, x) => a + x).as("q_total"))
+        .orderBy(col("word"))
+    }, Some(l46gOracleSql)),
+
+    // ---- L51h: byte-fallback reconstruction (VERDICT r18 #6 — the
+    // l46b contract extended to apply-time-novel characters): train on
+    // the corpus, flip SentencePiece's byte_fallback on, apply to the
+    // corpus PLUS a planted doc of never-seen characters. Claims, per
+    // doc: the DECODED pieces equal the whitespace-free text (identity,
+    // stronger than l46b's count), and zero tokens fall outside the
+    // FIXED vocabulary pieces ∪ the 256 byte tokens — the totality the
+    // recipe exists for. ----
+    ("l46h_unigram_byte_fallback", (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val plant = Seq((-7L, L46hPlantText)).toDF("doc_id", "text")
+      val model = graft.operators.Unigram.withByteFallback(
+        graft.operators.Unigram.train(
+          graft.operators.Bpe.wordDict(docs.select(col("text")), "text"),
+          targetSize = 60, maxPieceLen = 6))
+      val vocab = typedLit((model.pieces.keySet ++
+        graft.operators.Unigram.byteTokens).toSeq)
+      graft.operators.Unigram.decodeUnigram(
+          graft.operators.Unigram.applyUnigram(
+            docs.unionByName(plant), "text", model), "uni_tokens")
+        .select(col("doc_id"), col("decoded"),
+          when(col("text").isNull, lit(0L))
+            .otherwise(size(filter(col("uni_tokens"),
+              t => !array_contains(vocab, t))).cast("long")).as("n_oov"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""SELECT doc_id, REGEXP_REPLACE(text, '\\s', '', 'g') AS decoded, CAST(0 AS BIGINT) AS n_oov FROM documents UNION ALL SELECT CAST(-7 AS BIGINT) AS doc_id, '$L46hPlantStripped' AS decoded, CAST(0 AS BIGINT) AS n_oov ORDER BY doc_id"""))
   )
 }

@@ -241,4 +241,50 @@ class UnigramSpec extends SparkSpec {
       assert(back === model, "write→read must be exact on the integer grid")
     } finally graft.operators.Layout.dropTableAndLocation(spark, table)
   }
+
+  test("L51g: byte-fallback — apply is TOTAL over the fixed vocab, novel chars round-trip through <0xNN> pieces, the flag persists (SentencePiece byte_fallback)") {
+    val base = Unigram.train(dictOf(corpus), targetSize = 40, maxPieceLen = 6)
+    val model = Unigram.withByteFallback(base)
+    val fixedVocab = model.pieces.keySet ++ Unigram.byteTokens
+    // é (2 UTF-8 bytes) after corpus-covered chars: the tail expands
+    val toks = Unigram.viterbi("nationé", model.pieces,
+      model.maxPieceLen, model.qUnk, byteFallback = true).toSeq
+    assert(toks.takeRight(2) === Seq("<0xC3>", "<0xA9>"), toks.toString)
+    assert(Unigram.decodePieces(toks) === "nationé")
+    // a supplementary code point expands to its 4 bytes and reassembles
+    val globe = "🌍" // U+1F30D
+    val em = Unigram.viterbi(globe, model.pieces, model.maxPieceLen,
+      model.qUnk, byteFallback = true).toSeq
+    assert(em.size === 4 && em.forall(Unigram.byteTokens.contains), em.toString)
+    assert(Unigram.decodePieces(em) === globe)
+    // apply over a mixed doc: EVERY token is in the fixed vocabulary
+    // (the embedding-table totality the recipe exists for) and the
+    // decode column helper restores the whitespace-free text
+    val novel = s"nationé 中文 $globe word"
+    val df = Seq((1L, novel)).toDF("id", "text")
+    val out = Unigram.applyUnigram(df, "text", model)
+    val tokens = out.select($"uni_tokens").as[Seq[String]].head()
+    assert(tokens.forall(fixedVocab),
+      s"out-of-vocab tokens: ${tokens.filterNot(fixedVocab)}")
+    assert(Unigram.decodePieces(tokens) === novel.replaceAll("\\s", ""))
+    assert(Unigram.decodeUnigram(out, "uni_tokens")
+      .select($"decoded").as[String].head() === novel.replaceAll("\\s", ""))
+    // the sampled path honors the flag with the same round trip
+    val samp = Unigram.sampleSegmentation("nationé", model.pieces,
+      model.maxPieceLen, model.qUnk, alpha = 0.5, seed = 7L,
+      byteFallback = true).toSeq
+    assert(samp.forall(fixedVocab), samp.toString)
+    assert(Unigram.decodePieces(samp) === "nationé")
+    // off by default: the old emit-itself UNK behavior is unchanged
+    val off = Unigram.viterbi("nationé", base.pieces, base.maxPieceLen,
+      base.qUnk).toSeq
+    assert(off.last === "é")
+    // the flag survives the vocabulary table round trip
+    val table = "t_unigram_vocab_bf"
+    graft.operators.Layout.dropTableAndLocation(spark, table)
+    try {
+      Unigram.writeVocab(spark, model, table)
+      assert(Unigram.readVocab(spark, table) === model)
+    } finally graft.operators.Layout.dropTableAndLocation(spark, table)
+  }
 }
