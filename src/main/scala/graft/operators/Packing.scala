@@ -105,4 +105,89 @@ object Packing {
     packed.groupBy(col("shard"), col("seq_in_shard"))
       .agg(count(lit(1)).alias("n_docs"),
         sum(col(nTokCol)).alias("n_tokens"))
+
+  /** BIN packing — the OTHER public assembly recipe (Krell et al.
+    * 2021, "Efficient Sequence Packing without Cross-contamination",
+    * the padding-free-BERT paper): documents are never split; each doc
+    * (truncated to `seqLen` tokens, the paper's convention) goes WHOLE
+    * into a fixed-capacity bin, so a trainer that forbids cross-doc
+    * attention gets one attention mask per doc instead of a split
+    * straddling two sequences. [[packSequences]] is the concat-and-
+    * chunk sibling that splits.
+    *
+    * The packing rule is next-fit over the DESCENDING length order —
+    * the deterministic baseline of the paper's histogram family (equal
+    * lengths fill consecutive bins ⌊C/L⌋ at a time, adjacent lengths
+    * mix into the remainder): within a ring shard, docs sort by
+    * (capped length DESC, shuffle key, id — a total order), and a doc
+    * opens a new bin exactly when it does not fit in the current one.
+    * Every coordinate is a pure integer function of the rows, so the
+    * layout is engine- and partitioning-invariant and restates in SQL
+    * as a recursive walk (the l14b oracle).
+    *
+    * Scale shape (the [[packSequences]] contract): one shuffle to
+    * (shard), an in-partition sort, and a sequential per-shard fold
+    * with O(1) state (current bin, fill) — parallelism = `shards`,
+    * which the caller sizes to the cluster; no global order, no
+    * driver-side work, no window over a hot partition.
+    *
+    * Output: `idCol`, `shard`, `n_tok_packed` (capped), `bin_in_shard`
+    * (0-based), `slot` (0-based position within the bin). */
+  def packBins(df: DataFrame, idCol: String, nTokCol: String,
+      seqLen: Int, shards: Int = 256): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(shards > 0, "shards must be positive")
+    val idField = df.schema(idCol)
+    val prep = df.select(col(idCol),
+        least(col(nTokCol).cast("long"), lit(seqLen.toLong)).as("__cap"),
+        Sampling.hashBucket(idCol, shards).as("shard"),
+        Sampling.shuffleKey(idCol).as("__key"))
+      .where(col("__cap").isNotNull)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__cap").desc, col("__key"),
+        col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      idField,
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tok_packed",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bin_in_shard",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("slot",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val cap = seqLen.toLong
+    prep.mapPartitions { rows =>
+      // shards are contiguous under the (shard, ...) sort; the fold
+      // resets at each shard boundary — O(1) state per task
+      var curShard = Long.MinValue
+      var seenShard = false
+      var bin = 0L
+      var fill = 0L
+      var slot = 0L
+      rows.map { r =>
+        val sh = r.getLong(2)
+        val c = r.getLong(1)
+        if (!seenShard || sh != curShard) {
+          seenShard = true; curShard = sh; bin = 0L; fill = c; slot = 0L
+        } else if (fill + c <= cap) {
+          fill += c; slot += 1
+        } else {
+          bin += 1; fill = c; slot = 0L
+        }
+        org.apache.spark.sql.Row(r.get(0), sh, c, bin, slot)
+      }
+    }(enc)
+  }
+
+  /** Per-bin summary for [[packBins]] — docs, tokens, and the padding
+    * a fixed-`seqLen` trainer would burn on the bin (the number the
+    * paper optimizes). */
+  def binStats(packed: DataFrame, seqLen: Int): DataFrame =
+    packed.groupBy(col("shard"), col("bin_in_shard"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col("n_tok_packed")).alias("n_tokens"),
+        (lit(seqLen.toLong) - sum(col("n_tok_packed"))).alias("n_padding"))
 }

@@ -2607,6 +2607,24 @@ object LlmQueries {
         .orderBy(col("shard"), col("seq_in_shard"))
     }, Some(s"""WITH t AS (SELECT doc_id, len($tokensSql) AS n_tok, ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 AS key FROM documents), s AS (SELECT doc_id, n_tok, key, key % 8 AS shard FROM t), w AS (SELECT shard, doc_id, n_tok, SUM(n_tok) OVER (PARTITION BY shard ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s) SELECT shard, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_in_shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM w GROUP BY 1, 2 ORDER BY shard, seq_in_shard""")),
 
+    // ---- L14b: BIN packing (Krell et al. 2021 — the padding-free-BERT
+    // recipe: no document splitting; each doc, truncated to seqLen,
+    // goes WHOLE into a fixed-capacity bin; next-fit over the
+    // descending-length order, per ring shard). The engine runs it as
+    // one shuffle + an in-partition sort + an O(1)-state fold; the
+    // oracle replays the identical walk as a DuckDB recursive CTE over
+    // the same (capped length DESC, key, doc_id) total order — bin
+    // ids, doc counts, token sums, and per-bin padding all exact
+    // integers. ----
+    ("l14b_pack_bins", (s, d) => {
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), size(TF.tokens(col("text"))).as("n_tok"))
+      val packed = graft.operators.Packing.packBins(
+        docs, "doc_id", "n_tok", seqLen = 256, shards = 8)
+      graft.operators.Packing.binStats(packed, 256)
+        .orderBy(col("shard"), col("bin_in_shard"))
+    }, Some(s"""WITH RECURSIVE t AS (SELECT doc_id, least(len($tokensSql), 256) AS c, ((doc_id % 2147483647 + 2147483647) % 2147483647 * 2654435761 + 104729) % 2147483647 AS key FROM documents WHERE text IS NOT NULL), ranked AS (SELECT doc_id, c, key, key % 8 AS shard, row_number() OVER (PARTITION BY key % 8 ORDER BY c DESC, key, doc_id) AS rk FROM t), walk AS (SELECT shard, rk, c, CAST(0 AS BIGINT) AS bin, c AS fill FROM ranked WHERE rk = 1 UNION ALL SELECT r.shard, r.rk, r.c, CASE WHEN w.fill + r.c <= 256 THEN w.bin ELSE w.bin + 1 END AS bin, CASE WHEN w.fill + r.c <= 256 THEN w.fill + r.c ELSE r.c END AS fill FROM walk w JOIN ranked r ON r.shard = w.shard AND r.rk = w.rk + 1) SELECT shard, bin AS bin_in_shard, COUNT(*) AS n_docs, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(256 - SUM(c) AS BIGINT) AS n_padding FROM walk GROUP BY 1, 2 ORDER BY shard, bin_in_shard""")),
+
     // ---- L15: token-budget mixing — keep each language's deterministic
     // prefix up to a 2000-token budget (the "N tokens per source" step
     // of a mixing recipe). The running sum is monotone, so the filter

@@ -101,4 +101,47 @@ class PackingSpec extends SparkSpec {
     // start offsets are within the sequence window
     assert(packed.where($"start_in_seq" < 0 || $"start_in_seq" >= 128).isEmpty)
   }
+
+  test("packBins (Krell 2021): no doc splits, capacity respected, truncation cap, contiguous bins, partition-invariant") {
+    val docs = (1L to 500L).map(i => (i, (i % 37).toInt * 7)).toDF("id", "n_tok")
+    val packed = Packing.packBins(docs, "id", "n_tok", seqLen = 128, shards = 8)
+      .cache()
+    // conservation: every doc exactly once, tokens capped at seqLen
+    assert(packed.count() === 500)
+    assert(packed.select(countDistinct($"id")).as[Long].head() === 500)
+    val expTok = (1L to 500L).map(i => math.min((i % 37) * 7, 128)).sum
+    assert(packed.agg(sum($"n_tok_packed")).as[Long].head() === expTok)
+    // capacity: NO bin exceeds seqLen (the no-splitting contract —
+    // a doc never straddles, so the sum bound is exact, not ±1 doc)
+    val stats = Packing.binStats(packed, 128).cache()
+    assert(stats.where($"n_tokens" > 128).isEmpty, "bin over capacity")
+    assert(stats.where($"n_padding" < 0).isEmpty)
+    // bins are contiguous 0..max within each shard
+    val gaps = stats.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"bin_in_shard").as("mx"))
+      .where($"mx" =!= $"n" - 1)
+    assert(gaps.isEmpty, "bin ids must be contiguous per shard")
+    // slots are contiguous 0..n_docs-1 within each bin
+    val slotGaps = packed.groupBy($"shard", $"bin_in_shard")
+      .agg(count(lit(1)).as("n"), max($"slot").as("mx"), min($"slot").as("mn"))
+      .where($"mx" =!= $"n" - 1 || $"mn" =!= 0L)
+    assert(slotGaps.isEmpty, "slots must be contiguous per bin")
+    // next-fit-decreasing: within a shard, bin OPENERS (slot 0) carry
+    // non-increasing lengths — the descending walk's signature
+    val openers = packed.where($"slot" === 0)
+      .select($"shard", $"bin_in_shard", $"n_tok_packed").collect()
+      .groupBy(_.getLong(0))
+    openers.values.foreach { rs =>
+      val byBin = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(byBin.zip(byBin.tail).forall { case (a, b) => a >= b },
+        s"openers must be non-increasing: ${byBin.toSeq}")
+    }
+    // determinism: identical layout under any input partitioning
+    val packed2 = Packing.packBins(docs.repartition(13), "id", "n_tok",
+      seqLen = 128, shards = 8)
+    assert(packed.exceptAll(packed2).isEmpty &&
+      packed2.exceptAll(packed).isEmpty,
+      "layout must not depend on input partitioning")
+    packed.unpersist(); stats.unpersist()
+  }
 }

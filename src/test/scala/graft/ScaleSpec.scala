@@ -472,6 +472,36 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale: BIN packing (Krell) — no doc splits on the skewed corpus, capacity exact, fill efficient, stays balanced", suiteTags: _*) {
+    withScaleConf {
+      import graft.operators.Packing
+      var total = 0L; var docsN = 0L; var bins = 0L; var overCap = 0L
+      var padded = 0L
+      val stages = probe {
+        val packed = Packing.packBins(docs.where($"text".isNotNull),
+          "doc_id", "n_tok", seqLen = 512, shards = 64)
+        val st = Packing.binStats(packed, 512)
+        val r = st.agg(sum($"n_tokens"), sum($"n_docs"),
+            count(lit(1)), sum(when($"n_tokens" > 512, 1L).otherwise(0L)),
+            sum($"n_padding"))
+          .as[(Long, Long, Long, Long, Long)].head()
+        total = r._1; docsN = r._2; bins = r._3; overCap = r._4; padded = r._5
+      }
+      // conservation (n_tok ≤ 40 ≪ 512, so the cap never truncates
+      // here) and the no-splitting capacity contract
+      assert(total === docs.where($"text".isNotNull)
+        .agg(sum($"n_tok")).as[Long].head())
+      assert(docsN === docs.where($"text".isNotNull).count())
+      assert(overCap === 0L, "a bin exceeded seqLen — a doc was split or misplaced")
+      // fill efficiency: next-fit-decreasing on ≤40-token docs leaves
+      // at most one straggler gap per bin — padding stays a small
+      // fraction of the laid-out tokens (the number the paper buys)
+      assert(padded.toDouble / (total + padded) <= 0.10,
+        s"padding fraction ${padded.toDouble / (total + padded)} too high across $bins bins")
+      assertBalanced("pack-bins", stages)
+    }
+  }
+
   test("scale: connected components over a 10k-spoke star plus chains stays balanced per round", suiteTags: _*) {
     withScaleConf {
       // the mass-duplicate cluster shape: one 10k-spoke star (hub 0),
