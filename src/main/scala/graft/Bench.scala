@@ -41,9 +41,13 @@ object Bench {
       }
       if (times.isEmpty) 0.0 else BenchMath.median(times)
     }
-    // ~0.1 s CPU-bound dipstick, independent of sfDir — interleaved at
-    // family boundaries and used for the self-calibrating per-family
-    // ratios (BenchMath scaladoc: the mid-sweep blind spot fix)
+    // ~0.1 s CPU-bound dipstick, independent of sfDir — interleaved
+    // around EVERY query (r18 was the third straight round whose
+    // verdict needed a manual solo-TimeQ session to tell environment
+    // from regression; per-ROW brackets make a hot row adjudicable
+    // from the JSON alone) and used for the self-calibrating
+    // per-family ratios (BenchMath scaladoc: the mid-sweep blind spot
+    // fix)
     def microOnce(): Double = {
       val t0 = System.nanoTime()
       try {
@@ -55,6 +59,23 @@ object Bench {
         spark.range(100000000L)
           .selectExpr("sum(id % 97) as s", "count(if(id % 7 = 0, 1, null)) as c")
           .collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => 0.0 }
+    }
+    // scheduler-latency dipstick: six one-task jobs back to back. The
+    // CPU micro above is BLIND to this box's documented second noise
+    // mode — many-small-job query shapes (IVF probes, windowed
+    // families) running 3-6x canonical while a single-job CPU reading
+    // stays 1.2-2x (BASELINE.md r16-r18 attempt logs) — because that
+    // mode taxes job-scheduling round-trips, not compute. Six empty
+    // jobs price exactly that round-trip; a row whose sched bracket is
+    // hot while its micro bracket is quiet is the many-small-job
+    // episode, disclosed in-file for the first time.
+    def schedOnce(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        var i = 0
+        while (i < 6) { spark.range(0L, 1L, 1L, 1).count(); i += 1 }
         (System.nanoTime() - t0) / 1e9
       } catch { case scala.util.control.NonFatal(_) => 0.0 }
     }
@@ -95,27 +116,52 @@ object Bench {
       (cs, r)
     }
     val (controls, controlRatio) = runControls("__control_")
-    // micro baseline: warm the micro's own codegen shape once, then
-    // median-of-3 — every family ratio divides by this
-    microOnce()
+    // micro baselines: warm each dipstick's own codegen shape once,
+    // then median-of-3 — every ratio divides by the calibrated base
+    microOnce(); schedOnce()
     val microBase = BenchMath.median(Seq.fill(3)(microOnce()))
+    val schedBase = BenchMath.median(Seq.fill(3)(schedOnce()))
     val familyMicro = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-row surrounding readings: (micro before, micro after,
+    // sched before, sched after) — the row's own environment bracket
+    val rowReads =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
     var lastFamily = ""
+    var mPrev = microOnce()
+    var sPrev = schedOnce()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val fam = BenchMath.familyOf(name)
-      if (fam != lastFamily) { familyMicro(fam) = microOnce(); lastFamily = fam }
-      name -> measure(name, fn)
+      if (fam != lastFamily) { familyMicro(fam) = mPrev; lastFamily = fam }
+      val t = measure(name, fn)
+      val mAfter = microOnce()
+      val sAfter = schedOnce()
+      rowReads(name) = (mPrev, mAfter, sPrev, sAfter)
+      mPrev = mAfter; sPrev = sAfter
+      name -> t
     }
     // controls AGAIN after the sweep: a mid/late-sweep co-tenant episode
     // that the start-of-run ratio cannot see shows up here (the r10
     // l13b adjudication class); the read protocol treats a row as
     // noise-covered if EITHER bracketing ratio or its family ratio is hot
     val (controlsEnd, controlRatioEnd) = runControls("__control_end_")
-    // calibrate the micro base against every in-sweep observation: the
-    // minimum positive reading is the quiet-box capability (BenchMath
-    // .calibratedBase scaladoc — a high start median would mask real
-    // episodes), so family ratios are >= 1 by construction
-    val microEff = BenchMath.calibratedBase(microBase, familyMicro.values.toSeq)
+    // calibrate each base against every in-sweep observation
+    // (BenchMath.calibratedBase scaladoc: median of all positives — a
+    // high start median would mask real episodes, a lucky minimum
+    // flags everything)
+    val microEff = BenchMath.calibratedBase(microBase,
+      rowReads.valuesIterator.flatMap(r => Seq(r._1, r._2)).toSeq)
+    val schedEff = BenchMath.calibratedBase(schedBase,
+      rowReads.valuesIterator.flatMap(r => Seq(r._3, r._4)).toSeq)
+    // the per-row bracket: the WORST of the four surrounding dipstick
+    // ratios (micro before/after, sched before/after) — the one number
+    // that adjudicates a hot row. Read protocol: row_bracket < ~2 and
+    // the row is slow → suspect the code; >= 2 → the environment was
+    // disclosed hot over exactly that row's stretch (micro-hot = CPU
+    // co-tenant, sched-hot-only = the many-small-job mode).
+    val rowBracket = rowReads.map { case (n, (mb, ma, sb, sa)) =>
+      n -> Seq(BenchMath.ratio(mb, microEff), BenchMath.ratio(ma, microEff),
+        BenchMath.ratio(sb, schedEff), BenchMath.ratio(sa, schedEff)).max
+    }
     // every string goes through the shared escaper — an unescaped quote
     // in a query name or SPARK_GRAFT_SF_DIR would corrupt the one JSON
     // line the driver parses (error values already were escaped; names
@@ -147,7 +193,15 @@ object Bench {
     val famVsQuiet = BenchMath.familyVsQuiet(
       BenchMath.familyRatios(familyMicro.toSeq, microEff), quiet)
     val famVsQuietJson = kvJson(famVsQuiet)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"controls":$ctrlJson,"control_ratio":$controlRatio,"controls_end":$ctrlEndJson,"control_ratio_end":$controlRatioEnd,"micro_base_sec":$microEff,"family_micro":$famJson,"family_ratio":$famRatioJson,"family_ratio_vs_quiet":$famVsQuietJson,"control_baseline_sec":$controlBaselineSec,"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
+    def r4(v: Double): Double = math.round(v * 10000.0) / 10000.0
+    val rowBracketJson = kvJson(rowBracket.toSeq.map { case (k, v) => k -> r4(v) })
+    // raw surrounding readings per row ([micro_before, micro_after,
+    // sched_before, sched_after], seconds) — the forensics behind
+    // row_bracket, so an adjudication never needs a re-run
+    val rowReadsJson = rowReads.map { case (k, (mb, ma, sb, sa)) =>
+      JsonText.quote(k) + s":[${r4(mb)},${r4(ma)},${r4(sb)},${r4(sa)}]"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"controls":$ctrlJson,"control_ratio":$controlRatio,"controls_end":$ctrlEndJson,"control_ratio_end":$controlRatioEnd,"micro_base_sec":$microEff,"sched_base_sec":$schedEff,"family_micro":$famJson,"family_ratio":$famRatioJson,"family_ratio_vs_quiet":$famVsQuietJson,"row_bracket":$rowBracketJson,"row_reads":$rowReadsJson,"control_baseline_sec":$controlBaselineSec,"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
     // the driver's stdout capture keeps only the last ~2000 chars, so
     // the full line (8+ KB at 145 queries) must NEVER be the final
     // stdout line — r11's per-query 2x gate went blind exactly this way
@@ -175,10 +229,12 @@ object Bench {
     val famRatios = BenchMath.familyRatios(familyMicro.toSeq, microEff)
     val maxFam = if (famRatios.isEmpty) 0.0 else famRatios.map(_._2).max
     val maxFamVsQuiet = if (famVsQuiet.isEmpty) 0.0 else famVsQuiet.map(_._2).max
+    val maxRowBracket = if (rowBracket.isEmpty) 0.0 else rowBracket.values.max
+    val rowsHot = rowBracket.values.count(_ >= 2.0)
     // "slowest_queries", NOT "queries": the full file uses "queries" for
     // the complete per-query map; reusing the same key here for a
     // truncated top-10 would let a consumer silently read 10 rows as 155
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - errors.size},"slowest_queries":${kvJson(slowest)},"n_errors":${errors.size},"control_ratio":${r3(controlRatio)},"control_ratio_end":${r3(controlRatioEnd)},"family_ratio_max":${r3(maxFam)},"family_vs_quiet_max":${r3(maxFamVsQuiet)},"control_baseline_sec":$controlBaselineSec,"full":${JsonText.quote(outFile)},"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - errors.size},"slowest_queries":${kvJson(slowest)},"n_errors":${errors.size},"control_ratio":${r3(controlRatio)},"control_ratio_end":${r3(controlRatioEnd)},"family_ratio_max":${r3(maxFam)},"family_vs_quiet_max":${r3(maxFamVsQuiet)},"row_bracket_max":${r3(maxRowBracket)},"rows_hot":$rowsHot,"control_baseline_sec":$controlBaselineSec,"full":${JsonText.quote(outFile)},"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
     // a second stable copy of the exact line the driver should have
     // parsed — if the stdout path breaks again, the evidence is on disk
     try java.nio.file.Files.writeString(
