@@ -234,16 +234,50 @@ object Similarity {
     centRows
   }
 
+  /** Driver-side cache behind [[readCentroids]], keyed by the centroid
+    * table's catalog identity (qualified name, createTime, location).
+    * Every path that changes a persisted quantizer creates a NEW
+    * catalog table object — [[writeIvfIndex]] overwrites (drop +
+    * recreate) and [[reclusterIvfIndex]] swaps via RENAME of a freshly
+    * written side table — so a generation change always changes the
+    * key; append/compact never touch the centroid table, correctly
+    * sharing the cached copy. Bounded LRU (16 entries × nLists rows,
+    * trivially small). Invalidation-across-rebuild is pinned in
+    * DedupSpec. */
+  private val centroidCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, String),
+        Array[(Long, Seq[Float])]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String),
+            Array[(Long, Seq[Float])]]): Boolean = size() > 16
+    })
+
   /** The (nLists-row, driver-bounded) centroid table of a persisted
     * index, id-sorted — the same order as the build, so the
     * nearest-list fold and probe sort reproduce the build's
-    * tie-breaks. */
+    * tie-breaks. Served from a generation-keyed driver cache: the
+    * collect otherwise costs one Spark job on EVERY probe call (it led
+    * every JobCountProbe trace), which at cluster scale is a scheduler
+    * round-trip per micro-batch. */
   private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
-      table: String): Array[(Long, Seq[Float])] =
-    spark.table(s"${table}_centroids")
+      table: String): Array[(Long, Seq[Float])] = {
+    val centT = s"${table}_centroids"
+    val key = try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(centT))
+      (meta.qualifiedName, meta.createTime, meta.location.toString)
+    } catch { case scala.util.control.NonFatal(_) => null }
+    if (key != null) {
+      val hit = centroidCache.get(key)
+      if (hit != null) return hit
+    }
+    val rows = spark.table(centT)
       .select(col("list"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
+    if (key != null) centroidCache.put(key, rows)
+    rows
+  }
 
   /** Mean cosine similarity of assigned rows (`cVec`, `__list`) to
     * their centroid — the tightness number both the drift report and

@@ -572,6 +572,23 @@ class DedupSpec extends SparkSpec {
       // and a second probe of the SAME index is identical (no build state)
       assert(indexed === norm(
         Similarity.ivfTopKIndexed(spark, queries, "t_ivf_parity", k = 10, nProbe = 4)))
+      // centroid-cache invalidation (r19): REBUILD the index over a
+      // different corpus under the SAME table name — the probe must
+      // see the new quantizer (generation key change), never a stale
+      // cached copy from the build above
+      val shifted = emb.select($"vec_id" + 100000,
+        transform($"embedding", x => -x)).toDF("vec_id", "embedding")
+      Similarity.writeIvfIndex(spark, shifted, "t_ivf_parity",
+        nLists = 16, lloydIters = 1)
+      val q2 = shifted.where($"vec_id" < 100010)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val rebuilt = norm(
+        Similarity.ivfTopKIndexed(spark, q2, "t_ivf_parity", k = 10, nProbe = 4))
+      val rebuiltPerCall = norm(
+        Similarity.ivfTopK(q2, shifted, k = 10, nLists = 16, nProbe = 4,
+          lloydIters = 1))
+      assert(rebuilt === rebuiltPerCall,
+        "rebuilt-index probe diverged — stale cached centroids?")
     } finally Similarity.dropIvfIndex(spark, "t_ivf_parity")
   }
 
