@@ -217,12 +217,20 @@ object WetSink {
         // ONE multi-path scan, not a union of one scan per batch — a
         // per-batch union builds an O(batches) driver plan on every
         // read after thousands of micro-batches (ADVICE r18). The
-        // explicit published-path list (not a directory listing) is
-        // still what keeps crashed unpublished batch dirs invisible;
-        // the batch id is recovered per row from the file path.
-        val paths = (0L to id.toLong)
-          .map(b => new Path(root, s"batch-$b").toString)
-        spark.read.schema(containerSchema).parquet(paths: _*)
+        // path list is the PUBLISHED range ∩ one directory listing:
+        // the pointer bound keeps crashed unpublished batch dirs
+        // invisible, and the listing tolerates a sink whose first
+        // published batch id is > 0 (a checkpoint resumed against a
+        // fresh outDir) instead of assuming every id since 0 exists.
+        // The batch id is recovered per row from the file path.
+        val fs = root.getFileSystem(hconf)
+        val present = fs.listStatus(root)
+          .map(_.getPath.getName).filter(_.startsWith("batch-")).toSet
+        val paths = (0L to id.toLong).map(b => s"batch-$b")
+          .filter(present).map(d => new Path(root, d).toString)
+        if (paths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withBatch)
+        else spark.read.schema(containerSchema).parquet(paths: _*)
           .withColumn("batch_id", regexp_extract(input_file_name(),
             "batch-(\\d+)/[^/]*$", 1).cast("long"))
     }

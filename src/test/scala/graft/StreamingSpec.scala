@@ -2198,6 +2198,16 @@ class StreamingSpec extends SparkSpec {
     // exact replay of the CURRENT batch stays a quiet no-op
     assert(!WetSink.writeBatch(rows.toDF("url", "text"), 1L, out,
       "url", "text", maxContainerBytes = 900, shards = 2))
+    // a sink whose FIRST published batch id is > 0 (checkpoint resumed
+    // against a fresh outDir) reads back fine: the read view is the
+    // published range ∩ what exists, not an assumed 0..pointer run
+    val out2 = tmpDir("wet_guard_sparse")
+    assert(WetSink.writeBatch(rows.toDF("url", "text"), 3L, out2,
+      "url", "text", maxContainerBytes = 900, shards = 2))
+    val view = WetSink.readContainers(spark, out2)
+    assert(view.select($"batch_id").distinct().as[Long].collect().toSeq
+      === Seq(3L))
+    assert(view.agg(sum($"n_records")).as[Long].head() === 60L)
   }
 
   test("L49b composition: PII mask → C4 surgery → langid floor → Gopher in ONE intakeBatch — kills attributable, survivor text masked AND surgered, survivors equal the closed-form composition") {
