@@ -162,6 +162,18 @@ object Bench {
       n -> Seq(BenchMath.ratio(mb, microEff), BenchMath.ratio(ma, microEff),
         BenchMath.ratio(sb, schedEff), BenchMath.ratio(sa, schedEff)).max
     }
+    // ABSOLUTE sched-mode read (the r19b lesson): both dipstick bases
+    // self-calibrate to the sweep median, so a noise mode covering the
+    // WHOLE sweep normalizes itself invisible per-row. Against a
+    // canonical quiet-window pin (SPARK_GRAFT_SCHED_BASELINE, seconds
+    // for the six-job dipstick — record it at the next promotion, the
+    // controlBaselineSec discipline) sched_vs_pin reads the mode
+    // directly: >= ~2 means every many-small-job row ran under it even
+    // where its own bracket looks quiet. 0.0 = no pin recorded yet.
+    val schedBaselinePin =
+      sys.env.get("SPARK_GRAFT_SCHED_BASELINE").map(_.toDouble)
+    val schedVsPin =
+      schedBaselinePin.map(p => BenchMath.ratio(schedEff, p)).getOrElse(0.0)
     // every string goes through the shared escaper — an unescaped quote
     // in a query name or SPARK_GRAFT_SF_DIR would corrupt the one JSON
     // line the driver parses (error values already were escaped; names
@@ -201,7 +213,7 @@ object Bench {
     val rowReadsJson = rowReads.map { case (k, (mb, ma, sb, sa)) =>
       JsonText.quote(k) + s":[${r4(mb)},${r4(ma)},${r4(sb)},${r4(sa)}]"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"controls":$ctrlJson,"control_ratio":$controlRatio,"controls_end":$ctrlEndJson,"control_ratio_end":$controlRatioEnd,"micro_base_sec":$microEff,"sched_base_sec":$schedEff,"family_micro":$famJson,"family_ratio":$famRatioJson,"family_ratio_vs_quiet":$famVsQuietJson,"row_bracket":$rowBracketJson,"row_reads":$rowReadsJson,"control_baseline_sec":$controlBaselineSec,"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"controls":$ctrlJson,"control_ratio":$controlRatio,"controls_end":$ctrlEndJson,"control_ratio_end":$controlRatioEnd,"micro_base_sec":$microEff,"sched_base_sec":$schedEff,"sched_vs_pin":$schedVsPin,"family_micro":$famJson,"family_ratio":$famRatioJson,"family_ratio_vs_quiet":$famVsQuietJson,"row_bracket":$rowBracketJson,"row_reads":$rowReadsJson,"control_baseline_sec":$controlBaselineSec,"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
     // the driver's stdout capture keeps only the last ~2000 chars, so
     // the full line (8+ KB at 145 queries) must NEVER be the final
     // stdout line — r11's per-query 2x gate went blind exactly this way
@@ -234,7 +246,7 @@ object Bench {
     // "slowest_queries", NOT "queries": the full file uses "queries" for
     // the complete per-query map; reusing the same key here for a
     // truncated top-10 would let a consumer silently read 10 rows as 155
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - errors.size},"slowest_queries":${kvJson(slowest)},"n_errors":${errors.size},"control_ratio":${r3(controlRatio)},"control_ratio_end":${r3(controlRatioEnd)},"family_ratio_max":${r3(maxFam)},"family_vs_quiet_max":${r3(maxFamVsQuiet)},"row_bracket_max":${r3(maxRowBracket)},"rows_hot":$rowsHot,"control_baseline_sec":$controlBaselineSec,"full":${JsonText.quote(outFile)},"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - errors.size},"slowest_queries":${kvJson(slowest)},"n_errors":${errors.size},"control_ratio":${r3(controlRatio)},"control_ratio_end":${r3(controlRatioEnd)},"family_ratio_max":${r3(maxFam)},"family_vs_quiet_max":${r3(maxFamVsQuiet)},"row_bracket_max":${r3(maxRowBracket)},"rows_hot":$rowsHot,"sched_base_sec":${r4(schedEff)},"sched_vs_pin":${r3(schedVsPin)},"control_baseline_sec":$controlBaselineSec,"full":${JsonText.quote(outFile)},"sf":${JsonText.quote(sfDir)},"reps":$reps}"""
     // a second stable copy of the exact line the driver should have
     // parsed — if the stdout path breaks again, the evidence is on disk
     try java.nio.file.Files.writeString(
