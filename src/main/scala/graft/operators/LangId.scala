@@ -65,11 +65,15 @@ object LangId {
       .select(col(idCol), col(langCol).as("__lang"))
       .localCheckpoint(eager = true)
     try {
+      // every head trains on the SAME row set (only labels differ) —
+      // count once, not once per language (K−1 fewer driver round-trips
+      // per retrain; the shared-feature-pass rationale extended to n)
+      val n = base.count()
       val heads = langs.map { l =>
         val labeled = base.select(col(idCol),
           when(col("__lang") === l, 1L).otherwise(0L).as("__y"))
         l -> QualityClassifier.trainOnFeatures(feats, labeled, idCol, dim,
-          epochs, lr)
+          epochs, lr, nRows = Some(n))
       }
       Model(ngram, heads)
     } finally {

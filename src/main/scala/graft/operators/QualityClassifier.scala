@@ -133,11 +133,14 @@ object QualityClassifier {
     * per head cost K× the dominant training scan — l42 attempt log). */
   private[operators] def trainOnFeatures(feats: DataFrame,
       labeled: DataFrame, idCol: String, dim: Int, epochs: Int,
-      lr: Double): LrModel = {
+      lr: Double, nRows: Option[Long] = None): LrModel = {
     require(dim > 0 && epochs >= 1, s"dim=$dim epochs=$epochs")
     val spark = feats.sparkSession
     import spark.implicits._
-    val n = labeled.count()
+    // one-vs-rest trainers share the SAME labeled rows across K heads —
+    // they pass the count once instead of paying K identical count jobs
+    // (a scheduler round-trip per head per retrain at cluster scale)
+    val n = nRows.getOrElse(labeled.count())
     require(n >= 2, s"classifier training set has $n rows")
     var bias = 0L
     var w = Map.empty[Int, Long]

@@ -786,6 +786,56 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("L4f/L4g job budget: index appends are ONE pass — drift stats ride the write via observe(), never a separate scan") {
+    // r19 optimization pin (VERDICT r18 #2 follow-through): the delta
+    // append previously persisted the batch and paid a (count, avg)
+    // aggregate job before its write (4 jobs measured); the bucketed
+    // append additionally paid a count job (8). With the stats carried
+    // by the write pass as CollectMetrics, the delta append is exactly
+    // one job and the bucketed append is the write plus the pre-append
+    // history-tightness scan. Budgets leave one-job headroom for
+    // commit-protocol variation; a regression re-introducing a
+    // batch-side scan lands well above them.
+    val vecs = (0L until 200L).map { i =>
+      (i, Seq.tabulate(8)(j => if (j == (i % 4).toInt) 1f else 0.1f))
+    }.toDF("vec_id", "embedding")
+    val t = "t_ivf_jobpin"
+    Similarity.dropIvfIndex(spark, t)
+    Similarity.writeIvfIndex(spark, vecs.where($"vec_id" < 100), t,
+      nLists = 4, numBuckets = 4)
+    try {
+      def countJobs(body: => Unit): Int = {
+        val n = new java.util.concurrent.atomic.AtomicInteger
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            n.incrementAndGet(): Unit
+        }
+        spark.sparkContext.addSparkListener(l)
+        try { body; Thread.sleep(1500) } // let the listener bus drain
+        finally spark.sparkContext.removeSparkListener(l)
+        n.get()
+      }
+      // warm the write/codegen paths so the measured calls are steady
+      Similarity.appendToIvfDelta(spark, vecs.where($"vec_id" === 100), t, 0)
+      val deltaJobs = countJobs {
+        val d = Similarity.appendToIvfDelta(spark,
+          vecs.where($"vec_id" >= 101 && $"vec_id" < 150), t, batchId = 1)
+        // the fused metrics still report real numbers
+        assert(d.appended === 49L && !d.meanSimAfter.isNaN)
+      }
+      assert(deltaJobs <= 2,
+        s"appendToIvfDelta launched $deltaJobs jobs — the one-pass fusion regressed")
+      val appendJobs = countJobs {
+        val d = Similarity.appendToIvfIndex(spark,
+          vecs.where($"vec_id" >= 150), t)
+        assert(d.appended === 50L && !d.meanSimBefore.isNaN && !d.meanSimAfter.isNaN)
+      }
+      assert(appendJobs <= 4,
+        s"appendToIvfIndex launched $appendJobs jobs — the one-pass fusion regressed")
+    } finally Similarity.dropIvfIndex(spark, t)
+  }
+
   test("L4h: aging policy — measured drift triggers a recluster with build parity and a reset baseline") {
     // base lives in span(e0, e1), so every centroid the build can
     // derive (samples and Lloyd means of base vectors) does too; the

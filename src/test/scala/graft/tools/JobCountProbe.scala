@@ -92,6 +92,21 @@ object JobCountProbe {
       Similarity.semanticIncrementalDelta(spark, vecs(4100 until 4200), table,
         tau = 0.999).count(): Unit
     }
+    // the maintenance/append paths the VERDICT r18 #2 family also prices:
+    // jobs per streaming delta append, per bucketed append (drift on),
+    // and per full index build (sample + lloyd + 2 table writes + meta)
+    measure("appendToIvfDelta") {
+      Similarity.appendToIvfDelta(spark, vecs(4200 until 4300), table,
+        batchId = 1): Unit
+    }
+    measure("appendToIvfIndex") {
+      Similarity.appendToIvfIndex(spark, vecs(4300 until 4400), table): Unit
+    }
+    measure("writeIvfIndex") {
+      Similarity.dropIvfIndex(spark, "jcp_ivf_idx2")
+      Similarity.writeIvfIndex(spark, vecs(0 until 4000), "jcp_ivf_idx2",
+        nLists = 16)
+    }
     spark.stop()
   }
 
