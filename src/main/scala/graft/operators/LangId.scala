@@ -65,17 +65,18 @@ object LangId {
       .select(col(idCol), col(langCol).as("__lang"))
       .localCheckpoint(eager = true)
     try {
-      // every head trains on the SAME row set (only labels differ) —
-      // count once, not once per language (K−1 fewer driver round-trips
-      // per retrain; the shared-feature-pass rationale extended to n)
-      val n = base.count()
-      val heads = langs.map { l =>
-        val labeled = base.select(col(idCol),
-          when(col("__lang") === l, 1L).otherwise(0L).as("__y"))
-        l -> QualityClassifier.trainOnFeatures(feats, labeled, idCol, dim,
-          epochs, lr, nRows = Some(n))
-      }
-      Model(ngram, heads)
+      // ALL heads train in one fused GD loop — one score pass and one
+      // gradient pass per epoch for the whole model instead of per
+      // language ([[QualityClassifier.trainHeadsOnFeatures]]: the heads
+      // share every scan and differ only in their 0/1 label column;
+      // per-head integer arithmetic, and therefore every trained
+      // weight, is bit-identical to the sequential form)
+      val labeled = base.select(col(idCol) +: langs.zipWithIndex.map {
+        case (l, i) => when(col("__lang") === l, 1L).otherwise(0L).as(s"__y$i")
+      }: _*)
+      val models = QualityClassifier.trainHeadsOnFeatures(feats, labeled,
+        idCol, langs.indices.map(i => s"__y$i"), dim, epochs, lr)
+      Model(ngram, langs.zip(models))
     } finally {
       // the checkpoints are train-local scratch — free their blocks so
       // a long-lived session retraining in a loop doesn't accumulate

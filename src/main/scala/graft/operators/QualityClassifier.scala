@@ -133,46 +133,87 @@ object QualityClassifier {
     * per head cost K× the dominant training scan — l42 attempt log). */
   private[operators] def trainOnFeatures(feats: DataFrame,
       labeled: DataFrame, idCol: String, dim: Int, epochs: Int,
-      lr: Double, nRows: Option[Long] = None): LrModel = {
+      lr: Double, nRows: Option[Long] = None): LrModel =
+    trainHeadsOnFeatures(feats, labeled, idCol, Seq("__y"), dim, epochs,
+      lr, nRows).head
+
+  /** The GD loop over PREPARED features, generalized to K heads that
+    * share one training set and differ only in their 0/1 label column
+    * (`yCols`) — the one-vs-rest shape ([[LangId]]). All K heads train
+    * in ONE score pass and ONE gradient pass per epoch: the margins,
+    * errors and bucket gradients are K parallel columns through the
+    * same two joins/aggregations, so the labeled sample is scanned
+    * 2·epochs times TOTAL instead of per head (the l42 training pass
+    * was K× this scan; at the public labeled-corpus scale that is the
+    * whole cost of training). Per-head arithmetic is UNCHANGED — the
+    * same integer sums, the same quantized sigmoid, the same rounding —
+    * so each returned head is bit-identical to a solo
+    * [[trainOnFeatures]] run with that head's labels (the l42 oracle
+    * retrains every head relationally and compares the micro integers
+    * exactly; single-head callers delegate here, one code path). */
+  private[operators] def trainHeadsOnFeatures(feats: DataFrame,
+      labeled: DataFrame, idCol: String, yCols: Seq[String], dim: Int,
+      epochs: Int, lr: Double, nRows: Option[Long] = None): Seq[LrModel] = {
     require(dim > 0 && epochs >= 1, s"dim=$dim epochs=$epochs")
+    require(yCols.nonEmpty, "at least one label column")
     val spark = feats.sparkSession
-    import spark.implicits._
     // one-vs-rest trainers share the SAME labeled rows across K heads —
-    // they pass the count once instead of paying K identical count jobs
-    // (a scheduler round-trip per head per retrain at cluster scale)
+    // one count job, not one per head (a scheduler round-trip per head
+    // per retrain at cluster scale)
     val n = nRows.getOrElse(labeled.count())
     require(n >= 2, s"classifier training set has $n rows")
-    var bias = 0L
-    var w = Map.empty[Int, Long]
+    val heads = yCols.indices
+    val biases = Array.fill(yCols.size)(0L)
+    val ws = Array.fill(yCols.size)(Map.empty[Int, Long])
     for (_ <- 1 to epochs) {
-      val wDf = w.toSeq.toDF("__fb", "__w")
+      // (bucket, w_0 … w_{K-1}) — untouched buckets are simply absent
+      // (the left join's coalesce treats them as 0, per head)
+      val buckets = ws.flatMap(_.keys).distinct.sorted
+      val wSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__fb",
+          org.apache.spark.sql.types.IntegerType) +:
+        heads.map(h => org.apache.spark.sql.types.StructField(s"__w$h",
+          org.apache.spark.sql.types.LongType)))
+      val wDf = spark.createDataFrame(
+        java.util.Arrays.asList(buckets.map(b => org.apache.spark.sql.Row
+          .fromSeq(b +: heads.map(h => ws(h).getOrElse(b, 0L)))): _*),
+        wSchema)
       val zById = feats.join(broadcast(wDf), Seq("__fb"), "left")
         .groupBy(col(idCol))
-        .agg(sum(col("__fx") * coalesce(col("__w"), lit(0L))).as("__z0"))
+        .agg(sum(col("__fx") * coalesce(col("__w0"), lit(0L))).as("__z0"),
+          heads.drop(1).map(h =>
+            sum(col("__fx") * coalesce(col(s"__w$h"), lit(0L))).as(s"__z$h")): _*)
       val errs = labeled.join(zById, Seq(idCol), "left")
-        .select(col(idCol),
-          (pMicro(coalesce(col("__z0"), lit(0L)) + bias) -
-            col("__y") * Micro).as("__err"))
-      // one job for every gradient component: bucket gradients union a
-      // sentinel -1 row stream for the bias (x_bias = 1 per doc)
+        .select(col(idCol) +: heads.map(h =>
+          (pMicro(coalesce(col(s"__z$h"), lit(0L)) + biases(h)) -
+            col(yCols(h)) * Micro).as(s"__e$h")): _*)
+      // one job for every head's every gradient component: bucket
+      // gradients union a sentinel -1 row stream for the biases
+      // (x_bias = 1 per doc)
       val grads = feats.join(errs, Seq(idCol))
-        .select(col("__fb"), (col("__err") * col("__fx")).as("__g"))
-        .unionByName(errs.select(lit(-1).as("__fb"), col("__err").as("__g")))
-        .groupBy(col("__fb")).agg(sum(col("__g")).as("__g"))
+        .select(col("__fb") +: heads.map(h =>
+          (col(s"__e$h") * col("__fx")).as(s"__g$h")): _*)
+        .unionByName(errs.select(lit(-1).as("__fb") +: heads.map(h =>
+          col(s"__e$h").as(s"__g$h")): _*))
+        .groupBy(col("__fb"))
+        .agg(sum(col("__g0")).as("__g0"), heads.drop(1).map(h =>
+          sum(col(s"__g$h")).as(s"__g$h")): _*)
         .collect() // ≤ dim + 1 rows — bounded by the model, not the data
       grads.foreach { r =>
         val b = r.getInt(0)
-        // half-AWAY-FROM-ZERO, matching SQL round() and Spark's own
-        // round expression — NOT math.round, whose floor(x+0.5) rounds
-        // a negative .5 tie toward +∞ and would desync the oracle
-        val x = lr * r.getLong(1) / n
-        val step =
-          (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
-        if (b == -1) bias -= step
-        else w = w.updated(b, w.getOrElse(b, 0L) - step)
+        heads.foreach { h =>
+          // half-AWAY-FROM-ZERO, matching SQL round() and Spark's own
+          // round expression — NOT math.round, whose floor(x+0.5) rounds
+          // a negative .5 tie toward +∞ and would desync the oracle
+          val x = lr * r.getLong(1 + h) / n
+          val step =
+            (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+          if (b == -1) biases(h) -= step
+          else ws(h) = ws(h).updated(b, ws(h).getOrElse(b, 0L) - step)
+        }
       }
     }
-    LrModel(dim, bias, w)
+    heads.map(h => LrModel(dim, biases(h), ws(h)))
   }
 
   /** Per-row micro-score column (BIGINT micro-probability) — the

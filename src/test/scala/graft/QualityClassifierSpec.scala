@@ -146,4 +146,37 @@ class QualityClassifierSpec extends SparkSpec {
       .head().getLong(0)
     assert(p === 500000L) // sigmoid(0) = 0.5 exactly on the grid
   }
+
+  test("L46: fused multi-head training is bit-identical to sequential per-head training") {
+    // r19 optimization pin: LangId trains its K one-vs-rest heads in
+    // ONE score pass + ONE gradient pass per epoch
+    // (QC.trainHeadsOnFeatures). The fused loop must reproduce each
+    // head's integer weights and bias EXACTLY — the l42 oracle retrains
+    // every head relationally and compares micro integers bit-for-bit,
+    // so any drift here is an oracle failure waiting to happen.
+    import graft.operators.{LangId => LI}
+    val langs = Seq("aa", "bb", "cc")
+    def permute(t: String, shift: Int): String =
+      t.map(c => if (c >= 'a' && c <= 'z')
+        (('a' + ((c - 'a' + shift * 7) % 26)).toChar) else c)
+    val docs = (clean ++ clean.map(_.reverse)).zipWithIndex.map {
+      case (t, i) => (i.toLong, permute(t, i % 3), langs(i % 3))
+    }.toDF("id", "text", "lang")
+    val fused = LI.train(docs, "text", "id", "lang", langs,
+      dim = 128, epochs = 2, lr = 0.5, ngram = 2)
+    // sequential reference: one solo single-head train per language
+    // over the same feature space (the pre-r19 shape)
+    val seq = langs.map { l =>
+      val labeled = docs.select($"id", $"text",
+        when($"lang" === l, 1).otherwise(0).as("y"))
+      l -> QC.train(labeled, "text", "id", "y", dim = 128, epochs = 2,
+        lr = 0.5, featsOf = LI.charNgrams(_, 2))
+    }
+    fused.classes.zip(seq).foreach { case ((lf, hf), (ls, hs)) =>
+      assert(lf === ls)
+      assert(hf.biasMicro === hs.biasMicro,
+        s"head $lf bias diverged: fused ${hf.biasMicro} vs solo ${hs.biasMicro}")
+      assert(hf.wMicro === hs.wMicro, s"head $lf weights diverged")
+    }
+  }
 }
