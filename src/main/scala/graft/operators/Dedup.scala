@@ -1883,10 +1883,19 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - k),
           i => xxhash64(concat_ws("\u0001", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<bigint>"))
+    // barrier: the anchor pass feeds FIVE plan subtrees (the canonical
+    // aggregation under both the hot and cold split, and both join-back
+    // legs) and Catalyst plans each as its own copy — .explain counted
+    // five Generate(posexplode) evaluations of the same tokenize+hash
+    // pipeline per execution (r19 plan audit, plans/r19/l38_*). One
+    // eager materialization runs it once; the anchor table is narrow
+    // (id, pos, hash — O(tokens) rows, the operator's own working set)
+    // and spills via the block manager like every barrier in this file.
     val anchors = df.where(col(textCol).isNotNull)
       .withColumn(tcol, TF.tokens(col(textCol)))
       .select(col(idCol), posexplode(ghs))
       .withColumnRenamed("pos", "__apos").withColumnRenamed("col", "__agh")
+      .localCheckpoint(eager = true)
     val canon = anchors.groupBy(col("__agh"))
       .agg(min(struct(col(idCol), col("__apos"))).alias("__m"),
         count(lit(1)).alias("__n"))
