@@ -1393,11 +1393,20 @@ object LlmQueries {
           concat(col("text"), lit(" zzextra")).as("text")))
       val html = concat(lit("""<div class="doc"><p>"""), col("text"),
         lit("</p></div>"))
+      // barriers (the intakeBatch exactNew rationale, r19 plan audit):
+      // the LSH stage references its input FOUR times (banded
+      // signatures, both shingle join-backs, the CC node list) and the
+      // planted arithmetic reads `scored` twice more — without the
+      // barriers the strip→normalize→quality chain and the dedup window
+      // replan under every reference (the committed before-plan carries
+      // the chain 6×). Both frames are batch-sized.
       val scored = TF.withQualityOnly(aug
           .select(col("doc_id"), TF.normalizeText(TF.stripHtml(html)).as("clean")),
           "clean")
         .where(col("quality") >= 0.75)
+        .localCheckpoint(true)
       val exactDeduped = Dedup.exact(scored, "clean", "doc_id")
+        .localCheckpoint(true)
       // uncapped buckets: recall contract (the l02d rationale)
       val survivors = Dedup.nearDupClusters(exactDeduped, "clean", "doc_id",
           threshold = 0.8, maxBucket = Int.MaxValue)
