@@ -144,7 +144,40 @@ object Decontaminate {
       batch: DataFrame, payloadCol: String, idCol: String, table: String,
       embCol: Option[String] = None, embTau: Double = 0.95,
       checkIds: Boolean = true): DataFrame = {
-    val guarded = if (!checkIds) batch else {
+    val guarded = if (!checkIds) batch
+      else guardEvalIdCollisions(spark, batch, idCol, table)
+    val s1 = Dedup.imageIncrementalDelta(spark, guarded, table, payloadCol, idCol)
+    val s2 = Dedup.audioIncrementalDelta(spark, s1, table, payloadCol, idCol)
+    val s3 = Dedup.videoIncrementalDelta(spark, s2, table, payloadCol, idCol)
+    embCol.filter(_ => spark.catalog.tableExists(s"${table}_ei")).fold(s3) { e =>
+      Similarity.semanticIncrementalDelta(spark, s3, s"${table}_ei", embTau,
+        idCol = idCol, vecCol = e, cId = idCol, cVec = e)
+    }
+  }
+
+  /** [[dropContaminatedMultimodal]] over a precomputed identity frame
+    * ([[Multimodal.multimodalIdentities]] — the fused intake path):
+    * the same three modality probes chained in the same order with the
+    * same eval-id collision guard, consuming identities instead of
+    * payloads (zero decode passes). No embedding leg — the intake loop
+    * decontaminates its embedding rows separately. */
+  def dropContaminatedMultimodalIdent(spark: org.apache.spark.sql.SparkSession,
+      ident: DataFrame, idCol: String, table: String,
+      checkIds: Boolean = true): DataFrame = {
+    val guarded = if (!checkIds) ident
+      else guardEvalIdCollisions(spark, ident, idCol, table)
+    val s1 = Dedup.imageIncrementalDeltaIdent(spark, guarded, table, idCol)
+    val s2 = Dedup.audioIncrementalDeltaIdent(spark, s1, table, idCol)
+    Dedup.videoIncrementalDeltaIdent(spark, s2, table, idCol)
+  }
+
+  /** The eval-id disjointness guard both multimodal probe forms share:
+    * batch ids colliding with any eval identity-table id fail LOUDLY
+    * via a broadcast left join whose match arm is `raise_error` (the
+    * same-id replay guard would otherwise silently pass a contaminated
+    * row). */
+  private def guardEvalIdCollisions(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, table: String): DataFrame = {
       // the `_ei` IVF main table stores its id under the NAME the
       // writeEvalIdentities caller used — which need not match this
       // probe call's idCol. Resolve it structurally (the one column
@@ -184,14 +217,6 @@ object Decontaminate {
             .otherwise(col(idCol)))
           .drop(e)
       }
-    }
-    val s1 = Dedup.imageIncrementalDelta(spark, guarded, table, payloadCol, idCol)
-    val s2 = Dedup.audioIncrementalDelta(spark, s1, table, payloadCol, idCol)
-    val s3 = Dedup.videoIncrementalDelta(spark, s2, table, payloadCol, idCol)
-    embCol.filter(_ => spark.catalog.tableExists(s"${table}_ei")).fold(s3) { e =>
-      Similarity.semanticIncrementalDelta(spark, s3, s"${table}_ei", embTau,
-        idCol = idCol, vecCol = e, cId = idCol, cVec = e)
-    }
   }
 
   /** Drop an eval identity-table set (all modality tables + the

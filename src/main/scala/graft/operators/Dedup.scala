@@ -860,7 +860,7 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
     Graph.connectedComponents(pairs, "id_a", "id_b",
-        nodes = Some(df.select(col(idCol))))
+        nodes = Some(df.select(col(idCol))), assumeDistinct = true)
       .select(col("id").alias(idCol), col("component").alias("cluster"))
   }
 
@@ -889,7 +889,7 @@ object Dedup {
         maxBucket = maxBucket)
       .select(col("id_a"), col("id_b"))
     Graph.connectedComponents(pairs, "id_a", "id_b",
-        nodes = Some(df.select(col(idCol))))
+        nodes = Some(df.select(col(idCol))), assumeDistinct = true)
       .select(col("id").alias(idCol), col("component").alias("cluster"))
   }
 
@@ -1233,7 +1233,7 @@ object Dedup {
         idCol, "__afp", maxBucket = maxBucket)
       .select(col("id_a"), col("id_b"))
     Graph.connectedComponents(pairs, "id_a", "id_b",
-        nodes = Some(df.select(col(idCol))))
+        nodes = Some(df.select(col(idCol))), assumeDistinct = true)
       .select(col("id").alias(idCol), col("component").alias("cluster"))
   }
 
@@ -1304,12 +1304,18 @@ object Dedup {
     * probe join's keys; `<table>_vn` — per-video frame counts
     * (__pid, __nf), the vote denominators. */
   private def videoBandFrame(df: DataFrame, payloadCol: String,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    videoBandFrameOfFrames(
+      Multimodal.videoFrameHashes(df.select(col(idCol), col(payloadCol)),
+          payloadCol, idCol, "__fidx", "__fh")
+        .select(col(idCol).alias("__pid"), col("__fidx"), col("__fh")))
+
+  /** Banded form of a (__pid, __fidx, __fh) frame — the shared half of
+    * [[videoBandFrame]] the fused-identity append reuses. */
+  private def videoBandFrameOfFrames(fh: DataFrame): DataFrame = {
     val bandBits = 64 / VideoBands
     val mask = (1L << bandBits) - 1L
-    Multimodal.videoFrameHashes(df.select(col(idCol), col(payloadCol)),
-        payloadCol, idCol, "__fidx", "__fh")
-      .select(col(idCol).alias("__pid"), col("__fidx"), col("__fh"),
+    fh.select(col("__pid"), col("__fidx"), col("__fh"),
         posexplode(array((0 until VideoBands).map(b =>
           shiftright(col("__fh"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
@@ -1455,8 +1461,233 @@ object Dedup {
         minMatchFrac = minMatchFrac)
       .select(col("id_a"), col("id_b"))
     Graph.connectedComponents(pairs, "id_a", "id_b",
-        nodes = Some(df.select(col(idCol))))
+        nodes = Some(df.select(col(idCol))), assumeDistinct = true)
       .select(col("id").alias(idCol), col("component").alias("cluster"))
+  }
+
+  // ---- FUSED multimodal identity chain. Identity frames carry
+  // (idCol, __ph, __asig, __fhs) from [[Multimodal
+  // .multimodalIdentities]] — ONE decode pass over the batch's payload
+  // bytes, materialized once by the caller. Every stage below consumes
+  // and returns identity rows (the surviving subset), never payloads,
+  // and every history-delta append projects from the same frame — so a
+  // multimodal micro-batch reads its heavy blobs exactly once where
+  // the payload-column stage forms re-decode per stage (2× per
+  // modality) and per append (the r19 verdict's top read-amplification
+  // item). Semantics are the payload forms' verbatim: same kernels,
+  // same NULL pass-through ("no identity" is never a duplicate class),
+  // same same-id replay exclusion, same probe-side caps — pinned
+  // bit-for-bit in DedupSpec ("fused identity chain"). ----
+
+  /** [[imageExact]] over a precomputed identity frame: rows whose
+    * dHash (`__ph`) collides keep only the minimum id; null-hash rows
+    * pass through. Returns surviving identity rows. */
+  def imageExactIdent(ident: DataFrame, idCol: String): DataFrame = {
+    val rn = graft.Cols.fresh(ident.columns, "__rn")
+    val w = Window.partitionBy(col("__ph")).orderBy(col(idCol))
+    ident.where(col("__ph").isNotNull)
+      .withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1)
+      .drop(rn)
+      .unionByName(ident.where(col("__ph").isNull))
+  }
+
+  /** [[imageIncrementalDelta]] over a precomputed identity frame —
+    * identical probe (batch hashes broadcast, history never exchanges,
+    * same-id replay exclusion), minus the decode pass. */
+  def imageIncrementalDeltaIdent(spark: org.apache.spark.sql.SparkSession,
+      ident: DataFrame, table: String, idCol: String,
+      includeDelta: Boolean = true): DataFrame = {
+    val t = s"${table}_ph"
+    // the history's own column is "__ph" — rename the batch side so the
+    // join condition's references stay unambiguous (the payload form's
+    // fresh-name discipline)
+    val bph = graft.Cols.fresh(ident.columns :+ "__pid", "__bph")
+    val b = ident.withColumnRenamed("__ph", bph)
+    val deltaP = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
+    val fs = deltaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist =
+      if (includeDelta && fs.exists(deltaP))
+        spark.table(t).unionByName(Layout.readDelta(spark, t, deltaP.toString))
+      else spark.table(t)
+    val batchKeys = b.where(col(bph).isNotNull).select(col(bph))
+    val hits = hist.join(broadcast(batchKeys), col("__ph") === col(bph), "left_semi")
+    b.join(broadcast(hits),
+        col("__ph") === col(bph) && col("__pid") =!= col(idCol), "left_anti")
+      .withColumnRenamed(bph, "__ph")
+  }
+
+  /** [[audioNearDupClusters]] over a precomputed identity frame: same
+    * candidate geometry and vote over `__asig`, no fingerprint pass. */
+  def audioNearDupClustersIdent(ident: DataFrame, idCol: String,
+      maxBucket: Int = 1024): DataFrame = {
+    val sigs = ident.select(col(idCol), col("__asig").alias("__afp"))
+    val pairs = audioCandidates(sigs.where(col("__afp").isNotNull),
+        idCol, "__afp", maxBucket = maxBucket)
+      .select(col("id_a"), col("id_b"))
+    Graph.connectedComponents(pairs, "id_a", "id_b",
+        nodes = Some(ident.select(col(idCol))), assumeDistinct = true)
+      .select(col("id").alias(idCol), col("component").alias("cluster"))
+  }
+
+  /** [[audioIncrementalDelta]] over a precomputed identity frame —
+    * identical flip-ball probe vs main ∪ delta, minus the decode. */
+  def audioIncrementalDeltaIdent(spark: org.apache.spark.sql.SparkSession,
+      ident: DataFrame, table: String, idCol: String,
+      includeDelta: Boolean = true, maxBucket: Int = 1024): DataFrame = {
+    val t = s"${table}_ab"
+    val deltaP = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, t))
+    val fs = deltaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val twoLegs = includeDelta && fs.exists(deltaP)
+    // the probe pipeline is shared by the main and delta legs when both
+    // exist (the payload form's barrier) — but it derives from the
+    // caller's MATERIALIZED identity frame, so with one leg (the
+    // steady state after compaction) re-deriving it is a cheap
+    // re-explode and the checkpoint job is pure overhead; checkpoint
+    // only when a delta leg will actually re-reference it
+    val bandsRaw = dropOversizedBuckets(audioProbeFrame(
+        ident.where(col("__asig").isNotNull)
+          .select(col(idCol).alias("__pid"), col("__asig"))),
+        Seq("__band", "__bucket"), maxBucket)
+      .select(col("__band").alias("__bband"), col("__bucket").alias("__bbucket"),
+        col("__pid").alias("__bid"), col("__asig").alias("__bsig2"))
+    val batchBands =
+      if (twoLegs) bandsRaw.localCheckpoint(eager = true) else bandsRaw
+    def hitIds(hist: DataFrame): DataFrame =
+      hist.join(broadcast(batchBands),
+          col("__band") === col("__bband") &&
+            col("__bucket") === col("__bbucket") &&
+            col("__pid") =!= col("__bid"))
+        .where(hamming(col("__asig"), col("__bsig2"), bits = 64) <= AudioMaxDist)
+        .select(col("__bid"))
+    val mainHits = hitIds(spark.table(t))
+    val hits =
+      if (twoLegs)
+        mainHits.unionByName(hitIds(Layout.readDelta(spark, t, deltaP.toString)))
+      else mainHits
+    ident.join(broadcast(hits.distinct()),
+      col(idCol) === col("__bid"), "left_anti")
+  }
+
+  /** The per-frame rows of an identity frame's `__fhs` column —
+    * (__pid, __fidx int, __fh long), the [[Multimodal.videoFrameHashes]]
+    * shape (no-identity rows contribute nothing). */
+  private def identFrameRows(ident: DataFrame, idCol: String): DataFrame =
+    ident.where(col("__fhs").isNotNull)
+      .select(col(idCol).alias("__pid"), posexplode(col("__fhs")))
+      .withColumnRenamed("pos", "__fidx").withColumnRenamed("col", "__fh")
+
+  /** [[videoNearDupClusters]] over a precomputed identity frame: same
+    * frame-aligned bands and vote, no decode+hash pass. */
+  def videoNearDupClustersIdent(ident: DataFrame, idCol: String,
+      maxDist: Int = 3, maxBucket: Int = 1024,
+      minMatchFrac: Double = 0.6): DataFrame = {
+    val fh = ident.where(col("__fhs").isNotNull)
+      .select(col(idCol), posexplode(col("__fhs")))
+      .withColumnRenamed("pos", "frame_idx").withColumnRenamed("col", "fhash")
+    val pairs = videoCandidates(fh, idCol, maxDist = maxDist,
+        nBands = maxDist + 1, maxBucket = maxBucket,
+        minMatchFrac = minMatchFrac)
+      .select(col("id_a"), col("id_b"))
+    Graph.connectedComponents(pairs, "id_a", "id_b",
+        nodes = Some(ident.select(col(idCol))), assumeDistinct = true)
+      .select(col("id").alias(idCol), col("component").alias("cluster"))
+  }
+
+  /** [[videoIncrementalDelta]] over a precomputed identity frame —
+    * identical banded frame match + vote vs main ∪ delta, minus the
+    * decode pass (and its barrier: the frame rows derive from the
+    * caller's materialized identity frame, so re-deriving them per
+    * consumer is a cheap re-explode, not a re-decode). */
+  def videoIncrementalDeltaIdent(spark: org.apache.spark.sql.SparkSession,
+      ident: DataFrame, table: String, idCol: String,
+      includeDelta: Boolean = true, maxBucket: Int = 1024): DataFrame = {
+    val tb = s"${table}_vb"; val tn = s"${table}_vn"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bDelta = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, tb))
+    val nDelta = new org.apache.hadoop.fs.Path(Layout.deltaDirOf(spark, tn))
+    val fs = bDelta.getFileSystem(hconf)
+    val fh = identFrameRows(ident, idCol)
+    val bandBits = 64 / VideoBands
+    val mask = (1L << bandBits) - 1L
+    val batchBands = dropOversizedBuckets(
+        fh.select(col("__pid"), col("__fidx"), col("__fh"),
+            posexplode(array((0 until VideoBands).map(b =>
+              shiftright(col("__fh"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+          .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket"),
+        Seq("__fidx", "__band", "__bucket"), maxBucket)
+      .select(col("__fidx").alias("__bfidx"), col("__band").alias("__bband"),
+        col("__bucket").alias("__bbucket"), col("__pid").alias("__bid"),
+        col("__fh").alias("__bfh"))
+    // counts come straight off the identity arrays — no regroup shuffle
+    val batchCounts = ident.where(col("__fhs").isNotNull)
+      .select(col(idCol).alias("__bid"), size(col("__fhs")).cast("long").as("__bnf"))
+    def frameMatches(hist: DataFrame): DataFrame =
+      hist.join(broadcast(batchBands),
+          col("__fidx") === col("__bfidx") && col("__band") === col("__bband") &&
+            col("__bucket") === col("__bbucket") && col("__pid") =!= col("__bid"))
+        .where(hamming(col("__fh"), col("__bfh"), bits = 64) <= VideoMaxDist)
+        .select(col("__bid"), col("__pid"), col("__fidx"))
+    val mainMatches = frameMatches(spark.table(tb))
+    val matches =
+      if (includeDelta && fs.exists(bDelta))
+        mainMatches.unionByName(frameMatches(
+          Layout.readDelta(spark, tb, bDelta.toString)))
+      else mainMatches
+    val histCounts =
+      if (includeDelta && fs.exists(nDelta))
+        spark.table(tn).unionByName(Layout.readDelta(spark, tn, nDelta.toString))
+      else spark.table(tn)
+    val hits = matches.distinct()
+      .groupBy(col("__bid"), col("__pid")).agg(count(lit(1)).as("__m"))
+      .join(histCounts.select(col("__pid"), col("__nf")), Seq("__pid"))
+      .join(broadcast(batchCounts), Seq("__bid"))
+      .where(col("__m") >= lit(VideoMinMatchFrac) * least(col("__nf"), col("__bnf")))
+      .select(col("__bid")).distinct()
+    ident.join(broadcast(hits), col(idCol) === col("__bid"), "left_anti")
+  }
+
+  /** [[appendImageHistoryDelta]] projected from a precomputed identity
+    * frame — same delta rows (`(__pid, __ph)`, non-null hashes only),
+    * zero payload reads. The three modality appends stay independent
+    * writes in the same fixed order, so every crash prefix leaves every
+    * probe correct exactly as before. */
+  def appendImageHistoryDeltaIdent(spark: org.apache.spark.sql.SparkSession,
+      ident: DataFrame, idCol: String, table: String, batchId: Long): Unit = {
+    val t = s"${table}_ph"
+    if (Layout.isBatchFolded(spark, t, batchId)) return
+    ident.where(col("__ph").isNotNull)
+      .select(col(idCol).alias("__pid"), col("__ph"))
+      .write.mode("overwrite")
+      .parquet(s"${Layout.deltaDirOf(spark, t)}/batch-$batchId")
+  }
+
+  /** [[appendAudioHistoryDelta]] from a precomputed identity frame. */
+  def appendAudioHistoryDeltaIdent(spark: org.apache.spark.sql.SparkSession,
+      ident: DataFrame, idCol: String, table: String, batchId: Long): Unit = {
+    val t = s"${table}_ab"
+    if (Layout.isBatchFolded(spark, t, batchId)) return
+    audioBandFrame(ident.where(col("__asig").isNotNull)
+        .select(col(idCol).alias("__pid"), col("__asig")))
+      .write.mode("overwrite")
+      .parquet(s"${Layout.deltaDirOf(spark, t)}/batch-$batchId")
+  }
+
+  /** [[appendVideoHistoryDelta]] from a precomputed identity frame —
+    * same band-rows-first/counts-second crash-window order; the count
+    * half reads `size(__fhs)` off the identity row instead of
+    * regrouping frame rows (same integers, no shuffle). */
+  def appendVideoHistoryDeltaIdent(spark: org.apache.spark.sql.SparkSession,
+      ident: DataFrame, idCol: String, table: String, batchId: Long): Unit = {
+    val tb = s"${table}_vb"; val tn = s"${table}_vn"
+    if (!Layout.isBatchFolded(spark, tb, batchId))
+      videoBandFrameOfFrames(identFrameRows(ident, idCol)).write.mode("overwrite")
+        .parquet(s"${Layout.deltaDirOf(spark, tb)}/batch-$batchId")
+    if (!Layout.isBatchFolded(spark, tn, batchId))
+      ident.where(col("__fhs").isNotNull)
+        .select(col(idCol).alias("__pid"), size(col("__fhs")).cast("long").as("__nf"))
+        .write.mode("overwrite")
+        .parquet(s"${Layout.deltaDirOf(spark, tn)}/batch-$batchId")
   }
 
   /** SimHash 32-bit signature over token 1-grams: per bit, sum +1/-1

@@ -1955,6 +1955,47 @@ object Multimodal {
     }(enc)
   }
 
+  /** ONE decode pass computing EVERY modality identity at once:
+    * (idCol, `phCol` long, `afpCol` long, `fhsCol` array<long>) — the
+    * image dHash, the audio spectral fingerprint and the per-frame
+    * video dHash sequence of each payload, each NULL where the payload
+    * does not decode as that modality ("no identity", the family
+    * contract). Values are produced by the SAME kernels the
+    * per-modality column forms call ([[dHash64]],
+    * [[audioFingerprint64]], [[videoFrameHashes64]]), so they are
+    * bit-identical to [[imageDHash]] / [[audioFingerprint]] /
+    * [[videoFrameHashes]] run separately.
+    *
+    * This is the fused-identity form the multimodal intake loop runs
+    * per micro-batch: the heavy payload bytes are READ once and each
+    * foreign-modality decode attempt rejects on magic bytes, where the
+    * per-stage column forms re-read the batch's payloads once per
+    * stage (2× per modality in the dedup chain + once per history
+    * append — the r19 "3× payload-read amplification" diagnosis). The
+    * output rows are identity-sized (8 B image + 8 B audio +
+    * 12 B/frame video), so the caller can materialize them once and
+    * run every dedup stage and every history-delta projection over
+    * identities, never payloads. */
+  def multimodalIdentities(df: DataFrame, payloadCol: String = "payload",
+      idCol: String = "doc_id", phCol: String = "__ph",
+      afpCol: String = "__asig", fhsCol: String = "__fhs"): DataFrame = {
+    val base = df.select(col(idCol), col(payloadCol))
+    val outSchema = StructType(Seq(base.schema.head,
+      StructField(phCol, LongType), StructField(afpCol, LongType),
+      StructField(fhsCol, ArrayType(LongType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null) Row(r.get(0), null, null, null)
+        else Row(r.get(0),
+          dHash64(payload).map(java.lang.Long.valueOf).orNull,
+          audioFingerprint64(payload).map(java.lang.Long.valueOf).orNull,
+          videoFrameHashes64(payload).orNull)
+      }
+    }(enc)
+  }
+
   /** Deterministic NON-STATIONARY test signal for a seed: an
     * amplitude-modulated two-tone whose low component CHIRPS upward,
     * at 8 kHz — (f₁, f₂, a₂, AM rate, chirp depth) all seed-derived.

@@ -704,16 +704,24 @@ object StreamOps {
     val pointer = new Path(root, "_LATEST")
     val current = graft.sources.AtomicPointer.read(hconf, pointer).map(_.toLong)
     if (current.contains(batchId)) return false // replayed batch: no-op
-    val outFrame = multimodalSurvivorFrame(batch, historyTable, numBuckets,
-      payloadCol, idCol, decontaminateMm)
+    val (outFrame, survIdent) = multimodalSurvivorFrame(batch, historyTable,
+      numBuckets, payloadCol, idCol, decontaminateMm)
     val survivorsPath = new Path(root, s"batch-$batchId").toString
     outFrame.write.mode("overwrite").parquet(survivorsPath)
-    val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
-    Dedup.appendImageHistoryDelta(spark, survivors, payloadCol, idCol,
+    // the history deltas project from the ALREADY-materialized survivor
+    // identity frame — zero re-reads (and zero re-decodes) of the
+    // written payloads, where the payload-frame appends cost one full
+    // batch-dir scan + decode pass EACH (4 passes: image, audio, video
+    // bands, video counts — the r19 verdict's top read-amplification
+    // item). The identities are deterministic functions of the written
+    // payload bytes, so a replayed batch still overwrites each delta
+    // dir with identical content; the three appends stay independent
+    // writes in the same fixed order, preserving every crash prefix.
+    Dedup.appendImageHistoryDeltaIdent(spark, survIdent, idCol,
       historyTable, batchId)
-    Dedup.appendAudioHistoryDelta(spark, survivors, payloadCol, idCol,
+    Dedup.appendAudioHistoryDeltaIdent(spark, survIdent, idCol,
       historyTable, batchId)
-    Dedup.appendVideoHistoryDelta(spark, survivors, payloadCol, idCol,
+    Dedup.appendVideoHistoryDeltaIdent(spark, survIdent, idCol,
       historyTable, batchId)
     graft.sources.AtomicPointer.write(hconf,
       new Path(root, s"_LATEST.tmp-$batchId"), pointer, batchId.toString)
@@ -723,10 +731,32 @@ object StreamOps {
   /** The three modality legs of [[multimodalIntakeBatch]], ending at
     * the UNWRITTEN survivor frame (the [[textSurvivorFrame]] split:
     * the exactly-once write stays with the caller — alone in the
-    * binary loop, unioned with the text legs in the mixed loop). */
+    * binary loop, unioned with the text legs in the mixed loop).
+    * Returns (survivor payload frame, survivor IDENTITY frame) — the
+    * caller's history-delta appends project from the second, so the
+    * batch's payload bytes are decoded exactly once end-to-end.
+    *
+    * Fused-identity shape (r20): ONE decode pass
+    * ([[graft.operators.Multimodal.multimodalIdentities]]) computes
+    * every modality identity together; the frame is identity-sized
+    * (8 B image + 8 B audio + 12 B/frame video per row) and
+    * materializes once. Every dedup stage then consumes and returns
+    * identity rows — the payload-column stage forms re-decoded the
+    * batch's blobs once per stage (2× per modality) plus once per
+    * history append. Stage boundaries still persist only the surviving
+    * ID SET (the r12 resident-bytes discipline) and semi-join the
+    * materialized identity frame back, so no stage re-runs an upstream
+    * pipeline and plans stay bounded.
+    *
+    * Barrier class: `localCheckpoint` (eager) — lineage is truncated,
+    * so an executor loss inside the batch fails the job and the batch
+    * replays from the pointer (exactly-once makes that safe) rather
+    * than recomputing. That trade is right for bounded micro-batches;
+    * a multi-hour 100 TB BATCH caller should prefer reliable
+    * `checkpoint()` under a checkpoint dir (the r19 verdict note). */
   private def multimodalSurvivorFrame(batch: DataFrame, historyTable: String,
       numBuckets: Int, payloadCol: String, idCol: String,
-      decontaminateMm: Option[String] = None): DataFrame = {
+      decontaminateMm: Option[String] = None): (DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val like = batch.select(col(idCol), col(payloadCol)).limit(0)
@@ -735,37 +765,37 @@ object StreamOps {
     Dedup.ensureVideoHistory(spark, like, payloadCol, idCol, historyTable, numBuckets)
     def keepMinIds(clusters: DataFrame): DataFrame =
       clusters.where(col(idCol) === col("cluster")).select(col(idCol))
-    // stage barriers: each identity pipeline re-reads its input
-    // several times (banded sides, counts, anti-join), and six stages
-    // of lazy payload plans would multiply decodes. But checkpointing
-    // each stage's payload-carrying frame kept ~5 copies of the
-    // batch's binary blobs resident in the block manager — at
-    // production batch sizes, the loop's whole memory footprint. So:
-    // ONE payload-carrying checkpoint for the batch, and every stage
-    // boundary persists only its surviving ID SET (bytes per row, not
-    // payloads) and re-joins the payload from that single frame. A
-    // stage re-reading its input re-runs only a broadcast semi-join
-    // over materialized blocks — never an upstream identity pipeline.
+    // payloads resident once (the final survivor write needs them);
+    // identities decoded once, materialized once
     val batch0 = batch.localCheckpoint(eager = true)
-    def rejoin(survivorIds: DataFrame): DataFrame =
-      batch0.join(broadcast(survivorIds.select(col(idCol))
+    val ident0 = graft.operators.Multimodal.multimodalIdentities(
+        batch0, payloadCol, idCol)
+      .localCheckpoint(eager = true)
+    // stage boundary: persist the surviving ID SET only (bytes per
+    // row) and semi-join the materialized identity frame back — a
+    // stage re-reading its input re-runs a broadcast semi-join over
+    // identity blocks, never a decode or an upstream pipeline
+    def step(ids: DataFrame): DataFrame =
+      ident0.join(broadcast(ids.select(col(idCol))
         .localCheckpoint(eager = true)), Seq(idCol), "left_semi")
     // optional eval decontamination, BEFORE the dedup legs (the text
     // leg's placement rationale: a contaminated payload must never
-    // leave history rows behind); each probe returns surviving rows,
-    // re-joined as id sets so payloads stay resident once
-    val base = decontaminateMm.fold(batch0) { t =>
-      rejoin(graft.operators.Decontaminate.dropContaminatedMultimodal(
-        spark, batch0, payloadCol, idCol, t))
+    // leave history rows behind)
+    val base = decontaminateMm.fold(ident0) { t =>
+      step(graft.operators.Decontaminate.dropContaminatedMultimodalIdent(
+        spark, ident0, idCol, t))
     }
-    val s1 = rejoin(Dedup.imageExact(base, payloadCol, idCol))
-    val s2 = rejoin(Dedup.imageIncrementalDelta(spark, s1, historyTable,
-      payloadCol, idCol))
-    val s3 = rejoin(keepMinIds(Dedup.audioNearDupClusters(s2, payloadCol, idCol)))
-    val s4 = rejoin(Dedup.audioIncrementalDelta(spark, s3, historyTable,
-      payloadCol, idCol))
-    val s5 = rejoin(keepMinIds(Dedup.videoNearDupClusters(s4, payloadCol, idCol)))
-    Dedup.videoIncrementalDelta(spark, s5, historyTable, payloadCol, idCol)
+    // the two image stages share ONE boundary: the exact-keep-min
+    // window is identity-sized, so the incremental probe re-deriving it
+    // under its two references costs a small re-sort over materialized
+    // blocks, not a decode — one fewer checkpoint job per micro-batch
+    val s2 = step(Dedup.imageIncrementalDeltaIdent(spark,
+      Dedup.imageExactIdent(base, idCol), historyTable, idCol))
+    val s3 = step(keepMinIds(Dedup.audioNearDupClustersIdent(s2, idCol)))
+    val s4 = step(Dedup.audioIncrementalDeltaIdent(spark, s3, historyTable, idCol))
+    val s5 = step(keepMinIds(Dedup.videoNearDupClustersIdent(s4, idCol)))
+    val s6 = step(Dedup.videoIncrementalDeltaIdent(spark, s5, historyTable, idCol))
+    (batch0.join(broadcast(s6.select(col(idCol))), Seq(idCol), "left_semi"), s6)
   }
 
   /** [[multimodalIntakeBatch]] as a streaming sink. */
@@ -856,7 +886,7 @@ object StreamOps {
       htmlCol, idCol, minQuality, threshold, extractBoilerplate, lmGate,
       decontaminate, paragraphDedup, lmBuckets, urlDedupCol, qualityModel,
       gates)
-    val payOut = multimodalSurvivorFrame(payloadRows, historyTable,
+    val (payOut, payIdent) = multimodalSurvivorFrame(payloadRows, historyTable,
       numBuckets, payloadCol, idCol, decontaminateMm)
     // optional EMBEDDING leg (SemDeDup at intake, the l29b machinery):
     // within-batch cluster resolution under the history's frozen
@@ -909,7 +939,6 @@ object StreamOps {
     outFrame.write.mode("overwrite").parquet(survivorsPath)
     val survivors = spark.read.schema(outFrame.schema).parquet(survivorsPath)
     val textSurv = survivors.where(col("text").isNotNull)
-    val paySurv = survivors.where(col(payloadCol).isNotNull)
     Dedup.appendBandHistoryDelta(spark, textSurv, "text", idCol,
       historyTable, batchId)
     if (paragraphDedup)
@@ -917,11 +946,15 @@ object StreamOps {
       // (same rationale as the text-loop append)
       Dedup.appendParagraphHistoryDelta(spark, textSurv, "text", idCol,
         historyTable, batchId, assumeCanonical = true)
-    Dedup.appendImageHistoryDelta(spark, paySurv, payloadCol, idCol,
+    // modality deltas project from the materialized survivor identity
+    // frame (payload-leg survivors == payload-not-null merged rows by
+    // construction of the full-outer merge) — zero re-reads/re-decodes
+    // of the written payloads (the multimodalIntakeBatch rationale)
+    Dedup.appendImageHistoryDeltaIdent(spark, payIdent, idCol,
       historyTable, batchId)
-    Dedup.appendAudioHistoryDelta(spark, paySurv, payloadCol, idCol,
+    Dedup.appendAudioHistoryDeltaIdent(spark, payIdent, idCol,
       historyTable, batchId)
-    Dedup.appendVideoHistoryDelta(spark, paySurv, payloadCol, idCol,
+    Dedup.appendVideoHistoryDeltaIdent(spark, payIdent, idCol,
       historyTable, batchId)
     embCol.foreach { e =>
       // the seeding guard above may have deferred index creation (a

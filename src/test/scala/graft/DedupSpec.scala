@@ -93,6 +93,95 @@ class DedupSpec extends SparkSpec {
     } finally Dedup.dropImageHistory(spark, table)
   }
 
+  test("fused identity chain: multimodalIdentities bit-matches the per-modality extractors; ident stages match the payload stages") {
+    import graft.operators.Multimodal
+    val table = "t_fused_ident"
+    def ppm(ids: Seq[Long]) = Multimodal.syntheticPpmMixed(
+      ids.toDF("doc_id"), "doc_id", 16, 16).select($"doc_id", $"payload")
+    def wav(ids: Seq[Long]) = Multimodal.syntheticWavPcm16(
+      ids.toDF("doc_id"), "doc_id").select($"doc_id", $"payload")
+    def y4m(ids: Seq[Long]) = Multimodal.syntheticY4mBlocks(
+      ids.toDF("doc_id"), "doc_id", 64, 32, 3).select($"doc_id", $"payload")
+    val junk = Seq((900L, "junk bytes".getBytes),
+      (901L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    val batch = ppm(1L to 6L).unionByName(wav(10L to 15L))
+      .unionByName(y4m(20L to 24L)).unionByName(junk)
+      .localCheckpoint(true)
+    // (1) the fused pass returns exactly the three extractors' values
+    val fused = Multimodal.multimodalIdentities(batch, "payload", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)).map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq))).toMap
+    val ph = Multimodal.imageDHash(batch, "payload", "d").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    val afp = Multimodal.audioFingerprint(batch, "payload", "a").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    val fhs = Multimodal.videoFrameHashes(batch, "payload", "doc_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    fused.foreach { case (id, (p, a, f)) =>
+      assert(p === ph(id), s"image dHash diverged for $id")
+      assert(a === afp(id), s"audio fingerprint diverged for $id")
+      assert(f === fhs.get(id), s"video frame hashes diverged for $id")
+    }
+    // (2) every ident stage returns the payload stage's survivor set
+    Dedup.dropImageHistory(spark, table)
+    Dedup.dropAudioHistory(spark, table)
+    Dedup.dropVideoHistory(spark, table)
+    try {
+      Dedup.ensureImageHistory(spark, batch, "payload", "doc_id", table, 4)
+      Dedup.ensureAudioHistory(spark, batch, "payload", "doc_id", table, 4)
+      Dedup.ensureVideoHistory(spark, batch, "payload", "doc_id", table, 4)
+      val hist = ppm(Seq(3L, 4L)).unionByName(wav(Seq(12L)))
+        .unionByName(y4m(Seq(22L)))
+        .select(($"doc_id" + 500).as("doc_id"), $"payload")
+      Dedup.appendImageHistoryDelta(spark, hist, "payload", "doc_id", table, 0)
+      Dedup.appendAudioHistoryDelta(spark, hist, "payload", "doc_id", table, 0)
+      Dedup.appendVideoHistoryDelta(spark, hist, "payload", "doc_id", table, 0)
+      val ident = Multimodal.multimodalIdentities(batch, "payload", "doc_id")
+        .localCheckpoint(true)
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select($"doc_id").as[Long].collect().toSet
+      assert(ids(Dedup.imageExactIdent(ident, "doc_id"))
+        === ids(Dedup.imageExact(batch, "payload", "doc_id")))
+      assert(ids(Dedup.imageIncrementalDeltaIdent(spark, ident, table, "doc_id"))
+        === ids(Dedup.imageIncrementalDelta(spark, batch, table, "payload", "doc_id")))
+      assert(ids(Dedup.audioIncrementalDeltaIdent(spark, ident, table, "doc_id"))
+        === ids(Dedup.audioIncrementalDelta(spark, batch, table, "payload", "doc_id")))
+      assert(ids(Dedup.videoIncrementalDeltaIdent(spark, ident, table, "doc_id"))
+        === ids(Dedup.videoIncrementalDelta(spark, batch, table, "payload", "doc_id")))
+      def clusters(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select($"doc_id", $"cluster").as[(Long, Long)].collect().toSet
+      assert(clusters(Dedup.audioNearDupClustersIdent(ident, "doc_id"))
+        === clusters(Dedup.audioNearDupClusters(batch, "payload", "doc_id")))
+      assert(clusters(Dedup.videoNearDupClustersIdent(ident, "doc_id"))
+        === clusters(Dedup.videoNearDupClusters(batch, "payload", "doc_id")))
+      // (3) ident-projected delta appends write the SAME rows as the
+      // payload-frame appends
+      Dedup.appendImageHistoryDeltaIdent(spark, ident, "doc_id", table, 1)
+      Dedup.appendAudioHistoryDeltaIdent(spark, ident, "doc_id", table, 1)
+      Dedup.appendVideoHistoryDeltaIdent(spark, ident, "doc_id", table, 1)
+      def deltaRows(suffix: String, batchId: Long): Set[String] = {
+        val t = table + suffix
+        val dir = s"${graft.operators.Layout.deltaDirOf(spark, t)}/batch-$batchId"
+        spark.read.schema(spark.table(t).schema).parquet(dir)
+          .collect().map(_.toString).toSet
+      }
+      Dedup.appendImageHistoryDelta(spark, batch, "payload", "doc_id", table, 2)
+      Dedup.appendAudioHistoryDelta(spark, batch, "payload", "doc_id", table, 2)
+      Dedup.appendVideoHistoryDelta(spark, batch, "payload", "doc_id", table, 2)
+      Seq("_ph", "_ab", "_vb", "_vn").foreach { sfx =>
+        assert(deltaRows(sfx, 1) === deltaRows(sfx, 2),
+          s"ident append rows diverged from payload append rows in $sfx")
+      }
+    } finally {
+      Dedup.dropImageHistory(spark, table)
+      Dedup.dropAudioHistory(spark, table)
+      Dedup.dropVideoHistory(spark, table)
+    }
+  }
+
   test("L39: within-corpus paragraph dedup — keep-first across docs and within one, blank lines exempt, all-boilerplate docs drop, NULL passthrough") {
     def doc(id: Long, text: String) = (id, text)
     val corpus = Seq(
@@ -812,7 +901,10 @@ class DedupSpec extends SparkSpec {
             n.incrementAndGet(): Unit
         }
         spark.sparkContext.addSparkListener(l)
-        try { body; Thread.sleep(1500) } // let the listener bus drain
+        // deterministic drain (ADVICE r19): a fixed sleep both slowed
+        // the suite and could undercount on a loaded box
+        try { body; org.apache.spark.graftshim.ListenerBridge
+          .waitUntilEmpty(spark.sparkContext) }
         finally spark.sparkContext.removeSparkListener(l)
         n.get()
       }
