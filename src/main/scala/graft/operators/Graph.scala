@@ -51,21 +51,38 @@ object Graph {
     *               nodes (no edge) appear in the result with themselves
     *               as component; without it the result covers only ids
     *               present in `edges`
+    * @param assumeDistinct skip the input-dedup exchange when the caller
+    *               guarantees one row per undirected edge (every LSH
+    *               candidate generator ends in a distinct/groupBy).
+    *               Duplicates would still resolve CORRECTLY (each round
+    *               dedups), they'd just bloat the first checkpoint — so
+    *               this is purely the redundant-shuffle cut.
     * @return (`id`, `component`) — component = smallest node id reachable
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      nodes: Option[DataFrame] = None, maxIter: Int = 50): DataFrame = {
+      nodes: Option[DataFrame] = None, maxIter: Int = 50,
+      assumeDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    var e = edges
+    val e0 = edges
       .select(col(srcCol).alias("a"), col(dstCol).alias("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
+    var e = (if (assumeDistinct) e0 else e0.distinct())
       .localCheckpoint()
 
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      // LAZY round checkpoint: the convergence test below aggregates
+      // over EVERY partition of the new edge frame (a groupBy's partial
+      // aggregation reads them all before its limit-1), so its one job
+      // both materializes the checkpoint and answers convergence —
+      // where an eager checkpoint paid a separate materialization job
+      // per round first (2 jobs/round → 1; at production cadence each
+      // removed job is a scheduler round-trip per CC call per batch).
+      // Lazy is safe ONLY because the first action is partition-total;
+      // a take()-shaped first action would truncate lineage with
+      // partitions uncomputed.
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       // star-forest fixpoint, both conditions (see scaladoc): every node
       // is EITHER a root (parent only) or a child with exactly ONE
       // parent. One aggregation over the role-tagged endpoints — same

@@ -1681,7 +1681,7 @@ object LlmQueries {
       // audioNearDupClusters does, minus its second fingerprint pass)
       val survivedCopies = graft.operators.Graph
         .connectedComponents(cands, "id_a", "id_b",
-          nodes = Some(sigs.select(col("doc_id"))))
+          nodes = Some(sigs.select(col("doc_id"))), assumeDistinct = true)
         .where(col("id") === col("component") && col("id") >= 200000)
         .agg(count(lit(1)).as("copies_survived"))
       missed.crossJoin(survivedCopies)
@@ -1762,7 +1762,8 @@ object LlmQueries {
         .connectedComponents(
           Dedup.audioCandidates(batchSigs, "doc_id", "afp",
             maxBucket = Int.MaxValue).select(col("id_a"), col("id_b")),
-          "id_a", "id_b", nodes = Some(batch.select(col("doc_id"))))
+          "id_a", "id_b", nodes = Some(batch.select(col("doc_id"))),
+          assumeDistinct = true)
         .where(col("id") === col("component"))
         .select(col("id").as("doc_id")).join(batch, Seq("doc_id"))
       val pipeSurvivors = Dedup.audioIncrementalDelta(s, withinSurvivors,
@@ -1817,7 +1818,8 @@ object LlmQueries {
         .agg(count(lit(1)).as("planted_partial_votes"))
       val survivedCopies = graft.operators.Graph
         .connectedComponents(cands.select(col("id_a"), col("id_b")),
-          "id_a", "id_b", nodes = Some(all.select(col("doc_id"))))
+          "id_a", "id_b", nodes = Some(all.select(col("doc_id"))),
+          assumeDistinct = true)
         .where(col("id") === col("component") && col("id") >= 200000)
         .agg(count(lit(1)).as("copies_survived"))
       missed.crossJoin(partial).crossJoin(survivedCopies)
