@@ -179,6 +179,14 @@ object TextFunctions {
       SortedRunStats(ColumnBridge.expression(arr), extraChars))
   }
 
+  /** Every integer behind the Gopher metric pack in ONE native pass —
+    * the fused [[GopherTextStats]] kernel (see its scaladoc for the
+    * parity contract with the built-in HOF folds it replaces). */
+  def gopherTextStats(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(GopherTextStats(ColumnBridge.expression(text)))
+  }
+
   /** Built-in-only form of [[charNgrams]] — kept as the semantic
     * reference for the native kernel's parity property test. */
   def charNgramsHof(text: Column, n: Int): Column =

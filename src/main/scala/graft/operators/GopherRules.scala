@@ -130,6 +130,43 @@ object GopherRules {
     * dup_para_frac, dup_para_char_frac, top2_char_frac, top3_char_frac,
     * top4_char_frac.
     *
+    * Since r20 the integer front half (every count, char sum and
+    * sorted-run fold) is ONE call into the fused native
+    * [[graft.functions.GopherTextStats]] kernel; only the final
+    * NULL-guarded divisions remain column arithmetic. The previous
+    * bindOnce-over-HOF-folds form is retained as [[metricsHof]] — the
+    * kernel's bit-parity reference (GopherRulesSpec pins them equal
+    * property-wise; the DuckDB l41 oracle restates the whole pack
+    * relationally on top). */
+  def metrics(text: Column): Column = {
+    val assembled = TF.bindOnce(TF.gopherTextStats(text)) { s =>
+      def f(name: String): Column = s.getField(name)
+      def topFrac(p: String): Column =
+        when(f(s"${p}_n") > 0, frac(f(s"${p}_bc") * f(s"${p}_bl"), f("wc")))
+          .otherwise(lit(null).cast("double"))
+      struct(
+        f("nw").as("n_words"),
+        frac(f("wc"), f("nw")).as("mean_word_len"),
+        frac(f("aw"), f("nw")).as("alpha_frac"),
+        f("nstop").as("n_stop"),
+        frac(f("sym"), f("nw")).as("symbol_ratio"),
+        frac(f("bul"), f("nl")).as("bullet_frac"),
+        frac(f("ell"), f("nl")).as("ellipsis_frac"),
+        frac(f("dl_occ"), f("nl")).as("dup_line_frac"),
+        frac(f("dl_chars"), f("lchars")).as("dup_line_char_frac"),
+        frac(f("dp_occ"), f("np")).as("dup_para_frac"),
+        frac(f("dp_chars"), f("pchars")).as("dup_para_char_frac"),
+        topFrac("t2").as("top2_char_frac"),
+        topFrac("t3").as("top3_char_frac"),
+        topFrac("t4").as("top4_char_frac"))
+    }
+    when(text.isNull, lit(null)).otherwise(assembled)
+  }
+
+  /** The pre-r20 built-in-only form of [[metrics]] — kept as the
+    * semantic reference for the fused kernel's parity property test
+    * (the [[TF.charNgramsHof]] discipline).
+    *
     * Evaluation discipline ([[TF.bindOnce]] — the l41 attempt log's
     * 130 s → 6 s lesson): the token/line/paragraph lists bind ONCE at
     * level 1 (fourteen metric fields otherwise re-derive them per
@@ -138,7 +175,7 @@ object GopherRules {
     * re-tokenizes per n-gram, O(k²)); every sorted-run FOLD result
     * binds once at level 2 (each feeds two final fields); the final
     * struct assembly is pure arithmetic over the bound slots. */
-  def metrics(text: Column): Column = {
+  private[graft] def metricsHof(text: Column): Column = {
     val bound = TF.bindOnce(struct(TF.tokens(text).as("ts"),
         linesOf(text).as("ls"), parasOf(text).as("ps"))) { v =>
       val toks = v.getField("ts")

@@ -29,6 +29,30 @@ class GopherRulesSpec extends SparkSpec {
     Seq(Option(text)).toDF("text")
       .select(G.keeps($"text").as("k")).as[Boolean].head()
 
+  test("fused kernel parity: metrics == metricsHof bit-for-bit over corpus docs, plants, and adversarial strings") {
+    // the hand-built adversarial set: whitespace runs, tabs, CRs,
+    // blank-line runs, bullets/ellipses, unicode (incl. non-ASCII
+    // uppercase for the toLowerCase path and a surrogate pair for the
+    // numChars-vs-UTF-16 distinction), '#'/dots overlaps, empty, and
+    // every plant the l41 fixture carries
+    val weird = Seq(
+      "", " ", "\n", "\n\n\n", "a", "ONE Two tHRee", "a  b\t\tc\r\nd",
+      "• bullet\n- dash\n* star\n● dot", "end...\nend…\nend....",
+      "##x#y ... …. .....", "a b a b a b", "x\n\nx\n\n\nx\nx",
+      "ÜBER Straße ÇĞİ drôle", "emoji 😀 pair 😀",
+      "the be to of and that have with", "  lead trail  ",
+      "tok1 tok2 tok3", "line with trailing spaces   \nnext",
+      "verttab", "多个 中文 词 多个 中文 词")
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"text").as[String].collect().toSeq
+    val all = (docs ++ weird).map(Option(_)) :+ None
+    val df = all.toDF("text").localCheckpoint(true)
+    val both = df.select(
+      G.metrics($"text").as("a"), G.metricsHof($"text").as("b"))
+    val diff = both.where(!($"a" <=> $"b")).count()
+    assert(diff === 0L, s"$diff rows diverged between the fused kernel and the HOF form")
+  }
+
   test("L45: hand-computed metrics — dup lines, top-2-gram, word stats") {
     val t = "one two one two three\none two one two three\nfour five"
     val r = metricsOf(t)
