@@ -550,10 +550,27 @@ object Similarity {
   }
 
   /** (rows, non-NaN rows, tightness mean) from an [[observedAssignment]]
-    * observation — call only after the write action ran. */
+    * observation — call only after the write action ran.
+    *
+    * Bounded wait (ADVICE r19): `Observation.get` blocks FOREVER if the
+    * observed CollectMetrics node was dropped from the executed plan
+    * (e.g. a future writeBucketed change re-projecting the frame, or a
+    * write path bypassing the observed Dataset). The metrics land
+    * within listener-bus latency of the action that just ran, so a
+    * short poll either returns them or fails loudly naming the
+    * contract instead of hanging the ingest loop. */
   private def assignmentStats(
       obs: org.apache.spark.sql.Observation): (Long, Long, Double) = {
-    val m = obs.get
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var m = org.apache.spark.sql.graftshim.ObservationBridge.getOrEmpty(obs)
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      m = org.apache.spark.sql.graftshim.ObservationBridge.getOrEmpty(obs)
+    }
+    require(m.nonEmpty,
+      "observed assignment metrics never materialized — the caller's " +
+        "write must execute the observed Dataset itself (the " +
+        "observedAssignment contract), not a re-projection of it")
     val mean = m.get("mean") match {
       case Some(d: java.lang.Double) => d.toDouble
       case _ => Double.NaN

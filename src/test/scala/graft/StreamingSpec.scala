@@ -1498,7 +1498,7 @@ class StreamingSpec extends SparkSpec {
       try {
         StreamOps.intakeBatch(docs(300 until 450), 1L, hist, 4, "html", "doc_id", outDir)
         // the listener bus is async — give it a moment to drain
-        Thread.sleep(1500)
+        org.apache.spark.graftshim.ListenerBridge.waitUntilEmpty(spark.sparkContext) // deterministic drain (ADVICE r19)
       } finally spark.sparkContext.removeSparkListener(listener)
       assert(n.get() <= 20,
         s"steady-state intakeBatch launched ${n.get()} jobs (pinned at 20) — " +
@@ -1531,7 +1531,7 @@ class StreamingSpec extends SparkSpec {
       try {
         StreamOps.intakeBatch(docs(300 until 450), 1L, hist, 4, "html", "doc_id",
           outDir, paragraphDedup = true)
-        Thread.sleep(1500)
+        org.apache.spark.graftshim.ListenerBridge.waitUntilEmpty(spark.sparkContext) // deterministic drain (ADVICE r19)
       } finally spark.sparkContext.removeSparkListener(listener)
       // measured 33 at the pin: the leg adds ~13 jobs over the default
       // path's 20 — 2 localCheckpoint barriers (cleaned batch + within
@@ -1583,7 +1583,7 @@ class StreamingSpec extends SparkSpec {
       try {
         StreamOps.multimodalIntakeBatch(mixed(90 until 135), 1L, hist, 4,
           "payload", "doc_id", outDir)
-        Thread.sleep(1500) // the listener bus is async
+        org.apache.spark.graftshim.ListenerBridge.waitUntilEmpty(spark.sparkContext) // deterministic drain (ADVICE r19)
       } finally spark.sparkContext.removeSparkListener(listener)
       assert(n.get() <= 50,
         s"steady-state multimodalIntakeBatch launched ${n.get()} jobs (pinned at 50) — " +
@@ -1798,7 +1798,7 @@ class StreamingSpec extends SparkSpec {
       spark.sparkContext.addSparkListener(listener)
       try {
         assert(run(b2, 2L))
-        Thread.sleep(1500) // the listener bus is async
+        org.apache.spark.graftshim.ListenerBridge.waitUntilEmpty(spark.sparkContext) // deterministic drain (ADVICE r19)
       } finally spark.sparkContext.removeSparkListener(listener)
       assert(ids(2L) === Set(50L, 170L, 220L), s"steady batch broke: ${ids(2L)}")
       // measured 149 at the pin: roughly the sum of the per-loop pins

@@ -42,7 +42,7 @@ object JobCountProbe {
     }
     spark.sparkContext.addSparkListener(listener)
     StreamOps.intakeBatch(docs(3000 until 4500), 1L, table, 8, "html", "doc_id", outDir)
-    Thread.sleep(2000) // let the listener bus drain
+    org.apache.spark.graftshim.ListenerBridge.waitUntilEmpty(spark.sparkContext) // deterministic drain (ADVICE r19)
     spark.sparkContext.removeSparkListener(listener)
     println(s"[jobcount] intakeBatch steady-state jobs = ${names.size}")
     names.foreach(n => println(s"[jobcount]   $n"))
@@ -80,7 +80,7 @@ object JobCountProbe {
       }
       spark.sparkContext.addSparkListener(listener)
       body
-      Thread.sleep(1500)
+      org.apache.spark.graftshim.ListenerBridge.waitUntilEmpty(spark.sparkContext) // deterministic drain (ADVICE r19)
       spark.sparkContext.removeSparkListener(listener)
       println(s"[jobcount] $tag jobs = ${names.size}")
       names.foreach(n => println(s"[jobcount]   $n"))
@@ -147,7 +147,7 @@ object JobCountProbe {
     // the number the one-payload-checkpoint design bounds
     val cached = spark.sparkContext.getRDDStorageInfo
     val bytes = cached.map(i => i.memSize + i.diskSize).sum
-    Thread.sleep(2000) // let the listener bus drain
+    org.apache.spark.graftshim.ListenerBridge.waitUntilEmpty(spark.sparkContext) // deterministic drain (ADVICE r19)
     spark.sparkContext.removeSparkListener(listener)
     println(s"[jobcount] multimodalIntakeBatch steady-state jobs = ${names.size}")
     println(f"[jobcount] resident checkpoint blocks = ${cached.length}, bytes = $bytes%,d")
@@ -232,7 +232,7 @@ object JobCountProbe {
     }
     spark.sparkContext.addSparkListener(listener)
     run(900 until 1350, 1L)
-    Thread.sleep(2000)
+    org.apache.spark.graftshim.ListenerBridge.waitUntilEmpty(spark.sparkContext) // deterministic drain (ADVICE r19)
     spark.sparkContext.removeSparkListener(listener)
     println(s"[jobcount] all-legs mixedIntakeBatch steady-state jobs = ${names.size}")
     names.foreach(n => println(s"[jobcount]   $n"))

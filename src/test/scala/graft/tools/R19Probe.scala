@@ -39,9 +39,12 @@ object R19Probe {
         .otherwise(own(0, 79)).as("text")).localCheckpoint(true)
     val k = 50
     val toks = col("__toks")
+    // spelled "\u0001" (was a raw 0x01 byte — same string, invisible
+    // in review; ADVICE r19 read it as the empty separator): the
+    // timed expression is byte-identical to repeatedSpanDedup's
     val ghs = when(size(toks) >= k,
         transform(sequence(lit(0), size(toks) - k),
-          i => xxhash64(concat_ws("", slice(toks, i + 1, lit(k))))))
+          i => xxhash64(concat_ws("\u0001", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<bigint>"))
     time("l38 anchors only")(noop(fix.where(col("text").isNotNull)
       .withColumn("__toks", TF.tokens(col("text")))
