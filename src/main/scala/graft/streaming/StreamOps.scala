@@ -620,15 +620,28 @@ object StreamOps {
         }
         bucketed.drop("n_big", "q_sum", "avg_logp")
     }
+    // LAZY barrier on the gated batch (r20): the front half below this
+    // line is re-evaluated by every downstream reference — exact()
+    // scans its input TWICE by design (NULL routing), the quality
+    // filter's pushed-down condition carries its own copy of the
+    // score chain, and the optional decon probe adds another — ~3-4
+    // full strip→normalize→fold evaluations per micro-batch
+    // (plan-counted: 13 strip_html copies in the scored plan). A lazy
+    // localCheckpoint materializes the survivors-so-far ONCE without a
+    // new job: the eager exactNew barrier below computes every
+    // partition, and LocalRDDCheckpointData persists them as that job
+    // runs. (Batch-sized; same executor-loss trade as every barrier in
+    // this loop — a lost executor replays the batch from the pointer.)
+    val scoredB = scored.localCheckpoint(false)
     // optional decontamination leg: drop docs sharing any token n-gram
     // with the frozen eval set BEFORE they can reach the histories (a
     // contaminated doc must not even leave its near-dup band rows
     // behind). Gram probe is over the CLEANED text — the same form the
     // corpus will train on.
     val decon = decontaminate match {
-      case None => scored
+      case None => scoredB
       case Some((t, n)) =>
-        Decontaminate.dropContaminated(spark, scored, "text", idCol, t, n)
+        Decontaminate.dropContaminated(spark, scoredB, "text", idCol, t, n)
     }
     // creates whichever history tables are missing (crash-safe per
     // table — a keyed-on-one-table check would wedge after a crash

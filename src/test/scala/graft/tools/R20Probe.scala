@@ -26,6 +26,7 @@ object R20Probe {
     val docs = graft.sources.Tables.documents(spark, d).select(col("doc_id"))
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    if (args.headOption.contains("text")) { text(spark, d); return }
     // the l31 fixture's batch-1 shape (fresh + re-encode plants)
     def modal(ids: DataFrame, reencode: Boolean): DataFrame = {
       val m0 = col("__seed") % 3 === 0
@@ -118,6 +119,78 @@ object R20Probe {
         "doc_id", outDir): Unit
     })
     StreamOps.dropMultimodalHistory(spark, table)
+    spark.stop()
+  }
+
+  /** Piece-wise attribution of ONE steady-state text intake micro-batch
+    * (the l23b shape): clean/score front half, exact legs, LSH legs,
+    * survivor write, the three history-delta appends. */
+  private def text(spark: SparkSession, d: String): Unit = {
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.sources.Tables.documents(spark, d).select(col("doc_id"))
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val clean = when(col("doc_id") % 11 === 0, lit("tiny low quality"))
+      .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+        i => concat(lit("tok"), col("doc_id").cast("string"),
+          lit("word"), i.cast("string"))), " "))
+    val fx = docs.select(col("doc_id"), clean.as("__clean"))
+    def wrap(c: org.apache.spark.sql.Column) = concat(lit("<p class=\"x\">"), c,
+      lit("</p><script>var j = \"<q>\";</script>"))
+    val table = "r20p_text_hist"
+    val outDir = spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + "/r20p_text_out"
+    Dedup.dropIntakeHistory(spark, table)
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    outP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(outP, true)
+    StreamOps.intakeBatch(fx.where(col("doc_id") % 3 =!= 1)
+        .select(col("doc_id"), wrap(col("__clean")).as("html")),
+      0L, table, 8, "html", "doc_id", outDir)
+    Dedup.compactIntakeDelta(spark, table)
+    val b1 = fx.where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), wrap(col("__clean")).as("html"))
+      .unionByName(fx.where(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), wrap(col("__clean")).as("html")))
+      .unionByName(fx.where(col("doc_id") % 3 === 0 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          wrap(concat(col("__clean"), lit(" zzextra"))).as("html")))
+    println(s"[r20] text batch rows = ${b1.count()}")
+    // the front half: strip -> normalize -> quality gate
+    val cleaned = b1.select(col("doc_id"),
+      TF.normalizeText(TF.stripHtml(col("html"))).as("text"))
+    time("clean front half (noop)")(noop(cleaned))
+    val scored = TF.withQualityOnly(cleaned, "text")
+      .where(col("quality") >= 0.75)
+    time("clean+score (noop)")(noop(scored))
+    val scored0 = scored.localCheckpoint(true)
+    time("exact within (noop)")(noop(Dedup.exact(scored0, "text", "doc_id")))
+    val exactW = Dedup.exact(scored0, "text", "doc_id")
+    time("exact incremental + ckpt")(
+      Dedup.exactIncrementalDelta(spark, exactW, table, "text", "doc_id")
+        .localCheckpoint(true): Unit)
+    val exactNew = Dedup.exactIncrementalDelta(spark, exactW, table,
+      "text", "doc_id").localCheckpoint(true)
+    time("near within (noop)")(
+      noop(Dedup.nearDedupMinhash(exactNew, "text", "doc_id", 0.8)))
+    val nearW = Dedup.nearDedupMinhash(exactNew, "text", "doc_id", 0.8)
+    time("near incremental (noop)")(
+      noop(Dedup.nearDedupIncremental(spark, nearW, table, "text", "doc_id", 0.8)))
+    val outFrame = Dedup.nearDedupIncremental(spark, nearW, table,
+      "text", "doc_id", 0.8)
+    time("survivor write")(
+      outFrame.write.mode("overwrite").parquet(s"$outDir/batch-9"))
+    val survivors = spark.read.schema(outFrame.schema).parquet(s"$outDir/batch-9")
+    time("append band+sh delta")(
+      Dedup.appendBandHistoryDelta(spark, survivors, "text", "doc_id", table, 9L))
+    time("append hash delta")(
+      Dedup.appendHashHistoryDelta(spark, survivors, "text", "doc_id", table, 9L))
+    time("intakeBatch (whole, steady)")({
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/_LATEST")
+      p.getFileSystem(hconf).delete(p, false)
+      StreamOps.intakeBatch(b1, 1L, table, 8, "html", "doc_id", outDir): Unit
+    })
+    Dedup.dropIntakeHistory(spark, table)
     spark.stop()
   }
 }
