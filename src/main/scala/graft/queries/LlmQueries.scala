@@ -1309,8 +1309,14 @@ object LlmQueries {
     ("l22_intake_pipeline", (s, d) => {
       val html = concat(lit("""<div class="doc"><p>"""), col("text"),
         lit("</p></div>"))
+      // lazy barrier (r20): the pushed-down quality filter, exact()'s
+      // two NULL-routing scans and the output projection otherwise each
+      // carry their own copy of the strip→normalize chain (~4-5
+      // evaluations per row); the checkpoint materializes `clean` once
+      // inside the row's single job
       val cleaned = Tables.documents(s, d)
         .select(col("doc_id"), TF.normalizeText(TF.stripHtml(html)).as("clean"))
+        .localCheckpoint(false)
       val scored = TF.withQualityOnly(cleaned, "clean")
         .where(col("quality") >= 0.75)
       Dedup.exact(scored, "clean", "doc_id")
@@ -1342,8 +1348,16 @@ object LlmQueries {
         lit("""<div class="nav"><ul><li><a href="/">Home</a></li><li><a href="/about">About us</a></li></ul></div><div class="content"><p>"""),
         col("text"),
         lit("""</p></div><div class="footer"><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> &#169; 2026 site</div><script>var nav = "<div>menu</div>";</script>"""))
+      // LAZY pre-barrier (r20): the quality filter below pushes its
+      // condition under the projection, so without it the block-
+      // classifier chain — the most expensive per-row expression in
+      // the engine — evaluates once for the pushed filter and again
+      // for the projected columns. The lazy checkpoint materializes
+      // `clean` during the eager barrier's job (no extra job), and
+      // both copies read the slot.
       val cleaned = mixed.select(col("doc_id"),
         TF.normalizeText(TF.stripHtml(TF.extractContent(page))).as("clean"))
+        .localCheckpoint(false)
       // barrier: the interpreted block-classifier pipeline is the most
       // expensive per-row expression in the engine, and downstream it
       // is referenced by BOTH sides of the scoring join, the dedup
@@ -1401,7 +1415,11 @@ object LlmQueries {
       // replan under every reference (the committed before-plan carries
       // the chain 6×). Both frames are batch-sized.
       val scored = TF.withQualityOnly(aug
-          .select(col("doc_id"), TF.normalizeText(TF.stripHtml(html)).as("clean")),
+          .select(col("doc_id"), TF.normalizeText(TF.stripHtml(html)).as("clean"))
+          // lazy pre-barrier: the pushed-down quality filter otherwise
+          // carries its own copy of the strip→normalize chain (the
+          // l22c rationale); materializes during the eager barrier's job
+          .localCheckpoint(false),
           "clean")
         .where(col("quality") >= 0.75)
         .localCheckpoint(true)
