@@ -95,8 +95,13 @@ object Bench {
     // — a sub-1.0 end bracket against the r13 pin, the quietest
     // window recorded since r13).
     val controlNames = Seq("p01_project", "a01_groupby", "w03_running")
+    // re-pinned at the r20a promotion (BASELINE.md "round 20 QUIET
+    // window"): end controls p01 1.538 + a01 0.963 + w03 0.463 = 2.964
+    // — the lowest control sum ever recorded on this box class (the
+    // r16e pin was 3.172). Historical spread of quiet-window pins is
+    // ±1-2% (BASELINE.md r17 note); ratios carry that error bar.
     val controlBaselineSec =
-      sys.env.get("SPARK_GRAFT_CONTROL_BASELINE").map(_.toDouble).getOrElse(3.172)
+      sys.env.get("SPARK_GRAFT_CONTROL_BASELINE").map(_.toDouble).getOrElse(2.964)
     // one untimed warmup pass before the controls: the canonical
     // denominators were recorded mid-sweep in a hot JVM, so a control
     // measured as the very first query of a cold JVM carries JIT/
@@ -170,8 +175,15 @@ object Bench {
     // controlBaselineSec discipline) sched_vs_pin reads the mode
     // directly: >= ~2 means every many-small-job row ran under it even
     // where its own bracket looks quiet. 0.0 = no pin recorded yet.
+    // pinned at the r20a promotion: the gate-meeting quiet window's
+    // calibrated six-one-task-job dipstick read 0.1213 s (~20 ms/job —
+    // the box's quiet scheduler round-trip price; the r19 hot windows
+    // read ~0.24 s). sched_vs_pin >= ~2 on a future run means every
+    // many-small-job row ran under the whole-sweep noise mode even
+    // where its own self-calibrated bracket looks quiet (the r19b
+    // lesson this pin exists for).
     val schedBaselinePin =
-      sys.env.get("SPARK_GRAFT_SCHED_BASELINE").map(_.toDouble)
+      sys.env.get("SPARK_GRAFT_SCHED_BASELINE").map(_.toDouble).orElse(Some(0.1213))
     val schedVsPin =
       schedBaselinePin.map(p => BenchMath.ratio(schedEff, p)).getOrElse(0.0)
     // every string goes through the shared escaper — an unescaped quote
